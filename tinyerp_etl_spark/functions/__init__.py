@@ -1,0 +1,23 @@
+"""Scalar function library — native Column expressions, never UDFs."""
+
+from tinyerp_etl_spark.functions.coerce import (
+    br_date,
+    br_timestamp,
+    is_br_date,
+    mask_token,
+    nullif_empty,
+    safe_double,
+)
+from tinyerp_etl_spark.functions.exact import avg_from_cents, cents, sum_cents
+
+__all__ = [
+    "safe_double",
+    "br_date",
+    "br_timestamp",
+    "is_br_date",
+    "nullif_empty",
+    "mask_token",
+    "cents",
+    "sum_cents",
+    "avg_from_cents",
+]

@@ -1,0 +1,38 @@
+"""Exact-money aggregation helpers.
+
+Floating-point SUM is not associative, so a double SUM's low bits vary
+with partition count / merge order — a correctness hazard for any
+engine-vs-oracle differential check *and* for run-to-run reproducibility
+on a real cluster. Monetary columns in the test data carry at most 2
+decimal digits, so we aggregate in integer cents: round to cents per
+row (exact — the doubles sit ~1e-10 from the true cent value, nowhere
+near a rounding tie), SUM as BIGINT (exact, associative), and divide at
+the end (a single deterministic IEEE op). Results are then bit-identical
+across partitionings and across engines.
+
+The paired DuckDB oracle expression is
+``CAST(round(x * 100) AS BIGINT)`` — see plans/oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def cents(col: Column | str, scale: int = 2) -> Column:
+    """Exact integer representation of a fixed-decimal double column."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c * F.lit(10**scale)).cast("long")
+
+
+def sum_cents(col: Column | str, scale: int = 2) -> Column:
+    """Exact SUM of a fixed-decimal double, returned as double."""
+    return (F.sum(cents(col, scale)) / F.lit(float(10**scale))).cast("double")
+
+
+def avg_from_cents(col: Column | str, scale: int = 2) -> Column:
+    """Exact-numerator AVG of a fixed-decimal double column."""
+    return (
+        F.sum(cents(col, scale)) / (F.lit(float(10**scale)) * F.count(F.lit(1)))
+    ).cast("double")

@@ -1,0 +1,267 @@
+"""DuckDB oracle SQL — one ANSI statement per named query.
+
+Column aliases MUST match the Spark query exactly (the driver sorts
+columns by name before hashing). Monetary aggregates use the same
+integer-cents construction as functions.exact so both engines produce
+bit-identical doubles: CAST(round(x*100) AS BIGINT) per row → exact
+integer SUM → one final division.
+"""
+
+from __future__ import annotations
+
+# shorthand used throughout: exact cents of a 2-decimal double column
+_C = "CAST(round({col} * 100) AS BIGINT)"
+
+
+RELATIONAL_ORACLES: dict[str, str] = {
+    "q1_pricing_summary": """
+        SELECT
+          l_returnflag,
+          l_linestatus,
+          sum(l_quantity) AS sum_qty,
+          CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) / 100.0 AS DOUBLE) AS sum_base_price,
+          CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                   * (100 - CAST(round(l_discount*100) AS BIGINT))) / 1e4 AS DOUBLE) AS sum_disc_price,
+          CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                   * (100 - CAST(round(l_discount*100) AS BIGINT))
+                   * (100 + CAST(round(l_tax*100) AS BIGINT))) / 1e6 AS DOUBLE) AS sum_charge,
+          CAST(sum(l_quantity) / count(*) AS DOUBLE) AS avg_qty,
+          CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) / (100.0 * count(*)) AS DOUBLE) AS avg_price,
+          CAST(sum(CAST(round(l_discount*100) AS BIGINT)) / (100.0 * count(*)) AS DOUBLE) AS avg_disc,
+          count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    "agg_distinct_count": """
+        SELECT
+          o_orderstatus,
+          count(DISTINCT o_custkey) AS n_customers,
+          count(*) AS n_orders,
+          CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) / 100.0 AS DOUBLE) AS sum_price,
+          min(o_orderdate) AS first_order,
+          max(o_orderdate) AS last_order
+        FROM orders
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+    """,
+    "agg_rollup": """
+        SELECT
+          l_returnflag,
+          l_linestatus,
+          sum(l_quantity) AS sum_qty,
+          count(*) AS n_rows,
+          CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST, gid
+    """,
+    "agg_cube": """
+        SELECT
+          o_orderstatus,
+          o_orderpriority,
+          count(*) AS n_orders,
+          CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) / 100.0 AS DOUBLE) AS sum_price,
+          CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT) AS gid
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST, gid
+    """,
+    "audit_counts": """
+        SELECT 'region' AS table_name, count(*) AS n_rows FROM region
+        UNION ALL SELECT 'nation', count(*) FROM nation
+        UNION ALL SELECT 'customer', count(*) FROM customer
+        UNION ALL SELECT 'supplier', count(*) FROM supplier
+        UNION ALL SELECT 'part', count(*) FROM part
+        UNION ALL SELECT 'orders', count(*) FROM orders
+        UNION ALL SELECT 'lineitem', count(*) FROM lineitem
+        ORDER BY table_name
+    """,
+    "q3_shipping_priority": """
+        SELECT
+          o_orderkey,
+          o_orderdate,
+          o_orderpriority,
+          CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                   * (100 - CAST(round(l_discount*100) AS BIGINT))) / 1e4 AS DOUBLE) AS revenue
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-03-15'
+          AND l_shipdate > TIMESTAMP '1996-03-15'
+        GROUP BY o_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, o_orderkey ASC
+        LIMIT 10
+    """,
+    "q5_local_supplier_volume": """
+        SELECT
+          n_name,
+          CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                   * (100 - CAST(round(l_discount*100) AS BIGINT))) / 1e4 AS DOUBLE) AS revenue
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+        GROUP BY n_name
+        ORDER BY revenue DESC, n_name ASC
+    """,
+    "join_left_enrich": """
+        SELECT
+          p_brand,
+          count(*) AS n_items,
+          sum(l_quantity) AS sum_qty
+        FROM lineitem
+        LEFT JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand
+        ORDER BY p_brand ASC NULLS FIRST
+    """,
+    "join_semi_customers_with_orders": """
+        SELECT c_custkey, c_name, c_mktsegment
+        FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        ORDER BY c_custkey
+    """,
+    "join_anti_orphan_audit": """
+        SELECT c_mktsegment, count(*) AS n_orphans
+        FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+    """,
+    "join_full_outer_balance": """
+        SELECT
+          coalesce(c.c_nationkey, s.s_nationkey) AS nationkey,
+          c.cust_bal,
+          s.supp_bal
+        FROM (
+          SELECT c_nationkey,
+                 CAST(sum(CAST(round(c_acctbal*100) AS BIGINT)) / 100.0 AS DOUBLE) AS cust_bal
+          FROM customer GROUP BY c_nationkey
+        ) c
+        FULL OUTER JOIN (
+          SELECT s_nationkey,
+                 CAST(sum(CAST(round(s_acctbal*100) AS BIGINT)) / 100.0 AS DOUBLE) AS supp_bal
+          FROM supplier GROUP BY s_nationkey
+        ) s ON c.c_nationkey = s.s_nationkey
+        ORDER BY nationkey
+    """,
+    "window_latest_order_per_customer": """
+        SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice
+        FROM (
+          SELECT *,
+                 row_number() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate DESC, o_orderkey DESC
+                 ) AS rn
+          FROM orders
+        )
+        WHERE rn = 1
+        ORDER BY o_custkey
+    """,
+    "window_running_total": """
+        SELECT
+          o_custkey,
+          o_orderkey,
+          o_orderdate,
+          CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) OVER (
+                 PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) / 100.0 AS DOUBLE) AS running_total
+        FROM orders
+        ORDER BY o_custkey, o_orderdate, o_orderkey
+    """,
+    "window_rank_price_in_status": """
+        SELECT o_orderstatus, o_orderkey, o_totalprice,
+               price_rank, price_dense_rank, prev_orderkey
+        FROM (
+          SELECT
+            o_orderstatus,
+            o_orderkey,
+            o_totalprice,
+            rank() OVER w AS price_rank,
+            dense_rank() OVER w AS price_dense_rank,
+            lag(o_orderkey, 1) OVER w AS prev_orderkey
+          FROM orders
+          WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey ASC)
+        )
+        WHERE price_rank <= 5
+        ORDER BY o_orderstatus, price_rank, o_orderkey
+    """,
+    "topk_expensive_orders": """
+        SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+        FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey ASC
+        LIMIT 20
+    """,
+    "setops_customer_nations": """
+        SELECT nationkey, 'union' AS op FROM (
+          SELECT c_nationkey AS nationkey FROM customer
+          UNION
+          SELECT s_nationkey FROM supplier
+        )
+        UNION ALL
+        SELECT nationkey, 'intersect' AS op FROM (
+          SELECT c_nationkey AS nationkey FROM customer
+          INTERSECT
+          SELECT s_nationkey FROM supplier
+        )
+        UNION ALL
+        SELECT nationkey, 'except' AS op FROM (
+          SELECT c_nationkey AS nationkey FROM customer
+          EXCEPT
+          SELECT s_nationkey FROM supplier
+        )
+        ORDER BY op, nationkey
+    """,
+    "scalar_functions_showcase": """
+        SELECT
+          p_partkey,
+          substring(p_name, 1, 5) || '...' AS masked_name,
+          upper(p_brand) AS brand_upper,
+          CAST(length(p_type) AS INT) AS type_len,
+          round(p_retailprice, 0) AS price_rounded,
+          p_size % 7 AS size_mod7,
+          coalesce(regexp_extract(p_type, '^(\\w+)', 1), '') AS type_first_word
+        FROM part
+        WHERE p_size > 25
+        ORDER BY p_partkey
+    """,
+    "coercion_showcase": """
+        WITH staged AS (
+          SELECT
+            o_orderkey,
+            CASE
+              WHEN o_orderkey % 7 = 0 THEN 'not-a-number'
+              WHEN o_orderkey % 11 = 0 THEN ''
+              ELSE CAST(CAST(round(o_totalprice*100) AS BIGINT) // 100 AS VARCHAR)
+                   || ','
+                   || lpad(CAST(CAST(round(o_totalprice*100) AS BIGINT) % 100 AS VARCHAR), 2, '0')
+            END AS price_text,
+            CASE
+              WHEN o_orderkey % 13 = 0 THEN '31-12-2020'
+              WHEN o_orderkey % 5 = 0 THEN strftime(o_orderdate, '%d/%m/%Y')
+              ELSE strftime(o_orderdate, '%d/%m/%Y %H:%M:%S')
+            END AS date_text
+          FROM orders
+        )
+        SELECT
+          o_orderkey,
+          coalesce(try_cast(replace(trim(price_text), ',', '.') AS DOUBLE), 0.0) AS price_coerced,
+          coalesce(
+            try_strptime(date_text, '%d/%m/%Y %H:%M:%S'),
+            try_strptime(date_text, '%d/%m/%Y')
+          ) AS date_parsed,
+          CAST(regexp_matches(date_text, '^\\d{2}/\\d{2}/\\d{4}') AS INT) AS date_valid,
+          nullif(price_text, '') AS price_nullif
+        FROM staged
+        ORDER BY o_orderkey
+    """,
+}

@@ -1,0 +1,47 @@
+"""Assembles the full queries()/oracle_sql() surface for the driver.
+
+Each plans submodule contributes (QUERIES, ORACLES); names are globally
+unique. Queries without an oracle entry (non-SQL-expressible ops) get a
+rows-only check from the driver.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from tinyerp_etl_spark.plans import relational
+from tinyerp_etl_spark.plans.oracles import RELATIONAL_ORACLES
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+def all_queries() -> dict[str, QueryFn]:
+    queries: dict[str, QueryFn] = {
+        "q1_pricing_summary": relational.q1_pricing_summary,
+        "agg_distinct_count": relational.agg_distinct_count,
+        "agg_rollup": relational.agg_rollup,
+        "agg_cube": relational.agg_cube,
+        "audit_counts": relational.audit_counts,
+        "q3_shipping_priority": relational.q3_shipping_priority,
+        "q5_local_supplier_volume": relational.q5_local_supplier_volume,
+        "join_left_enrich": relational.join_left_enrich,
+        "join_semi_customers_with_orders": relational.join_semi_customers_with_orders,
+        "join_anti_orphan_audit": relational.join_anti_orphan_audit,
+        "join_full_outer_balance": relational.join_full_outer_balance,
+        "window_latest_order_per_customer": relational.window_latest_order_per_customer,
+        "window_running_total": relational.window_running_total,
+        "window_rank_price_in_status": relational.window_rank_price_in_status,
+        "topk_expensive_orders": relational.topk_expensive_orders,
+        "setops_customer_nations": relational.setops_customer_nations,
+        "scalar_functions_showcase": relational.scalar_functions_showcase,
+        "coercion_showcase": relational.coercion_showcase,
+    }
+    return queries
+
+
+def all_oracles() -> dict[str, str]:
+    oracles: dict[str, str] = {}
+    oracles.update(RELATIONAL_ORACLES)
+    return oracles

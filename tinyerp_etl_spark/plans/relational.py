@@ -1,0 +1,440 @@
+"""Relational core: scan/filter/project/join/agg/window/sort/set-ops.
+
+The reference's schema is a dimensional model built "para posterior
+análise" (ref README.md:3) — these queries are the analytics layer that
+schema exists to serve, exercised on the driver's TPC-H-ish tables.
+Every query here is paired with an ANSI-SQL oracle (same name, same
+column aliases) in ``ORACLES``.
+
+Scale notes (100 TB design):
+- fact-fact joins (orders⋈lineitem) shuffle on the join key — that's
+  the right plan; AQE handles skew;
+- dim joins (region/nation/part-sized) are explicitly ``broadcast()``
+  so no fact shuffle happens for them;
+- aggregates use integer-cents math (functions.exact) so results are
+  partition-order-invariant — reproducibility at any parallelism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+from pyspark.sql.window import Window
+
+from tinyerp_etl_spark.functions.exact import avg_from_cents, sum_cents
+from tinyerp_etl_spark.sources.catalog import load_table
+
+# --------------------------------------------------------------------------
+# aggregations
+# --------------------------------------------------------------------------
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary: filter → groupBy → 8 aggregates.
+
+    Flagship query (SURVEY.md §7 Phase 0). Map-side partial aggregation
+    collapses 100 TB of lineitem to 6 groups before the shuffle; the
+    scan reads only 7 of 11 columns (column pruning) with the shipdate
+    predicate pushed to parquet.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price_cents = (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * (100 - F.round(F.col("l_discount") * 100).cast("long"))
+    )
+    charge_e6 = disc_price_cents * (100 + F.round(F.col("l_tax") * 100).cast("long"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            sum_cents("l_extendedprice").alias("sum_base_price"),
+            (F.sum(disc_price_cents) / F.lit(1e4)).cast("double").alias("sum_disc_price"),
+            (F.sum(charge_e6) / F.lit(1e6)).cast("double").alias("sum_charge"),
+            (F.sum("l_quantity") / F.count(F.lit(1))).cast("double").alias("avg_qty"),
+            avg_from_cents("l_extendedprice").alias("avg_price"),
+            avg_from_cents("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def agg_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) + multi-agg per group (partial-agg friendly)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.count(F.lit(1)).alias("n_orders"),
+            sum_cents("o_totalprice").alias("sum_price"),
+            F.min("o_orderdate").alias("first_order"),
+            F.max("o_orderdate").alias("last_order"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (returnflag, linestatus) with grouping_id."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.grouping_id("l_returnflag", "l_linestatus").alias("gid"),
+        )
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+            "gid",
+        )
+    )
+
+
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (orderstatus, orderpriority)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            sum_cents("o_totalprice").alias("sum_price"),
+            F.grouping_id("o_orderstatus", "o_orderpriority").alias("gid"),
+        )
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+            "gid",
+        )
+    )
+
+
+def audit_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-count reconciliation across tables.
+
+    Mirrors the reference's final COUNT(*) audit loop over all its
+    tables (ref tiny_api_v2_cliente.py:395-401).
+    """
+    rows = []
+    for name in ("region", "nation", "customer", "supplier", "part", "orders", "lineitem"):
+        df = load_table(spark, sf_dir, name)
+        rows.append(
+            df.agg(F.count(F.lit(1)).alias("n_rows")).select(
+                F.lit(name).alias("table_name"), "n_rows"
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("table_name")
+
+
+# --------------------------------------------------------------------------
+# joins
+# --------------------------------------------------------------------------
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style: 3-way join, group, top-10 by revenue.
+
+    customer is filtered before the join (predicate pushdown), the
+    orders⋈lineitem join shuffles on orderkey; top-k is a TakeOrdered —
+    no full sort at scale.
+    """
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1996-03-15").cast("timestamp")
+    )
+    rev_cents = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        100 - F.round(F.col("l_discount") * 100).cast("long")
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg((F.sum(rev_cents) / F.lit(1e4)).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style: 6-way join incl. a same-nation predicate.
+
+    region/nation are broadcast (no shuffle); the co-located
+    customer-supplier nation equality is expressed as a join predicate
+    so Catalyst evaluates it during the supplier join.
+    """
+    region = broadcast(
+        load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    )
+    nation = broadcast(load_table(spark, sf_dir, "nation"))
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    rev_cents = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        100 - F.round(F.col("l_discount") * 100).cast("long")
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .join(
+            supp,
+            (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(nation, supp.s_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg((F.sum(rev_cents) / F.lit(1e4)).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name").asc())
+    )
+
+
+def join_left_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left broadcast-join enrichment: lineitem ⟕ part (name lookup).
+
+    Mirrors the reference's denormalizing name-lookup join — stock rows
+    carry the product name (nome_produto_estoque, ref
+    tiny_api_v2_cliente.py:86; README.md:9 'com nome do produto').
+    Aggregated per brand to keep the result hash-stable.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = broadcast(load_table(spark, sf_dir, "part").select("p_partkey", "p_brand"))
+    return (
+        li.join(part, li.l_partkey == part.p_partkey, "left")
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n_items"), F.sum("l_quantity").alias("sum_qty"))
+        .orderBy(F.col("p_brand").asc_nulls_first())
+    )
+
+
+def join_semi_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI: customers that have ≥1 order (FK 'children exist').
+
+    The semi-join is the engine-level equivalent of the reference's FK
+    integrity wiring (ref tiny_api_v2_cliente.py:83-89): keep rows with
+    a matching parent/child without duplicating them.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+def join_anti_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI orphan audit: customers with zero orders.
+
+    The anti-join audit replaces the DB-enforced FK constraints the
+    reference leans on (ref tiny_api_v2_cliente.py:83-89) — Spark
+    doesn't enforce FKs, so integrity is checked, not declared.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_orphans"))
+        .orderBy("c_mktsegment")
+    )
+
+
+def join_full_outer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join: nation-level customer vs supplier account sums."""
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    c = cust.groupBy("c_nationkey").agg(sum_cents("c_acctbal").alias("cust_bal"))
+    s = supp.groupBy("s_nationkey").agg(sum_cents("s_acctbal").alias("supp_bal"))
+    return (
+        c.join(s, c.c_nationkey == s.s_nationkey, "full_outer")
+        .select(
+            F.coalesce(c.c_nationkey, s.s_nationkey).alias("nationkey"),
+            F.col("cust_bal"),
+            F.col("supp_bal"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# windows
+# --------------------------------------------------------------------------
+
+
+def window_latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number() keep-latest-per-key — the upsert dedupe window.
+
+    This is the one window the reference semantically requires: MERGE
+    keep-latest by PK (ref ON CONFLICT DO UPDATE,
+    tiny_api_v2_cliente.py:122-123) expressed relationally.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .orderBy("o_custkey")
+    )
+
+
+def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running SUM per customer ordered by date (cents-exact).
+
+    Mirrors the reference's running counter accumulation
+    (registros_processados +=, ref tiny_api_v2_cliente.py:208).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    price_cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            (F.sum(price_cents).over(w) / F.lit(100.0)).cast("double").alias("running_total"),
+        )
+        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+    )
+
+
+def window_rank_price_in_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank/dense_rank/lag in one pass over a single window spec."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.select(
+            "o_orderstatus",
+            "o_orderkey",
+            "o_totalprice",
+            F.rank().over(w).alias("price_rank"),
+            F.dense_rank().over(w).alias("price_dense_rank"),
+            F.lag("o_orderkey", 1).over(w).alias("prev_orderkey"),
+        )
+        .filter(F.col("price_rank") <= 5)
+        .orderBy("o_orderstatus", "price_rank", "o_orderkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# sort / limit / set ops / scalar demos
+# --------------------------------------------------------------------------
+
+
+def topk_expensive_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 by price with a unique tiebreak (deterministic top-k)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(20)
+    )
+
+
+def setops_customer_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION / INTERSECT / EXCEPT over nation-key sets.
+
+    nations with customers ∪/∩/∖ nations with suppliers, tagged by op.
+    """
+    cust_n = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    supp_n = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    union = cust_n.union(supp_n).distinct().withColumn("op", F.lit("union"))
+    intersect = cust_n.intersect(supp_n).withColumn("op", F.lit("intersect"))
+    except_ = cust_n.subtract(supp_n).withColumn("op", F.lit("except"))
+    return union.unionByName(intersect).unionByName(except_).orderBy("op", "nationkey")
+
+
+def scalar_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String/date/math scalar pipeline on part + orders.
+
+    Exercises the scalar surface the reference uses: substring/concat
+    (masking, ref :230), trim/replace (ref :55), round (ref :211), date
+    arithmetic (ref :113,:152) — as one projected query.
+    """
+    p = load_table(spark, sf_dir, "part")
+    return (
+        p.select(
+            "p_partkey",
+            F.concat(F.substring("p_name", 1, 5), F.lit("...")).alias("masked_name"),
+            F.upper("p_brand").alias("brand_upper"),
+            F.length("p_type").alias("type_len"),
+            F.round(F.col("p_retailprice")).alias("price_rounded"),
+            (F.col("p_size") % 7).alias("size_mod7"),
+            F.regexp_extract("p_type", r"^(\w+)", 1).alias("type_first_word"),
+        )
+        .filter(F.col("p_size") > 25)
+        .orderBy("p_partkey")
+    )
+
+
+def coercion_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's coercion semantics, end-to-end on real columns.
+
+    Builds comma-decimal strings and dd/MM/yyyy date-text from orders,
+    then applies safe_double (0.0-default, ref :52-59) and the
+    dd/MM/yyyy[ HH:mm:ss] fallback parse (ref :150-151) + the validity
+    regex (ref :134) + NULLIF('') (ref :133). The oracle runs the same
+    round-trip in SQL.
+    """
+    from tinyerp_etl_spark.functions.coerce import (
+        br_timestamp,
+        is_br_date,
+        nullif_empty,
+        safe_double,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    price_cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    comma_price = F.concat(
+        (price_cents / 100).cast("long").cast("string"),
+        F.lit(","),
+        F.lpad((price_cents % 100).cast("string"), 2, "0"),
+    )
+    staged = o.select(
+        "o_orderkey",
+        # comma-decimal money text; every 7th row corrupted, every 11th empty
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit("not-a-number"))
+        .when(F.col("o_orderkey") % 11 == 0, F.lit(""))
+        .otherwise(comma_price)
+        .alias("price_text"),
+        # Brazilian date text; every 5th row date-only, every 13th invalid
+        F.when(F.col("o_orderkey") % 13 == 0, F.lit("31-12-2020"))
+        .when(F.col("o_orderkey") % 5 == 0, F.date_format("o_orderdate", "dd/MM/yyyy"))
+        .otherwise(F.date_format("o_orderdate", "dd/MM/yyyy HH:mm:ss"))
+        .alias("date_text"),
+    )
+    return (
+        staged.select(
+            "o_orderkey",
+            safe_double("price_text").alias("price_coerced"),
+            br_timestamp("date_text").alias("date_parsed"),
+            is_br_date("date_text").cast("int").alias("date_valid"),
+            nullif_empty("price_text").alias("price_nullif"),
+        )
+        .orderBy("o_orderkey")
+    )

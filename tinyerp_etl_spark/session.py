@@ -1,0 +1,42 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+The reference runs one Python process against PostgreSQL
+(tiny_api_v2_cliente.py:62-78); our execution substrate is Spark. The
+settings below are the ones that matter at 100 TB and are harmless at
+test scale:
+
+- AQE on (runtime coalescing, skew-join splitting, dynamic join
+  strategy switch),
+- UTC session timezone (the reference stores tz-aware UTC control
+  timestamps, tiny_api_v2_cliente.py:119),
+- Arrow for any pandas-UDF path,
+- shuffle partitions sized by env (32 locally; a real cluster would set
+  this to ~2-3x total cores or rely on AQE coalescing).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "tinyerp-etl-spark") -> SparkSession:
+    """Build (or reuse) the engine's SparkSession."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    shuffle_parts = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", shuffle_parts)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+    )
+    return builder.getOrCreate()

@@ -1,0 +1,84 @@
+"""Differential-testing harness: Spark query vs DuckDB oracle.
+
+Mirrors the driver's correctness gate: run the DataFrame query and the
+ANSI-SQL oracle on the same parquet tables, then compare row count +
+column set + an order-insensitive canonical form of every value. We
+compare exact values (not hashes) so failures are debuggable.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any
+
+import duckdb
+import pandas as pd
+
+from tinyerp_etl_spark.sources.catalog import TABLES
+
+
+def run_oracle(sql: str, sf_dir: str) -> pd.DataFrame:
+    """Run oracle SQL in DuckDB with the test tables as views."""
+    con = duckdb.connect()
+    try:
+        for name in TABLES:
+            con.execute(
+                f"CREATE VIEW {name} AS SELECT * FROM '{sf_dir}/{name}.parquet'"
+            )
+        return con.execute(sql).df()
+    finally:
+        con.close()
+
+
+def _canon_value(v: Any) -> Any:
+    """Canonicalize one cell so Spark/DuckDB representations compare equal."""
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return None
+        # exact float identity: repr of the double bits
+        return float(v).hex()
+    if isinstance(v, pd.Timestamp):
+        if v.tzinfo is not None:
+            v = v.tz_convert("UTC").tz_localize(None)
+        return v.isoformat()
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+        return tuple(_canon_value(x) for x in v)
+    if hasattr(v, "item") and type(v).__module__ == "numpy":  # numpy scalar
+        return _canon_value(v.item())
+    if hasattr(v, "isoformat"):  # date/datetime
+        return v.isoformat()
+    return v
+
+
+def canonical_rows(df: pd.DataFrame) -> list[tuple]:
+    """Column-name-sorted, row-sorted canonical form of a result."""
+    cols = sorted(df.columns)
+    rows = [
+        tuple(_canon_value(row[c]) for c in cols)
+        for _, row in df[cols].iterrows()
+    ]
+    return sorted(rows, key=lambda r: tuple(str(x) for x in r))
+
+
+def assert_matches_oracle(spark_df, sql: str, sf_dir: str, name: str = "?") -> None:
+    """Assert the Spark result matches the DuckDB oracle result."""
+    got = spark_df.toPandas()
+    want = run_oracle(sql, sf_dir)
+    assert len(got) == len(want), (
+        f"{name}: row count mismatch spark={len(got)} oracle={len(want)}"
+    )
+    assert sorted(got.columns) == sorted(want.columns), (
+        f"{name}: column mismatch spark={sorted(got.columns)} "
+        f"oracle={sorted(want.columns)}"
+    )
+    got_rows = canonical_rows(got)
+    want_rows = canonical_rows(want)
+    if got_rows != want_rows:
+        diffs = [
+            (i, g, w)
+            for i, (g, w) in enumerate(zip(got_rows, want_rows))
+            if g != w
+        ][:5]
+        raise AssertionError(f"{name}: value mismatch, first diffs: {diffs}")
