@@ -1,0 +1,75 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...}
+
+The driver runs this per-round at sf0.1 and records BENCH_r{N}.json;
+run it locally while iterating (SPARK_GRAFT_SF_DIR=/root/testdata/sf0.01
+for a quick loop).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from tinyerp_etl_spark.plans.registry import all_queries
+from tinyerp_etl_spark.session import get_spark
+
+# Headline set: the queries that exercise the engine's hot paths —
+# full-table agg, multi-join, window, top-k — plus (as they land)
+# dedup/similarity/text operators. Names must exist in all_queries().
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "window_latest_order_per_customer",
+    "join_left_enrich",
+    "topk_expensive_orders",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([\d.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+    spark = get_spark("tinyerp-etl-spark-bench")
+    queries = all_queries()
+
+    # warm the JVM/page-cache once with the cheapest headline query so
+    # per-query numbers measure the engine, not first-touch overheads
+    queries[HEADLINE[0]](spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        if name not in queries:
+            continue
+        t0 = time.perf_counter()
+        # count() forces full execution of every operator in the plan
+        queries[name](spark, sf_dir).count()
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 4)
+        total += dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": round(total, 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,177 @@
+"""End-to-end incremental sync: paged source → MERGE → watermark/checkpoint.
+
+Drives run_entity_sync the way the reference's main drives
+executar_etapa_paginada, with the events test table as the upstream
+system and a page source that serves it in date-filtered pages.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta, timezone
+
+import pytest
+from pyspark.sql import functions as F
+
+from tinyerp_etl_spark.etl.checkpoint import (
+    STATUS_DONE,
+    STATUS_ERROR,
+    STATUS_RUNNING,
+    PageCheckpoint,
+)
+from tinyerp_etl_spark.etl.pipeline import EntitySync, run_entity_sync, run_pipeline
+from tinyerp_etl_spark.etl.table_store import TableStore
+from tinyerp_etl_spark.etl.watermark import WatermarkStore
+from tinyerp_etl_spark.sources.catalog import TABLES, load_table
+
+NOW = datetime(2024, 1, 31, 8, 0, 0, tzinfo=timezone.utc)
+PAGE_SIZE = 500
+
+
+def make_events_page_source(spark, sf_dir):
+    """Page source over the events table: filter by ts, serve fixed pages.
+
+    Mirrors the elided funcao_busca contract (ref :348): returns
+    (page_df | None, total_pages). Page slicing keys on event_id so
+    pages are deterministic.
+    """
+    events = load_table(spark, sf_dir, "events")
+
+    def source(filter_ts: datetime, page: int):
+        inc = events.filter(F.col("ts") > F.lit(filter_ts.replace(tzinfo=None)))
+        total = inc.count()
+        total_pages = (total + PAGE_SIZE - 1) // PAGE_SIZE
+        if total == 0:
+            return None, 0
+        ranked = inc.withColumn(
+            "__pg",
+            (F.row_number().over(__import__("pyspark").sql.window.Window.orderBy("event_id")) - 1)
+            / PAGE_SIZE,
+        )
+        page_df = ranked.filter(F.col("__pg").cast("int") == page - 1).drop("__pg")
+        return page_df, total_pages
+
+    return source
+
+
+@pytest.fixture
+def stores(spark, tmp_path):
+    wm = WatermarkStore(spark, str(tmp_path / "wm"))
+    cp = PageCheckpoint(spark, str(tmp_path / "cp"))
+    tgt = TableStore(spark, str(tmp_path / "events_tbl"), TABLES["events"])
+    return wm, cp, tgt
+
+
+def _sync_cfg(spark, sf_dir, tgt, max_pages=10_000):
+    return EntitySync(
+        name="events",
+        source=make_events_page_source(spark, sf_dir),
+        store=tgt,
+        keys=["event_id"],
+        max_pages=max_pages,
+    )
+
+
+def test_cold_start_full_sync(spark, sf_dir, stores):
+    wm, cp, tgt = stores
+    cfg = _sync_cfg(spark, sf_dir, tgt)
+    res = run_entity_sync(spark, cfg, wm, cp, now=NOW)
+    expected = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts") > F.lit((NOW - timedelta(days=60)).replace(tzinfo=None)))
+        .count()
+    )
+    assert res.status == STATUS_DONE
+    assert tgt.read().count() == expected
+    assert res.records == expected
+    # watermark committed at step start
+    assert wm.get("events") == NOW
+
+
+def test_second_run_is_incremental_noop(spark, sf_dir, stores):
+    wm, cp, tgt = stores
+    cfg = _sync_cfg(spark, sf_dir, tgt)
+    run_entity_sync(spark, cfg, wm, cp, now=NOW)
+    n1 = tgt.read().count()
+    v1 = tgt.current_version()
+    # second run: watermark > max(ts) in data → empty increment, no growth
+    res2 = run_entity_sync(spark, cfg, wm, cp, now=NOW + timedelta(days=1))
+    assert res2.status == STATUS_DONE
+    assert res2.records == 0
+    assert tgt.read().count() == n1
+    assert tgt.current_version() == v1  # no data page → no new version
+
+
+def test_rerun_after_watermark_reset_is_idempotent(spark, sf_dir, stores):
+    """At-least-once delivery + idempotent MERGE ⇒ same table."""
+    wm, cp, tgt = stores
+    cfg = _sync_cfg(spark, sf_dir, tgt)
+    run_entity_sync(spark, cfg, wm, cp, now=NOW)
+    rows1 = sorted(tuple(r) for r in tgt.read().collect())
+    # wipe the watermark: the full window is re-read (overlap), MERGE absorbs
+    wm.commit("events", NOW - timedelta(days=60))
+    run_entity_sync(spark, cfg, wm, cp, now=NOW)
+    rows2 = sorted(tuple(r) for r in tgt.read().collect())
+    assert rows1 == rows2
+
+
+def test_page_cap_leaves_work_running(spark, sf_dir, stores):
+    wm, cp, tgt = stores
+    cfg = _sync_cfg(spark, sf_dir, tgt, max_pages=1)
+    res = run_entity_sync(spark, cfg, wm, cp, now=NOW)
+    assert res.status == STATUS_RUNNING  # EM_ANDAMENTO (ref :368-370)
+    assert tgt.read().count() == PAGE_SIZE
+    assert wm.get("events") is None  # watermark NOT committed mid-step
+    # next run resumes from page 2 and finishes
+    cfg2 = _sync_cfg(spark, sf_dir, tgt, max_pages=10_000)
+    res2 = run_entity_sync(spark, cfg2, wm, cp, now=NOW)
+    assert res2.status == STATUS_DONE
+    assert wm.get("events") == NOW
+
+
+def test_source_failure_marks_error_and_resumes(spark, sf_dir, stores):
+    wm, cp, tgt = stores
+    real = make_events_page_source(spark, sf_dir)
+    calls = {"n": 0}
+
+    def flaky(filter_ts, page):
+        calls["n"] += 1
+        if page == 2:
+            raise RuntimeError("boom on page 2")
+        return real(filter_ts, page)
+
+    cfg = EntitySync(
+        name="events", source=flaky, store=tgt, keys=["event_id"]
+    )
+    res = run_entity_sync(spark, cfg, wm, cp, now=NOW)
+    assert res.status == STATUS_ERROR
+    assert res.error and "boom" in res.error
+    assert wm.get("events") is None
+    # recovery with the healthy source resumes at page 2, not page 1
+    cfg2 = _sync_cfg(spark, sf_dir, tgt)
+    res2 = run_entity_sync(spark, cfg2, wm, cp, now=NOW)
+    assert res2.status == STATUS_DONE
+    full = run_full_expected(spark, sf_dir)
+    assert tgt.read().count() == full
+
+
+def run_full_expected(spark, sf_dir):
+    return (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts") > F.lit((NOW - timedelta(days=60)).replace(tzinfo=None)))
+        .count()
+    )
+
+
+def test_pipeline_steps_fail_independently(spark, sf_dir, stores, tmp_path):
+    wm, cp, tgt = stores
+
+    def broken(filter_ts, page):
+        raise RuntimeError("entity down")
+
+    tgt2 = TableStore(spark, str(tmp_path / "t2"), TABLES["events"])
+    syncs = [
+        EntitySync(name="broken_entity", source=broken, store=tgt2, keys=["event_id"]),
+        _sync_cfg(spark, sf_dir, tgt),
+    ]
+    results = run_pipeline(spark, syncs, wm, cp, now=NOW)
+    assert [r.status for r in results] == [STATUS_ERROR, STATUS_DONE]

@@ -1,0 +1,228 @@
+"""Envelope-JSON page reader + resilient fetcher protocol tests."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import types as T
+
+from tinyerp_etl_spark.sources.fetcher import (
+    CriticalTokenError,
+    FetchError,
+    fetch_page,
+    mask_token,
+)
+from tinyerp_etl_spark.sources.json_pages import (
+    ApiProtocolError,
+    flatten_order_items,
+    read_envelope_pages,
+)
+
+PRODUTO_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType()),
+        T.StructField("nome", T.StringType()),
+        T.StructField("preco", T.StringType()),
+    ]
+)
+
+
+def _write_page(path, payload):
+    path.write_text(json.dumps(payload))
+
+
+def test_read_envelope_pages_flattens_records(spark, tmp_path):
+    d = tmp_path / "pages"
+    d.mkdir()
+    _write_page(
+        d / "p1.json",
+        {
+            "retorno": {
+                "status": "OK",
+                "status_processamento": "3",
+                "pagina": 1,
+                "numero_paginas": 2,
+                "produtos": [
+                    {"produto": {"id": "1", "nome": "Caneta", "preco": "1,50"}},
+                    {"produto": {"id": "2", "nome": "Lapis", "preco": "0,75"}},
+                ],
+            }
+        },
+    )
+    _write_page(
+        d / "p2.json",
+        {
+            "retorno": {
+                "status": "OK",
+                "status_processamento": "10",
+                "pagina": 2,
+                "numero_paginas": 2,
+                "produtos": [
+                    {"produto": {"id": "3", "nome": "Borracha", "preco": "2,00"}}
+                ],
+            }
+        },
+    )
+    df = read_envelope_pages(spark, str(d), "produtos", "produto", PRODUTO_SCHEMA)
+    rows = sorted((r["id"], r["nome"]) for r in df.collect())
+    assert rows == [("1", "Caneta"), ("2", "Lapis"), ("3", "Borracha")]
+
+
+def test_empty_success_page_contributes_zero_rows(spark, tmp_path):
+    d = tmp_path / "pages"
+    d.mkdir()
+    _write_page(
+        d / "empty.json",
+        {
+            "retorno": {
+                "status": "Erro",
+                "erros": [{"erro": "Nenhum registro encontrado"}],
+            }
+        },
+    )
+    df = read_envelope_pages(spark, str(d), "produtos", "produto", PRODUTO_SCHEMA)
+    assert df.count() == 0
+
+
+def test_protocol_error_raises_in_strict_mode(spark, tmp_path):
+    d = tmp_path / "pages"
+    d.mkdir()
+    _write_page(
+        d / "bad.json",
+        {
+            "retorno": {
+                "status": "Erro",
+                "codigo_erro": "32",
+                "erros": [{"erro": "Parametro invalido"}],
+            }
+        },
+    )
+    with pytest.raises(ApiProtocolError, match="codigo_erro=32"):
+        read_envelope_pages(spark, str(d), "produtos", "produto", PRODUTO_SCHEMA)
+
+
+def test_flatten_order_items(spark):
+    schema = T.StructType(
+        [
+            T.StructField("id_pedido", T.IntegerType()),
+            T.StructField(
+                "itens",
+                T.ArrayType(
+                    T.StructType(
+                        [
+                            T.StructField(
+                                "item",
+                                T.StructType(
+                                    [
+                                        T.StructField("codigo", T.StringType()),
+                                        T.StructField("quantidade", T.StringType()),
+                                    ]
+                                ),
+                            )
+                        ]
+                    )
+                ),
+            ),
+        ]
+    )
+    df = spark.createDataFrame(
+        [
+            (1, [{"item": {"codigo": "A", "quantidade": "2"}},
+                 {"item": {"codigo": "B", "quantidade": "1"}}]),
+            (2, [{"item": {"codigo": "C", "quantidade": "5"}}]),
+        ],
+        schema,
+    )
+    out = flatten_order_items(df, "id_pedido", "itens", "item")
+    rows = sorted(tuple(r) for r in out.collect())
+    assert rows == [(1, "A", "2"), (1, "B", "1"), (2, "C", "5")]
+
+
+# ---------------------------------------------------------------- fetcher
+
+
+def _transport_seq(responses):
+    """Transport yielding canned (status, body) responses in order."""
+    it = iter(responses)
+
+    def transport(url, params):
+        item = next(it)
+        if isinstance(item, Exception):
+            raise item
+        return item
+
+    return transport
+
+
+def _no_sleep(_):
+    pass
+
+
+def test_fetch_ok_first_try():
+    body = {"retorno": {"status": "OK", "produtos": []}}
+    res = fetch_page(_transport_seq([(200, body)]), "u", {}, sleep=_no_sleep)
+    assert res.ok and res.retorno["status"] == "OK"
+
+
+def test_fetch_retries_network_errors_with_backoff():
+    body = {"retorno": {"status": "OK"}}
+    delays = []
+    res = fetch_page(
+        _transport_seq([OSError("net"), OSError("net"), (200, body)]),
+        "u",
+        {},
+        sleep=delays.append,
+    )
+    assert res.ok
+    assert delays == [2.0, 4.0]  # exponential ×2 (ref :236)
+
+
+def test_fetch_429_uses_fixed_delay():
+    body = {"retorno": {"status": "OK"}}
+    delays = []
+    res = fetch_page(
+        _transport_seq([(429, {}), (200, body)]), "u", {}, sleep=delays.append
+    )
+    assert res.ok
+    assert delays == [30]  # RETRY_DELAY_429 (ref :48, :290)
+
+
+def test_fetch_4xx_hard_fails():
+    with pytest.raises(FetchError, match="HTTP 404"):
+        fetch_page(_transport_seq([(404, {})]), "u", {}, sleep=_no_sleep)
+
+
+def test_fetch_error_code_35_forces_retry():
+    bad = {"retorno": {"status": "Erro", "codigo_erro": "35"}}
+    good = {"retorno": {"status": "OK"}}
+    res = fetch_page(_transport_seq([(200, bad), (200, good)]), "u", {}, sleep=_no_sleep)
+    assert res.ok
+
+
+def test_fetch_token_error_is_critical():
+    bad = {"retorno": {"status": "Erro", "codigo_erro": "2"}}
+    with pytest.raises(CriticalTokenError):
+        fetch_page(_transport_seq([(200, bad)]), "u", {}, sleep=_no_sleep)
+
+
+def test_fetch_empty_success():
+    body = {
+        "retorno": {
+            "status": "Erro",
+            "erros": [{"erro": "Nenhum registro encontrado"}],
+        }
+    }
+    res = fetch_page(_transport_seq([(200, body)]), "u", {}, sleep=_no_sleep)
+    assert res.ok
+
+
+def test_fetch_retries_exhausted():
+    with pytest.raises(FetchError, match="retries exhausted"):
+        fetch_page(
+            _transport_seq([OSError("x")] * 4), "u", {}, max_retries=3, sleep=_no_sleep
+        )
+
+
+def test_mask_token():
+    assert mask_token("secret-token-123") == "secre..."  # ref :230

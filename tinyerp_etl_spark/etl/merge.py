@@ -1,0 +1,99 @@
+"""Keyed MERGE (upsert) and FK-integrity operators.
+
+The reference's sink is ``INSERT ... ON CONFLICT (key) DO UPDATE``
+(ref tiny_api_v2_cliente.py:122-123, :198 — and per README.md:12
+"Carga incremental (novos e alterados)" the same contract for all data
+tables on their PKs). Spark has no PK enforcement, so uniqueness is
+owned here: dedupe-keep-latest inside the increment, then an anti-join
+MERGE against the existing table.
+
+Scale notes:
+- ``merge_upsert`` shuffles both sides on the key — unavoidable for a
+  keyed merge; at 100 TB the existing table should be bucketed by the
+  key so only the (small) increment shuffles.
+- ``keep_latest`` is a single window over the key — map-side it's one
+  shuffle on the same key the merge needs, so AQE reuses the exchange.
+- FK audits are semi/anti joins: broadcast when the parent is a dim.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def keep_latest(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[Column | str],
+) -> DataFrame:
+    """One row per key, keeping the first row under ``order_by``.
+
+    The window the reference's upsert semantically requires: when an
+    increment carries several versions of the same key, only the
+    latest may win (ON CONFLICT DO UPDATE applies them in arrival
+    order; relationally we take the max-version row directly).
+    ``order_by`` must be a total order (include a unique tiebreaker)
+    or the survivor is nondeterministic.
+    """
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def merge_upsert(
+    existing: DataFrame,
+    incoming: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[Column | str] | None = None,
+) -> DataFrame:
+    """MERGE: incoming rows replace existing rows with the same key.
+
+    Equivalent to ``INSERT ... ON CONFLICT (keys) DO UPDATE SET *``
+    applied row-by-row (ref tiny_api_v2_cliente.py:122-123), expressed
+    as: (existing ∖ incoming-keys) ∪ dedup(incoming). Idempotent:
+    applying the same increment twice yields the same table.
+    """
+    if order_by is not None:
+        incoming = keep_latest(incoming, keys, order_by)
+    else:
+        incoming = incoming.dropDuplicates(list(keys))
+    survivors = existing.join(incoming.select(*keys), list(keys), "left_anti")
+    return survivors.unionByName(incoming)
+
+
+def fk_orphans(child: DataFrame, parent: DataFrame, fk: str, pk: str) -> DataFrame:
+    """Anti-join audit: child rows whose FK has no parent.
+
+    Replaces the DB-enforced FK constraints the reference declares
+    (ref tiny_api_v2_cliente.py:83-89) with an explicit integrity
+    check — the engine's answer to referential integrity.
+    """
+    return child.join(parent, child[fk] == parent[pk], "left_anti")
+
+
+def cascade_delete(child: DataFrame, parent: DataFrame, fk: str, pk: str) -> DataFrame:
+    """Semi-join: keep only child rows whose parent still exists.
+
+    The relational reading of ``ON DELETE CASCADE`` (ref :83-89):
+    after parent deletions, children of deleted parents vanish.
+    """
+    return child.join(parent, child[fk] == parent[pk], "left_semi")
+
+
+def set_null_on_missing_parent(
+    child: DataFrame, parent: DataFrame, fk: str, pk: str
+) -> DataFrame:
+    """``ON DELETE SET NULL`` (ref :83, categoria self-FK): null the FK
+    when the parent is gone, keep the row."""
+    parent_keys = parent.select(F.col(pk).alias("__pk")).distinct()
+    joined = child.join(parent_keys, child[fk] == F.col("__pk"), "left")
+    return joined.withColumn(
+        fk, F.when(F.col("__pk").isNull(), F.lit(None)).otherwise(F.col(fk))
+    ).drop("__pk")

@@ -1,0 +1,71 @@
+"""Versioned parquet table store — the engine's mutable-table sink.
+
+The reference mutates PostgreSQL tables in place under transactions
+(commit/rollback, ref tiny_api_v2_cliente.py:404-413). Parquet files
+are immutable and Spark cannot overwrite a path it is reading, so the
+engine gets transactional table semantics the way lakehouse formats do:
+each MERGE writes a brand-new version directory and then atomically
+swaps a pointer file — readers of the old version are unaffected, a
+crash mid-write leaves the previous version current (rollback for
+free), and re-running a failed write is harmless.
+
+This is a deliberately minimal Delta-style commit protocol: versioned
+data dirs + an atomically-renamed ``_CURRENT`` pointer. At 100 TB the
+same layout works per-partition; only the pointer update is a
+single-writer point.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+class TableStore:
+    """A named, versioned parquet table rooted at ``path``."""
+
+    def __init__(self, spark: SparkSession, path: str, schema: StructType):
+        self.spark = spark
+        self.path = path
+        self.schema = schema
+        os.makedirs(path, exist_ok=True)
+
+    @property
+    def _pointer(self) -> str:
+        return os.path.join(self.path, "_CURRENT")
+
+    def current_version(self) -> int | None:
+        try:
+            with open(self._pointer) as f:
+                return int(f.read().strip())
+        except (FileNotFoundError, ValueError):
+            return None
+
+    def _version_dir(self, v: int) -> str:
+        return os.path.join(self.path, f"v{v:06d}")
+
+    def exists(self) -> bool:
+        return self.current_version() is not None
+
+    def read(self) -> DataFrame:
+        v = self.current_version()
+        if v is None:
+            return self.spark.createDataFrame([], self.schema)
+        return self.spark.read.schema(self.schema).parquet(self._version_dir(v))
+
+    def commit(self, df: DataFrame) -> int:
+        """Write ``df`` as the next version and swap the pointer."""
+        v = (self.current_version() or 0) + 1
+        out = self._version_dir(v)
+        df.select([f.name for f in self.schema.fields]).write.mode(
+            "overwrite"
+        ).parquet(out)
+        # atomic pointer swap: write-temp + rename is atomic on POSIX
+        fd, tmp = tempfile.mkstemp(dir=self.path, prefix="._CURRENT.")
+        with os.fdopen(fd, "w") as f:
+            f.write(str(v))
+        os.replace(tmp, self._pointer)
+        return v

@@ -11,7 +11,8 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from tinyerp_etl_spark.plans import relational
+from tinyerp_etl_spark.plans import etl_queries, relational
+from tinyerp_etl_spark.plans.etl_queries import ETL_ORACLES
 from tinyerp_etl_spark.plans.oracles import RELATIONAL_ORACLES
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -37,6 +38,10 @@ def all_queries() -> dict[str, QueryFn]:
         "setops_customer_nations": relational.setops_customer_nations,
         "scalar_functions_showcase": relational.scalar_functions_showcase,
         "coercion_showcase": relational.coercion_showcase,
+        "merge_upsert_events": etl_queries.merge_upsert_events,
+        "keep_latest_event_per_user": etl_queries.keep_latest_event_per_user,
+        "set_null_missing_region": etl_queries.set_null_missing_region,
+        "hierarchy_closure_part": etl_queries.hierarchy_closure_part,
     }
     return queries
 
@@ -44,4 +49,5 @@ def all_queries() -> dict[str, QueryFn]:
 def all_oracles() -> dict[str, str]:
     oracles: dict[str, str] = {}
     oracles.update(RELATIONAL_ORACLES)
+    oracles.update(ETL_ORACLES)
     return oracles

@@ -38,5 +38,8 @@ def get_spark(app_name: str = "tinyerp-etl-spark") -> SparkSession:
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # events.parquet stores ts as TIMESTAMP(NANOS) which Spark's
+        # parquet reader rejects; read as long + convert in the catalog
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     return builder.getOrCreate()

@@ -117,8 +117,31 @@ TABLES: dict[str, T.StructType] = {
 BROADCAST_DIMS = {"region", "nation"}
 
 
+# events.ts is parquet TIMESTAMP(NANOS) — illegal for Spark's reader.
+# With spark.sql.legacy.parquet.nanosAsLong (set in session.py) it
+# arrives as nanos-since-epoch LongType; we truncate to micros exactly
+# like DuckDB's ns→us cast so both engines see identical timestamps.
+_EVENTS_RAW = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one test table with its pinned schema."""
+    if name == "events":
+        from pyspark.sql import functions as F
+
+        raw = spark.read.schema(_EVENTS_RAW).parquet(f"{sf_dir}/events.parquet")
+        return raw.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
     schema = TABLES[name]
     return spark.read.schema(schema).parquet(f"{sf_dir}/{name}.parquet")
 
