@@ -1,0 +1,215 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+The scale story, operator by operator:
+
+- **exact**: md5-fingerprint groupBy — one shuffle on the fingerprint,
+  map-side combine collapses duplicates early.
+- **n-gram Jaccard (brute)**: shingle-explode + self-join on shingle —
+  correct but O(pairs sharing a shingle); the *verification* step for
+  candidates, not the discovery step, at 100 TB.
+- **MinHash + LSH**: the discovery step that scales — each doc maps to
+  ``bands`` small keys; only docs sharing a band-bucket key ever meet
+  in a shuffle. Signature computation is per-row higher-order-function
+  work (no UDF, no shuffle); bucket join is an equi-join Catalyst can
+  plan. Hash family: h_i(x) = (a_i·x + b_i) mod p over a 32-bit token
+  hash, with fixed coefficients so runs (and the DuckDB oracle) are
+  reproducible.
+- **SimHash**: 32-bit sign-aggregated fingerprint; near-dups differ in
+  few bits. Computed with explode+groupBy (map-side combinable).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from tinyerp_etl_spark.operators.text import fingerprint, token_hash32, tokens
+
+# ---- deterministic MinHash family (mirrored literally in the oracle SQL)
+MINHASH_K = 16
+MINHASH_P = 4_294_967_311  # prime > 2^32
+MINHASH_A = [1_000_003 + 7_919 * i for i in range(MINHASH_K)]
+MINHASH_B = [12_345 + 15_485_863 * i for i in range(MINHASH_K)]
+LSH_BANDS = 4
+LSH_ROWS = MINHASH_K // LSH_BANDS
+
+SHINGLE_K = 3  # word 3-grams
+
+
+def shingles(col) -> F.Column:
+    """Distinct word-k-gram shingles of a text column.
+
+    Guarded for short texts: Spark's sequence(1, 0) would generate a
+    DESCENDING [1, 0] — docs with < k tokens must yield [] explicitly.
+    """
+    toks = tokens(col)
+    n = F.array_size(toks) - (SHINGLE_K - 1)
+    sh = F.when(
+        n >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, SHINGLE_K)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(sh)
+
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Fingerprint groups with >1 member: (fingerprint, n_docs, canonical)."""
+    return (
+        docs.select(F.col(id_col), fingerprint(text_col).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(id_col).alias("canonical_doc_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def dedup_exact(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one doc (min id) per content fingerprint."""
+    ranked = docs.select(
+        F.col(id_col), fingerprint(text_col).alias("fingerprint")
+    )
+    keep = ranked.groupBy("fingerprint").agg(F.min(id_col).alias(id_col))
+    return docs.join(keep.select(id_col), id_col, "left_semi")
+
+
+def _minhash_perm(i: int):
+    """One-arg lambda for h_i — closure, not default args (pyspark
+    introspects lambda arity and would treat defaults as HOF params)."""
+    a, b = MINHASH_A[i], MINHASH_B[i]
+    return lambda s: (F.lit(a) * token_hash32(s) + F.lit(b)) % F.lit(MINHASH_P)
+
+
+def minhash_signature(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, sig array<long>[K]) — null-free docs only (≥1 shingle)."""
+    base = docs.select(F.col(id_col), shingles(text_col).alias("__sh")).filter(
+        F.array_size("__sh") > 0
+    )
+    sig = F.array(
+        *[
+            F.array_min(F.transform(F.col("__sh"), _minhash_perm(i)))
+            for i in range(MINHASH_K)
+        ]
+    )
+    return base.select(F.col(id_col), sig.alias("sig"))
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing ≥1 LSH band bucket.
+
+    Explode each signature into ``LSH_BANDS`` (band, key) rows, then
+    self-join per bucket — the only join is on the compact bucket key,
+    which is what makes MinHash-LSH viable at 100 TB.
+    """
+    sigs = minhash_signature(docs, text_col, id_col)
+    bands = sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                "|",
+                                *[
+                                    F.col("sig")[b * LSH_ROWS + r].cast("string")
+                                    for r in range(LSH_ROWS)
+                                ],
+                            )
+                        ).alias("key"),
+                    )
+                    for b in range(LSH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select(F.col(id_col), F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    left = bands.select(
+        F.col(id_col).alias("doc_a"), "band", "key"
+    )
+    right = bands.select(F.col(id_col).alias("doc_b"), "band", "key")
+    return (
+        left.join(right, ["band", "key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    pairs: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Exact n-gram Jaccard for given pairs (or all co-shingled pairs).
+
+    intersection/union over distinct shingle sets; both counts are
+    exact integers, so the final ratio is engine-deterministic.
+    """
+    sh = docs.select(F.col(id_col), F.explode(shingles(text_col)).alias("shingle"))
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    if pairs is not None:
+        inter = inter.join(pairs, ["doc_a", "doc_b"], "left_semi")
+    out = (
+        inter.join(sizes.select(F.col(id_col).alias("doc_a"), F.col("n").alias("n_a")), "doc_a")
+        .join(sizes.select(F.col(id_col).alias("doc_b"), F.col("n").alias("n_b")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+            ).cast("double").alias("jaccard"),
+        )
+    )
+    if threshold > 0:
+        out = out.filter(F.col("jaccard") >= threshold)
+    return out
+
+
+def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32) -> DataFrame:
+    """32-bit SimHash over distinct tokens (weight 1 each).
+
+    explode(token) × explode(bit) → per-bit ±1 sums → sign bits packed
+    into one long. All integer arithmetic; identical SQL exists.
+    """
+    tok = docs.select(
+        F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("tok")
+    ).withColumn("h", token_hash32(F.col("tok")))
+    # bit j of h via integer div/mod (2^j is exact, portable to SQL —
+    # shiftright() isn't expressible with a column shift amount)
+    pow2 = F.expr("cast(power(2, j) as bigint)")
+    bit = tok.select(
+        id_col,
+        "h",
+        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("j"),
+    ).select(
+        id_col,
+        "j",
+        ((F.expr("h div cast(power(2, j) as bigint)") % 2) * 2 - 1).alias("contrib"),
+    )
+    return (
+        bit.groupBy(id_col, "j")
+        .agg(F.sum("contrib").alias("s"))
+        .groupBy(id_col)
+        .agg(
+            F.sum(
+                F.when(F.col("s") > 0, pow2).otherwise(F.lit(0).cast("long"))
+            ).alias("simhash")
+        )
+    )

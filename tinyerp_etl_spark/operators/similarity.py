@@ -1,0 +1,168 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, as a real 100 TB pipeline would have:
+
+- **brute-force top-k** — the exact baseline: score every vector
+  against the query. Embarrassingly parallel scan + TakeOrdered(k);
+  no shuffle of the vectors themselves. Right answer, O(N) per query.
+- **LSH-bucketed top-k** — the scale path: vectors hash to a sign
+  bucket (hyperplane LSH over the leading dimensions); only the
+  query's bucket is scanned. Bucketing is a map-side projection, and
+  the bucket column is exactly what you'd partition/Z-order by on
+  disk so partition pruning kills the IO at scale.
+
+Determinism: scores use quantized integer arithmetic — each float is
+rounded to 1e-6 ticks, dot products accumulate exact integers, and the
+final cosine is one deterministic double expression. Results are
+bit-identical across engines and partition orders (see
+functions/exact.py for the same policy on money).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+QUANT = 1_000_000  # 1e-6 quantization ticks
+SIGN_BUCKET_DIMS = 8  # leading dims used for the LSH sign bucket
+
+
+def _q(col: Column) -> Column:
+    """array<float> → array<long> quantized ticks.
+
+    The float is widened to double BEFORE scaling: Spark would keep
+    float*int as float32 while DuckDB promotes to double — widening
+    explicitly keeps both engines on the identical double path.
+    """
+    return F.transform(col, lambda x: F.round(x.cast("double") * QUANT).cast("long"))
+
+
+def quantized_dot(a: Column, b: Column) -> Column:
+    """Exact integer dot product of two quantized vectors (as long)."""
+    return F.aggregate(
+        F.zip_with(_q(a), _q(b), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def quantized_norm2(a: Column) -> Column:
+    """Exact integer squared norm of a quantized vector."""
+    return F.aggregate(
+        F.transform(_q(a), lambda x: x * x),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Quantized cosine similarity as a deterministic double."""
+    return (
+        quantized_dot(a, b)
+        / F.sqrt(quantized_norm2(a).cast("double") * quantized_norm2(b).cast("double"))
+    ).cast("double")
+
+
+def sign_bucket(a: Column, dims: int = SIGN_BUCKET_DIMS) -> Column:
+    """Hyperplane-LSH bucket: sign bits of the leading ``dims`` dims.
+
+    Axis-aligned hyperplanes keep the expression portable (and the
+    bucket is a pure projection — computable at write time and usable
+    as a partition key).
+    """
+    q = _q(a)
+    bucket = F.lit(0).cast("long")
+    for j in range(dims):
+        bucket = bucket + F.when(
+            F.element_at(q, j + 1) > 0, F.lit(2**j).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return bucket
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k vs the vector with ``query_vec_id``.
+
+    The single query row is crossJoin-broadcast to every partition —
+    one scan, no vector shuffle, TakeOrdered(k) on top.
+    """
+    query = embeddings.filter(F.col(id_col) == query_vec_id).select(
+        F.col(vec_col).alias("__qvec")
+    )
+    return (
+        embeddings.crossJoin(F.broadcast(query))
+        .filter(F.col(id_col) != query_vec_id)
+        .select(
+            F.col(id_col),
+            cosine(F.col(vec_col), F.col("__qvec")).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: only the query's sign-bucket is scored.
+
+    At 100 TB the bucket predicate prunes partitions before any read;
+    recall is traded for a ~2^dims scan reduction.
+    """
+    with_bucket = embeddings.withColumn("__bucket", sign_bucket(F.col(vec_col)))
+    query = with_bucket.filter(F.col(id_col) == query_vec_id).select(
+        F.col(vec_col).alias("__qvec"), F.col("__bucket").alias("__qbucket")
+    )
+    return (
+        with_bucket.join(
+            F.broadcast(query), F.col("__bucket") == F.col("__qbucket")
+        )
+        .filter(F.col(id_col) != query_vec_id)
+        .select(
+            F.col(id_col),
+            cosine(F.col(vec_col), F.col("__qvec")).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def neardup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-duplicate pairs within LSH buckets.
+
+    Pairs are only formed inside a bucket (the LSH contract); the
+    exact quantized cosine then filters to ``score >= threshold``.
+    """
+    b = embeddings.select(
+        F.col(id_col), F.col(vec_col), sign_bucket(F.col(vec_col)).alias("__bucket")
+    )
+    left = b.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"), "__bucket"
+    )
+    right = b.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"), "__bucket"
+    )
+    return (
+        left.join(right, "__bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            cosine(F.col("vec_a"), F.col("vec_b")).alias("score"),
+        )
+        .filter(F.col("score") >= threshold)
+    )

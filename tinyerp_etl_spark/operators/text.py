@@ -1,0 +1,135 @@
+"""Text analysis operators for large-scale training-data pipelines.
+
+All pure Column expressions (JVM-side, codegen-friendly): tokenizing,
+quality scoring, language ID, fingerprinting. Designed so every
+expression has an exactly-equivalent DuckDB formulation (see
+plans/llm_ops.py oracles) — integer/count-based features, with doubles
+only as final deterministic divisions of exact integers.
+
+At 100 TB these are embarrassingly parallel map-side projections — no
+shuffle, no UDF, full WholeStageCodegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+WORD_RE = r"(\w+)"
+
+# Tiny per-language marker vocabularies for the n-gram/stopword
+# language-ID heuristic. Deterministic and SQL-expressible; real
+# pipelines would swap in fastText — the *plumbing* (scored argmax
+# over marker families) is what the operator demonstrates.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "es": ["el", "la", "los", "que", "de"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "fr": ["le", "les", "et", "est", "une"],
+    "zh": ["de", "shi", "le", "bu", "wo"],
+}
+
+
+def tokens(col: Column | str) -> Column:
+    """Lowercased word tokens (regex ``\\w+``)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(F.lower(c), F.lit(WORD_RE), 1)
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace/punct-delimited token count."""
+    return F.array_size(tokens(col))
+
+
+def char_count(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.length(c)
+
+
+def punct_count(col: Column | str) -> Column:
+    """Number of non-word, non-space characters."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.length(F.regexp_replace(c, r"[\w\s]", ""))
+
+
+def distinct_token_count(col: Column | str) -> Column:
+    return F.array_size(F.array_distinct(tokens(col)))
+
+
+def quality_features(col: Column | str) -> dict[str, Column]:
+    """Exact-integer quality signals + deterministic derived ratios.
+
+    The ratios divide exact integers, so results are bit-stable across
+    engines and partitionings.
+    """
+    n_tok = token_count(col)
+    n_chr = char_count(col)
+    n_punct = punct_count(col)
+    n_distinct = distinct_token_count(col)
+    return {
+        "n_tokens": n_tok,
+        "n_chars_calc": n_chr,
+        "n_punct": n_punct,
+        "n_distinct_tokens": n_distinct,
+        "avg_token_len": (
+            F.aggregate(
+                tokens(col), F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+            )
+            / n_tok
+        ).cast("double"),
+        "ttr": (n_distinct / n_tok).cast("double"),  # type-token ratio
+        "punct_ratio": (n_punct / n_chr).cast("double"),
+    }
+
+
+def lang_marker_score(col: Column | str, lang: str) -> Column:
+    """How many marker-word occurrences of ``lang`` the text contains."""
+    toks = tokens(col)
+    markers = F.array(*[F.lit(m) for m in LANG_MARKERS[lang]])
+    return F.array_size(F.array_intersect(F.array_distinct(toks), markers)) * 1000 + (
+        F.aggregate(
+            toks,
+            F.lit(0).cast("long"),
+            lambda acc, t: acc
+            + F.when(F.array_contains(markers, t), 1).otherwise(0),
+        )
+    )
+
+
+def lang_id(col: Column | str) -> Column:
+    """Argmax language guess over the marker families.
+
+    Ties break by language code ascending; zero evidence → 'unknown'.
+    Pure integer comparisons ⇒ engine-portable.
+    """
+    scores = [(lang, lang_marker_score(col, lang)) for lang in sorted(LANG_MARKERS)]
+    best = None
+    best_score = None
+    for lang, s in scores:
+        if best is None:
+            best, best_score = F.lit(lang), s
+        else:
+            take = s > best_score
+            best = F.when(take, F.lit(lang)).otherwise(best)
+            best_score = F.when(take, s).otherwise(best_score)
+    return F.when(best_score > 0, best).otherwise(F.lit("unknown"))
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Content fingerprint: md5 of the normalized token stream.
+
+    Normalization = lowercase, word tokens, single-space joined — so
+    whitespace/punctuation variants collapse to the same fingerprint
+    (the document-identity key for exact dedup).
+    """
+    return F.md5(F.concat_ws(" ", tokens(col)))
+
+
+def token_hash32(col: Column) -> Column:
+    """Deterministic 32-bit integer hash of a token.
+
+    First 8 hex chars of md5, parsed as an integer — chosen because
+    both Spark (conv) and DuckDB (0x-cast) can compute it identically;
+    murmur3 ``F.hash`` would be Spark-only.
+    """
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")

@@ -1,0 +1,439 @@
+"""LLM-data-pipeline queries: text analysis, dedup, similarity search.
+
+Every query here runs on the documents/embeddings test tables and is
+mirrored by an exactly-equivalent DuckDB oracle — including MinHash
+signatures and LSH candidate pairs, which share the literal hash
+coefficients with operators/dedup.py.
+
+Where the synthetic corpus lacks a phenomenon (no exact duplicates, no
+embedding near-dups), the query stages deterministic copies/
+perturbations IN BOTH engines so the operator's behavior is actually
+exercised, not vacuously empty.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tinyerp_etl_spark.operators import dedup as D
+from tinyerp_etl_spark.operators import similarity as S
+from tinyerp_etl_spark.operators import text as X
+from tinyerp_etl_spark.sources.catalog import load_table
+
+# ---------------------------------------------------------------- text
+
+
+def text_profile_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality features + fingerprint per document (SURVEY §2 north star)."""
+    docs = load_table(spark, sf_dir, "documents")
+    feats = X.quality_features("text")
+    return docs.select(
+        "doc_id",
+        feats["n_tokens"].alias("n_tokens"),
+        feats["n_punct"].alias("n_punct"),
+        feats["n_distinct_tokens"].alias("n_distinct_tokens"),
+        feats["avg_token_len"].alias("avg_token_len"),
+        feats["ttr"].alias("ttr"),
+        feats["punct_ratio"].alias("punct_ratio"),
+        X.fingerprint("text").alias("fingerprint"),
+    ).orderBy("doc_id")
+
+
+def lang_id_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-based language guess vs the labeled lang column."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        "lang",
+        X.lang_id("text").alias("lang_guess"),
+    ).orderBy("doc_id")
+
+
+def token_count_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token accounting per source (budget-style rollup)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.sum(X.token_count("text")).alias("total_tokens"),
+            F.count(F.lit(1)).alias("n_docs"),
+            (F.sum(X.token_count("text")) / F.count(F.lit(1)))
+            .cast("double")
+            .alias("avg_tokens_per_doc"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------- dedup
+
+
+def _docs_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ copies of every 10th doc (ids shifted by 100000)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    return docs.unionByName(copies)
+
+
+def exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over a corpus with staged duplicates."""
+    staged = _docs_with_dups(spark, sf_dir)
+    return D.exact_duplicates(staged).orderBy("fingerprint")
+
+
+def dedup_exact_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows surviving exact dedup (one per fingerprint)."""
+    staged = _docs_with_dups(spark, sf_dir)
+    out = D.dedup_exact(staged)
+    return out.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("doc_id") >= 100000, 1).otherwise(0)).alias(
+            "n_copies_surviving"
+        ),
+    )
+
+
+def _docs_with_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ prefix-mutated copies of every 20th doc."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    near = docs.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.lit("zzz qqq "), F.col("text")).alias("text"),
+    )
+    return docs.unionByName(near)
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signature digest per doc (shared coefficients w/ oracle)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sigs = D.minhash_signature(docs)
+    return sigs.select(
+        "doc_id",
+        F.element_at("sig", 1).alias("sig_first"),
+        F.element_at("sig", D.MINHASH_K).alias("sig_last"),
+        F.md5(
+            F.concat_ws(",", *[F.col("sig")[i].cast("string") for i in range(D.MINHASH_K)])
+        ).alias("sig_md5"),
+    ).orderBy("doc_id")
+
+
+def minhash_lsh_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs + exact Jaccard verification ≥ 0.5.
+
+    The full near-dup pipeline: shingle → MinHash → band buckets →
+    candidate pairs → exact-Jaccard verify (discovery is sub-quadratic;
+    verification touches only candidates).
+    """
+    staged = _docs_with_neardups(spark, sf_dir)
+    cands = D.lsh_candidate_pairs(staged)
+    verified = D.jaccard_pairs(staged, pairs=cands, threshold=0.5)
+    return verified.orderBy("doc_a", "doc_b")
+
+
+def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash fingerprints for the corpus."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return D.simhash(docs).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------- similarity
+
+
+def embedding_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 neighbors of vec_id=0."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.brute_force_topk(emb, query_vec_id=0, k=10)
+
+
+def embedding_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-bucket LSH top-10 neighbors of vec_id=0 (scale path)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.lsh_topk(emb, query_vec_id=0, k=10)
+
+
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs over embeddings ∪ perturbed copies (score ≥ 0.98).
+
+    Copies: vec_id+100000, every element +0.01 — same bucket, cosine
+    just under 1.0; threshold keeps only true near-dups.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    copies = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: (x.cast("double") + 0.01).cast("float")
+        ).alias("embedding"),
+    )
+    staged = emb.unionByName(copies)
+    return S.neardup_pairs(staged, threshold=0.98).orderBy("id_a", "id_b")
+
+
+# ================================================================ oracles
+
+# shared SQL fragments (kept textually tiny so the statements read)
+_TOKS = "regexp_extract_all(lower(text), '(\\w+)', 1)"
+_XHASH = "CAST(concat('0x', substr(md5({v}), 1, 8)) AS BIGINT)"
+
+# shingles: distinct word-3-grams — list_distinct preserves NO
+# particular order, but all uses are order-insensitive (min / set ops)
+_SHINGLES = (
+    "list_distinct(list_transform("
+    "range(1, greatest(len(toks) - 1, 1)), "
+    "i -> array_to_string(toks[i:i+2], ' ')))"
+)
+
+
+def _minhash_sig_sql() -> str:
+    """sig_i = min over shingles of (a_i * xhash(s) + b_i) % p."""
+    elems = ", ".join(
+        f"list_min(list_transform(sh, s -> ({D.MINHASH_A[i]} * "
+        + _XHASH.format(v="s")
+        + f" + {D.MINHASH_B[i]}) % {D.MINHASH_P}))"
+        for i in range(D.MINHASH_K)
+    )
+    return f"[{elems}]"
+
+
+def _band_keys_sql() -> str:
+    """LSH band keys: md5 over each 4-slice of the signature."""
+    bands = []
+    for b in range(D.LSH_BANDS):
+        parts = " || '|' || ".join(
+            f"CAST(sig[{b * D.LSH_ROWS + r + 1}] AS VARCHAR)"
+            for r in range(D.LSH_ROWS)
+        )
+        bands.append(f"{{'band': {b}, 'key': md5({parts})}}")
+    return ", ".join(bands)
+
+
+_QD = "CAST(round(CAST({x} AS DOUBLE) * 1000000) AS BIGINT)"
+_DOT = (
+    "list_sum(list_transform(list_zip({a}, {b}), "
+    "p -> " + _QD.format(x="p[1]") + " * " + _QD.format(x="p[2]") + "))"
+)
+_NORM2 = "list_sum(list_transform({a}, x -> " + _QD.format(x="x") + " * " + _QD.format(x="x") + "))"
+
+
+def _cosine_sql(a: str, b: str) -> str:
+    dot = _DOT.format(a=a, b=b)
+    na = _NORM2.format(a=a)
+    nb = _NORM2.format(a=b)
+    return (
+        f"CAST(CAST({dot} AS DOUBLE) / "
+        f"sqrt(CAST({na} AS DOUBLE) * CAST({nb} AS DOUBLE)) AS DOUBLE)"
+    )
+
+
+_SIGN_BUCKET = " + ".join(
+    f"CASE WHEN " + _QD.format(x=f"embedding[{j + 1}]") + f" > 0 THEN {2**j} ELSE 0 END"
+    for j in range(S.SIGN_BUCKET_DIMS)
+)
+
+
+def _lang_score_sql(lang: str) -> str:
+    markers = ", ".join(f"'{m}'" for m in X.LANG_MARKERS[lang])
+    return (
+        f"(1000 * len(list_intersect(list_distinct(toks), [{markers}])) "
+        f"+ list_sum(list_transform(toks, t -> "
+        f"CASE WHEN list_contains([{markers}], t) THEN 1 ELSE 0 END)))"
+    )
+
+
+def _lang_id_sql() -> str:
+    """Mirror of operators.text.lang_id's fold over sorted languages."""
+    langs = sorted(X.LANG_MARKERS)
+    best_expr = f"'{langs[0]}'"
+    best_score = f"s_{langs[0]}"
+    for lang in langs[1:]:
+        best_expr = f"CASE WHEN s_{lang} > {best_score} THEN '{lang}' ELSE {best_expr} END"
+        best_score = f"CASE WHEN s_{lang} > {best_score} THEN s_{lang} ELSE {best_score} END"
+    return f"CASE WHEN {best_score} > 0 THEN {best_expr} ELSE 'unknown' END"
+
+
+LLM_ORACLES: dict[str, str] = {
+    "text_profile_docs": f"""
+        WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
+        SELECT
+          doc_id,
+          CAST(len(toks) AS INT) AS n_tokens,
+          CAST(length(regexp_replace(text, '[\\w\\s]', '', 'g')) AS INT) AS n_punct,
+          CAST(len(list_distinct(toks)) AS INT) AS n_distinct_tokens,
+          CAST(CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+               / len(toks) AS DOUBLE) AS avg_token_len,
+          CAST(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS DOUBLE) AS ttr,
+          CAST(CAST(length(regexp_replace(text, '[\\w\\s]', '', 'g')) AS DOUBLE)
+               / length(text) AS DOUBLE) AS punct_ratio,
+          md5(array_to_string(toks, ' ')) AS fingerprint
+        FROM t
+        ORDER BY doc_id
+    """,
+    "lang_id_docs": f"""
+        WITH t AS (SELECT doc_id, lang, {_TOKS} AS toks FROM documents),
+        s AS (
+          SELECT doc_id, lang,
+                 {", ".join(f"{_lang_score_sql(lang)} AS s_{lang}" for lang in sorted(X.LANG_MARKERS))}
+          FROM t
+        )
+        SELECT doc_id, lang, {_lang_id_sql()} AS lang_guess
+        FROM s
+        ORDER BY doc_id
+    """,
+    "token_count_by_source": f"""
+        WITH t AS (SELECT source, len({_TOKS}) AS n FROM documents)
+        SELECT source,
+               CAST(sum(n) AS BIGINT) AS total_tokens,
+               count(*) AS n_docs,
+               CAST(CAST(sum(n) AS DOUBLE) / count(*) AS DOUBLE) AS avg_tokens_per_doc
+        FROM t
+        GROUP BY source
+        ORDER BY source
+    """,
+    "exact_dup_groups": f"""
+        WITH staged AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0
+        ),
+        fp AS (
+          SELECT doc_id, md5(array_to_string({_TOKS}, ' ')) AS fingerprint
+          FROM staged
+        )
+        SELECT fingerprint, count(*) AS n_docs, min(doc_id) AS canonical_doc_id
+        FROM fp
+        GROUP BY fingerprint
+        HAVING count(*) > 1
+        ORDER BY fingerprint
+    """,
+    "dedup_exact_count": f"""
+        WITH staged AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0
+        ),
+        fp AS (
+          SELECT doc_id, md5(array_to_string({_TOKS}, ' ')) AS fingerprint
+          FROM staged
+        ),
+        keep AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY fingerprint)
+        SELECT count(*) AS n_docs,
+               CAST(sum(CASE WHEN doc_id >= 100000 THEN 1 ELSE 0 END) AS BIGINT) AS n_copies_surviving
+        FROM keep
+    """,
+    "minhash_signatures": f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        sh_t AS (SELECT doc_id, {_SHINGLES} AS sh FROM t WHERE len(toks) >= 3),
+        sig_t AS (SELECT doc_id, {_minhash_sig_sql()} AS sig FROM sh_t WHERE len(sh) > 0)
+        SELECT doc_id,
+               sig[1] AS sig_first,
+               sig[{D.MINHASH_K}] AS sig_last,
+               md5(array_to_string(list_transform(sig, s -> CAST(s AS VARCHAR)), ',')) AS sig_md5
+        FROM sig_t
+        ORDER BY doc_id
+    """,
+    "minhash_lsh_neardup_pairs": f"""
+        WITH staged AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 200000, 'zzz qqq ' || text FROM documents WHERE doc_id % 20 = 0
+        ),
+        t AS (SELECT doc_id, {_TOKS} AS toks FROM staged),
+        sh_t AS (SELECT doc_id, {_SHINGLES} AS sh FROM t WHERE len(toks) >= 3),
+        sig_t AS (SELECT doc_id, sh, {_minhash_sig_sql()} AS sig FROM sh_t WHERE len(sh) > 0),
+        bands0 AS (
+          SELECT doc_id, unnest([{_band_keys_sql()}]) AS bk FROM sig_t
+        ),
+        bands AS (SELECT doc_id, bk.band AS band, bk.key AS key FROM bands0),
+        cands AS (
+          SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+          FROM bands l JOIN bands r ON l.band = r.band AND l.key = r.key
+          WHERE l.doc_id < r.doc_id
+        ),
+        ex AS (SELECT doc_id, unnest(sh) AS shingle FROM sh_t),
+        sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+          FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          JOIN cands c ON c.doc_a = a.doc_id AND c.doc_b = b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT i.doc_a, i.doc_b,
+               CAST(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) AS DOUBLE) AS jaccard
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.doc_a
+        JOIN sizes sb ON sb.doc_id = i.doc_b
+        WHERE CAST(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) AS DOUBLE) >= 0.5
+        ORDER BY doc_a, doc_b
+    """,
+    "simhash_docs": f"""
+        WITH t AS (
+          SELECT doc_id, unnest(list_distinct({_TOKS})) AS tok FROM documents
+        ),
+        h_t AS (SELECT doc_id, {_XHASH.format(v="tok")} AS h FROM t),
+        hj AS (SELECT doc_id, h, unnest(range(0, 32)) AS j FROM h_t),
+        bits AS (
+          SELECT doc_id, j,
+                 ((h // CAST(power(2, j) AS BIGINT)) % 2) * 2 - 1 AS contrib
+          FROM hj
+        ),
+        sums AS (
+          SELECT doc_id, j, sum(contrib) AS s FROM bits GROUP BY doc_id, j
+        )
+        SELECT doc_id,
+               CAST(sum(CASE WHEN s > 0 THEN CAST(power(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+        FROM sums
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """,
+    "embedding_topk_bruteforce": f"""
+        WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0)
+        SELECT vec_id, {_cosine_sql("embedding", "qvec")} AS score
+        FROM embeddings, q
+        WHERE vec_id != 0
+        ORDER BY score DESC, vec_id ASC
+        LIMIT 10
+    """,
+    "embedding_topk_lsh": f"""
+        WITH b AS (
+          SELECT vec_id, embedding, {_SIGN_BUCKET} AS bucket FROM embeddings
+        ),
+        q AS (SELECT embedding AS qvec, bucket AS qbucket FROM b WHERE vec_id = 0)
+        SELECT vec_id, {_cosine_sql("embedding", "qvec")} AS score
+        FROM b, q
+        WHERE b.bucket = q.qbucket AND vec_id != 0
+        ORDER BY score DESC, vec_id ASC
+        LIMIT 10
+    """,
+    "embedding_neardup_pairs": f"""
+        WITH staged AS (
+          SELECT vec_id, embedding FROM embeddings
+          UNION ALL
+          SELECT vec_id + 100000,
+                 list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) + 0.01 AS FLOAT))
+          FROM embeddings WHERE vec_id % 10 = 0
+        ),
+        b AS (SELECT vec_id, embedding, {_SIGN_BUCKET} AS bucket FROM staged)
+        SELECT l.vec_id AS id_a, r.vec_id AS id_b,
+               {_cosine_sql("l.embedding", "r.embedding")} AS score
+        FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+        WHERE {_cosine_sql("l.embedding", "r.embedding")} >= 0.98
+        ORDER BY id_a, id_b
+    """,
+}
+
+
+LLM_QUERIES = {
+    "text_profile_docs": text_profile_docs,
+    "lang_id_docs": lang_id_docs,
+    "token_count_by_source": token_count_by_source,
+    "exact_dup_groups": exact_dup_groups,
+    "dedup_exact_count": dedup_exact_count,
+    "minhash_signatures": minhash_signatures,
+    "minhash_lsh_neardup_pairs": minhash_lsh_neardup_pairs,
+    "simhash_docs": simhash_docs,
+    "embedding_topk_bruteforce": embedding_topk_bruteforce,
+    "embedding_topk_lsh": embedding_topk_lsh,
+    "embedding_neardup_pairs": embedding_neardup_pairs,
+}

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from tinyerp_etl_spark.plans import etl_queries, relational
 from tinyerp_etl_spark.plans.etl_queries import ETL_ORACLES
+from tinyerp_etl_spark.plans.llm_ops import LLM_ORACLES, LLM_QUERIES
 from tinyerp_etl_spark.plans.oracles import RELATIONAL_ORACLES
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -43,6 +44,7 @@ def all_queries() -> dict[str, QueryFn]:
         "set_null_missing_region": etl_queries.set_null_missing_region,
         "hierarchy_closure_part": etl_queries.hierarchy_closure_part,
     }
+    queries.update(LLM_QUERIES)
     return queries
 
 
@@ -50,4 +52,5 @@ def all_oracles() -> dict[str, str]:
     oracles: dict[str, str] = {}
     oracles.update(RELATIONAL_ORACLES)
     oracles.update(ETL_ORACLES)
+    oracles.update(LLM_ORACLES)
     return oracles
