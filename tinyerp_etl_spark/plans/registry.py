@@ -15,6 +15,10 @@ from tinyerp_etl_spark.plans import etl_queries, relational
 from tinyerp_etl_spark.plans.etl_queries import ETL_ORACLES
 from tinyerp_etl_spark.plans.llm_ops import LLM_ORACLES, LLM_QUERIES
 from tinyerp_etl_spark.plans.oracles import RELATIONAL_ORACLES
+from tinyerp_etl_spark.plans.streaming_queries import (
+    STREAMING_ORACLES,
+    STREAMING_QUERIES,
+)
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -45,6 +49,7 @@ def all_queries() -> dict[str, QueryFn]:
         "hierarchy_closure_part": etl_queries.hierarchy_closure_part,
     }
     queries.update(LLM_QUERIES)
+    queries.update(STREAMING_QUERIES)
     return queries
 
 
@@ -53,4 +58,5 @@ def all_oracles() -> dict[str, str]:
     oracles.update(RELATIONAL_ORACLES)
     oracles.update(ETL_ORACLES)
     oracles.update(LLM_ORACLES)
+    oracles.update(STREAMING_ORACLES)
     return oracles

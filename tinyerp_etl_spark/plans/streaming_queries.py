@@ -1,0 +1,154 @@
+"""Batch twins of the streaming windowed aggregations + multimodal.
+
+Every streaming aggregation in streaming/stream_pipeline.py has a
+batch-mode twin here (same expressions, same results on the same data)
+so the windowed semantics are under the DuckDB differential gate; the
+streaming tests then assert stream-vs-batch equivalence, closing the
+loop stream ≡ batch ≡ oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tinyerp_etl_spark.operators.multimodal import pack_media
+from tinyerp_etl_spark.sources.catalog import load_table
+from tinyerp_etl_spark.streaming.stream_pipeline import tumbling_counts
+
+
+def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window counts (batch twin of the stream agg)."""
+    ev = load_table(spark, sf_dir, "events")
+    return tumbling_counts(ev, "1 hour").orderBy("window_start", "event_type")
+
+
+def events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1-hour windows advancing every 30 minutes."""
+    ev = load_table(spark, sf_dir, "events")
+    value_cents = F.round(F.col("value") * 100).cast("long")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(value_cents) / 100.0).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+def events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-minute-gap session windows per user (gaps-and-islands twin).
+
+    Sessions only make sense per user at low volume, so restrict to
+    user_id < 50 to keep sessions non-trivial at every SF.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    return (
+        ev.groupBy(
+            F.session_window("ts", "5 minutes").alias("w"), F.col("user_id")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+def multimodal_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media manifest over documents-as-payloads.
+
+    The multimodal ingest path: payload → opaque binary + typed
+    metadata, with all manifest fields computed without parsing the
+    payload (operators/multimodal.py).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    media = pack_media(docs, "doc_id", "text", "text/plain")
+    return media.select(
+        "media_id",
+        F.col("meta.mime").alias("mime"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.checksum").alias("checksum"),
+    ).orderBy("media_id")
+
+
+STREAMING_ORACLES: dict[str, str] = {
+    "events_tumbling_hourly": """
+        SELECT
+          date_trunc('hour', ts) AS window_start,
+          event_type,
+          count(*) AS n_events,
+          CAST(sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS DOUBLE) AS sum_value
+        FROM events
+        GROUP BY 1, 2
+        ORDER BY window_start, event_type
+    """,
+    # each event belongs to exactly two 1h/30m sliding windows: the one
+    # starting at its 30-minute bucket and the one 30 minutes earlier
+    "events_sliding_windows": """
+        WITH starts AS (
+          SELECT event_type, value,
+                 unnest([time_bucket(INTERVAL 30 MINUTE, ts),
+                         time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE
+                        ]) AS window_start
+          FROM events
+        )
+        SELECT window_start, event_type,
+               count(*) AS n_events,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS DOUBLE) AS sum_value
+        FROM starts
+        GROUP BY 1, 2
+        ORDER BY window_start, event_type
+    """,
+    # gaps-and-islands: a new session starts when the gap from the
+    # previous event of the same user is > 5 minutes
+    "events_session_windows": """
+        WITH seq AS (
+          SELECT user_id, ts,
+                 CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                           > INTERVAL 5 MINUTE
+                      OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events
+          WHERE user_id < 50
+        ),
+        tagged AS (
+          SELECT user_id, ts,
+                 sum(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS session_id
+          FROM seq
+        )
+        SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+        FROM tagged
+        GROUP BY user_id, session_id
+        ORDER BY user_id, session_start
+    """,
+    "multimodal_manifest": """
+        SELECT
+          doc_id AS media_id,
+          'text/plain' AS mime,
+          CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+          md5(text) AS checksum
+        FROM documents
+        ORDER BY media_id
+    """,
+}
+
+
+STREAMING_QUERIES = {
+    "events_tumbling_hourly": events_tumbling_hourly,
+    "events_sliding_windows": events_sliding_windows,
+    "events_session_windows": events_session_windows,
+    "multimodal_manifest": multimodal_manifest,
+}

@@ -1,0 +1,140 @@
+"""Streaming mirror of the reference's incremental machinery.
+
+The reference hand-builds watermarks + bounded increments + page
+checkpoints + at-least-once delivery with an idempotent sink
+(SURVEY.md §2.5, ops #21-28). Structured Streaming provides each of
+those natively; this module is the 1:1 mapping:
+
+| reference (file:line)                      | streaming construct        |
+|--------------------------------------------|----------------------------|
+| watermark read/commit (:107-129)           | checkpointLocation offsets |
+| 60-day safety window (:160-170)            | withWatermark(allowed lateness) |
+| page cap / bounded step (:50, :345)        | maxFilesPerTrigger / availableNow |
+| per-page commit + resume (:183-223)        | micro-batch offset log     |
+| at-least-once + idempotent upsert (#14,#22)| foreachBatch + MERGE sink  |
+
+Tests run file-source streams over the driver's events table with
+``Trigger.AvailableNow`` — the exact semantics of the reference's
+"drain what's there, then stop" cron step.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from tinyerp_etl_spark.etl.merge import merge_upsert
+from tinyerp_etl_spark.etl.table_store import TableStore
+
+EVENTS_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # nanos (see sources.catalog)
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(
+    spark: SparkSession, dir_path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream of events (ts normalized to TimestampType).
+
+    ``maxFilesPerTrigger`` is the reference's page cap (#27): bound
+    how much one micro-batch ingests.
+    """
+    reader = spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.parquet(dir_path)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_counts(events: DataFrame, window_len: str = "1 hour", lateness: str = "30 minutes") -> DataFrame:
+    """Watermarked tumbling-window aggregate (streaming or batch DF).
+
+    The watermark is the streaming analog of the reference's 60-day
+    allowed-lateness re-scan window (#23): late rows inside the bound
+    still update their window; older ones are dropped (vs re-scanned).
+    """
+    src = events.withWatermark("ts", lateness) if events.isStreaming else events
+    value_cents = F.round(F.col("value") * 100).cast("long")
+    return (
+        src.groupBy(F.window("ts", window_len).alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(value_cents) / 100.0).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_stream_to_merge_sink(
+    spark: SparkSession,
+    stream_df: DataFrame,
+    store: TableStore,
+    keys: list[str],
+    checkpoint_dir: str,
+    transform: Callable[[DataFrame], DataFrame] | None = None,
+) -> None:
+    """Drain a stream into a TableStore via per-batch MERGE (availableNow).
+
+    foreachBatch + idempotent MERGE = the reference's at-least-once
+    delivery with ON CONFLICT upsert (#14 + #22): batch replays after
+    a crash are absorbed by the key-merge.
+    """
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        df = transform(batch_df) if transform is not None else batch_df
+        merged = merge_upsert(store.read(), df, keys)
+        store.commit(merged)
+
+    (
+        stream_df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def run_windowed_stream(
+    spark: SparkSession,
+    stream_df: DataFrame,
+    store: TableStore,
+    checkpoint_dir: str,
+    window_len: str = "1 hour",
+    lateness: str = "30 minutes",
+) -> None:
+    """Watermarked windowed aggregation drained with availableNow.
+
+    Uses update-mode foreachBatch: each batch's changed windows MERGE
+    into the store keyed by (window_start, event_type).
+    """
+    agg = tumbling_counts(stream_df, window_len, lateness)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        merged = merge_upsert(
+            store.read(), batch_df, ["window_start", "event_type"]
+        )
+        store.commit(merged)
+
+    (
+        agg.writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
