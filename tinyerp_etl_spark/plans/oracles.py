@@ -264,4 +264,87 @@ RELATIONAL_ORACLES: dict[str, str] = {
         FROM staged
         ORDER BY o_orderkey
     """,
+    "exists_returned_orders": """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders o
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1996-07-01'
+          AND EXISTS (
+            SELECT 1 FROM lineitem l
+            WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R'
+          )
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    "subquery_small_quantity_revenue": """
+        WITH avg_qty AS (
+          SELECT l_partkey,
+                 sum(CAST(l_quantity AS BIGINT)) / count(*) AS part_avg_qty
+          FROM lineitem
+          GROUP BY l_partkey
+        )
+        SELECT
+          CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) / 100.0 AS DOUBLE) AS total_revenue,
+          count(*) AS n_lineitems
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey AND p.p_brand = 'Brand#23'
+        JOIN avg_qty a ON l.l_partkey = a.l_partkey
+        WHERE l.l_quantity < 0.5 * a.part_avg_qty
+    """,
+    "scalar_subquery_rich_idle_customers": """
+        WITH g AS (
+          SELECT CAST(sum(CAST(round(c_acctbal*100) AS BIGINT))
+                      / (100.0 * count(*)) AS DOUBLE) AS avg_bal
+          FROM customer WHERE c_acctbal > 0.0
+        )
+        SELECT c_nationkey,
+               count(*) AS numcust,
+               CAST(sum(CAST(round(c_acctbal*100) AS BIGINT)) / 100.0 AS DOUBLE) AS totacctbal
+        FROM customer c, g
+        WHERE c.c_acctbal > g.avg_bal
+          AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        GROUP BY c_nationkey
+        ORDER BY c_nationkey
+    """,
+    "conditional_agg_returnflag": """
+        SELECT
+          l_returnflag,
+          CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+          CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+    "promo_revenue_ratio": """
+        WITH j AS (
+          SELECT
+            CAST(round(l_extendedprice*100) AS BIGINT)
+              * (100 - CAST(round(l_discount*100) AS BIGINT)) AS rev_cents,
+            p_type LIKE 'PROMO%' AS is_promo
+          FROM lineitem l
+          JOIN part p ON l.l_partkey = p.p_partkey
+          WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+            AND l_shipdate < TIMESTAMP '1996-04-01'
+        )
+        SELECT
+          CAST(100.0 * sum(CASE WHEN is_promo THEN rev_cents ELSE 0 END)
+               / sum(rev_cents) AS DOUBLE) AS promo_revenue_pct,
+          CAST(sum(rev_cents) / 1e4 AS DOUBLE) AS total_revenue
+        FROM j
+    """,
+    "monthly_revenue_trend": """
+        SELECT
+          date_trunc('month', o_orderdate) AS order_month,
+          count(*) AS n_orders,
+          CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) / 100.0 AS DOUBLE) AS revenue,
+          CAST(sum(CAST(round(o_totalprice*100) AS BIGINT))
+               / (100.0 * count(*)) AS DOUBLE) AS avg_order_value
+        FROM orders
+        GROUP BY 1
+        HAVING count(*) >= 10
+        ORDER BY order_month
+    """,
 }

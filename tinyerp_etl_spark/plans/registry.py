@@ -42,6 +42,12 @@ def all_queries() -> dict[str, QueryFn]:
         "topk_expensive_orders": relational.topk_expensive_orders,
         "setops_customer_nations": relational.setops_customer_nations,
         "scalar_functions_showcase": relational.scalar_functions_showcase,
+        "exists_returned_orders": relational.exists_returned_orders,
+        "subquery_small_quantity_revenue": relational.subquery_small_quantity_revenue,
+        "scalar_subquery_rich_idle_customers": relational.scalar_subquery_rich_idle_customers,
+        "conditional_agg_returnflag": relational.conditional_agg_returnflag,
+        "promo_revenue_ratio": relational.promo_revenue_ratio,
+        "monthly_revenue_trend": relational.monthly_revenue_trend,
         "coercion_showcase": relational.coercion_showcase,
         "merge_upsert_events": etl_queries.merge_upsert_events,
         "keep_latest_event_per_user": etl_queries.keep_latest_event_per_user,

@@ -270,6 +270,173 @@ def join_full_outer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# subqueries (decorrelated Spark-first: EXISTS → semi-join, correlated
+# scalar → agg-then-join, uncorrelated scalar → broadcast 1-row join)
+# --------------------------------------------------------------------------
+
+
+def exists_returned_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-style: EXISTS subquery → left-semi join, then count.
+
+    Orders in 1996H1 having ≥1 returned lineitem (returnflag 'R'). The
+    EXISTS is decorrelated into a semi-join (what Catalyst's
+    RewritePredicateSubquery does to the SQL form) so the probe side
+    never duplicates order rows.
+    """
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    returned = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    return (
+        orders.join(returned, orders.o_orderkey == returned.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def subquery_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-style correlated scalar subquery, decorrelated.
+
+    Revenue from lineitems whose quantity is below 50% of the average
+    quantity for their part. The correlated AVG becomes a per-part
+    aggregate joined back on partkey — one shuffle instead of a
+    per-row subquery; the part-brand filter prunes before the join.
+    The per-part average uses integer-quantity sums so both engines
+    compute the identical double.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
+    avg_qty = li.groupBy("l_partkey").agg(
+        (
+            F.sum(F.col("l_quantity").cast("long")) / F.count(F.lit(1))
+        ).alias("part_avg_qty")
+    )
+    return (
+        li.join(broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        .join(avg_qty, "l_partkey")
+        .filter(F.col("l_quantity") < 0.5 * F.col("part_avg_qty"))
+        .agg(
+            sum_cents("l_extendedprice").alias("total_revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+def scalar_subquery_rich_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-style: scalar subquery + anti-join, per nation.
+
+    Customers with above-average positive balance and zero orders,
+    grouped by nation. The global AVG is a 1-row broadcast join
+    (Catalyst folds it the same way for the SQL form); the "no orders"
+    predicate is a left-anti join. Averages are computed cents-exact so
+    the threshold is bit-identical in both engines.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    positive = cust.filter(F.col("c_acctbal") > 0.0)
+    global_avg = positive.agg(
+        (F.sum(F.round(F.col("c_acctbal") * 100).cast("long")) / (100.0 * F.count(F.lit(1))))
+        .cast("double")
+        .alias("avg_bal")
+    )
+    return (
+        cust.join(broadcast(global_avg))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            sum_cents("c_acctbal").alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+def conditional_agg_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-style conditional aggregation (CASE inside SUM).
+
+    Per return flag: high- vs low-priority line counts for 1996
+    shipments. The priority split is a map-side CASE — one pass, one
+    shuffle on the (tiny-cardinality) group key, no extra join beyond
+    the fact-fact orderkey join.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-style: LIKE-predicate share of revenue, one row.
+
+    Percent of one month's revenue from promo parts. Both the
+    numerator and denominator are exact integer sums; the single final
+    division is the only floating-point op, so the ratio is
+    bit-identical across engines and partitionings. part joins as a
+    broadcast (dim-sized).
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    part = broadcast(load_table(spark, sf_dir, "part").select("p_partkey", "p_type"))
+    rev_cents = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        100 - F.round(F.col("l_discount") * 100).cast("long")
+    )
+    is_promo = F.col("p_type").like("PROMO%")
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .agg(
+            (
+                100.0
+                * F.sum(F.when(is_promo, rev_cents).otherwise(F.lit(0).cast("long")))
+                / F.sum(rev_cents)
+            )
+            .cast("double")
+            .alias("promo_revenue_pct"),
+            (F.sum(rev_cents) / F.lit(1e4)).cast("double").alias("total_revenue"),
+        )
+    )
+
+
+def monthly_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-bucketed revenue trend with HAVING (date_trunc rollup).
+
+    The hypertable-style time rollup: truncate to month, aggregate
+    cents-exact, keep only months with ≥ 10 orders. At scale this is
+    the query a date-partitioned fact table answers with partition
+    pruning; the month key is derived map-side so the shuffle carries
+    only (month, partial-sums).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("order_month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            sum_cents("o_totalprice").alias("revenue"),
+            avg_from_cents("o_totalprice").alias("avg_order_value"),
+        )
+        .filter(F.col("n_orders") >= 10)
+        .orderBy("order_month")
+    )
+
+
+# --------------------------------------------------------------------------
 # windows
 # --------------------------------------------------------------------------
 
