@@ -32,6 +32,13 @@ HEADLINE = [
     "window_latest_order_per_customer",
     "join_left_enrich",
     "topk_expensive_orders",
+    "exists_returned_orders",
+    "monthly_revenue_trend",
+    "events_tumbling_hourly",
+    "minhash_lsh_neardup_pairs",
+    "text_profile_docs",
+    "embedding_topk_bruteforce",
+    "embedding_topk_ivf",
 ]
 
 

@@ -1,0 +1,104 @@
+"""Physical-plan regression tests.
+
+Correctness tests prove the WHAT; these pin the HOW — the plan shapes
+that matter at 100 TB. If a dim join stops broadcasting, a filter stops
+reaching the parquet scan, a top-k becomes a full sort, or an LSH join
+degenerates into a cartesian product, these fail even though results
+stay correct at test scale.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tinyerp_etl_spark.plans.registry import all_queries
+
+QUERIES = all_queries()
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    """The explain string Spark would print for ``df.explain(mode)``."""
+    return df.sparkSession._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), mode
+    )
+
+
+def test_q1_pushes_shipdate_filter_to_scan(spark, sf_dir):
+    plan = plan_of(QUERIES["q1_pricing_summary"](spark, sf_dir))
+    assert "PushedFilters" in plan
+    assert "l_shipdate" in plan.split("PushedFilters")[1].split("\n")[0]
+
+
+def test_q1_prunes_unused_columns(spark, sf_dir):
+    plan = plan_of(QUERIES["q1_pricing_summary"](spark, sf_dir))
+    # lineitem has 11 columns; q1 reads 7 — the scan schema must not
+    # carry the join keys it doesn't use
+    scan_schema = plan.split("ReadSchema")[1].split("\n")[0]
+    for unused in ("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"):
+        assert unused not in scan_schema, f"scan reads unused column {unused}"
+
+
+def test_q1_uses_two_phase_aggregation(spark, sf_dir):
+    # partial (map-side) + final HashAggregate — the shape that collapses
+    # 100 TB to n_groups rows before the shuffle
+    df = QUERIES["q1_pricing_summary"](spark, sf_dir)
+    plan = plan_of(df)
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_sum" in plan  # map-side combine before the shuffle
+    # codegen stages are the starred operators in simple mode, and only
+    # materialize in the AQE final plan — collect() (not count(), which
+    # executes a different query) finalizes THIS df's plan
+    df.collect()
+    final = plan_of(df, "simple")
+    assert "isFinalPlan=true" in final
+    assert "*(" in final
+
+
+def test_q5_broadcasts_dimension_tables(spark, sf_dir):
+    plan = plan_of(QUERIES["q5_local_supplier_volume"](spark, sf_dir))
+    # region + nation are explicit broadcast()s — at least 2 BHJs
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_left_enrich_is_a_broadcast_join(spark, sf_dir):
+    plan = plan_of(QUERIES["join_left_enrich"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_topk_is_take_ordered_not_full_sort(spark, sf_dir):
+    plan = plan_of(QUERIES["topk_expensive_orders"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q3_topk_is_take_ordered(spark, sf_dir):
+    plan = plan_of(QUERIES["q3_shipping_priority"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["minhash_lsh_neardup_pairs", "embedding_neardup_pairs"],
+)
+def test_neardup_joins_are_not_cartesian(spark, sf_dir, name):
+    # the entire point of LSH: candidate generation is an equi-join on
+    # the bucket key, never an all-pairs product
+    plan = plan_of(QUERIES[name](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+
+
+def test_semi_join_stays_semi(spark, sf_dir):
+    # EXISTS must not decay into inner-join + dedupe
+    plan = plan_of(QUERIES["exists_returned_orders"](spark, sf_dir))
+    assert "LeftSemi" in plan
+
+
+def test_anti_join_stays_anti(spark, sf_dir):
+    plan = plan_of(QUERIES["join_anti_orphan_audit"](spark, sf_dir))
+    assert "LeftAnti" in plan
+
+
+def test_scalar_subquery_join_is_broadcast(spark, sf_dir):
+    # the 1-row global-average side must broadcast, not shuffle customer
+    plan = plan_of(QUERIES["scalar_subquery_rich_idle_customers"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan

@@ -77,24 +77,35 @@ def dedup_exact(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 
 
 def _minhash_perm(i: int):
-    """One-arg lambda for h_i — closure, not default args (pyspark
-    introspects lambda arity and would treat defaults as HOF params)."""
+    """One-arg lambda for h_i over a PRE-HASHED shingle value — closure,
+    not default args (pyspark introspects lambda arity and would treat
+    defaults as HOF params)."""
     a, b = MINHASH_A[i], MINHASH_B[i]
-    return lambda s: (F.lit(a) * token_hash32(s) + F.lit(b)) % F.lit(MINHASH_P)
+    return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_P)
 
 
 def minhash_signature(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """(id, sig array<long>[K]) — null-free docs only (≥1 shingle)."""
+    """(id, sig array<long>[K]) — null-free docs only (≥1 shingle).
+
+    The md5-based 32-bit shingle hash is computed ONCE per shingle into
+    an integer array; the K permutations then run over the cheap
+    integers. (K md5s per shingle — the naive formulation — dominated
+    the whole near-dup pipeline's runtime before this split.)
+    """
     base = docs.select(F.col(id_col), shingles(text_col).alias("__sh")).filter(
         F.array_size("__sh") > 0
     )
+    hashed = base.select(
+        F.col(id_col),
+        F.transform("__sh", lambda s: token_hash32(s)).alias("__h"),
+    )
     sig = F.array(
         *[
-            F.array_min(F.transform(F.col("__sh"), _minhash_perm(i)))
+            F.array_min(F.transform(F.col("__h"), _minhash_perm(i)))
             for i in range(MINHASH_K)
         ]
     )
-    return base.select(F.col(id_col), sig.alias("sig"))
+    return hashed.select(F.col(id_col), sig.alias("sig"))
 
 
 def lsh_candidate_pairs(
@@ -102,9 +113,17 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """Candidate near-dup pairs: docs sharing ≥1 LSH band bucket.
 
-    Explode each signature into ``LSH_BANDS`` (band, key) rows, then
-    self-join per bucket — the only join is on the compact bucket key,
-    which is what makes MinHash-LSH viable at 100 TB.
+    Explode each signature into ``LSH_BANDS`` (band, key) rows — only
+    docs sharing a compact bucket key ever meet, which is what makes
+    MinHash-LSH viable at 100 TB.
+
+    Pairs are generated bucket-locally: group by (band, key), collect
+    the member ids, emit the i<j combinations. One signature
+    computation and one shuffle — the self-join formulation would
+    compute the (expensive) signatures once per join side. Degenerate
+    buckets (a key shared by k docs) emit k·(k-1)/2 pairs — inherent
+    to LSH; a production run on duplicate-heavy data would cap bucket
+    size and route overflow to exact dedup first.
     """
     sigs = minhash_signature(docs, text_col, id_col)
     bands = sigs.select(
@@ -129,14 +148,23 @@ def lsh_candidate_pairs(
             )
         ).alias("bk"),
     ).select(F.col(id_col), F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    left = bands.select(
-        F.col(id_col).alias("doc_a"), "band", "key"
+    buckets = (
+        bands.groupBy("band", "key")
+        .agg(F.sort_array(F.collect_set(id_col)).alias("ids"))
+        .filter(F.array_size("ids") > 1)
     )
-    right = bands.select(F.col(id_col).alias("doc_b"), "band", "key")
     return (
-        left.join(right, ["band", "key"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
+        buckets.select(F.posexplode("ids").alias("i", "doc_a"), F.col("ids"))
+        .select(
+            "doc_a",
+            F.explode(
+                F.slice(
+                    "ids",
+                    F.col("i") + 2,
+                    F.array_size("ids") - F.col("i") - 1,
+                )
+            ).alias("doc_b"),
+        )
         .distinct()
     )
 
@@ -152,19 +180,31 @@ def jaccard_pairs(
 
     intersection/union over distinct shingle sets; both counts are
     exact integers, so the final ratio is engine-deterministic.
+
+    With ``pairs`` given, the shingle join is DRIVEN BY the candidate
+    pairs (pairs ⋈ shingles(a) ⋈ shingles(b)) — cost scales with
+    |candidates| · |shingles/doc|, not with the number of co-shingled
+    pairs in the corpus. The all-pairs path only exists for pairs=None
+    (verification-only use at small scale).
     """
     sh = docs.select(F.col(id_col), F.explode(shingles(text_col)).alias("shingle"))
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
     b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
     if pairs is not None:
-        inter = inter.join(pairs, ["doc_a", "doc_b"], "left_semi")
+        inter = (
+            pairs.join(a, "doc_a")
+            .join(b, ["doc_b", "shingle"])
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
+    else:
+        inter = (
+            a.join(b, "shingle")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
     out = (
         inter.join(sizes.select(F.col(id_col).alias("doc_a"), F.col("n").alias("n_a")), "doc_a")
         .join(sizes.select(F.col(id_col).alias("doc_b"), F.col("n").alias("n_b")), "doc_b")

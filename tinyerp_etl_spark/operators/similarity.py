@@ -136,6 +136,98 @@ def lsh_topk(
     )
 
 
+# ---- IVF (inverted-file) ANN -------------------------------------------
+# Centroids in a real pipeline are trained offline (k-means over a sample)
+# and versioned with the index; here a deterministic sample of the corpus
+# (fixed vec_ids) stands in so both engines share them literally.
+IVF_CENTROID_IDS = list(range(1, 9))
+IVF_NPROBE = 2
+
+
+def ivf_centroids(
+    embeddings: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """The (tiny, broadcastable) centroid table: (centroid_id, centroid_vec)."""
+    return embeddings.filter(F.col(id_col).isin(IVF_CENTROID_IDS)).select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("centroid_vec")
+    )
+
+
+def ivf_assign(
+    embeddings: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Assign every vector to its nearest centroid's inverted list.
+
+    centroids broadcast to every partition; the keep-best is a window
+    over the (id, n_centroids) scored rows. At 100 TB this runs once at
+    ingest and ``list_id`` becomes the table's partition column — query
+    time then touches only ``nprobe`` partitions (partition pruning).
+    """
+    from pyspark.sql.window import Window
+
+    cents = F.broadcast(ivf_centroids(embeddings, id_col, vec_col))
+    scored = embeddings.crossJoin(cents).select(
+        F.col(id_col),
+        F.col(vec_col),
+        "centroid_id",
+        cosine(F.col(vec_col), F.col("centroid_vec")).alias("__cscore"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("__cscore").desc(), F.col("centroid_id").asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(F.col(id_col), F.col(vec_col), F.col("centroid_id").alias("list_id"))
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    nprobe: int = IVF_NPROBE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: scan only the query's ``nprobe`` nearest lists.
+
+    The probe-list selection is centroid-table-sized work (broadcast,
+    ~n_centroids rows); the candidate scan is an equi-join on list_id —
+    i.e., with list-partitioned storage, a pruned read of nprobe/nlists
+    of the corpus, each candidate scored once with the exact quantized
+    cosine.
+    """
+    from pyspark.sql.window import Window
+
+    assigned = ivf_assign(embeddings, id_col, vec_col)
+    query = embeddings.filter(F.col(id_col) == query_vec_id).select(
+        F.col(vec_col).alias("__qvec")
+    )
+    cents = ivf_centroids(embeddings, id_col, vec_col)
+    qw = Window.orderBy(
+        cosine(F.col("centroid_vec"), F.col("__qvec")).desc(),
+        F.col("centroid_id").asc(),
+    )
+    probe = (
+        cents.crossJoin(F.broadcast(query))
+        .withColumn("__rn", F.row_number().over(qw))
+        .filter(F.col("__rn") <= nprobe)
+        .select(F.col("centroid_id").alias("list_id"))
+    )
+    return (
+        assigned.join(F.broadcast(probe), "list_id")
+        .crossJoin(F.broadcast(query))
+        .filter(F.col(id_col) != query_vec_id)
+        .select(
+            F.col(id_col),
+            cosine(F.col(vec_col), F.col("__qvec")).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def neardup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.9,

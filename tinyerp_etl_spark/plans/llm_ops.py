@@ -154,6 +154,12 @@ def embedding_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_topk(emb, query_vec_id=0, k=10)
 
 
+def embedding_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-list top-10 neighbors of vec_id=0 (nprobe=2 of 8 lists)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.ivf_topk(emb, query_vec_id=0, k=10)
+
+
 def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs over embeddings ∪ perturbed copies (score ≥ 0.98).
 
@@ -406,6 +412,38 @@ LLM_ORACLES: dict[str, str] = {
         ORDER BY score DESC, vec_id ASC
         LIMIT 10
     """,
+    "embedding_topk_ivf": f"""
+        WITH cents AS (
+          SELECT vec_id AS centroid_id, embedding AS cvec
+          FROM embeddings
+          WHERE vec_id BETWEEN {S.IVF_CENTROID_IDS[0]} AND {S.IVF_CENTROID_IDS[-1]}
+        ),
+        scored AS (
+          SELECT e.vec_id, e.embedding, c.centroid_id,
+                 row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY {_cosine_sql("e.embedding", "c.cvec")} DESC, c.centroid_id ASC
+                 ) AS rn
+          FROM embeddings e CROSS JOIN cents c
+        ),
+        lists AS (
+          SELECT vec_id, embedding, centroid_id AS list_id FROM scored WHERE rn = 1
+        ),
+        q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+        qranked AS (
+          SELECT centroid_id,
+                 row_number() OVER (
+                   ORDER BY {_cosine_sql("cvec", "qvec")} DESC, centroid_id ASC
+                 ) AS rn
+          FROM cents, q
+        ),
+        probe AS (SELECT centroid_id AS list_id FROM qranked WHERE rn <= {S.IVF_NPROBE})
+        SELECT l.vec_id, {_cosine_sql("l.embedding", "qvec")} AS score
+        FROM lists l JOIN probe p ON l.list_id = p.list_id, q
+        WHERE l.vec_id != 0
+        ORDER BY score DESC, l.vec_id ASC
+        LIMIT 10
+    """,
     "embedding_neardup_pairs": f"""
         WITH staged AS (
           SELECT vec_id, embedding FROM embeddings
@@ -435,5 +473,6 @@ LLM_QUERIES = {
     "simhash_docs": simhash_docs,
     "embedding_topk_bruteforce": embedding_topk_bruteforce,
     "embedding_topk_lsh": embedding_topk_lsh,
+    "embedding_topk_ivf": embedding_topk_ivf,
     "embedding_neardup_pairs": embedding_neardup_pairs,
 }
