@@ -86,7 +86,211 @@ def hierarchy_closure_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def watermark_resolution_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The watermark decision chain (ops #21-25) as one oracle-checked query.
+
+    Stages one scenario per event_type process: stored watermark (+1s
+    exclusive bound, ref tiny_api_v2_cliente.py:113), ancient stored
+    watermark (60-day clamp kicks in, ref :164-167), synthetic
+    bootstrap from MAX(business date) + 1 day at midnight (ref
+    :146-158, :172-177), and the fixed-29-day cold start (ref
+    :330-331). "now" is pinned so both engines resolve identically;
+    the expression chain mirrors etl/watermark.resolve_filter_timestamp.
+    """
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(F.max("ts").alias("mx"))
+    # 5 control rows — the global window is deliberate (not a data path)
+    staged = agg.withColumn("od", F.row_number().over(Window.orderBy("event_type")))
+    now = F.lit("2024-03-15 12:00:00").cast("timestamp")
+    stored = (
+        F.when(F.col("od") % 4 == 0, F.col("mx"))
+        .when(F.col("od") % 4 == 3, F.col("mx") - F.expr("INTERVAL 400 DAYS"))
+    )
+    maxb = F.when(F.col("od") % 4 == 1, F.col("mx"))
+    clamp_floor = now - F.expr("INTERVAL 60 DAYS")
+    resolved = (
+        F.when(stored.isNotNull(), F.greatest(stored + F.expr("INTERVAL 1 SECOND"), clamp_floor))
+        .when(
+            maxb.isNotNull(),
+            F.greatest(F.date_trunc("day", maxb) + F.expr("INTERVAL 1 DAY"), clamp_floor),
+        )
+        .otherwise(now - F.expr("INTERVAL 29 DAYS"))
+    )
+    scenario = (
+        F.when(F.col("od") % 4 == 0, F.lit("stored"))
+        .when(F.col("od") % 4 == 1, F.lit("synthetic"))
+        .when(F.col("od") % 4 == 2, F.lit("cold_start_29"))
+        .otherwise(F.lit("stored_clamped"))
+    )
+    return staged.select(
+        F.col("event_type").alias("process"),
+        scenario.alias("scenario"),
+        resolved.alias("resolved_filter_ts"),
+    ).orderBy("process")
+
+
+def hierarchy_subtree_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate over every subtree via the ancestor closure.
+
+    The hierarchy analog of a hypertable rollup: total retail price and
+    node count per root category, depth of the deepest descendant —
+    closure (iterative self-join) ⋈ fact, checked against a recursive
+    CTE + join oracle.
+    """
+    from tinyerp_etl_spark.functions.exact import sum_cents
+
+    part = load_table(spark, sf_dir, "part")
+    edges = part.select(
+        F.col("p_partkey").alias("id"),
+        F.when(F.col("p_partkey") >= 10, F.floor(F.col("p_partkey") / 10))
+        .alias("parent_id"),
+    )
+    closure = ancestor_closure(edges, "id", "parent_id")
+    return (
+        closure.join(part, closure.node_id == part.p_partkey)
+        .groupBy("root_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            sum_cents("p_retailprice").alias("subtree_retail"),
+            F.max("depth").cast("int").alias("max_depth"),
+        )
+        .orderBy("root_id")
+    )
+
+
+def skew_salted_event_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key aggregation via salting + two-phase distinct (5 keys,
+    100k+ rows — the skew shape).
+
+    Results are identical to the naive groupBy (the oracle IS the
+    naive SQL); what's under test is that the skew-safe formulation
+    stays correct. Values aggregate in exact cents.
+    """
+    from tinyerp_etl_spark.functions.skew import salted_sum, two_phase_distinct
+
+    ev = load_table(spark, sf_dir, "events")
+    value_cents = F.round(F.col("value") * 100).cast("long")
+    sums = salted_sum(ev, ["event_type"], value_cents, "sum_value_cents")
+    distinct = two_phase_distinct(ev, ["event_type"], "user_id", "n_users")
+    return (
+        sums.join(distinct, "event_type")
+        .select(
+            "event_type",
+            (F.col("sum_value_cents") / 100.0).cast("double").alias("sum_value"),
+            "n_rows",
+            "n_users",
+        )
+        .orderBy("event_type")
+    )
+
+
+def nested_flatten_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-flattening semantics (op #12) as a nest → explode round-trip.
+
+    Builds the nested shape the reference's API returns (order header
+    with an ``itens`` array of item structs, ref pedido.obter endpoint
+    :38, README.md:11), then flattens it back with explode + struct
+    field access — the exact load path of ``pedido_itens``. The oracle
+    reads the flat rows directly, so the round-trip must be lossless.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 50 == 0)
+    nested = li.groupBy("l_orderkey").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct("l_linenumber", "l_quantity", "l_extendedprice")
+            )
+        ).alias("itens")
+    )
+    return (
+        nested.select("l_orderkey", F.explode("itens").alias("item"))
+        .select(
+            F.col("l_orderkey").alias("orderkey"),
+            F.col("item.l_linenumber").alias("linenumber"),
+            F.col("item.l_quantity").alias("quantity"),
+            F.col("item.l_extendedprice").alias("extendedprice"),
+        )
+        .orderBy("orderkey", "linenumber")
+    )
+
+
 ETL_ORACLES: dict[str, str] = {
+    "nested_flatten_roundtrip": """
+        SELECT
+          l_orderkey AS orderkey,
+          l_linenumber AS linenumber,
+          l_quantity AS quantity,
+          l_extendedprice AS extendedprice
+        FROM lineitem
+        WHERE l_orderkey % 50 = 0
+        ORDER BY orderkey, linenumber
+    """,
+    "skew_salted_event_totals": """
+        SELECT
+          event_type,
+          CAST(sum(CAST(round(value*100) AS BIGINT)) / 100.0 AS DOUBLE) AS sum_value,
+          count(*) AS n_rows,
+          count(DISTINCT user_id) AS n_users
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    "watermark_resolution_matrix": """
+        WITH agg AS (SELECT event_type, max(ts) AS mx FROM events GROUP BY event_type),
+        idx AS (
+          SELECT event_type, mx,
+                 row_number() OVER (ORDER BY event_type) AS od
+          FROM agg
+        ),
+        staged AS (
+          SELECT event_type AS process, od,
+                 CASE WHEN od % 4 = 0 THEN mx
+                      WHEN od % 4 = 3 THEN mx - INTERVAL 400 DAY END AS stored,
+                 CASE WHEN od % 4 = 1 THEN mx END AS maxb
+          FROM idx
+        )
+        SELECT
+          process,
+          CASE WHEN od % 4 = 0 THEN 'stored'
+               WHEN od % 4 = 1 THEN 'synthetic'
+               WHEN od % 4 = 2 THEN 'cold_start_29'
+               ELSE 'stored_clamped' END AS scenario,
+          CASE WHEN stored IS NOT NULL
+               THEN greatest(stored + INTERVAL 1 SECOND,
+                             TIMESTAMP '2024-03-15 12:00:00' - INTERVAL 60 DAY)
+               WHEN maxb IS NOT NULL
+               THEN greatest(date_trunc('day', maxb) + INTERVAL 1 DAY,
+                             TIMESTAMP '2024-03-15 12:00:00' - INTERVAL 60 DAY)
+               ELSE TIMESTAMP '2024-03-15 12:00:00' - INTERVAL 29 DAY
+          END AS resolved_filter_ts
+        FROM staged
+        ORDER BY process
+    """,
+    "hierarchy_subtree_rollup": """
+        WITH RECURSIVE edges AS (
+          SELECT p_partkey AS id,
+                 CASE WHEN p_partkey >= 10
+                      THEN CAST(floor(p_partkey / 10) AS BIGINT) END AS parent_id
+          FROM part
+        ),
+        closure AS (
+          SELECT id AS node_id, id AS root_id, 0 AS depth
+          FROM edges WHERE parent_id IS NULL
+          UNION ALL
+          SELECT e.id, c.root_id, c.depth + 1
+          FROM edges e JOIN closure c ON e.parent_id = c.node_id
+        )
+        SELECT
+          c.root_id,
+          count(*) AS n_nodes,
+          CAST(sum(CAST(round(p.p_retailprice*100) AS BIGINT)) / 100.0 AS DOUBLE) AS subtree_retail,
+          CAST(max(c.depth) AS INT) AS max_depth
+        FROM closure c
+        JOIN part p ON c.node_id = p.p_partkey
+        GROUP BY c.root_id
+        ORDER BY c.root_id
+    """,
     "merge_upsert_events": """
         WITH existing AS (
           SELECT event_id, value, 1 AS gen FROM events WHERE event_id % 2 = 0

@@ -53,6 +53,10 @@ def all_queries() -> dict[str, QueryFn]:
         "keep_latest_event_per_user": etl_queries.keep_latest_event_per_user,
         "set_null_missing_region": etl_queries.set_null_missing_region,
         "hierarchy_closure_part": etl_queries.hierarchy_closure_part,
+        "hierarchy_subtree_rollup": etl_queries.hierarchy_subtree_rollup,
+        "watermark_resolution_matrix": etl_queries.watermark_resolution_matrix,
+        "skew_salted_event_totals": etl_queries.skew_salted_event_totals,
+        "nested_flatten_roundtrip": etl_queries.nested_flatten_roundtrip,
     }
     queries.update(LLM_QUERIES)
     queries.update(STREAMING_QUERIES)
