@@ -222,6 +222,142 @@ def jaccard_pairs(
     return out
 
 
+def minhash_features_pandas(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, shingles, MinHash sig) via one Arrow-batched mapInPandas pass.
+
+    Bit-identical to the expression-based ``shingles`` +
+    ``minhash_signature`` (same tokenizer regex, same md5-prefix hash,
+    same (a·h + b) mod p family — the oracle parity tests prove it),
+    but vectorized: Spark's higher-order array lambdas run interpreted
+    per element, so the K×|shingles| permutation arithmetic is ~5×
+    faster as one numpy broadcast per document. This is the sanctioned
+    use of the Python path: a tight numeric kernel over Arrow batches,
+    not row-at-a-time logic.
+    """
+    import hashlib
+    import re
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    a_mat = np.array(MINHASH_A, dtype=np.int64)[:, None]
+    b_mat = np.array(MINHASH_B, dtype=np.int64)[:, None]
+    tok_re = re.compile(r"\w+")
+
+    def feature_batches(batches):
+        for pdf in batches:
+            ids, shs, sigs = [], [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                toks = tok_re.findall((text or "").lower())
+                if len(toks) < SHINGLE_K:
+                    continue
+                sh = list(
+                    dict.fromkeys(
+                        " ".join(toks[i : i + SHINGLE_K])
+                        for i in range(len(toks) - SHINGLE_K + 1)
+                    )
+                )
+                h = np.array(
+                    [
+                        int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+                        for s in sh
+                    ],
+                    dtype=np.int64,
+                )
+                sig = ((a_mat * h[None, :] + b_mat) % MINHASH_P).min(axis=1)
+                ids.append(did)
+                shs.append(sh)
+                sigs.append(sig.tolist())
+            yield pd.DataFrame({id_col: ids, "__sh": shs, "sig": sigs})
+
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("__sh", T.ArrayType(T.StringType())),
+            T.StructField("sig", T.ArrayType(T.LongType())),
+        ]
+    )
+    return docs.select(F.col(id_col).cast("long"), text_col).mapInPandas(
+        feature_batches, schema=schema
+    )
+
+
+def lsh_neardup_verified(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fused near-dup pipeline: shingle → MinHash → LSH → exact-verify.
+
+    The composable primitives (minhash_signature / lsh_candidate_pairs
+    / jaccard_pairs) each recompute the shingle arrays — the dominant
+    cost (interpreted higher-order string expressions per doc). This
+    fused form computes shingles ONCE into a persisted (id, shingles)
+    table — exactly what a 100 TB run would materialize as its
+    signature/shingle table — and verifies candidates with
+    array_intersect on the candidate pairs only: no shingle explode, no
+    shingle shuffle, intersection cost proportional to |candidates|.
+    """
+    base = minhash_features_pandas(docs, text_col, id_col).persist()
+    bands = base.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                "|",
+                                *[
+                                    F.col("sig")[b * LSH_ROWS + r].cast("string")
+                                    for r in range(LSH_ROWS)
+                                ],
+                            )
+                        ).alias("key"),
+                    )
+                    for b in range(LSH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select(F.col(id_col), F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    buckets = (
+        bands.groupBy("band", "key")
+        .agg(F.sort_array(F.collect_set(id_col)).alias("ids"))
+        .filter(F.array_size("ids") > 1)
+    )
+    pairs = (
+        buckets.select(F.posexplode("ids").alias("i", "doc_a"), F.col("ids"))
+        .select(
+            "doc_a",
+            F.explode(
+                F.slice("ids", F.col("i") + 2, F.array_size("ids") - F.col("i") - 1)
+            ).alias("doc_b"),
+        )
+        .distinct()
+    )
+    a = base.select(F.col(id_col).alias("doc_a"), F.col("__sh").alias("__sh_a"))
+    b = base.select(F.col(id_col).alias("doc_b"), F.col("__sh").alias("__sh_b"))
+    n_inter = F.array_size(F.array_intersect("__sh_a", "__sh_b"))
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                n_inter
+                / (F.array_size("__sh_a") + F.array_size("__sh_b") - n_inter)
+            ).cast("double").alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= F.lit(threshold))
+    )
+
+
 def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32) -> DataFrame:
     """32-bit SimHash over distinct tokens (weight 1 each).
 

@@ -92,15 +92,22 @@ def brute_force_topk(
     one scan, no vector shuffle, TakeOrdered(k) on top.
     """
     query = embeddings.filter(F.col(id_col) == query_vec_id).select(
-        F.col(vec_col).alias("__qvec")
+        F.col(vec_col).alias("__qvec"),
+        quantized_norm2(F.col(vec_col)).alias("__qn2"),
     )
+    # query norm rides in the broadcast row — without it, the (inter-
+    # preted) norm of the same query vector is recomputed per scanned row
+    score = (
+        quantized_dot(F.col(vec_col), F.col("__qvec"))
+        / F.sqrt(
+            quantized_norm2(F.col(vec_col)).cast("double")
+            * F.col("__qn2").cast("double")
+        )
+    ).cast("double")
     return (
         embeddings.crossJoin(F.broadcast(query))
         .filter(F.col(id_col) != query_vec_id)
-        .select(
-            F.col(id_col),
-            cosine(F.col(vec_col), F.col("__qvec")).alias("score"),
-        )
+        .select(F.col(id_col), score.alias("score"))
         .orderBy(F.col("score").desc(), F.col(id_col).asc())
         .limit(k)
     )
@@ -120,17 +127,23 @@ def lsh_topk(
     """
     with_bucket = embeddings.withColumn("__bucket", sign_bucket(F.col(vec_col)))
     query = with_bucket.filter(F.col(id_col) == query_vec_id).select(
-        F.col(vec_col).alias("__qvec"), F.col("__bucket").alias("__qbucket")
+        F.col(vec_col).alias("__qvec"),
+        F.col("__bucket").alias("__qbucket"),
+        quantized_norm2(F.col(vec_col)).alias("__qn2"),
     )
+    score = (
+        quantized_dot(F.col(vec_col), F.col("__qvec"))
+        / F.sqrt(
+            quantized_norm2(F.col(vec_col)).cast("double")
+            * F.col("__qn2").cast("double")
+        )
+    ).cast("double")
     return (
         with_bucket.join(
             F.broadcast(query), F.col("__bucket") == F.col("__qbucket")
         )
         .filter(F.col(id_col) != query_vec_id)
-        .select(
-            F.col(id_col),
-            cosine(F.col(vec_col), F.col("__qvec")).alias("score"),
-        )
+        .select(F.col(id_col), score.alias("score"))
         .orderBy(F.col("score").desc(), F.col(id_col).asc())
         .limit(k)
     )
@@ -165,12 +178,25 @@ def ivf_assign(
     """
     from pyspark.sql.window import Window
 
-    cents = F.broadcast(ivf_centroids(embeddings, id_col, vec_col))
-    scored = embeddings.crossJoin(cents).select(
-        F.col(id_col),
-        F.col(vec_col),
-        "centroid_id",
-        cosine(F.col(vec_col), F.col("centroid_vec")).alias("__cscore"),
+    cents = F.broadcast(
+        ivf_centroids(embeddings, id_col, vec_col).withColumn(
+            "__cn2", quantized_norm2(F.col("centroid_vec"))
+        )
+    )
+    # vector norm once per row, centroid norms in the broadcast table —
+    # not inside each of the n_centroids cosines per row
+    scored = (
+        embeddings.withColumn("__n2", quantized_norm2(F.col(vec_col)))
+        .crossJoin(cents)
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            "centroid_id",
+            (
+                quantized_dot(F.col(vec_col), F.col("centroid_vec"))
+                / F.sqrt(F.col("__n2").cast("double") * F.col("__cn2").cast("double"))
+            ).cast("double").alias("__cscore"),
+        )
     )
     w = Window.partitionBy(id_col).orderBy(
         F.col("__cscore").desc(), F.col("centroid_id").asc()
@@ -202,7 +228,8 @@ def ivf_topk(
 
     assigned = ivf_assign(embeddings, id_col, vec_col)
     query = embeddings.filter(F.col(id_col) == query_vec_id).select(
-        F.col(vec_col).alias("__qvec")
+        F.col(vec_col).alias("__qvec"),
+        quantized_norm2(F.col(vec_col)).alias("__qn2"),
     )
     cents = ivf_centroids(embeddings, id_col, vec_col)
     qw = Window.orderBy(
@@ -215,14 +242,18 @@ def ivf_topk(
         .filter(F.col("__rn") <= nprobe)
         .select(F.col("centroid_id").alias("list_id"))
     )
+    score = (
+        quantized_dot(F.col(vec_col), F.col("__qvec"))
+        / F.sqrt(
+            quantized_norm2(F.col(vec_col)).cast("double")
+            * F.col("__qn2").cast("double")
+        )
+    ).cast("double")
     return (
         assigned.join(F.broadcast(probe), "list_id")
         .crossJoin(F.broadcast(query))
         .filter(F.col(id_col) != query_vec_id)
-        .select(
-            F.col(id_col),
-            cosine(F.col(vec_col), F.col("__qvec")).alias("score"),
-        )
+        .select(F.col(id_col), score.alias("score"))
         .orderBy(F.col("score").desc(), F.col(id_col).asc())
         .limit(k)
     )
@@ -239,22 +270,35 @@ def neardup_pairs(
     Pairs are only formed inside a bucket (the LSH contract); the
     exact quantized cosine then filters to ``score >= threshold``.
     """
+    # norms are computed once per VECTOR before the join — higher-order
+    # array expressions are interpreted (not codegen'd), so recomputing
+    # both norms inside every pair's cosine would triple the dominant
+    # cost of bucket scoring
     b = embeddings.select(
-        F.col(id_col), F.col(vec_col), sign_bucket(F.col(vec_col)).alias("__bucket")
+        F.col(id_col),
+        F.col(vec_col),
+        sign_bucket(F.col(vec_col)).alias("__bucket"),
+        quantized_norm2(F.col(vec_col)).alias("__n2"),
     )
     left = b.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"), "__bucket"
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("vec_a"),
+        "__bucket",
+        F.col("__n2").alias("__n2_a"),
     )
     right = b.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"), "__bucket"
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vec_b"),
+        "__bucket",
+        F.col("__n2").alias("__n2_b"),
     )
+    score = (
+        quantized_dot(F.col("vec_a"), F.col("vec_b"))
+        / F.sqrt(F.col("__n2_a").cast("double") * F.col("__n2_b").cast("double"))
+    ).cast("double")
     return (
         left.join(right, "__bucket")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            cosine(F.col("vec_a"), F.col("vec_b")).alias("score"),
-        )
+        .select("id_a", "id_b", score.alias("score"))
         .filter(F.col("score") >= threshold)
     )

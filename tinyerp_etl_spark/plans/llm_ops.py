@@ -128,9 +128,7 @@ def minhash_lsh_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     verification touches only candidates).
     """
     staged = _docs_with_neardups(spark, sf_dir)
-    cands = D.lsh_candidate_pairs(staged)
-    verified = D.jaccard_pairs(staged, pairs=cands, threshold=0.5)
-    return verified.orderBy("doc_a", "doc_b")
+    return D.lsh_neardup_verified(staged, threshold=0.5).orderBy("doc_a", "doc_b")
 
 
 def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -81,7 +81,43 @@ def multimodal_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id")
 
 
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plan per media payload (every 10th frame).
+
+    Metadata-only arithmetic — frame counts derive from payload size,
+    no decode. The mapInPandas decode stage itself is covered by
+    tests/test_multimodal.py (its fake-codec output isn't
+    SQL-expressible; the PLAN is).
+    """
+    from tinyerp_etl_spark.operators.multimodal import frame_sample_plan
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = pack_media(docs, "doc_id", "text", "text/plain")
+    return (
+        frame_sample_plan(media, every_nth=10)
+        .groupBy("media_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled_frames"),
+            F.max("frame_index").alias("last_frame_index"),
+        )
+        .orderBy("media_id")
+    )
+
+
 STREAMING_ORACLES: dict[str, str] = {
+    # n_frames = floor(bytes/1024)+1; sampled = indices 0,10,... < n_frames
+    "multimodal_frame_sample": """
+        WITH m AS (
+          SELECT doc_id AS media_id,
+                 CAST(octet_length(encode(text)) // 1024 AS INT) + 1 AS n_frames
+          FROM documents
+        )
+        SELECT media_id,
+               CAST((n_frames - 1) // 10 + 1 AS BIGINT) AS n_sampled_frames,
+               CAST(((n_frames - 1) // 10) * 10 AS INT) AS last_frame_index
+        FROM m
+        ORDER BY media_id
+    """,
     "events_tumbling_hourly": """
         SELECT
           date_trunc('hour', ts) AS window_start,
@@ -151,4 +187,5 @@ STREAMING_QUERIES = {
     "events_sliding_windows": events_sliding_windows,
     "events_session_windows": events_session_windows,
     "multimodal_manifest": multimodal_manifest,
+    "multimodal_frame_sample": multimodal_frame_sample,
 }
