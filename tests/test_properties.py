@@ -1,0 +1,147 @@
+"""Property-based tests (hypothesis) for the semantic-quirk transforms.
+
+The reference's row-level semantics (SURVEY §2 ops #7-8) and the MERGE
+laws (#14) are the places where a subtle divergence silently changes
+aggregates downstream — so they get adversarial inputs, not just
+examples. Each property runs a whole generated batch through Spark at
+once (one job per example, small max_examples) against an exact Python
+model of the reference's code.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from tinyerp_etl_spark.etl.merge import merge_upsert
+from tinyerp_etl_spark.functions.coerce import br_timestamp, safe_double
+
+# alphabet chosen to cover the reference's real input space (Brazilian
+# decimal commas, stray text, blanks) while avoiding Python-float
+# dialect corners Spark's cast never sees ('1_000', 'inf', '1e3')
+NUMERIC_TEXT = st.one_of(
+    st.none(),
+    st.text(alphabet=" 0123456789,.-abc", max_size=12),
+)
+
+
+def ref_safe_float(v) -> float:
+    """Exact Python model of the reference's safe_float_convert
+    (ref tiny_api_v2_cliente.py:52-59): None→0.0, strip, comma→dot,
+    empty→0.0, unparseable→0.0."""
+    if v is None:
+        return 0.0
+    s = str(v).strip().replace(",", ".")
+    if not s:
+        return 0.0
+    try:
+        return float(s)
+    except ValueError:
+        return 0.0
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(NUMERIC_TEXT, min_size=1, max_size=60))
+def test_safe_double_matches_reference_model(spark, batch):
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(batch)], "i int, v string")
+    got = {
+        r["i"]: r["out"]
+        for r in df.select("i", safe_double("v").alias("out")).collect()
+    }
+    for i, v in enumerate(batch):
+        assert got[i] == ref_safe_float(v), f"input {v!r}: {got[i]} != {ref_safe_float(v)}"
+
+
+DATE_PARTS = st.tuples(
+    st.integers(0, 32),  # deliberately includes invalid day 0/32
+    st.integers(0, 13),  # and invalid month 0/13
+    st.integers(1990, 2030),
+    st.booleans(),  # with time?
+)
+
+
+def ref_parse_date(s: str) -> datetime | None:
+    """Model of the reference's fallback chain (ref :150-151)."""
+    for fmt in ("%d/%m/%Y %H:%M:%S", "%d/%m/%Y"):
+        try:
+            return datetime.strptime(s, fmt)
+        except ValueError:
+            continue
+    return None
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(DATE_PARTS, min_size=1, max_size=60))
+def test_br_timestamp_matches_reference_model(spark, batch):
+    texts = [
+        f"{d:02d}/{m:02d}/{y:04d}" + (" 12:34:56" if t else "")
+        for d, m, y, t in batch
+    ]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(texts)], "i int, s string"
+    )
+    got = {
+        r["i"]: r["out"]
+        for r in df.select("i", br_timestamp("s").alias("out")).collect()
+    }
+    for i, s in enumerate(texts):
+        want = ref_parse_date(s)
+        assert got[i] == want, f"input {s!r}: {got[i]} != {want}"
+
+
+KV_BATCH = st.lists(
+    st.tuples(st.integers(0, 20), st.integers(-1000, 1000)),
+    min_size=0,
+    max_size=40,
+)
+
+
+def _df(spark, rows, gen):
+    return spark.createDataFrame(
+        [(k, v, gen) for k, v in rows] or [], "k int, v int, gen int"
+    )
+
+
+def _as_map(df):
+    return {r["k"]: (r["v"], r["gen"]) for r in df.collect()}
+
+
+@settings(max_examples=8, deadline=None)
+@given(KV_BATCH, KV_BATCH)
+def test_merge_upsert_laws(spark, existing, incoming):
+    """incoming wins per key; survivors keep; applying twice ≡ once."""
+    # merge dedupes the incoming side keep-latest; make rows unique per
+    # key to model one increment (the reference's page has one row/key)
+    e = {k: v for k, v in existing}
+    i = {k: v for k, v in incoming}
+    edf = _df(spark, e.items(), 1)
+    idf = _df(spark, i.items(), 2)
+
+    once = merge_upsert(edf, idf, ["k"])
+    got = _as_map(once)
+    want = {**{k: (v, 1) for k, v in e.items()}, **{k: (v, 2) for k, v in i.items()}}
+    assert got == want
+
+    twice = merge_upsert(once, idf, ["k"])
+    assert _as_map(twice) == want  # idempotent under replay (at-least-once)
+
+
+@settings(max_examples=8, deadline=None)
+@given(KV_BATCH, KV_BATCH, KV_BATCH)
+def test_merge_increment_composition(spark, base, inc_a, inc_b):
+    """merge(merge(E, A), B) ≡ merge(E, A⊕B) — two small increments
+    equal one combined increment (union with B winning overlaps)."""
+    e = {k: v for k, v in base}
+    a = {k: v for k, v in inc_a}
+    b = {k: v for k, v in inc_b}
+    edf = _df(spark, e.items(), 1)
+
+    stepwise = merge_upsert(
+        merge_upsert(edf, _df(spark, a.items(), 2), ["k"]),
+        _df(spark, b.items(), 2),
+        ["k"],
+    )
+    combined = merge_upsert(edf, _df(spark, {**a, **b}.items(), 2), ["k"])
+    assert _as_map(stepwise) == _as_map(combined)

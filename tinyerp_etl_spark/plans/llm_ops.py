@@ -36,8 +36,30 @@ def text_profile_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         feats["avg_token_len"].alias("avg_token_len"),
         feats["ttr"].alias("ttr"),
         feats["punct_ratio"].alias("punct_ratio"),
+        feats["stopword_ratio"].alias("stopword_ratio"),
         X.fingerprint("text").alias("fingerprint"),
     ).orderBy("doc_id")
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 tf-idf terms per doc (docs ≡ 0 mod 100; corpus-wide stats).
+
+    The idf statistics come from the FULL corpus; only the reported
+    docs are restricted — the shape a real keyword-extraction job has.
+    """
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = X.tfidf(docs).filter(F.col("doc_id") % 100 == 0)
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "token", "tf", "df", "tfidf", F.col("rn").cast("int").alias("rn"))
+        .orderBy("doc_id", "rn")
+    )
 
 
 def lang_id_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -270,9 +292,39 @@ LLM_ORACLES: dict[str, str] = {
           CAST(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS DOUBLE) AS ttr,
           CAST(CAST(length(regexp_replace(text, '[\\w\\s]', '', 'g')) AS DOUBLE)
                / length(text) AS DOUBLE) AS punct_ratio,
+          CAST(CAST(list_sum(list_transform(toks, t ->
+                 CASE WHEN list_contains([{", ".join(f"'{w}'" for w in X.STOPWORDS)}], t)
+                      THEN 1 ELSE 0 END)) AS DOUBLE)
+               / len(toks) AS DOUBLE) AS stopword_ratio,
           md5(array_to_string(toks, ' ')) AS fingerprint
         FROM t
         ORDER BY doc_id
+    """,
+    "tfidf_top_terms": f"""
+        WITH tok AS (
+          SELECT doc_id, unnest({_TOKS}) AS token FROM documents
+        ),
+        tf_t AS (
+          SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token
+        ),
+        df_t AS (SELECT token, count(*) AS df FROM tf_t GROUP BY token),
+        n_t AS (SELECT count(*) AS n FROM documents),
+        scored AS (
+          SELECT tf_t.doc_id, tf_t.token,
+                 CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+                 round(tf * ln(CAST(n AS DOUBLE) / df), 6) AS tfidf
+          FROM tf_t JOIN df_t USING (token), n_t
+          WHERE tf_t.doc_id % 100 = 0
+        ),
+        ranked AS (
+          SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY tfidf DESC, token ASC
+          ) AS rn
+          FROM scored
+        )
+        SELECT doc_id, token, tf, df, tfidf, CAST(rn AS INT) AS rn
+        FROM ranked WHERE rn <= 3
+        ORDER BY doc_id, rn
     """,
     "lang_id_docs": f"""
         WITH t AS (SELECT doc_id, lang, {_TOKS} AS toks FROM documents),
@@ -462,6 +514,7 @@ LLM_ORACLES: dict[str, str] = {
 
 LLM_QUERIES = {
     "text_profile_docs": text_profile_docs,
+    "tfidf_top_terms": tfidf_top_terms,
     "lang_id_docs": lang_id_docs,
     "token_count_by_source": token_count_by_source,
     "exact_dup_groups": exact_dup_groups,
