@@ -98,6 +98,27 @@ def test_anti_join_stays_anti(spark, sf_dir):
     assert "LeftAnti" in plan
 
 
+def test_partitioned_store_prunes_partitions(spark, sf_dir, tmp_path):
+    """A filter on the partition column must show up as a
+    PartitionFilter (directory pruning), not a data filter."""
+    from tinyerp_etl_spark.etl.table_store import TableStore
+    from tinyerp_etl_spark.sources.catalog import TABLES, load_table
+
+    store = TableStore(
+        spark, str(tmp_path / "ev"), TABLES["events"], partition_by=["event_type"]
+    )
+    store.commit(load_table(spark, sf_dir, "events"))
+    df = store.read().filter("event_type = 'click'")
+    plan = plan_of(df)
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters")[1].split("\n")[0]
+    assert "event_type" in pf
+    # and the reader sees only the one partition's rows
+    assert df.count() == (
+        load_table(spark, sf_dir, "events").filter("event_type = 'click'").count()
+    )
+
+
 def test_scalar_subquery_join_is_broadcast(spark, sf_dir):
     # the 1-row global-average side must broadcast, not shuffle customer
     plan = plan_of(QUERIES["scalar_subquery_rich_idle_customers"](spark, sf_dir))

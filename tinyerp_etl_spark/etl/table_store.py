@@ -27,10 +27,22 @@ from pyspark.sql.types import StructType
 class TableStore:
     """A named, versioned parquet table rooted at ``path``."""
 
-    def __init__(self, spark: SparkSession, path: str, schema: StructType):
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        schema: StructType,
+        partition_by: list[str] | None = None,
+    ):
+        """``partition_by``: hive-style partition columns for every
+        version written — the 100 TB lever: filters on these columns
+        prune whole directories before any file is opened (the engine's
+        analog of the reference pushing its date filter to the API,
+        ref tiny_api_v2_cliente.py:348)."""
         self.spark = spark
         self.path = path
         self.schema = schema
+        self.partition_by = partition_by or []
         os.makedirs(path, exist_ok=True)
 
     @property
@@ -60,9 +72,12 @@ class TableStore:
         """Write ``df`` as the next version and swap the pointer."""
         v = (self.current_version() or 0) + 1
         out = self._version_dir(v)
-        df.select([f.name for f in self.schema.fields]).write.mode(
+        writer = df.select([f.name for f in self.schema.fields]).write.mode(
             "overwrite"
-        ).parquet(out)
+        )
+        if self.partition_by:
+            writer = writer.partitionBy(*self.partition_by)
+        writer.parquet(out)
         # atomic pointer swap: write-temp + rename is atomic on POSIX
         fd, tmp = tempfile.mkstemp(dir=self.path, prefix="._CURRENT.")
         with os.fdopen(fd, "w") as f:

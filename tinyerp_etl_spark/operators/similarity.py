@@ -171,13 +171,14 @@ def ivf_assign(
 ) -> DataFrame:
     """Assign every vector to its nearest centroid's inverted list.
 
-    centroids broadcast to every partition; the keep-best is a window
-    over the (id, n_centroids) scored rows. At 100 TB this runs once at
-    ingest and ``list_id`` becomes the table's partition column — query
-    time then touches only ``nprobe`` partitions (partition pruning).
+    centroids broadcast to every partition; the keep-best is a max_by
+    aggregation on (score, -centroid_id) — partial-aggregable map-side,
+    so the shuffle carries one row per vector and nothing is sorted
+    (a window formulation would shuffle AND sort the full table). At
+    100 TB this runs once at ingest and ``list_id`` becomes the
+    table's partition column — query time then touches only ``nprobe``
+    partitions (partition pruning).
     """
-    from pyspark.sql.window import Window
-
     cents = F.broadcast(
         ivf_centroids(embeddings, id_col, vec_col).withColumn(
             "__cn2", quantized_norm2(F.col("centroid_vec"))
@@ -198,13 +199,16 @@ def ivf_assign(
             ).cast("double").alias("__cscore"),
         )
     )
-    w = Window.partitionBy(id_col).orderBy(
-        F.col("__cscore").desc(), F.col("centroid_id").asc()
-    )
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select(F.col(id_col), F.col(vec_col), F.col("centroid_id").alias("list_id"))
+    # max_by tie-break: higher score wins, then lower centroid_id —
+    # encoded as lexicographic max over (score, -centroid_id).
+    # any_value(vec) is deterministic here: vec is functionally
+    # dependent on the group key.
+    return scored.groupBy(id_col).agg(
+        F.any_value(vec_col).alias(vec_col),
+        F.max_by(
+            "centroid_id",
+            F.struct(F.col("__cscore"), (-F.col("centroid_id")).alias("__nc")),
+        ).alias("list_id"),
     )
 
 
