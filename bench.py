@@ -34,6 +34,9 @@ HEADLINE = [
     "topk_expensive_orders",
     "exists_returned_orders",
     "monthly_revenue_trend",
+    "sql_q6_forecast_revenue",
+    "skew_salted_event_totals",
+    "tfidf_top_terms",
     "events_tumbling_hourly",
     "minhash_lsh_neardup_pairs",
     "text_profile_docs",

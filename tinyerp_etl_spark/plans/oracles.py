@@ -335,6 +335,18 @@ RELATIONAL_ORACLES: dict[str, str] = {
           CAST(sum(rev_cents) / 1e4 AS DOUBLE) AS total_revenue
         FROM j
     """,
+    "sql_q6_forecast_revenue": """
+        SELECT
+          CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                   * CAST(round(l_discount*100) AS BIGINT)) / 1e4 AS DOUBLE)
+            AS revenue,
+          count(*) AS n_lineitems
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+    """,
     "monthly_revenue_trend": """
         SELECT
           date_trunc('month', o_orderdate) AS order_month,

@@ -48,6 +48,7 @@ def all_queries() -> dict[str, QueryFn]:
         "conditional_agg_returnflag": relational.conditional_agg_returnflag,
         "promo_revenue_ratio": relational.promo_revenue_ratio,
         "monthly_revenue_trend": relational.monthly_revenue_trend,
+        "sql_q6_forecast_revenue": relational.sql_q6_forecast_revenue,
         "coercion_showcase": relational.coercion_showcase,
         "merge_upsert_events": etl_queries.merge_upsert_events,
         "keep_latest_event_per_user": etl_queries.keep_latest_event_per_user,

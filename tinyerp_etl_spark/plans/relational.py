@@ -414,6 +414,33 @@ def promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sql_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-style revenue-change forecast — via the SQL API.
+
+    The engine's second query surface: `spark.sql` over the registered
+    views (sources.catalog.register_views). Same Catalyst plan as the
+    DataFrame form — one scan with three pushed range predicates and a
+    two-phase agg; no join. Cents-exact like everything else.
+    """
+    from tinyerp_etl_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT
+          CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                   * CAST(round(l_discount*100) AS BIGINT)) / 1e4 AS DOUBLE)
+            AS revenue,
+          count(*) AS n_lineitems
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+        """
+    )
+
+
 def monthly_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Month-bucketed revenue trend with HAVING (date_trunc rollup).
 
