@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 from pyspark.sql.window import Window
 
-from tinyerp_etl_spark.functions.exact import avg_from_cents, sum_cents
+from tinyerp_etl_spark.functions.exact import avg_from_cents, sum_cents, sum_exact
 from tinyerp_etl_spark.sources.catalog import load_table
 
 # --------------------------------------------------------------------------
@@ -50,8 +50,8 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum("l_quantity").alias("sum_qty"),
             sum_cents("l_extendedprice").alias("sum_base_price"),
-            (F.sum(disc_price_cents) / F.lit(1e4)).cast("double").alias("sum_disc_price"),
-            (F.sum(charge_e6) / F.lit(1e6)).cast("double").alias("sum_charge"),
+            (sum_exact(disc_price_cents) / F.lit(1e4)).cast("double").alias("sum_disc_price"),
+            (sum_exact(charge_e6) / F.lit(1e6)).cast("double").alias("sum_charge"),
             (F.sum("l_quantity") / F.count(F.lit(1))).cast("double").alias("avg_qty"),
             avg_from_cents("l_extendedprice").alias("avg_price"),
             avg_from_cents("l_discount").alias("avg_disc"),
@@ -159,7 +159,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         cust.join(orders, cust.c_custkey == orders.o_custkey)
         .join(li, orders.o_orderkey == li.l_orderkey)
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
-        .agg((F.sum(rev_cents) / F.lit(1e4)).cast("double").alias("revenue"))
+        .agg((sum_exact(rev_cents) / F.lit(1e4)).cast("double").alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
         .limit(10)
     )
@@ -196,7 +196,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(nation, supp.s_nationkey == nation.n_nationkey)
         .join(region, nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
-        .agg((F.sum(rev_cents) / F.lit(1e4)).cast("double").alias("revenue"))
+        .agg((sum_exact(rev_cents) / F.lit(1e4)).cast("double").alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("n_name").asc())
     )
 
@@ -404,12 +404,12 @@ def promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             (
                 100.0
-                * F.sum(F.when(is_promo, rev_cents).otherwise(F.lit(0).cast("long")))
-                / F.sum(rev_cents)
+                * sum_exact(F.when(is_promo, rev_cents).otherwise(F.lit(0).cast("long")))
+                / sum_exact(rev_cents)
             )
             .cast("double")
             .alias("promo_revenue_pct"),
-            (F.sum(rev_cents) / F.lit(1e4)).cast("double").alias("total_revenue"),
+            (sum_exact(rev_cents) / F.lit(1e4)).cast("double").alias("total_revenue"),
         )
     )
 
