@@ -108,6 +108,100 @@ def test_windowed_stream_equals_batch(spark, sf_dir, stream_dir, tmp_path):
     assert got == want
 
 
+def test_sliding_windowed_stream_equals_batch(spark, sf_dir, stream_dir, tmp_path):
+    """Sliding 1h/30m windows: streaming result ≡ batch twin (which is
+    itself oracle-checked via events_sliding_windows)."""
+    from tinyerp_etl_spark.plans.streaming_queries import events_sliding_windows
+
+    stream = read_events_stream(spark, stream_dir)
+    agg = (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0)
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    store = TableStore(
+        spark,
+        str(tmp_path / "slide_tbl"),
+        spark.createDataFrame([], WINDOWED_SCHEMA).schema,
+    )
+
+    def sink(batch_df, batch_id):
+        from tinyerp_etl_spark.etl.merge import merge_upsert
+
+        store.commit(
+            merge_upsert(store.read(), batch_df, ["window_start", "event_type"])
+        )
+
+    (
+        agg.writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "slide_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in store.read().collect()
+    }
+    want = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in events_sliding_windows(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_session_windowed_stream_equals_batch(spark, sf_dir, stream_dir, tmp_path):
+    """Session windows (5 min gap, user_id < 50): stream ≡ batch twin
+    (batch twin is oracle-checked as events_session_windows). Complete
+    output mode: session windows only emit once finalized; with
+    availableNow over a finite source every session finalizes."""
+    from tinyerp_etl_spark.plans.streaming_queries import events_session_windows
+
+    stream = read_events_stream(spark, stream_dir).filter(F.col("user_id") < 50)
+    agg = (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy(F.session_window("ts", "5 minutes").alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+        )
+    )
+    out_dir = tmp_path / "sess_rows"
+    collected = []
+
+    def sink(batch_df, batch_id):
+        collected.extend(batch_df.collect())
+
+    (
+        agg.writeStream.foreachBatch(sink)
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    got = {(r["user_id"], r["session_start"]): r["n_events"] for r in collected}
+    want = {
+        (r["user_id"], r["session_start"]): r["n_events"]
+        for r in events_session_windows(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
 def test_stateful_user_profiles(spark, sf_dir, stream_dir, tmp_path):
     from tinyerp_etl_spark.streaming.stateful import (
         USER_PROFILE_SCHEMA,

@@ -335,6 +335,24 @@ RELATIONAL_ORACLES: dict[str, str] = {
           CAST(sum(rev_cents) / 1e4 AS DOUBLE) AS total_revenue
         FROM j
     """,
+    "quantiles_order_value_by_status": """
+        WITH ranked AS (
+          SELECT o_orderstatus, o_totalprice,
+                 row_number() OVER (
+                   PARTITION BY o_orderstatus
+                   ORDER BY o_totalprice, o_orderkey
+                 ) AS rn,
+                 count(*) OVER (PARTITION BY o_orderstatus) AS n
+          FROM orders
+        )
+        SELECT o_orderstatus,
+               max(CASE WHEN rn = (n + 1) // 2 THEN o_totalprice END) AS median_price,
+               max(CASE WHEN rn = (9 * n + 9) // 10 THEN o_totalprice END) AS p90_price,
+               count(*) AS n_orders
+        FROM ranked
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+    """,
     "sql_q6_forecast_revenue": """
         SELECT
           CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)

@@ -49,6 +49,7 @@ def all_queries() -> dict[str, QueryFn]:
         "promo_revenue_ratio": relational.promo_revenue_ratio,
         "monthly_revenue_trend": relational.monthly_revenue_trend,
         "sql_q6_forecast_revenue": relational.sql_q6_forecast_revenue,
+        "quantiles_order_value_by_status": relational.quantiles_order_value_by_status,
         "coercion_showcase": relational.coercion_showcase,
         "merge_upsert_events": etl_queries.merge_upsert_events,
         "keep_latest_event_per_user": etl_queries.keep_latest_event_per_user,

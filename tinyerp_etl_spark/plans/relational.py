@@ -531,6 +531,41 @@ def window_rank_price_in_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def quantiles_order_value_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact discrete median + p90 of order value per status.
+
+    Quantile indexes are pure integer arithmetic (ceil(q·n) as
+    (q_num·n + q_den − 1) div q_den) over a deterministic total order
+    (price, orderkey) — so unlike interpolated percentile_cont, the
+    result is bit-identical across engines. One shuffle on the group
+    key; the rank and the group size come from the same window pass.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    wn = Window.partitionBy("o_orderstatus")
+    ranked = o.select(
+        "o_orderstatus",
+        "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    median_idx = F.expr("(n + 1) div 2")  # lower median, ceil(n/2)
+    p90_idx = F.expr("(9 * n + 9) div 10")  # ceil(0.9 * n)
+    return (
+        ranked.groupBy("o_orderstatus")
+        .agg(
+            F.max(F.when(F.col("rn") == median_idx, F.col("o_totalprice"))).alias(
+                "median_price"
+            ),
+            F.max(F.when(F.col("rn") == p90_idx, F.col("o_totalprice"))).alias(
+                "p90_price"
+            ),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
 # --------------------------------------------------------------------------
 # sort / limit / set ops / scalar demos
 # --------------------------------------------------------------------------
