@@ -215,7 +215,83 @@ def nested_flatten_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def incremental_pipeline_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL incremental sync (ops #21-29) under the hash gate.
+
+    Runs the real pipeline — watermark resolution, page checkpoint,
+    paginated source, per-page MERGE into the versioned TableStore,
+    watermark commit — over three deterministic event "pages":
+    page p carries the events with event_id ≡ p−1 (mod 3) plus an
+    updated version (value + 1000·p) of every event_id ≡ 0 (mod 5).
+    Later pages overwrite earlier ones per key, so the final table is
+    SQL-expressible: id ≡ 0 (mod 5) rows end at value + 3000, all
+    others keep their original value. Scratch state lives in a temp
+    dir; the query returns the committed table.
+    """
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from tinyerp_etl_spark.etl.checkpoint import PageCheckpoint
+    from tinyerp_etl_spark.etl.pipeline import EntitySync, run_entity_sync
+    from tinyerp_etl_spark.etl.table_store import TableStore
+    from tinyerp_etl_spark.etl.watermark import WatermarkStore
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+
+    def source(filter_ts, page):
+        if page > 3:
+            return None, 3
+        normal = ev.filter(F.col("event_id") % 3 == page - 1).select(
+            "event_id", "value", F.lit(page * 2).alias("gen")
+        )
+        updated = ev.filter(F.col("event_id") % 5 == 0).select(
+            "event_id",
+            (F.col("value") + 1000 * page).alias("value"),
+            F.lit(page * 2 + 1).alias("gen"),
+        )
+        return normal.unionByName(updated), 3
+
+    scratch = tempfile.mkdtemp(prefix="pipeline_q_")
+    try:
+        schema = T.StructType(
+            [
+                T.StructField("event_id", T.LongType()),
+                T.StructField("value", T.DoubleType()),
+                T.StructField("gen", T.IntegerType()),
+            ]
+        )
+        store = TableStore(spark, f"{scratch}/events", schema)
+        sync = EntitySync(
+            name="events_demo",
+            source=source,
+            store=store,
+            keys=["event_id"],
+            order_by=[F.col("gen").desc()],
+        )
+        result = run_entity_sync(
+            spark,
+            sync,
+            WatermarkStore(spark, f"{scratch}/wm.parquet"),
+            PageCheckpoint(spark, f"{scratch}/ckpt.parquet"),
+        )
+        assert result.status == "CONCLUIDO", result
+        # materialize before the scratch dir disappears
+        rows = store.read().select("event_id", "value").orderBy("event_id")
+        out = spark.createDataFrame(rows.collect(), rows.schema)
+        return out
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
 ETL_ORACLES: dict[str, str] = {
+    "incremental_pipeline_events": """
+        SELECT event_id,
+               CASE WHEN event_id % 5 = 0 THEN value + 3000 ELSE value END AS value
+        FROM events
+        ORDER BY event_id
+    """,
     "nested_flatten_roundtrip": """
         SELECT
           l_orderkey AS orderkey,

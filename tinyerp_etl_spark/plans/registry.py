@@ -59,6 +59,7 @@ def all_queries() -> dict[str, QueryFn]:
         "watermark_resolution_matrix": etl_queries.watermark_resolution_matrix,
         "skew_salted_event_totals": etl_queries.skew_salted_event_totals,
         "nested_flatten_roundtrip": etl_queries.nested_flatten_roundtrip,
+        "incremental_pipeline_events": etl_queries.incremental_pipeline_events,
     }
     queries.update(LLM_QUERIES)
     queries.update(STREAMING_QUERIES)
