@@ -64,6 +64,39 @@ def events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_time_grain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-granularity rollup in ONE pass.
+
+    GROUPING SETS over (hour), (day), (month) buckets — the continuous-
+    aggregate ladder a time-series store maintains, computed with one
+    scan + one expanded aggregation instead of three queries. gid
+    encodes the grain (0=hour, 1=day, 2=month) engine-portably.
+    """
+    from tinyerp_etl_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH e AS (
+          SELECT date_trunc('hour', ts)  AS bucket_hour,
+                 date_trunc('day', ts)   AS bucket_day,
+                 date_trunc('month', ts) AS bucket_month,
+                 CAST(round(value * 100) AS BIGINT) AS value_cents
+          FROM events
+        )
+        SELECT bucket_hour, bucket_day, bucket_month,
+               CASE WHEN bucket_hour IS NOT NULL THEN 0
+                    WHEN bucket_day IS NOT NULL THEN 1
+                    ELSE 2 END AS gid,
+               count(*) AS n_events,
+               CAST(sum(value_cents) / 100.0 AS DOUBLE) AS sum_value
+        FROM e
+        GROUP BY GROUPING SETS ((bucket_hour), (bucket_day), (bucket_month))
+        ORDER BY gid, bucket_hour, bucket_day, bucket_month
+        """
+    )
+
+
 def multimodal_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media manifest over documents-as-payloads.
 
@@ -105,6 +138,24 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 STREAMING_ORACLES: dict[str, str] = {
+    "events_time_grain_rollup": """
+        WITH e AS (
+          SELECT date_trunc('hour', ts)  AS bucket_hour,
+                 date_trunc('day', ts)   AS bucket_day,
+                 date_trunc('month', ts) AS bucket_month,
+                 CAST(round(value * 100) AS BIGINT) AS value_cents
+          FROM events
+        )
+        SELECT bucket_hour, bucket_day, bucket_month,
+               CAST(CASE WHEN bucket_hour IS NOT NULL THEN 0
+                         WHEN bucket_day IS NOT NULL THEN 1
+                         ELSE 2 END AS INT) AS gid,
+               count(*) AS n_events,
+               CAST(sum(value_cents) / 100.0 AS DOUBLE) AS sum_value
+        FROM e
+        GROUP BY GROUPING SETS ((bucket_hour), (bucket_day), (bucket_month))
+        ORDER BY gid, bucket_hour, bucket_day, bucket_month
+    """,
     # n_frames = floor(bytes/1024)+1; sampled = indices 0,10,... < n_frames
     "multimodal_frame_sample": """
         WITH m AS (
@@ -183,6 +234,7 @@ STREAMING_ORACLES: dict[str, str] = {
 
 
 STREAMING_QUERIES = {
+    "events_time_grain_rollup": events_time_grain_rollup,
     "events_tumbling_hourly": events_tumbling_hourly,
     "events_sliding_windows": events_sliding_windows,
     "events_session_windows": events_session_windows,
