@@ -53,8 +53,11 @@ def main() -> None:
     queries = all_queries()
 
     # warm the JVM/page-cache once with the cheapest headline query so
-    # per-query numbers measure the engine, not first-touch overheads
+    # per-query numbers measure the engine, not first-touch overheads;
+    # also spin up the Arrow Python worker pool (several headline ops
+    # use mapInPandas and would otherwise pay worker startup once)
     queries[HEADLINE[0]](spark, sf_dir).count()
+    spark.range(1000).mapInPandas(lambda it: it, schema="id long").count()
 
     timings: dict[str, float] = {}
     total = 0.0
