@@ -296,6 +296,47 @@ def ivf_topk(
     return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
 
 
+def label_centroids(
+    embeddings: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Mean vector per label — distributed element-wise aggregation.
+
+    posexplode to (label, dim, tick) rows, sum exact integer ticks per
+    (label, dim) — partial-agg combinable, so 100 TB of vectors reduce
+    map-side to n_labels × n_dims partial sums — then reassemble the
+    ordered array. The mean divides two exact integers, so centroids
+    are bit-identical at any parallelism (the property that makes
+    centroid-based indexes reproducible across rebuilds).
+    """
+    ticks = embeddings.select(
+        F.col(label_col),
+        F.posexplode(_q(F.col(vec_col))).alias("dim", "tick"),
+    )
+    per_dim = ticks.groupBy(label_col, "dim").agg(
+        F.sum("tick").alias("tick_sum"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    mean = (F.col("tick_sum") / (F.col("n") * F.lit(float(QUANT)))).cast("double")
+    return (
+        per_dim.select(label_col, "dim", mean.alias("mean_val"))
+        .groupBy(label_col)
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("dim", "mean_val"))),
+                lambda s: s["mean_val"],
+            ).alias("centroid"),
+            F.max("dim").alias("__maxdim"),
+        )
+        .select(
+            label_col,
+            "centroid",
+            (F.col("__maxdim") + 1).alias("n_dims"),
+        )
+    )
+
+
 def neardup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.9,

@@ -180,6 +180,12 @@ def embedding_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk(emb, query_vec_id=0, k=10)
 
 
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bit-exact mean vector per label (element-wise tick aggregation)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.label_centroids(emb).orderBy("label")
+
+
 def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs over embeddings ∪ perturbed copies (score ≥ 0.98).
 
@@ -494,6 +500,32 @@ LLM_ORACLES: dict[str, str] = {
         ORDER BY score DESC, l.vec_id ASC
         LIMIT 10
     """,
+    "embedding_label_centroids": f"""
+        WITH q AS (
+          SELECT label,
+                 list_transform(embedding,
+                   x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+          FROM embeddings
+        ),
+        t AS (
+          SELECT label,
+                 unnest(qv) AS tick,
+                 generate_subscripts(qv, 1) - 1 AS dim
+          FROM q
+        ),
+        per_dim AS (
+          SELECT label, dim,
+                 CAST(sum(tick) AS DOUBLE) / (count(*) * 1000000.0) AS mean_val
+          FROM t
+          GROUP BY label, dim
+        )
+        SELECT label,
+               list(mean_val ORDER BY dim) AS centroid,
+               CAST(max(dim) + 1 AS INT) AS n_dims
+        FROM per_dim
+        GROUP BY label
+        ORDER BY label
+    """,
     "embedding_neardup_pairs": f"""
         WITH staged AS (
           SELECT vec_id, embedding FROM embeddings
@@ -525,5 +557,6 @@ LLM_QUERIES = {
     "embedding_topk_bruteforce": embedding_topk_bruteforce,
     "embedding_topk_lsh": embedding_topk_lsh,
     "embedding_topk_ivf": embedding_topk_ivf,
+    "embedding_label_centroids": embedding_label_centroids,
     "embedding_neardup_pairs": embedding_neardup_pairs,
 }
