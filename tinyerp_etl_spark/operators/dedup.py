@@ -249,7 +249,7 @@ def minhash_features_pandas(
 
     def feature_batches(batches):
         for pdf in batches:
-            ids, shs, sigs = [], [], []
+            ids, shs, sigs, bands = [], [], [], []
             for did, text in zip(pdf[id_col], pdf[text_col]):
                 toks = tok_re.findall((text or "").lower())
                 if len(toks) < SHINGLE_K:
@@ -268,16 +268,31 @@ def minhash_features_pandas(
                     dtype=np.int64,
                 )
                 sig = ((a_mat * h[None, :] + b_mat) % MINHASH_P).min(axis=1)
+                # band keys in the same pass: md5 over the '|'-joined
+                # band slice (str(int) ≡ Spark CAST(long AS STRING))
+                keys = [
+                    hashlib.md5(
+                        "|".join(
+                            str(int(sig[b * LSH_ROWS + r]))
+                            for r in range(LSH_ROWS)
+                        ).encode()
+                    ).hexdigest()
+                    for b in range(LSH_BANDS)
+                ]
                 ids.append(did)
                 shs.append(sh)
                 sigs.append(sig.tolist())
-            yield pd.DataFrame({id_col: ids, "__sh": shs, "sig": sigs})
+                bands.append(keys)
+            yield pd.DataFrame(
+                {id_col: ids, "__sh": shs, "sig": sigs, "band_keys": bands}
+            )
 
     schema = T.StructType(
         [
             T.StructField(id_col, T.LongType()),
             T.StructField("__sh", T.ArrayType(T.StringType())),
             T.StructField("sig", T.ArrayType(T.LongType())),
+            T.StructField("band_keys", T.ArrayType(T.StringType())),
         ]
     )
     return docs.select(F.col(id_col).cast("long"), text_col).mapInPandas(
@@ -304,27 +319,8 @@ def lsh_neardup_verified(
     """
     base = minhash_features_pandas(docs, text_col, id_col).persist()
     bands = base.select(
-        F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.md5(
-                            F.concat_ws(
-                                "|",
-                                *[
-                                    F.col("sig")[b * LSH_ROWS + r].cast("string")
-                                    for r in range(LSH_ROWS)
-                                ],
-                            )
-                        ).alias("key"),
-                    )
-                    for b in range(LSH_BANDS)
-                ]
-            )
-        ).alias("bk"),
-    ).select(F.col(id_col), F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+        F.col(id_col), F.posexplode("band_keys").alias("band", "key")
+    )
     buckets = (
         bands.groupBy("band", "key")
         .agg(F.sort_array(F.collect_set(id_col)).alias("ids"))
