@@ -335,6 +335,67 @@ RELATIONAL_ORACLES: dict[str, str] = {
           CAST(sum(rev_cents) / 1e4 AS DOUBLE) AS total_revenue
         FROM j
     """,
+    "window_moving_avg_daily_revenue": """
+        WITH daily AS (
+          SELECT date_trunc('day', o_orderdate) AS day,
+                 CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS rev_cents,
+                 count(*) AS n_orders
+          FROM orders
+          GROUP BY 1
+        )
+        SELECT day,
+               CAST(rev_cents / 100.0 AS DOUBLE) AS revenue,
+               CAST(sum(rev_cents) OVER w / (100.0 * count(*) OVER w) AS DOUBLE)
+                 AS moving_avg_7d
+        FROM daily
+        WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        ORDER BY day
+    """,
+    "pivot_status_by_priority": """
+        SELECT o_orderpriority,
+               CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+               CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+               CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    "unpivot_nation_balances": """
+        WITH wide AS (
+          SELECT c.nationkey,
+                 c.customer_bal,
+                 s.supplier_bal
+          FROM (SELECT c_nationkey AS nationkey,
+                       CAST(sum(CAST(round(c_acctbal*100) AS BIGINT)) / 100.0 AS DOUBLE) AS customer_bal
+                FROM customer GROUP BY 1) c
+          JOIN (SELECT s_nationkey AS nationkey,
+                       CAST(sum(CAST(round(s_acctbal*100) AS BIGINT)) / 100.0 AS DOUBLE) AS supplier_bal
+                FROM supplier GROUP BY 1) s USING (nationkey)
+        )
+        SELECT nationkey, 'customer_bal' AS side, customer_bal AS balance FROM wide
+        UNION ALL
+        SELECT nationkey, 'supplier_bal' AS side, supplier_bal AS balance FROM wide
+        ORDER BY nationkey, side
+    """,
+    "setops_bag_semantics": """
+        WITH c AS (SELECT c_nationkey AS nationkey FROM customer),
+        s AS (SELECT s_nationkey AS nationkey FROM supplier),
+        i AS (SELECT nationkey FROM c INTERSECT ALL SELECT nationkey FROM s),
+        x AS (SELECT nationkey FROM c EXCEPT ALL SELECT nationkey FROM s)
+        SELECT nationkey, count(*) AS n, 'intersect_all' AS op FROM i GROUP BY nationkey
+        UNION ALL
+        SELECT nationkey, count(*) AS n, 'except_all' AS op FROM x GROUP BY nationkey
+        ORDER BY op, nationkey
+    """,
+    "deterministic_sample_orders": """
+        SELECT o_orderstatus,
+               count(*) AS n_sampled,
+               CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) / 100.0 AS DOUBLE) AS sum_price
+        FROM orders
+        WHERE CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT) % 10 = 0
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+    """,
     "quantiles_order_value_by_status": """
         WITH ranked AS (
           SELECT o_orderstatus, o_totalprice,

@@ -50,6 +50,11 @@ def all_queries() -> dict[str, QueryFn]:
         "monthly_revenue_trend": relational.monthly_revenue_trend,
         "sql_q6_forecast_revenue": relational.sql_q6_forecast_revenue,
         "quantiles_order_value_by_status": relational.quantiles_order_value_by_status,
+        "window_moving_avg_daily_revenue": relational.window_moving_avg_daily_revenue,
+        "pivot_status_by_priority": relational.pivot_status_by_priority,
+        "unpivot_nation_balances": relational.unpivot_nation_balances,
+        "setops_bag_semantics": relational.setops_bag_semantics,
+        "deterministic_sample_orders": relational.deterministic_sample_orders,
         "coercion_showcase": relational.coercion_showcase,
         "merge_upsert_events": etl_queries.merge_upsert_events,
         "keep_latest_event_per_user": etl_queries.keep_latest_event_per_user,

@@ -566,6 +566,132 @@ def quantiles_order_value_by_status(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+def window_moving_avg_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-row moving average over daily revenue (explicit window frame).
+
+    Two-level: exact daily sums first (tiny intermediate), then a
+    ROWS BETWEEN 6 PRECEDING frame over the day series. The moving
+    average divides an exact integer window sum by the exact row
+    count, so it is partition-order-invariant.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.date_trunc("day", F.col("o_orderdate")).alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev_cents"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    return (
+        daily.select(
+            "day",
+            (F.col("rev_cents") / 100.0).cast("double").alias("revenue"),
+            (F.sum("rev_cents").over(w) / (100.0 * F.count(F.lit(1)).over(w)))
+            .cast("double")
+            .alias("moving_avg_7d"),
+        )
+        .orderBy("day")
+    )
+
+
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: order counts, status × priority as columns.
+
+    Spark's pivot with an explicit value list (never let it scan for
+    distinct pivot values at 100 TB) — relationally just a conditional
+    aggregation, which is exactly what the oracle spells out.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    statuses = ["F", "O", "P"]
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", statuses)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, statuses)
+        .select(
+            "o_orderpriority",
+            F.col("F").alias("n_f"),
+            F.col("O").alias("n_o"),
+            F.col("P").alias("n_p"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def unpivot_nation_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): wide per-nation sums → long (nation, side, bal)."""
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    wide = (
+        cust.groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(sum_cents("c_acctbal").alias("customer_bal"))
+        .join(
+            supp.groupBy(F.col("s_nationkey").alias("nationkey")).agg(
+                sum_cents("s_acctbal").alias("supplier_bal")
+            ),
+            "nationkey",
+        )
+    )
+    return (
+        wide.unpivot(
+            "nationkey",
+            ["customer_bal", "supplier_bal"],
+            "side",
+            "balance",
+        )
+        .orderBy("nationkey", "side")
+    )
+
+
+def setops_bag_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL / EXCEPT ALL — multiset semantics preserved.
+
+    Nation keys of customers vs suppliers WITH multiplicity: bag
+    intersect keeps min(count_a, count_b) copies, bag except keeps
+    count_a − count_b. Aggregated per key so the result hashes stably.
+    """
+    cust_n = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    supp_n = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    inter = (
+        cust_n.intersectAll(supp_n)
+        .groupBy("nationkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("op", F.lit("intersect_all"))
+    )
+    exc = (
+        cust_n.exceptAll(supp_n)
+        .groupBy("nationkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("op", F.lit("except_all"))
+    )
+    return inter.unionByName(exc).orderBy("op", "nationkey")
+
+
+def deterministic_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~10% deterministic sample via content hash (not TABLESAMPLE).
+
+    TABLESAMPLE/rand() are nondeterministic across retries and engines;
+    the scalable reproducible idiom is a hash-mod predicate on the key —
+    stable under re-runs, pushable, and partition-prunable if the hash
+    bucket is materialized. md5-prefix hash keeps both engines identical.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    bucket = F.conv(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10
+    ).cast("long") % 10
+    return (
+        o.filter(bucket == 0)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            sum_cents("o_totalprice").alias("sum_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
 # --------------------------------------------------------------------------
 # sort / limit / set ops / scalar demos
 # --------------------------------------------------------------------------
