@@ -285,7 +285,53 @@ def incremental_pipeline_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(scratch, ignore_errors=True)
 
 
+def json_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: JSON string column → typed rollup.
+
+    The reference's entire input is JSON (ref resp.json() :246); here
+    the in-row variant: events.props is a JSON string, parsed with an
+    EXPLICIT schema via from_json (no inference, engine policy —
+    sources/catalog.py) and aggregated. Parsing is a map-side scalar
+    expression; nothing extra shuffles.
+    """
+    from pyspark.sql import types as T
+
+    ev = load_table(spark, sf_dir, "events")
+    props_schema = T.StructType([T.StructField("k", T.LongType())])
+    parsed = ev.select(
+        "event_type",
+        F.from_json(F.col("props"), props_schema)["k"].alias("k"),
+    )
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.sum("k").alias("sum_k"),
+            F.count("k").alias("n_parsed"),
+            (F.sum("k") / F.count("k")).cast("double").alias("avg_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
 ETL_ORACLES: dict[str, str] = {
+    "json_props_rollup": """
+        WITH parsed AS (
+          SELECT event_type,
+                 CAST(json_extract(props, '$.k') AS BIGINT) AS k
+          FROM events
+        )
+        SELECT event_type,
+               CAST(sum(k) AS BIGINT) AS sum_k,
+               count(k) AS n_parsed,
+               CAST(CAST(sum(k) AS DOUBLE) / count(k) AS DOUBLE) AS avg_k,
+               min(k) AS min_k,
+               max(k) AS max_k
+        FROM parsed
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
     "incremental_pipeline_events": """
         SELECT event_id,
                CASE WHEN event_id % 5 = 0 THEN value + 3000 ELSE value END AS value

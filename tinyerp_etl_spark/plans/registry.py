@@ -65,6 +65,7 @@ def all_queries() -> dict[str, QueryFn]:
         "skew_salted_event_totals": etl_queries.skew_salted_event_totals,
         "nested_flatten_roundtrip": etl_queries.nested_flatten_roundtrip,
         "incremental_pipeline_events": etl_queries.incremental_pipeline_events,
+        "json_props_rollup": etl_queries.json_props_rollup,
     }
     queries.update(LLM_QUERIES)
     queries.update(STREAMING_QUERIES)
