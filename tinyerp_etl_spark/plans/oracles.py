@@ -335,6 +335,37 @@ RELATIONAL_ORACLES: dict[str, str] = {
           CAST(sum(rev_cents) / 1e4 AS DOUBLE) AS total_revenue
         FROM j
     """,
+    "array_functions_showcase": """
+        WITH t AS (
+          SELECT p_partkey, string_split(p_name, ' ') AS toks
+          FROM part
+          WHERE p_partkey % 25 = 0
+        )
+        SELECT p_partkey,
+               CAST(len(toks) AS INT) AS n_words,
+               array_to_string(toks[1:2], '-') AS first_two,
+               array_to_string(list_sort(toks), ',') AS sorted_words,
+               CAST(list_contains(toks, 'green') AS INT) AS has_green,
+               toks[-1] AS last_word
+        FROM t
+        ORDER BY p_partkey
+    """,
+    "null_handling_showcase": """
+        WITH d AS (
+          SELECT o_orderpriority,
+                 nullif(o_orderstatus, 'O') AS s1,
+                 nullif(o_orderstatus, 'F') AS s2
+          FROM orders
+        )
+        SELECT o_orderpriority,
+               count(*) AS n_rows,
+               count(s1) AS n_s1_not_null,
+               CAST(sum(CAST(s1 IS NOT DISTINCT FROM s2 AS INT)) AS BIGINT) AS n_null_safe_eq,
+               CAST(sum(CAST(coalesce(s1, 'O') IS NOT NULL AS INT)) AS BIGINT) AS n_coalesced
+        FROM d
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
     "window_moving_avg_daily_revenue": """
         WITH daily AS (
           SELECT date_trunc('day', o_orderdate) AS day,

@@ -55,6 +55,8 @@ def all_queries() -> dict[str, QueryFn]:
         "unpivot_nation_balances": relational.unpivot_nation_balances,
         "setops_bag_semantics": relational.setops_bag_semantics,
         "deterministic_sample_orders": relational.deterministic_sample_orders,
+        "array_functions_showcase": relational.array_functions_showcase,
+        "null_handling_showcase": relational.null_handling_showcase,
         "coercion_showcase": relational.coercion_showcase,
         "merge_upsert_events": etl_queries.merge_upsert_events,
         "keep_latest_event_per_user": etl_queries.keep_latest_event_per_user,

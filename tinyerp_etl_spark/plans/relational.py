@@ -747,6 +747,59 @@ def scalar_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def array_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array scalar-function family: split/slice/sort/contains/join.
+
+    All map-side projections over part names — the array surface the
+    JSON input model needs (§1.3), exercised outside the embedding
+    operators.
+    """
+    p = load_table(spark, sf_dir, "part")
+    toks = F.split(F.col("p_name"), " ")
+    return (
+        p.select(
+            "p_partkey",
+            F.array_size(toks).alias("n_words"),
+            F.concat_ws("-", F.slice(toks, 1, 2)).alias("first_two"),
+            F.concat_ws(",", F.sort_array(toks)).alias("sorted_words"),
+            F.array_contains(toks, "green").cast("int").alias("has_green"),
+            F.element_at(toks, -1).alias("last_word"),
+        )
+        .filter(F.col("p_partkey") % 25 == 0)
+        .orderBy("p_partkey")
+    )
+
+
+def null_handling_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL semantics end-to-end: NULLIF → null-safe equality → COALESCE.
+
+    Demonstrates the exact null algebra aggregates depend on: count(col)
+    skips nulls, count(*) doesn't; <=> (null-safe equality) treats
+    NULL = NULL as true where ordinary equality yields NULL.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    status_or_null = F.nullif(F.col("o_orderstatus"), F.lit("O"))
+    derived = o.select(
+        "o_orderpriority",
+        status_or_null.alias("s1"),
+        F.nullif(F.col("o_orderstatus"), F.lit("F")).alias("s2"),
+    )
+    return (
+        derived.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("s1").alias("n_s1_not_null"),
+            F.sum(F.col("s1").eqNullSafe(F.col("s2")).cast("int")).alias(
+                "n_null_safe_eq"
+            ),
+            F.sum(F.coalesce(F.col("s1"), F.lit("O")).isNotNull().cast("int")).alias(
+                "n_coalesced"
+            ),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 def coercion_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's coercion semantics, end-to-end on real columns.
 
