@@ -354,6 +354,55 @@ def lsh_neardup_verified(
     )
 
 
+def connected_components(
+    edges: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """(node, component) via iterative min-label propagation.
+
+    The dedup-clustering step after near-dup detection: every node's
+    component id converges to the minimum doc id reachable from it, so
+    "keep one per cluster" is a filter on node == component. Each
+    iteration is one join + one aggregation; iterations needed =
+    graph diameter (near-dup clusters are shallow). Fixed-point
+    detection is a driver-side emptiness check on changed labels —
+    control flow, not data.
+    """
+    sym = edges.select(
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    ).unionByName(
+        edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+    )
+    comp = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            sym.join(comp, sym.dst == comp.node)
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        updated = (
+            comp.join(neighbor_min, comp.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("nbr_component"), F.col("component")),
+                ).alias("component"),
+                (F.col("nbr_component") < F.col("component")).alias("__changed"),
+            )
+        )
+        if updated.filter(F.col("__changed")).isEmpty():
+            return updated.select("node", "component")
+        comp = updated.select("node", "component")
+    return comp
+
+
 def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32) -> DataFrame:
     """32-bit SimHash over distinct tokens (weight 1 each).
 

@@ -196,6 +196,51 @@ def tfidf(docs, text_col: str = "text", id_col: str = "doc_id"):
     )
 
 
+def chunk_documents(
+    docs,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Split documents into overlapping fixed-token chunks.
+
+    The LLM-training preprocessing step: each doc becomes
+    ceil(max(n - overlap, 1) / stride) chunks of ``chunk_tokens``
+    tokens with ``overlap`` tokens shared between neighbors. Pure
+    map-side: tokenize → sequence of chunk starts → explode → slice.
+    No shuffle; at 100 TB this is a streaming-friendly projection.
+    """
+    from pyspark.sql import functions as F
+
+    stride = chunk_tokens - overlap
+    toks = tokens(text_col)
+    n = F.array_size(toks)
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(n - F.lit(overlap), F.lit(1)),
+        F.lit(stride),
+    )
+    return (
+        docs.select(F.col(id_col), toks.alias("__toks"), starts.alias("__starts"))
+        .select(
+            id_col,
+            F.posexplode("__starts").alias("chunk_id", "start"),
+            F.col("__toks"),
+        )
+        .select(
+            id_col,
+            "chunk_id",
+            F.concat_ws(" ", F.slice("__toks", F.col("start"), chunk_tokens)).alias(
+                "chunk_text"
+            ),
+            F.least(
+                F.array_size("__toks") - F.col("start") + 1, F.lit(chunk_tokens)
+            ).cast("int").alias("n_tokens"),
+        )
+    )
+
+
 def fingerprint(col: Column | str) -> Column:
     """Content fingerprint: md5 of the normalized token stream.
 

@@ -41,6 +41,17 @@ def text_profile_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def chunk_documents_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-token chunks with 16-token overlap: full chunk rows for docs
+    ≡ 0 mod 100 (hash-checkable), stats exercised for the whole corpus
+    via the per-doc counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = X.chunk_documents(docs).filter(F.col("doc_id") % 100 == 0)
+    return chunks.select(
+        "doc_id", "chunk_id", "n_tokens", F.md5("chunk_text").alias("chunk_md5")
+    ).orderBy("doc_id", "chunk_id")
+
+
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 tf-idf terms per doc (docs ≡ 0 mod 100; corpus-wide stats).
 
@@ -151,6 +162,18 @@ def minhash_lsh_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     staged = _docs_with_neardups(spark, sf_dir)
     return D.lsh_neardup_verified(staged, threshold=0.5).orderBy("doc_a", "doc_b")
+
+
+def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: verified pairs → connected components.
+
+    The dedup-clustering step: component id = min reachable doc id, so
+    keep-one-per-cluster is ``node == component``. Checked against a
+    recursive-CTE reachability oracle.
+    """
+    staged = _docs_with_neardups(spark, sf_dir)
+    pairs = D.lsh_neardup_verified(staged, threshold=0.5).select("doc_a", "doc_b")
+    return D.connected_components(pairs).orderBy("node")
 
 
 def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -285,6 +308,43 @@ def _lang_id_sql() -> str:
     return f"CASE WHEN {best_score} > 0 THEN {best_expr} ELSE 'unknown' END"
 
 
+# shared CTE chain: staged near-dup corpus → MinHash/LSH candidates →
+# exact-Jaccard verified pairs (ends with `verified(doc_a, doc_b, jaccard)`)
+_NEARDUP_CTES = f"""staged AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 200000, 'zzz qqq ' || text FROM documents WHERE doc_id % 20 = 0
+        ),
+        t AS (SELECT doc_id, {_TOKS} AS toks FROM staged),
+        sh_t AS (SELECT doc_id, {_SHINGLES} AS sh FROM t WHERE len(toks) >= 3),
+        sig_t AS (SELECT doc_id, sh, {_minhash_sig_sql()} AS sig FROM sh_t WHERE len(sh) > 0),
+        bands0 AS (
+          SELECT doc_id, unnest([{_band_keys_sql()}]) AS bk FROM sig_t
+        ),
+        bands AS (SELECT doc_id, bk.band AS band, bk.key AS key FROM bands0),
+        cands AS (
+          SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+          FROM bands l JOIN bands r ON l.band = r.band AND l.key = r.key
+          WHERE l.doc_id < r.doc_id
+        ),
+        ex AS (SELECT doc_id, unnest(sh) AS shingle FROM sh_t),
+        sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+          FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          JOIN cands c ON c.doc_a = a.doc_id AND c.doc_b = b.doc_id
+          GROUP BY 1, 2
+        ),
+        verified AS (
+          SELECT i.doc_a, i.doc_b,
+                 CAST(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) AS DOUBLE) AS jaccard
+          FROM inter i
+          JOIN sizes sa ON sa.doc_id = i.doc_a
+          JOIN sizes sb ON sb.doc_id = i.doc_b
+          WHERE CAST(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) AS DOUBLE) >= 0.5
+        )"""
+
+
 LLM_ORACLES: dict[str, str] = {
     "text_profile_docs": f"""
         WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
@@ -305,6 +365,28 @@ LLM_ORACLES: dict[str, str] = {
           md5(array_to_string(toks, ' ')) AS fingerprint
         FROM t
         ORDER BY doc_id
+    """,
+    "chunk_documents_stats": f"""
+        WITH t AS (
+          SELECT doc_id, {_TOKS} AS toks FROM documents WHERE doc_id % 100 = 0
+        ),
+        s AS (
+          SELECT doc_id, toks,
+                 range(1, greatest(len(toks) - 16, 1) + 1, 48) AS starts
+          FROM t
+        ),
+        e AS (
+          SELECT doc_id, toks,
+                 unnest(starts) AS start,
+                 generate_subscripts(starts, 1) - 1 AS chunk_id
+          FROM s
+        )
+        SELECT doc_id,
+               CAST(chunk_id AS INT) AS chunk_id,
+               CAST(least(len(toks) - start + 1, 64) AS INT) AS n_tokens,
+               md5(array_to_string(toks[start : start + 63], ' ')) AS chunk_md5
+        FROM e
+        ORDER BY doc_id, chunk_id
     """,
     "tfidf_top_terms": f"""
         WITH tok AS (
@@ -396,38 +478,26 @@ LLM_ORACLES: dict[str, str] = {
         ORDER BY doc_id
     """,
     "minhash_lsh_neardup_pairs": f"""
-        WITH staged AS (
-          SELECT doc_id, text FROM documents
-          UNION ALL
-          SELECT doc_id + 200000, 'zzz qqq ' || text FROM documents WHERE doc_id % 20 = 0
-        ),
-        t AS (SELECT doc_id, {_TOKS} AS toks FROM staged),
-        sh_t AS (SELECT doc_id, {_SHINGLES} AS sh FROM t WHERE len(toks) >= 3),
-        sig_t AS (SELECT doc_id, sh, {_minhash_sig_sql()} AS sig FROM sh_t WHERE len(sh) > 0),
-        bands0 AS (
-          SELECT doc_id, unnest([{_band_keys_sql()}]) AS bk FROM sig_t
-        ),
-        bands AS (SELECT doc_id, bk.band AS band, bk.key AS key FROM bands0),
-        cands AS (
-          SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-          FROM bands l JOIN bands r ON l.band = r.band AND l.key = r.key
-          WHERE l.doc_id < r.doc_id
-        ),
-        ex AS (SELECT doc_id, unnest(sh) AS shingle FROM sh_t),
-        sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id),
-        inter AS (
-          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
-          FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-          JOIN cands c ON c.doc_a = a.doc_id AND c.doc_b = b.doc_id
-          GROUP BY 1, 2
-        )
-        SELECT i.doc_a, i.doc_b,
-               CAST(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) AS DOUBLE) AS jaccard
-        FROM inter i
-        JOIN sizes sa ON sa.doc_id = i.doc_a
-        JOIN sizes sb ON sb.doc_id = i.doc_b
-        WHERE CAST(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) AS DOUBLE) >= 0.5
+        WITH {_NEARDUP_CTES}
+        SELECT doc_a, doc_b, jaccard FROM verified
         ORDER BY doc_a, doc_b
+    """,
+    "neardup_components": f"""
+        WITH RECURSIVE {_NEARDUP_CTES},
+        sym AS (
+          SELECT doc_a AS src, doc_b AS dst FROM verified
+          UNION
+          SELECT doc_b AS src, doc_a AS dst FROM verified
+        ),
+        reach AS (
+          SELECT src, dst FROM sym
+          UNION
+          SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+        )
+        SELECT src AS node, least(src, min(dst)) AS component
+        FROM reach
+        GROUP BY src
+        ORDER BY node
     """,
     "simhash_docs": f"""
         WITH t AS (
@@ -547,12 +617,14 @@ LLM_ORACLES: dict[str, str] = {
 LLM_QUERIES = {
     "text_profile_docs": text_profile_docs,
     "tfidf_top_terms": tfidf_top_terms,
+    "chunk_documents_stats": chunk_documents_stats,
     "lang_id_docs": lang_id_docs,
     "token_count_by_source": token_count_by_source,
     "exact_dup_groups": exact_dup_groups,
     "dedup_exact_count": dedup_exact_count,
     "minhash_signatures": minhash_signatures,
     "minhash_lsh_neardup_pairs": minhash_lsh_neardup_pairs,
+    "neardup_components": neardup_components,
     "simhash_docs": simhash_docs,
     "embedding_topk_bruteforce": embedding_topk_bruteforce,
     "embedding_topk_lsh": embedding_topk_lsh,
