@@ -315,7 +315,93 @@ def json_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def asof_purchase_to_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase ↔ the same user's latest view ≤ its ts.
+
+    Spark has no native ASOF JOIN; operators/temporal.asof_join builds
+    it from union + one keyed window (single shuffle, no join
+    explosion). The oracle is DuckDB's NATIVE ASOF LEFT JOIN — the
+    composition must reproduce the real operator's semantics exactly.
+    Views are deduped to one per (user, ts) first so tied timestamps
+    are deterministic in both engines.
+    """
+    from tinyerp_etl_spark.operators.temporal import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_id"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    joined = asof_join(
+        purchases, views, key="user_id", probe_ts="ts", ref_ts="ts",
+        ref_cols=["view_id"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("asof_ts").alias("view_ts"),
+        F.col("asof_view_id").alias("view_id"),
+        (F.unix_timestamp("ts") - F.unix_timestamp("asof_ts"))
+        .cast("long")
+        .alias("gap_seconds"),
+    ).orderBy("event_id")
+
+
+def range_join_event_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: per-user ordered event pairs within 5 minutes.
+
+    The bucket-prejoin keeps candidate pairs equi-joinable (each row
+    meets only its own and the adjacent time bucket); the oracle uses
+    the plain inequality join, which only DuckDB can afford at test
+    scale — at 100 TB the theta-join is exactly what this operator
+    avoids.
+    """
+    from tinyerp_etl_spark.operators.temporal import range_join_pair_counts
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 200)
+    return range_join_pair_counts(
+        ev, key="user_id", ts_col="ts", id_col="event_id", window_seconds=300
+    ).orderBy("user_id")
+
+
 ETL_ORACLES: dict[str, str] = {
+    "asof_purchase_to_view": """
+        WITH views AS (
+          SELECT user_id, ts, max(event_id) AS view_id
+          FROM events WHERE event_type = 'view'
+          GROUP BY user_id, ts
+        ),
+        purchases AS (
+          SELECT event_id, user_id, ts
+          FROM events WHERE event_type = 'purchase'
+        )
+        SELECT p.event_id, p.user_id, p.ts,
+               v.ts AS view_ts,
+               v.view_id AS view_id,
+               CAST(date_diff('second', v.ts, p.ts) AS BIGINT) AS gap_seconds
+        FROM purchases p
+        ASOF LEFT JOIN views v
+          ON p.user_id = v.user_id AND v.ts <= p.ts
+        ORDER BY p.event_id
+    """,
+    "range_join_event_bursts": """
+        WITH e AS (
+          SELECT user_id, event_id, epoch(ts) AS sec
+          FROM events WHERE user_id < 200
+        )
+        SELECT a.user_id, count(*) AS n_pairs
+        FROM e a JOIN e b
+          ON a.user_id = b.user_id
+         AND a.sec < b.sec
+         AND b.sec <= a.sec + 300
+        GROUP BY a.user_id
+        ORDER BY a.user_id
+    """,
     "json_props_rollup": """
         WITH parsed AS (
           SELECT event_type,

@@ -68,6 +68,8 @@ def all_queries() -> dict[str, QueryFn]:
         "nested_flatten_roundtrip": etl_queries.nested_flatten_roundtrip,
         "incremental_pipeline_events": etl_queries.incremental_pipeline_events,
         "json_props_rollup": etl_queries.json_props_rollup,
+        "asof_purchase_to_view": etl_queries.asof_purchase_to_view,
+        "range_join_event_bursts": etl_queries.range_join_event_bursts,
     }
     queries.update(LLM_QUERIES)
     queries.update(STREAMING_QUERIES)
