@@ -369,7 +369,48 @@ def range_join_event_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id")
 
 
+def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV cardinality sketch per event_type vs exact distinct count.
+
+    The deterministic sketch (operators/sketch.py): k=64 minimum
+    md5-hashes per group; the estimate formula is pure order/integer
+    arithmetic so — unlike HyperLogLog — it hash-matches across
+    engines.
+    """
+    from tinyerp_etl_spark.operators.sketch import kmv_distinct_estimate
+
+    ev = load_table(spark, sf_dir, "events")
+    return kmv_distinct_estimate(ev, "event_type", "user_id", k=64).orderBy(
+        "event_type"
+    )
+
+
 ETL_ORACLES: dict[str, str] = {
+    "kmv_distinct_users": """
+        WITH hashed AS (
+          SELECT DISTINCT event_type,
+                 CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+          FROM events
+        ),
+        ranked AS (
+          SELECT event_type, h,
+                 row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+          FROM hashed
+        ),
+        agg AS (
+          SELECT event_type,
+                 count(*) AS n_exact,
+                 max(CASE WHEN rn = 64 THEN h END) AS kth_min_hash
+          FROM ranked
+          GROUP BY event_type
+        )
+        SELECT event_type, n_exact, kth_min_hash,
+               CASE WHEN kth_min_hash IS NOT NULL
+                    THEN round(63 / (kth_min_hash / 4294967296.0), 2)
+                    ELSE CAST(n_exact AS DOUBLE) END AS n_estimate
+        FROM agg
+        ORDER BY event_type
+    """,
     "asof_purchase_to_view": """
         WITH views AS (
           SELECT user_id, ts, max(event_id) AS view_id

@@ -70,6 +70,7 @@ def all_queries() -> dict[str, QueryFn]:
         "json_props_rollup": etl_queries.json_props_rollup,
         "asof_purchase_to_view": etl_queries.asof_purchase_to_view,
         "range_join_event_bursts": etl_queries.range_join_event_bursts,
+        "kmv_distinct_users": etl_queries.kmv_distinct_users,
     }
     queries.update(LLM_QUERIES)
     queries.update(STREAMING_QUERIES)
