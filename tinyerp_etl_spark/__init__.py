@@ -22,8 +22,10 @@ engine:
 
 Everything here is designed for a 1000-executor cluster reading ~100 TB
 even though tests run on local[*]: broadcast joins for dims, partial
-aggregation, partition-count discipline, and no driver-side collects in
-any operator path.
+aggregation, partition-count discipline, Arrow-batched pandas kernels
+where Spark's interpreted array expressions would dominate, and no
+driver-side collects on data paths (control-plane state — watermarks,
+checkpoints, centroid tables — is driver-side by design).
 """
 
 __version__ = "0.1.0"

@@ -8,7 +8,13 @@ from tinyerp_etl_spark.functions.coerce import (
     nullif_empty,
     safe_double,
 )
-from tinyerp_etl_spark.functions.exact import avg_from_cents, cents, sum_cents
+from tinyerp_etl_spark.functions.exact import (
+    avg_from_cents,
+    cents,
+    sum_cents,
+    sum_exact,
+)
+from tinyerp_etl_spark.functions.skew import salted_sum, two_phase_distinct
 
 __all__ = [
     "safe_double",
@@ -19,5 +25,8 @@ __all__ = [
     "mask_token",
     "cents",
     "sum_cents",
+    "sum_exact",
     "avg_from_cents",
+    "salted_sum",
+    "two_phase_distinct",
 ]
