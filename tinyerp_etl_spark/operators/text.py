@@ -251,6 +251,40 @@ def fingerprint(col: Column | str) -> Column:
     return F.md5(F.concat_ws(" ", tokens(col)))
 
 
+WINNOW_KGRAM = 8  # character k-gram width
+WINNOW_WINDOW = 4  # sliding window of consecutive k-gram hashes
+WINNOW_PREFIX = 512  # chars fingerprinted (bounds expression cost; a
+#                      production run would use the pandas kernel path)
+
+
+def winnow_fingerprints(col: Column | str) -> Column:
+    """Winnowing fingerprints: sliding-window minima of k-gram hashes.
+
+    The rolling-hash document-fingerprinting scheme (MOSS-style): hash
+    every character k-gram, slide a window of ``WINNOW_WINDOW``
+    consecutive hashes, keep each window's minimum, dedupe. Two docs
+    sharing a sufficiently long substring necessarily share a
+    fingerprint — the guarantee plain whole-doc hashing can't give.
+    Pure (interpreted) array expressions over the document prefix, with
+    an exactly-equivalent DuckDB formulation.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    text = F.substring(c, 1, WINNOW_PREFIX)
+    n_grams = F.greatest(F.length(text) - (WINNOW_KGRAM - 1), F.lit(0))
+    hashes = F.transform(
+        F.sequence(F.lit(1), F.greatest(n_grams, F.lit(1))),
+        lambda i: token_hash32(text.substr(i, F.lit(WINNOW_KGRAM))),
+    )
+    n_windows = F.greatest(n_grams - (WINNOW_WINDOW - 1), F.lit(0))
+    winnowed = F.transform(
+        F.sequence(F.lit(1), F.greatest(n_windows, F.lit(1))),
+        lambda j: F.array_min(F.slice(hashes, j, WINNOW_WINDOW)),
+    )
+    return F.when(
+        n_windows >= 1, F.array_sort(F.array_distinct(winnowed))
+    ).otherwise(F.array().cast("array<long>"))
+
+
 def token_hash32(col: Column) -> Column:
     """Deterministic 32-bit integer hash of a token.
 

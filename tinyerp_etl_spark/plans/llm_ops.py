@@ -52,6 +52,23 @@ def chunk_documents_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "chunk_id")
 
 
+def winnow_fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash winnowing fingerprints (docs ≡ 0 mod 50).
+
+    Shared-substring detection: the fingerprint count plus an md5 over
+    the sorted fingerprint set per document.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 50 == 0)
+    fps = X.winnow_fingerprints("text")
+    return docs.select(
+        "doc_id",
+        F.array_size(fps).cast("int").alias("n_fingerprints"),
+        F.md5(F.concat_ws(",", F.transform(fps, lambda x: x.cast("string")))).alias(
+            "fp_md5"
+        ),
+    ).orderBy("doc_id")
+
+
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 tf-idf terms per doc (docs ≡ 0 mod 100; corpus-wide stats).
 
@@ -388,6 +405,38 @@ LLM_ORACLES: dict[str, str] = {
         FROM e
         ORDER BY doc_id, chunk_id
     """,
+    "winnow_fingerprint_docs": f"""
+        WITH t AS (
+          SELECT doc_id, substr(text, 1, {X.WINNOW_PREFIX}) AS tx
+          FROM documents WHERE doc_id % 50 = 0
+        ),
+        g AS (
+          SELECT doc_id, tx,
+                 greatest(length(tx) - {X.WINNOW_KGRAM - 1}, 0) AS n_grams
+          FROM t
+        ),
+        h AS (
+          SELECT doc_id, n_grams,
+                 list_transform(range(1, greatest(n_grams, 1) + 1),
+                   i -> {_XHASH.format(v=f"substr(tx, CAST(i AS INT), {X.WINNOW_KGRAM})")}) AS hashes,
+                 greatest(n_grams - {X.WINNOW_WINDOW - 1}, 0) AS n_windows
+          FROM g
+        ),
+        w AS (
+          SELECT doc_id,
+                 CASE WHEN n_windows >= 1 THEN
+                   list_sort(list_distinct(list_transform(
+                     range(1, greatest(n_windows, 1) + 1),
+                     j -> list_min(hashes[j : j + {X.WINNOW_WINDOW - 1}]))))
+                 ELSE CAST([] AS BIGINT[]) END AS fps
+          FROM h
+        )
+        SELECT doc_id,
+               CAST(len(fps) AS INT) AS n_fingerprints,
+               md5(array_to_string(list_transform(fps, x -> CAST(x AS VARCHAR)), ',')) AS fp_md5
+        FROM w
+        ORDER BY doc_id
+    """,
     "tfidf_top_terms": f"""
         WITH tok AS (
           SELECT doc_id, unnest({_TOKS}) AS token FROM documents
@@ -618,6 +667,7 @@ LLM_QUERIES = {
     "text_profile_docs": text_profile_docs,
     "tfidf_top_terms": tfidf_top_terms,
     "chunk_documents_stats": chunk_documents_stats,
+    "winnow_fingerprint_docs": winnow_fingerprint_docs,
     "lang_id_docs": lang_id_docs,
     "token_count_by_source": token_count_by_source,
     "exact_dup_groups": exact_dup_groups,
