@@ -202,6 +202,68 @@ def test_session_windowed_stream_equals_batch(spark, sf_dir, stream_dir, tmp_pat
     assert got == want
 
 
+def test_stream_stream_join_equals_batch(spark, sf_dir, stream_dir, tmp_path):
+    """Stream-stream inner join with watermarks on both sides.
+
+    purchases ⋈ views per user within [view_ts, view_ts + 10 min] —
+    the stateful two-sided join only Structured Streaming can run
+    incrementally (state bounded by the watermarks + time-range
+    condition). availableNow over a finite source must reproduce the
+    batch join exactly.
+    """
+    from pyspark.sql.functions import expr
+
+    def split(df):
+        purchases = df.filter(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("p_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        views = df.filter(F.col("event_type") == "view").select(
+            F.col("event_id").alias("v_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+        )
+        return purchases, views
+
+    sp, sv = split(read_events_stream(spark, stream_dir))
+    joined = sp.withWatermark("p_ts", "30 minutes").join(
+        sv.withWatermark("v_ts", "30 minutes"),
+        expr(
+            "p_user = v_user AND p_ts >= v_ts AND p_ts <= v_ts + interval 10 minutes"
+        ),
+    )
+    collected = []
+
+    def sink(batch_df, batch_id):
+        collected.extend(
+            (r["p_id"], r["v_id"]) for r in batch_df.select("p_id", "v_id").collect()
+        )
+
+    (
+        joined.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ssj_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+    bp, bv = split(load_table(spark, sf_dir, "events"))
+    want = {
+        (r["p_id"], r["v_id"])
+        for r in bp.join(
+            bv,
+            expr(
+                "p_user = v_user AND p_ts >= v_ts AND p_ts <= v_ts + interval 10 minutes"
+            ),
+        )
+        .select("p_id", "v_id")
+        .collect()
+    }
+    assert set(collected) == want
+    assert len(collected) == len(want)  # no duplicate emissions
+
+
 def test_stateful_user_profiles(spark, sf_dir, stream_dir, tmp_path):
     from tinyerp_etl_spark.streaming.stateful import (
         USER_PROFILE_SCHEMA,
