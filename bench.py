@@ -38,6 +38,9 @@ HEADLINE = [
     "skew_salted_event_totals",
     "tfidf_top_terms",
     "events_tumbling_hourly",
+    "asof_purchase_to_view",
+    "range_join_event_bursts",
+    "kmv_distinct_users",
     "minhash_lsh_neardup_pairs",
     "text_profile_docs",
     "embedding_topk_bruteforce",
