@@ -119,6 +119,27 @@ def test_partitioned_store_prunes_partitions(spark, sf_dir, tmp_path):
     )
 
 
+def test_asof_join_plan_contains_no_join(spark, sf_dir):
+    """The union+window as-of composition must not degenerate into any
+    physical join — that's the entire point of the pattern (a naive
+    formulation would shuffle the probe×reference product)."""
+    plan = plan_of(QUERIES["asof_purchase_to_view"](spark, sf_dir), "simple")
+    for join_op in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+                    "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert join_op not in plan, f"as-of plan contains {join_op}"
+    assert "Window" in plan
+
+
+def test_range_join_stays_equi(spark, sf_dir):
+    """The bucket prejoin must keep the range join an equi-join — a
+    theta-join shape (nested-loop / cartesian) means the bucketing
+    broke and the plan is O(n^2) at scale."""
+    plan = plan_of(QUERIES["range_join_event_bursts"](spark, sf_dir), "simple")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan
+
+
 def test_scalar_subquery_join_is_broadcast(spark, sf_dir):
     # the 1-row global-average side must broadcast, not shuffle customer
     plan = plan_of(QUERIES["scalar_subquery_rich_idle_customers"](spark, sf_dir))
