@@ -68,6 +68,37 @@ def merge_upsert(
     return survivors.unionByName(incoming)
 
 
+def replace_children(
+    existing: DataFrame,
+    incoming: DataFrame,
+    parent_key: Sequence[str] | str,
+) -> DataFrame:
+    """Replace ALL child rows of every parent present in the increment.
+
+    The reference's detail-table semantics: ``search_pedidos_v2``
+    re-fetches an order's items and replaces them wholesale (delete
+    by ``id_pedido`` + insert; ref tiny_api_v2_cliente.py:392 contract,
+    DDL :89 ON DELETE CASCADE) — child rows have no stable identity of
+    their own, so per-row upsert would leak deleted items. Expressed
+    as: (existing ∖ incoming-parents) ∪ incoming — one anti-join on
+    the parent key.
+    """
+    keys = [parent_key] if isinstance(parent_key, str) else list(parent_key)
+    # rename the parent-key columns before the anti-join: when existing
+    # and incoming share lineage (both derived from one DataFrame), a
+    # same-name join key resolves both sides to the SAME attribute and
+    # the anti-join silently matches nothing/everything
+    parents = incoming.select(
+        *[F.col(k).alias(f"__pk_{k}") for k in keys]
+    ).distinct()
+    cond = None
+    for k in keys:
+        clause = existing[k] == parents[f"__pk_{k}"]
+        cond = clause if cond is None else (cond & clause)
+    survivors = existing.join(parents, cond, "left_anti")
+    return survivors.unionByName(incoming)
+
+
 def fk_orphans(child: DataFrame, parent: DataFrame, fk: str, pk: str) -> DataFrame:
     """Anti-join audit: child rows whose FK has no parent.
 

@@ -385,7 +385,47 @@ def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def replace_order_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detail-table replacement (ref search_pedidos_v2 contract).
+
+    existing = all lineitems of even orders; increment = re-fetched
+    items for orders ≡ 0 (mod 4) carrying ONLY line numbers ≤ 2 (the
+    order shrank). replace_children must drop the stale higher line
+    numbers of replaced orders — a keyed upsert would leak them — while
+    orders absent from the increment (line numbers are random in this
+    data; some mod-4 orders have none ≤ 2) keep their rows untouched.
+    """
+    from tinyerp_etl_spark.etl.merge import replace_children
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    existing = li.filter(F.col("l_orderkey") % 2 == 0).withColumn("gen", F.lit(1))
+    incoming = (
+        li.filter((F.col("l_orderkey") % 4 == 0) & (F.col("l_linenumber") <= 2))
+        .withColumn("gen", F.lit(2))
+    )
+    return replace_children(existing, incoming, "l_orderkey").orderBy(
+        "l_orderkey", "l_linenumber"
+    )
+
+
 ETL_ORACLES: dict[str, str] = {
+    "replace_order_items": """
+        WITH inc_parents AS (
+          SELECT DISTINCT l_orderkey FROM lineitem
+          WHERE l_orderkey % 4 = 0 AND l_linenumber <= 2
+        )
+        SELECT l_orderkey, l_linenumber, l_quantity, 2 AS gen
+        FROM lineitem
+        WHERE l_orderkey % 4 = 0 AND l_linenumber <= 2
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, l_quantity, 1 AS gen
+        FROM lineitem
+        WHERE l_orderkey % 2 = 0
+          AND l_orderkey NOT IN (SELECT l_orderkey FROM inc_parents)
+        ORDER BY l_orderkey, l_linenumber
+    """,
     "kmv_distinct_users": """
         WITH hashed AS (
           SELECT DISTINCT event_type,

@@ -71,6 +71,7 @@ def all_queries() -> dict[str, QueryFn]:
         "asof_purchase_to_view": etl_queries.asof_purchase_to_view,
         "range_join_event_bursts": etl_queries.range_join_event_bursts,
         "kmv_distinct_users": etl_queries.kmv_distinct_users,
+        "replace_order_items": etl_queries.replace_order_items,
     }
     queries.update(LLM_QUERIES)
     queries.update(STREAMING_QUERIES)
