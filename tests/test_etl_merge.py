@@ -65,6 +65,44 @@ def test_merge_upsert_keep_latest_within_increment(spark):
     assert _rows(out) == [(1, 2, "latest")]
 
 
+def test_replace_children_drops_stale_rows(spark):
+    """Replaced parents lose ALL old children (even ones the increment
+    no longer carries); untouched parents keep theirs."""
+    from tinyerp_etl_spark.etl.merge import replace_children
+
+    existing = spark.createDataFrame(
+        [(1, 1, "a"), (1, 2, "b"), (1, 3, "c"), (2, 1, "x")],
+        "order_id int, line int, v string",
+    )
+    incoming = spark.createDataFrame(
+        [(1, 1, "a2")], "order_id int, line int, v string"
+    )
+    out = replace_children(existing, incoming, "order_id")
+    assert _rows(out) == [(1, 1, "a2"), (2, 1, "x")]
+
+
+def test_replace_children_empty_increment_is_noop(spark):
+    from tinyerp_etl_spark.etl.merge import replace_children
+
+    existing = spark.createDataFrame([(1, 1, "a")], "order_id int, line int, v string")
+    empty = spark.createDataFrame([], "order_id int, line int, v string")
+    assert _rows(replace_children(existing, empty, "order_id")) == [(1, 1, "a")]
+
+
+def test_replace_children_idempotent(spark):
+    from tinyerp_etl_spark.etl.merge import replace_children
+
+    existing = spark.createDataFrame(
+        [(1, 1, "a"), (2, 1, "x")], "order_id int, line int, v string"
+    )
+    inc = spark.createDataFrame(
+        [(1, 1, "a2"), (1, 2, "new")], "order_id int, line int, v string"
+    )
+    once = replace_children(existing, inc, "order_id")
+    twice = replace_children(once, inc, "order_id")
+    assert _rows(once) == _rows(twice)
+
+
 def test_fk_orphans_and_cascade(spark):
     parent = spark.createDataFrame([(1,), (2,)], "pk int")
     child = spark.createDataFrame(

@@ -202,6 +202,33 @@ def test_session_windowed_stream_equals_batch(spark, sf_dir, stream_dir, tmp_pat
     assert got == want
 
 
+def test_streaming_dedup_within_watermark(spark, sf_dir, stream_dir, tmp_path):
+    """dropDuplicatesWithinWatermark over a source containing the same
+    events file twice: every event arrives as a duplicate pair and the
+    streaming dedup must emit each exactly once (state pruned by the
+    watermark — the scalable form of streaming exact dedup)."""
+    shutil.copy(f"{sf_dir}/events.parquet", f"{stream_dir}/batch_dup.parquet")
+    stream = read_events_stream(spark, stream_dir)
+    deduped = stream.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    seen: list[int] = []
+
+    def sink(batch_df, batch_id):
+        seen.extend(r["event_id"] for r in batch_df.select("event_id").collect())
+
+    (
+        deduped.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "dedup_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    n_distinct = load_table(spark, sf_dir, "events").count()
+    assert len(seen) == n_distinct
+    assert len(set(seen)) == n_distinct
+
+
 def test_stream_stream_join_equals_batch(spark, sf_dir, stream_dir, tmp_path):
     """Stream-stream inner join with watermarks on both sides.
 
