@@ -99,6 +99,52 @@ def replace_children(
     return survivors.unionByName(incoming)
 
 
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: Sequence[str],
+    compare_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Change-data-capture diff of two table versions.
+
+    One full-outer join on the key → per-row op ∈ {insert, delete,
+    update, unchanged} (non-key columns compared as a struct). The
+    inverse of MERGE: where merge_upsert applies a change set, this
+    recovers one — auditing what an incremental load actually did, or
+    emitting a downstream CDC feed from snapshots. Keys are renamed on
+    the old side so shared-lineage inputs can't alias (see
+    replace_children).
+    """
+    compare = list(
+        compare_cols
+        if compare_cols is not None
+        else [c for c in new.columns if c not in keys]
+    )
+    o = old.select(
+        *[F.col(k).alias(f"__ok_{k}") for k in keys],
+        F.struct(*compare).alias("__old"),
+    )
+    n = new.select(*keys, F.struct(*compare).alias("__new"))
+    cond = None
+    for k in keys:
+        clause = n[k] == o[f"__ok_{k}"]
+        cond = clause if cond is None else (cond & clause)
+    joined = n.join(o, cond, "full_outer")
+    first = keys[0]
+    op = (
+        F.when(F.col(f"__ok_{first}").isNull(), F.lit("insert"))
+        .when(n[first].isNull(), F.lit("delete"))
+        .when(F.col("__old") != F.col("__new"), F.lit("update"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return joined.select(
+        *[F.coalesce(n[k], F.col(f"__ok_{k}")).alias(k) for k in keys],
+        op.alias("op"),
+        F.col("__old").alias("old_values"),
+        F.col("__new").alias("new_values"),
+    )
+
+
 def fk_orphans(child: DataFrame, parent: DataFrame, fk: str, pk: str) -> DataFrame:
     """Anti-join audit: child rows whose FK has no parent.
 

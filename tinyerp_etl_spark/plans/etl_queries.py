@@ -410,7 +410,82 @@ def replace_order_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC diff between two staged order snapshots.
+
+    old = all orders; new = orders minus keys ≡ 0 (mod 3) [deletes],
+    with totalprice +1 for keys ≡ 0 (mod 5) [updates], plus clones
+    shifted by 10M for keys ≡ 0 (mod 7) [inserts]. The diff aggregate
+    has a closed SQL form per op; sums are cents-exact.
+    """
+    from tinyerp_etl_spark.etl.merge import snapshot_diff
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    survivors = o.filter(F.col("o_orderkey") % 3 != 0)
+    new = (
+        survivors.withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 5 == 0, F.col("o_totalprice") + 1.0
+            ).otherwise(F.col("o_totalprice")),
+        )
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 7 == 0).select(
+                (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+                "o_totalprice",
+            )
+        )
+    )
+    diff = snapshot_diff(o, new, ["o_orderkey"])
+    return (
+        diff.groupBy("op")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (
+                F.sum(
+                    F.round(
+                        F.coalesce(
+                            F.col("new_values.o_totalprice"),
+                            F.col("old_values.o_totalprice"),
+                        )
+                        * 100
+                    ).cast("long")
+                )
+                / 100.0
+            )
+            .cast("double")
+            .alias("sum_price"),
+        )
+        .orderBy("op")
+    )
+
+
 ETL_ORACLES: dict[str, str] = {
+    "snapshot_diff_orders": """
+        WITH base AS (SELECT o_orderkey, o_totalprice FROM orders),
+        tagged AS (
+          -- deletes: keys % 3 = 0 (and not re-inserted)
+          SELECT 'delete' AS op, o_totalprice AS price
+          FROM base WHERE o_orderkey % 3 = 0
+          UNION ALL
+          -- inserts: shifted clones of keys % 7 = 0
+          SELECT 'insert' AS op, o_totalprice AS price
+          FROM base WHERE o_orderkey % 7 = 0
+          UNION ALL
+          -- updates: surviving keys % 5 = 0 get +1
+          SELECT 'update' AS op, o_totalprice + 1.0 AS price
+          FROM base WHERE o_orderkey % 3 != 0 AND o_orderkey % 5 = 0
+          UNION ALL
+          -- unchanged: the rest of the survivors
+          SELECT 'unchanged' AS op, o_totalprice AS price
+          FROM base WHERE o_orderkey % 3 != 0 AND o_orderkey % 5 != 0
+        )
+        SELECT op, count(*) AS n_rows,
+               CAST(sum(CAST(round(price*100) AS BIGINT)) / 100.0 AS DOUBLE) AS sum_price
+        FROM tagged
+        GROUP BY op
+        ORDER BY op
+    """,
     "replace_order_items": """
         WITH inc_parents AS (
           SELECT DISTINCT l_orderkey FROM lineitem

@@ -72,6 +72,7 @@ def all_queries() -> dict[str, QueryFn]:
         "range_join_event_bursts": etl_queries.range_join_event_bursts,
         "kmv_distinct_users": etl_queries.kmv_distinct_users,
         "replace_order_items": etl_queries.replace_order_items,
+        "snapshot_diff_orders": etl_queries.snapshot_diff_orders,
     }
     queries.update(LLM_QUERIES)
     queries.update(STREAMING_QUERIES)
