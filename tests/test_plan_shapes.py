@@ -98,6 +98,21 @@ def test_anti_join_stays_anti(spark, sf_dir):
     assert "LeftAnti" in plan
 
 
+def test_store_commit_controls_file_count(spark, sf_dir, tmp_path):
+    """n_files bounds the output file count (small-files control)."""
+    import glob
+
+    from tinyerp_etl_spark.etl.table_store import TableStore
+    from tinyerp_etl_spark.sources.catalog import TABLES, load_table
+
+    store = TableStore(spark, str(tmp_path / "ev"), TABLES["events"])
+    ev = load_table(spark, sf_dir, "events").repartition(16)
+    store.commit(ev, n_files=2)
+    files = glob.glob(str(tmp_path / "ev" / "v*" / "*.parquet"))
+    assert len(files) == 2
+    assert store.read().count() == ev.count()
+
+
 def test_partitioned_store_prunes_partitions(spark, sf_dir, tmp_path):
     """A filter on the partition column must show up as a
     PartitionFilter (directory pruning), not a data filter."""

@@ -68,13 +68,22 @@ class TableStore:
             return self.spark.createDataFrame([], self.schema)
         return self.spark.read.schema(self.schema).parquet(self._version_dir(v))
 
-    def commit(self, df: DataFrame) -> int:
-        """Write ``df`` as the next version and swap the pointer."""
+    def commit(self, df: DataFrame, n_files: int | None = None) -> int:
+        """Write ``df`` as the next version and swap the pointer.
+
+        ``n_files`` coalesces the write to that many output files —
+        the small-files control: a MERGE rewriting a table through 32
+        shuffle partitions would otherwise emit 32 files per version,
+        and at daily cadence the file count (not the data) becomes the
+        scan bottleneck. Coalesce (not repartition): narrowing needs
+        no extra shuffle.
+        """
         v = (self.current_version() or 0) + 1
         out = self._version_dir(v)
-        writer = df.select([f.name for f in self.schema.fields]).write.mode(
-            "overwrite"
-        )
+        data = df.select([f.name for f in self.schema.fields])
+        if n_files is not None:
+            data = data.coalesce(n_files)
+        writer = data.write.mode("overwrite")
         if self.partition_by:
             writer = writer.partitionBy(*self.partition_by)
         writer.parquet(out)
