@@ -29,6 +29,8 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
+    "q8_market_share",
+    "q18_large_volume_customers",
     "window_latest_order_per_customer",
     "join_left_enrich",
     "topk_expensive_orders",

@@ -457,6 +457,149 @@ RELATIONAL_ORACLES: dict[str, str] = {
           AND l_discount BETWEEN 0.05 AND 0.07
           AND l_quantity < 24
     """,
+    "q7_volume_shipping": """
+        SELECT
+          n1.n_name AS supp_nation,
+          n2.n_name AS cust_nation,
+          CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+          CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                   * (100 - CAST(round(l_discount*100) AS BIGINT))) / 1e4 AS DOUBLE)
+            AS revenue
+        FROM lineitem
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE n1.n_name IN ('NATION_18', 'NATION_19')
+          AND n2.n_name IN ('NATION_18', 'NATION_19')
+          AND n1.n_name <> n2.n_name
+          AND l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+        GROUP BY 1, 2, 3
+        ORDER BY supp_nation, cust_nation, l_year
+    """,
+    "q8_market_share": """
+        SELECT
+          CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+          CAST(1.0 * sum(CASE WHEN n1.n_name = 'NATION_5'
+                              THEN CAST(round(l_extendedprice*100) AS BIGINT)
+                                   * (100 - CAST(round(l_discount*100) AS BIGINT))
+                              ELSE 0 END)
+               / sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                     * (100 - CAST(round(l_discount*100) AS BIGINT))) AS DOUBLE)
+            AS mkt_share,
+          CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                   * (100 - CAST(round(l_discount*100) AS BIGINT))) / 1e4 AS DOUBLE)
+            AS total_revenue
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey AND p_type = 'ECONOMY'
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        JOIN region ON r_regionkey = n2.n_regionkey AND r_name = 'ASIA'
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+        GROUP BY 1
+        ORDER BY o_year
+    """,
+    "q10_returned_items": """
+        SELECT
+          c_custkey,
+          c_name,
+          c_acctbal,
+          n_name,
+          CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                   * (100 - CAST(round(l_discount*100) AS BIGINT))) / 1e4 AS DOUBLE)
+            AS revenue
+        FROM customer
+        JOIN orders ON o_custkey = c_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN nation ON n_nationkey = c_nationkey
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1996-04-01'
+          AND l_returnflag = 'R'
+        GROUP BY 1, 2, 3, 4
+        ORDER BY revenue DESC, c_custkey ASC
+        LIMIT 20
+    """,
+    "q13_order_distribution": """
+        SELECT c_count, count(*) AS custdist
+        FROM (
+          SELECT c_custkey, count(o_orderkey) AS c_count
+          FROM customer
+          LEFT JOIN orders ON o_custkey = c_custkey
+          GROUP BY c_custkey
+        )
+        GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC
+    """,
+    "q15_top_supplier": """
+        WITH revenue AS (
+          SELECT
+            l_suppkey,
+            sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                * (100 - CAST(round(l_discount*100) AS BIGINT))) AS rev_e4
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate < TIMESTAMP '1996-04-01'
+          GROUP BY l_suppkey
+        )
+        SELECT
+          s_suppkey,
+          s_name,
+          CAST(rev_e4 / 1e4 AS DOUBLE) AS total_revenue
+        FROM revenue
+        JOIN supplier ON s_suppkey = l_suppkey
+        WHERE rev_e4 = (SELECT max(rev_e4) FROM revenue)
+        ORDER BY s_suppkey
+    """,
+    "q18_large_volume_customers": """
+        SELECT
+          c_name,
+          c_custkey,
+          o_orderkey,
+          o_orderdate,
+          o_totalprice,
+          sum_qty
+        FROM (
+          SELECT l_orderkey, sum(l_quantity) AS sum_qty
+          FROM lineitem
+          GROUP BY l_orderkey
+          HAVING sum(l_quantity) > 170
+        ) big
+        JOIN orders ON o_orderkey = big.l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        ORDER BY o_totalprice DESC, o_orderkey ASC
+        LIMIT 100
+    """,
+    "q19_discount_revenue": """
+        SELECT
+          CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                   * (100 - CAST(round(l_discount*100) AS BIGINT))) / 1e4 AS DOUBLE)
+            AS revenue,
+          count(*) AS n_lineitems
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+               AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+               AND l_quantity BETWEEN 20 AND 30)
+    """,
+    "groupwise_min_cheapest_parts": """
+        SELECT p_type, p_partkey, p_name, p_retailprice
+        FROM part
+        JOIN (
+          SELECT p_type AS t, min(p_retailprice) AS min_price
+          FROM part
+          GROUP BY p_type
+        ) mins ON p_type = t AND p_retailprice = min_price
+        ORDER BY p_type, p_partkey
+    """,
     "monthly_revenue_trend": """
         SELECT
           date_trunc('month', o_orderdate) AS order_month,

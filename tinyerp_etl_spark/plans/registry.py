@@ -48,6 +48,14 @@ def all_queries() -> dict[str, QueryFn]:
         "conditional_agg_returnflag": relational.conditional_agg_returnflag,
         "promo_revenue_ratio": relational.promo_revenue_ratio,
         "monthly_revenue_trend": relational.monthly_revenue_trend,
+        "q7_volume_shipping": relational.q7_volume_shipping,
+        "q8_market_share": relational.q8_market_share,
+        "q10_returned_items": relational.q10_returned_items,
+        "q13_order_distribution": relational.q13_order_distribution,
+        "q15_top_supplier": relational.q15_top_supplier,
+        "q18_large_volume_customers": relational.q18_large_volume_customers,
+        "q19_discount_revenue": relational.q19_discount_revenue,
+        "groupwise_min_cheapest_parts": relational.groupwise_min_cheapest_parts,
         "sql_q6_forecast_revenue": relational.sql_q6_forecast_revenue,
         "quantiles_order_value_by_status": relational.quantiles_order_value_by_status,
         "window_moving_avg_daily_revenue": relational.window_moving_avg_daily_revenue,

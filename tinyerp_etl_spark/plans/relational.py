@@ -463,6 +463,289 @@ def monthly_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-style: nation-pair trade volume per ship year.
+
+    The nation filter is applied to the two dims *before* they reach
+    the fact joins, so customer and supplier are pruned to 2/25 of
+    their rows ahead of the orderkey shuffle; both nation lookups are
+    broadcasts. The cross-pair predicate (one direction or the other)
+    rides on the already-joined names — tiny-cardinality columns.
+    """
+    pair = ("NATION_18", "NATION_19")
+    n1 = load_table(spark, sf_dir, "nation").filter(F.col("n_name").isin(*pair))
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(broadcast(n1), F.col("s_nationkey") == n1.n_nationkey)
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(broadcast(n1), F.col("c_nationkey") == n1.n_nationkey)
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    rev_cents = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        100 - F.round(F.col("l_discount") * 100).cast("long")
+    )
+    return (
+        li.join(broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg((sum_exact(rev_cents) / F.lit(1e4)).cast("double").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-style: one nation's share of a region's part market.
+
+    Share per order year of ECONOMY-part revenue delivered into ASIA
+    that came from NATION_5 suppliers. The numerator CASE rides the
+    same aggregate pass as the denominator (no second scan, no self
+    join); part/nation/region/supplier are all broadcast dims, so the
+    only shuffles are the two fact joins and the final 3-group agg.
+    """
+    part = broadcast(
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "ECONOMY")
+        .select("p_partkey")
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asia_nations = broadcast(
+        nation.join(broadcast(region), nation.n_regionkey == region.r_regionkey).select(
+            "n_nationkey"
+        )
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(asia_nations, F.col("c_nationkey") == F.col("n_nationkey"), "left_semi")
+        .select("c_custkey")
+    )
+    supp = broadcast(
+        load_table(spark, sf_dir, "supplier")
+        .join(broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    rev_cents = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        100 - F.round(F.col("l_discount") * 100).cast("long")
+    )
+    target = F.when(F.col("supp_nation") == "NATION_5", rev_cents).otherwise(
+        F.lit(0).cast("long")
+    )
+    return (
+        li.join(part, li.l_partkey == F.col("p_partkey"))
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey, "left_semi")
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            (1.0 * sum_exact(target) / sum_exact(rev_cents))
+            .cast("double")
+            .alias("mkt_share"),
+            (sum_exact(rev_cents) / F.lit(1e4)).cast("double").alias("total_revenue"),
+        )
+        .orderBy("o_year")
+    )
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-style: top-20 customers by returned revenue.
+
+    Orders are date-pruned before the fact-fact join; the returnflag
+    filter prunes lineitem map-side; nation is a broadcast. Top-k is
+    TakeOrdered over the grouped result — no global sort at scale.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    nation = broadcast(load_table(spark, sf_dir, "nation"))
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    rev_cents = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        100 - F.round(F.col("l_discount") * 100).cast("long")
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg((sum_exact(rev_cents) / F.lit(1e4)).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-style: distribution of orders-per-customer.
+
+    Two chained aggregations: orders per customer (left outer join so
+    zero-order customers count), then a histogram over those counts.
+    The second agg's input is customer-sized — the big shuffle happens
+    once, on custkey; the histogram shuffle moves almost nothing.
+    """
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-style: supplier(s) with the maximum quarterly revenue.
+
+    The groupwise-max idiom: aggregate once, take the scalar max of
+    the (exact integer) revenue, broadcast the 1-row max back against
+    the aggregate. Integer-cents equality makes the max-match exact —
+    the float-equality hazard the TPC-H spec warns about is gone.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    rev_cents = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        100 - F.round(F.col("l_discount") * 100).cast("long")
+    )
+    revenue = li.groupBy("l_suppkey").agg(sum_exact(rev_cents).alias("rev_e4"))
+    max_rev = revenue.agg(F.max("rev_e4").alias("max_e4"))
+    return (
+        revenue.join(broadcast(max_rev), F.col("rev_e4") == F.col("max_e4"))
+        .join(broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("rev_e4") / F.lit(1e4)).cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-style: customers behind the largest orders.
+
+    The HAVING-subquery becomes a pre-aggregation on the fact table
+    (map-side combine collapses lineitem to one row per order before
+    the shuffle); only qualifying orderkeys — a tiny set — flow into
+    the orders/customer joins. Quantities are integral, so the double
+    SUM is exact and the threshold compare is deterministic.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 170)
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            "sum_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )
+
+
+def q19_discount_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-style: disjunctive multi-band predicate revenue.
+
+    Three (brand, size-band, quantity-band) disjuncts evaluated after
+    a broadcast part join. The common subparts (brand membership) are
+    pushed into the part dim before broadcast so the join only carries
+    candidate parts; the OR-of-ANDs runs map-side on the joined rows.
+    """
+    brands = ("Brand#12", "Brand#23", "Brand#34")
+    part = broadcast(
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_brand").isin(*brands))
+        .select("p_partkey", "p_brand", "p_size")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    rev_cents = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        100 - F.round(F.col("l_discount") * 100).cast("long")
+    )
+    band = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .filter(band)
+        .agg(
+            (sum_exact(rev_cents) / F.lit(1e4)).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+def groupwise_min_cheapest_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-flavor groupwise-min: cheapest part(s) per type.
+
+    (The reference dataset has no partsupp table, so the Q2 shape —
+    min over a group, joined back to recover the full qualifying rows,
+    ties included — runs on part retail prices.) The per-type min is a
+    tiny aggregate broadcast back against the dim; equality on the
+    parquet-identical double is exact.
+    """
+    part = load_table(spark, sf_dir, "part")
+    mins = part.groupBy(F.col("p_type").alias("t")).agg(
+        F.min("p_retailprice").alias("min_price")
+    )
+    return (
+        part.join(
+            broadcast(mins),
+            (part.p_type == F.col("t")) & (part.p_retailprice == F.col("min_price")),
+        )
+        .select("p_type", "p_partkey", "p_name", "p_retailprice")
+        .orderBy("p_type", "p_partkey")
+    )
+
+
 # --------------------------------------------------------------------------
 # windows
 # --------------------------------------------------------------------------
