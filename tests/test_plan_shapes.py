@@ -159,3 +159,41 @@ def test_scalar_subquery_join_is_broadcast(spark, sf_dir):
     # the 1-row global-average side must broadcast, not shuffle customer
     plan = plan_of(QUERIES["scalar_subquery_rich_idle_customers"](spark, sf_dir))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_q7_broadcasts_pruned_dims(spark, sf_dir):
+    """The nation-pair filter must prune supplier/customer through
+    broadcast joins — no fact-sized shuffle for any dim lookup."""
+    plan = plan_of(QUERIES["q7_volume_shipping"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2
+    # the n_name IN (...) predicate reaches the nation parquet scan
+    pushed = plan.split("PushedFilters")
+    assert any("n_name" in seg.split("\n")[0] for seg in pushed[1:])
+
+
+def test_q8_share_is_single_aggregate_pass(spark, sf_dir):
+    """Numerator CASE and denominator ride one aggregate — a second
+    scan/self-join of lineitem would double the 100 TB read."""
+    df = QUERIES["q8_market_share"](spark, sf_dir)
+    plan = plan_of(df, "simple")
+    assert plan.count("FileScan parquet") <= 8  # each table scanned once
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_q10_q18_topk_avoid_global_sort(spark, sf_dir):
+    for name in ("q10_returned_items", "q18_large_volume_customers"):
+        plan = plan_of(QUERIES[name](spark, sf_dir), "simple")
+        assert "TakeOrderedAndProject" in plan, f"{name} does a full sort"
+
+
+def test_q18_preaggregates_lineitem_before_join(spark, sf_dir):
+    # the HAVING pre-agg must partial-aggregate map-side before its shuffle
+    plan = plan_of(QUERIES["q18_large_volume_customers"](spark, sf_dir))
+    assert "partial_sum" in plan
+
+
+def test_q19_pushes_brand_filter_to_part_scan(spark, sf_dir):
+    plan = plan_of(QUERIES["q19_discount_revenue"](spark, sf_dir))
+    pushed = plan.split("PushedFilters")
+    assert any("p_brand" in seg.split("\n")[0] for seg in pushed[1:])
+    assert "BroadcastHashJoin" in plan
