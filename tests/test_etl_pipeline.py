@@ -175,3 +175,34 @@ def test_pipeline_steps_fail_independently(spark, sf_dir, stores, tmp_path):
     ]
     results = run_pipeline(spark, syncs, wm, cp, now=NOW)
     assert [r.status for r in results] == [STATUS_ERROR, STATUS_DONE]
+
+
+def test_schema_evolution_add_column(spark, sf_dir, tmp_path):
+    """ALTER TABLE ADD COLUMN IF NOT EXISTS semantics (ref :93,:97-99):
+    idempotent, old versions readable with NULLs, new instances see the
+    evolved schema, new commits carry the column."""
+    from pyspark.sql import functions as F
+
+    from tinyerp_etl_spark.etl.table_store import TableStore
+    from tinyerp_etl_spark.sources.catalog import TABLES, load_table
+
+    ev = load_table(spark, sf_dir, "events").limit(50)
+    store = TableStore(spark, str(tmp_path / "t"), TABLES["events"])
+    store.commit(ev, n_files=1)
+
+    assert store.add_column("data_filtro_api", "timestamp") is True
+    assert store.add_column("data_filtro_api", "timestamp") is False  # IF NOT EXISTS
+
+    # v1 (written pre-evolution) reads back with the new column as NULL
+    got = store.read()
+    assert "data_filtro_api" in got.columns
+    assert got.filter(F.col("data_filtro_api").isNotNull()).count() == 0
+    assert got.count() == 50
+
+    # a fresh instance constructed with the OLD schema sees the evolved one
+    store2 = TableStore(spark, str(tmp_path / "t"), TABLES["events"])
+    assert "data_filtro_api" in store2.schema.fieldNames()
+
+    # a post-evolution commit persists real values for the new column
+    store2.commit(store2.read().withColumn("data_filtro_api", F.lit("2026-01-01").cast("timestamp")), n_files=1)
+    assert store2.read().filter(F.col("data_filtro_api").isNotNull()).count() == 50

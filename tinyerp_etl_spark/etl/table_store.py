@@ -17,11 +17,12 @@ single-writer point.
 
 from __future__ import annotations
 
+import json
 import os
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StructField, StructType, _parse_datatype_string
 
 
 class TableStore:
@@ -41,13 +42,55 @@ class TableStore:
         ref tiny_api_v2_cliente.py:348)."""
         self.spark = spark
         self.path = path
-        self.schema = schema
+        self.schema = self._load_schema() or schema
         self.partition_by = partition_by or []
         os.makedirs(path, exist_ok=True)
 
     @property
     def _pointer(self) -> str:
         return os.path.join(self.path, "_CURRENT")
+
+    @property
+    def _schema_file(self) -> str:
+        return os.path.join(self.path, "_SCHEMA")
+
+    def _load_schema(self) -> StructType | None:
+        """Evolved schema persisted by add_column, if any.
+
+        The stored schema wins over the constructor argument so every
+        reader/writer instance sees the table's current shape — the
+        catalog role the reference delegates to PostgreSQL's DDL.
+        """
+        try:
+            with open(self._schema_file) as f:
+                return StructType.fromJson(json.load(f))
+        except FileNotFoundError:
+            return None
+
+    def _save_schema(self) -> None:
+        fd, tmp = tempfile.mkstemp(dir=self.path, prefix="._SCHEMA.")
+        with os.fdopen(fd, "w") as f:
+            json.dump(self.schema.jsonValue(), f)
+        os.replace(tmp, self._schema_file)
+
+    def add_column(self, name: str, dtype: str) -> bool:
+        """ALTER TABLE ADD COLUMN IF NOT EXISTS — idempotent widening.
+
+        Mirrors the reference's tolerant schema evolution (ALTER TABLE
+        ... ADD COLUMN IF NOT EXISTS data_filtro_api, ref
+        tiny_api_v2_cliente.py:93, exception-tolerant at :97-99).
+        Existing version directories are never rewritten: the parquet
+        reader fills the absent column with NULLs when reading old
+        versions through the widened schema — O(1) DDL at any size.
+        Returns False (no-op) if the column already exists.
+        """
+        if name in self.schema.fieldNames():
+            return False
+        self.schema = StructType(
+            self.schema.fields + [StructField(name, _parse_datatype_string(dtype), True)]
+        )
+        self._save_schema()
+        return True
 
     def current_version(self) -> int | None:
         try:
