@@ -226,3 +226,33 @@ def test_fetch_retries_exhausted():
 
 def test_mask_token():
     assert mask_token("secret-token-123") == "secre..."  # ref :230
+
+
+def test_csv_failfast_on_corrupt_rows(spark, tmp_path):
+    """Pinned-schema CSV reads fail loudly on malformed rows instead of
+    silently producing NULLs (the opposite default from the reference's
+    0.0-coercion, which stays available explicitly via coerce)."""
+    import pytest
+    from pyspark.sql import types as T
+
+    from tinyerp_etl_spark.sources.files import read_csv
+
+    p = tmp_path / "bad.csv"
+    p.write_text("id,price\n1,10.5\n2,not-a-number\n")
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("price", T.DoubleType())]
+    )
+    with pytest.raises(Exception, match="(?i)malformed|failfast"):
+        read_csv(spark, str(p), schema).collect()
+
+
+def test_jsonl_roundtrip_preserves_timestamps(spark, sf_dir, tmp_path):
+    from tinyerp_etl_spark.sources.catalog import TABLES, load_table
+    from tinyerp_etl_spark.sources.files import read_jsonl, write_jsonl
+
+    ev = load_table(spark, sf_dir, "events").limit(100)
+    write_jsonl(ev, str(tmp_path / "ev"), n_files=1)
+    back = read_jsonl(spark, str(tmp_path / "ev"), TABLES["events"])
+    assert sorted(r["ts"] for r in back.select("ts").collect()) == sorted(
+        r["ts"] for r in ev.select("ts").collect()
+    )

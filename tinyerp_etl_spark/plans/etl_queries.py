@@ -17,6 +17,7 @@ from tinyerp_etl_spark.etl.merge import (
     merge_upsert,
     set_null_on_missing_parent,
 )
+from tinyerp_etl_spark.functions.exact import sum_cents
 from tinyerp_etl_spark.operators.hierarchy import ancestor_closure
 from tinyerp_etl_spark.sources.catalog import load_table
 
@@ -460,7 +461,68 @@ def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def file_format_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV + JSONL round-trip under the hash gate (source-format parity).
+
+    Writes orders through each flat-file format with pinned schemas
+    (sources/files.py), reads it back, and aggregates per format. The
+    oracle computes the same aggregate straight from parquet for both
+    format labels — so any precision/timestamp/NULL loss in either
+    text round-trip breaks the hash. Timestamps survive via an explicit
+    microsecond format; doubles survive CSV via shortest-repr output.
+    """
+    import shutil
+    import tempfile
+
+    from tinyerp_etl_spark.sources.catalog import TABLES, load_table
+    from tinyerp_etl_spark.sources.files import (
+        read_csv,
+        read_jsonl,
+        write_csv,
+        write_jsonl,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    scratch = tempfile.mkdtemp(prefix="fmt_roundtrip_")
+    try:
+        write_csv(orders, f"{scratch}/orders_csv", n_files=4)
+        write_jsonl(orders, f"{scratch}/orders_jsonl", n_files=4)
+        out = None
+        for fmt, df in (
+            ("csv", read_csv(spark, f"{scratch}/orders_csv", TABLES["orders"])),
+            ("jsonl", read_jsonl(spark, f"{scratch}/orders_jsonl", TABLES["orders"])),
+        ):
+            agg = df.agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.countDistinct("o_custkey").alias("n_customers"),
+                sum_cents("o_totalprice").alias("sum_price"),
+                F.min("o_orderdate").alias("first_order"),
+                F.max("o_orderdate").alias("last_order"),
+            ).select(F.lit(fmt).alias("fmt"), "*")
+            out = agg if out is None else out.unionByName(agg)
+        # materialize before the scratch dir disappears
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
 ETL_ORACLES: dict[str, str] = {
+    "file_format_roundtrip_orders": """
+        WITH agg AS (
+          SELECT
+            count(*) AS n_rows,
+            count(DISTINCT o_custkey) AS n_customers,
+            CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) / 100.0 AS DOUBLE)
+              AS sum_price,
+            min(o_orderdate) AS first_order,
+            max(o_orderdate) AS last_order
+          FROM orders
+        )
+        SELECT fmt, n_rows, n_customers, sum_price, first_order, last_order
+        FROM (VALUES ('csv'), ('jsonl')) fmts(fmt), agg
+        ORDER BY fmt
+    """,
     "snapshot_diff_orders": """
         WITH base AS (SELECT o_orderkey, o_totalprice FROM orders),
         tagged AS (

@@ -81,6 +81,7 @@ def all_queries() -> dict[str, QueryFn]:
         "kmv_distinct_users": etl_queries.kmv_distinct_users,
         "replace_order_items": etl_queries.replace_order_items,
         "snapshot_diff_orders": etl_queries.snapshot_diff_orders,
+        "file_format_roundtrip_orders": etl_queries.file_format_roundtrip_orders,
     }
     queries.update(LLM_QUERIES)
     queries.update(STREAMING_QUERIES)
