@@ -176,13 +176,19 @@ def tfidf(docs, text_col: str = "text", id_col: str = "doc_id"):
             T.StructField("tf", T.LongType()),
         ]
     )
+    from pyspark.sql.window import Window
+
     tf = docs.select(F.col(id_col).cast("long"), text_col).mapInPandas(
         tf_batches, schema=tf_schema
     )
-    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    # document frequency as a window count over the same token shuffle
+    # the join formulation would need anyway — but with ONE pass: the
+    # groupBy+join alternative executes the Python tokenizer stage
+    # twice (once per branch) and adds a second token shuffle.
+    dfreq_w = Window.partitionBy("token")
     n = docs.agg(F.count(F.lit(1)).alias("__n"))
     return (
-        tf.join(dfreq, "token")
+        tf.withColumn("df", F.count(F.lit(1)).over(dfreq_w))
         .crossJoin(F.broadcast(n))
         .select(
             F.col(id_col),
