@@ -600,6 +600,42 @@ RELATIONAL_ORACLES: dict[str, str] = {
         ) mins ON p_type = t AND p_retailprice = min_price
         ORDER BY p_type, p_partkey
     """,
+    "window_navigation_showcase": """
+        SELECT
+          o_custkey,
+          o_orderkey,
+          o_orderdate,
+          lead(o_orderkey, 1) OVER w AS next_orderkey,
+          lag(o_orderkey, 1) OVER w AS prev_orderkey,
+          first_value(o_orderkey) OVER (
+            PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+          ) AS first_orderkey,
+          CAST(ntile(4) OVER w AS INT) AS quartile,
+          round(percent_rank() OVER w, 6) AS pct_rank,
+          round(cume_dist() OVER w, 6) AS cume
+        FROM orders
+        WHERE o_custkey % 50 = 0
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        ORDER BY o_custkey, o_orderdate, o_orderkey
+    """,
+    "datetime_functions_showcase": """
+        SELECT
+          o_orderkey,
+          o_orderdate AS orderdate,
+          o_orderdate + INTERVAL 1 SECOND AS plus_1s,
+          o_orderdate - INTERVAL 60 DAY AS minus_60d,
+          CAST(CAST(o_orderdate AS DATE) + 1 AS TIMESTAMP) AS next_day,
+          CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end,
+          datediff('day', CAST(o_orderdate AS DATE), DATE '2001-01-01') AS days_to_2001,
+          CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS y,
+          CAST(EXTRACT(quarter FROM o_orderdate) AS BIGINT) AS q,
+          CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow,
+          strftime(o_orderdate, '%d/%m/%Y') AS br_text
+        FROM orders
+        WHERE o_orderkey % 100 = 0
+        ORDER BY o_orderkey
+    """,
     "monthly_revenue_trend": """
         SELECT
           date_trunc('month', o_orderdate) AS order_month,

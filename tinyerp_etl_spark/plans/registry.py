@@ -59,6 +59,8 @@ def all_queries() -> dict[str, QueryFn]:
         "sql_q6_forecast_revenue": relational.sql_q6_forecast_revenue,
         "quantiles_order_value_by_status": relational.quantiles_order_value_by_status,
         "window_moving_avg_daily_revenue": relational.window_moving_avg_daily_revenue,
+        "window_navigation_showcase": relational.window_navigation_showcase,
+        "datetime_functions_showcase": relational.datetime_functions_showcase,
         "pivot_status_by_priority": relational.pivot_status_by_priority,
         "unpivot_nation_balances": relational.unpivot_nation_balances,
         "setops_bag_semantics": relational.setops_bag_semantics,

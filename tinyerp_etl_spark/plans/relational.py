@@ -975,6 +975,65 @@ def deterministic_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def window_navigation_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Navigation/distribution window family in one pass.
+
+    lead/lag/first/last/ntile/percent_rank/cume_dist share one window
+    spec — Spark evaluates them in a single Window operator (one sort,
+    one pass), which is the shape to insist on at scale: each extra
+    incompatible window spec is another full shuffle+sort.
+    """
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") % 50 == 0)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.lead("o_orderkey", 1).over(w).alias("next_orderkey"),
+            F.lag("o_orderkey", 1).over(w).alias("prev_orderkey"),
+            F.first("o_orderkey").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ).alias("first_orderkey"),
+            F.ntile(4).over(w).alias("quartile"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+        )
+        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+    )
+
+
+def datetime_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/interval arithmetic family — the reference's timedelta set.
+
+    The reference computes +1 s, +1 day, −29 d, −60 d offsets
+    (ref tiny_api_v2_cliente.py:113,:152,:164,:180,:331) and formats/
+    parses dd/MM/yyyy text; this query exercises the engine equivalents
+    (date_add, interval arithmetic, date_trunc, datediff, last_day,
+    extract-family, format) as map-side projections.
+    """
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 == 0)
+    d = F.col("o_orderdate")
+    return (
+        o.select(
+            "o_orderkey",
+            d.alias("orderdate"),
+            (d + F.expr("INTERVAL 1 SECOND")).alias("plus_1s"),
+            (d - F.expr("INTERVAL 60 DAYS")).alias("minus_60d"),
+            F.date_add(d.cast("date"), 1).cast("timestamp").alias("next_day"),
+            F.last_day(d).cast("timestamp").alias("month_end"),
+            F.datediff(F.lit("2001-01-01").cast("date"), d.cast("date"))
+            .cast("long")
+            .alias("days_to_2001"),
+            F.year(d).cast("long").alias("y"),
+            F.quarter(d).cast("long").alias("q"),
+            F.dayofweek(d).cast("long").alias("dow"),
+            F.date_format(d, "dd/MM/yyyy").alias("br_text"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
 # --------------------------------------------------------------------------
 # sort / limit / set ops / scalar demos
 # --------------------------------------------------------------------------
