@@ -206,3 +206,43 @@ def test_schema_evolution_add_column(spark, sf_dir, tmp_path):
     # a post-evolution commit persists real values for the new column
     store2.commit(store2.read().withColumn("data_filtro_api", F.lit("2026-01-01").cast("timestamp")), n_files=1)
     assert store2.read().filter(F.col("data_filtro_api").isNotNull()).count() == 50
+
+
+def test_time_travel_read_and_cdc_between_versions(spark, sf_dir, tmp_path):
+    """Version dirs are immutable → read_version reproduces any past
+    state; snapshot_diff over two versions recovers the change set."""
+    from pyspark.sql import functions as F
+
+    from tinyerp_etl_spark.etl.merge import snapshot_diff
+    from tinyerp_etl_spark.etl.table_store import TableStore
+    from tinyerp_etl_spark.sources.catalog import TABLES, load_table
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 40)
+    store = TableStore(spark, str(tmp_path / "t"), TABLES["events"])
+    store.commit(ev, n_files=1)
+    # v2: bump value on even ids, drop ids >= 30
+    store.commit(
+        store.read()
+        .filter(F.col("event_id") < 30)
+        .withColumn(
+            "value",
+            F.when(F.col("event_id") % 2 == 0, F.col("value") + 1.0).otherwise(
+                F.col("value")
+            ),
+        ),
+        n_files=1,
+    )
+    assert store.versions() == [1, 2]
+    assert store.read_version(1).count() == 40
+    diff = snapshot_diff(
+        store.read_version(1), store.read(), keys=["event_id"], compare_cols=["value"]
+    )
+    ops = {r["op"]: r["n"] for r in diff.groupBy("op").agg(F.count("*").alias("n")).collect()}
+    assert ops.get("delete", 0) == 10
+    assert ops.get("update", 0) == 15
+    assert ops.get("insert", 0) == 0
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        store.read_version(99)

@@ -109,7 +109,29 @@ class TableStore:
         v = self.current_version()
         if v is None:
             return self.spark.createDataFrame([], self.schema)
-        return self.spark.read.schema(self.schema).parquet(self._version_dir(v))
+        return self.read_version(v)
+
+    def read_version(self, version: int) -> DataFrame:
+        """Time-travel read of a committed version.
+
+        Old version directories are immutable (commit never rewrites
+        them), so any retained version stays readable — the input to
+        merge.snapshot_diff CDC recovery and to reproducing what a
+        query saw at an earlier run. Raises if the version was never
+        committed.
+        """
+        d = self._version_dir(version)
+        if not os.path.isdir(d):
+            raise ValueError(f"version {version} does not exist at {self.path}")
+        return self.spark.read.schema(self.schema).parquet(d)
+
+    def versions(self) -> list[int]:
+        """All committed versions present on disk, ascending."""
+        out = []
+        for name in os.listdir(self.path):
+            if name.startswith("v") and name[1:].isdigit():
+                out.append(int(name[1:]))
+        return sorted(out)
 
     def commit(self, df: DataFrame, n_files: int | None = None) -> int:
         """Write ``df`` as the next version and swap the pointer.
