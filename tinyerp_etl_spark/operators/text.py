@@ -41,6 +41,25 @@ def token_count(col: Column | str) -> Column:
     return F.array_size(tokens(col))
 
 
+#: GPT-2-flavor pre-tokenizer: contraction suffixes, space-prefixed
+#: letter runs, digit runs, punctuation runs. Deliberately restricted
+#: to a regex subset Java (Spark) and RE2 (DuckDB) match identically —
+#: no lookarounds, no unicode classes.
+BPE_ISH_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9']+"
+
+
+def bpe_token_estimate(col: Column | str) -> Column:
+    """BPE-flavor token count (LLM budget estimate, not whitespace).
+
+    Counts pre-tokenizer segments the way byte-pair encoders split
+    before merges — the standard cheap stand-in for a real tokenizer
+    when budgeting corpus token counts at scale. Pure column
+    expression: JVM-side regex, no UDF.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.array_size(F.regexp_extract_all(c, F.lit(BPE_ISH_PATTERN), 0))
+
+
 def char_count(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     return F.length(c)

@@ -101,12 +101,18 @@ def lang_id_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def token_count_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus token accounting per source (budget-style rollup)."""
+    """Corpus token accounting per source (budget-style rollup).
+
+    Two counters per doc: whitespace/punct tokens and a BPE-flavor
+    pre-tokenizer estimate (the number an LLM data budget actually
+    wants) — both JVM-side column expressions, summed in one pass.
+    """
     docs = load_table(spark, sf_dir, "documents")
     return (
         docs.groupBy("source")
         .agg(
             F.sum(X.token_count("text")).alias("total_tokens"),
+            F.sum(X.bpe_token_estimate("text")).alias("total_bpe_tokens"),
             F.count(F.lit(1)).alias("n_docs"),
             (F.sum(X.token_count("text")) / F.count(F.lit(1)))
             .cast("double")
@@ -475,9 +481,17 @@ LLM_ORACLES: dict[str, str] = {
         ORDER BY doc_id
     """,
     "token_count_by_source": f"""
-        WITH t AS (SELECT source, len({_TOKS}) AS n FROM documents)
+        WITH t AS (
+          SELECT source,
+                 len({_TOKS}) AS n,
+                 len(regexp_extract_all(text,
+                     '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9'']+'))
+                   AS n_bpe
+          FROM documents
+        )
         SELECT source,
                CAST(sum(n) AS BIGINT) AS total_tokens,
+               CAST(sum(n_bpe) AS BIGINT) AS total_bpe_tokens,
                count(*) AS n_docs,
                CAST(CAST(sum(n) AS DOUBLE) / count(*) AS DOUBLE) AS avg_tokens_per_doc
         FROM t
