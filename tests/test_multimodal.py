@@ -58,3 +58,34 @@ def test_frame_sample_plan_counts(spark, media):
         expected = (r["kb"] + 1 + 9) // 10  # ceil((kb+1)/10)
         assert r["n_sampled"] == expected
         assert r["max_idx"] % 10 == 0
+
+
+def test_resize_media_dims_and_payload(spark, media):
+    from tinyerp_etl_spark.operators.multimodal import resize_media
+
+    decoded = decode_media(media)
+    staged = decoded.join(media.select("media_id", "content"), "media_id")
+    out = resize_media(staged, max_side=16).collect()
+    assert len(out) == staged.count()
+    for r in out:
+        # aspect-preserving fit: bounded, never upscaled, ratio kept
+        assert 1 <= r["out_width"] <= max(16, 1)
+        assert 1 <= r["out_height"] <= 16
+        assert r["out_width"] <= r["width"] and r["out_height"] <= r["height"]
+        if max(r["width"], r["height"]) > 16:
+            assert max(r["out_width"], r["out_height"]) == 16
+        assert len(r["content"]) >= 1
+    # deterministic across runs
+    again = resize_media(staged, max_side=16).collect()
+    assert sorted((r["media_id"], bytes(r["content"])) for r in out) == sorted(
+        (r["media_id"], bytes(r["content"])) for r in again
+    )
+
+
+def test_resize_media_real_mode_stubbed(spark, media):
+    from tinyerp_etl_spark.operators.multimodal import resize_media
+
+    decoded = decode_media(media)
+    staged = decoded.join(media.select("media_id", "content"), "media_id")
+    with pytest.raises(NotImplementedError):
+        resize_media(staged, mode="real")

@@ -128,3 +128,62 @@ def frame_sample_plan(df: DataFrame, every_nth: int = 10) -> DataFrame:
             F.sequence(F.lit(0), n_frames - 1, F.lit(every_nth))
         ).alias("frame_index"),
     )
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("out_width", T.IntegerType()),
+        T.StructField("out_height", T.IntegerType()),
+        T.StructField("content", T.BinaryType()),
+    ]
+)
+
+
+def resize_media(
+    df: DataFrame, max_side: int = 256, mode: str = "fake"
+) -> DataFrame:
+    """Resize stage: aspect-preserving fit into a max_side box.
+
+    The Spark plumbing — Arrow batch shape, binary in/out columns,
+    deterministic output dims — is real; the pixel kernel is the
+    stubbed part (``mode='real'`` marks the PIL/ffmpeg integration
+    point; this container has no image libs). The fake kernel
+    truncates the payload proportionally to the area ratio so
+    downstream size accounting behaves like a real resize.
+
+    Input: decoded dims joined back onto payloads —
+    (media_id, width, height, content).
+    """
+    if mode == "real":
+        raise NotImplementedError(
+            "codec libs (PIL/ffmpeg) not available in this container; "
+            "use mode='fake' for the deterministic stub kernel"
+        )
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, w, h, content in zip(
+                pdf["media_id"], pdf["width"], pdf["height"], pdf["content"]
+            ):
+                w, h = int(w), int(h)
+                scale = min(1.0, max_side / max(w, h, 1))
+                # round, not truncate: int(w * (max_side/w)) can land on
+                # max_side−1 through float error
+                ow, oh = max(1, round(w * scale)), max(1, round(h * scale))
+                payload = bytes(content) if content is not None else b""
+                keep = max(1, int(len(payload) * (ow * oh) / max(w * h, 1)))
+                rows.append((mid, w, h, ow, oh, payload[:keep]))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height", "out_width", "out_height", "content",
+                ],
+            )
+
+    return df.select("media_id", "width", "height", "content").mapInPandas(
+        resize_batches, schema=RESIZED_SCHEMA
+    )
