@@ -31,6 +31,8 @@ HEADLINE = [
     "q5_local_supplier_volume",
     "q8_market_share",
     "q18_large_volume_customers",
+    "q9_product_type_profit",
+    "q21_sole_late_shippers",
     "window_latest_order_per_customer",
     "join_left_enrich",
     "topk_expensive_orders",

@@ -197,3 +197,44 @@ def test_q19_pushes_brand_filter_to_part_scan(spark, sf_dir):
     pushed = plan.split("PushedFilters")
     assert any("p_brand" in seg.split("\n")[0] for seg in pushed[1:])
     assert "BroadcastHashJoin" in plan
+
+
+def test_q4_semi_join_is_hashed_not_nested_loop(spark, sf_dir):
+    """The EXISTS has an equi-pair (orderkey) plus a non-equi residual;
+    Spark must plan it as a hashed/sorted semi join with the residual as
+    the join condition — a BroadcastNestedLoopJoin would be O(n*m) on
+    a 100 TB fact."""
+    plan = plan_of(QUERIES["q4_priority_late_ship"](spark, sf_dir), "simple")
+    assert "LeftSemi" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q9_broadcasts_all_dims(spark, sf_dir):
+    """part/supplier/nation ride broadcasts; the only shuffle join is
+    lineitem-orders on orderkey."""
+    plan = plan_of(QUERIES["q9_product_type_profit"](spark, sf_dir), "simple")
+    assert plan.count("BroadcastHashJoin") >= 3
+    pushed = plan_of(QUERIES["q9_product_type_profit"](spark, sf_dir))
+    segs = pushed.split("PushedFilters")
+    assert any("p_name" in seg.split("\n")[0] for seg in segs[1:])
+
+
+def test_q21_scans_lineitem_once(spark, sf_dir):
+    """The EXISTS + NOT-EXISTS reformulation must not self-join the
+    fact: exactly one lineitem scan in the plan (the classic plan has
+    three)."""
+    plan = plan_of(QUERIES["q21_sole_late_shippers"](spark, sf_dir), "simple")
+    assert plan.count("lineitem.parquet") == 1
+
+
+def test_q11_total_is_broadcast_back(spark, sf_dir):
+    """The grand-total scalar rides a broadcast, not a shuffle."""
+    plan = plan_of(QUERIES["q11_important_parts"](spark, sf_dir), "simple")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_grouping_sets_is_single_expand_pass(spark, sf_dir):
+    """GROUPING SETS expands in one scan — not one scan per set."""
+    plan = plan_of(QUERIES["grouping_sets_revenue"](spark, sf_dir), "simple")
+    assert plan.count("lineitem.parquet") == 1
+    assert "Expand" in plan

@@ -19,6 +19,7 @@ from tinyerp_etl_spark.plans.streaming_queries import (
     STREAMING_ORACLES,
     STREAMING_QUERIES,
 )
+from tinyerp_etl_spark.plans.tpch_extra import TPCH_EXTRA_ORACLES, TPCH_EXTRA_QUERIES
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -85,6 +86,7 @@ def all_queries() -> dict[str, QueryFn]:
         "snapshot_diff_orders": etl_queries.snapshot_diff_orders,
         "file_format_roundtrip_orders": etl_queries.file_format_roundtrip_orders,
     }
+    queries.update(TPCH_EXTRA_QUERIES)
     queries.update(LLM_QUERIES)
     queries.update(STREAMING_QUERIES)
     return queries
@@ -93,6 +95,7 @@ def all_queries() -> dict[str, QueryFn]:
 def all_oracles() -> dict[str, str]:
     oracles: dict[str, str] = {}
     oracles.update(RELATIONAL_ORACLES)
+    oracles.update(TPCH_EXTRA_ORACLES)
     oracles.update(ETL_ORACLES)
     oracles.update(LLM_ORACLES)
     oracles.update(STREAMING_ORACLES)
