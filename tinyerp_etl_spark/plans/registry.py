@@ -20,6 +20,7 @@ from tinyerp_etl_spark.plans.streaming_queries import (
     STREAMING_QUERIES,
 )
 from tinyerp_etl_spark.plans.tpch_extra import TPCH_EXTRA_ORACLES, TPCH_EXTRA_QUERIES
+from tinyerp_etl_spark.plans.udf_surface import UDF_SURFACE_ORACLES, UDF_SURFACE_QUERIES
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -87,6 +88,7 @@ def all_queries() -> dict[str, QueryFn]:
         "file_format_roundtrip_orders": etl_queries.file_format_roundtrip_orders,
     }
     queries.update(TPCH_EXTRA_QUERIES)
+    queries.update(UDF_SURFACE_QUERIES)
     queries.update(LLM_QUERIES)
     queries.update(STREAMING_QUERIES)
     return queries
@@ -96,6 +98,7 @@ def all_oracles() -> dict[str, str]:
     oracles: dict[str, str] = {}
     oracles.update(RELATIONAL_ORACLES)
     oracles.update(TPCH_EXTRA_ORACLES)
+    oracles.update(UDF_SURFACE_ORACLES)
     oracles.update(ETL_ORACLES)
     oracles.update(LLM_ORACLES)
     oracles.update(STREAMING_ORACLES)

@@ -1,0 +1,155 @@
+"""Python execution surface: scalar pandas UDF, grouped-agg UDAF, UDTF.
+
+The reference has no UDFs — its two Python helpers (safe_float_convert,
+parse date; ref tiny_api_v2_cliente.py:52-59, :150-151) are expressed
+in this engine as native column expressions (functions/coerce.py),
+which is the right default: JVM-side, codegen'd, no serialization.
+
+This module demonstrates the *sanctioned* Python escape hatches for
+when native functions genuinely can't express the op — each one
+Arrow-vectorized (batch transfer, never row-at-a-time pickling):
+
+- scalar ``pandas_udf``  — the reference's token-masking projection
+  (ref :230) as a vectorized string kernel;
+- grouped-aggregate ``pandas_udf`` (UDAF) — exact weighted mean via
+  integer-cents accumulation inside the batch (partition-order
+  invariant, hash-stable vs the oracle);
+- Python UDTF (Spark 4) — one row in, N rows out, lateral-joined.
+
+Scale notes: scalar/grouped pandas UDFs stream Arrow batches through a
+worker pool pinned per executor — throughput is bounded by Arrow IPC,
+not Python loops. The UDTF fan-out happens per-partition; no shuffle
+is introduced by the lateral join itself.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf, udtf
+
+from tinyerp_etl_spark.sources.catalog import load_table
+
+
+def _mask_token_udf():
+    """Vectorized secret-masking: first 5 chars + '...' (ref :230).
+
+    Built lazily — UDF registration needs an active SparkSession, and
+    plan modules import before the session exists.
+    """
+
+    @pandas_udf("string")
+    def mask_token(s: pd.Series) -> pd.Series:
+        return s.str.slice(0, 5) + "..."
+
+    return mask_token
+
+
+def _weighted_avg_price_udaf():
+    """Quantity-weighted mean price, exact (grouped-agg pandas UDF).
+
+    Accumulates integer cents x integer quantity inside the Arrow
+    batch (int64 — exact, associative), divides once at the end, so
+    the result is bit-identical at any partitioning. A float
+    accumulation here would hash-mismatch the oracle.
+    """
+
+    @pandas_udf("double")
+    def weighted_avg_price(price: pd.Series, qty: pd.Series) -> float:
+        cents = (price * 100).round().astype("int64")
+        q = qty.round().astype("int64")
+        num = int((cents * q).sum())
+        den = int(q.sum())
+        return num / (100.0 * den)
+
+    return weighted_avg_price
+
+
+def _word_positions_udtf():
+    """One document in, one row per whitespace token out (UDTF)."""
+
+    @udtf(returnType="doc_id bigint, pos int, word string")
+    class WordPositions:
+        def eval(self, doc_id: int, text: str):
+            for i, w in enumerate((text or "").split(" "), start=1):
+                yield doc_id, i, w
+
+    return WordPositions
+
+
+def pandas_udf_mask_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar pandas UDF over customer names (token-mask projection)."""
+    c = load_table(spark, sf_dir, "customer")
+    mask_token = _mask_token_udf()
+    return (
+        c.select("c_custkey", mask_token("c_name").alias("masked_name"))
+        .orderBy("c_custkey")
+    )
+
+
+def pandas_udaf_weighted_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-agg pandas UDAF: weighted mean price per return flag."""
+    li = load_table(spark, sf_dir, "lineitem")
+    weighted_avg_price = _weighted_avg_price_udaf()
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            weighted_avg_price("l_extendedprice", "l_quantity").alias("w_avg_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def udtf_word_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral-joined Python UDTF: explode documents into (pos, word)."""
+    spark.udtf.register("word_positions", _word_positions_udtf())
+    load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 200
+    ).createOrReplaceTempView("docs_for_udtf")
+    return spark.sql(
+        """
+        SELECT wp.doc_id, wp.pos, wp.word
+        FROM docs_for_udtf d, LATERAL word_positions(d.doc_id, d.text) wp
+        ORDER BY wp.doc_id, wp.pos
+        """
+    )
+
+
+UDF_SURFACE_QUERIES = {
+    "pandas_udf_mask_names": pandas_udf_mask_names,
+    "pandas_udaf_weighted_price": pandas_udaf_weighted_price,
+    "udtf_word_positions": udtf_word_positions,
+}
+
+
+UDF_SURFACE_ORACLES: dict[str, str] = {
+    "pandas_udf_mask_names": """
+        SELECT c_custkey, substring(c_name, 1, 5) || '...' AS masked_name
+        FROM customer
+        ORDER BY c_custkey
+    """,
+    "pandas_udaf_weighted_price": """
+        SELECT
+          l_returnflag,
+          CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                   * CAST(round(l_quantity) AS BIGINT))
+               / (100.0 * sum(CAST(round(l_quantity) AS BIGINT))) AS DOUBLE)
+            AS w_avg_price
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+    "udtf_word_positions": """
+        SELECT doc_id, CAST(pos AS INTEGER) AS pos, word
+        FROM (
+          SELECT doc_id,
+                 unnest(string_split(text, ' ')) AS word,
+                 unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+          FROM documents
+          WHERE doc_id < 200
+        )
+        ORDER BY doc_id, pos
+    """,
+}
