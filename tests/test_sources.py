@@ -256,3 +256,121 @@ def test_jsonl_roundtrip_preserves_timestamps(spark, sf_dir, tmp_path):
     assert sorted(r["ts"] for r in back.select("ts").collect()) == sorted(
         r["ts"] for r in ev.select("ts").collect()
     )
+
+
+# ---------------------------------------------------------------------------
+# custom Python DataSource (tiny_pages) — batch + streaming
+# ---------------------------------------------------------------------------
+
+def _stage_pages(d, n_pages=2, empty_last=False):
+    d.mkdir(parents=True, exist_ok=True)
+    for i in range(1, n_pages + 1):
+        _write_page(
+            d / f"page_{i:04d}.json",
+            {
+                "retorno": {
+                    "status": "OK",
+                    "status_processamento": "3",
+                    "pagina": i,
+                    "numero_paginas": n_pages,
+                    "produtos": [
+                        {"produto": {"id": str(i * 10 + j), "nome": f"p{i}-{j}", "preco": "1,50"}}
+                        for j in range(3)
+                    ],
+                }
+            },
+        )
+    if empty_last:
+        _write_page(
+            d / f"page_{n_pages + 1:04d}.json",
+            {
+                "retorno": {
+                    "status": "Erro",
+                    "erros": [{"erro": "Nenhum registro encontrado"}],
+                }
+            },
+        )
+
+
+def _register_tiny_pages(spark):
+    from tinyerp_etl_spark.sources.tiny_datasource import TinyPagesDataSource
+
+    spark.dataSource.register(TinyPagesDataSource)
+
+
+def test_tiny_pages_batch_read(spark, tmp_path):
+    d = tmp_path / "pages"
+    _stage_pages(d, n_pages=3, empty_last=True)
+    _register_tiny_pages(spark)
+    df = (
+        spark.read.format("tiny_pages")
+        .schema("id long, nome string, preco string")
+        .option("path", str(d))
+        .option("record_field", "produtos")
+        .option("wrapper", "produto")
+        .load()
+    )
+    rows = sorted(df.collect(), key=lambda r: r.id)
+    assert len(rows) == 9  # 3 pages x 3 records; empty-success page adds 0
+    assert rows[0].id == 10 and rows[0].nome == "p1-0" and rows[0].preco == "1,50"
+    # partition planning: one partition per page file
+    assert df.rdd.getNumPartitions() == 4
+
+
+def test_tiny_pages_batch_protocol_error(spark, tmp_path):
+    d = tmp_path / "pages"
+    _stage_pages(d, n_pages=1)
+    _write_page(
+        d / "page_0002.json",
+        {"retorno": {"status": "Erro", "erros": [{"erro": "Token invalido"}]}},
+    )
+    _register_tiny_pages(spark)
+    df = (
+        spark.read.format("tiny_pages")
+        .schema("id long, nome string, preco string")
+        .option("path", str(d))
+        .option("record_field", "produtos")
+        .option("wrapper", "produto")
+        .load()
+    )
+    with pytest.raises(Exception, match="Token invalido"):
+        df.collect()
+
+
+def test_tiny_pages_stream_resumes_from_offset(spark, tmp_path):
+    """Streaming offsets == pages ingested; new pages arrive in the next
+    micro-batch and a restart does not re-read committed pages —
+    the reference's page-checkpoint contract (ref :183-223)."""
+    d = tmp_path / "pages"
+    _stage_pages(d, n_pages=2)
+    _register_tiny_pages(spark)
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        reader = (
+            spark.readStream.format("tiny_pages")
+            .schema("id long, nome string, preco string")
+            .option("path", str(d))
+            .option("record_field", "produtos")
+            .option("wrapper", "produto")
+            .load()
+        )
+        q = (
+            reader.writeStream.format("parquet")
+            .option("path", str(tmp_path / "out"))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    out1 = spark.read.parquet(str(tmp_path / "out"))
+    assert out1.count() == 6  # 2 pages x 3 records
+
+    # spooler lands one more page; restart picks up ONLY the new page
+    _stage_pages(d, n_pages=3)  # rewrites pages 1-2 identically, adds page 3
+    run_once()
+    out2 = spark.read.parquet(str(tmp_path / "out"))
+    assert out2.count() == 9
+    assert out2.filter("id >= 30").count() == 3
