@@ -238,3 +238,29 @@ def test_grouping_sets_is_single_expand_pass(spark, sf_dir):
     plan = plan_of(QUERIES["grouping_sets_revenue"](spark, sf_dir), "simple")
     assert plan.count("lineitem.parquet") == 1
     assert "Expand" in plan
+
+
+def test_hll_estimate_is_partition_invariant_and_bounded(spark, sf_dir):
+    """The HLL sketch must merge commutatively (same estimate at any
+    partitioning) and sit within 5% of the exact count."""
+    rows = QUERIES["hll_distinct_users"](spark, sf_dir).collect()
+    assert rows, "no groups"
+    for r in rows:
+        assert abs(r.approx_users - r.exact_users) <= max(2, 0.05 * r.exact_users), r
+    from tinyerp_etl_spark.sources.catalog import load_table
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    a = (
+        ev.repartition(17)
+        .groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("e"))
+        .collect()
+    )
+    b = (
+        ev.coalesce(1)
+        .groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("e"))
+        .collect()
+    )
+    assert sorted((r.event_type, r.e) for r in a) == sorted((r.event_type, r.e) for r in b)

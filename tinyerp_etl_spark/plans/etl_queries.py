@@ -386,6 +386,29 @@ def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datasketches HLL distinct-users per event_type (approximate).
+
+    The scale path KMV demonstrates exactly, at production quality:
+    hll_sketch_agg is JVM-native, mergeable (register-max is
+    commutative, so the estimate is partition-order invariant — unit
+    test pins this plus the error bound), and the sketch column itself
+    can be stored per-partition and re-merged later for rollups. No
+    SQL oracle: DuckDB's approx_count_distinct is a different HLL
+    implementation, so the driver records the weaker rows-only check;
+    kmv_distinct_users is the hash-matched deterministic twin.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("approx_users"),
+            F.countDistinct("user_id").alias("exact_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def replace_order_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Detail-table replacement (ref search_pedidos_v2 contract).
 
@@ -507,7 +530,82 @@ def file_format_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(scratch, ignore_errors=True)
 
 
+def csv_quarantine_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bad-records quarantine: PERMISSIVE split instead of fail-or-default.
+
+    Stages orders as CSV with deterministic corruption (every 7th
+    orderkey gets an unparseable price, every 11th a mangled date),
+    reads it back through read_csv_quarantine (one scan, two outputs),
+    and summarizes both streams. The oracle derives the same split
+    closed-form from the parquet — so quarantine must catch EXACTLY
+    the corrupted keys, no more, no less, and the clean stream's
+    aggregate must be untouched by the bad rows.
+    """
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from tinyerp_etl_spark.sources.catalog import load_table
+    from tinyerp_etl_spark.sources.files import read_csv_quarantine
+
+    orders = load_table(spark, sf_dir, "orders")
+    staged = orders.select(
+        F.col("o_orderkey").cast("string"),
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit("oops"))
+        .otherwise(F.format_string("%.2f", "o_totalprice"))
+        .alias("o_totalprice"),
+        F.when(F.col("o_orderkey") % 11 == 0, F.lit("not-a-date"))
+        .otherwise(F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+        .alias("o_orderdate"),
+    )
+    schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+            T.StructField("o_orderdate", T.TimestampType()),
+        ]
+    )
+    scratch = tempfile.mkdtemp(prefix="quarantine_")
+    try:
+        (
+            staged.write.mode("overwrite")
+            .option("header", "true")
+            .csv(f"{scratch}/orders_csv")
+        )
+        good, bad = read_csv_quarantine(spark, f"{scratch}/orders_csv", schema)
+        out = good.agg(
+            F.lit("good").alias("stream"),
+            F.count(F.lit(1)).alias("n_rows"),
+            sum_cents("o_totalprice").alias("sum_price"),
+        ).unionByName(
+            bad.agg(
+                F.lit("quarantined").alias("stream"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.lit(None).cast("double").alias("sum_price"),
+            )
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
 ETL_ORACLES: dict[str, str] = {
+    "csv_quarantine_split": """
+        SELECT 'good' AS stream,
+               count(*) AS n_rows,
+               CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) / 100.0 AS DOUBLE)
+                 AS sum_price
+        FROM orders
+        WHERE o_orderkey % 7 <> 0 AND o_orderkey % 11 <> 0
+        UNION ALL
+        SELECT 'quarantined' AS stream,
+               count(*) AS n_rows,
+               CAST(NULL AS DOUBLE) AS sum_price
+        FROM orders
+        WHERE o_orderkey % 7 = 0 OR o_orderkey % 11 = 0
+    """,
     "file_format_roundtrip_orders": """
         WITH agg AS (
           SELECT

@@ -83,9 +83,11 @@ def all_queries() -> dict[str, QueryFn]:
         "asof_purchase_to_view": etl_queries.asof_purchase_to_view,
         "range_join_event_bursts": etl_queries.range_join_event_bursts,
         "kmv_distinct_users": etl_queries.kmv_distinct_users,
+        "hll_distinct_users": etl_queries.hll_distinct_users,
         "replace_order_items": etl_queries.replace_order_items,
         "snapshot_diff_orders": etl_queries.snapshot_diff_orders,
         "file_format_roundtrip_orders": etl_queries.file_format_roundtrip_orders,
+        "csv_quarantine_split": etl_queries.csv_quarantine_split,
     }
     queries.update(TPCH_EXTRA_QUERIES)
     queries.update(UDF_SURFACE_QUERIES)

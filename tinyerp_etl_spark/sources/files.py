@@ -18,7 +18,7 @@ remains available explicitly via functions/coerce).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StringType, StructField, StructType
 
 #: lossless text form for TimestampType columns (UTC session tz)
 TIMESTAMP_FORMAT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
@@ -66,3 +66,34 @@ def read_jsonl(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
         .option("mode", "FAILFAST")
         .json(path)
     )
+
+
+def read_csv_quarantine(
+    spark: SparkSession, path: str, schema: StructType
+) -> tuple[DataFrame, DataFrame]:
+    """PERMISSIVE CSV read split into (good_rows, quarantined_rows).
+
+    The middle ground between FAILFAST (kill the job for one bad row —
+    wrong at 100 TB, where a handful of mangled rows per billion is
+    the steady state) and the reference's silent 0.0-default (ref
+    tiny_api_v2_cliente.py:52-59). Malformed rows land in a
+    quarantine DataFrame carrying the raw line for replay/audit; clean
+    rows flow on with the pinned schema. One scan serves both outputs.
+    """
+    with_corrupt = StructType(
+        schema.fields + [StructField("_corrupt_record", StringType())]
+    )
+    df = (
+        spark.read.schema(with_corrupt)
+        .option("header", "true")
+        .option("timestampFormat", TIMESTAMP_FORMAT)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+        # Spark requires materializing before filtering on the corrupt
+        # column alone (SPARK-21610); cache keeps it one scan
+        .cache()
+    )
+    bad = df.filter(df["_corrupt_record"].isNotNull()).select("_corrupt_record")
+    good = df.filter(df["_corrupt_record"].isNull()).drop("_corrupt_record")
+    return good, bad
