@@ -225,6 +225,9 @@ def test_q21_scans_lineitem_once(spark, sf_dir):
     three)."""
     plan = plan_of(QUERIES["q21_sole_late_shippers"](spark, sf_dir), "simple")
     assert plan.count("lineitem.parquet") == 1
+    # the pair-collapse formulation must not Expand the joined fact
+    # (two distinct-aggs in one groupBy would)
+    assert "Expand" not in plan
 
 
 def test_q11_total_is_broadcast_back(spark, sf_dir):

@@ -218,10 +218,21 @@ def q21_sole_late_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier")
     lines = li.join(o.select("o_orderkey", "o_orderdate"), li.l_orderkey == o.o_orderkey)
     late = F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 100)
-    per_order = lines.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(F.when(late, F.col("l_suppkey"))).alias("n_late_supp"),
-        F.max(F.when(late, F.col("l_suppkey"))).alias("blamed_suppkey"),
+    # Two distinct-aggregates in one groupBy would Expand (duplicate)
+    # the joined fact 2x before its shuffle. Instead: collapse to
+    # distinct (order, supplier) pairs first, then count flags. Both
+    # aggregations cluster on a subset of the join key partitioning
+    # (orderkey), so neither adds a shuffle — the join's exchange is
+    # the only time lineitem crosses the network.
+    pair = lines.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(late.cast("int")).alias("is_late")
+    )
+    per_order = pair.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum("is_late").alias("n_late_supp"),
+        F.max(F.when(F.col("is_late") == 1, F.col("l_suppkey"))).alias(
+            "blamed_suppkey"
+        ),
     )
     blamed = per_order.filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
     return (
