@@ -316,6 +316,34 @@ def json_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def variant_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction via VariantType (Spark 4).
+
+    The schema-on-read twin of json_props_rollup: parse_json gives a
+    binary variant (no up-front schema), try_variant_get extracts
+    typed paths lazily. At 100 TB this is the right default for
+    heterogeneous props — the variant encodes once, every downstream
+    path extraction is a cheap binary probe instead of a re-parse,
+    and unknown keys don't force schema migrations.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    parsed = ev.select(
+        "event_type",
+        F.try_variant_get(v, "$.k", "long").alias("k"),
+        F.try_variant_get(v, "$.missing", "long").alias("missing"),
+    )
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.sum("k").alias("sum_k"),
+            F.count("k").alias("n_k"),
+            F.count("missing").alias("n_missing"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def asof_purchase_to_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each purchase ↔ the same user's latest view ≤ its ts.
 
@@ -592,6 +620,15 @@ def csv_quarantine_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ETL_ORACLES: dict[str, str] = {
+    "variant_props_extract": """
+        SELECT event_type,
+               CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+               count(CAST(props->>'$.k' AS BIGINT)) AS n_k,
+               count(CAST(props->>'$.missing' AS BIGINT)) AS n_missing
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
     "csv_quarantine_split": """
         SELECT 'good' AS stream,
                count(*) AS n_rows,

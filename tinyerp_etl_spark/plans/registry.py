@@ -80,6 +80,7 @@ def all_queries() -> dict[str, QueryFn]:
         "nested_flatten_roundtrip": etl_queries.nested_flatten_roundtrip,
         "incremental_pipeline_events": etl_queries.incremental_pipeline_events,
         "json_props_rollup": etl_queries.json_props_rollup,
+        "variant_props_extract": etl_queries.variant_props_extract,
         "asof_purchase_to_view": etl_queries.asof_purchase_to_view,
         "range_join_event_bursts": etl_queries.range_join_event_bursts,
         "kmv_distinct_users": etl_queries.kmv_distinct_users,
