@@ -333,3 +333,60 @@ def test_stateful_user_profiles(spark, sf_dir, stream_dir, tmp_path):
         for r in batch.collect()
     }
     assert got == want
+
+
+def _has_protobuf() -> bool:
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithStateInPandas needs protobuf (absent in this env)",
+)
+def test_tws_user_profiles_equals_batch(spark, sf_dir, stream_dir, tmp_path):
+    """transformWithStateInPandas profile stream == batch aggregation,
+    including the MapState-backed distinct-event-type count."""
+    from tinyerp_etl_spark.streaming.tws import TWS_PROFILE_SCHEMA, user_profiles_tws
+
+    stream = read_events_stream(spark, stream_dir)
+    profiles = user_profiles_tws(stream)
+    store = TableStore(spark, str(tmp_path / "tws_tbl"), TWS_PROFILE_SCHEMA)
+
+    def sink(batch_df, batch_id):
+        from tinyerp_etl_spark.etl.merge import merge_upsert
+
+        store.commit(merge_upsert(store.read(), batch_df, ["user_id"]))
+
+    (
+        profiles.writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "tws_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_value_cents"),
+            F.max("ts").alias("last_seen"),
+            F.countDistinct("event_type").alias("n_event_types"),
+        )
+    )
+    got = {
+        r["user_id"]: (r["n_events"], r["sum_value_cents"], r["last_seen"], r["n_event_types"])
+        for r in store.read().collect()
+    }
+    want = {
+        r["user_id"]: (r["n_events"], r["sum_value_cents"], r["last_seen"], r["n_event_types"])
+        for r in batch.collect()
+    }
+    assert got == want
