@@ -88,3 +88,35 @@ def test_bucketed_join_matches_unbucketed(spark, sf_dir, bucketed_tables):
         .collect()
     }
     assert got == want
+
+
+def test_clustered_write_produces_disjoint_rowgroup_stats(spark, sf_dir, tmp_path):
+    """cluster_by must yield tight, non-overlapping parquet min/max
+    stats on the cluster column — the precondition for row-group
+    skipping on selective reads."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from tinyerp_etl_spark.etl.table_store import TableStore
+    from tinyerp_etl_spark.sources.catalog import TABLES, load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    store = TableStore(spark, str(tmp_path / "orders_clustered"), TABLES["orders"])
+    store.commit(orders, n_files=4, cluster_by=["o_orderkey"])
+
+    ranges = []
+    for f in glob.glob(f"{store.path}/v*/**/*.parquet", recursive=True):
+        meta = pq.ParquetFile(f).metadata
+        schema_names = [meta.schema.column(i).name for i in range(meta.num_columns)]
+        ci = schema_names.index("o_orderkey")
+        for rg in range(meta.num_row_groups):
+            st = meta.row_group(rg).column(ci).statistics
+            ranges.append((st.min, st.max))
+    assert len(ranges) >= 4
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"overlapping row-group ranges {(lo1,hi1)} {(lo2,hi2)}"
+
+    # and the read path still returns the same table
+    assert store.read().count() == orders.count()

@@ -133,7 +133,12 @@ class TableStore:
                 out.append(int(name[1:]))
         return sorted(out)
 
-    def commit(self, df: DataFrame, n_files: int | None = None) -> int:
+    def commit(
+        self,
+        df: DataFrame,
+        n_files: int | None = None,
+        cluster_by: list[str] | None = None,
+    ) -> int:
         """Write ``df`` as the next version and swap the pointer.
 
         ``n_files`` coalesces the write to that many output files —
@@ -142,11 +147,25 @@ class TableStore:
         and at daily cadence the file count (not the data) becomes the
         scan bottleneck. Coalesce (not repartition): narrowing needs
         no extra shuffle.
+
+        ``cluster_by`` range-partitions then sorts within partitions
+        on the given columns before writing — the data-skipping lever:
+        parquet row-group min/max stats on a clustered column become
+        tight, disjoint ranges, so a point/range filter on it prunes
+        whole row groups and files at scan time (poor-man's Z-order
+        for the single-dimension case). Worth one extra shuffle when
+        the table is read selectively many times per write.
         """
         v = (self.current_version() or 0) + 1
         out = self._version_dir(v)
         data = df.select([f.name for f in self.schema.fields])
-        if n_files is not None:
+        if cluster_by:
+            if n_files is not None:
+                data = data.repartitionByRange(n_files, *cluster_by)
+            else:
+                data = data.repartitionByRange(*cluster_by)
+            data = data.sortWithinPartitions(*cluster_by)
+        elif n_files is not None:
             data = data.coalesce(n_files)
         writer = data.write.mode("overwrite")
         if self.partition_by:
