@@ -47,6 +47,8 @@ HEADLINE = [
     "kmv_distinct_users",
     "minhash_lsh_neardup_pairs",
     "text_profile_docs",
+    "heavy_hitter_tokens",
+    "scd2_user_event_history",
     "embedding_topk_bruteforce",
     "embedding_topk_ivf",
 ]

@@ -9,6 +9,7 @@ from tinyerp_etl_spark.etl.merge import (
     fk_orphans,
     keep_latest,
     merge_upsert,
+    scd2_from_changelog,
     set_null_on_missing_parent,
 )
 
@@ -117,3 +118,46 @@ def test_set_null_on_missing_parent(spark):
     child = spark.createDataFrame([(10, 1), (11, 5)], "cid int, fk int")
     out = set_null_on_missing_parent(child, parent, "fk", "pk")
     assert _rows(out) == [(10, 1), (11, None)]
+
+
+def test_scd2_collapses_runs_and_versions(spark):
+    log = spark.createDataFrame(
+        [
+            (1, "A", 10, 1),
+            (1, "A", 20, 2),  # same value → same run
+            (1, "B", 30, 3),
+            (1, "A", 40, 4),  # A again → NEW run, not merged with v1
+            (2, "X", 10, 5),
+        ],
+        "k int, attr string, ts int, id int",
+    )
+    out = scd2_from_changelog(log, "k", "attr", "ts", "id")
+    rows = sorted(tuple(r) for r in out.collect())
+    assert rows == [
+        (1, "A", 10, 30, 1, False),
+        (1, "A", 40, None, 3, True),
+        (1, "B", 30, 40, 2, False),
+        (2, "X", 10, None, 1, True),
+    ]
+
+
+def test_scd2_null_attr_runs_collapse(spark):
+    # NULL is a value: a run of NULLs is one interval, including when
+    # the history STARTS with NULL (the eqNullSafe trap).
+    log = spark.createDataFrame(
+        [(1, None, 10, 1), (1, None, 20, 2), (1, "A", 30, 3)],
+        "k int, attr string, ts int, id int",
+    )
+    out = scd2_from_changelog(log, "k", "attr", "ts", "id")
+    rows = {tuple(r) for r in out.collect()}
+    assert rows == {(1, None, 10, 30, 1, False), (1, "A", 30, None, 2, True)}
+
+
+def test_scd2_tiebreak_orders_equal_timestamps(spark):
+    log = spark.createDataFrame(
+        [(1, "B", 10, 2), (1, "A", 10, 1)],
+        "k int, attr string, ts int, id int",
+    )
+    out = scd2_from_changelog(log, "k", "attr", "ts", "id")
+    rows = sorted(tuple(r) for r in out.collect())
+    assert rows == [(1, "A", 10, 10, 1, False), (1, "B", 10, None, 2, True)]

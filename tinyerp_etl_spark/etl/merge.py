@@ -145,6 +145,50 @@ def snapshot_diff(
     )
 
 
+def scd2_from_changelog(
+    df: DataFrame,
+    key: str,
+    attr: str,
+    ts_col: str,
+    tiebreak: str,
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension history from a change log.
+
+    The reference's upsert keeps only the latest row per key (ON
+    CONFLICT DO UPDATE, ref tiny_api_v2_cliente.py:122-123) — Type 1.
+    The analytical model its README targets ("análise e criação de
+    dashboards", README.md:3) usually also wants the Type-2 reading:
+    *when* did each attribute value hold. This derives it relationally:
+    collapse consecutive rows with the same ``attr`` per ``key``
+    (ordered by ``ts_col, tiebreak`` — a total order) into effectivity
+    intervals ``[effective_from, effective_to)``, with a 1-based
+    ``version`` and ``is_current`` on the open interval.
+
+    Scale: both windows partition by ``key``, so the whole operator is
+    one shuffle (AQE reuses the exchange); with the change log bucketed
+    by key in the incremental layer it is shuffle-free.
+    """
+    w = Window.partitionBy(key).orderBy(ts_col, tiebreak)
+    runs = (
+        df.select(key, attr, ts_col, tiebreak)
+        .withColumn("__rn", F.row_number().over(w))
+        .withColumn("__prev", F.lag(attr).over(w))
+        # null-safe change test so NULL-valued runs collapse too; the
+        # first row per key is always a run start
+        .filter((F.col("__rn") == 1) | ~F.col(attr).eqNullSafe(F.col("__prev")))
+        .select(key, attr, F.col(ts_col).alias("effective_from"), tiebreak)
+    )
+    w2 = Window.partitionBy(key).orderBy("effective_from", tiebreak)
+    return runs.select(
+        key,
+        attr,
+        "effective_from",
+        F.lead("effective_from").over(w2).alias("effective_to"),
+        F.row_number().over(w2).alias("version"),
+        F.lead("effective_from").over(w2).isNull().alias("is_current"),
+    )
+
+
 def fk_orphans(child: DataFrame, parent: DataFrame, fk: str, pk: str) -> DataFrame:
     """Anti-join audit: child rows whose FK has no parent.
 

@@ -318,3 +318,31 @@ def token_hash32(col: Column) -> Column:
     murmur3 ``F.hash`` would be Spark-only.
     """
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+#: PII patterns, restricted to the regex subset Java (Spark) and RE2
+#: (DuckDB) evaluate identically — character classes and bounded
+#: repetition only, no lookarounds.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\+[0-9]{2} [0-9]{2} [0-9]{4,5}-[0-9]{4}"
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Replace emails and phone numbers with typed placeholders.
+
+    The pre-training scrub step of a text pipeline: every email
+    becomes ``<EMAIL>`` and every +CC-format phone ``<PHONE>``.
+    Pure JVM-side regexp_replace — whole-stage-codegen'd, no UDF.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    scrubbed = F.regexp_replace(c, PII_EMAIL_RE, "<EMAIL>")
+    return F.regexp_replace(scrubbed, PII_PHONE_RE, "<PHONE>")
+
+
+def pii_counts(col: Column | str) -> dict[str, Column]:
+    """Per-document counts of each PII class (audit columns)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return {
+        "n_emails": F.size(F.regexp_extract_all(c, F.lit(PII_EMAIL_RE), 0)),
+        "n_phones": F.size(F.regexp_extract_all(c, F.lit(PII_PHONE_RE), 0)),
+    }

@@ -414,6 +414,24 @@ def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def scd2_user_event_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 SCD history of each user's event_type attribute.
+
+    The reference keeps only the latest value per key (Type-1 upsert,
+    ref tiny_api_v2_cliente.py:122-123); this derives the Type-2
+    effectivity intervals its dashboard model would want, via
+    etl/merge.py:scd2_from_changelog (two windows, one shuffle).
+    Restricted to user_id < 100 to bound the differential payload; the
+    operator itself is partitioned per key and scales with the log.
+    """
+    from tinyerp_etl_spark.etl.merge import scd2_from_changelog
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 100)
+    return scd2_from_changelog(
+        ev, key="user_id", attr="event_type", ts_col="ts", tiebreak="event_id"
+    ).orderBy("user_id", "version")
+
+
 def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Datasketches HLL distinct-users per event_type (approximate).
 
@@ -697,6 +715,28 @@ ETL_ORACLES: dict[str, str] = {
         WHERE l_orderkey % 2 = 0
           AND l_orderkey NOT IN (SELECT l_orderkey FROM inc_parents)
         ORDER BY l_orderkey, l_linenumber
+    """,
+    "scd2_user_event_history": """
+        WITH ordered AS (
+          SELECT user_id, event_type, ts, event_id,
+                 row_number() OVER w AS rn,
+                 lag(event_type) OVER w AS prev
+          FROM events
+          WHERE user_id < 100
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        runs AS (
+          SELECT user_id, event_type, ts AS effective_from, event_id
+          FROM ordered
+          WHERE rn = 1 OR event_type IS DISTINCT FROM prev
+        )
+        SELECT user_id, event_type, effective_from,
+               lead(effective_from) OVER w2 AS effective_to,
+               row_number() OVER w2 AS version,
+               lead(effective_from) OVER w2 IS NULL AS is_current
+        FROM runs
+        WINDOW w2 AS (PARTITION BY user_id ORDER BY effective_from, event_id)
+        ORDER BY user_id, version
     """,
     "kmv_distinct_users": """
         WITH hashed AS (

@@ -122,6 +122,55 @@ def token_count_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus-frequent tokens (share >= 1%) via candidate-prune.
+
+    operators/sketch.py:heavy_hitters — per-partition Misra-Gries
+    candidates (no shuffle) then broadcast-semi exact verification, so
+    the long tail of rare tokens never crosses the network. The output
+    is exact and partitioning-invariant, hence hash-checkable against
+    a plain HAVING oracle.
+    """
+    from tinyerp_etl_spark.operators.sketch import heavy_hitters
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(X.tokens("text")).alias("token"))
+    toks.persist()  # scanned thrice: total count, candidates, verify
+    return heavy_hitters(toks, "token", min_share=0.01).orderBy("token")
+
+
+def pii_redact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub audit: stage deterministic emails/phones, redact.
+
+    The synthetic corpus carries no PII, so both engines append the
+    same synthetic contact line per doc (the staged-phenomenon pattern
+    used for dedup), then count each PII class and hash the redacted
+    text. Every doc must end with exactly one <EMAIL> and one <PHONE>
+    and no residual '@' — pure regexp_replace, no UDF.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" reach user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +55 11 9"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit("-"),
+            F.lpad(((F.col("doc_id") * 7) % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    counts = X.pii_counts("text")
+    return staged.select(
+        "doc_id",
+        counts["n_emails"].alias("n_emails"),
+        counts["n_phones"].alias("n_phones"),
+        F.md5(X.redact_pii("text")).alias("redacted_md5"),
+        F.contains(X.redact_pii("text"), F.lit("@")).alias("residual_at"),
+    ).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------- dedup
 
 
@@ -369,6 +418,46 @@ _NEARDUP_CTES = f"""staged AS (
 
 
 LLM_ORACLES: dict[str, str] = {
+    "heavy_hitter_tokens": f"""
+        WITH toks AS (SELECT unnest({_TOKS}) AS token FROM documents)
+        SELECT token, count(*) AS n
+        FROM toks
+        GROUP BY token
+        HAVING count(*) >= ceil(0.01 * (SELECT count(*) FROM toks))
+        ORDER BY token
+    """,
+    "pii_redact_docs": """
+        WITH staged AS (
+          SELECT doc_id,
+                 text || ' reach user' || CAST(doc_id AS VARCHAR)
+                      || '@example.com or +55 11 9'
+                      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || '-'
+                      || lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0')
+                   AS text
+          FROM documents
+        ),
+        red AS (
+          SELECT doc_id,
+                 len(regexp_extract_all(text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                   AS n_emails,
+                 len(regexp_extract_all(text,
+                     '\\+[0-9]{2} [0-9]{2} [0-9]{4,5}-[0-9]{4}'))
+                   AS n_phones,
+                 regexp_replace(
+                   regexp_replace(text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                     '<EMAIL>', 'g'),
+                   '\\+[0-9]{2} [0-9]{2} [0-9]{4,5}-[0-9]{4}',
+                   '<PHONE>', 'g') AS redacted
+          FROM staged
+        )
+        SELECT doc_id, n_emails, n_phones,
+               md5(redacted) AS redacted_md5,
+               contains(redacted, '@') AS residual_at
+        FROM red
+        ORDER BY doc_id
+    """,
     "text_profile_docs": f"""
         WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
         SELECT
@@ -678,6 +767,8 @@ LLM_ORACLES: dict[str, str] = {
 
 
 LLM_QUERIES = {
+    "heavy_hitter_tokens": heavy_hitter_tokens,
+    "pii_redact_docs": pii_redact_docs,
     "text_profile_docs": text_profile_docs,
     "tfidf_top_terms": tfidf_top_terms,
     "chunk_documents_stats": chunk_documents_stats,

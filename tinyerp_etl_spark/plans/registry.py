@@ -87,6 +87,7 @@ def all_queries() -> dict[str, QueryFn]:
         "hll_distinct_users": etl_queries.hll_distinct_users,
         "replace_order_items": etl_queries.replace_order_items,
         "snapshot_diff_orders": etl_queries.snapshot_diff_orders,
+        "scd2_user_event_history": etl_queries.scd2_user_event_history,
         "file_format_roundtrip_orders": etl_queries.file_format_roundtrip_orders,
         "csv_quarantine_split": etl_queries.csv_quarantine_split,
     }
