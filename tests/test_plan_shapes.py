@@ -267,3 +267,28 @@ def test_hll_estimate_is_partition_invariant_and_bounded(spark, sf_dir):
         .collect()
     )
     assert sorted((r.event_type, r.e) for r in a) == sorted((r.event_type, r.e) for r in b)
+
+
+def test_heavy_hitters_candidates_have_no_exchange_and_verify_broadcasts(
+    spark, sf_dir
+):
+    from pyspark.sql import functions as F
+
+    from tinyerp_etl_spark.operators.sketch import (
+        heavy_hitter_candidates,
+        heavy_hitters,
+    )
+    from tinyerp_etl_spark.operators.text import tokens
+    from tinyerp_etl_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens("text")).alias("token"))
+    # phase 1 runs where the data lies: no shuffle before the python stage
+    cand_plan = plan_of(heavy_hitter_candidates(toks, "token", 0.01, cap=800))
+    python_stage = cand_plan.find("MapInPandas")
+    assert python_stage != -1
+    assert "Exchange" not in cand_plan[:python_stage]
+    # phase 2 semi-joins the tiny candidate set via broadcast, so only
+    # candidate-carrying rows reach the exact-count shuffle
+    plan = plan_of(heavy_hitters(toks, "token", 0.01))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan

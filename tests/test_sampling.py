@@ -1,0 +1,39 @@
+"""Stratified deterministic sampling unit tests.
+
+The oracle query covers strata that ARE in the rate map; these pin the
+edges it can't: unknown strata drop, rate 0/1 boundaries, and
+reproducibility across partitionings.
+"""
+
+from __future__ import annotations
+
+from tinyerp_etl_spark.operators.sampling import stratified_sample
+
+
+def _keys(df):
+    return sorted(r["k"] for r in df.collect())
+
+
+def test_unknown_strata_are_dropped(spark):
+    df = spark.createDataFrame(
+        [(i, "A" if i % 2 else "ZZZ") for i in range(100)], "k int, s string"
+    )
+    out = stratified_sample(df, "s", {"A": 1.0}, "k")
+    assert _keys(out) == [i for i in range(100) if i % 2]
+
+
+def test_rate_one_keeps_all_rate_zero_drops_all(spark):
+    df = spark.createDataFrame(
+        [(i, "A" if i % 2 else "B") for i in range(100)], "k int, s string"
+    )
+    out = stratified_sample(df, "s", {"A": 1.0, "B": 0.0}, "k")
+    assert _keys(out) == [i for i in range(100) if i % 2]
+
+
+def test_sample_is_partitioning_invariant(spark):
+    df = spark.createDataFrame([(i, "A") for i in range(1000)], "k int, s string")
+    a = _keys(stratified_sample(df.repartition(13), "s", {"A": 0.25}, "k"))
+    b = _keys(stratified_sample(df.coalesce(1), "s", {"A": 0.25}, "k"))
+    assert a == b
+    # a hash predicate at rate r keeps ~r of rows, not exactly r
+    assert 150 < len(a) < 350

@@ -63,6 +63,24 @@ def cosine(a: Column, b: Column) -> Column:
     ).cast("double")
 
 
+def quantize_int8(col: Column) -> Column:
+    """Symmetric int8 scalar quantization: struct(scale, q array).
+
+    The storage-scale path for an embedding column: 4-byte floats
+    become 1-byte codes plus one scale per vector (scale = max|x|/127;
+    code = floor(x/scale + 0.5)). Rounding is spelled floor(+0.5)
+    rather than round() so both engines share one tie-break rule, and
+    the float is widened to double before any arithmetic (same reason
+    as ``_q``). max|code| <= 127 by construction.
+    """
+    maxabs = F.array_max(F.transform(col, lambda x: F.abs(x.cast("double"))))
+    scale = F.greatest(maxabs, F.lit(1e-12)) / F.lit(127.0)
+    q = F.transform(
+        col, lambda x: F.floor(x.cast("double") / scale + F.lit(0.5)).cast("long")
+    )
+    return F.struct(scale.alias("scale"), q.alias("q"))
+
+
 def sign_bucket(a: Column, dims: int = SIGN_BUCKET_DIMS) -> Column:
     """Hyperplane-LSH bucket: sign bits of the leading ``dims`` dims.
 

@@ -281,6 +281,28 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.label_centroids(emb).orderBy("label")
 
 
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization audit over the embedding column.
+
+    The 4×-compression storage path for vectors at scale
+    (operators/similarity.py:quantize_int8): per-vector scale pinned
+    to 1e-9 ticks, the full code vector pinned by md5, and max|code|
+    (must be <= 127 by construction) as a self-check column.
+    """
+    from tinyerp_etl_spark.operators import similarity as S_
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = S_.quantize_int8(F.col("embedding"))
+    return emb.select(
+        "vec_id",
+        F.floor(qs["scale"] * 1e9 + F.lit(0.5)).cast("long").alias("scale_1e9"),
+        F.md5(
+            F.concat_ws(",", F.transform(qs["q"], lambda x: x.cast("string")))
+        ).alias("q_md5"),
+        F.array_max(F.transform(qs["q"], F.abs)).alias("q_max_abs"),
+    ).orderBy("vec_id")
+
+
 def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs over embeddings ∪ perturbed copies (score ≥ 0.98).
 
@@ -425,6 +447,26 @@ LLM_ORACLES: dict[str, str] = {
         GROUP BY token
         HAVING count(*) >= ceil(0.01 * (SELECT count(*) FROM toks))
         ORDER BY token
+    """,
+    "embedding_quantize_int8": """
+        WITH t AS (
+          SELECT vec_id, embedding,
+                 greatest(list_max(list_transform(embedding,
+                     x -> abs(CAST(x AS DOUBLE)))), 1e-12) / 127.0 AS scale
+          FROM embeddings
+        ),
+        qv AS (
+          SELECT vec_id, scale,
+                 list_transform(embedding,
+                     x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS BIGINT)) AS q
+          FROM t
+        )
+        SELECT vec_id,
+               CAST(floor(scale * 1e9 + 0.5) AS BIGINT) AS scale_1e9,
+               md5(array_to_string(q, ',')) AS q_md5,
+               list_max(list_transform(q, x -> abs(x))) AS q_max_abs
+        FROM qv
+        ORDER BY vec_id
     """,
     "pii_redact_docs": """
         WITH staged AS (
@@ -769,6 +811,7 @@ LLM_ORACLES: dict[str, str] = {
 LLM_QUERIES = {
     "heavy_hitter_tokens": heavy_hitter_tokens,
     "pii_redact_docs": pii_redact_docs,
+    "embedding_quantize_int8": embedding_quantize_int8,
     "text_profile_docs": text_profile_docs,
     "tfidf_top_terms": tfidf_top_terms,
     "chunk_documents_stats": chunk_documents_stats,

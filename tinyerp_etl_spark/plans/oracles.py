@@ -418,6 +418,18 @@ RELATIONAL_ORACLES: dict[str, str] = {
         SELECT nationkey, count(*) AS n, 'except_all' AS op FROM x GROUP BY nationkey
         ORDER BY op, nationkey
     """,
+    "stratified_sample_orders": """
+        SELECT o_orderkey, o_orderstatus
+        FROM orders
+        WHERE CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT) % 10000
+              < CASE o_orderstatus
+                  WHEN 'O' THEN 1000
+                  WHEN 'F' THEN 500
+                  WHEN 'P' THEN 10000
+                  ELSE 0
+                END
+        ORDER BY o_orderkey
+    """,
     "deterministic_sample_orders": """
         SELECT o_orderstatus,
                count(*) AS n_sampled,

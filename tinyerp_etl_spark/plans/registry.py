@@ -67,6 +67,7 @@ def all_queries() -> dict[str, QueryFn]:
         "unpivot_nation_balances": relational.unpivot_nation_balances,
         "setops_bag_semantics": relational.setops_bag_semantics,
         "deterministic_sample_orders": relational.deterministic_sample_orders,
+        "stratified_sample_orders": relational.stratified_sample_orders,
         "array_functions_showcase": relational.array_functions_showcase,
         "null_handling_showcase": relational.null_handling_showcase,
         "coercion_showcase": relational.coercion_showcase,

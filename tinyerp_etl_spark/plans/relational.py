@@ -952,6 +952,23 @@ def setops_bag_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return inter.unionByName(exc).orderBy("op", "nationkey")
 
 
+def stratified_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum deterministic sample (the sampleBy analog).
+
+    Different keep-rates per order status — 10% of 'O', 5% of 'F',
+    every 'P' — via operators/sampling.py: a content-hash predicate
+    with exact per-10000 integer thresholds, so the subsample is
+    reproducible and auditable (rand()/sampleBy are neither).
+    """
+    from tinyerp_etl_spark.operators.sampling import stratified_sample
+
+    o = load_table(spark, sf_dir, "orders")
+    sampled = stratified_sample(
+        o, "o_orderstatus", {"O": 0.10, "F": 0.05, "P": 1.0}, "o_orderkey"
+    )
+    return sampled.select("o_orderkey", "o_orderstatus").orderBy("o_orderkey")
+
+
 def deterministic_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """~10% deterministic sample via content hash (not TABLESAMPLE).
 
