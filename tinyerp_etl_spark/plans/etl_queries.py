@@ -398,6 +398,100 @@ def range_join_event_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id")
 
 
+def sessionize_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: 30-minute-inactivity sessions per user.
+
+    The classic event-log idiom (the batch twin of the streaming
+    session_window aggregate, which is oracle-checked separately):
+    lag() marks a session boundary whenever the gap exceeds the
+    timeout, a running sum of boundary markers numbers the sessions,
+    then one groupBy yields per-session stats. Two windows + one agg,
+    all partitioned by user_id — a single shuffle end-to-end.
+    Microsecond integer arithmetic (unix_micros/epoch_us) keeps both
+    engines exact.
+    """
+    from pyspark.sql.window import Window
+
+    gap_us = 30 * 60 * 1_000_000
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 300)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    marked = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+    ).withColumn(
+        "new_sess",
+        (
+            F.col("ts_us") - F.lag("ts_us").over(w) > gap_us
+        ).cast("int"),
+    )
+    numbered = marked.withColumn(
+        "session_seq",
+        F.coalesce(
+            F.sum(F.coalesce(F.col("new_sess"), F.lit(1))).over(
+                Window.partitionBy("user_id")
+                .orderBy("ts_us", "event_id")
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+            F.lit(1),
+        ),
+    )
+    return (
+        numbered.groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts_us").alias("started_us"),
+            F.max("ts_us").alias("ended_us"),
+            (F.max("ts_us") - F.min("ts_us")).alias("duration_us"),
+        )
+        .orderBy("user_id", "session_seq")
+    )
+
+
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel conversion: view → click → purchase per user.
+
+    Stage k+1 only counts if it happens at-or-after the user's stage-k
+    first touch, so each stage is a per-user aggregate joined back to
+    the event stream — three aggregates on the same user_id key (AQE
+    reuses the exchange). Output is one corpus-level row of stage
+    counts + conversion ratios.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    views = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("t_view")
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .join(views, "user_id")
+        .filter(F.col("ts") >= F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(clicks, "user_id")
+        .filter(F.col("ts") >= F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        views.join(clicks, "user_id", "left")
+        .join(purchases, "user_id", "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_viewed"),
+            F.count("t_click").alias("n_clicked"),
+            F.count("t_purchase").alias("n_purchased"),
+            (F.count("t_click") / F.count(F.lit(1)))
+            .cast("double")
+            .alias("view_to_click"),
+            (F.count("t_purchase") / F.count("t_click"))
+            .cast("double")
+            .alias("click_to_purchase"),
+        )
+    )
+
+
 def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV cardinality sketch per event_type vs exact distinct count.
 
@@ -715,6 +809,60 @@ ETL_ORACLES: dict[str, str] = {
         WHERE l_orderkey % 2 = 0
           AND l_orderkey NOT IN (SELECT l_orderkey FROM inc_parents)
         ORDER BY l_orderkey, l_linenumber
+    """,
+    "sessionize_user_events": """
+        WITH marked AS (
+          SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                 CASE WHEN lag(epoch_us(ts)) OVER w IS NULL THEN 1
+                      WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                      THEN 1 ELSE 0 END AS new_sess
+          FROM events
+          WHERE user_id < 300
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        numbered AS (
+          SELECT user_id, ts_us,
+                 CAST(sum(new_sess) OVER (
+                     PARTITION BY user_id ORDER BY ts_us, event_id
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+          FROM marked
+        )
+        SELECT user_id, session_seq,
+               count(*) AS n_events,
+               min(ts_us) AS started_us,
+               max(ts_us) AS ended_us,
+               max(ts_us) - min(ts_us) AS duration_us
+        FROM numbered
+        GROUP BY user_id, session_seq
+        ORDER BY user_id, session_seq
+    """,
+    "funnel_view_click_purchase": """
+        WITH v AS (
+          SELECT user_id, min(ts) AS t_view
+          FROM events WHERE event_type = 'view' GROUP BY user_id
+        ),
+        c AS (
+          SELECT e.user_id, min(e.ts) AS t_click
+          FROM events e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click' AND e.ts >= v.t_view
+          GROUP BY e.user_id
+        ),
+        p AS (
+          SELECT e.user_id, min(e.ts) AS t_purchase
+          FROM events e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND e.ts >= c.t_click
+          GROUP BY e.user_id
+        )
+        SELECT count(*) AS n_viewed,
+               count(c.t_click) AS n_clicked,
+               count(p.t_purchase) AS n_purchased,
+               CAST(CAST(count(c.t_click) AS DOUBLE) / count(*) AS DOUBLE)
+                 AS view_to_click,
+               CAST(CAST(count(p.t_purchase) AS DOUBLE) / count(c.t_click) AS DOUBLE)
+                 AS click_to_purchase
+        FROM v
+        LEFT JOIN c ON v.user_id = c.user_id
+        LEFT JOIN p ON v.user_id = p.user_id
     """,
     "scd2_user_event_history": """
         WITH ordered AS (

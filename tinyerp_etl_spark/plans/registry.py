@@ -89,6 +89,8 @@ def all_queries() -> dict[str, QueryFn]:
         "replace_order_items": etl_queries.replace_order_items,
         "snapshot_diff_orders": etl_queries.snapshot_diff_orders,
         "scd2_user_event_history": etl_queries.scd2_user_event_history,
+        "sessionize_user_events": etl_queries.sessionize_user_events,
+        "funnel_view_click_purchase": etl_queries.funnel_view_click_purchase,
         "file_format_roundtrip_orders": etl_queries.file_format_roundtrip_orders,
         "csv_quarantine_split": etl_queries.csv_quarantine_split,
     }
