@@ -49,6 +49,7 @@ HEADLINE = [
     "text_profile_docs",
     "heavy_hitter_tokens",
     "scd2_user_event_history",
+    "decontaminate_docs",
     "embedding_topk_bruteforce",
     "embedding_topk_ivf",
 ]

@@ -434,3 +434,50 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bit
             ).alias("simhash")
         )
     )
+
+
+CONTAM_K = 8  # word-8-gram overlap unit for decontamination
+
+
+def word_ngrams(col, k: int) -> F.Column:
+    """Distinct word-k-grams (the generalized form of ``shingles``)."""
+    toks = tokens(col)
+    n = F.array_size(toks) - (k - 1)
+    grams = F.when(
+        n >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(grams)
+
+
+def contamination_hits(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = CONTAM_K,
+) -> DataFrame:
+    """Corpus docs sharing any word-k-gram with an eval benchmark.
+
+    The decontamination step of a training-data pipeline: a corpus
+    document that contains a k-token run from the held-out benchmark
+    leaks the benchmark. The benchmark side is tiny by construction,
+    so its distinct gram set broadcasts; corpus grams inner-join it
+    (rows without a hit never shuffle) and one groupBy counts the
+    distinct leaked grams per document.
+    """
+    bench_grams = (
+        benchmark.select(F.explode(word_ngrams(text_col, k)).alias("gram"))
+        .distinct()
+    )
+    corpus_grams = corpus.select(
+        F.col(id_col), F.explode(word_ngrams(text_col, k)).alias("gram")
+    )
+    return (
+        corpus_grams.join(F.broadcast(bench_grams), "gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hit_grams"))
+    )

@@ -320,6 +320,31 @@ def token_hash32(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
 
 
+def ngram_repetition(col: Column | str, n: int) -> dict[str, Column]:
+    """Within-document n-gram repetition (the Gopher-style signal).
+
+    ``dup_fraction`` = 1 − distinct/total word n-grams: near 0 for
+    natural text, approaching 1 for degenerate repetition — the
+    quality filter large-corpus pipelines apply before training.
+    Pure array expressions; guarded so docs with < n tokens report 0
+    grams and fraction 0.0 (Spark's sequence(1, 0) would descend).
+    """
+    toks = tokens(col)
+    cnt = F.greatest(F.array_size(toks) - (n - 1), F.lit(0))
+    grams = F.when(
+        cnt >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(cnt, F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    ndist = F.array_size(F.array_distinct(grams))
+    frac = F.when(
+        cnt > 0, F.lit(1.0) - ndist.cast("double") / cnt.cast("double")
+    ).otherwise(F.lit(0.0))
+    return {"n_grams": cnt, "n_distinct": ndist, "dup_fraction": frac}
+
+
 #: PII patterns, restricted to the regex subset Java (Spark) and RE2
 #: (DuckDB) evaluate identically — character classes and bounded
 #: repetition only, no lookarounds.

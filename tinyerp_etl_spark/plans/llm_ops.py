@@ -171,6 +171,46 @@ def pii_redact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def repetition_profile_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-doc n-gram repetition fractions + keep flag.
+
+    The Gopher-style duplicate-n-gram quality filter
+    (operators/text.py:ngram_repetition) at n=2 and n=3, with the
+    keep/drop decision a corpus pipeline would apply.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    r2 = X.ngram_repetition("text", 2)
+    r3 = X.ngram_repetition("text", 3)
+    return docs.select(
+        "doc_id",
+        r2["n_grams"].alias("n_2grams"),
+        r2["dup_fraction"].alias("dup_2gram_frac"),
+        r3["n_grams"].alias("n_3grams"),
+        r3["dup_fraction"].alias("dup_3gram_frac"),
+        (r2["dup_fraction"] < 0.5).alias("keep"),
+    ).orderBy("doc_id")
+
+
+def decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-benchmark decontamination via 8-gram overlap.
+
+    Benchmark = every 40th doc; corpus = the rest ∪ staged leaks (the
+    benchmark texts with a suffix, ids +300000) so the operator's
+    positive path is exercised. contamination_hits broadcasts the
+    benchmark gram set; output is (doc_id, n_hit_grams) for every
+    corpus doc that leaks the benchmark.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 40 == 0)
+    corpus = docs.filter(F.col("doc_id") % 40 != 0).unionByName(
+        bench.select(
+            (F.col("doc_id") + 300000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" tail markers")).alias("text"),
+        )
+    )
+    return D.contamination_hits(corpus, bench).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------- dedup
 
 
@@ -447,6 +487,70 @@ LLM_ORACLES: dict[str, str] = {
         GROUP BY token
         HAVING count(*) >= ceil(0.01 * (SELECT count(*) FROM toks))
         ORDER BY token
+    """,
+    "repetition_profile_docs": f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        g AS (
+          SELECT doc_id,
+                 CASE WHEN len(toks) >= 2
+                      THEN list_transform(range(1, len(toks)),
+                           i -> array_to_string(toks[i:i+1], ' '))
+                      ELSE [] END AS g2,
+                 CASE WHEN len(toks) >= 3
+                      THEN list_transform(range(1, len(toks) - 1),
+                           i -> array_to_string(toks[i:i+2], ' '))
+                      ELSE [] END AS g3
+          FROM t
+        )
+        SELECT doc_id,
+               CAST(len(g2) AS INT) AS n_2grams,
+               CASE WHEN len(g2) > 0
+                    THEN 1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2)
+                    ELSE 0.0 END AS dup_2gram_frac,
+               CAST(len(g3) AS INT) AS n_3grams,
+               CASE WHEN len(g3) > 0
+                    THEN 1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3)
+                    ELSE 0.0 END AS dup_3gram_frac,
+               (CASE WHEN len(g2) > 0
+                     THEN 1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2)
+                     ELSE 0.0 END) < 0.5 AS keep
+        FROM g
+        ORDER BY doc_id
+    """,
+    "decontaminate_docs": f"""
+        WITH bench_t AS (
+          SELECT doc_id, {_TOKS} AS toks FROM documents WHERE doc_id % 40 = 0
+        ),
+        corpus_raw AS (
+          SELECT doc_id, text FROM documents WHERE doc_id % 40 <> 0
+          UNION ALL
+          SELECT doc_id + 300000, text || ' tail markers'
+          FROM documents WHERE doc_id % 40 = 0
+        ),
+        corpus_t AS (
+          SELECT doc_id, regexp_extract_all(lower(text), '(\\w+)', 1) AS toks
+          FROM corpus_raw
+        ),
+        bg AS (
+          SELECT DISTINCT unnest(
+            CASE WHEN len(toks) >= 8
+                 THEN list_transform(range(1, len(toks) - 6),
+                      i -> array_to_string(toks[i:i+7], ' '))
+                 ELSE [] END) AS gram
+          FROM bench_t
+        ),
+        cg AS (
+          SELECT doc_id, unnest(list_distinct(
+            CASE WHEN len(toks) >= 8
+                 THEN list_transform(range(1, len(toks) - 6),
+                      i -> array_to_string(toks[i:i+7], ' '))
+                 ELSE [] END)) AS gram
+          FROM corpus_t
+        )
+        SELECT cg.doc_id, count(*) AS n_hit_grams
+        FROM cg JOIN bg USING (gram)
+        GROUP BY cg.doc_id
+        ORDER BY doc_id
     """,
     "embedding_quantize_int8": """
         WITH t AS (
@@ -812,6 +916,8 @@ LLM_QUERIES = {
     "heavy_hitter_tokens": heavy_hitter_tokens,
     "pii_redact_docs": pii_redact_docs,
     "embedding_quantize_int8": embedding_quantize_int8,
+    "repetition_profile_docs": repetition_profile_docs,
+    "decontaminate_docs": decontaminate_docs,
     "text_profile_docs": text_profile_docs,
     "tfidf_top_terms": tfidf_top_terms,
     "chunk_documents_stats": chunk_documents_stats,
