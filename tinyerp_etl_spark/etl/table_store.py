@@ -177,3 +177,26 @@ class TableStore:
             f.write(str(v))
         os.replace(tmp, self._pointer)
         return v
+
+    def data_file_count(self, version: int | None = None) -> int:
+        """Number of parquet data files in a version (small-files gauge)."""
+        v = version if version is not None else self.current_version()
+        assert v is not None, "table has no versions"
+        total = 0
+        for root, _dirs, files in os.walk(self._version_dir(v)):
+            total += sum(1 for f in files if f.endswith(".parquet"))
+        return total
+
+    def compact(self, n_files: int = 1) -> int:
+        """Rewrite the current version into ``n_files`` files (OPTIMIZE).
+
+        The small-files problem is cumulative: daily MERGEs each emit a
+        shuffle's worth of files and after a year the scan is bounded by
+        file-open latency, not bytes. Compaction rewrites the same rows
+        as a NEW version (time travel keeps the old layout readable) and
+        swaps the pointer — readers never see a half-compacted table,
+        and a crash mid-compaction leaves the table untouched. Contents
+        are unchanged, so this composes with the incremental layer at
+        any point between MERGEs.
+        """
+        return self.commit(self.read(), n_files=n_files)

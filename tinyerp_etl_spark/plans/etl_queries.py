@@ -398,6 +398,32 @@ def range_join_event_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id")
 
 
+def incremental_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized monthly-revenue rollup maintained from 3 increments.
+
+    etl/rollup.py: the orders table arrives as three disjoint
+    increments (o_orderkey mod 3); each is folded into partial state
+    (exact integer cents) and merged by key. The oracle recomputes the
+    aggregate directly from the full table — the differential gate IS
+    the incremental ≡ full-recompute law, at the gate's scale.
+    """
+    from tinyerp_etl_spark.etl.rollup import (
+        merge_rollup,
+        rollup_increment,
+        rollup_view,
+    )
+
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "order_month", F.date_format("o_orderdate", "yyyy-MM")
+    )
+    keys = ["o_orderstatus", "order_month"]
+    state = None
+    for i in range(3):
+        inc = o.filter(F.col("o_orderkey") % 3 == i)
+        state = merge_rollup(state, rollup_increment(inc, keys, "o_totalprice"), keys)
+    return rollup_view(state).orderBy("o_orderstatus", "order_month")
+
+
 def sessionize_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch sessionization: 30-minute-inactivity sessions per user.
 
@@ -809,6 +835,18 @@ ETL_ORACLES: dict[str, str] = {
         WHERE l_orderkey % 2 = 0
           AND l_orderkey NOT IN (SELECT l_orderkey FROM inc_parents)
         ORDER BY l_orderkey, l_linenumber
+    """,
+    "incremental_rollup_orders": """
+        SELECT o_orderstatus,
+               strftime(o_orderdate, '%Y-%m') AS order_month,
+               count(*) AS n_rows,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0
+                    AS DOUBLE) AS sum_value,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    / (100.0 * count(*)) AS DOUBLE) AS avg_value
+        FROM orders
+        GROUP BY o_orderstatus, order_month
+        ORDER BY o_orderstatus, order_month
     """,
     "sessionize_user_events": """
         WITH marked AS (

@@ -90,6 +90,7 @@ def all_queries() -> dict[str, QueryFn]:
         "snapshot_diff_orders": etl_queries.snapshot_diff_orders,
         "scd2_user_event_history": etl_queries.scd2_user_event_history,
         "sessionize_user_events": etl_queries.sessionize_user_events,
+        "incremental_rollup_orders": etl_queries.incremental_rollup_orders,
         "funnel_view_click_purchase": etl_queries.funnel_view_click_purchase,
         "file_format_roundtrip_orders": etl_queries.file_format_roundtrip_orders,
         "csv_quarantine_split": etl_queries.csv_quarantine_split,
