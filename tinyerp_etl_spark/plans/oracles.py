@@ -418,6 +418,33 @@ RELATIONAL_ORACLES: dict[str, str] = {
         SELECT nationkey, count(*) AS n, 'except_all' AS op FROM x GROUP BY nationkey
         ORDER BY op, nationkey
     """,
+    "gapfill_daily_revenue": """
+        WITH daily AS (
+          SELECT CAST(o_orderdate AS DATE) AS order_date,
+                 count(*) AS n_orders,
+                 CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0
+                      AS DOUBLE) AS revenue
+          FROM orders
+          GROUP BY CAST(o_orderdate AS DATE)
+        ),
+        bounds AS (SELECT min(order_date) AS dmin, max(order_date) AS dmax
+                   FROM daily),
+        spine AS (
+          SELECT CAST(unnest(generate_series(dmin, dmax, INTERVAL 1 DAY)) AS DATE)
+                   AS order_date
+          FROM bounds
+        )
+        SELECT strftime(s.order_date, '%Y-%m-%d') AS order_date,
+               coalesce(d.n_orders, 0) AS n_orders,
+               coalesce(d.revenue, 0.0) AS revenue,
+               last_value(d.revenue IGNORE NULLS) OVER (
+                 ORDER BY s.order_date
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS revenue_ffill
+        FROM spine s
+        LEFT JOIN daily d ON s.order_date = d.order_date
+        ORDER BY s.order_date
+    """,
     "stratified_sample_orders": """
         SELECT o_orderkey, o_orderstatus
         FROM orders

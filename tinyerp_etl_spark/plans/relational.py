@@ -952,6 +952,47 @@ def setops_bag_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return inter.unionByName(exc).orderBy("op", "nationkey")
 
 
+def gapfill_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling: calendar spine + zero-fill + forward fill.
+
+    Dashboard time series need every day present, including days with
+    no orders. The spine is generated relationally (min/max bounds row
+    → sequence → explode; no driver collect), left-joined to the daily
+    aggregate, zero-filled for additive measures, and forward-filled
+    (last non-null over the date order) for level measures. The final
+    window runs over the spine — days, not rows — so its single
+    partition is trivially small at any fact scale; partition by entity
+    when gap-filling per-key series.
+    """
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "order_date", F.to_date("o_orderdate")
+    )
+    daily = o.groupBy("order_date").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        sum_cents("o_totalprice").alias("revenue"),
+    )
+    spine = daily.agg(
+        F.min("order_date").alias("dmin"), F.max("order_date").alias("dmax")
+    ).select(F.explode(F.sequence("dmin", "dmax")).alias("order_date"))
+    w = Window.orderBy("order_date").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        spine.join(daily, "order_date", "left")
+        .select(
+            # string date: pandas-side canonicalization has no date
+            # dtype, so a DATE column would compare as midnight ts
+            F.col("order_date").cast("string").alias("order_date"),
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.coalesce("revenue", F.lit(0.0)).alias("revenue"),
+            F.last("revenue", ignorenulls=True).over(w).alias("revenue_ffill"),
+        )
+        .orderBy("order_date")
+    )
+
+
 def stratified_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-stratum deterministic sample (the sampleBy analog).
 
