@@ -390,3 +390,44 @@ def test_tws_user_profiles_equals_batch(spark, sf_dir, stream_dir, tmp_path):
         for r in batch.collect()
     }
     assert got == want
+
+
+def test_stream_maintained_rollup_equals_batch(spark, sf_dir, stream_dir, tmp_path):
+    """foreachBatch folds each micro-batch into the materialized rollup
+    (etl/rollup.py); draining the stream must land on exactly the state
+    a full batch recompute produces — the streaming face of the
+    incremental ≡ full law."""
+    from pyspark.sql.types import StructType
+
+    from tinyerp_etl_spark.etl.rollup import (
+        merge_rollup,
+        rollup_increment,
+        rollup_view,
+    )
+
+    schema = StructType.fromDDL(
+        "event_type string, n_rows bigint, sum_cents decimal(38,0)"
+    )
+    store = TableStore(spark, str(tmp_path / "rollup"), schema)
+    stream = read_events_stream(spark, stream_dir)
+
+    def sink(batch_df, _bid):
+        cur = store.read() if store.exists() else None
+        part = rollup_increment(batch_df, ["event_type"], "value")
+        store.commit(merge_rollup(cur, part, ["event_type"]))
+
+    (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+    got = sorted(tuple(r) for r in rollup_view(store.read()).collect())
+    ev = load_table(spark, sf_dir, "events")
+    want = sorted(
+        tuple(r)
+        for r in rollup_view(rollup_increment(ev, ["event_type"], "value")).collect()
+    )
+    assert got == want

@@ -651,7 +651,7 @@ def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def file_format_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CSV + JSONL round-trip under the hash gate (source-format parity).
+    """CSV + JSONL + ORC round-trip under the hash gate (format parity).
 
     Writes orders through each flat-file format with pinned schemas
     (sources/files.py), reads it back, and aggregates per format. The
@@ -667,8 +667,10 @@ def file_format_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tinyerp_etl_spark.sources.files import (
         read_csv,
         read_jsonl,
+        read_orc,
         write_csv,
         write_jsonl,
+        write_orc,
     )
 
     orders = load_table(spark, sf_dir, "orders")
@@ -676,10 +678,12 @@ def file_format_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         write_csv(orders, f"{scratch}/orders_csv", n_files=4)
         write_jsonl(orders, f"{scratch}/orders_jsonl", n_files=4)
+        write_orc(orders, f"{scratch}/orders_orc", n_files=4)
         out = None
         for fmt, df in (
             ("csv", read_csv(spark, f"{scratch}/orders_csv", TABLES["orders"])),
             ("jsonl", read_jsonl(spark, f"{scratch}/orders_jsonl", TABLES["orders"])),
+            ("orc", read_orc(spark, f"{scratch}/orders_orc", TABLES["orders"])),
         ):
             agg = df.agg(
                 F.count(F.lit(1)).alias("n_rows"),
@@ -793,7 +797,7 @@ ETL_ORACLES: dict[str, str] = {
           FROM orders
         )
         SELECT fmt, n_rows, n_customers, sum_price, first_order, last_order
-        FROM (VALUES ('csv'), ('jsonl')) fmts(fmt), agg
+        FROM (VALUES ('csv'), ('jsonl'), ('orc')) fmts(fmt), agg
         ORDER BY fmt
     """,
     "snapshot_diff_orders": """

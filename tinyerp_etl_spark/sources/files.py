@@ -68,6 +68,23 @@ def read_jsonl(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
     )
 
 
+def write_orc(df: DataFrame, path: str, n_files: int | None = None) -> None:
+    """Write ``df`` as ORC (the columnar interchange sibling of parquet).
+
+    Binary columnar with embedded schema and min/max stripe stats —
+    lossless by construction (no text formatting round-trip), included
+    so parquet-shop ↔ ORC-shop handoffs are first-class.
+    """
+    if n_files is not None:
+        df = df.coalesce(n_files)
+    df.write.mode("overwrite").orc(path)
+
+
+def read_orc(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
+    """Distributed ORC scan with a pinned schema (no inference)."""
+    return spark.read.schema(schema).orc(path)
+
+
 def read_csv_quarantine(
     spark: SparkSession, path: str, schema: StructType
 ) -> tuple[DataFrame, DataFrame]:
