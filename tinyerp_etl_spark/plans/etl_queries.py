@@ -398,6 +398,62 @@ def range_join_event_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id")
 
 
+def cohort_retention_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users active N days after their first day.
+
+    The dashboard staple over an event log: cohort = a user's first
+    active day (linearized as epoch days so offsets are plain integer
+    subtraction — identical arithmetic in both engines), cell =
+    distinct users from that cohort active at each day offset. Two
+    aggregates on the user_id key plus one on the (cohort, offset)
+    pair; the per-user reduction happens before the small cohort-grid
+    shuffle. Day grain because the test events span one month; the
+    same shape rolls up to weeks/months on longer logs.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    day = F.unix_date(F.to_date("ts")).alias("day")
+    act = ev.select("user_id", day).distinct()
+    first = act.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        act.join(first, "user_id")
+        .groupBy(
+            "cohort_day", (F.col("day") - F.col("cohort_day")).alias("day_offset")
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
+def copurchase_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket: top-20 part pairs co-occurring in one order.
+
+    The co-occurrence self-join, bounded by basket size (pairs per
+    order grow quadratically in its line count, not in table size):
+    distinct (order, part) → equi-self-join on the order key with
+    part_a < part_b to emit each unordered pair once → count, total
+    order (count desc, then pair) → deterministic top-20.
+    """
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
+    )
+    return (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.col("n_orders").desc(), "part_a", "part_b")
+        .limit(20)
+    )
+
+
 def incremental_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Materialized monthly-revenue rollup maintained from 3 increments.
 
@@ -839,6 +895,31 @@ ETL_ORACLES: dict[str, str] = {
         WHERE l_orderkey % 2 = 0
           AND l_orderkey NOT IN (SELECT l_orderkey FROM inc_parents)
         ORDER BY l_orderkey, l_linenumber
+    """,
+    "cohort_retention_daily": """
+        WITH act AS (
+          SELECT DISTINCT user_id,
+                 CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS INT) AS day
+          FROM events
+        ),
+        first AS (
+          SELECT user_id, min(day) AS cohort_day FROM act GROUP BY user_id
+        )
+        SELECT cohort_day, day - cohort_day AS day_offset,
+               count(*) AS n_users
+        FROM act JOIN first USING (user_id)
+        GROUP BY cohort_day, day_offset
+        ORDER BY cohort_day, day_offset
+    """,
+    "copurchase_part_pairs": """
+        WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               count(*) AS n_orders
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY part_a, part_b
+        ORDER BY n_orders DESC, part_a, part_b
+        LIMIT 20
     """,
     "incremental_rollup_orders": """
         SELECT o_orderstatus,

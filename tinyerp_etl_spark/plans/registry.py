@@ -92,6 +92,8 @@ def all_queries() -> dict[str, QueryFn]:
         "scd2_user_event_history": etl_queries.scd2_user_event_history,
         "sessionize_user_events": etl_queries.sessionize_user_events,
         "incremental_rollup_orders": etl_queries.incremental_rollup_orders,
+        "cohort_retention_daily": etl_queries.cohort_retention_daily,
+        "copurchase_part_pairs": etl_queries.copurchase_part_pairs,
         "funnel_view_click_purchase": etl_queries.funnel_view_click_purchase,
         "file_format_roundtrip_orders": etl_queries.file_format_roundtrip_orders,
         "csv_quarantine_split": etl_queries.csv_quarantine_split,
