@@ -292,3 +292,14 @@ def test_heavy_hitters_candidates_have_no_exchange_and_verify_broadcasts(
     # candidate-carrying rows reach the exact-count shuffle
     plan = plan_of(heavy_hitters(toks, "token", 0.01))
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_copurchase_self_join_stays_equi(spark, sf_dir):
+    # the pair inequality must ride as a residual condition on the
+    # order-key equi join, never degenerate to a nested-loop product
+    plan = plan_of(all_queries()["copurchase_part_pairs"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert any(
+        j in plan for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin")
+    )
