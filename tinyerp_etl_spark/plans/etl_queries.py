@@ -398,6 +398,64 @@ def range_join_event_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id")
 
 
+def longest_active_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: each user's longest consecutive-day streak.
+
+    The classic islands trick: within a user's sorted distinct active
+    days, ``day − row_number()`` is constant across a consecutive run,
+    so grouping on it isolates each island without self-joins or
+    iteration — two aggregates and one window, all on the user_id key.
+    """
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    act = ev.select(
+        "user_id", F.unix_date(F.to_date("ts")).alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    islands = act.withColumn("grp", F.col("day") - F.row_number().over(w))
+    streaks = islands.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).alias("streak_len")
+    )
+    return (
+        streaks.groupBy("user_id")
+        .agg(
+            F.sum("streak_len").alias("n_active_days"),
+            F.max("streak_len").alias("longest_streak"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def fuzzy_match_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution: blocked Levenshtein matching of noisy names.
+
+    Stages a typo'd copy of every 37th customer name (last char
+    mutated), then matches it back: block on the 15-char name prefix
+    so candidate pairs stay tiny (the staged side also broadcasts),
+    and exact-verify with edit distance <= 1. The block-then-verify
+    shape is the same candidate/verify discipline as LSH near-dup —
+    the blocking key is what makes fuzzy joins feasible at scale (a
+    raw levenshtein theta-join is quadratic).
+    """
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    noisy = cust.filter(F.col("c_custkey") % 37 == 0).select(
+        (F.col("c_custkey") + 1_000_000).alias("noisy_key"),
+        F.concat(
+            F.substring("c_name", 1, 17), F.lit("X")
+        ).alias("noisy_name"),
+    )
+    block = cust.withColumn("blk", F.substring("c_name", 1, 15))
+    noisy_b = noisy.withColumn("blk", F.substring("noisy_name", 1, 15))
+    return (
+        block.join(F.broadcast(noisy_b), "blk")
+        .withColumn("lev", F.levenshtein("c_name", "noisy_name"))
+        .filter(F.col("lev") <= 1)
+        .select("c_custkey", "noisy_key", "lev")
+        .orderBy("c_custkey", "noisy_key")
+    )
+
+
 def cohort_retention_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention: users active N days after their first day.
 
@@ -895,6 +953,42 @@ ETL_ORACLES: dict[str, str] = {
         WHERE l_orderkey % 2 = 0
           AND l_orderkey NOT IN (SELECT l_orderkey FROM inc_parents)
         ORDER BY l_orderkey, l_linenumber
+    """,
+    "longest_active_streaks": """
+        WITH act AS (
+          SELECT DISTINCT user_id,
+                 CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS INT) AS day
+          FROM events
+        ),
+        islands AS (
+          SELECT user_id, day,
+                 day - row_number() OVER (PARTITION BY user_id ORDER BY day)
+                   AS grp
+          FROM act
+        ),
+        streaks AS (
+          SELECT user_id, grp, count(*) AS streak_len
+          FROM islands GROUP BY user_id, grp
+        )
+        SELECT user_id,
+               CAST(sum(streak_len) AS BIGINT) AS n_active_days,
+               max(streak_len) AS longest_streak
+        FROM streaks
+        GROUP BY user_id
+        ORDER BY user_id
+    """,
+    "fuzzy_match_customers": """
+        WITH noisy AS (
+          SELECT c_custkey + 1000000 AS noisy_key,
+                 substr(c_name, 1, 17) || 'X' AS noisy_name
+          FROM customer WHERE c_custkey % 37 = 0
+        )
+        SELECT c.c_custkey, n.noisy_key,
+               levenshtein(c.c_name, n.noisy_name) AS lev
+        FROM customer c
+        JOIN noisy n ON substr(c.c_name, 1, 15) = substr(n.noisy_name, 1, 15)
+        WHERE levenshtein(c.c_name, n.noisy_name) <= 1
+        ORDER BY c.c_custkey, n.noisy_key
     """,
     "cohort_retention_daily": """
         WITH act AS (

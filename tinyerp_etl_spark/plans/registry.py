@@ -94,6 +94,8 @@ def all_queries() -> dict[str, QueryFn]:
         "sessionize_user_events": etl_queries.sessionize_user_events,
         "incremental_rollup_orders": etl_queries.incremental_rollup_orders,
         "cohort_retention_daily": etl_queries.cohort_retention_daily,
+        "longest_active_streaks": etl_queries.longest_active_streaks,
+        "fuzzy_match_customers": etl_queries.fuzzy_match_customers,
         "copurchase_part_pairs": etl_queries.copurchase_part_pairs,
         "funnel_view_click_purchase": etl_queries.funnel_view_click_purchase,
         "file_format_roundtrip_orders": etl_queries.file_format_roundtrip_orders,
