@@ -50,6 +50,7 @@ HEADLINE = [
     "heavy_hitter_tokens",
     "scd2_user_event_history",
     "decontaminate_docs",
+    "anomaly_zscore_daily_revenue",
     "embedding_topk_bruteforce",
     "embedding_topk_ivf",
 ]
