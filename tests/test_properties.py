@@ -145,3 +145,33 @@ def test_merge_increment_composition(spark, base, inc_a, inc_b):
     )
     combined = merge_upsert(edf, _df(spark, {**a, **b}.items(), 2), ["k"])
     assert _as_map(stepwise) == _as_map(combined)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    values=st.lists(
+        st.sampled_from([f"v{i}" for i in range(12)]), min_size=1, max_size=400
+    ),
+    cap=st.integers(min_value=2, max_value=12),
+    parts=st.integers(min_value=1, max_value=7),
+    share_myriads=st.sampled_from([200, 500, 1000, 2500]),
+)
+def test_heavy_hitters_equals_plain_groupby(spark, values, cap, parts, share_myriads):
+    """The candidate-prune path must be EXACT for any data, any
+    Misra-Gries cap (even absurdly tight), any partitioning, any
+    threshold — the no-false-negative invariant under adversarial
+    skew, not just the showcase corpus."""
+    import math
+
+    from tinyerp_etl_spark.operators.sketch import heavy_hitters
+
+    share = share_myriads / 10_000
+    df = spark.createDataFrame([(v,) for v in values], "v string").repartition(parts)
+    got = {(r["v"], r["n"]) for r in heavy_hitters(df, "v", share, cap=cap).collect()}
+
+    thresh = math.ceil(share * len(values))
+    counts: dict = {}
+    for v in values:
+        counts[v] = counts.get(v, 0) + 1
+    want = {(v, c) for v, c in counts.items() if c >= thresh}
+    assert got == want
