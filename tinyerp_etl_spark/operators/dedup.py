@@ -245,7 +245,7 @@ def minhash_features_pandas(
 
     a_mat = np.array(MINHASH_A, dtype=np.int64)[:, None]
     b_mat = np.array(MINHASH_B, dtype=np.int64)[:, None]
-    tok_re = re.compile(r"\w+")
+    tok_re = re.compile(r"\w+", re.ASCII)  # match Java/RE2 ASCII \w of the column-expression twin and DuckDB oracle
 
     def feature_batches(batches):
         for pdf in batches:
@@ -470,7 +470,7 @@ def word_ngram_rows(
     import pandas as pd
     from pyspark.sql import types as T
 
-    tok_re = re.compile(r"\w+")
+    tok_re = re.compile(r"\w+", re.ASCII)  # match Java/RE2 ASCII \w of the column-expression twin and DuckDB oracle
 
     def gen(batches):
         for pdf in batches:

@@ -18,7 +18,7 @@ import math
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructField, StructType
+from pyspark.sql.types import LongType, StructField, StructType
 from pyspark.sql.window import Window
 
 HASH_SPACE = float(2**32)
@@ -64,11 +64,17 @@ def kmv_distinct_estimate(
     )
 
 
-def heavy_hitter_candidates(
+def _candidate_count_rows(
     df: DataFrame, value_col: str, min_share: float, cap: int
 ) -> DataFrame:
-    """Per-partition Misra-Gries candidates for values with global
-    share >= ``min_share`` — a superset, produced WITHOUT a shuffle.
+    """Per-partition Misra-Gries candidates PLUS one per-partition
+    row-count row, produced in a single shuffle-free pass.
+
+    Output schema is (value_col, part_rows): candidate rows carry
+    ``part_rows`` NULL; each partition additionally emits exactly one
+    row with ``value_col`` NULL and ``part_rows`` = rows seen, so the
+    global total folds out of the same pass (no separate ``count()``
+    job over the input).
 
     By the weighted pigeonhole, a value with global share >= s must
     have local share >= s in at least one partition, so emitting each
@@ -81,11 +87,23 @@ def heavy_hitter_candidates(
     provably had local share < s. Memory is O(cap) except on
     adversarially flat partitions, where the table grows rather than
     give up the no-false-negative guarantee.
+
+    All boundary comparisons run in exact integer arithmetic on the
+    rational value of the ``min_share`` float (``as_integer_ratio``):
+    ``double(0.01) * 300`` is 3.0000000000000004 in float, so a count
+    sitting exactly on the s*n boundary could otherwise be pruned even
+    though the no-false-negative proof holds in real arithmetic.
     """
     import pandas as pd
 
     field = df.schema[value_col]
-    out_schema = StructType([StructField(value_col, field.dataType)])
+    out_schema = StructType(
+        [
+            StructField(value_col, field.dataType),
+            StructField("part_rows", LongType()),
+        ]
+    )
+    s_num, s_den = float(min_share).as_integer_ratio()
 
     def gen(batches):
         counts: dict = {}
@@ -99,40 +117,82 @@ def heavy_hitter_candidates(
                 # largest decrement that keeps the summary under cap
                 vals = sorted(counts.values())
                 off = vals[len(counts) - cap - 1]
-                # ...clamped so offset never reaches s * rows_seen
-                budget = int(min_share * n_rows - offset) - 1
+                # ...clamped so offset stays strictly below s * rows_seen:
+                # (offset + off) * den <= num * n_rows - 1, exactly
+                budget = (s_num * n_rows - 1) // s_den - offset
                 off = min(off, budget)
                 if off > 0:
                     offset += off
                     counts = {k: c - off for k, c in counts.items() if c > off}
-        bar = min_share * n_rows - offset
-        cands = [k for k, c in counts.items() if c >= bar]
-        yield pd.DataFrame({value_col: pd.Series(cands, dtype=object)})
+        # emit value iff c >= s * n_rows - offset, compared exactly
+        cands = [
+            k for k, c in counts.items() if (c + offset) * s_den >= s_num * n_rows
+        ]
+        yield pd.DataFrame(
+            {
+                value_col: pd.Series(cands + [None], dtype=object),
+                "part_rows": pd.Series(
+                    [None] * len(cands) + [n_rows], dtype="object"
+                ),
+            }
+        )
 
     return df.select(value_col).mapInPandas(gen, out_schema)
+
+
+def heavy_hitter_candidates(
+    df: DataFrame, value_col: str, min_share: float, cap: int
+) -> DataFrame:
+    """Provable superset of the values with global share >= min_share,
+    found WITHOUT a shuffle (see ``_candidate_count_rows``)."""
+    return (
+        _candidate_count_rows(df, value_col, min_share, cap)
+        .filter(F.col("part_rows").isNull())
+        .select(value_col)
+    )
 
 
 def heavy_hitters(
     df: DataFrame, value_col: str, min_share: float, cap: int | None = None
 ) -> DataFrame:
     """EXACT frequent values (count >= ceil(min_share * n)) without
-    shuffling the full value cardinality.
+    shuffling the full value cardinality — in TWO passes over ``df``.
 
     Candidate-then-verify, the same shape the engine uses for LSH
-    near-dup: phase 1 (``heavy_hitter_candidates``) finds a provable
-    superset with zero shuffle; phase 2 broadcast-semi-joins the
-    (tiny) candidate set back onto the input so the exact groupBy
-    shuffles only rows carrying candidate values. Against a plain
-    two-phase groupBy at 100 TB the difference is the shuffle volume:
-    mostly-unique values (the long tail) never leave their partition.
+    near-dup: phase 1 (``_candidate_count_rows``) finds a provable
+    superset with zero shuffle AND folds the global row count into the
+    same pass; phase 2 broadcast-semi-joins the (tiny) candidate set
+    back onto the input so the exact groupBy shuffles only rows
+    carrying candidate values. Against a plain two-phase groupBy at
+    100 TB the difference is the shuffle volume: mostly-unique values
+    (the long tail) never leave their partition.
+
+    The candidate/count pass materializes eagerly here (its output is
+    O(cap × partitions) rows — control-plane sized) and the candidate
+    values ride to the verify join as a broadcast local relation, so
+    the returned DataFrame holds no reference to cached state: no
+    cache leak, and ``df`` itself is scanned exactly twice whether or
+    not the caller persists it. The threshold uses the exact rational
+    value of ``min_share`` (ceil(num·n/den) in integers), matching the
+    candidate pass's arithmetic.
 
     Output: (value_col, n) — exact counts, partitioning-invariant.
-    Callers iterating over the same ``df`` three times (count,
-    candidates, verify) should persist it first.
     """
     cap = cap or max(64, int(math.ceil(8.0 / min_share)))
-    threshold = math.ceil(min_share * df.count())
-    cands = heavy_hitter_candidates(df, value_col, min_share, cap).distinct()
+    cc = _candidate_count_rows(df, value_col, min_share, cap).persist()
+    try:
+        total = cc.agg(F.sum("part_rows")).collect()[0][0] or 0
+        cand_rows = (
+            cc.filter(F.col("part_rows").isNull()).select(value_col).distinct()
+        ).collect()
+    finally:
+        cc.unpersist()
+    s_num, s_den = float(min_share).as_integer_ratio()
+    threshold = (s_num * total + s_den - 1) // s_den  # ceil, exact
+    field = df.schema[value_col]
+    cands = df.sparkSession.createDataFrame(
+        cand_rows, StructType([StructField(value_col, field.dataType)])
+    )
     return (
         df.join(F.broadcast(cands), value_col, "left_semi")
         .groupBy(value_col)

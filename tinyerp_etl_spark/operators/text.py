@@ -176,7 +176,7 @@ def tfidf(docs, text_col: str = "text", id_col: str = "doc_id"):
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
-    tok_re = re.compile(r"\w+")
+    tok_re = re.compile(r"\w+", re.ASCII)  # match Java/RE2 ASCII \w of the column-expression twin and DuckDB oracle
 
     def tf_batches(batches):
         for pdf in batches:

@@ -135,7 +135,11 @@ def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(F.explode(X.tokens("text")).alias("token"))
-    toks.persist()  # scanned thrice: total count, candidates, verify
+    # heavy_hitters is two-pass (candidates+count folded into one scan,
+    # then verify); recomputing the parquet-scan+explode twice is
+    # cheaper than caching an exploded token stream — at 100 TB you
+    # could not afford that cache — and leaves nothing persisted in the
+    # long-lived bench/correctness driver sessions.
     return heavy_hitters(toks, "token", min_share=0.01).orderBy("token")
 
 

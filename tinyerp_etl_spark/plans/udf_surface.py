@@ -73,7 +73,11 @@ def _word_positions_udtf():
     @udtf(returnType="doc_id bigint, pos int, word string")
     class WordPositions:
         def eval(self, doc_id: int, text: str):
-            for i, w in enumerate((text or "").split(" "), start=1):
+            if text is None:
+                # unnest(string_split(NULL)) yields zero rows in the
+                # oracle; ('' .split) would yield one empty-word row.
+                return
+            for i, w in enumerate(text.split(" "), start=1):
                 yield doc_id, i, w
 
     return WordPositions
