@@ -5,6 +5,7 @@ from __future__ import annotations
 import json
 
 import pytest
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from tinyerp_etl_spark.sources.fetcher import (
@@ -374,3 +375,34 @@ def test_tiny_pages_stream_resumes_from_offset(spark, tmp_path):
     out2 = spark.read.parquet(str(tmp_path / "out"))
     assert out2.count() == 9
     assert out2.filter("id >= 30").count() == 3
+
+
+def test_events_ts_sanity_bounds(spark, sf_dir):
+    """Guard against testdata drift: the catalog's events read must land
+    in the generated 2024 date range, not a unit-confused 1970 sliver.
+
+    Round 2 regression: the driver regenerated events.ts as
+    TIMESTAMP(MICROS) while the catalog still assumed TIMESTAMP(NANOS),
+    compressing a month of events into 43 minutes of January 1970 and
+    silently corrupting 12 queries. This pins the bound so the next
+    physical-type drift fails loudly in seconds.
+    """
+    import datetime
+
+    from tinyerp_etl_spark.sources.catalog import load_table
+
+    lo, hi = (
+        load_table(spark, sf_dir, "events")
+        .agg(F.min("ts"), F.max("ts"))
+        .first()
+    )
+    assert lo >= datetime.datetime(2024, 1, 1), lo
+    assert hi < datetime.datetime(2026, 1, 1), hi
+    # orders/lineitem date columns share the same generation window
+    olo, ohi = (
+        load_table(spark, sf_dir, "orders")
+        .agg(F.min("o_orderdate"), F.max("o_orderdate"))
+        .first()
+    )
+    assert olo >= datetime.datetime(1992, 1, 1), olo
+    assert ohi < datetime.datetime(2026, 1, 1), ohi

@@ -73,13 +73,7 @@ def test_stream_restart_is_incremental(spark, sf_dir, stream_dir, tmp_path):
         .limit(10)
         .withColumn("event_id", F.col("event_id") + 10_000_000)
     )
-    # stream source schema stores ts as nanos long — convert back
-    late_raw = late.withColumn(
-        "ts", (F.unix_micros(F.col("ts")) * 1000).cast("long")
-    )
-    late_raw.coalesce(1).write.mode("overwrite").parquet(
-        str(tmp_path / "late_out")
-    )
+    late.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "late_out"))
     for f in os.listdir(tmp_path / "late_out"):
         if f.endswith(".parquet"):
             shutil.copy(tmp_path / "late_out" / f, os.path.join(stream_dir, "batch1.parquet"))

@@ -38,8 +38,10 @@ def get_spark(app_name: str = "tinyerp-etl-spark") -> SparkSession:
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
-        # events.parquet stores ts as TIMESTAMP(NANOS) which Spark's
-        # parquet reader rejects; read as long + convert in the catalog
+        # Guarded fallback for TIMESTAMP(NANOS) testdata generations
+        # (round 1 shipped ns; current files are us). The catalog sniffs
+        # the parquet footer and only uses the nanos long-read path when
+        # the file actually is ns; this conf merely keeps that path legal.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     return builder.getOrCreate()

@@ -117,11 +117,20 @@ TABLES: dict[str, T.StructType] = {
 BROADCAST_DIMS = {"region", "nation"}
 
 
-# events.ts is parquet TIMESTAMP(NANOS) — illegal for Spark's reader.
-# With spark.sql.legacy.parquet.nanosAsLong (set in session.py) it
-# arrives as nanos-since-epoch LongType; we truncate to micros exactly
-# like DuckDB's ns→us cast so both engines see identical timestamps.
-_EVENTS_RAW = T.StructType(
+# events.ts has drifted between testdata generations: round 1 shipped
+# parquet TIMESTAMP(NANOS) (illegal for Spark's vectorized reader),
+# round 2 regenerated as TIMESTAMP(MICROS). Rather than pin one physical
+# type and silently corrupt timestamps when the file changes again, we
+# sniff the parquet footer (driver-side, metadata-only — one footer read
+# per path, cached) and pick the read path that matches the file:
+#   - us/ms:  plain typed read; Spark handles these natively.
+#   - ns:     spark.sql.legacy.parquet.nanosAsLong (set in session.py)
+#             reads the int64 nanos as LongType; `ts div 1000` truncates
+#             to micros exactly like DuckDB's ns→us cast so both engines
+#             see identical timestamps.
+# tests/test_sources.py::test_events_ts_sanity_bounds pins min(ts) to the
+# generated 2024 range so a future drift fails loudly in seconds.
+_EVENTS_RAW_NANOS = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
         T.StructField("ts", T.LongType()),
@@ -132,16 +141,38 @@ _EVENTS_RAW = T.StructType(
     ]
 )
 
+_TS_UNIT_CACHE: dict[str, str] = {}
+
+
+def _events_ts_unit(path: str) -> str:
+    """Physical timestamp unit ('ns'/'us'/'ms'/'s') of events.ts at `path`.
+
+    Footer-only read via pyarrow; cached per path for the session. If the
+    footer can't be read (e.g. a directory of part files written by Spark),
+    fall back to 'us' — Spark's own writes are never nanos.
+    """
+    unit = _TS_UNIT_CACHE.get(path)
+    if unit is None:
+        try:
+            import pyarrow.dataset as ds
+
+            field = ds.dataset(path, format="parquet").schema.field("ts")
+            unit = getattr(field.type, "unit", "us")
+        except Exception:
+            unit = "us"
+        _TS_UNIT_CACHE[path] = unit
+    return unit
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one test table with its pinned schema."""
-    if name == "events":
+    if name == "events" and _events_ts_unit(f"{sf_dir}/events.parquet") == "ns":
         from pyspark.sql import functions as F
 
-        raw = spark.read.schema(_EVENTS_RAW).parquet(f"{sf_dir}/events.parquet")
-        return raw.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        raw = spark.read.schema(_EVENTS_RAW_NANOS).parquet(
+            f"{sf_dir}/events.parquet"
         )
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     schema = TABLES[name]
     return spark.read.schema(schema).parquet(f"{sf_dir}/{name}.parquet")
 

@@ -29,10 +29,25 @@ from pyspark.sql import types as T
 from tinyerp_etl_spark.etl.merge import merge_upsert
 from tinyerp_etl_spark.etl.table_store import TableStore
 
+# Streaming mirror of sources.catalog's events schema; ts read path is
+# picked per-directory by sniffing the parquet footer (see
+# sources.catalog._events_ts_unit) so a TIMESTAMP(NANOS) regeneration
+# and the current TIMESTAMP(MICROS) files both normalize identically.
 EVENTS_STREAM_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # nanos (see sources.catalog)
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+_EVENTS_STREAM_SCHEMA_NANOS = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # int64 nanos via nanosAsLong
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
@@ -49,11 +64,17 @@ def read_events_stream(
     ``maxFilesPerTrigger`` is the reference's page cap (#27): bound
     how much one micro-batch ingests.
     """
-    reader = spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+    from tinyerp_etl_spark.sources.catalog import _events_ts_unit
+
+    nanos = _events_ts_unit(dir_path) == "ns"
+    schema = _EVENTS_STREAM_SCHEMA_NANOS if nanos else EVENTS_STREAM_SCHEMA
+    reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     raw = reader.parquet(dir_path)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if nanos:
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw
 
 
 def tumbling_counts(events: DataFrame, window_len: str = "1 hour", lateness: str = "30 minutes") -> DataFrame:
