@@ -161,17 +161,40 @@ def test_heavy_hitters_equals_plain_groupby(spark, values, cap, parts, share_myr
     Misra-Gries cap (even absurdly tight), any partitioning, any
     threshold — the no-false-negative invariant under adversarial
     skew, not just the showcase corpus."""
-    import math
-
     from tinyerp_etl_spark.operators.sketch import heavy_hitters
 
     share = share_myriads / 10_000
     df = spark.createDataFrame([(v,) for v in values], "v string").repartition(parts)
     got = {(r["v"], r["n"]) for r in heavy_hitters(df, "v", share, cap=cap).collect()}
 
-    thresh = math.ceil(share * len(values))
+    # DECIMAL semantics, same as the engine and the SQL oracle:
+    # ceil(num*n/den) with num/den the exact decimal rational (NOT
+    # math.ceil(share*n), which pushes boundary counts over the bar
+    # when double(share)*n rounds up, e.g. 0.1*30 = 3.0000000000000004)
+    from fractions import Fraction
+
+    frac = Fraction(str(share)) * len(values)
+    thresh = -(-frac.numerator // frac.denominator)
     counts: dict = {}
     for v in values:
         counts[v] = counts.get(v, 0) + 1
     want = {(v, c) for v, c in counts.items() if c >= thresh}
     assert got == want
+
+
+def test_heavy_hitters_exact_decimal_boundary(spark):
+    """Boundary regression: 300 rows with one value at exactly 3
+    occurrences and min_share=0.01 — ceil(0.01 * 300) = 3 in DECIMAL
+    arithmetic, so the value IS a heavy hitter. The IEEE rational of
+    double(0.01) is strictly above 1/100, which would wrongly raise
+    the bar to 4 and drop it (the round-2 as_integer_ratio bug)."""
+    from tinyerp_etl_spark.operators.sketch import heavy_hitters
+
+    values = ["hot"] * 3 + [f"u{i}" for i in range(297)]
+    df = spark.createDataFrame([(v,) for v in values], "v string").repartition(4)
+    got = {
+        (r["v"], r["n"])
+        for r in heavy_hitters(df, "v", 0.01, cap=8).collect()
+        if r["v"] == "hot"
+    }
+    assert got == {("hot", 3)}

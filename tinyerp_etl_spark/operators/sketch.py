@@ -15,6 +15,7 @@ keeps its own k smallest before the shuffle).
 from __future__ import annotations
 
 import math
+from fractions import Fraction
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -89,10 +90,13 @@ def _candidate_count_rows(
     give up the no-false-negative guarantee.
 
     All boundary comparisons run in exact integer arithmetic on the
-    rational value of the ``min_share`` float (``as_integer_ratio``):
-    ``double(0.01) * 300`` is 3.0000000000000004 in float, so a count
-    sitting exactly on the s*n boundary could otherwise be pruned even
-    though the no-false-negative proof holds in real arithmetic.
+    rational value of ``min_share``'s DECIMAL reading
+    (``Fraction(str(min_share))``, so 0.01 means exactly 1/100 — the
+    same semantics as the SQL oracle's ``ceil(0.01 * n)`` in DECIMAL).
+    Exact arithmetic here exists for candidate/verify pass consistency:
+    both passes must agree on which side of the bar a boundary count
+    falls, or a value could be pruned in one pass and demanded by the
+    other.
     """
     import pandas as pd
 
@@ -103,7 +107,8 @@ def _candidate_count_rows(
             StructField("part_rows", LongType()),
         ]
     )
-    s_num, s_den = float(min_share).as_integer_ratio()
+    s_frac = Fraction(str(min_share))
+    s_num, s_den = s_frac.numerator, s_frac.denominator
 
     def gen(batches):
         counts: dict = {}
@@ -167,35 +172,32 @@ def heavy_hitters(
     100 TB the difference is the shuffle volume: mostly-unique values
     (the long tail) never leave their partition.
 
-    The candidate/count pass materializes eagerly here (its output is
-    O(cap × partitions) rows — control-plane sized) and the candidate
-    values ride to the verify join as a broadcast local relation, so
-    the returned DataFrame holds no reference to cached state: no
-    cache leak, and ``df`` itself is scanned exactly twice whether or
-    not the caller persists it. The threshold uses the exact rational
-    value of ``min_share`` (ceil(num·n/den) in integers), matching the
-    candidate pass's arithmetic.
+    Everything stays in ONE lazy plan — no driver-side collect of
+    candidate values, no eager side jobs: the candidate/count pass is
+    ``persist()``-ed (O(cap × partitions) rows — control-plane sized)
+    and feeds two tiny broadcast subtrees, the distinct candidate set
+    and the global row count; the exact threshold is evaluated in-plan
+    as ``n * den >= num * total`` (integer form of n >= ceil(num·total/
+    den)) using the DECIMAL rational of ``min_share``
+    (``Fraction(str(min_share))``) — the same arithmetic as the
+    candidate pass and the SQL oracle's DECIMAL ``ceil``. The cached
+    candidate summary is released by Spark's ContextCleaner when the
+    returned plan is garbage-collected (it is kilobytes, not data-
+    scale); ``df`` itself is scanned exactly twice per execution.
 
     Output: (value_col, n) — exact counts, partitioning-invariant.
     """
     cap = cap or max(64, int(math.ceil(8.0 / min_share)))
     cc = _candidate_count_rows(df, value_col, min_share, cap).persist()
-    try:
-        total = cc.agg(F.sum("part_rows")).collect()[0][0] or 0
-        cand_rows = (
-            cc.filter(F.col("part_rows").isNull()).select(value_col).distinct()
-        ).collect()
-    finally:
-        cc.unpersist()
-    s_num, s_den = float(min_share).as_integer_ratio()
-    threshold = (s_num * total + s_den - 1) // s_den  # ceil, exact
-    field = df.schema[value_col]
-    cands = df.sparkSession.createDataFrame(
-        cand_rows, StructType([StructField(value_col, field.dataType)])
-    )
+    cands = cc.filter(F.col("part_rows").isNull()).select(value_col).distinct()
+    total = cc.agg(F.sum("part_rows").alias("__total"))
+    s_frac = Fraction(str(min_share))
+    s_num, s_den = s_frac.numerator, s_frac.denominator
     return (
         df.join(F.broadcast(cands), value_col, "left_semi")
         .groupBy(value_col)
         .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") >= F.lit(threshold))
+        .join(F.broadcast(total))
+        .filter(F.col("n") * F.lit(s_den) >= F.lit(s_num) * F.col("__total"))
+        .select(value_col, "n")
     )

@@ -320,9 +320,21 @@ def embedding_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bit-exact mean vector per label (element-wise tick aggregation)."""
+    """Bit-exact mean vector per label (element-wise tick aggregation).
+
+    Emitted as exploded (label, dim, mean_val) scalar rows rather than
+    the assembled array<double> — the differential gate canonicalizes
+    by hashing sortable scalars, and the exploded form is also what a
+    downstream index-build would consume per-dimension.
+    """
     emb = load_table(spark, sf_dir, "embeddings")
-    return S.label_centroids(emb).orderBy("label")
+    return (
+        S.label_centroids(emb)
+        .select(
+            "label", F.posexplode("centroid").alias("dim", "mean_val")
+        )
+        .orderBy("label", "dim")
+    )
 
 
 def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -891,12 +903,9 @@ LLM_ORACLES: dict[str, str] = {
           FROM t
           GROUP BY label, dim
         )
-        SELECT label,
-               list(mean_val ORDER BY dim) AS centroid,
-               CAST(max(dim) + 1 AS INT) AS n_dims
+        SELECT label, CAST(dim AS INT) AS dim, mean_val
         FROM per_dim
-        GROUP BY label
-        ORDER BY label
+        ORDER BY label, dim
     """,
     "embedding_neardup_pairs": f"""
         WITH staged AS (
