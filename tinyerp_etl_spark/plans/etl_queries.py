@@ -22,6 +22,23 @@ from tinyerp_etl_spark.operators.hierarchy import ancestor_closure
 from tinyerp_etl_spark.sources.catalog import load_table
 
 
+def _persist_result(df: DataFrame, name: str) -> DataFrame:
+    """Materialize a query result whose inputs live in a temp scratch
+    dir that is deleted before the caller consumes the DataFrame.
+
+    Distributed write to the session warehouse + read back — rows never
+    round-trip through the driver (the old ``collect()`` +
+    ``createDataFrame`` pattern would funnel the whole result through
+    driver memory, a non-starter for anything data-scale). Overwrite
+    keeps repeated runs idempotent.
+    """
+    spark = df.sparkSession
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    path = f"{wh}/_query_results/{name}"
+    df.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
 def merge_upsert_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE by key (op #14): incoming wins, survivors keep, inserts land.
 
@@ -278,10 +295,9 @@ def incremental_pipeline_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             PageCheckpoint(spark, f"{scratch}/ckpt.parquet"),
         )
         assert result.status == "CONCLUIDO", result
-        # materialize before the scratch dir disappears
-        rows = store.read().select("event_id", "value").orderBy("event_id")
-        out = spark.createDataFrame(rows.collect(), rows.schema)
-        return out
+        # materialize (distributed) before the scratch dir disappears
+        rows = store.read().select("event_id", "value")
+        return _persist_result(rows, "incremental_pipeline_events")
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
 
@@ -807,9 +823,8 @@ def file_format_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.max("o_orderdate").alias("last_order"),
             ).select(F.lit(fmt).alias("fmt"), "*")
             out = agg if out is None else out.unionByName(agg)
-        # materialize before the scratch dir disappears
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        # materialize (distributed) before the scratch dir disappears
+        return _persist_result(out, "file_format_roundtrip_orders")
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
 
@@ -869,8 +884,8 @@ def csv_quarantine_split(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(None).cast("double").alias("sum_price"),
             )
         )
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        # materialize (distributed) before the scratch dir disappears
+        return _persist_result(out, "csv_quarantine_split")
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
 

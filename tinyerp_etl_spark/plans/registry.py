@@ -4,12 +4,20 @@ Each plans submodule contributes (QUERIES, ORACLES); names are globally
 unique. Queries without an oracle entry (non-SQL-expressible ops) get a
 rows-only check from the driver.
 
-Ordering note (round 2): CORRECTNESS_r01.json covered exactly the first
-50 registry entries, so the registry is insertion-ordered to rotate the
-62 round-1-unverified queries into the front slots: LLM-pipeline ops,
-TPC-H extras, the UDF surface, streaming batch-twins, and the highest
-value ETL queries first; the 50 already driver-proven queries follow.
-Across rounds 1+2 this gives every query a driver-side correctness row.
+Ordering note (round 3): the driver's correctness gate covers the first
+50 registry entries, so insertion order is the rotation schedule.
+Round 3's front 50 =
+  (a) the 12 queries never driver-checked (rounds 1-2 slots 51-62),
+  (b) every events-reading query — the round-2 TIMESTAMP(MICROS)
+      catalog fix changed all their inputs, so both the 9 r02 fails and
+      the r01/r02 greens whose hashes are now stale must be re-proven,
+  (c) the queries whose engine code changed this round (heavy-hitter
+      threshold rewrite, centroid output shape, scratch materialization,
+      day-spine windows),
+  (d) padding from the round-1-proven relational set, oldest evidence
+      first.
+Everything with fresher green evidence (round-2 passes over unchanged
+code) sits in slots 51-112.
 """
 
 from __future__ import annotations
@@ -31,112 +39,159 @@ from tinyerp_etl_spark.plans.udf_surface import UDF_SURFACE_ORACLES, UDF_SURFACE
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
+_ETL_NAMES = [
+    "asof_purchase_to_view",
+    "range_join_event_bursts",
+    "kmv_distinct_users",
+    "scd2_user_event_history",
+    "snapshot_diff_orders",
+    "replace_order_items",
+    "sessionize_user_events",
+    "incremental_rollup_orders",
+    "watermark_resolution_matrix",
+    "hierarchy_subtree_rollup",
+    "skew_salted_event_totals",
+    "cohort_retention_daily",
+    "longest_active_streaks",
+    "fuzzy_match_customers",
+    "copurchase_part_pairs",
+    "funnel_view_click_purchase",
+    "file_format_roundtrip_orders",
+    "csv_quarantine_split",
+    "nested_flatten_roundtrip",
+    "incremental_pipeline_events",
+    "json_props_rollup",
+    "variant_props_extract",
+    "hll_distinct_users",
+    "merge_upsert_events",
+    "keep_latest_event_per_user",
+    "set_null_missing_region",
+    "hierarchy_closure_part",
+]
+
+_RELATIONAL_NAMES = [
+    "q1_pricing_summary",
+    "agg_distinct_count",
+    "agg_rollup",
+    "agg_cube",
+    "audit_counts",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "join_left_enrich",
+    "join_semi_customers_with_orders",
+    "join_anti_orphan_audit",
+    "join_full_outer_balance",
+    "window_latest_order_per_customer",
+    "window_running_total",
+    "window_rank_price_in_status",
+    "topk_expensive_orders",
+    "setops_customer_nations",
+    "scalar_functions_showcase",
+    "exists_returned_orders",
+    "subquery_small_quantity_revenue",
+    "scalar_subquery_rich_idle_customers",
+    "conditional_agg_returnflag",
+    "promo_revenue_ratio",
+    "monthly_revenue_trend",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q10_returned_items",
+    "q13_order_distribution",
+    "q15_top_supplier",
+    "q18_large_volume_customers",
+    "q19_discount_revenue",
+    "groupwise_min_cheapest_parts",
+    "sql_q6_forecast_revenue",
+    "quantiles_order_value_by_status",
+    "window_moving_avg_daily_revenue",
+    "window_navigation_showcase",
+    "datetime_functions_showcase",
+    "pivot_status_by_priority",
+    "unpivot_nation_balances",
+    "setops_bag_semantics",
+    "deterministic_sample_orders",
+    "stratified_sample_orders",
+    "gapfill_daily_revenue",
+    "anomaly_zscore_daily_revenue",
+    "array_functions_showcase",
+    "null_handling_showcase",
+    "coercion_showcase",
+]
+
+# Round 3 gate: the 50 queries that most need a fresh driver row.
+_ROUND3_FRONT_50 = [
+    # (a) never driver-checked (former slots 51-62)
+    "cohort_retention_daily",
+    "longest_active_streaks",
+    "fuzzy_match_customers",
+    "copurchase_part_pairs",
+    "funnel_view_click_purchase",
+    "file_format_roundtrip_orders",
+    "csv_quarantine_split",
+    "nested_flatten_roundtrip",
+    "incremental_pipeline_events",
+    "json_props_rollup",
+    "variant_props_extract",
+    "hll_distinct_users",
+    # (b) events readers — every input hash changed with the ts fix
+    "events_time_grain_rollup",
+    "events_tumbling_hourly",
+    "events_sliding_windows",
+    "events_session_windows",
+    "asof_purchase_to_view",
+    "range_join_event_bursts",
+    "kmv_distinct_users",
+    "scd2_user_event_history",
+    "sessionize_user_events",
+    "watermark_resolution_matrix",
+    "skew_salted_event_totals",
+    "merge_upsert_events",
+    "keep_latest_event_per_user",
+    # (c) engine code changed in round 3
+    "embedding_label_centroids",
+    "heavy_hitter_tokens",
+    "window_moving_avg_daily_revenue",
+    "anomaly_zscore_daily_revenue",
+    "gapfill_daily_revenue",
+    "monthly_revenue_trend",
+    "window_running_total",
+    "q3_shipping_priority",
+    # (d) round-1-proven relational set, oldest evidence first
+    "q1_pricing_summary",
+    "q5_local_supplier_volume",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q10_returned_items",
+    "q13_order_distribution",
+    "q15_top_supplier",
+    "q18_large_volume_customers",
+    "q19_discount_revenue",
+    "sql_q6_forecast_revenue",
+    "promo_revenue_ratio",
+    "quantiles_order_value_by_status",
+    "pivot_status_by_priority",
+    "window_latest_order_per_customer",
+    "hierarchy_closure_part",
+    "set_null_missing_region",
+    "deterministic_sample_orders",
+]
+
 
 def all_queries() -> dict[str, QueryFn]:
-    queries: dict[str, QueryFn] = {}
+    pool: dict[str, QueryFn] = {}
+    pool.update(LLM_QUERIES)
+    pool.update(TPCH_EXTRA_QUERIES)
+    pool.update(UDF_SURFACE_QUERIES)
+    pool.update(STREAMING_QUERIES)
+    for name in _ETL_NAMES:
+        pool[name] = getattr(etl_queries, name)
+    for name in _RELATIONAL_NAMES:
+        pool[name] = getattr(relational, name)
 
-    # --- slots 1-24: LLM-data-pipeline ops (round-1 unverified) ---
-    queries.update(LLM_QUERIES)
-
-    # --- slots 25-32: TPC-H extras + grouping sets (round-1 unverified) ---
-    queries.update(TPCH_EXTRA_QUERIES)
-
-    # --- slots 33-35: UDF surface (round-1 unverified) ---
-    queries.update(UDF_SURFACE_QUERIES)
-
-    # --- slots 36-39: streaming batch-twins (round-1 unverified) ---
-    queries.update(STREAMING_QUERIES)
-
-    # --- slots 40-50: priority ETL queries (round-1 unverified) ---
-    queries.update(
-        {
-            "asof_purchase_to_view": etl_queries.asof_purchase_to_view,
-            "range_join_event_bursts": etl_queries.range_join_event_bursts,
-            "kmv_distinct_users": etl_queries.kmv_distinct_users,
-            "scd2_user_event_history": etl_queries.scd2_user_event_history,
-            "snapshot_diff_orders": etl_queries.snapshot_diff_orders,
-            "replace_order_items": etl_queries.replace_order_items,
-            "sessionize_user_events": etl_queries.sessionize_user_events,
-            "incremental_rollup_orders": etl_queries.incremental_rollup_orders,
-            "watermark_resolution_matrix": etl_queries.watermark_resolution_matrix,
-            "hierarchy_subtree_rollup": etl_queries.hierarchy_subtree_rollup,
-            "skew_salted_event_totals": etl_queries.skew_salted_event_totals,
-        }
-    )
-
-    # --- slots 51-62: remaining round-1-unverified ETL queries ---
-    queries.update(
-        {
-            "cohort_retention_daily": etl_queries.cohort_retention_daily,
-            "longest_active_streaks": etl_queries.longest_active_streaks,
-            "fuzzy_match_customers": etl_queries.fuzzy_match_customers,
-            "copurchase_part_pairs": etl_queries.copurchase_part_pairs,
-            "funnel_view_click_purchase": etl_queries.funnel_view_click_purchase,
-            "file_format_roundtrip_orders": etl_queries.file_format_roundtrip_orders,
-            "csv_quarantine_split": etl_queries.csv_quarantine_split,
-            "nested_flatten_roundtrip": etl_queries.nested_flatten_roundtrip,
-            "incremental_pipeline_events": etl_queries.incremental_pipeline_events,
-            "json_props_rollup": etl_queries.json_props_rollup,
-            "variant_props_extract": etl_queries.variant_props_extract,
-            "hll_distinct_users": etl_queries.hll_distinct_users,
-        }
-    )
-
-    # --- slots 63-112: queries already driver-proven in CORRECTNESS_r01 ---
-    queries.update(
-        {
-            "q1_pricing_summary": relational.q1_pricing_summary,
-            "agg_distinct_count": relational.agg_distinct_count,
-            "agg_rollup": relational.agg_rollup,
-            "agg_cube": relational.agg_cube,
-            "audit_counts": relational.audit_counts,
-            "q3_shipping_priority": relational.q3_shipping_priority,
-            "q5_local_supplier_volume": relational.q5_local_supplier_volume,
-            "join_left_enrich": relational.join_left_enrich,
-            "join_semi_customers_with_orders": relational.join_semi_customers_with_orders,
-            "join_anti_orphan_audit": relational.join_anti_orphan_audit,
-            "join_full_outer_balance": relational.join_full_outer_balance,
-            "window_latest_order_per_customer": relational.window_latest_order_per_customer,
-            "window_running_total": relational.window_running_total,
-            "window_rank_price_in_status": relational.window_rank_price_in_status,
-            "topk_expensive_orders": relational.topk_expensive_orders,
-            "setops_customer_nations": relational.setops_customer_nations,
-            "scalar_functions_showcase": relational.scalar_functions_showcase,
-            "exists_returned_orders": relational.exists_returned_orders,
-            "subquery_small_quantity_revenue": relational.subquery_small_quantity_revenue,
-            "scalar_subquery_rich_idle_customers": relational.scalar_subquery_rich_idle_customers,
-            "conditional_agg_returnflag": relational.conditional_agg_returnflag,
-            "promo_revenue_ratio": relational.promo_revenue_ratio,
-            "monthly_revenue_trend": relational.monthly_revenue_trend,
-            "q7_volume_shipping": relational.q7_volume_shipping,
-            "q8_market_share": relational.q8_market_share,
-            "q10_returned_items": relational.q10_returned_items,
-            "q13_order_distribution": relational.q13_order_distribution,
-            "q15_top_supplier": relational.q15_top_supplier,
-            "q18_large_volume_customers": relational.q18_large_volume_customers,
-            "q19_discount_revenue": relational.q19_discount_revenue,
-            "groupwise_min_cheapest_parts": relational.groupwise_min_cheapest_parts,
-            "sql_q6_forecast_revenue": relational.sql_q6_forecast_revenue,
-            "quantiles_order_value_by_status": relational.quantiles_order_value_by_status,
-            "window_moving_avg_daily_revenue": relational.window_moving_avg_daily_revenue,
-            "window_navigation_showcase": relational.window_navigation_showcase,
-            "datetime_functions_showcase": relational.datetime_functions_showcase,
-            "pivot_status_by_priority": relational.pivot_status_by_priority,
-            "unpivot_nation_balances": relational.unpivot_nation_balances,
-            "setops_bag_semantics": relational.setops_bag_semantics,
-            "deterministic_sample_orders": relational.deterministic_sample_orders,
-            "stratified_sample_orders": relational.stratified_sample_orders,
-            "gapfill_daily_revenue": relational.gapfill_daily_revenue,
-            "anomaly_zscore_daily_revenue": relational.anomaly_zscore_daily_revenue,
-            "array_functions_showcase": relational.array_functions_showcase,
-            "null_handling_showcase": relational.null_handling_showcase,
-            "coercion_showcase": relational.coercion_showcase,
-            "merge_upsert_events": etl_queries.merge_upsert_events,
-            "keep_latest_event_per_user": etl_queries.keep_latest_event_per_user,
-            "set_null_missing_region": etl_queries.set_null_missing_region,
-            "hierarchy_closure_part": etl_queries.hierarchy_closure_part,
-        }
-    )
+    queries: dict[str, QueryFn] = {n: pool[n] for n in _ROUND3_FRONT_50}
+    for name, fn in pool.items():
+        queries.setdefault(name, fn)
+    assert len(queries) == len(pool), "front-50 must be a subset of the pool"
     return queries
 
 
