@@ -70,10 +70,11 @@ def main() -> None:
     queries[HEADLINE[0]](spark, sf_dir).count()
     spark.range(1000).mapInPandas(lambda it: it, schema="id long").count()
 
-    # two passes, report the per-query minimum: absorbs first-touch
+    # three passes, report the per-query minimum: absorbs first-touch
     # effects and transient host noise so the number tracks the engine
+    # (n=2 left q3 a 1.7x outlier in round 2 purely from sampling)
     timings: dict[str, float] = {}
-    for _pass in range(2):
+    for _pass in range(3):
         for name in HEADLINE:
             if name not in queries:
                 continue

@@ -303,3 +303,58 @@ def test_copurchase_self_join_stays_equi(spark, sf_dir):
     assert any(
         j in plan for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin")
     )
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "window_moving_avg_daily_revenue",
+        "anomaly_zscore_daily_revenue",
+        "gapfill_daily_revenue",
+    ],
+)
+def test_day_spine_windows_are_partitioned(spark, sf_dir, name):
+    # the day-spine series queries must never funnel the whole series
+    # through a single-partition WindowExec: every window spec in the
+    # plan carries a partition key (year stitching / segmented ffill)
+    plan = plan_of(QUERIES[name](spark, sf_dir), mode="extended")
+    for line in plan.splitlines():
+        if "windowspecdefinition(" in line:
+            # a partitionless spec renders with the order column first:
+            # windowspecdefinition(<col> ASC ... — a partitioned one
+            # leads with the partition expressions before the sort spec
+            inner = line.split("windowspecdefinition(", 1)[1]
+            first_arg = inner.split(",", 1)[0]
+            assert "ASC" not in first_arg and "DESC" not in first_arg, line
+
+
+def test_year_stitch_equals_global_window(spark):
+    # overlap replication must reproduce the global-window result
+    # exactly, including across year boundaries and on sparse series
+    import datetime
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from tinyerp_etl_spark.plans.relational import _year_stitched
+
+    days = [
+        datetime.date(2022, 12, 20 + i) for i in range(12)
+    ] + [datetime.date(2023, 1, 1 + i) for i in range(10)]
+    daily = spark.createDataFrame(
+        [(d, float(i)) for i, d in enumerate(days)], "day date, v double"
+    )
+    wg = Window.orderBy("day").rowsBetween(-6, 0)
+    want = {
+        (r["day"], r["s"])
+        for r in daily.select("day", F.sum("v").over(wg).alias("s")).collect()
+    }
+    wp = Window.partitionBy("part_year").orderBy("day").rowsBetween(-6, 0)
+    got = {
+        (r["day"], r["s"])
+        for r in _year_stitched(daily, "day", n_ctx=6)
+        .select("day", "is_ctx", F.sum("v").over(wp).alias("s"))
+        .filter(~F.col("is_ctx"))
+        .collect()
+    }
+    assert got == want

@@ -849,11 +849,45 @@ def quantiles_order_value_by_status(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+def _year_stitched(daily: DataFrame, date_col: str, n_ctx: int) -> DataFrame:
+    """Year-partition a day-grain series for a trailing-rows window.
+
+    A global ``Window.orderBy(day)`` serializes the whole series
+    through ONE task — bounded by calendar length, but still a
+    single-partition WindowExec. Overlap replication removes it: each
+    row lands in its own year's partition, and each year's last
+    ``n_ctx`` rows are replicated into the NEXT year's partition as
+    context (``is_ctx`` true), so a ``partitionBy("part_year")``
+    trailing frame of up to ``n_ctx`` preceding rows sees exactly what
+    the global window would. Callers filter ``is_ctx`` out after the
+    window and must use a frame no wider than ``n_ctx`` preceding rows.
+
+    Precondition: every year present in the series (except the first)
+    carries at least ``n_ctx`` rows — true for day-grain series at any
+    realistic density (a year has <= 366 rows, and the frames used
+    here are 6 and 29 rows). tests/test_plan_shapes.py pins both the
+    stitch equivalence and the no-single-partition-window plan shape.
+    """
+    y = F.year(F.col(date_col))
+    own = daily.withColumn("part_year", y).withColumn("is_ctx", F.lit(False))
+    wdesc = Window.partitionBy(y).orderBy(F.col(date_col).desc())
+    ctx = (
+        daily.withColumn("__rn", F.row_number().over(wdesc))
+        .filter(F.col("__rn") <= n_ctx)
+        .drop("__rn")
+        .withColumn("part_year", y + 1)
+        .withColumn("is_ctx", F.lit(True))
+    )
+    return own.unionByName(ctx)
+
+
 def window_moving_avg_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """7-row moving average over daily revenue (explicit window frame).
 
     Two-level: exact daily sums first (tiny intermediate), then a
-    ROWS BETWEEN 6 PRECEDING frame over the day series. The moving
+    ROWS BETWEEN 6 PRECEDING frame over the day series, year-
+    partitioned via overlap replication (``_year_stitched``) so no
+    stage funnels the whole series through one task. The moving
     average divides an exact integer window sum by the exact row
     count, so it is partition-order-invariant.
     """
@@ -862,15 +896,19 @@ def window_moving_avg_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFra
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev_cents"),
         F.count(F.lit(1)).alias("n_orders"),
     )
-    w = Window.orderBy("day").rowsBetween(-6, 0)
+    w = Window.partitionBy("part_year").orderBy("day").rowsBetween(-6, 0)
     return (
-        daily.select(
+        _year_stitched(daily, "day", n_ctx=6)
+        .select(
             "day",
+            "is_ctx",
             (F.col("rev_cents") / 100.0).cast("double").alias("revenue"),
             (F.sum("rev_cents").over(w) / (100.0 * F.count(F.lit(1)).over(w)))
             .cast("double")
             .alias("moving_avg_7d"),
         )
+        .filter(~F.col("is_ctx"))
+        .drop("is_ctx")
         .orderBy("day")
     )
 
@@ -960,9 +998,10 @@ def anomaly_zscore_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     SUM-of-squares over a trailing 29-row frame stay small exact
     integers, and mean/variance/z derive through one fixed sequence of
     double ops — so even the z-score hash-matches across engines.
-    Flags |z| > 2 with at least 7 days of history. Window over the
-    daily series (days, not rows); partition by entity for per-key
-    monitoring at scale.
+    Flags |z| > 2 with at least 7 days of history. The trailing frame
+    runs year-partitioned via overlap replication (``_year_stitched``)
+    — no single-task window stage; partition by entity as well for
+    per-key monitoring at scale.
     """
     from pyspark.sql.window import Window
 
@@ -972,7 +1011,8 @@ def anomaly_zscore_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = o.groupBy("order_date").agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev_cents")
     )
-    w = Window.orderBy("order_date").rowsBetween(-29, -1)
+    daily = _year_stitched(daily, "order_date", n_ctx=29)
+    w = Window.partitionBy("part_year").orderBy("order_date").rowsBetween(-29, -1)
     # Second moments must stay below 2^53: integer→double casts beyond
     # that round differently across engines (measured: decimal(38,0)
     # vs HUGEINT low-bit drift at sf0.1). So the series is quantized
@@ -980,17 +1020,24 @@ def anomaly_zscore_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sum-of-squares are small exact integers and every subsequent
     # double op is identical everywhere. Supports ~$1.7B/day before
     # the unit needs widening.
-    stats = daily.select(
-        F.col("order_date").cast("string").alias("order_date"),
-        (F.col("rev_cents") / 100.0).cast("double").alias("revenue"),
-        F.expr("(rev_cents + 50000) div 100000").alias("rev_k"),
-    ).select(
-        "order_date",
-        "revenue",
-        "rev_k",
-        F.count(F.lit(1)).over(w).alias("n_hist"),
-        F.sum("rev_k").over(w).alias("hist_sum"),
-        F.sum(F.col("rev_k") * F.col("rev_k")).over(w).alias("hist_sumsq"),
+    stats = (
+        daily.select(
+            F.col("order_date").cast("string").alias("order_date"),
+            "part_year",
+            "is_ctx",
+            (F.col("rev_cents") / 100.0).cast("double").alias("revenue"),
+            F.expr("(rev_cents + 50000) div 100000").alias("rev_k"),
+        )
+        .select(
+            "order_date",
+            "is_ctx",
+            "revenue",
+            "rev_k",
+            F.count(F.lit(1)).over(w).alias("n_hist"),
+            F.sum("rev_k").over(w).alias("hist_sum"),
+            F.sum(F.col("rev_k") * F.col("rev_k")).over(w).alias("hist_sumsq"),
+        )
+        .filter(~F.col("is_ctx"))
     )
     mean = F.col("hist_sum").cast("double") / F.col("n_hist")
     var = F.col("hist_sumsq").cast("double") / F.col("n_hist") - mean * mean
@@ -1034,18 +1081,47 @@ def gapfill_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     spine = daily.agg(
         F.min("order_date").alias("dmin"), F.max("order_date").alias("dmax")
     ).select(F.explode(F.sequence("dmin", "dmax")).alias("order_date"))
-    w = Window.orderBy("order_date").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    # Forward fill as a SEGMENTED scan — an unbounded-preceding global
+    # window would serialize the spine through one task. Instead:
+    # within-year ffill (year-partitioned window) + a per-year carry-in
+    # (each year's last non-null value, joined to every LATER year via
+    # a broadcast join over the tiny year table), coalesced.
+    joined = spine.join(daily, "order_date", "left").withColumn(
+        "part_year", F.year("order_date")
+    )
+    w_y = (
+        Window.partitionBy("part_year")
+        .orderBy("order_date")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = joined.withColumn(
+        "ffill_y", F.last("revenue", ignorenulls=True).over(w_y)
+    )
+    year_last = (
+        joined.filter(F.col("revenue").isNotNull())
+        .groupBy("part_year")
+        .agg(F.max_by("revenue", "order_date").alias("year_last"))
+    )
+    years = joined.select("part_year").distinct()
+    carry = (
+        years.alias("y")
+        .join(
+            F.broadcast(year_last.alias("p")),
+            F.col("p.part_year") < F.col("y.part_year"),
+            "left",
+        )
+        .groupBy(F.col("y.part_year").alias("part_year"))
+        .agg(F.max_by("p.year_last", "p.part_year").alias("carry_in"))
     )
     return (
-        spine.join(daily, "order_date", "left")
+        filled.join(F.broadcast(carry), "part_year", "left")
         .select(
             # string date: pandas-side canonicalization has no date
             # dtype, so a DATE column would compare as midnight ts
             F.col("order_date").cast("string").alias("order_date"),
             F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
             F.coalesce("revenue", F.lit(0.0)).alias("revenue"),
-            F.last("revenue", ignorenulls=True).over(w).alias("revenue_ffill"),
+            F.coalesce("ffill_y", "carry_in").alias("revenue_ffill"),
         )
         .orderBy("order_date")
     )
