@@ -1,0 +1,82 @@
+"""JDBC sink round-trip tests against embedded Derby (bundled with
+Spark). Mirrors the reference's PostgreSQL sink contract: batched
+insert, idempotent upsert, parallel partitioned read."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tinyerp_etl_spark.etl.jdbc_sink import read_jdbc, upsert_jdbc, write_jdbc
+from tinyerp_etl_spark.sources.catalog import load_table
+
+DERBY_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
+
+
+def _derby_url(tmp_path) -> str:
+    return f"jdbc:derby:{tmp_path}/db;create=true"
+
+
+def _derby_available(spark) -> bool:
+    try:
+        spark._jvm.java.lang.Class.forName(DERBY_DRIVER)
+        return True
+    except Exception:
+        return False
+
+
+@pytest.fixture()
+def url(spark, tmp_path):
+    if not _derby_available(spark):
+        pytest.skip("no embedded Derby driver on the Spark classpath")
+    return _derby_url(tmp_path)
+
+
+def test_jdbc_write_read_roundtrip(spark, sf_dir, url):
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .limit(200)
+    )
+    write_jdbc(orders, url, "orders_sink", mode="overwrite", driver=DERBY_DRIVER)
+    back = read_jdbc(
+        spark,
+        url,
+        "orders_sink",
+        driver=DERBY_DRIVER,
+        partition_column="o_orderkey",
+        lower_bound=0,
+        upper_bound=10_000_000,
+        num_partitions=4,
+    )
+    assert back.count() == 200
+    want = orders.agg(F.sum("o_totalprice")).first()[0]
+    got = back.agg(F.sum("o_totalprice")).first()[0]
+    assert abs(want - got) < 1e-6
+    # the partitioned read really split into parallel scans
+    assert back.rdd.getNumPartitions() == 4
+
+
+def test_jdbc_upsert_is_idempotent_and_merges(spark, url):
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "id long, name string, v double",
+    )
+    upsert_jdbc(base, url, "entity", keys=["id"], driver=DERBY_DRIVER)
+    # update one key, insert one new key
+    inc = spark.createDataFrame(
+        [(2, "b2", 22.0), (4, "d", 40.0)], "id long, name string, v double"
+    )
+    upsert_jdbc(inc, url, "entity", keys=["id"], driver=DERBY_DRIVER)
+    got = {
+        (r["id"], r["name"], r["v"])
+        for r in read_jdbc(spark, url, "entity", driver=DERBY_DRIVER).collect()
+    }
+    assert got == {(1, "a", 10.0), (2, "b2", 22.0), (3, "c", 30.0), (4, "d", 40.0)}
+    # at-least-once: replaying the same increment changes nothing
+    upsert_jdbc(inc, url, "entity", keys=["id"], driver=DERBY_DRIVER)
+    again = {
+        (r["id"], r["name"], r["v"])
+        for r in read_jdbc(spark, url, "entity", driver=DERBY_DRIVER).collect()
+    }
+    assert again == got

@@ -39,9 +39,62 @@ def test_fake_decode_deterministic_and_shaped(spark, media):
         assert r == out2[mid]
 
 
-def test_real_decode_is_explicitly_stubbed(spark, media):
-    with pytest.raises(NotImplementedError, match="codec"):
-        decode_media(media, mode="real")
+def _make_wav(freq_frames: int = 800, rate: int = 8000, channels: int = 1) -> bytes:
+    """A real 16-bit PCM WAV via the stdlib wave module: silence in the
+    first half, a full-scale square wave in the second."""
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        half = freq_frames // 2
+        frames = b"".join(
+            struct.pack("<h", 0) * channels for _ in range(half)
+        ) + b"".join(
+            struct.pack("<h", 16384 if i % 2 else -16384) * channels
+            for i in range(freq_frames - half)
+        )
+        w.writeframes(frames)
+    return buf.getvalue()
+
+
+def _make_ppm(width: int = 12, height: int = 8) -> bytes:
+    """A real binary PPM: top half black, bottom half white."""
+    raster = bytearray()
+    for y in range(height):
+        v = 0 if y < height // 2 else 255
+        raster += bytes([v, v, v]) * width
+    return b"P6\n# test image\n%d %d\n255\n" % (width, height) + bytes(raster)
+
+
+def test_real_decode_wav_and_ppm(spark):
+    wav, ppm = _make_wav(), _make_ppm()
+    df = spark.createDataFrame(
+        [(1, bytearray(wav)), (2, bytearray(ppm))], "media_id long, content binary"
+    )
+    got = {r["media_id"]: r for r in decode_media(df, mode="real").collect()}
+    # WAV: 800 frames @ 8000 Hz mono; silent first half, loud second
+    assert (got[1]["width"], got[1]["height"], got[1]["n_channels"]) == (800, 8000, 1)
+    feat = got[1]["feature"]
+    assert all(abs(v) < 1e-6 for v in feat[:4]), feat
+    assert all(v > 0.4 for v in feat[4:]), feat
+    # PPM: 12x8 RGB; dark top bands, bright bottom bands
+    assert (got[2]["width"], got[2]["height"], got[2]["n_channels"]) == (12, 8, 3)
+    feat = got[2]["feature"]
+    assert all(v < 0.01 for v in feat[:4]), feat
+    assert all(v > 0.99 for v in feat[4:]), feat
+
+
+def test_real_decode_rejects_unknown_magic(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(b"\x89PNG\r\n"))], "media_id long, content binary"
+    )
+    with pytest.raises(Exception, match="unsupported media magic"):
+        decode_media(df, mode="real").collect()
 
 
 def test_frame_sample_plan_counts(spark, media):
@@ -82,10 +135,21 @@ def test_resize_media_dims_and_payload(spark, media):
     )
 
 
-def test_resize_media_real_mode_stubbed(spark, media):
+def test_resize_media_real_pnm_kernel(spark):
     from tinyerp_etl_spark.operators.multimodal import resize_media
 
-    decoded = decode_media(media)
-    staged = decoded.join(media.select("media_id", "content"), "media_id")
-    with pytest.raises(NotImplementedError):
-        resize_media(staged, mode="real")
+    ppm = _make_ppm(width=32, height=16)
+    df = spark.createDataFrame(
+        [(1, 32, 16, bytearray(ppm))],
+        "media_id long, width int, height int, content binary",
+    )
+    (r,) = resize_media(df, max_side=8, mode="real").collect()
+    assert (r["out_width"], r["out_height"]) == (8, 4)
+    out = bytes(r["content"])
+    # output is a VALID PPM of the new dims with the same structure:
+    # dark top half, bright bottom half
+    assert out.startswith(b"P6\n8 4\n255\n")
+    raster = out[len(b"P6\n8 4\n255\n"):]
+    assert len(raster) == 8 * 4 * 3
+    top, bottom = raster[: 8 * 2 * 3], raster[8 * 2 * 3 :]
+    assert set(top) == {0} and set(bottom) == {255}

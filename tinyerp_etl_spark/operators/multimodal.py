@@ -7,16 +7,23 @@ metadata columns so filters/joins prune without touching payloads.
 Decode/resize/frame-sample run as Arrow-batched ``mapInPandas``
 stages — the only place Python touches data, in columnar batches.
 
-The actual codecs (PIL/ffmpeg/torchaudio) are NOT in this container,
-so the decode kernels are stubbed: ``decode=fake`` produces a
-deterministic byte-derived pseudo-decode (so the full pipeline —
-schema, batching, partitioning — is testable), ``decode=real`` raises
-NotImplementedError where the codec call would go.
+Two decode kernels share one seam:
+
+- ``mode='real'`` — pure-Python codecs for the self-describing
+  formats a header parse can handle without native libs: WAV
+  (RIFF/fmt/data chunk walk + 16-bit PCM segment RMS) and binary
+  PPM/PGM (P6/P5 header + per-band pixel means), dispatched on magic
+  bytes. Heavier formats (JPEG/MP4) would plug into the same dispatch
+  with PIL/ffmpeg on a real cluster image.
+- ``mode='fake'`` — deterministic byte-derived pseudo-decode for any
+  payload, used by the correctness-gate queries so their oracles stay
+  engine-independent.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -86,22 +93,113 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int, list[float]]:
     return width, height, channels, feature
 
 
+def _parse_pnm_header(payload: bytes) -> tuple[int, int, int, int]:
+    """Parse a binary PPM (P6) / PGM (P5) header.
+
+    Returns (width, height, channels, data_offset). Handles the full
+    format: '#' comments and arbitrary whitespace between tokens.
+    """
+    if payload[:2] == b"P6":
+        channels = 3
+    elif payload[:2] == b"P5":
+        channels = 1
+    else:
+        raise ValueError("not a binary PPM/PGM payload")
+    tokens: list[int] = []
+    i = 2
+    while len(tokens) < 3:
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        if payload[i : i + 1] == b"#":
+            while i < len(payload) and payload[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j : j + 1].isspace():
+            j += 1
+        tokens.append(int(payload[i:j]))
+        i = j
+    i += 1  # single whitespace after maxval, then raster starts
+    width, height, maxval = tokens
+    if maxval > 255:
+        raise ValueError("16-bit PNM not supported")
+    return width, height, channels, i
+
+
+def _decode_pnm(payload: bytes) -> tuple[int, int, int, list[float]]:
+    """Real PNM decode: dims from the header, feature = mean intensity
+    of 8 horizontal bands (a tiny real 'embedding' of the image)."""
+    width, height, channels, off = _parse_pnm_header(payload)
+    raster = payload[off : off + width * height * channels]
+    band_h = max(1, height // 8)
+    feature = []
+    for b in range(8):
+        lo = b * band_h * width * channels
+        hi = min(len(raster), (b + 1) * band_h * width * channels)
+        seg = raster[lo:hi]
+        feature.append(round(sum(seg) / (255.0 * len(seg)), 6) if seg else 0.0)
+    return width, height, channels, feature
+
+
+def _decode_wav(payload: bytes) -> tuple[int, int, int, list[float]]:
+    """Real WAV decode via a RIFF chunk walk (no native libs).
+
+    Schema mapping for audio: width = frames per channel, height =
+    sample rate, n_channels = channels; feature = RMS of 8 equal time
+    segments of the first channel, normalized to [0, 1].
+    """
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, channels, rate, bits, data = 12, None, None, None, b""
+    while pos + 8 <= len(payload):
+        cid, size = payload[pos : pos + 4], struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            channels, rate = struct.unpack_from("<HI", body, 2)
+            bits = struct.unpack_from("<H", body, 14)[0]
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if channels is None or bits != 16:
+        raise ValueError("only 16-bit PCM WAV supported")
+    frame_bytes = channels * 2
+    n_frames = len(data) // frame_bytes
+    seg_len = max(1, n_frames // 8)
+    feature = []
+    for s in range(8):
+        lo, hi = s * seg_len, min(n_frames, (s + 1) * seg_len)
+        if lo >= hi:
+            feature.append(0.0)
+            continue
+        acc = 0
+        for f in range(lo, hi):
+            (v,) = struct.unpack_from("<h", data, f * frame_bytes)
+            acc += v * v
+        feature.append(round((acc / (hi - lo)) ** 0.5 / 32768.0, 6))
+    return n_frames, rate, channels, feature
+
+
+def _real_decode(payload: bytes) -> tuple[int, int, int, list[float]]:
+    """Dispatch on magic bytes; extend here for PIL/ffmpeg formats."""
+    if payload[:2] in (b"P6", b"P5"):
+        return _decode_pnm(payload)
+    if payload[:4] == b"RIFF":
+        return _decode_wav(payload)
+    raise ValueError(f"unsupported media magic: {payload[:4]!r}")
+
+
 def decode_media(df: DataFrame, mode: str = "fake", batch_hint: int | None = None) -> DataFrame:
     """Decode stage: mapInPandas over Arrow batches of media rows.
 
-    ``mode='real'`` marks where the codec integration goes; this
-    container has no image/audio libs, so it raises.
+    ``mode='real'`` runs the pure-Python WAV/PNM codecs; ``'fake'``
+    the deterministic pseudo-decoder (used by the gate queries).
     """
-    if mode == "real":
-        raise NotImplementedError(
-            "codec libs (PIL/ffmpeg) not available in this container; "
-            "use mode='fake' for the deterministic pseudo-decoder"
-        )
+    kernel = _real_decode if mode == "real" else _fake_decode
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = [
-                (mid, *_fake_decode(bytes(content) if content is not None else b""))
+                (mid, *kernel(bytes(content) if content is not None else b""))
                 for mid, content in zip(pdf["media_id"], pdf["content"])
             ]
             out = pd.DataFrame(
@@ -142,26 +240,38 @@ RESIZED_SCHEMA = T.StructType(
 )
 
 
+def _resize_pnm(payload: bytes, ow: int, oh: int) -> bytes:
+    """Real nearest-neighbor resize of a binary PPM/PGM payload,
+    emitting a valid PNM of the new dimensions (pure Python)."""
+    w, h, ch, off = _parse_pnm_header(payload)
+    raster = payload[off : off + w * h * ch]
+    out = bytearray()
+    for y in range(oh):
+        sy = min(h - 1, (y * h) // oh)
+        row_base = sy * w * ch
+        for x in range(ow):
+            sx = min(w - 1, (x * w) // ow)
+            px = row_base + sx * ch
+            out += raster[px : px + ch]
+    magic = b"P6" if ch == 3 else b"P5"
+    return magic + b"\n%d %d\n255\n" % (ow, oh) + bytes(out)
+
+
 def resize_media(
     df: DataFrame, max_side: int = 256, mode: str = "fake"
 ) -> DataFrame:
     """Resize stage: aspect-preserving fit into a max_side box.
 
-    The Spark plumbing — Arrow batch shape, binary in/out columns,
-    deterministic output dims — is real; the pixel kernel is the
-    stubbed part (``mode='real'`` marks the PIL/ffmpeg integration
-    point; this container has no image libs). The fake kernel
-    truncates the payload proportionally to the area ratio so
-    downstream size accounting behaves like a real resize.
+    ``mode='real'`` runs a real nearest-neighbor pixel kernel on
+    PPM/PGM payloads and emits valid resized PNM bytes (PIL/ffmpeg
+    would slot into the same kernel for compressed formats on a real
+    cluster image). ``mode='fake'`` truncates the payload
+    proportionally to the area ratio so downstream size accounting
+    behaves like a real resize without parsing pixels.
 
     Input: decoded dims joined back onto payloads —
     (media_id, width, height, content).
     """
-    if mode == "real":
-        raise NotImplementedError(
-            "codec libs (PIL/ffmpeg) not available in this container; "
-            "use mode='fake' for the deterministic stub kernel"
-        )
 
     def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -175,8 +285,12 @@ def resize_media(
                 # max_side−1 through float error
                 ow, oh = max(1, round(w * scale)), max(1, round(h * scale))
                 payload = bytes(content) if content is not None else b""
-                keep = max(1, int(len(payload) * (ow * oh) / max(w * h, 1)))
-                rows.append((mid, w, h, ow, oh, payload[:keep]))
+                if mode == "real":
+                    resized = _resize_pnm(payload, ow, oh)
+                else:
+                    keep = max(1, int(len(payload) * (ow * oh) / max(w * h, 1)))
+                    resized = payload[:keep]
+                rows.append((mid, w, h, ow, oh, resized))
             yield pd.DataFrame(
                 rows,
                 columns=[
