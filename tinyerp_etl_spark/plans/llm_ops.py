@@ -376,6 +376,184 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.neardup_pairs(staged, threshold=0.98).orderBy("id_a", "id_b")
 
 
+# --------------------------------------------------- corpus curation ops
+
+
+def train_val_test_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 corpus split audit.
+
+    The split key is a Knuth multiplicative hash of doc_id — pure
+    integer arithmetic, so the assignment is identical on any engine,
+    any partitioning, any rerun (the property a training pipeline
+    needs so documents never migrate between train and eval). Output
+    is the per-(split, source) manifest a data loader would consume.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296) % 10
+    split = (
+        F.when(bucket < 8, F.lit("train"))
+        .when(bucket == 8, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        docs.select(split.alias("split"), "source", "n_chars")
+        .groupBy("split", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .orderBy("split", "source")
+    )
+
+
+def c4_quality_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style rule-based quality filter with per-rule attribution.
+
+    Every doc gets the FIRST failing rule as its verdict (too_short →
+    too_much_punct → low_stopword → keep); rules compare exact
+    integers cross-multiplied (n_punct*10 > n_chars instead of ratio >
+    0.1) so no float ever decides a keep/drop. Punct-heavy copies of
+    every 30th doc are staged identically in both engines so the punct
+    rule is actually exercised on this all-words corpus.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    noisy = docs.filter(F.col("doc_id") % 30 == 0).select(
+        (F.col("doc_id") + 400000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" "), F.expr("repeat('!?', 30)")).alias("text"),
+        "source",
+    )
+    staged = docs.unionByName(noisy)
+    n_tok = X.token_count("text")
+    n_chr = F.length("text").cast("long")
+    n_punct = F.length(F.regexp_replace("text", r"[\w\s]", "")).cast("long")
+    n_sw = X.stopword_count("text")
+    verdict = (
+        F.when(n_tok < 25, F.lit("too_short"))
+        .when(n_punct * 10 > n_chr, F.lit("too_much_punct"))
+        .when(n_sw * 10 < n_tok, F.lit("low_stopword"))
+        .otherwise(F.lit("keep"))
+    )
+    return (
+        staged.select("source", verdict.alias("verdict"), n_tok.alias("n_tok"))
+        .groupBy("source", "verdict")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("sum_tokens"),
+        )
+        .orderBy("source", "verdict")
+    )
+
+
+def boilerplate_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate detection: 5-grams shared by many docs.
+
+    The web-corpus 'subscribe to our newsletter' problem: spans that
+    repeat across documents are template noise, not content. Each doc
+    contributes its DISTINCT 5-grams (one vote per doc), a map-side-
+    combinable groupBy counts votes, and grams above the doc-count bar
+    surface with their reach. A fixed footer staged onto every 7th doc
+    (identically in both engines) provides the known boilerplate.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    staged = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.col("text"), F.lit(" subscribe to our newsletter for updates")),
+        ).otherwise(F.col("text")),
+    )
+    grams = staged.select(
+        "doc_id", F.explode(D.word_ngrams("text", 5)).alias("gram")
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= 10)
+        .orderBy(F.col("n_docs").desc(), "gram")
+    )
+
+
+def collocations_top_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top bigram collocations by integer-scaled PMI.
+
+    PMI = log(p(xy)/(p(x)p(y))); the log is monotone, so ranking by
+    the exact integer c_xy·N·10^6 div (c_x·c_y) gives the same order
+    with no float in the pipeline (hash-stable across engines). The
+    corpus total rides as a broadcast single-row aggregate — the same
+    in-plan-threshold shape as heavy_hitters. Long arithmetic holds to
+    ~10^18; a 100 TB corpus would switch the score expression to
+    decimal(38,0).
+    """
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select(X.tokens("text").alias("toks"))
+        .filter(F.array_size("toks") >= 2)
+    )
+    bigrams = docs.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1),"
+                " i -> struct(element_at(toks, i) AS w1,"
+                "             element_at(toks, i + 1) AS w2))"
+            )
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    uni = (
+        docs.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    pair_counts = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_xy"))
+    n_big = bigrams.agg(F.count(F.lit(1)).alias("n_big"))
+    return (
+        pair_counts.filter(F.col("c_xy") >= 5)
+        .join(uni.select(F.col("w").alias("w1"), F.col("c").alias("c_x")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c").alias("c_y")), "w2")
+        .join(F.broadcast(n_big))
+        .select(
+            "w1",
+            "w2",
+            "c_xy",
+            F.expr("(c_xy * n_big * 1000000) div (c_x * c_y)").alias("pmi_score_1e6"),
+        )
+        .orderBy(F.col("pmi_score_1e6").desc(), "w1", "w2")
+        .limit(20)
+    )
+
+
+def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup REMOVAL: the full curation pipeline in one
+    query — LSH candidates → Jaccard verify → connected components →
+    keep the min-id doc per cluster, drop the rest.
+
+    Output is the removal manifest: how many docs went in, how many
+    survived, and a digest of exactly which doc_ids were dropped (the
+    dropped set is cluster-non-canonical nodes — small by construction,
+    so the collect_list digest is bounded by the dup count, not the
+    corpus).
+    """
+    staged = _docs_with_neardups(spark, sf_dir)
+    pairs = D.lsh_neardup_verified(staged, threshold=0.5).select("doc_a", "doc_b")
+    comps = D.connected_components(pairs)
+    removed = comps.filter(F.col("node") != F.col("component"))
+    removed_agg = removed.agg(
+        F.count(F.lit(1)).alias("n_removed"),
+        F.md5(
+            F.concat_ws(",", F.sort_array(F.collect_list(F.col("node"))))
+        ).alias("removed_md5"),
+    )
+    total = staged.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        total.join(F.broadcast(removed_agg))
+        .select(
+            "n_total",
+            "n_removed",
+            (F.col("n_total") - F.col("n_removed")).alias("n_survivors"),
+            "removed_md5",
+        )
+    )
+
+
 # ================================================================ oracles
 
 # shared SQL fragments (kept textually tiny so the statements read)
@@ -949,3 +1127,149 @@ LLM_QUERIES = {
     "embedding_label_centroids": embedding_label_centroids,
     "embedding_neardup_pairs": embedding_neardup_pairs,
 }
+
+
+# ----------------------------------------- corpus curation ops (round 3)
+
+LLM_ORACLES.update(
+    {
+        "train_val_test_split_docs": """
+        WITH b AS (
+          SELECT (doc_id * 2654435761) % 4294967296 % 10 AS bucket,
+                 source, n_chars
+          FROM documents
+        )
+        SELECT CASE WHEN bucket < 8 THEN 'train'
+                    WHEN bucket = 8 THEN 'val'
+                    ELSE 'test' END AS split,
+               source,
+               count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM b
+        GROUP BY 1, 2
+        ORDER BY split, source
+    """,
+        "c4_quality_filter_stats": f"""
+        WITH staged AS (
+          SELECT doc_id, text, source FROM documents
+          UNION ALL
+          SELECT doc_id + 400000, text || ' ' || repeat('!?', 30), source
+          FROM documents WHERE doc_id % 30 = 0
+        ),
+        t AS (
+          SELECT source,
+                 len({_TOKS}) AS n_tok,
+                 length(text) AS n_chr,
+                 length(regexp_replace(text, '[\\w\\s]', '', 'g')) AS n_punct,
+                 COALESCE(list_sum(list_transform({_TOKS}, t ->
+                     CASE WHEN list_contains([{{sw}}], t)
+                          THEN 1 ELSE 0 END)), 0) AS n_sw
+          FROM staged
+        ),
+        v AS (
+          SELECT source, n_tok,
+                 CASE WHEN n_tok < 25 THEN 'too_short'
+                      WHEN n_punct * 10 > n_chr THEN 'too_much_punct'
+                      WHEN n_sw * 10 < n_tok THEN 'low_stopword'
+                      ELSE 'keep' END AS verdict
+          FROM t
+        )
+        SELECT source, verdict, count(*) AS n_docs,
+               CAST(sum(n_tok) AS BIGINT) AS sum_tokens
+        FROM v
+        GROUP BY source, verdict
+        ORDER BY source, verdict
+    """.replace("{sw}", ", ".join(f"'{w}'" for w in X.STOPWORDS)),
+        "boilerplate_ngram_stats": f"""
+        WITH staged AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 7 = 0
+                      THEN text || ' subscribe to our newsletter for updates'
+                      ELSE text END AS text
+          FROM documents
+        ),
+        t AS (SELECT doc_id, {_TOKS} AS toks FROM staged),
+        g AS (
+          SELECT doc_id, unnest(list_distinct(
+            CASE WHEN len(toks) >= 5
+                 THEN list_transform(range(1, len(toks) - 3),
+                      i -> array_to_string(toks[i:i+4], ' '))
+                 ELSE [] END)) AS gram
+          FROM t
+        )
+        SELECT gram, count(*) AS n_docs
+        FROM g
+        GROUP BY gram
+        HAVING count(*) >= 10
+        ORDER BY n_docs DESC, gram
+    """,
+        "collocations_top_pmi": f"""
+        WITH t AS (SELECT {_TOKS} AS toks FROM documents),
+        t2 AS (SELECT toks FROM t WHERE len(toks) >= 2),
+        bgp AS (
+          SELECT string_split(bigram, ' ')[1] AS w1,
+                 string_split(bigram, ' ')[2] AS w2
+          FROM (
+            SELECT unnest(list_transform(range(1, len(toks)),
+                   i -> toks[i] || ' ' || toks[i+1])) AS bigram
+            FROM t2
+          )
+        ),
+        uc AS (
+          SELECT w, count(*) AS c
+          FROM (SELECT unnest(toks) AS w FROM t2)
+          GROUP BY w
+        ),
+        pc AS (
+          SELECT w1, w2, count(*) AS c_xy FROM bgp
+          GROUP BY w1, w2 HAVING count(*) >= 5
+        ),
+        n AS (SELECT count(*) AS n_big FROM bgp)
+        SELECT w1, w2, c_xy,
+               (c_xy * n_big * 1000000) // (cx.c * cy.c) AS pmi_score_1e6
+        FROM pc CROSS JOIN n
+        JOIN uc cx ON cx.w = pc.w1
+        JOIN uc cy ON cy.w = pc.w2
+        ORDER BY pmi_score_1e6 DESC, w1, w2
+        LIMIT 20
+    """,
+        "dedup_keep_canonical": f"""
+        WITH RECURSIVE {_NEARDUP_CTES},
+        sym AS (
+          SELECT doc_a AS src, doc_b AS dst FROM verified
+          UNION
+          SELECT doc_b AS src, doc_a AS dst FROM verified
+        ),
+        reach AS (
+          SELECT src, dst FROM sym
+          UNION
+          SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+        ),
+        comp AS (
+          SELECT src AS node, least(src, min(dst)) AS component
+          FROM reach GROUP BY src
+        ),
+        removed AS (SELECT node FROM comp WHERE node <> component),
+        ra AS (
+          SELECT count(*) AS n_removed,
+                 md5(COALESCE(string_agg(CAST(node AS VARCHAR), ','
+                     ORDER BY node), '')) AS removed_md5
+          FROM removed
+        ),
+        tot AS (SELECT count(*) AS n_total FROM staged)
+        SELECT n_total, n_removed, n_total - n_removed AS n_survivors,
+               removed_md5
+        FROM tot CROSS JOIN ra
+    """,
+    }
+)
+
+LLM_QUERIES.update(
+    {
+        "train_val_test_split_docs": train_val_test_split_docs,
+        "c4_quality_filter_stats": c4_quality_filter_stats,
+        "boilerplate_ngram_stats": boilerplate_ngram_stats,
+        "collocations_top_pmi": collocations_top_pmi,
+        "dedup_keep_canonical": dedup_keep_canonical,
+    }
+)

@@ -156,16 +156,18 @@ _ROUND3_FRONT_50 = [
     "monthly_revenue_trend",
     "window_running_total",
     "q3_shipping_priority",
+    # (c2) queries NEW in round 3 (corpus curation + UDF surface)
+    "train_val_test_split_docs",
+    "c4_quality_filter_stats",
+    "boilerplate_ngram_stats",
+    "collocations_top_pmi",
+    "dedup_keep_canonical",
+    "applyinpandas_group_ols",
     # (d) round-1-proven relational set, oldest evidence first
     "q1_pricing_summary",
     "q5_local_supplier_volume",
     "q7_volume_shipping",
     "q8_market_share",
-    "q10_returned_items",
-    "q13_order_distribution",
-    "q15_top_supplier",
-    "q18_large_volume_customers",
-    "q19_discount_revenue",
     "sql_q6_forecast_revenue",
     "promo_revenue_ratio",
     "quantiles_order_value_by_status",
@@ -173,7 +175,6 @@ _ROUND3_FRONT_50 = [
     "window_latest_order_per_customer",
     "hierarchy_closure_part",
     "set_null_missing_region",
-    "deterministic_sample_orders",
 ]
 
 

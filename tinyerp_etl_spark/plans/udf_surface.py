@@ -121,10 +121,57 @@ def udtf_word_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def applyinpandas_group_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map ``applyInPandas``: per-event-type OLS trend line.
+
+    The grouped-map escape hatch — each group's rows arrive as ONE
+    pandas DataFrame (unlike the grouped-agg UDAF, which only returns
+    a scalar). The kernel fits value-vs-day least squares from exact
+    integer sums computed in arbitrary-precision Python ints (x = day
+    index, y = value cents), then derives slope/intercept through one
+    fixed sequence of double ops — bit-identical to the oracle's
+    HUGEINT-sum closed form at any partitioning.
+
+    Scale: one shuffle on the group key; each group streams through
+    one worker as Arrow batches. Skewed group sizes would motivate the
+    sum-based rewrite as a plain aggregation — this exists to pin the
+    applyInPandas surface itself.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")).alias("x"),
+        F.round(F.col("value") * 100).cast("long").alias("y"),
+    )
+
+    def ols(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        xs = [int(v) for v in pdf["x"]]
+        ys = [int(v) for v in pdf["y"]]
+        sx, sy = sum(xs), sum(ys)
+        sxy = sum(x * y for x, y in zip(xs, ys))
+        sxx = sum(x * x for x in xs)
+        num, den = n * sxy - sx * sy, n * sxx - sx * sx
+        slope = float(num) / float(den)
+        intercept = (float(sy) - slope * float(sx)) / n
+        return pd.DataFrame(
+            [[pdf["event_type"].iloc[0], n, slope, intercept]],
+            columns=["event_type", "n", "slope", "intercept"],
+        )
+
+    return (
+        ev.groupBy("event_type")
+        .applyInPandas(
+            ols, schema="event_type string, n long, slope double, intercept double"
+        )
+        .orderBy("event_type")
+    )
+
+
 UDF_SURFACE_QUERIES = {
     "pandas_udf_mask_names": pandas_udf_mask_names,
     "pandas_udaf_weighted_price": pandas_udaf_weighted_price,
     "udtf_word_positions": udtf_word_positions,
+    "applyinpandas_group_ols": applyinpandas_group_ols,
 }
 
 
@@ -155,5 +202,32 @@ UDF_SURFACE_ORACLES: dict[str, str] = {
           WHERE doc_id < 200
         )
         ORDER BY doc_id, pos
+    """,
+    "applyinpandas_group_ols": """
+        WITH pts AS (
+          SELECT event_type,
+                 date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
+                 CAST(round(value * 100) AS BIGINT) AS y
+          FROM events
+        ),
+        s AS (
+          SELECT event_type,
+                 count(*) AS n,
+                 sum(CAST(x AS HUGEINT)) AS sx,
+                 sum(CAST(y AS HUGEINT)) AS sy,
+                 sum(CAST(x AS HUGEINT) * y) AS sxy,
+                 sum(CAST(x AS HUGEINT) * x) AS sxx
+          FROM pts
+          GROUP BY event_type
+        )
+        SELECT event_type, n,
+               CAST(CAST(n * sxy - sx * sy AS DOUBLE)
+                    / CAST(n * sxx - sx * sx AS DOUBLE) AS DOUBLE) AS slope,
+               CAST((CAST(sy AS DOUBLE)
+                     - (CAST(CAST(n * sxy - sx * sy AS DOUBLE)
+                        / CAST(n * sxx - sx * sx AS DOUBLE) AS DOUBLE))
+                       * CAST(sx AS DOUBLE)) / n AS DOUBLE) AS intercept
+        FROM s
+        ORDER BY event_type
     """,
 }
