@@ -425,3 +425,37 @@ def test_stream_maintained_rollup_equals_batch(spark, sf_dir, stream_dir, tmp_pa
         for r in rollup_view(rollup_increment(ev, ["event_type"], "value")).collect()
     )
     assert got == want
+
+
+def test_stream_dedup_within_watermark_equals_batch_distinct(
+    spark, sf_dir, stream_dir, tmp_path
+):
+    """A replayed (duplicated) event stream deduped with
+    dropDuplicatesWithinWatermark lands exactly the batch distinct-by-key
+    result: every event_id once, despite each file being delivered twice."""
+    import os
+    import shutil
+
+    from tinyerp_etl_spark.streaming.stream_pipeline import (
+        dedup_events_stream,
+        read_events_stream,
+        run_stream_to_merge_sink,
+    )
+
+    # stage the events file twice — an at-least-once source replay
+    dup_dir = str(tmp_path / "dup_stream")
+    os.makedirs(dup_dir)
+    for i, f in enumerate(sorted(os.listdir(stream_dir))):
+        shutil.copy(os.path.join(stream_dir, f), os.path.join(dup_dir, f"a{i}.parquet"))
+        shutil.copy(os.path.join(stream_dir, f), os.path.join(dup_dir, f"b{i}.parquet"))
+
+    events = load_table(spark, sf_dir, "events")
+    store = TableStore(spark, str(tmp_path / "dedup_tbl"), events.schema)
+    stream = dedup_events_stream(read_events_stream(spark, dup_dir))
+    run_stream_to_merge_sink(
+        spark, stream, store, ["event_id"], str(tmp_path / "dedup_ckpt")
+    )
+    assert store.read().count() == events.count()
+    got = {r["event_id"] for r in store.read().select("event_id").collect()}
+    want = {r["event_id"] for r in events.select("event_id").collect()}
+    assert got == want
