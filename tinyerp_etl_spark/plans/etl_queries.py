@@ -528,6 +528,44 @@ def copurchase_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def copurchase_pagerank_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (3 iterations) over the co-purchase part graph.
+
+    The iterative-algorithm showcase: edges are part pairs co-bought in
+    ≥2 orders (symmetric), and operators/graph.py runs the fixed-round
+    integer-tick PageRank — one shuffle per iteration, bit-exact against
+    an unrolled 3-CTE SQL oracle. Top 25 parts by influence.
+    """
+    from tinyerp_etl_spark.operators.graph import pagerank_fixed
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+    )
+    edges = pairs.select(F.col("pa").alias("src"), F.col("pb").alias("dst")).unionAll(
+        pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
+    )
+    return (
+        pagerank_fixed(edges, iterations=3)
+        .orderBy(F.col("pr").desc(), "node")
+        .limit(25)
+    )
+
+
 def incremental_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Materialized monthly-revenue rollup maintained from 3 increments.
 
@@ -1029,6 +1067,57 @@ ETL_ORACLES: dict[str, str] = {
         GROUP BY part_a, part_b
         ORDER BY n_orders DESC, part_a, part_b
         LIMIT 20
+    """,
+    "copurchase_pagerank_3iter": """
+        WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        pairs AS (
+          SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS n
+          FROM li a JOIN li b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY pa, pb
+          HAVING count(*) >= 2
+        ),
+        edges AS (
+          SELECT pa AS src, pb AS dst FROM pairs
+          UNION ALL
+          SELECT pb AS src, pa AS dst FROM pairs
+        ),
+        deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+        nodes AS (SELECT DISTINCT src AS node FROM edges),
+        pr0 AS (SELECT node, CAST(1000000 AS BIGINT) AS pr FROM nodes),
+        it1 AS (
+          SELECT n.node, 150000 + (850 * COALESCE(s.s, 0)) // 1000 AS pr
+          FROM nodes n LEFT JOIN (
+            SELECT e.dst AS node, sum(p.pr // d.deg) AS s
+            FROM edges e
+            JOIN pr0 p ON p.node = e.src
+            JOIN deg d ON d.src = e.src
+            GROUP BY e.dst
+          ) s ON s.node = n.node
+        ),
+        it2 AS (
+          SELECT n.node, 150000 + (850 * COALESCE(s.s, 0)) // 1000 AS pr
+          FROM nodes n LEFT JOIN (
+            SELECT e.dst AS node, sum(p.pr // d.deg) AS s
+            FROM edges e
+            JOIN it1 p ON p.node = e.src
+            JOIN deg d ON d.src = e.src
+            GROUP BY e.dst
+          ) s ON s.node = n.node
+        ),
+        it3 AS (
+          SELECT n.node, 150000 + (850 * COALESCE(s.s, 0)) // 1000 AS pr
+          FROM nodes n LEFT JOIN (
+            SELECT e.dst AS node, sum(p.pr // d.deg) AS s
+            FROM edges e
+            JOIN it2 p ON p.node = e.src
+            JOIN deg d ON d.src = e.src
+            GROUP BY e.dst
+          ) s ON s.node = n.node
+        )
+        SELECT node, CAST(pr AS BIGINT) AS pr FROM it3
+        ORDER BY pr DESC, node
+        LIMIT 25
     """,
     "incremental_rollup_orders": """
         SELECT o_orderstatus,

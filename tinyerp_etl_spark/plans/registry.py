@@ -55,6 +55,7 @@ _ETL_NAMES = [
     "longest_active_streaks",
     "fuzzy_match_customers",
     "copurchase_part_pairs",
+    "copurchase_pagerank_3iter",
     "funnel_view_click_purchase",
     "file_format_roundtrip_orders",
     "csv_quarantine_split",
@@ -163,6 +164,7 @@ _ROUND3_FRONT_50 = [
     "collocations_top_pmi",
     "dedup_keep_canonical",
     "applyinpandas_group_ols",
+    "copurchase_pagerank_3iter",
     # (d) round-1-proven relational set, oldest evidence first
     "q1_pricing_summary",
     "q5_local_supplier_volume",
@@ -171,7 +173,6 @@ _ROUND3_FRONT_50 = [
     "sql_q6_forecast_revenue",
     "promo_revenue_ratio",
     "quantiles_order_value_by_status",
-    "pivot_status_by_priority",
     "window_latest_order_per_customer",
     "hierarchy_closure_part",
     "set_null_missing_region",
