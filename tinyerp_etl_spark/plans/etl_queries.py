@@ -528,6 +528,58 @@ def copurchase_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def time_travel_orders_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Versioned-table reads (time travel) + compaction under the gate.
+
+    Stages a TableStore through three commits — base load (orders with
+    o_orderkey ≡ 0..4 mod 10), an upsert (price +1000 for keys ≡ 0,1
+    mod 10; new rows for keys ≡ 5,6), then a delete of keys ≡ 0 — and
+    reads EVERY retained version back, emitting per-version row counts
+    and exact sums. Compaction runs between reads to prove old layouts
+    stay readable. The oracle recomputes each version's state closed-
+    form from the staging rules, so the version pointer, MERGE, delete,
+    and compaction semantics are all hash-checked (ops #14d/#14f,
+    previously tests-only).
+    """
+    import shutil
+    import tempfile
+
+    from tinyerp_etl_spark.etl.merge import merge_upsert
+    from tinyerp_etl_spark.etl.table_store import TableStore
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    base = orders.filter(F.col("o_orderkey") % 10 < 5)
+    updates = orders.filter(F.col("o_orderkey") % 10 < 2).withColumn(
+        "o_totalprice", F.col("o_totalprice") + 1000.0
+    )
+    inserts = orders.filter(
+        (F.col("o_orderkey") % 10 >= 5) & (F.col("o_orderkey") % 10 < 7)
+    )
+    scratch = tempfile.mkdtemp(prefix="timetravel_q_")
+    try:
+        store = TableStore(spark, f"{scratch}/orders_tt", base.schema)
+        store.commit(base)
+        store.commit(
+            merge_upsert(store.read(), updates.unionByName(inserts), ["o_orderkey"])
+        )
+        store.commit(store.read().filter(F.col("o_orderkey") % 10 != 0))
+        store.compact()
+        out = None
+        for v in store.versions():
+            agg = (
+                store.read_version(v)
+                .agg(
+                    F.count(F.lit(1)).alias("n_rows"),
+                    sum_cents("o_totalprice").alias("sum_price"),
+                )
+                .select(F.lit(v).cast("int").alias("version"), "*")
+            )
+            out = agg if out is None else out.unionByName(agg)
+        return _persist_result(out.orderBy("version"), "time_travel_orders_versions")
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
 def copurchase_pagerank_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank (3 iterations) over the co-purchase part graph.
 
@@ -1067,6 +1119,35 @@ ETL_ORACLES: dict[str, str] = {
         GROUP BY part_a, part_b
         ORDER BY n_orders DESC, part_a, part_b
         LIMIT 20
+    """,
+    "time_travel_orders_versions": """
+        WITH v1 AS (
+          SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 10 < 5
+        ),
+        v2 AS (
+          SELECT o_orderkey,
+                 CASE WHEN o_orderkey % 10 < 2 THEN o_totalprice + 1000.0
+                      ELSE o_totalprice END AS o_totalprice
+          FROM orders WHERE o_orderkey % 10 < 7
+        ),
+        v3 AS (SELECT * FROM v2 WHERE o_orderkey % 10 <> 0)
+        SELECT CAST(1 AS INT) AS version, count(*) AS n_rows,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0
+                    AS DOUBLE) AS sum_price
+        FROM v1
+        UNION ALL
+        SELECT 2, count(*),
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS DOUBLE)
+        FROM v2
+        UNION ALL
+        SELECT 3, count(*),
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS DOUBLE)
+        FROM v3
+        UNION ALL
+        SELECT 4, count(*),
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS DOUBLE)
+        FROM v3
+        ORDER BY version
     """,
     "copurchase_pagerank_3iter": """
         WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),

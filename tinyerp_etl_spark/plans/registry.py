@@ -56,6 +56,7 @@ _ETL_NAMES = [
     "fuzzy_match_customers",
     "copurchase_part_pairs",
     "copurchase_pagerank_3iter",
+    "time_travel_orders_versions",
     "funnel_view_click_purchase",
     "file_format_roundtrip_orders",
     "csv_quarantine_split",
@@ -165,6 +166,7 @@ _ROUND3_FRONT_50 = [
     "dedup_keep_canonical",
     "applyinpandas_group_ols",
     "copurchase_pagerank_3iter",
+    "time_travel_orders_versions",
     # (d) round-1-proven relational set, oldest evidence first
     "q1_pricing_summary",
     "q5_local_supplier_volume",
@@ -172,7 +174,6 @@ _ROUND3_FRONT_50 = [
     "q8_market_share",
     "sql_q6_forecast_revenue",
     "promo_revenue_ratio",
-    "quantiles_order_value_by_status",
     "window_latest_order_per_customer",
     "hierarchy_closure_part",
     "set_null_missing_region",
