@@ -336,8 +336,16 @@ def lsh_neardup_verified(
         )
         .distinct()
     )
-    a = base.select(F.col(id_col).alias("doc_a"), F.col("__sh").alias("__sh_a"))
-    b = base.select(F.col(id_col).alias("doc_b"), F.col("__sh").alias("__sh_b"))
+    # The shingle table is DATA-scale (one array per doc): it must never
+    # ride a broadcast, but its parquet-side size estimate can fit the
+    # autoBroadcastJoinThreshold while the deserialized arrays blow the
+    # driver (measured: OOM at a 10x-docs probe). Force shuffle-hash.
+    a = base.select(F.col(id_col).alias("doc_a"), F.col("__sh").alias("__sh_a")).hint(
+        "shuffle_hash"
+    )
+    b = base.select(F.col(id_col).alias("doc_b"), F.col("__sh").alias("__sh_b")).hint(
+        "shuffle_hash"
+    )
     n_inter = F.array_size(F.array_intersect("__sh_a", "__sh_b"))
     return (
         pairs.join(a, "doc_a")
@@ -370,11 +378,17 @@ def connected_components(
     detection is a driver-side emptiness check on changed labels —
     control flow, not data.
     """
+    # Pin the symmetric edge list: every iteration references it, and
+    # the fixed-point isEmpty() check materializes the plan each round
+    # — without the pin, an expensive upstream (e.g. the LSH verify
+    # pipeline) would recompute once per iteration (measured 9x on the
+    # 10x-docs probe). Edges are pair-scale, far below the input data.
+    # ContextCleaner frees the cache once the plan is garbage-collected.
     sym = edges.select(
         F.col(a_col).alias("src"), F.col(b_col).alias("dst")
     ).unionByName(
         edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
-    )
+    ).persist()
     comp = (
         sym.select(F.col("src").alias("node"))
         .distinct()
