@@ -36,22 +36,41 @@ LSH_ROWS = MINHASH_K // LSH_BANDS
 SHINGLE_K = 3  # word 3-grams
 
 
-def shingles(col) -> F.Column:
-    """Distinct word-k-gram shingles of a text column.
+def _ngrams_of(toks: F.Column, k: int) -> F.Column:
+    """k-gram array from an already-bound token-array column.
 
     Guarded for short texts: Spark's sequence(1, 0) would generate a
     DESCENDING [1, 0] — docs with < k tokens must yield [] explicitly.
     """
-    toks = tokens(col)
-    n = F.array_size(toks) - (SHINGLE_K - 1)
-    sh = F.when(
+    n = F.array_size(toks) - (k - 1)
+    return F.when(
         n >= 1,
         F.transform(
             F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, SHINGLE_K)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return F.array_distinct(sh)
+
+
+def _bind_once(col: F.Column, build) -> F.Column:
+    """Evaluate ``col`` once per row and feed it to ``build``.
+
+    Catalyst does not common-subexpression-eliminate through
+    higher-order functions, so an expression like ``slice(tokens(text),
+    i, k)`` re-runs the tokenizer regex at every sequence position —
+    measured 4× slower on 5-gram extraction. Wrapping the value in a
+    1-element array and transforming binds it to a lambda variable,
+    which IS evaluated exactly once.
+    """
+    return F.element_at(F.transform(F.array(col), build), 1)
+
+
+def shingles(col) -> F.Column:
+    """Distinct word-k-gram shingles of a text column (tokenizer
+    evaluated once per row — see ``_bind_once``)."""
+    return F.array_distinct(
+        _bind_once(tokens(col), lambda toks: _ngrams_of(toks, SHINGLE_K))
+    )
 
 
 def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -454,17 +473,11 @@ CONTAM_K = 8  # word-8-gram overlap unit for decontamination
 
 
 def word_ngrams(col, k: int) -> F.Column:
-    """Distinct word-k-grams (the generalized form of ``shingles``)."""
-    toks = tokens(col)
-    n = F.array_size(toks) - (k - 1)
-    grams = F.when(
-        n >= 1,
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return F.array_distinct(grams)
+    """Distinct word-k-grams (the generalized form of ``shingles``;
+    tokenizer evaluated once per row — see ``_bind_once``)."""
+    return F.array_distinct(
+        _bind_once(tokens(col), lambda toks: _ngrams_of(toks, k))
+    )
 
 
 def word_ngram_rows(
