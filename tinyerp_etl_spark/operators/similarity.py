@@ -398,3 +398,52 @@ def neardup_pairs(
         .select("id_a", "id_b", score.alias("score"))
         .filter(F.col("score") >= threshold)
     )
+
+
+def knn_join(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Batch exact top-k: every query vector against the full corpus
+    (the k-NN join), one corpus scan total.
+
+    The query set broadcasts (small by contract — a query BATCH, not a
+    second corpus); each corpus row scores against all queries in one
+    pass of JVM higher-order expressions, and a window partitioned by
+    query id keeps the top k. At 100 TB this is the right shape until
+    the query batch itself is large — then IVF list-pruning
+    (``ivf_topk``) or LSH buckets bound the candidate set per query
+    instead of the full cross product.
+
+    Output: (query_id, vec_id, score, rn) with rn 1..k per query.
+    """
+    from pyspark.sql.window import Window
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qvec"),
+        quantized_norm2(F.col(vec_col)).alias("__qn2"),
+    )
+    score = (
+        quantized_dot(F.col(vec_col), F.col("__qvec"))
+        / F.sqrt(
+            quantized_norm2(F.col(vec_col)).cast("double")
+            * F.col("__qn2").cast("double")
+        )
+    ).cast("double")
+    scored = (
+        embeddings.crossJoin(F.broadcast(q))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select("query_id", F.col(id_col), score.alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= k)
+        .orderBy("query_id", "rn")
+    )

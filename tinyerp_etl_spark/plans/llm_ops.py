@@ -376,6 +376,16 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.neardup_pairs(staged, threshold=0.98).orderBy("id_a", "id_b")
 
 
+def embedding_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch ANN: top-5 neighbors for EVERY query in a broadcast batch
+    (vec_id ≡ 0 mod 100) in one corpus scan — the k-NN join shape a
+    feature-store backfill uses, vs the single-query ``topk`` variants.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return S.knn_join(emb, queries, k=5)
+
+
 # --------------------------------------------------- corpus curation ops
 
 
@@ -1264,8 +1274,32 @@ LLM_ORACLES.update(
     }
 )
 
+LLM_ORACLES["embedding_knn_join"] = f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+      WHERE vec_id % 100 = 0
+    ),
+    s AS (
+      SELECT q.query_id, e.vec_id,
+             {_cosine_sql("e.embedding", "qvec")} AS score
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> q.query_id
+    ),
+    r AS (
+      SELECT query_id, vec_id, score,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY score DESC, vec_id ASC
+             ) AS rn
+      FROM s
+    )
+    SELECT query_id, vec_id, score, CAST(rn AS INT) AS rn
+    FROM r WHERE rn <= 5
+    ORDER BY query_id, rn
+"""
+
 LLM_QUERIES.update(
     {
+        "embedding_knn_join": embedding_knn_join,
         "train_val_test_split_docs": train_val_test_split_docs,
         "c4_quality_filter_stats": c4_quality_filter_stats,
         "boilerplate_ngram_stats": boilerplate_ngram_stats,

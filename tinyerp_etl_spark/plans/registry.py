@@ -167,6 +167,7 @@ _ROUND3_FRONT_50 = [
     "applyinpandas_group_ols",
     "copurchase_pagerank_3iter",
     "time_travel_orders_versions",
+    "embedding_knn_join",
     # (d) round-1-proven relational set, oldest evidence first
     "q1_pricing_summary",
     "q5_local_supplier_volume",
@@ -174,7 +175,6 @@ _ROUND3_FRONT_50 = [
     "q8_market_share",
     "sql_q6_forecast_revenue",
     "promo_revenue_ratio",
-    "window_latest_order_per_customer",
     "hierarchy_closure_part",
     "set_null_missing_region",
 ]
