@@ -358,3 +358,21 @@ def test_year_stitch_equals_global_window(spark):
         .collect()
     }
     assert got == want
+
+
+def test_jaccard_verify_join_never_broadcasts_shingles(spark, sf_dir):
+    # the persisted shingle table carries one array per doc: its
+    # compressed size estimate can fit the autoBroadcastJoinThreshold
+    # while the deserialized arrays OOM the driver (hit at a 10x-docs
+    # probe). The verify join must stay a shuffle join.
+    from pyspark.sql import functions as F
+
+    from tinyerp_etl_spark.operators.dedup import lsh_neardup_verified
+    from tinyerp_etl_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    plan = plan_of(lsh_neardup_verified(docs, threshold=0.5))
+    # the two __sh-carrying joins: neither side may be a broadcast build
+    for line in plan.splitlines():
+        if "Join" in line and "__sh" in line:
+            assert "Broadcast" not in line, line
