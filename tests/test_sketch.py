@@ -70,3 +70,32 @@ def test_heavy_hitters_exact_under_tiny_cap(spark):
         (r["v"], r["n"]) for r in heavy_hitters(df, "v", 0.05, cap=16).collect()
     }
     assert got == {("hot", 3000), ("warm", 2000), ("mild", 1000)}
+
+
+def test_approx_percentile_rank_error_bound(spark, sf_dir):
+    """percentile_approx (Greenwald-Khanna sketch) must land within the
+    documented rank error: with accuracy a, the returned value's rank
+    is within n/a of the target rank — the mergeable-quantile-sketch
+    contract that replaces exact sorts at 100 TB."""
+    from tinyerp_etl_spark.sources.catalog import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    vals = sorted(r[0] for r in orders.select("o_totalprice").collect())
+    n = len(vals)
+    accuracy = 100
+    for q in (0.1, 0.5, 0.9):
+        got = orders.agg(
+            F.percentile_approx("o_totalprice", q, accuracy)
+        ).first()[0]
+        import bisect
+
+        lo = bisect.bisect_left(vals, got)
+        hi = bisect.bisect_right(vals, got)
+        target = q * n
+        slack = n / accuracy + 1
+        assert lo - slack <= target <= hi + slack, (q, got, lo, hi, target)
+        # and the sketch is deterministic for a fixed input/partitioning
+        again = orders.agg(
+            F.percentile_approx("o_totalprice", q, accuracy)
+        ).first()[0]
+        assert got == again
