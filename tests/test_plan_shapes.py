@@ -376,3 +376,12 @@ def test_jaccard_verify_join_never_broadcasts_shingles(spark, sf_dir):
     for line in plan.splitlines():
         if "Join" in line and "__sh" in line:
             assert "Broadcast" not in line, line
+
+
+def test_embedding_bucket_join_never_broadcasts_vectors(spark, sf_dir):
+    # same OOM class as the shingle join: both sides of the LSH bucket
+    # join carry the full vector arrays — must stay a shuffle join
+    plan = plan_of(QUERIES["embedding_neardup_pairs"](spark, sf_dir))
+    for line in plan.splitlines():
+        if "Join" in line and "vec" in line:
+            assert "Broadcast" not in line, line

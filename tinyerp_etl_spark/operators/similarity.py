@@ -392,8 +392,11 @@ def neardup_pairs(
         quantized_dot(F.col("vec_a"), F.col("vec_b"))
         / F.sqrt(F.col("__n2_a").cast("double") * F.col("__n2_b").cast("double"))
     ).cast("double")
+    # both sides carry the full vector column (data-scale): never let
+    # the size-estimate pick a broadcast build — same OOM class as the
+    # shingle-table verify join (see dedup.lsh_neardup_verified)
     return (
-        left.join(right, "__bucket")
+        left.hint("shuffle_hash").join(right.hint("shuffle_hash"), "__bucket")
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", score.alias("score"))
         .filter(F.col("score") >= threshold)
