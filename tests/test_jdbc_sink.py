@@ -80,3 +80,19 @@ def test_jdbc_upsert_is_idempotent_and_merges(spark, url):
         for r in read_jdbc(spark, url, "entity", driver=DERBY_DRIVER).collect()
     }
     assert again == got
+
+
+def test_jdbc_upsert_key_only_table(spark, url):
+    """A table whose whole row is the key (link/membership tables)
+    degenerates to insert-if-absent: the MERGE must drop its WHEN
+    MATCHED clause (an empty UPDATE SET is a syntax error)."""
+    edges = spark.createDataFrame([(1, 2), (1, 3)], "a long, b long")
+    upsert_jdbc(edges, url, "edges", keys=["a", "b"], driver=DERBY_DRIVER)
+    # replay + one new edge: no dup rows, new edge lands
+    inc = spark.createDataFrame([(1, 3), (2, 4)], "a long, b long")
+    upsert_jdbc(inc, url, "edges", keys=["a", "b"], driver=DERBY_DRIVER)
+    got = {
+        (r["a"], r["b"])
+        for r in read_jdbc(spark, url, "edges", driver=DERBY_DRIVER).collect()
+    }
+    assert got == {(1, 2), (1, 3), (2, 4)}

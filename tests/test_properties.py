@@ -198,3 +198,18 @@ def test_heavy_hitters_exact_decimal_boundary(spark):
         if r["v"] == "hot"
     }
     assert got == {("hot", 3)}
+
+
+def test_heavy_hitters_long_decimal_share_no_overflow(spark):
+    """min_share = float(1/3) has a 10^16 denominator as a decimal
+    Fraction; the in-plan threshold must not wrap in long arithmetic
+    (3000 rows x 10^16 > 2^63). The hot value at exactly 1/3 share
+    must survive."""
+    from tinyerp_etl_spark.operators.sketch import heavy_hitters
+
+    values = ["hot"] * 1000 + [f"u{i}" for i in range(2000)]
+    df = spark.createDataFrame([(v,) for v in values], "v string").repartition(4)
+    got = {
+        (r["v"], r["n"]) for r in heavy_hitters(df, "v", 1 / 3, cap=16).collect()
+    }
+    assert got == {("hot", 1000)}

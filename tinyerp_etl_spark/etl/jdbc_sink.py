@@ -77,6 +77,10 @@ def read_jdbc(
     if driver:
         reader = reader.option("driver", driver)
     if partition_column is not None:
+        if lower_bound is None or upper_bound is None:
+            raise ValueError(
+                "partition_column requires explicit lower_bound and upper_bound"
+            )
         reader = (
             reader.option("partitionColumn", partition_column)
             .option("lowerBound", str(lower_bound))
@@ -86,15 +90,42 @@ def read_jdbc(
     return reader.load()
 
 
-def _run_statement(spark: SparkSession, url: str, sql: str) -> None:
+def _connect(
+    spark: SparkSession,
+    url: str,
+    driver: str | None,
+    properties: dict[str, str] | None,
+):
+    """Open a driver-side JDBC connection honoring driver + credentials.
+
+    ``Class.forName`` registers drivers that don't self-register via
+    SPI; user/password and any other connection properties ride a
+    ``java.util.Properties`` — the same knobs the executor-side
+    ``df.write.jdbc`` path accepts.
+    """
+    jvm = spark._jvm
+    if driver:
+        jvm.java.lang.Class.forName(driver)
+    props = jvm.java.util.Properties()
+    for k, v in (properties or {}).items():
+        props.setProperty(k, v)
+    return jvm.java.sql.DriverManager.getConnection(url, props)
+
+
+def _run_statement(
+    spark: SparkSession,
+    url: str,
+    sql: str,
+    driver: str | None = None,
+    properties: dict[str, str] | None = None,
+) -> None:
     """Execute one control-plane SQL statement on the driver.
 
     Data never flows here — this is the MERGE/DDL leg only, the same
     division of labor as the reference's cursor.execute for control
     statements vs execute_values for data (tiny_api_v2_cliente.py:123).
     """
-    jvm = spark._jvm
-    conn = jvm.java.sql.DriverManager.getConnection(url)
+    conn = _connect(spark, url, driver, properties)
     try:
         stmt = conn.createStatement()
         try:
@@ -105,9 +136,14 @@ def _run_statement(spark: SparkSession, url: str, sql: str) -> None:
         conn.close()
 
 
-def _table_exists(spark: SparkSession, url: str, table: str) -> bool:
-    jvm = spark._jvm
-    conn = jvm.java.sql.DriverManager.getConnection(url)
+def _table_exists(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    driver: str | None = None,
+    properties: dict[str, str] | None = None,
+) -> bool:
+    conn = _connect(spark, url, driver, properties)
     try:
         # unquoted identifiers fold to upper case in Derby/ANSI dialects
         rs = conn.getMetaData().getTables(None, None, table.upper(), None)
@@ -127,14 +163,18 @@ def upsert_jdbc(
     driver: str | None = None,
     staging_table: str | None = None,
     num_partitions: int = DEFAULT_WRITE_PARTITIONS,
+    properties: dict[str, str] | None = None,
 ) -> None:
     """Idempotent key-based upsert — the reference's ON CONFLICT DO
     UPDATE contract (tiny_api_v2_cliente.py:123, :198) on Spark.
 
     The increment lands in ``staging_table`` via a distributed JDBC
     write, then one set-based ``MERGE INTO`` statement applies it:
-    matched keys update, new keys insert. Running the same increment
-    twice leaves the target unchanged (at-least-once safe, op #22).
+    matched keys update, new keys insert. A key-only table (every
+    column in ``keys``) degenerates to insert-if-absent — the MERGE
+    drops its WHEN MATCHED clause, since an empty UPDATE SET is a
+    syntax error. Running the same increment twice leaves the target
+    unchanged (at-least-once safe, op #22).
     """
     spark = df.sparkSession
     staging = staging_table or f"{table}_staging"
@@ -145,10 +185,13 @@ def upsert_jdbc(
     cols = list(df.columns)
     non_keys = [c for c in cols if c not in keys]
     on = " AND ".join(f't."{k}" = s."{k}"' for k in keys)
-    set_clause = ", ".join(f'"{c}" = s."{c}"' for c in non_keys)
     insert_cols = ", ".join(_quoted(cols))
     insert_vals = ", ".join(f's."{c}"' for c in cols)
-    if not _table_exists(spark, url, table):
+    matched = ""
+    if non_keys:
+        set_clause = ", ".join(f'"{c}" = s."{c}"' for c in non_keys)
+        matched = f"WHEN MATCHED THEN UPDATE SET {set_clause} "
+    if not _table_exists(spark, url, table, driver, properties):
         # create an empty target with the staging schema (distributed
         # write of zero rows — keeps type mapping identical)
         write_jdbc(
@@ -159,6 +202,8 @@ def upsert_jdbc(
         spark,
         url,
         f"MERGE INTO {table} t USING {staging} s ON {on} "
-        f"WHEN MATCHED THEN UPDATE SET {set_clause} "
+        f"{matched}"
         f"WHEN NOT MATCHED THEN INSERT ({insert_cols}) VALUES ({insert_vals})",
+        driver,
+        properties,
     )

@@ -131,11 +131,14 @@ def _decode_pnm(payload: bytes) -> tuple[int, int, int, list[float]]:
     of 8 horizontal bands (a tiny real 'embedding' of the image)."""
     width, height, channels, off = _parse_pnm_header(payload)
     raster = payload[off : off + width * height * channels]
-    band_h = max(1, height // 8)
+    row_bytes = width * channels
     feature = []
+    # proportional band boundaries (floor(b·h/8)) so every row lands in
+    # exactly one band — height // 8 sizing would silently drop the
+    # trailing rows of any height not divisible by 8
     for b in range(8):
-        lo = b * band_h * width * channels
-        hi = min(len(raster), (b + 1) * band_h * width * channels)
+        lo = (b * height // 8) * row_bytes
+        hi = ((b + 1) * height // 8) * row_bytes
         seg = raster[lo:hi]
         feature.append(round(sum(seg) / (255.0 * len(seg)), 6) if seg else 0.0)
     return width, height, channels, feature
@@ -164,10 +167,11 @@ def _decode_wav(payload: bytes) -> tuple[int, int, int, list[float]]:
         raise ValueError("only 16-bit PCM WAV supported")
     frame_bytes = channels * 2
     n_frames = len(data) // frame_bytes
-    seg_len = max(1, n_frames // 8)
     feature = []
+    # proportional segment boundaries — n_frames // 8 sizing would drop
+    # the trailing frames of any length not divisible by 8
     for s in range(8):
-        lo, hi = s * seg_len, min(n_frames, (s + 1) * seg_len)
+        lo, hi = s * n_frames // 8, (s + 1) * n_frames // 8
         if lo >= hi:
             feature.append(0.0)
             continue

@@ -430,15 +430,20 @@ def knn_join(
         F.col(vec_col).alias("__qvec"),
         quantized_norm2(F.col(vec_col)).alias("__qn2"),
     )
+    # corpus norms computed ONCE per row before the join — embedded in
+    # the score expression they would re-run the interpreted O(dim)
+    # aggregate once per (row × query) pair
+    corpus = embeddings.select(
+        F.col(id_col),
+        F.col(vec_col),
+        quantized_norm2(F.col(vec_col)).alias("__n2"),
+    )
     score = (
         quantized_dot(F.col(vec_col), F.col("__qvec"))
-        / F.sqrt(
-            quantized_norm2(F.col(vec_col)).cast("double")
-            * F.col("__qn2").cast("double")
-        )
+        / F.sqrt(F.col("__n2").cast("double") * F.col("__qn2").cast("double"))
     ).cast("double")
     scored = (
-        embeddings.crossJoin(F.broadcast(q))
+        corpus.crossJoin(F.broadcast(q))
         .filter(F.col(id_col) != F.col("query_id"))
         .select("query_id", F.col(id_col), score.alias("score"))
     )

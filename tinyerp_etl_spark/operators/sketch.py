@@ -193,11 +193,19 @@ def heavy_hitters(
     total = cc.agg(F.sum("part_rows").alias("__total"))
     s_frac = Fraction(str(min_share))
     s_num, s_den = s_frac.numerator, s_frac.denominator
+    # the comparison runs in decimal(38,0): a float min_share with a
+    # long decimal expansion (str(1/3) -> den 10^16) would overflow
+    # long multiplication (n * den wraps at n ~ 923) and silently flip
+    # the predicate; decimal keeps headroom to ~10^38
+    n_dec = F.col("n").cast("decimal(38,0)")
+    total_dec = F.col("__total").cast("decimal(38,0)")
+    den_dec = F.lit(str(s_den)).cast("decimal(38,0)")
+    num_dec = F.lit(str(s_num)).cast("decimal(38,0)")
     return (
         df.join(F.broadcast(cands), value_col, "left_semi")
         .groupBy(value_col)
         .agg(F.count(F.lit(1)).alias("n"))
         .join(F.broadcast(total))
-        .filter(F.col("n") * F.lit(s_den) >= F.lit(s_num) * F.col("__total"))
+        .filter(n_dec * den_dec >= num_dec * total_dec)
         .select(value_col, "n")
     )

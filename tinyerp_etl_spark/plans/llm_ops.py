@@ -434,8 +434,8 @@ def c4_quality_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     staged = docs.unionByName(noisy)
     n_tok = X.token_count("text")
-    n_chr = F.length("text").cast("long")
-    n_punct = F.length(F.regexp_replace("text", r"[\w\s]", "")).cast("long")
+    n_chr = X.char_count("text").cast("long")
+    n_punct = X.punct_count("text").cast("long")
     n_sw = X.stopword_count("text")
     verdict = (
         F.when(n_tok < 25, F.lit("too_short"))

@@ -11,13 +11,16 @@ Round 3's front 50 =
   (b) every events-reading query — the round-2 TIMESTAMP(MICROS)
       catalog fix changed all their inputs, so both the 9 r02 fails and
       the r01/r02 greens whose hashes are now stale must be re-proven,
-  (c) the queries whose engine code changed this round (heavy-hitter
-      threshold rewrite, centroid output shape, scratch materialization,
-      day-spine windows),
+  (c) queries whose engine code OR bench standing changed this round:
+      heavy-hitter threshold rewrite, centroid output shape, the three
+      day-spine window rewrites, plus re-measurement targets
+      (q3_shipping_priority's r02 outlier; monthly_revenue_trend and
+      window_running_total ride along as the other day-grain series),
+  (c2) the 9 queries new in round 3,
   (d) padding from the round-1-proven relational set, oldest evidence
       first.
 Everything with fresher green evidence (round-2 passes over unchanged
-code) sits in slots 51-112.
+code) sits in slots 51+ of the 121-query pool.
 """
 
 from __future__ import annotations

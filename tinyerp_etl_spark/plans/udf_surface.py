@@ -144,6 +144,8 @@ def applyinpandas_group_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def ols(pdf: pd.DataFrame) -> pd.DataFrame:
+        key = pdf["event_type"].iloc[0]
+        pdf = pdf.dropna(subset=["x", "y"])
         n = len(pdf)
         xs = [int(v) for v in pdf["x"]]
         ys = [int(v) for v in pdf["y"]]
@@ -151,10 +153,15 @@ def applyinpandas_group_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         sxy = sum(x * y for x, y in zip(xs, ys))
         sxx = sum(x * x for x in xs)
         num, den = n * sxy - sx * sy, n * sxx - sx * sx
-        slope = float(num) / float(den)
-        intercept = (float(sy) - slope * float(sx)) / n
+        if den == 0:
+            # a single row / single distinct day has no slope — NULL,
+            # mirroring the oracle's NULLIF(den, 0) division
+            slope, intercept = None, None
+        else:
+            slope = float(num) / float(den)
+            intercept = (float(sy) - slope * float(sx)) / n
         return pd.DataFrame(
-            [[pdf["event_type"].iloc[0], n, slope, intercept]],
+            [[key, n, slope, intercept]],
             columns=["event_type", "n", "slope", "intercept"],
         )
 
@@ -209,6 +216,7 @@ UDF_SURFACE_ORACLES: dict[str, str] = {
                  date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
                  CAST(round(value * 100) AS BIGINT) AS y
           FROM events
+          WHERE ts IS NOT NULL AND value IS NOT NULL
         ),
         s AS (
           SELECT event_type,
@@ -222,10 +230,12 @@ UDF_SURFACE_ORACLES: dict[str, str] = {
         )
         SELECT event_type, n,
                CAST(CAST(n * sxy - sx * sy AS DOUBLE)
-                    / CAST(n * sxx - sx * sx AS DOUBLE) AS DOUBLE) AS slope,
+                    / CAST(NULLIF(n * sxx - sx * sx, 0) AS DOUBLE)
+                 AS DOUBLE) AS slope,
                CAST((CAST(sy AS DOUBLE)
                      - (CAST(CAST(n * sxy - sx * sy AS DOUBLE)
-                        / CAST(n * sxx - sx * sx AS DOUBLE) AS DOUBLE))
+                        / CAST(NULLIF(n * sxx - sx * sx, 0) AS DOUBLE)
+                        AS DOUBLE))
                        * CAST(sx AS DOUBLE)) / n AS DOUBLE) AS intercept
         FROM s
         ORDER BY event_type

@@ -153,12 +153,18 @@ def _events_ts_unit(path: str) -> str:
     """
     unit = _TS_UNIT_CACHE.get(path)
     if unit is None:
-        try:
-            import pyarrow.dataset as ds
+        # a missing pyarrow must fail LOUDLY: silently defaulting to
+        # 'us' would make the guarded nanos read path unreachable for
+        # exactly the TIMESTAMP(NANOS) files it exists to handle
+        import pyarrow.dataset as ds
 
+        try:
             field = ds.dataset(path, format="parquet").schema.field("ts")
             unit = getattr(field.type, "unit", "us")
         except Exception:
+            # unreadable footer / no ts field (e.g. a Spark-written
+            # directory mid-materialization) — Spark's own writes are
+            # never nanos
             unit = "us"
         _TS_UNIT_CACHE[path] = unit
     return unit
