@@ -153,3 +153,30 @@ def test_resize_media_real_pnm_kernel(spark):
     assert len(raster) == 8 * 4 * 3
     top, bottom = raster[: 8 * 2 * 3], raster[8 * 2 * 3 :]
     assert set(top) == {0} and set(bottom) == {255}
+
+
+def test_extract_frames_real_pnm_video(spark):
+    """A 'video' of 12 concatenated PPM frames, sampled every 5th:
+    frames 0, 5, 10 come back as standalone valid PPM payloads with
+    per-frame content intact (frame i is solid gray level i*20)."""
+    from tinyerp_etl_spark.operators.multimodal import extract_frames
+
+    frames = []
+    for i in range(12):
+        v = i * 20
+        raster = bytes([v, v, v]) * (4 * 3)
+        frames.append(b"P6\n4 3\n255\n" + raster)
+    video = b"".join(frames)
+    df = spark.createDataFrame(
+        [(7, bytearray(video))], "media_id long, content binary"
+    )
+    got = {
+        r["frame_index"]: r for r in extract_frames(df, every_nth=5).collect()
+    }
+    assert set(got) == {0, 5, 10}
+    for idx, r in got.items():
+        assert (r["width"], r["height"]) == (4, 3)
+        body = bytes(r["content"])
+        assert body == frames[idx]
+        level = idx * 20
+        assert set(body[len(b"P6\n4 3\n255\n"):]) == {level}

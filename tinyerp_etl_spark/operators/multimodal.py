@@ -305,3 +305,46 @@ def resize_media(
     return df.select("media_id", "width", "height", "content").mapInPandas(
         resize_batches, schema=RESIZED_SCHEMA
     )
+
+
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_index", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("content", T.BinaryType()),
+    ]
+)
+
+
+def extract_frames(df: DataFrame, every_nth: int = 10) -> DataFrame:
+    """REAL frame extraction over concatenated-PNM video payloads.
+
+    The container-native stand-in for an ffmpeg demux: a 'video' is a
+    concatenation of binary PPM/PGM frames (each self-describing via
+    its header), walked frame-by-frame in pure Python; every
+    ``every_nth``-th frame is emitted as its own valid PNM payload.
+    One Arrow-batched mapInPandas pass, one output row per kept frame
+    — the same schema/batch shape an ffmpeg-backed kernel would have,
+    so swapping the codec touches nothing upstream.
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: list[tuple] = []
+            for mid, payload in zip(pdf["media_id"], pdf["content"]):
+                data = bytes(payload) if payload is not None else b""
+                pos, idx = 0, 0
+                while pos + 2 <= len(data) and data[pos : pos + 2] in (b"P6", b"P5"):
+                    w, h, ch, off = _parse_pnm_header(data[pos:])
+                    frame_len = off + w * h * ch
+                    if idx % every_nth == 0:
+                        out.append((mid, idx, w, h, data[pos : pos + frame_len]))
+                    pos += frame_len
+                    idx += 1
+            yield pd.DataFrame(
+                out, columns=["media_id", "frame_index", "width", "height", "content"]
+            )
+
+    return df.select("media_id", "content").mapInPandas(gen, FRAMES_SCHEMA)
