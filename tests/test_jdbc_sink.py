@@ -96,3 +96,31 @@ def test_jdbc_upsert_key_only_table(spark, url):
         for r in read_jdbc(spark, url, "edges", driver=DERBY_DRIVER).collect()
     }
     assert got == {(1, 2), (1, 3), (2, 4)}
+
+
+def test_write_jdbc_forwards_credentials(spark, monkeypatch):
+    # user/password must reach the executor-side jdbc() properties —
+    # against an authenticating database the distributed staging write
+    # fails without them (the driver-side MERGE leg alone is not enough)
+    from pyspark.sql.readwriter import DataFrameWriter
+
+    from tinyerp_etl_spark.etl.jdbc_sink import write_jdbc
+
+    captured = {}
+
+    def fake_jdbc(self, url, table, mode=None, properties=None):
+        captured.update(url=url, table=table, properties=properties)
+
+    monkeypatch.setattr(DataFrameWriter, "jdbc", fake_jdbc)
+    write_jdbc(
+        spark.range(3),
+        "jdbc:fake:mem",
+        "t",
+        driver="org.example.Driver",
+        properties={"user": "u", "password": "p"},
+    )
+    assert captured["properties"] == {
+        "user": "u",
+        "password": "p",
+        "driver": "org.example.Driver",
+    }

@@ -180,3 +180,17 @@ def test_extract_frames_real_pnm_video(spark):
         assert body == frames[idx]
         level = idx * 20
         assert set(body[len(b"P6\n4 3\n255\n"):]) == {level}
+
+
+def test_extract_frames_drops_truncated_tail(spark):
+    # a payload ending mid-raster must not emit a short final frame
+    from tinyerp_etl_spark.operators.multimodal import extract_frames
+
+    full = b"P6\n4 3\n255\n" + bytes([9, 9, 9]) * (4 * 3)
+    video = full + full[: len(full) - 7]  # second frame cut mid-raster
+    df = spark.createDataFrame(
+        [(1, bytearray(video))], "media_id long, content binary"
+    )
+    rows = extract_frames(df, every_nth=1).collect()
+    assert [r["frame_index"] for r in rows] == [0]
+    assert bytes(rows[0]["content"]) == full

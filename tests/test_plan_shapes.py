@@ -360,6 +360,53 @@ def test_year_stitch_equals_global_window(spark):
     assert got == want
 
 
+def test_year_stitch_sparse_and_thin_years(spark):
+    # years absent from the series and years holding fewer than n_ctx
+    # rows must still stitch exactly: thin years merge forward into the
+    # next present year and context routes to the next present group
+    import datetime
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from tinyerp_etl_spark.plans.relational import _year_stitched
+
+    days = (
+        [datetime.date(2019, 6, 1 + i) for i in range(9)]  # closeable year
+        + [datetime.date(2020, 12, 29 + i) for i in range(3)]  # thin year
+        # 2021 entirely absent
+        + [datetime.date(2022, 1, 1 + i) for i in range(8)]
+        + [datetime.date(2024, 3, 1 + i) for i in range(2)]  # thin tail
+    )
+    daily = spark.createDataFrame(
+        [(d, float(i)) for i, d in enumerate(days)], "day date, v double"
+    )
+    wg = Window.orderBy("day").rowsBetween(-6, 0)
+    want = {
+        (r["day"], r["s"])
+        for r in daily.select("day", F.sum("v").over(wg).alias("s")).collect()
+    }
+    wp = Window.partitionBy("part_year").orderBy("day").rowsBetween(-6, 0)
+    stitched = _year_stitched(daily, "day", n_ctx=6)
+    got = {
+        (r["day"], r["s"])
+        for r in stitched.select("day", "is_ctx", F.sum("v").over(wp).alias("s"))
+        .filter(~F.col("is_ctx"))
+        .collect()
+    }
+    assert got == want
+    # the thin 2020 must share a partition with 2022 (no unsafe boundary)
+    grp = {
+        r["y"]: r["g"]
+        for r in stitched.filter(~F.col("is_ctx"))
+        .select(F.year("day").alias("y"), F.col("part_year").alias("g"))
+        .distinct()
+        .collect()
+    }
+    assert grp[2020] == grp[2022]
+    assert grp[2019] < grp[2020]
+
+
 def test_jaccard_verify_join_never_broadcasts_shingles(spark, sf_dir):
     # the persisted shingle table carries one array per doc: its
     # compressed size estimate can fit the autoBroadcastJoinThreshold

@@ -406,3 +406,23 @@ def test_events_ts_sanity_bounds(spark, sf_dir):
     )
     assert olo >= datetime.datetime(1992, 1, 1), olo
     assert ohi < datetime.datetime(2026, 1, 1), ohi
+
+
+def test_ts_unit_sniff_does_not_cache_failures(tmp_path):
+    # an empty directory (streaming sink sampled mid-materialization)
+    # must fall back to 'us' WITHOUT caching — once real nanos files
+    # land at the path, the sniff must see them
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tinyerp_etl_spark.sources.catalog import _TS_UNIT_CACHE, _events_ts_unit
+
+    d = tmp_path / "events.parquet"
+    d.mkdir()
+    path = str(d)
+    assert _events_ts_unit(path) == "us"
+    assert path not in _TS_UNIT_CACHE
+    tbl = pa.table({"ts": pa.array([1, 2, 3], type=pa.timestamp("ns"))})
+    pq.write_table(tbl, d / "part-0.parquet")
+    assert _events_ts_unit(path) == "ns"
+    assert _TS_UNIT_CACHE[path] == "ns"

@@ -46,18 +46,24 @@ def write_jdbc(
     driver: str | None = None,
     num_partitions: int = DEFAULT_WRITE_PARTITIONS,
     batch_size: int = DEFAULT_BATCH_SIZE,
+    properties: dict[str, str] | None = None,
 ) -> None:
     """Batch INSERT (reference: execute_values, tiny_api_v2_cliente.py:8).
 
     Executors write in parallel, ``num_partitions`` bounding the
     connection count and ``batch_size`` the rows per round trip.
+    ``properties`` carries user/password and any other connection
+    options to the executor-side connections — the distributed data
+    path needs credentials just as much as the driver-side MERGE leg.
     """
     writer = (
         df.coalesce(num_partitions)
         .write.mode(mode)
         .option("batchsize", str(batch_size))
     )
-    props = {"driver": driver} if driver else {}
+    props = dict(properties or {})
+    if driver:
+        props["driver"] = driver
     writer.jdbc(url, table, mode=mode, properties=props)
 
 
@@ -70,10 +76,13 @@ def read_jdbc(
     lower_bound: int | None = None,
     upper_bound: int | None = None,
     num_partitions: int = DEFAULT_WRITE_PARTITIONS,
+    properties: dict[str, str] | None = None,
 ) -> DataFrame:
     """Parallel JDBC scan. Always pass partition bounds for real tables
     — without them the whole table drains through ONE connection."""
     reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    for k, v in (properties or {}).items():
+        reader = reader.option(k, v)
     if driver:
         reader = reader.option("driver", driver)
     if partition_column is not None:
@@ -180,7 +189,7 @@ def upsert_jdbc(
     staging = staging_table or f"{table}_staging"
     write_jdbc(
         df, url, staging, mode="overwrite", driver=driver,
-        num_partitions=num_partitions,
+        num_partitions=num_partitions, properties=properties,
     )
     cols = list(df.columns)
     non_keys = [c for c in cols if c not in keys]
@@ -196,7 +205,7 @@ def upsert_jdbc(
         # write of zero rows — keeps type mapping identical)
         write_jdbc(
             df.limit(0), url, table, mode="append", driver=driver,
-            num_partitions=1,
+            num_partitions=1, properties=properties,
         )
     _run_statement(
         spark,

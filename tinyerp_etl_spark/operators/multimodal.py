@@ -93,20 +93,23 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int, list[float]]:
     return width, height, channels, feature
 
 
-def _parse_pnm_header(payload: bytes) -> tuple[int, int, int, int]:
-    """Parse a binary PPM (P6) / PGM (P5) header.
+def _parse_pnm_header(payload: bytes, start: int = 0) -> tuple[int, int, int, int]:
+    """Parse a binary PPM (P6) / PGM (P5) header at offset ``start``.
 
-    Returns (width, height, channels, data_offset). Handles the full
-    format: '#' comments and arbitrary whitespace between tokens.
+    Returns (width, height, channels, data_offset) with data_offset
+    relative to the payload start. Handles the full format: '#'
+    comments and arbitrary whitespace between tokens. The offset form
+    lets multi-frame walkers avoid copying the remaining payload per
+    frame (an O(n²) trap on long videos).
     """
-    if payload[:2] == b"P6":
+    if payload[start : start + 2] == b"P6":
         channels = 3
-    elif payload[:2] == b"P5":
+    elif payload[start : start + 2] == b"P5":
         channels = 1
     else:
         raise ValueError("not a binary PPM/PGM payload")
     tokens: list[int] = []
-    i = 2
+    i = start + 2
     while len(tokens) < 3:
         while i < len(payload) and payload[i : i + 1].isspace():
             i += 1
@@ -337,11 +340,17 @@ def extract_frames(df: DataFrame, every_nth: int = 10) -> DataFrame:
                 data = bytes(payload) if payload is not None else b""
                 pos, idx = 0, 0
                 while pos + 2 <= len(data) and data[pos : pos + 2] in (b"P6", b"P5"):
-                    w, h, ch, off = _parse_pnm_header(data[pos:])
-                    frame_len = off + w * h * ch
+                    # offset parse — no per-frame copy of the remaining
+                    # payload (that walk is O(n²) in frame count)
+                    w, h, ch, off = _parse_pnm_header(data, pos)
+                    frame_end = off + w * h * ch
+                    if frame_end > len(data):
+                        # payload ends mid-raster: drop the truncated
+                        # tail instead of emitting a short frame
+                        break
                     if idx % every_nth == 0:
-                        out.append((mid, idx, w, h, data[pos : pos + frame_len]))
-                    pos += frame_len
+                        out.append((mid, idx, w, h, data[pos:frame_end]))
+                    pos = frame_end
                     idx += 1
             yield pd.DataFrame(
                 out, columns=["media_id", "frame_index", "width", "height", "content"]

@@ -862,20 +862,44 @@ def _year_stitched(daily: DataFrame, date_col: str, n_ctx: int) -> DataFrame:
     the global window would. Callers filter ``is_ctx`` out after the
     window and must use a frame no wider than ``n_ctx`` preceding rows.
 
-    Precondition: every year present in the series (except the first)
-    carries at least ``n_ctx`` rows — true for day-grain series at any
-    realistic density (a year has <= 366 rows, and the frames used
-    here are 6 and 29 rows). tests/test_plan_shapes.py pins both the
-    stitch equivalence and the no-single-partition-window plan shape.
+    Sparse series need no precondition: partition groups are derived
+    from the years actually PRESENT. A boundary closes after year Y
+    only when Y itself holds >= ``n_ctx`` rows (so the next group's
+    trailing context lies entirely in Y); thinner years merge forward
+    into the next present year, and context routes to the next present
+    group — absent calendar years and thin years both stitch exactly.
+    The year->group control table is one row per present year (tens of
+    rows at any scale), moved around only via broadcast joins — no
+    global window anywhere. tests/test_plan_shapes.py pins both the
+    stitch equivalence (incl. sparse/thin-year series) and the
+    no-single-partition-window plan shape.
     """
     y = F.year(F.col(date_col))
-    own = daily.withColumn("part_year", y).withColumn("is_ctx", F.lit(False))
-    wdesc = Window.partitionBy(y).orderBy(F.col(date_col).desc())
+    years = daily.groupBy(y.alias("__y")).agg(F.count(F.lit(1)).alias("__cnt"))
+    # Group id = number of boundary-closing years strictly before this
+    # one — a broadcast non-equi self-join over the tiny year table.
+    closed = years.filter(F.col("__cnt") >= n_ctx).select(F.col("__y").alias("__yc"))
+    grp = (
+        years.select("__y")
+        .join(F.broadcast(closed), F.col("__yc") < F.col("__y"), "left")
+        .groupBy("__y")
+        .agg(F.count("__yc").alias("part_year"))
+    )
+    own = (
+        daily.join(F.broadcast(grp), y == F.col("__y"), "inner")
+        .drop("__y")
+        .withColumn("is_ctx", F.lit(False))
+    )
+    wdesc = Window.partitionBy("part_year").orderBy(F.col(date_col).desc())
+    present = grp.select("part_year").distinct()
     ctx = (
-        daily.withColumn("__rn", F.row_number().over(wdesc))
+        own.withColumn("__rn", F.row_number().over(wdesc))
         .filter(F.col("__rn") <= n_ctx)
         .drop("__rn")
-        .withColumn("part_year", y + 1)
+        .withColumn("part_year", F.col("part_year") + 1)
+        # replicate only into groups that exist (drops the overflow
+        # past the last group)
+        .join(F.broadcast(present), "part_year", "leftsemi")
         .withColumn("is_ctx", F.lit(True))
     )
     return own.unionByName(ctx)

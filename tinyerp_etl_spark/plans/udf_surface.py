@@ -137,15 +137,22 @@ def applyinpandas_group_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum-based rewrite as a plain aggregation — this exists to pin the
     applyInPandas surface itself.
     """
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_type",
-        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")).alias("x"),
-        F.round(F.col("value") * 100).cast("long").alias("y"),
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")).alias("x"),
+            F.round(F.col("value") * 100).cast("long").alias("y"),
+        )
+        # drop null points BEFORE the groupBy, mirroring the oracle's
+        # pre-grouping filter — a group whose rows are all null must not
+        # appear at all (an in-kernel dropna would still emit an
+        # (event_type, 0, NULL, NULL) row for it)
+        .filter(F.col("x").isNotNull() & F.col("y").isNotNull())
     )
 
     def ols(pdf: pd.DataFrame) -> pd.DataFrame:
         key = pdf["event_type"].iloc[0]
-        pdf = pdf.dropna(subset=["x", "y"])
         n = len(pdf)
         xs = [int(v) for v in pdf["x"]]
         ys = [int(v) for v in pdf["y"]]

@@ -147,9 +147,13 @@ _TS_UNIT_CACHE: dict[str, str] = {}
 def _events_ts_unit(path: str) -> str:
     """Physical timestamp unit ('ns'/'us'/'ms'/'s') of events.ts at `path`.
 
-    Footer-only read via pyarrow; cached per path for the session. If the
-    footer can't be read (e.g. a directory of part files written by Spark),
-    fall back to 'us' — Spark's own writes are never nanos.
+    Footer-only read via pyarrow; successful sniffs are cached per path
+    for the session. If the footer can't be read (e.g. a directory of
+    part files sampled while still empty / mid-materialization), fall
+    back to 'us' for THIS call but do NOT cache it — a path that later
+    gains TIMESTAMP(NANOS) files must be re-sniffed, or timestamps
+    would be silently misread as micros, the exact corruption class
+    this sniffing exists to prevent.
     """
     unit = _TS_UNIT_CACHE.get(path)
     if unit is None:
@@ -161,12 +165,11 @@ def _events_ts_unit(path: str) -> str:
         try:
             field = ds.dataset(path, format="parquet").schema.field("ts")
             unit = getattr(field.type, "unit", "us")
+            _TS_UNIT_CACHE[path] = unit
         except Exception:
-            # unreadable footer / no ts field (e.g. a Spark-written
-            # directory mid-materialization) — Spark's own writes are
-            # never nanos
+            # unreadable footer / no ts field yet — use the safe
+            # default transiently, without poisoning the cache
             unit = "us"
-        _TS_UNIT_CACHE[path] = unit
     return unit
 
 
