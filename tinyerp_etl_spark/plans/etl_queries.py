@@ -773,23 +773,37 @@ def scd2_user_event_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Datasketches HLL distinct-users per event_type (approximate).
+    """Datasketches HLL distinct-users per event_type, hash-gated via a
+    deterministic within-bound contract.
 
-    The scale path KMV demonstrates exactly, at production quality:
-    hll_sketch_agg is JVM-native, mergeable (register-max is
+    hll_sketch_agg is JVM-native and mergeable (register-max is
     commutative, so the estimate is partition-order invariant — unit
     test pins this plus the error bound), and the sketch column itself
-    can be stored per-partition and re-merged later for rollups. No
-    SQL oracle: DuckDB's approx_count_distinct is a different HLL
-    implementation, so the driver records the weaker rows-only check;
-    kmv_distinct_users is the hash-matched deterministic twin.
+    can be stored per-partition and re-merged later for rollups.
+
+    DuckDB's approx_count_distinct is a DIFFERENT HLL implementation,
+    so the raw estimate can't be oracle-matched — but for a fixed input
+    and lgK the Spark estimate is deterministic, so the derived boolean
+    ``within_bound = |approx - exact| <= ceil(exact / 20)`` (a 5%
+    envelope, integer arithmetic) is a stable value the oracle
+    reproduces as TRUE. That makes the slot a real hash check instead
+    of a rows-only one; kmv_distinct_users remains the fully
+    exact-matched sketch twin.
     """
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy("event_type")
         .agg(
-            F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("approx_users"),
+            F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("approx"),
             F.countDistinct("user_id").alias("exact_users"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("approx") - F.col("exact_users"))
+                <= F.expr("(exact_users + 19) div 20")
+            ).alias("within_bound"),
         )
         .orderBy("event_type")
     )
@@ -1287,6 +1301,14 @@ ETL_ORACLES: dict[str, str] = {
         FROM runs
         WINDOW w2 AS (PARTITION BY user_id ORDER BY effective_from, event_id)
         ORDER BY user_id, version
+    """,
+    "hll_distinct_users": """
+        SELECT event_type,
+               count(DISTINCT user_id) AS exact_users,
+               TRUE AS within_bound
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
     """,
     "kmv_distinct_users": """
         WITH hashed AS (
