@@ -56,3 +56,52 @@ def test_word_ngram_rows_skips_short_docs_and_dedupes(spark):
     assert 1 not in by_doc  # 2 tokens: no 3-grams
     # 7 positional grams but only 3 distinct rotations
     assert by_doc[2] == {"p q r", "q r p", "r p q"}
+
+
+def test_lsh_bucket_cap_quarantines_duplicate_floods(spark):
+    # 1000 identical docs share every band bucket: uncapped LSH would
+    # expand ~500k pairs through one aggregation buffer. With the cap,
+    # the flood is quarantined and NO pairs are emitted for it, while a
+    # small genuine near-dup group below the cap still pairs normally.
+    from pyspark.sql import functions as F
+
+    from tinyerp_etl_spark.operators.dedup import (
+        dedup_exact,
+        lsh_candidate_pairs,
+    )
+
+    flood_text = "the quick brown fox jumps over the lazy dog every day"
+    near_a = "spark engines shuffle data between executors during wide stages"
+    near_b = "spark engines shuffle data between executors during wide phases"
+    rows = [(i, flood_text) for i in range(1000)] + [
+        (2001, near_a),
+        (2002, near_b),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs, quarantined = lsh_candidate_pairs(
+        docs, bucket_cap=64, with_quarantine=True
+    )
+    got_pairs = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+    # bounded: only the under-cap near-dup pair survives
+    assert got_pairs == {(2001, 2002)}
+    q = {r["doc_id"] for r in quarantined.collect()}
+    assert q == set(range(1000))
+    # the documented contract: exact dedup first removes the flood, then
+    # LSH sees one representative and nothing is quarantined
+    deduped = dedup_exact(docs)
+    pairs2, quarantined2 = lsh_candidate_pairs(
+        deduped, bucket_cap=64, with_quarantine=True
+    )
+    assert quarantined2.count() == 0
+    got2 = {(r["doc_a"], r["doc_b"]) for r in pairs2.collect()}
+    assert (2001, 2002) in got2
+
+
+def test_lsh_neardup_verified_applies_bucket_cap(spark):
+    from tinyerp_etl_spark.operators.dedup import lsh_neardup_verified
+
+    rows = [(i, "identical flood document body repeated verbatim") for i in range(80)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    assert lsh_neardup_verified(docs, threshold=0.5, bucket_cap=16).count() == 0
+    capped = lsh_neardup_verified(docs, threshold=0.5, bucket_cap=128)
+    assert capped.count() == 80 * 79 // 2

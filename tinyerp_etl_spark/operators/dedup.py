@@ -35,6 +35,14 @@ LSH_ROWS = MINHASH_K // LSH_BANDS
 
 SHINGLE_K = 3  # word 3-grams
 
+#: Max members per LSH bucket before the bucket is quarantined instead
+#: of expanded into pairs. A bucket of k docs emits k·(k-1)/2 pairs
+#: through ONE aggregation buffer — on duplicate-heavy data (the norm
+#: for web-scale corpora) a degenerate bucket is an executor-OOM risk.
+#: Members of over-cap buckets are overwhelmingly exact duplicates;
+#: the contract is to route them through dedup_exact first.
+DEFAULT_BUCKET_CAP = 64
+
 
 def _ngrams_of(toks: F.Column, k: int) -> F.Column:
     """k-gram array from an already-bound token-array column.
@@ -127,9 +135,50 @@ def minhash_signature(docs: DataFrame, text_col: str = "text", id_col: str = "do
     return hashed.select(F.col(id_col), sig.alias("sig"))
 
 
+def _capped_bucket_pairs(
+    bands: DataFrame, id_col: str, bucket_cap: int
+) -> tuple[DataFrame, DataFrame]:
+    """(pairs, quarantined ids) from (id, band, key) rows, cap-bounded.
+
+    The membership COUNT per key runs first — map-side combinable, so
+    its aggregation buffers stay tiny even on a bucket of a million
+    duplicates — and only under-cap keys reach the ``collect_set``,
+    bounding that buffer (and the pair fan-out) by ``bucket_cap``.
+    Over-cap keys route their member ids to the quarantine output for
+    the caller to push through ``dedup_exact`` first. The count → join
+    → collect_set chain reuses one hash partitioning on (band, key);
+    AQE keeps the post-aggregation join co-partitioned.
+    """
+    counts = bands.groupBy("band", "key").agg(F.count(F.lit(1)).alias("__n"))
+    tagged = bands.join(counts, ["band", "key"])
+    buckets = (
+        tagged.filter((F.col("__n") > 1) & (F.col("__n") <= bucket_cap))
+        .groupBy("band", "key")
+        .agg(F.sort_array(F.collect_set(id_col)).alias("ids"))
+    )
+    pairs = (
+        buckets.select(F.posexplode("ids").alias("i", "doc_a"), F.col("ids"))
+        .select(
+            "doc_a",
+            F.explode(
+                F.slice("ids", F.col("i") + 2, F.array_size("ids") - F.col("i") - 1)
+            ).alias("doc_b"),
+        )
+        .distinct()
+    )
+    quarantined = (
+        tagged.filter(F.col("__n") > bucket_cap).select(id_col).distinct()
+    )
+    return pairs, quarantined
+
+
 def lsh_candidate_pairs(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
-) -> DataFrame:
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bucket_cap: int = DEFAULT_BUCKET_CAP,
+    with_quarantine: bool = False,
+) -> DataFrame | tuple[DataFrame, DataFrame]:
     """Candidate near-dup pairs: docs sharing ≥1 LSH band bucket.
 
     Explode each signature into ``LSH_BANDS`` (band, key) rows — only
@@ -138,11 +187,13 @@ def lsh_candidate_pairs(
 
     Pairs are generated bucket-locally: group by (band, key), collect
     the member ids, emit the i<j combinations. One signature
-    computation and one shuffle — the self-join formulation would
-    compute the (expensive) signatures once per join side. Degenerate
-    buckets (a key shared by k docs) emit k·(k-1)/2 pairs — inherent
-    to LSH; a production run on duplicate-heavy data would cap bucket
-    size and route overflow to exact dedup first.
+    computation — the self-join formulation would compute the
+    (expensive) signatures once per join side. Buckets larger than
+    ``bucket_cap`` never expand into pairs (a key shared by k docs
+    emits k·(k-1)/2 pairs — the executor-OOM shape on duplicate-heavy
+    data); their members are quarantined instead, returned as a second
+    DataFrame when ``with_quarantine`` is set, to be routed through
+    ``dedup_exact`` before re-running LSH.
     """
     sigs = minhash_signature(docs, text_col, id_col)
     bands = sigs.select(
@@ -167,25 +218,8 @@ def lsh_candidate_pairs(
             )
         ).alias("bk"),
     ).select(F.col(id_col), F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    buckets = (
-        bands.groupBy("band", "key")
-        .agg(F.sort_array(F.collect_set(id_col)).alias("ids"))
-        .filter(F.array_size("ids") > 1)
-    )
-    return (
-        buckets.select(F.posexplode("ids").alias("i", "doc_a"), F.col("ids"))
-        .select(
-            "doc_a",
-            F.explode(
-                F.slice(
-                    "ids",
-                    F.col("i") + 2,
-                    F.array_size("ids") - F.col("i") - 1,
-                )
-            ).alias("doc_b"),
-        )
-        .distinct()
-    )
+    pairs, quarantined = _capped_bucket_pairs(bands, id_col, bucket_cap)
+    return (pairs, quarantined) if with_quarantine else pairs
 
 
 def jaccard_pairs(
@@ -324,6 +358,7 @@ def lsh_neardup_verified(
     threshold: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    bucket_cap: int = DEFAULT_BUCKET_CAP,
 ) -> DataFrame:
     """Fused near-dup pipeline: shingle → MinHash → LSH → exact-verify.
 
@@ -335,26 +370,15 @@ def lsh_neardup_verified(
     signature/shingle table — and verifies candidates with
     array_intersect on the candidate pairs only: no shingle explode, no
     shingle shuffle, intersection cost proportional to |candidates|.
+    Buckets over ``bucket_cap`` are dropped, not expanded (see
+    ``_capped_bucket_pairs``): run ``dedup_exact`` first so exact-dup
+    floods never reach this stage.
     """
     base = minhash_features_pandas(docs, text_col, id_col).persist()
     bands = base.select(
         F.col(id_col), F.posexplode("band_keys").alias("band", "key")
     )
-    buckets = (
-        bands.groupBy("band", "key")
-        .agg(F.sort_array(F.collect_set(id_col)).alias("ids"))
-        .filter(F.array_size("ids") > 1)
-    )
-    pairs = (
-        buckets.select(F.posexplode("ids").alias("i", "doc_a"), F.col("ids"))
-        .select(
-            "doc_a",
-            F.explode(
-                F.slice("ids", F.col("i") + 2, F.array_size("ids") - F.col("i") - 1)
-            ).alias("doc_b"),
-        )
-        .distinct()
-    )
+    pairs, _ = _capped_bucket_pairs(bands, id_col, bucket_cap)
     # The shingle table is DATA-scale (one array per doc): it must never
     # ride a broadcast, but its parquet-side size estimate can fit the
     # autoBroadcastJoinThreshold while the deserialized arrays blow the
