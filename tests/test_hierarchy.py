@@ -45,3 +45,20 @@ def test_ancestor_closure(spark):
         (4, 1, 2),
         (5, 5, 0),
     ]
+
+
+def test_ancestor_closure_depth_50_chain(spark):
+    # a 50-deep chain must complete without a deep-lineage blowup
+    # (frontier is localCheckpoint'd every few levels)
+    from pyspark.sql import functions as F
+
+    from tinyerp_etl_spark.operators.hierarchy import ancestor_closure
+
+    rows = [(0, None)] + [(i, i - 1) for i in range(1, 51)]
+    edges = spark.createDataFrame(rows, "id long, parent_id long")
+    got = {
+        r["node_id"]: (r["root_id"], r["depth"])
+        for r in ancestor_closure(edges, max_iterations=64).collect()
+    }
+    assert len(got) == 51
+    assert all(got[i] == (0, i) for i in range(51))

@@ -105,3 +105,20 @@ def test_lsh_neardup_verified_applies_bucket_cap(spark):
     assert lsh_neardup_verified(docs, threshold=0.5, bucket_cap=16).count() == 0
     capped = lsh_neardup_verified(docs, threshold=0.5, bucket_cap=128)
     assert capped.count() == 80 * 79 // 2
+
+
+def test_connected_components_depth_50_chain(spark):
+    # min-label propagation over a 50-edge chain: ~50 rounds to
+    # converge; the periodic localCheckpoint keeps each round's plan
+    # shallow instead of re-evaluating an O(rounds²) join chain
+    from tinyerp_etl_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(50)], "doc_a long, doc_b long"
+    )
+    comp = {
+        r["node"]: r["component"]
+        for r in connected_components(edges, max_iterations=60).collect()
+    }
+    assert len(comp) == 51
+    assert set(comp.values()) == {0}

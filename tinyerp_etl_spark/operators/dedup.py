@@ -437,7 +437,7 @@ def connected_components(
         .distinct()
         .withColumn("component", F.col("node"))
     )
-    for _ in range(max_iterations):
+    for i in range(max_iterations):
         neighbor_min = (
             sym.join(comp, sym.dst == comp.node)
             .groupBy("src")
@@ -457,6 +457,13 @@ def connected_components(
         if updated.filter(F.col("__changed")).isEmpty():
             return updated.select("node", "component")
         comp = updated.select("node", "component")
+        if (i + 1) % 5 == 0:
+            # truncate lineage: comp deepens by one join per round, and
+            # the fixed-point isEmpty() re-evaluates the whole chain —
+            # O(iterations²) work on deep graphs (long chains) without
+            # this. localCheckpoint materializes the pair-scale label
+            # table and restarts the lineage from it.
+            comp = comp.localCheckpoint()
     return comp
 
 

@@ -74,7 +74,7 @@ def ancestor_closure(
         )
     )
     result = frontier
-    for _ in range(max_iterations):
+    for i in range(max_iterations):
         nxt = (
             nodes.alias("c")
             .join(frontier.alias("p"), F.col("c.parent_id") == F.col("p.node_id"))
@@ -84,10 +84,13 @@ def ancestor_closure(
                 (F.col("p.depth") + 1).alias("depth"),
             )
         )
-        # localCheckpoint would truncate lineage for very deep trees;
-        # category trees are shallow so plain iteration is fine
         if nxt.isEmpty():
             break
-        result = result.unionByName(nxt)
         frontier = nxt
+        if (i + 1) % 5 == 0:
+            # truncate lineage every few levels: the frontier deepens
+            # by one join per level and the per-level isEmpty() walks
+            # the whole chain — O(depth²) on deep trees without this
+            frontier = frontier.localCheckpoint()
+        result = result.unionByName(frontier)
     return result
