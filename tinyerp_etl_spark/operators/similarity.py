@@ -403,12 +403,19 @@ def neardup_pairs(
     )
 
 
+#: Largest query batch knn_join will broadcast. Beyond this, the
+#: broadcast (corpus-rows × batch) score fan-out stops being "a batch
+#: against the corpus" and the bucketed paths are the right tool.
+MAX_KNN_QUERY_BATCH = 10_000
+
+
 def knn_join(
     embeddings: DataFrame,
     queries: DataFrame,
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_query_batch: int = MAX_KNN_QUERY_BATCH,
 ) -> DataFrame:
     """Batch exact top-k: every query vector against the full corpus
     (the k-NN join), one corpus scan total.
@@ -419,12 +426,21 @@ def knn_join(
     query id keeps the top k. At 100 TB this is the right shape until
     the query batch itself is large — then IVF list-pruning
     (``ivf_topk``) or LSH buckets bound the candidate set per query
-    instead of the full cross product.
+    instead of the full cross product. The contract is ENFORCED: a
+    batch over ``max_query_batch`` rows raises up front (one bounded
+    limit+count probe, not a full scan) instead of OOMing the driver
+    mid-broadcast.
 
     Output: (query_id, vec_id, score, rn) with rn 1..k per query.
     """
     from pyspark.sql.window import Window
 
+    n_probe = queries.limit(max_query_batch + 1).count()
+    if n_probe > max_query_batch:
+        raise ValueError(
+            f"knn_join query batch exceeds max_query_batch={max_query_batch}; "
+            "use ivf_topk or the LSH-bucketed path for corpus-scale query sets"
+        )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qvec"),
