@@ -194,3 +194,30 @@ def test_extract_frames_drops_truncated_tail(spark):
     rows = extract_frames(df, every_nth=1).collect()
     assert [r["frame_index"] for r in rows] == [0]
     assert bytes(rows[0]["content"]) == full
+
+
+def test_pil_seam_decodes_png_or_raises_cleanly(spark):
+    # compressed formats dispatch to the Pillow seam: real decode when
+    # the lib is present, a clear NotImplementedError when it isn't —
+    # never a silent wrong answer
+    import pytest
+
+    from tinyerp_etl_spark.operators.multimodal import _real_decode
+
+    try:
+        import io
+
+        from PIL import Image
+
+        buf = io.BytesIO()
+        img = Image.new("RGB", (8, 8))
+        for y in range(8):
+            for x in range(8):
+                img.putpixel((x, y), (0, 0, 0) if y < 4 else (255, 255, 255))
+        img.save(buf, format="PNG")
+        w, h, ch, feat = _real_decode(buf.getvalue())
+        assert (w, h, ch) == (8, 8, 3)
+        assert feat[0] == 0.0 and feat[7] == 1.0
+    except ImportError:
+        with pytest.raises(NotImplementedError, match="Pillow"):
+            _real_decode(b"\x89PNG\r\n\x1a\n" + b"\x00" * 16)

@@ -459,3 +459,64 @@ def test_stream_dedup_within_watermark_equals_batch_distinct(
     got = {r["event_id"] for r in store.read().select("event_id").collect()}
     want = {r["event_id"] for r in events.select("event_id").collect()}
     assert got == want
+
+
+def test_stream_dedup_resumes_after_restart_without_duplicates(
+    spark, sf_dir, stream_dir, tmp_path
+):
+    """Kill/restart semantics for the dedup ingest: a second availableNow
+    run from the same checkpoint sees (a) a replayed copy of an already-
+    processed file and (b) a genuinely new file. Replays must not land
+    twice (dedup state + idempotent MERGE survive the restart); new
+    events must land exactly once."""
+    import os
+    import shutil
+
+    from tinyerp_etl_spark.streaming.stream_pipeline import (
+        dedup_events_stream,
+        read_events_stream,
+        run_stream_to_merge_sink,
+    )
+
+    src = str(tmp_path / "restart_stream")
+    os.makedirs(src)
+    first = sorted(os.listdir(stream_dir))[0]
+    shutil.copy(os.path.join(stream_dir, first), os.path.join(src, "a0.parquet"))
+
+    events = load_table(spark, sf_dir, "events")
+    store = TableStore(spark, str(tmp_path / "restart_tbl"), events.schema)
+    ckpt = str(tmp_path / "restart_ckpt")
+
+    # run 1: process the file, then the query stops (availableNow)
+    run_stream_to_merge_sink(
+        spark, dedup_events_stream(read_events_stream(spark, src)), store,
+        ["event_id"], ckpt,
+    )
+    n1 = store.read().count()
+    assert n1 > 0
+
+    # "restart": replay the same file under a new name + one new file
+    shutil.copy(os.path.join(stream_dir, first), os.path.join(src, "replay.parquet"))
+    # new events must sit ABOVE the restored watermark (checkpoint
+    # carries run 1's max(ts) - delay forward), else they are late data
+    fresh = (
+        events.limit(10)
+        .withColumn("event_id", F.col("event_id") + 20_000_000)
+        .withColumn("ts", F.col("ts") + F.expr("INTERVAL 400 DAYS"))
+    )
+    out = tmp_path / "fresh_out"
+    fresh.coalesce(1).write.mode("overwrite").parquet(str(out))
+    for f in os.listdir(out):
+        if f.endswith(".parquet"):
+            shutil.copy(out / f, os.path.join(src, "b0.parquet"))
+
+    run_stream_to_merge_sink(
+        spark, dedup_events_stream(read_events_stream(spark, src)), store,
+        ["event_id"], ckpt,
+    )
+    assert store.read().count() == n1 + 10
+    # every event_id exactly once
+    dup = (
+        store.read().groupBy("event_id").count().filter(F.col("count") > 1)
+    )
+    assert dup.isEmpty()

@@ -186,12 +186,45 @@ def _decode_wav(payload: bytes) -> tuple[int, int, int, list[float]]:
     return n_frames, rate, channels, feature
 
 
+def _decode_pil(payload: bytes) -> tuple[int, int, int, list[float]]:
+    """Compressed-image decode (JPEG/PNG) through the Pillow seam.
+
+    Import-guarded: the container images that run the gate don't ship
+    Pillow, so the guard raises a clear NotImplementedError there while
+    the PNM/WAV codecs and the fake kernel keep working. On a cluster
+    image with Pillow, this emits the same contract as ``_decode_pnm``:
+    dims + mean intensity of 8 horizontal bands.
+    """
+    try:
+        from PIL import Image
+    except ImportError as exc:
+        raise NotImplementedError(
+            "JPEG/PNG decode requires Pillow on the executor image; "
+            "PNM/WAV decode and mode='fake' run without it"
+        ) from exc
+    import io
+
+    img = Image.open(io.BytesIO(payload))
+    width, height = img.size
+    channels = len(img.getbands())
+    data = list(img.convert("L").getdata())
+    feature = []
+    for b in range(8):
+        lo = (b * height // 8) * width
+        hi = ((b + 1) * height // 8) * width
+        seg = data[lo:hi]
+        feature.append(round(sum(seg) / (255.0 * len(seg)), 6) if seg else 0.0)
+    return width, height, channels, feature
+
+
 def _real_decode(payload: bytes) -> tuple[int, int, int, list[float]]:
-    """Dispatch on magic bytes; extend here for PIL/ffmpeg formats."""
+    """Dispatch on magic bytes; extend here for further formats."""
     if payload[:2] in (b"P6", b"P5"):
         return _decode_pnm(payload)
     if payload[:4] == b"RIFF":
         return _decode_wav(payload)
+    if payload[:2] == b"\xff\xd8" or payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return _decode_pil(payload)
     raise ValueError(f"unsupported media magic: {payload[:4]!r}")
 
 
