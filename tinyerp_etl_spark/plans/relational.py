@@ -868,38 +868,50 @@ def _year_stitched(daily: DataFrame, date_col: str, n_ctx: int) -> DataFrame:
     trailing context lies entirely in Y); thinner years merge forward
     into the next present year, and context routes to the next present
     group — absent calendar years and thin years both stitch exactly.
-    The year->group control table is one row per present year (tens of
-    rows at any scale), moved around only via broadcast joins — no
-    global window anywhere. tests/test_plan_shapes.py pins both the
-    stitch equivalence (incl. sparse/thin-year series) and the
-    no-single-partition-window plan shape.
+
+    The day-grain series is calendar-bounded (<= 366 rows/year), so it
+    is localCheckpoint'd up front: ONE pass of the upstream fact
+    aggregation materializes it, and the year->group control collect
+    (<= one row per calendar year — same class as the IVF centroid
+    collect), the own rows, and the context rows all read the
+    materialized table. Measured alternatives: an in-plan join
+    formulation ran 6 fact scans (column pruning defeats exchange
+    reuse across branches); un-checkpointed, the control collect +
+    two-branch union ran 3. On a cluster where executor loss matters,
+    materializing the day table to storage replaces the checkpoint.
+    The group assignment is inlined as a literal map.
+    tests/test_plan_shapes.py pins both the stitch equivalence (incl.
+    sparse/thin-year series) and the no-single-partition-window shape.
     """
+    daily = daily.localCheckpoint()
     y = F.year(F.col(date_col))
-    years = daily.groupBy(y.alias("__y")).agg(F.count(F.lit(1)).alias("__cnt"))
-    # Group id = number of boundary-closing years strictly before this
-    # one — a broadcast non-equi self-join over the tiny year table.
-    closed = years.filter(F.col("__cnt") >= n_ctx).select(F.col("__y").alias("__yc"))
-    grp = (
-        years.select("__y")
-        .join(F.broadcast(closed), F.col("__yc") < F.col("__y"), "left")
-        .groupBy("__y")
-        .agg(F.count("__yc").alias("part_year"))
+    year_rows = sorted(
+        (r["__y"], r["__cnt"])
+        for r in daily.groupBy(y.alias("__y"))
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .collect()
     )
-    own = (
-        daily.join(F.broadcast(grp), y == F.col("__y"), "inner")
-        .drop("__y")
-        .withColumn("is_ctx", F.lit(False))
-    )
+    grp_of: dict[int, int] = {}
+    g = 0
+    for yy, cnt in year_rows:
+        grp_of[yy] = g
+        if cnt >= n_ctx:
+            g += 1
+    if grp_of:
+        mapping = F.create_map(*[F.lit(v) for kv in grp_of.items() for v in kv])
+        part = F.element_at(mapping, y)
+    else:
+        part = F.lit(0)
+    own = daily.withColumn("part_year", part).withColumn("is_ctx", F.lit(False))
     wdesc = Window.partitionBy("part_year").orderBy(F.col(date_col).desc())
-    present = grp.select("part_year").distinct()
     ctx = (
         own.withColumn("__rn", F.row_number().over(wdesc))
         .filter(F.col("__rn") <= n_ctx)
         .drop("__rn")
+        # the last group's overflow lands in a nonexistent group of
+        # pure ctx rows — harmless, callers drop is_ctx after the
+        # window (checking existence would cost another plan branch)
         .withColumn("part_year", F.col("part_year") + 1)
-        # replicate only into groups that exist (drops the overflow
-        # past the last group)
-        .join(F.broadcast(present), "part_year", "leftsemi")
         .withColumn("is_ctx", F.lit(True))
     )
     return own.unionByName(ctx)
