@@ -4,23 +4,24 @@ Each plans submodule contributes (QUERIES, ORACLES); names are globally
 unique. Queries without an oracle entry (non-SQL-expressible ops) get a
 rows-only check from the driver.
 
-Ordering note (round 3): the driver's correctness gate covers the first
-50 registry entries, so insertion order is the rotation schedule.
-Round 3's front 50 =
-  (a) the 12 queries never driver-checked (rounds 1-2 slots 51-62),
-  (b) every events-reading query — the round-2 TIMESTAMP(MICROS)
-      catalog fix changed all their inputs, so both the 9 r02 fails and
-      the r01/r02 greens whose hashes are now stale must be re-proven,
-  (c) queries whose engine code OR bench standing changed this round:
-      heavy-hitter threshold rewrite, centroid output shape, the three
-      day-spine window rewrites, plus re-measurement targets
-      (q3_shipping_priority's r02 outlier; monthly_revenue_trend and
-      window_running_total ride along as the other day-grain series),
-  (c2) the 9 queries new in round 3,
-  (d) padding from the round-1-proven relational set, oldest evidence
-      first.
-Everything with fresher green evidence (round-2 passes over unchanged
-code) sits in slots 51+ of the 121-query pool.
+Ordering note: the driver's correctness gate covers the first 50
+registry entries, so insertion order is the rotation schedule.
+Round 4's front 50 =
+  (a) every query whose engine code changed this round: the HLL
+      within-bound contract (the r03 `no_oracle` slot, now
+      hash-checkable), the two `_year_stitched` rewrites, the OLS
+      pre-grouping null filter, the LSH bucket-cap path (candidate
+      pairs, components, canonical-keep, signatures), the
+      connected-components/closure lineage checkpoints, the knn_join
+      batch guard, and the multimodal decode/extract hardening,
+  (b) all 34 queries whose newest green row dates to round 1 (the
+      relational showcase/join/TPC-H families) — oldest evidence
+      first, exactly the freshness debt VERDICT r3 flagged,
+  (c) two oldest round-2 rows as padding (pii_redact_docs,
+      exact_dup_groups).
+After this round every query's newest green evidence is r2+ and the
+remaining r2 cohort (~35) rotates in next round. Cumulative ledger:
+all 121 queries have at least one green row across rounds 1-4.
 """
 
 from __future__ import annotations
@@ -123,7 +124,64 @@ _RELATIONAL_NAMES = [
     "coercion_showcase",
 ]
 
-# Round 3 gate: the 50 queries that most need a fresh driver row.
+# Round 4 gate: the 50 queries that most need a fresh driver row.
+_ROUND4_FRONT_50 = [
+    # (a) engine code changed this round
+    "hll_distinct_users",
+    "anomaly_zscore_daily_revenue",
+    "window_moving_avg_daily_revenue",
+    "applyinpandas_group_ols",
+    "minhash_lsh_neardup_pairs",
+    "neardup_components",
+    "dedup_keep_canonical",
+    "minhash_signatures",
+    "dedup_exact_count",
+    "embedding_knn_join",
+    "hierarchy_closure_part",
+    "hierarchy_subtree_rollup",
+    "multimodal_manifest",
+    "multimodal_frame_sample",
+    # (b) newest green row is round 1 — oldest evidence first
+    "agg_distinct_count",
+    "agg_rollup",
+    "agg_cube",
+    "audit_counts",
+    "join_left_enrich",
+    "join_semi_customers_with_orders",
+    "join_anti_orphan_audit",
+    "join_full_outer_balance",
+    "window_latest_order_per_customer",
+    "window_rank_price_in_status",
+    "topk_expensive_orders",
+    "setops_customer_nations",
+    "scalar_functions_showcase",
+    "exists_returned_orders",
+    "subquery_small_quantity_revenue",
+    "scalar_subquery_rich_idle_customers",
+    "conditional_agg_returnflag",
+    "q10_returned_items",
+    "q13_order_distribution",
+    "q15_top_supplier",
+    "q18_large_volume_customers",
+    "q19_discount_revenue",
+    "groupwise_min_cheapest_parts",
+    "quantiles_order_value_by_status",
+    "window_navigation_showcase",
+    "datetime_functions_showcase",
+    "pivot_status_by_priority",
+    "unpivot_nation_balances",
+    "setops_bag_semantics",
+    "deterministic_sample_orders",
+    "stratified_sample_orders",
+    "array_functions_showcase",
+    "null_handling_showcase",
+    "coercion_showcase",
+    # (c) oldest round-2 rows as padding
+    "pii_redact_docs",
+    "exact_dup_groups",
+]
+
+# Round 3 gate (kept for the rotation ledger).
 _ROUND3_FRONT_50 = [
     # (a) never driver-checked (former slots 51-62)
     "cohort_retention_daily",
@@ -194,7 +252,7 @@ def all_queries() -> dict[str, QueryFn]:
     for name in _RELATIONAL_NAMES:
         pool[name] = getattr(relational, name)
 
-    queries: dict[str, QueryFn] = {n: pool[n] for n in _ROUND3_FRONT_50}
+    queries: dict[str, QueryFn] = {n: pool[n] for n in _ROUND4_FRONT_50}
     for name, fn in pool.items():
         queries.setdefault(name, fn)
     assert len(queries) == len(pool), "front-50 must be a subset of the pool"
