@@ -564,17 +564,63 @@ def contamination_hits(
 
     The decontamination step of a training-data pipeline: a corpus
     document that contains a k-token run from the held-out benchmark
-    leaks the benchmark. The benchmark side is tiny by construction,
-    so its distinct gram set broadcasts; corpus grams inner-join it
-    (rows without a hit never shuffle) and one groupBy counts the
-    distinct leaked grams per document.
+    leaks the benchmark. The benchmark side is tiny by construction
+    (an eval set), so its distinct gram set ships to the Python
+    workers as a broadcast SET and membership runs inside the same
+    Arrow kernel that generates the corpus grams: non-hit grams are
+    never materialized, never cross Arrow, never shuffle — each doc
+    emits at most one (id, n_hit_grams) row, and the whole operator
+    is ONE corpus scan with no shuffle at all. (Replaced a
+    gram-explode + broadcast-join form: correct, but it paid Arrow
+    transfer for every corpus gram; measured 2x slower. A benchmark
+    too large to broadcast would bring that join form back — the
+    oracle is the plain SQL join either way.)
     """
-    bench_grams = word_ngram_rows(benchmark, text_col, id_col, k).select(
-        "gram"
-    ).distinct()
-    corpus_grams = word_ngram_rows(corpus, text_col, id_col, k)
-    return (
-        corpus_grams.join(F.broadcast(bench_grams), "gram")
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_hit_grams"))
+    import re
+
+    from pyspark.sql import types as T
+
+    spark = corpus.sparkSession
+    tok_re = re.compile(r"\w+", re.ASCII)  # mirrors word_ngram_rows
+    # control-plane collect: the eval TEXTS (one light scan, no Python
+    # workers); grams derive driver-side with the same tokenizer the
+    # kernel uses, so membership is exact
+    bench_grams: set = set()
+    for r in benchmark.select(text_col).collect():
+        toks = tok_re.findall((r[text_col] or "").lower())
+        bench_grams.update(
+            " ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)
+        )
+    b = spark.sparkContext.broadcast(bench_grams)
+
+    def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import pandas as pd
+
+        bset = b.value
+        for pdf in batches:
+            ids: list = []
+            counts: list = []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                toks = tok_re.findall((text or "").lower())
+                n = sum(
+                    1
+                    for g in dict.fromkeys(
+                        " ".join(toks[i : i + k])
+                        for i in range(len(toks) - k + 1)
+                    )
+                    if g in bset
+                )
+                if n:
+                    ids.append(did)
+                    counts.append(n)
+            yield pd.DataFrame({id_col: ids, "n_hit_grams": counts})
+
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("n_hit_grams", T.LongType()),
+        ]
+    )
+    return corpus.select(F.col(id_col).cast("long"), text_col).mapInPandas(
+        gen, schema
     )
