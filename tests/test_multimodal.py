@@ -221,3 +221,16 @@ def test_pil_seam_decodes_png_or_raises_cleanly(spark):
     except ImportError:
         with pytest.raises(NotImplementedError, match="Pillow"):
             _real_decode(b"\x89PNG\r\n\x1a\n" + b"\x00" * 16)
+
+
+def test_extract_frames_drops_mid_header_truncation(spark):
+    # a payload cut mid-HEADER must drop the tail, not kill the task
+    from tinyerp_etl_spark.operators.multimodal import extract_frames
+
+    full = b"P6\n4 3\n255\n" + bytes([7, 7, 7]) * (4 * 3)
+    video = full + b"P6\n4 "  # header write interrupted
+    df = spark.createDataFrame(
+        [(1, bytearray(video))], "media_id long, content binary"
+    )
+    rows = extract_frames(df, every_nth=1).collect()
+    assert [r["frame_index"] for r in rows] == [0]

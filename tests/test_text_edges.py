@@ -122,3 +122,29 @@ def test_connected_components_depth_50_chain(spark):
     }
     assert len(comp) == 51
     assert set(comp.values()) == {0}
+
+
+def test_lsh_quarantine_outputs_are_disjoint(spark):
+    # a doc may share an under-cap bucket with a neighbor while also
+    # sitting in an over-cap flood bucket; with with_quarantine the
+    # pair and quarantine outputs must not overlap
+    from pyspark.sql import functions as F
+
+    from tinyerp_etl_spark.operators.dedup import lsh_candidate_pairs
+
+    flood_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(i, flood_text) for i in range(30)] + [
+        (900, "unique near duplicate text about spark shuffles and joins"),
+        (901, "unique near duplicate text about spark shuffles and joined"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs, quarantined = lsh_candidate_pairs(
+        docs, bucket_cap=8, with_quarantine=True
+    )
+    q = {r["doc_id"] for r in quarantined.collect()}
+    assert q == set(range(30))
+    touched = {
+        x for r in pairs.collect() for x in (r["doc_a"], r["doc_b"])
+    }
+    assert touched.isdisjoint(q)
+    assert (900, 901) in {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}

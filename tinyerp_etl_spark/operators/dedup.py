@@ -196,6 +196,13 @@ def lsh_candidate_pairs(
     data); their members are quarantined instead, returned as a second
     DataFrame when ``with_quarantine`` is set, to be routed through
     ``dedup_exact`` before re-running LSH.
+
+    With ``with_quarantine`` the two outputs are DISJOINT: a doc whose
+    bands span both over- and under-cap buckets is quarantined and its
+    under-cap pairs are withheld, so the documented two-phase pipeline
+    (consume pairs, exact-dedup the quarantine, re-run LSH on it) never
+    double-processes a doc or emits conflicting pairs across phases.
+    Without the flag the best-effort pair set keeps those pairs.
     """
     sigs = minhash_signature(docs, text_col, id_col)
     bands = sigs.select(
@@ -221,7 +228,12 @@ def lsh_candidate_pairs(
         ).alias("bk"),
     ).select(F.col(id_col), F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     pairs, quarantined = _capped_bucket_pairs(bands, id_col, bucket_cap)
-    return (pairs, quarantined) if with_quarantine else pairs
+    if not with_quarantine:
+        return pairs
+    q_a = quarantined.select(F.col(id_col).alias("doc_a"))
+    q_b = quarantined.select(F.col(id_col).alias("doc_b"))
+    disjoint = pairs.join(q_a, "doc_a", "left_anti").join(q_b, "doc_b", "left_anti")
+    return disjoint, quarantined
 
 
 def jaccard_pairs(

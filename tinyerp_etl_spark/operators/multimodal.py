@@ -375,7 +375,12 @@ def extract_frames(df: DataFrame, every_nth: int = 10) -> DataFrame:
                 while pos + 2 <= len(data) and data[pos : pos + 2] in (b"P6", b"P5"):
                     # offset parse — no per-frame copy of the remaining
                     # payload (that walk is O(n²) in frame count)
-                    w, h, ch, off = _parse_pnm_header(data, pos)
+                    try:
+                        w, h, ch, off = _parse_pnm_header(data, pos)
+                    except ValueError:
+                        # payload ends mid-HEADER (write interrupted):
+                        # drop the tail like the mid-raster case below
+                        break
                     frame_end = off + w * h * ch
                     if frame_end > len(data):
                         # payload ends mid-raster: drop the truncated

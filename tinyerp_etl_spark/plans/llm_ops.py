@@ -660,9 +660,15 @@ _NEARDUP_CTES = f"""staged AS (
           SELECT doc_id, unnest([{_band_keys_sql()}]) AS bk FROM sig_t
         ),
         bands AS (SELECT doc_id, bk.band AS band, bk.key AS key FROM bands0),
+        bucket_sizes AS (
+          SELECT band, key, count(*) AS bn FROM bands GROUP BY band, key
+        ),
         cands AS (
           SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
           FROM bands l JOIN bands r ON l.band = r.band AND l.key = r.key
+          JOIN bucket_sizes bs
+            ON bs.band = l.band AND bs.key = l.key
+           AND bs.bn <= {D.DEFAULT_BUCKET_CAP}
           WHERE l.doc_id < r.doc_id
         ),
         ex AS (SELECT doc_id, unnest(sh) AS shingle FROM sh_t),

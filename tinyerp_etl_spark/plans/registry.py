@@ -13,12 +13,12 @@ Round 4's front 50 =
       pre-grouping null filter, the LSH bucket-cap path (candidate
       pairs, components, canonical-keep, signatures), the
       connected-components/closure lineage checkpoints, the knn_join
-      batch guard, and the multimodal decode/extract hardening,
+      batch guard, the multimodal decode/extract hardening, and the
+      fused decontamination kernel,
   (b) all 34 queries whose newest green row dates to round 1 (the
       relational showcase/join/TPC-H families) — oldest evidence
       first, exactly the freshness debt VERDICT r3 flagged,
-  (c) two oldest round-2 rows as padding (pii_redact_docs,
-      exact_dup_groups).
+  (c) the oldest round-2 row as padding (pii_redact_docs).
 After this round every query's newest green evidence is r2+ and the
 remaining r2 cohort (~35) rotates in next round. Cumulative ledger:
 all 121 queries have at least one green row across rounds 1-4.
@@ -141,6 +141,7 @@ _ROUND4_FRONT_50 = [
     "hierarchy_subtree_rollup",
     "multimodal_manifest",
     "multimodal_frame_sample",
+    "decontaminate_docs",
     # (b) newest green row is round 1 — oldest evidence first
     "agg_distinct_count",
     "agg_rollup",
@@ -176,9 +177,8 @@ _ROUND4_FRONT_50 = [
     "array_functions_showcase",
     "null_handling_showcase",
     "coercion_showcase",
-    # (c) oldest round-2 rows as padding
+    # (c) oldest round-2 row as padding
     "pii_redact_docs",
-    "exact_dup_groups",
 ]
 
 # Round 3 gate (kept for the rotation ledger).

@@ -885,11 +885,15 @@ def _year_stitched(daily: DataFrame, date_col: str, n_ctx: int) -> DataFrame:
     """
     daily = daily.localCheckpoint()
     y = F.year(F.col(date_col))
+    # null dates (no year) are skipped here: they fall outside every
+    # group map entry, element_at returns NULL, and the rows ride a
+    # NULL partition exactly as the pre-rewrite formulation had them
     year_rows = sorted(
         (r["__y"], r["__cnt"])
         for r in daily.groupBy(y.alias("__y"))
         .agg(F.count(F.lit(1)).alias("__cnt"))
         .collect()
+        if r["__y"] is not None
     )
     grp_of: dict[int, int] = {}
     g = 0
