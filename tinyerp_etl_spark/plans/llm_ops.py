@@ -1313,3 +1313,147 @@ LLM_QUERIES.update(
         "dedup_keep_canonical": dedup_keep_canonical,
     }
 )
+
+
+# ------------------------------------------- round-4 curation additions
+
+
+#: Target pre-training mix over the lang column, in 1/10000ths.
+#: en-heavy with long-tail languages downweighted — the shape of a real
+#: multilingual mixing recipe; integer weights so threshold derivation
+#: is exact on any engine.
+_MIX_W10K = {"en": 5000, "zh": 2000, "de": 1500, "es": 1000, "fr": 500}
+
+
+def sequence_packing_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk packing coordinates for 256-token windows.
+
+    The manifest a training data loader consumes: each document's
+    global token offset, owning sequence, in-sequence position, and
+    whether it straddles a window boundary. The offset is a
+    distributed two-phase prefix sum (operators/packing.py) — per-range
+    bucket cumsum plus broadcast bucket bases — NOT a single-partition
+    global window, so the plan survives a 100 TB corpus.
+    """
+    from tinyerp_etl_spark.operators.packing import pack_concat_chunks
+
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id", X.token_count("text").cast("long").alias("n_tokens")
+    )
+    return (
+        pack_concat_chunks(sized, "doc_id", "n_tokens", seq_len=256)
+        .select(
+            "doc_id",
+            "n_tokens",
+            "tok_offset",
+            "seq_id",
+            "offset_in_seq",
+            "spans_boundary",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def domain_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample the corpus to a target language mix; audit per domain.
+
+    Derives per-domain keep thresholds from the observed counts (the
+    scarcest domain relative to its weight binds the budget — integer
+    arithmetic only, operators/sampling.py:mixture_thresholds), keeps
+    rows by content-hash threshold, and reports the audit a mixing
+    step must publish: kept vs available vs target share. The corpus
+    sees one scan + one broadcast join; thresholds are a 5-row dim.
+    """
+    from tinyerp_etl_spark.operators.sampling import mixture_resample
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = mixture_resample(docs, "lang", "doc_id", _MIX_W10K)
+    per_lang = kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_chars").alias("kept_chars"),
+    )
+    total = per_lang.agg(F.sum("n_kept").alias("mix_total"))
+    return (
+        per_lang.crossJoin(F.broadcast(total))
+        .select(
+            "lang",
+            "n_kept",
+            "kept_chars",
+            (F.col("n_kept") / F.col("mix_total")).cast("double").alias(
+                "achieved_share"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+LLM_ORACLES.update(
+    {
+        "sequence_packing_manifest": f"""
+            WITH t AS (
+              SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+              FROM documents
+            ),
+            o AS (
+              SELECT doc_id, n_tokens,
+                     CAST(COALESCE(SUM(n_tokens) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0) AS BIGINT) AS tok_offset
+              FROM t
+            )
+            SELECT doc_id, n_tokens, tok_offset,
+                   tok_offset // 256 AS seq_id,
+                   tok_offset % 256 AS offset_in_seq,
+                   ((tok_offset + greatest(n_tokens, 1) - 1) // 256)
+                     > (tok_offset // 256) AS spans_boundary
+            FROM o
+            ORDER BY doc_id
+        """,
+        "domain_mixture_resample": """
+            WITH w(lang, w10k) AS (
+              VALUES ('en', 5000), ('zh', 2000), ('de', 1500),
+                     ('es', 1000), ('fr', 500)
+            ),
+            counts AS (
+              SELECT lang, CAST(count(*) AS BIGINT) AS n_total
+              FROM documents GROUP BY lang
+            ),
+            caps AS (
+              SELECT c.lang, c.n_total, w.w10k,
+                     (10000 * c.n_total) // w.w10k AS capacity
+              FROM counts c JOIN w USING (lang)
+            ),
+            b AS (SELECT min(capacity) AS budget FROM caps),
+            thr AS (
+              SELECT lang, n_total,
+                     least(10000, (b.budget * w10k) // n_total) AS threshold_10k
+              FROM caps, b
+            ),
+            kept AS (
+              SELECT d.lang, d.n_chars
+              FROM documents d JOIN thr USING (lang)
+              WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+                         AS BIGINT) % 10000 < thr.threshold_10k
+            ),
+            per_lang AS (
+              SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
+                     CAST(sum(n_chars) AS BIGINT) AS kept_chars
+              FROM kept GROUP BY lang
+            )
+            SELECT lang, n_kept, kept_chars,
+                   CAST(n_kept AS DOUBLE)
+                     / (SELECT sum(n_kept) FROM per_lang) AS achieved_share
+            FROM per_lang
+            ORDER BY lang
+        """,
+    }
+)
+
+LLM_QUERIES.update(
+    {
+        "sequence_packing_manifest": sequence_packing_manifest,
+        "domain_mixture_resample": domain_mixture_resample,
+    }
+)
