@@ -99,3 +99,36 @@ def test_approx_percentile_rank_error_bound(spark, sf_dir):
             F.percentile_approx("o_totalprice", q, accuracy)
         ).first()[0]
         assert got == again
+
+
+def test_exact_rank_quantiles_basic(spark):
+    from tinyerp_etl_spark.operators.sketch import exact_rank_quantiles
+
+    # values 1..100 each once: p50 -> 50, p90 -> 90, p99 -> 99
+    hist = spark.createDataFrame([(v, 1) for v in range(1, 101)], "v long, c long")
+    out = {
+        r["label"]: (r["q_value"], r["target_rank"])
+        for r in exact_rank_quantiles(
+            hist, "v", "c", {"p50": 5000, "p90": 9000, "p99": 9900}
+        ).collect()
+    }
+    assert out == {"p50": (50, 50), "p90": (90, 90), "p99": (99, 99)}
+
+
+def test_exact_rank_quantiles_weighted_and_partition_invariant(spark):
+    from tinyerp_etl_spark.operators.sketch import exact_rank_quantiles
+
+    # skewed weights: value 1 holds 90 of 100 rows; cum(5) = 99 >= 99
+    # -> p50 = 1, p99 = 5
+    hist = [(1, 90), (3, 5), (5, 4), (7, 1)]
+    a = spark.createDataFrame(hist, "v long, c long")
+    b = spark.createDataFrame(hist, "v long, c long").repartition(7)
+    pa = {
+        r["label"]: r["q_value"]
+        for r in exact_rank_quantiles(a, "v", "c", {"p50": 5000, "p99": 9900}).collect()
+    }
+    pb = {
+        r["label"]: r["q_value"]
+        for r in exact_rank_quantiles(b, "v", "c", {"p50": 5000, "p99": 9900}).collect()
+    }
+    assert pa == pb == {"p50": 1, "p99": 5}

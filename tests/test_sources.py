@@ -426,3 +426,16 @@ def test_ts_unit_sniff_does_not_cache_failures(tmp_path):
     pq.write_table(tbl, d / "part-0.parquet")
     assert _events_ts_unit(path) == "ns"
     assert _TS_UNIT_CACHE[path] == "ns"
+
+
+def test_xml_roundtrip_exact(spark, sf_dir, tmp_path):
+    from tinyerp_etl_spark.sources.catalog import TABLES, load_table
+    from tinyerp_etl_spark.sources.files import read_xml, write_xml
+
+    orders = load_table(spark, sf_dir, "orders")
+    write_xml(orders, str(tmp_path / "xml"), n_files=2)
+    back = read_xml(spark, str(tmp_path / "xml"), TABLES["orders"])
+    assert back.schema == orders.schema
+    a = sorted(map(tuple, orders.collect()))
+    b = sorted(map(tuple, back.collect()))
+    assert a == b

@@ -209,3 +209,58 @@ def heavy_hitters(
         .filter(n_dec * den_dec >= num_dec * total_dec)
         .select(value_col, "n")
     )
+
+
+def exact_rank_quantiles(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+    p10ks: dict[str, int],
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Exact discrete quantiles from a (value, frequency) histogram.
+
+    ``df`` is an already-compacted histogram (one row per distinct
+    integral value with its count); the quantile at p is the smallest
+    value whose inclusive cumulative count reaches ``ceil(p * N)``.
+    All rank arithmetic is integer per-10000 (``p10ks`` maps label ->
+    p*10000), so any engine derives identical targets — the IEEE
+    lesson from the heavy-hitter threshold (no float p*N).
+
+    The cumulative count is the distributed two-phase prefix sum
+    (operators/packing.py), NOT a global-order window, so the exact
+    path stays parallel even when the histogram is large. Output: one
+    row per label, ``(label, q_value, target_rank)``.
+
+    At 100 TB the sketch (percentile_approx) is the serving path; this
+    exact path is the auditor — the gate query pairs them and checks
+    the sketch's guaranteed rank-error envelope.
+    """
+    from tinyerp_etl_spark.operators.packing import distributed_prefix_sum
+
+    hist = distributed_prefix_sum(
+        df, value_col, weight_col, out_col="__cum_before", n_buckets=n_buckets
+    ).withColumn(
+        "__cum_incl", F.col("__cum_before") + F.col(weight_col).cast("long")
+    )
+    total = hist.agg(F.max("__cum_incl").cast("long").alias("__n"))
+    spec = df.sparkSession.createDataFrame(
+        [(label, int(p)) for label, p in p10ks.items()], "label string, p10k int"
+    )
+    # target = ceil(p10k * N / 10000) in pure integer arithmetic
+    targets = spec.crossJoin(F.broadcast(total)).select(
+        "label",
+        F.expr("(p10k * __n + 9999L) div 10000").alias("target_rank"),
+    )
+    return (
+        hist.crossJoin(F.broadcast(targets))
+        .groupBy("label", "target_rank")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("__cum_incl") >= F.col("target_rank"), F.col(value_col)
+                )
+            ).alias("q_value")
+        )
+        .select("label", "q_value", "target_rank")
+    )

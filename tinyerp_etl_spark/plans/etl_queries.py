@@ -1520,3 +1520,126 @@ ETL_ORACLES: dict[str, str] = {
         ORDER BY node_id
     """,
 }
+
+
+def key_skew_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-distribution skew diagnostic for the events fact.
+
+    The decision input for every skew mitigation this engine ships
+    (salting in skew_salted_event_totals, AQE skew-join): per-key row
+    counts reduced to the numbers an operator needs to choose a
+    strategy — key cardinality, hottest-key share in basis points, and
+    exact p50/p90/p99 of the per-key count distribution. The count
+    histogram collapses per-key rows before any windowing, and the
+    quantiles ride the distributed prefix sum (operators/sketch.py:
+    exact_rank_quantiles) — no global-order window, no driver collect,
+    so the diagnostic itself is runnable on the 100 TB fact it
+    profiles. Integer basis-point arithmetic keeps the hash stable.
+    """
+    from tinyerp_etl_spark.operators.sketch import exact_rank_quantiles
+
+    per_key = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    summary = per_key.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("cnt").cast("long").alias("total_rows"),
+        F.max("cnt").cast("long").alias("max_cnt"),
+    )
+    hist = per_key.groupBy("cnt").agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    q = exact_rank_quantiles(
+        hist, "cnt", "freq", {"p50": 5000, "p90": 9000, "p99": 9900}
+    ).agg(
+        F.min(F.when(F.col("label") == "p50", F.col("q_value"))).alias("p50_cnt"),
+        F.min(F.when(F.col("label") == "p90", F.col("q_value"))).alias("p90_cnt"),
+        F.min(F.when(F.col("label") == "p99", F.col("q_value"))).alias("p99_cnt"),
+    )
+    return summary.crossJoin(F.broadcast(q)).select(
+        "n_keys",
+        "total_rows",
+        "max_cnt",
+        F.expr("(10000 * max_cnt) div total_rows").alias("top1_share_bp"),
+        "p50_cnt",
+        "p90_cnt",
+        "p99_cnt",
+    )
+
+
+ETL_ORACLES["key_skew_profile_events"] = """
+    WITH pk AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY user_id
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_keys,
+             CAST(sum(cnt) AS BIGINT) AS total_rows,
+             CAST(max(cnt) AS BIGINT) AS max_cnt
+      FROM pk
+    ),
+    h AS (SELECT cnt, CAST(count(*) AS BIGINT) AS freq FROM pk GROUP BY cnt),
+    o AS (
+      SELECT cnt, freq,
+             COALESCE(SUM(freq) OVER (
+               ORDER BY cnt ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) + freq AS cum_incl
+      FROM h
+    )
+    SELECT s.n_keys, s.total_rows, s.max_cnt,
+           (10000 * s.max_cnt) // s.total_rows AS top1_share_bp,
+           (SELECT min(cnt) FROM o
+             WHERE cum_incl >= (5000 * s.n_keys + 9999) // 10000) AS p50_cnt,
+           (SELECT min(cnt) FROM o
+             WHERE cum_incl >= (9000 * s.n_keys + 9999) // 10000) AS p90_cnt,
+           (SELECT min(cnt) FROM o
+             WHERE cum_incl >= (9900 * s.n_keys + 9999) // 10000) AS p99_cnt
+    FROM s
+"""
+
+
+def xml_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML round-trip under the hash gate (4th format after CSV/JSONL/ORC).
+
+    Writes orders through the built-in xml datasource with the pinned
+    catalog schema, reads it back, and aggregates; the oracle computes
+    the identical aggregate straight from parquet — any text-format
+    loss of doubles, dates, or NULLs breaks the hash. XML is the
+    format the reference's ERP world still exchanges, so the engine
+    treats it as a first-class source/sink, not an afterthought.
+    """
+    import shutil
+    import tempfile
+
+    from tinyerp_etl_spark.sources.catalog import TABLES
+    from tinyerp_etl_spark.sources.files import read_xml, write_xml
+
+    orders = load_table(spark, sf_dir, "orders")
+    scratch = tempfile.mkdtemp(prefix="xml_roundtrip_")
+    try:
+        write_xml(orders, f"{scratch}/orders_xml", n_files=4)
+        back = read_xml(spark, f"{scratch}/orders_xml", TABLES["orders"])
+        out = back.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+            sum_cents("o_totalprice").alias("sum_price"),
+            F.min("o_orderdate").alias("first_order"),
+            F.max("o_orderdate").alias("last_order"),
+        ).orderBy("o_orderstatus")
+        return _persist_result(out, "xml_roundtrip_orders")
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+ETL_ORACLES["xml_roundtrip_orders"] = """
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0
+                AS DOUBLE) AS sum_price,
+           min(o_orderdate) AS first_order,
+           max(o_orderdate) AS last_order
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+"""

@@ -728,3 +728,32 @@ RELATIONAL_ORACLES: dict[str, str] = {
         ORDER BY order_month
     """,
 }
+
+RELATIONAL_ORACLES["approx_quantile_order_totals"] = """
+    WITH c AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders
+    ),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM c),
+    h AS (
+      SELECT cents, CAST(count(*) AS BIGINT) AS cnt FROM c GROUP BY cents
+    ),
+    o AS (
+      SELECT cents, cnt,
+             COALESCE(SUM(cnt) OVER (
+               ORDER BY cents ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) + cnt AS cum_incl
+      FROM h
+    ),
+    p(label, p10k) AS (VALUES ('p50', 5000), ('p90', 9000), ('p99', 9900)),
+    t AS (
+      SELECT label, (p10k * nn.n_rows + 9999) // 10000 AS target_rank, nn.n_rows
+      FROM p, nn
+    )
+    SELECT t.label,
+           (SELECT min(cents) FROM o WHERE cum_incl >= t.target_rank)
+             AS exact_cents,
+           t.n_rows,
+           TRUE AS within_bound
+    FROM t
+    ORDER BY label
+"""

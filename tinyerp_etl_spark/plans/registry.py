@@ -7,6 +7,10 @@ rows-only check from the driver.
 Ordering note: the driver's correctness gate covers the first 50
 registry entries, so insertion order is the rotation schedule.
 Round 4's front 50 =
+  (0) the five queries NEW in round 4 (sequence packing, domain
+      mixture resample, approx-quantile contract, key-skew profile,
+      XML round-trip) — zero driver evidence outranks stale-but-
+      proven rows,
   (a) every query whose engine code changed this round: the HLL
       within-bound contract (the r03 `no_oracle` slot, now
       hash-checkable), the two `_year_stitched` rewrites, the OLS
@@ -15,13 +19,15 @@ Round 4's front 50 =
       connected-components/closure lineage checkpoints, the knn_join
       batch guard, the multimodal decode/extract hardening, and the
       fused decontamination kernel,
-  (b) all 34 queries whose newest green row dates to round 1 (the
-      relational showcase/join/TPC-H families) — oldest evidence
-      first, exactly the freshness debt VERDICT r3 flagged,
-  (c) the oldest round-2 row as padding (pii_redact_docs).
-After this round every query's newest green evidence is r2+ and the
-remaining r2 cohort (~35) rotates in next round. Cumulative ledger:
-all 121 queries have at least one green row across rounds 1-4.
+  (b) queries whose newest green row dates to round 1 (the
+      relational join/TPC-H families) — oldest evidence first,
+      exactly the freshness debt VERDICT r3 flagged. To make room
+      for (0), five low-churn rows wait for round 5: the four static
+      expression showcases (array/null/coercion/datetime) and
+      pii_redact_docs (r2).
+Cumulative ledger: all 121 pre-round-4 queries have at least one
+green row across rounds 1-3; the 5 round-4 additions get theirs this
+round.
 """
 
 from __future__ import annotations
@@ -73,6 +79,8 @@ _ETL_NAMES = [
     "keep_latest_event_per_user",
     "set_null_missing_region",
     "hierarchy_closure_part",
+    "key_skew_profile_events",
+    "xml_roundtrip_orders",
 ]
 
 _RELATIONAL_NAMES = [
@@ -122,10 +130,20 @@ _RELATIONAL_NAMES = [
     "array_functions_showcase",
     "null_handling_showcase",
     "coercion_showcase",
+    "approx_quantile_order_totals",
 ]
 
 # Round 4 gate: the 50 queries that most need a fresh driver row.
 _ROUND4_FRONT_50 = [
+    # (0) queries NEW in round 4 — zero driver evidence yet, so they
+    # outrank stale-but-proven rows (displaced to make room: the four
+    # static expression showcases + pii_redact_docs, which rotate back
+    # in round 5)
+    "sequence_packing_manifest",
+    "domain_mixture_resample",
+    "approx_quantile_order_totals",
+    "key_skew_profile_events",
+    "xml_roundtrip_orders",
     # (a) engine code changed this round
     "hll_distinct_users",
     "anomaly_zscore_daily_revenue",
@@ -168,17 +186,11 @@ _ROUND4_FRONT_50 = [
     "groupwise_min_cheapest_parts",
     "quantiles_order_value_by_status",
     "window_navigation_showcase",
-    "datetime_functions_showcase",
     "pivot_status_by_priority",
     "unpivot_nation_balances",
     "setops_bag_semantics",
     "deterministic_sample_orders",
     "stratified_sample_orders",
-    "array_functions_showcase",
-    "null_handling_showcase",
-    "coercion_showcase",
-    # (c) oldest round-2 row as padding
-    "pii_redact_docs",
 ]
 
 # Round 3 gate (kept for the rotation ledger).

@@ -1420,3 +1420,71 @@ def coercion_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+def approx_quantile_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-sketch audit: percentile_approx vs the exact rank path.
+
+    At 100 TB the serving path for quantiles is the mergeable GK
+    sketch (percentile_approx, accuracy=1000 → guaranteed rank error
+    ≤ N/1000 for ANY partition merge order); the exact path — a
+    value-histogram + distributed prefix sum (operators/sketch.py:
+    exact_rank_quantiles) — is the auditor. This query runs both and
+    emits the contract row per quantile: the exact value (hash-
+    matched by the oracle) plus ``within_bound``, true iff the sketch
+    value's rank window overlaps the target ±2N/1000 envelope. Like
+    the HLL slot, the sketch estimate itself is engine-specific, but
+    the boolean derived from its *guaranteed* error bound is stable —
+    so the slot is hash-checkable. All rank arithmetic is integer
+    per-10000 (the heavy-hitter IEEE lesson: no float p*N).
+    """
+    from tinyerp_etl_spark.operators.sketch import exact_rank_quantiles
+
+    P10K = {"p50": 5000, "p90": 9000, "p99": 9900}
+    cents = F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
+    o = load_table(spark, sf_dir, "orders").select(cents)
+
+    hist = o.groupBy("cents").agg(F.count(F.lit(1)).alias("cnt"))
+    exact = exact_rank_quantiles(hist, "cents", "cnt", P10K)
+
+    appx = o.agg(
+        F.percentile_approx(
+            "cents", [p / 10000.0 for p in P10K.values()], 1000
+        ).alias("qs"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+    ).select(
+        F.explode(
+            F.map_from_arrays(
+                F.array(*[F.lit(k) for k in P10K]), F.col("qs")
+            )
+        ).alias("label", "approx_q"),
+        "n_rows",
+    )
+
+    # rank window of the sketch value, from the same histogram
+    ranked = (
+        hist.crossJoin(F.broadcast(appx))
+        .groupBy("label", "approx_q", "n_rows")
+        .agg(
+            F.sum(F.when(F.col("cents") < F.col("approx_q"), F.col("cnt")))
+            .cast("long")
+            .alias("lt"),
+            F.sum(F.when(F.col("cents") <= F.col("approx_q"), F.col("cnt")))
+            .cast("long")
+            .alias("le"),
+        )
+    )
+    tol = F.expr("(2 * n_rows + 999) div 1000")
+    return (
+        ranked.join(exact, "label")
+        .select(
+            "label",
+            F.col("q_value").alias("exact_cents"),
+            "n_rows",
+            (
+                (F.coalesce(F.col("lt"), F.lit(0)) <= F.col("target_rank") + tol)
+                & (F.coalesce(F.col("le"), F.lit(0)) >= F.col("target_rank") - tol)
+            ).alias("within_bound"),
+        )
+        .orderBy("label")
+    )

@@ -85,6 +85,34 @@ def read_orc(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
     return spark.read.schema(schema).orc(path)
 
 
+def write_xml(df: DataFrame, path: str, n_files: int | None = None) -> None:
+    """Write ``df`` as XML (built-in ``xml`` datasource, rowTag=row).
+
+    The interchange format legacy ERP integrations still speak (the
+    reference's world is exactly such an ERP). Values serialize as
+    ISO-formatted text; the paired reader pins the schema so the
+    round-trip is type-faithful, which the xml_roundtrip_orders gate
+    query proves against parquet under the value hash.
+    """
+    if n_files is not None:
+        df = df.coalesce(n_files)
+    df.write.mode("overwrite").format("xml").option("rowTag", "row").save(path)
+
+
+def read_xml(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
+    """Distributed XML scan with a pinned schema (no inference).
+
+    Like every reader here: explicit schema, so a 100 TB scan never
+    pays the inference pre-pass and text→type coercion is pinned.
+    """
+    return (
+        spark.read.schema(schema)
+        .format("xml")
+        .option("rowTag", "row")
+        .load(path)
+    )
+
+
 def read_csv_quarantine(
     spark: SparkSession, path: str, schema: StructType
 ) -> tuple[DataFrame, DataFrame]:
