@@ -55,6 +55,18 @@ HEADLINE = [
     "embedding_topk_ivf",
 ]
 
+# Added round 4: the training-pipeline ops that landed this round.
+# Kept out of the r1-r3 comparable set so round-over-round totals stay
+# apples-to-apples (see comparable_r3_total in the output line).
+HEADLINE_R4 = [
+    "sequence_packing_manifest",
+    "domain_mixture_resample",
+    "approx_quantile_order_totals",
+    "key_skew_profile_events",
+    "incremental_dedup_new_docs",
+]
+HEADLINE = HEADLINE + HEADLINE_R4
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -85,6 +97,7 @@ def main() -> None:
             if name not in timings or dt < timings[name]:
                 timings[name] = round(dt, 4)
     total = sum(timings.values())
+    comparable = sum(v for k, v in timings.items() if k not in HEADLINE_R4)
 
     print(
         json.dumps(
@@ -94,6 +107,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "comparable_r3_total": round(comparable, 4),
             }
         )
     )

@@ -433,3 +433,18 @@ def test_embedding_bucket_join_never_broadcasts_vectors(spark, sf_dir):
     for line in plan.splitlines():
         if "Join" in line and "vec" in line:
             assert "Broadcast" not in line, line
+
+
+def test_prefix_sum_has_no_global_window(spark, sf_dir):
+    # the packing manifest's token offsets must come from the
+    # two-phase bucketed scan, never a single-partition global window
+    plan = plan_of(QUERIES["sequence_packing_manifest"](spark, sf_dir))
+    assert "SinglePartition" not in plan
+    assert "Window" in plan  # the per-bucket cumsum window
+
+
+def test_mixture_resample_is_one_broadcast_join(spark, sf_dir):
+    # the corpus-side plan must join the 5-row threshold dim by
+    # broadcast; no shuffle of documents for the join itself
+    plan = plan_of(QUERIES["domain_mixture_resample"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan

@@ -636,3 +636,46 @@ def contamination_hits(
     return corpus.select(F.col(id_col).cast("long"), text_col).mapInPandas(
         gen, schema
     )
+
+
+def incremental_dedup(
+    incoming: DataFrame,
+    existing_fps: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Disposition manifest for an incoming batch vs a fingerprint store.
+
+    The production shape of exact dedup at 100 TB: the corpus is never
+    re-deduplicated — each ingest batch is checked against the stored
+    fingerprint set and against itself. Per incoming doc:
+
+    - ``dup_in_batch``  — another doc in THIS batch holds the same
+      fingerprint with a smaller id (the canonical one),
+    - ``dup_of_corpus`` — the batch-canonical doc's fingerprint is
+      already in the store,
+    - ``new``           — first sighting anywhere; its fingerprint is
+      what the caller appends to the store.
+
+    The in-batch window shuffles only the (id, fingerprint) pairs of
+    the BATCH (not the corpus); the store probe is an equi-join on
+    fingerprint — with the store bucketed by fingerprint it is
+    shuffle-free on the store side, and only batch-sized data moves.
+    """
+    fp = incoming.select(
+        F.col(id_col), fingerprint(text_col).alias("fingerprint")
+    )
+    batch_min = F.min(id_col).over(Window.partitionBy("fingerprint"))
+    ranked = fp.withColumn("batch_min", batch_min)
+    store = (
+        existing_fps.select("fingerprint")
+        .distinct()
+        .withColumn("__in_store", F.lit(True))
+    )
+    return ranked.join(store, "fingerprint", "left").select(
+        id_col,
+        F.when(F.col(id_col) != F.col("batch_min"), F.lit("dup_in_batch"))
+        .when(F.col("__in_store").isNotNull(), F.lit("dup_of_corpus"))
+        .otherwise(F.lit("new"))
+        .alias("disposition"),
+    )

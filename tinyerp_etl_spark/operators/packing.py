@@ -54,7 +54,14 @@ def distributed_prefix_sum(
 
     The collect in phase 2 is ``n_buckets`` rows — control plane, not
     data plane.
+
+    The input plan is traversed three times (min/max probe, bucket
+    totals, final cumsum join), so it is materialized once up front
+    (localCheckpoint — the repo's standard multi-traversal pattern,
+    cf. the year-stitching rewrite); callers should hand in the
+    *compacted* frame (a histogram, a manifest), not the raw fact.
     """
+    df = df.localCheckpoint(eager=True)
     lo, hi = df.agg(F.min(order_col), F.max(order_col)).first()
     if lo is None:
         return df.withColumn(out_col, F.lit(0).cast("long"))

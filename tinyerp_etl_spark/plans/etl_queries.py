@@ -1538,10 +1538,13 @@ def key_skew_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from tinyerp_etl_spark.operators.sketch import exact_rank_quantiles
 
+    # per-key counts feed three consumers (summary, histogram, quantile
+    # ride-along) — materialize the compacted frame once
     per_key = (
         load_table(spark, sf_dir, "events")
         .groupBy("user_id")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .localCheckpoint(eager=True)
     )
     summary = per_key.agg(
         F.count(F.lit(1)).cast("long").alias("n_keys"),

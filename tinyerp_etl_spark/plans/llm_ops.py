@@ -1457,3 +1457,62 @@ LLM_QUERIES.update(
         "domain_mixture_resample": domain_mixture_resample,
     }
 )
+
+
+def incremental_dedup_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-vs-store exact dedup (operators/dedup.py:incremental_dedup).
+
+    Stages the production topology from the shared corpus: the store
+    holds fingerprints of the even docs; the incoming batch is the odd
+    docs ∪ copies of every 10th doc (+500000 → dup_of_corpus) ∪ copies
+    of docs ≡ 1 (mod 10) (+700000 → dup_in_batch, the odd original is
+    canonical). The full per-doc disposition manifest goes under the
+    hash gate.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    existing = docs.filter(F.col("doc_id") % 2 == 0)
+    incoming = (
+        docs.filter(F.col("doc_id") % 2 == 1)
+        .unionByName(
+            docs.filter(F.col("doc_id") % 10 == 0).select(
+                (F.col("doc_id") + 500000).alias("doc_id"), "text"
+            )
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 10 == 1).select(
+                (F.col("doc_id") + 700000).alias("doc_id"), "text"
+            )
+        )
+    )
+    store = existing.select(X.fingerprint("text").alias("fingerprint"))
+    return D.incremental_dedup(incoming, store).orderBy("doc_id")
+
+
+LLM_ORACLES["incremental_dedup_new_docs"] = f"""
+    WITH base AS (
+      SELECT doc_id,
+             md5(array_to_string({_TOKS}, ' ')) AS fp
+      FROM documents
+    ),
+    existing AS (SELECT DISTINCT fp FROM base WHERE doc_id % 2 = 0),
+    incoming AS (
+      SELECT doc_id, fp FROM base WHERE doc_id % 2 = 1
+      UNION ALL
+      SELECT doc_id + 500000, fp FROM base WHERE doc_id % 10 = 0
+      UNION ALL
+      SELECT doc_id + 700000, fp FROM base WHERE doc_id % 10 = 1
+    ),
+    r AS (
+      SELECT doc_id, fp,
+             min(doc_id) OVER (PARTITION BY fp) AS batch_min
+      FROM incoming
+    )
+    SELECT doc_id,
+           CASE WHEN doc_id <> batch_min THEN 'dup_in_batch'
+                WHEN fp IN (SELECT fp FROM existing) THEN 'dup_of_corpus'
+                ELSE 'new' END AS disposition
+    FROM r
+    ORDER BY doc_id
+"""
+
+LLM_QUERIES["incremental_dedup_new_docs"] = incremental_dedup_new_docs

@@ -7,10 +7,10 @@ rows-only check from the driver.
 Ordering note: the driver's correctness gate covers the first 50
 registry entries, so insertion order is the rotation schedule.
 Round 4's front 50 =
-  (0) the five queries NEW in round 4 (sequence packing, domain
+  (0) the six queries NEW in round 4 (sequence packing, domain
       mixture resample, approx-quantile contract, key-skew profile,
-      XML round-trip) — zero driver evidence outranks stale-but-
-      proven rows,
+      XML round-trip, incremental batch-vs-store dedup) — zero driver
+      evidence outranks stale-but-proven rows,
   (a) every query whose engine code changed this round: the HLL
       within-bound contract (the r03 `no_oracle` slot, now
       hash-checkable), the two `_year_stitched` rewrites, the OLS
@@ -22,11 +22,11 @@ Round 4's front 50 =
   (b) queries whose newest green row dates to round 1 (the
       relational join/TPC-H families) — oldest evidence first,
       exactly the freshness debt VERDICT r3 flagged. To make room
-      for (0), five low-churn rows wait for round 5: the four static
-      expression showcases (array/null/coercion/datetime) and
+      for (0), six low-churn rows wait for round 5: the five static
+      expression showcases (scalar/array/null/coercion/datetime) and
       pii_redact_docs (r2).
 Cumulative ledger: all 121 pre-round-4 queries have at least one
-green row across rounds 1-3; the 5 round-4 additions get theirs this
+green row across rounds 1-3; the 6 round-4 additions get theirs this
 round.
 """
 
@@ -136,7 +136,7 @@ _RELATIONAL_NAMES = [
 # Round 4 gate: the 50 queries that most need a fresh driver row.
 _ROUND4_FRONT_50 = [
     # (0) queries NEW in round 4 — zero driver evidence yet, so they
-    # outrank stale-but-proven rows (displaced to make room: the four
+    # outrank stale-but-proven rows (displaced to make room: the five
     # static expression showcases + pii_redact_docs, which rotate back
     # in round 5)
     "sequence_packing_manifest",
@@ -144,6 +144,7 @@ _ROUND4_FRONT_50 = [
     "approx_quantile_order_totals",
     "key_skew_profile_events",
     "xml_roundtrip_orders",
+    "incremental_dedup_new_docs",
     # (a) engine code changed this round
     "hll_distinct_users",
     "anomaly_zscore_daily_revenue",
@@ -173,7 +174,6 @@ _ROUND4_FRONT_50 = [
     "window_rank_price_in_status",
     "topk_expensive_orders",
     "setops_customer_nations",
-    "scalar_functions_showcase",
     "exists_returned_orders",
     "subquery_small_quantity_revenue",
     "scalar_subquery_rich_idle_customers",

@@ -1438,14 +1438,22 @@ def approx_quantile_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the slot is hash-checkable. All rank arithmetic is integer
     per-10000 (the heavy-hitter IEEE lesson: no float p*N).
     """
-    from tinyerp_etl_spark.operators.sketch import exact_rank_quantiles
+    from tinyerp_etl_spark.operators.packing import distributed_prefix_sum
 
     P10K = {"p50": 5000, "p90": 9000, "p99": 9900}
     cents = F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
     o = load_table(spark, sf_dir, "orders").select(cents)
 
-    hist = o.groupBy("cents").agg(F.count(F.lit(1)).alias("cnt"))
-    exact = exact_rank_quantiles(hist, "cents", "cnt", P10K)
+    # one prefix-summed histogram feeds BOTH the exact-quantile lookup
+    # and the sketch-value rank window (the prefix sum materializes its
+    # compacted input once; nothing below rescans orders except the
+    # sketch itself, which at scale would be the only pass you keep)
+    hc = distributed_prefix_sum(
+        o.groupBy("cents").agg(F.count(F.lit(1)).cast("long").alias("cnt")),
+        "cents",
+        "cnt",
+        out_col="cum_before",
+    ).withColumn("cum_incl", F.col("cum_before") + F.col("cnt"))
 
     appx = o.agg(
         F.percentile_approx(
@@ -1460,12 +1468,24 @@ def approx_quantile_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("label", "approx_q"),
         "n_rows",
     )
+    spec = spark.createDataFrame(
+        [(label, p) for label, p in P10K.items()], "label string, p10k int"
+    )
+    probes = appx.join(F.broadcast(spec), "label").select(
+        "label",
+        "approx_q",
+        "n_rows",
+        F.expr("(p10k * n_rows + 9999L) div 10000").alias("target_rank"),
+    )
 
-    # rank window of the sketch value, from the same histogram
-    ranked = (
-        hist.crossJoin(F.broadcast(appx))
-        .groupBy("label", "approx_q", "n_rows")
+    # one pass over the cum histogram answers exact value + rank window
+    per_label = (
+        hc.crossJoin(F.broadcast(probes))
+        .groupBy("label", "approx_q", "n_rows", "target_rank")
         .agg(
+            F.min(
+                F.when(F.col("cum_incl") >= F.col("target_rank"), F.col("cents"))
+            ).alias("exact_cents"),
             F.sum(F.when(F.col("cents") < F.col("approx_q"), F.col("cnt")))
             .cast("long")
             .alias("lt"),
@@ -1475,16 +1495,12 @@ def approx_quantile_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     tol = F.expr("(2 * n_rows + 999) div 1000")
-    return (
-        ranked.join(exact, "label")
-        .select(
-            "label",
-            F.col("q_value").alias("exact_cents"),
-            "n_rows",
-            (
-                (F.coalesce(F.col("lt"), F.lit(0)) <= F.col("target_rank") + tol)
-                & (F.coalesce(F.col("le"), F.lit(0)) >= F.col("target_rank") - tol)
-            ).alias("within_bound"),
-        )
-        .orderBy("label")
-    )
+    return per_label.select(
+        "label",
+        "exact_cents",
+        "n_rows",
+        (
+            (F.coalesce(F.col("lt"), F.lit(0)) <= F.col("target_rank") + tol)
+            & (F.coalesce(F.col("le"), F.lit(0)) >= F.col("target_rank") - tol)
+        ).alias("within_bound"),
+    ).orderBy("label")
