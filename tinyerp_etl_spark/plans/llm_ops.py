@@ -1516,3 +1516,50 @@ LLM_ORACLES["incremental_dedup_new_docs"] = f"""
 """
 
 LLM_QUERIES["incremental_dedup_new_docs"] = incremental_dedup_new_docs
+
+
+def training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle + sharding for the data loader.
+
+    The last stage of the curation pipeline (split → mixture → dedup →
+    pack → SHARD): every doc gets a pseudo-random but fully
+    reproducible position — shuffle key from the same Knuth
+    multiplicative hash as the split op (pure integer arithmetic, no
+    RNG/partition dependence), shard = key mod 16, position = rank
+    within the shard by (key, doc_id). The window is PARTITIONED by
+    shard — 16-way parallel, never a global sort — and at 100 TB the
+    shard column doubles as the write-partition key so each loader
+    rank reads exactly one directory.
+    """
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    key = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+    w = Window.partitionBy("shard").orderBy("shuffle_key", "doc_id")
+    return (
+        docs.select(
+            "doc_id",
+            key.cast("long").alias("shuffle_key"),
+            (key % 16).cast("long").alias("shard"),
+        )
+        .withColumn("position", (F.row_number().over(w) - 1).cast("long"))
+        .orderBy("doc_id")
+    )
+
+
+LLM_ORACLES["training_shard_manifest"] = """
+    WITH k AS (
+      SELECT doc_id,
+             (doc_id * 2654435761) % 4294967296 AS shuffle_key,
+             ((doc_id * 2654435761) % 4294967296) % 16 AS shard
+      FROM documents
+    )
+    SELECT doc_id, shuffle_key, shard,
+           CAST(row_number() OVER (
+             PARTITION BY shard ORDER BY shuffle_key, doc_id
+           ) - 1 AS BIGINT) AS position
+    FROM k
+    ORDER BY doc_id
+"""
+
+LLM_QUERIES["training_shard_manifest"] = training_shard_manifest

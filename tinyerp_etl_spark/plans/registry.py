@@ -7,10 +7,11 @@ rows-only check from the driver.
 Ordering note: the driver's correctness gate covers the first 50
 registry entries, so insertion order is the rotation schedule.
 Round 4's front 50 =
-  (0) the six queries NEW in round 4 (sequence packing, domain
+  (0) the seven queries NEW in round 4 (sequence packing, domain
       mixture resample, approx-quantile contract, key-skew profile,
-      XML round-trip, incremental batch-vs-store dedup) — zero driver
-      evidence outranks stale-but-proven rows,
+      XML round-trip, incremental batch-vs-store dedup, training
+      shard manifest) — zero driver evidence outranks
+      stale-but-proven rows,
   (a) every query whose engine code changed this round: the HLL
       within-bound contract (the r03 `no_oracle` slot, now
       hash-checkable), the two `_year_stitched` rewrites, the OLS
@@ -22,11 +23,11 @@ Round 4's front 50 =
   (b) queries whose newest green row dates to round 1 (the
       relational join/TPC-H families) — oldest evidence first,
       exactly the freshness debt VERDICT r3 flagged. To make room
-      for (0), six low-churn rows wait for round 5: the five static
-      expression showcases (scalar/array/null/coercion/datetime) and
+      for (0), seven low-churn rows wait for round 5: the six static
+      showcases (scalar/array/null/coercion/datetime/window-nav) and
       pii_redact_docs (r2).
 Cumulative ledger: all 121 pre-round-4 queries have at least one
-green row across rounds 1-3; the 6 round-4 additions get theirs this
+green row across rounds 1-3; the 7 round-4 additions get theirs this
 round.
 """
 
@@ -145,6 +146,7 @@ _ROUND4_FRONT_50 = [
     "key_skew_profile_events",
     "xml_roundtrip_orders",
     "incremental_dedup_new_docs",
+    "training_shard_manifest",
     # (a) engine code changed this round
     "hll_distinct_users",
     "anomaly_zscore_daily_revenue",
@@ -185,7 +187,6 @@ _ROUND4_FRONT_50 = [
     "q19_discount_revenue",
     "groupwise_min_cheapest_parts",
     "quantiles_order_value_by_status",
-    "window_navigation_showcase",
     "pivot_status_by_priority",
     "unpivot_nation_balances",
     "setops_bag_semantics",
