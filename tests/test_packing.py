@@ -86,16 +86,26 @@ def test_pack_chunks_zero_token_doc(spark):
 
 
 def test_mixture_thresholds_integer_math(spark):
-    # en 218 @ .5, zh 75 @ .2 -> budget = min(436, 375) = 375
+    # en 218 @ .7 -> capacity 311, zh 75 @ .3 -> capacity 250 (binds)
     df = spark.createDataFrame(
         [("en",)] * 218 + [("zh",)] * 75 + [("xx",)] * 9, "lang string"
     ).withColumn("k", F.monotonically_increasing_id())
     thr = {
         r["lang"]: (r["n_total"], r["threshold_10k"])
-        for r in mixture_thresholds(df, "lang", {"en": 5000, "zh": 2000}).collect()
+        for r in mixture_thresholds(df, "lang", {"en": 7000, "zh": 3000}).collect()
     }
-    assert thr == {"en": (218, 375 * 5000 // 218), "zh": (75, 10000)}
+    assert thr == {"en": (218, 250 * 7000 // 218), "zh": (75, 10000)}
     assert "xx" not in thr  # unweighted domains dropped
+
+
+def test_mixture_thresholds_rejects_bad_weights(spark):
+    import pytest
+
+    df = spark.createDataFrame([("en", 1)], "lang string, k long")
+    with pytest.raises(AssertionError):
+        mixture_thresholds(df, "lang", {"en": 5000})  # doesn't sum to 10000
+    with pytest.raises(AssertionError):
+        mixture_thresholds(df, "lang", {"en": 10000, "zh": 0})  # zero weight
 
 
 def test_mixture_resample_deterministic_and_bounded(spark):

@@ -213,3 +213,73 @@ def test_heavy_hitters_long_decimal_share_no_overflow(spark):
         (r["v"], r["n"]) for r in heavy_hitters(df, "v", 1 / 3, cap=16).collect()
     }
     assert got == {("hot", 1000)}
+
+
+# ------------------------------------------------- round-4 operators
+
+IDS_AND_WEIGHTS = st.lists(
+    st.tuples(
+        st.integers(min_value=-(10**9), max_value=10**9),
+        st.integers(min_value=0, max_value=1000),
+    ),
+    min_size=1,
+    max_size=40,
+    unique_by=lambda t: t[0],
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(IDS_AND_WEIGHTS, st.integers(min_value=1, max_value=9))
+def test_prefix_sum_matches_python_model(spark, pairs, n_buckets):
+    """distributed_prefix_sum ≡ serial exclusive cumsum for ANY id
+    distribution (negatives, huge gaps, dense runs) and bucket count."""
+    from tinyerp_etl_spark.operators.packing import distributed_prefix_sum
+
+    df = spark.createDataFrame(pairs, "k long, w long").repartition(5)
+    got = {
+        r["k"]: r["offset"]
+        for r in distributed_prefix_sum(
+            df, "k", "w", n_buckets=n_buckets
+        ).collect()
+    }
+    run, want = 0, {}
+    for k, w in sorted(pairs):
+        want[k] = run
+        run += w
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),
+            st.integers(min_value=0, max_value=10**6),
+        ),
+        min_size=3,
+        max_size=60,
+        unique_by=lambda t: t[1],
+    )
+)
+def test_mixture_thresholds_laws(spark, rows):
+    """Thresholds are valid rates and the implied keep never exceeds
+    the binding budget's per-domain allotment (floor rounding only
+    loses, never overshoots)."""
+    from tinyerp_etl_spark.operators.sampling import mixture_thresholds
+
+    df = spark.createDataFrame(rows, "d string, k long")
+    w = {"a": 5000, "b": 3000, "c": 2000}
+    present = {d for d, _ in rows}
+    counts = {d: sum(1 for x, _ in rows if x == d) for d in present}
+    out = {
+        r["d"]: (r["n_total"], r["threshold_10k"])
+        for r in mixture_thresholds(df, "d", w).collect()
+    }
+    assert set(out) == present
+    budget = min((10000 * counts[d]) // w[d] for d in present)
+    for d, (n, t) in out.items():
+        assert n == counts[d]
+        assert 0 <= t <= 10000
+        # implied expected keep (n * t / 10000) must not exceed the
+        # budget's allotment for d (+1 for the floor boundary)
+        assert n * t <= budget * w[d] + n

@@ -71,6 +71,13 @@ def mixture_thresholds(
     aggregation is the only data-plane pass.
     """
     w_rows = [(d, int(w)) for d, w in weights_10k.items()]
+    assert w_rows and all(w > 0 for _, w in w_rows), (
+        "weights_10k must be positive (a zero weight means: omit the domain)"
+    )
+    assert sum(w for _, w in w_rows) == MYRIAD, (
+        "weights_10k must sum to exactly 10000 — the integer threshold "
+        "derivation treats them as fractions of the total mix"
+    )
     weights = df.sparkSession.createDataFrame(
         w_rows, f"{domain_col} string, w10k int"
     )
