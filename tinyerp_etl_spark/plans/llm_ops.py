@@ -1563,3 +1563,176 @@ LLM_ORACLES["training_shard_manifest"] = """
 """
 
 LLM_QUERIES["training_shard_manifest"] = training_shard_manifest
+
+
+def curation_pipeline_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole curation pipeline as ONE audited manifest.
+
+    quality filter → exact dedup → domain mixture → train/val/test
+    split → sequence packing, composed from the same operators the
+    individual gate queries prove, with every document's fate recorded:
+    ``drop_<rule>`` (first failing quality rule), ``dup_drop`` (a kept
+    doc with the same fingerprint and smaller id exists), ``mix_drop``
+    (hash bucket over the lang threshold), ``val``/``test`` (split
+    buckets 8/9), or ``train`` with its packing coordinates. Staged
+    duplicate copies (every 10th doc, +100000) make the dedup stage
+    non-vacuous.
+
+    One annotated frame carries all stage predicates (checkpointed
+    once — each disposition is a filter, not a recompute); the only
+    per-stage aggregations are the 5-row mixture dim and the packing
+    prefix sum. This is the query a pipeline owner would actually run
+    nightly to answer "where did my tokens go?".
+    """
+    from pyspark.sql.window import Window
+
+    from tinyerp_etl_spark.operators.packing import pack_concat_chunks
+    from tinyerp_etl_spark.operators.sampling import hash_bucket, mixture_thresholds
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    staged = docs.unionByName(
+        docs.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text", "lang"
+        )
+    )
+    n_tok = X.token_count("text")
+    n_chr = X.char_count("text").cast("long")
+    n_punct = X.punct_count("text").cast("long")
+    n_sw = X.stopword_count("text")
+    verdict = (
+        F.when(n_tok < 25, F.lit("too_short"))
+        .when(n_punct * 10 > n_chr, F.lit("too_much_punct"))
+        .when(n_sw * 10 < n_tok, F.lit("low_stopword"))
+        .otherwise(F.lit("keep"))
+    )
+    ann0 = staged.select(
+        "doc_id",
+        "lang",
+        n_tok.cast("long").alias("n_tokens"),
+        verdict.alias("verdict"),
+        X.fingerprint("text").alias("fingerprint"),
+    ).withColumn(
+        "canon",
+        F.min(F.when(F.col("verdict") == "keep", F.col("doc_id"))).over(
+            Window.partitionBy("fingerprint")
+        ),
+    ).localCheckpoint(eager=True)
+
+    survivors = ann0.filter(
+        (F.col("verdict") == "keep") & (F.col("doc_id") == F.col("canon"))
+    )
+    thr = mixture_thresholds(survivors, "lang", _MIX_W10K)
+    split_bucket = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296) % 10
+    ann = (
+        ann0.join(F.broadcast(thr.select("lang", "threshold_10k")), "lang", "left")
+        .withColumn("hb", hash_bucket("doc_id"))
+        .withColumn("sb", split_bucket)
+        .withColumn(
+            "stage",
+            F.when(
+                F.col("verdict") != "keep", F.concat(F.lit("drop_"), F.col("verdict"))
+            )
+            .when(F.col("doc_id") != F.col("canon"), F.lit("dup_drop"))
+            .when(F.col("hb") >= F.col("threshold_10k"), F.lit("mix_drop"))
+            .when(F.col("sb") == 8, F.lit("val"))
+            .when(F.col("sb") == 9, F.lit("test"))
+            .otherwise(F.lit("train")),
+        )
+    )
+    packed = pack_concat_chunks(
+        ann.filter(F.col("stage") == "train").select("doc_id", "n_tokens"),
+        "doc_id",
+        "n_tokens",
+        seq_len=256,
+    ).select("doc_id", "seq_id", "offset_in_seq")
+    return (
+        ann.select("doc_id", "stage", "n_tokens")
+        .join(packed, "doc_id", "left")
+        .select("doc_id", "stage", "n_tokens", "seq_id", "offset_in_seq")
+        .orderBy("doc_id")
+    )
+
+
+LLM_ORACLES["curation_pipeline_manifest"] = f"""
+    WITH staged AS (
+      SELECT doc_id, text, lang FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, text, lang FROM documents WHERE doc_id % 10 = 0
+    ),
+    t AS (
+      SELECT doc_id, lang,
+             CAST(len({{toks}}) AS BIGINT) AS n_tokens,
+             length(text) AS n_chr,
+             length(regexp_replace(text, '[\\w\\s]', '', 'g')) AS n_punct,
+             md5(array_to_string({{toks}}, ' ')) AS fp,
+             COALESCE(list_sum(list_transform({{toks}}, tk ->
+                 CASE WHEN list_contains([{{sw}}], tk)
+                      THEN 1 ELSE 0 END)), 0) AS n_sw
+      FROM staged
+    ),
+    v AS (
+      SELECT *,
+             CASE WHEN n_tokens < 25 THEN 'too_short'
+                  WHEN n_punct * 10 > n_chr THEN 'too_much_punct'
+                  WHEN n_sw * 10 < n_tokens THEN 'low_stopword'
+                  ELSE 'keep' END AS verdict
+      FROM t
+    ),
+    c AS (
+      SELECT *,
+             min(CASE WHEN verdict = 'keep' THEN doc_id END)
+               OVER (PARTITION BY fp) AS canon
+      FROM v
+    ),
+    kd AS (SELECT * FROM c WHERE verdict = 'keep' AND doc_id = canon),
+    counts AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_total FROM kd GROUP BY lang
+    ),
+    w(lang, w10k) AS (
+      VALUES ('en', 5000), ('zh', 2000), ('de', 1500), ('es', 1000), ('fr', 500)
+    ),
+    caps AS (
+      SELECT cc.lang, cc.n_total, w.w10k,
+             (10000 * cc.n_total) // w.w10k AS capacity
+      FROM counts cc JOIN w USING (lang)
+    ),
+    b AS (SELECT min(capacity) AS budget FROM caps),
+    thr AS (
+      SELECT lang, least(10000, (b.budget * w10k) // n_total) AS threshold_10k
+      FROM caps, b
+    ),
+    ann AS (
+      SELECT c.doc_id, c.lang, c.n_tokens, c.verdict, c.canon,
+             thr.threshold_10k,
+             CAST(concat('0x', substr(md5(CAST(c.doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 10000 AS hb,
+             ((c.doc_id * 2654435761) % 4294967296) % 10 AS sb
+      FROM c LEFT JOIN thr USING (lang)
+    ),
+    st AS (
+      SELECT doc_id, n_tokens,
+             CASE WHEN verdict <> 'keep' THEN 'drop_' || verdict
+                  WHEN doc_id <> canon THEN 'dup_drop'
+                  WHEN hb >= threshold_10k THEN 'mix_drop'
+                  WHEN sb = 8 THEN 'val'
+                  WHEN sb = 9 THEN 'test'
+                  ELSE 'train' END AS stage
+      FROM ann
+    ),
+    train AS (
+      SELECT doc_id,
+             COALESCE(SUM(n_tokens) OVER (
+               ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS off
+      FROM st WHERE stage = 'train'
+    )
+    SELECT s.doc_id, s.stage, s.n_tokens,
+           CAST(tr.off // 256 AS BIGINT) AS seq_id,
+           CAST(tr.off % 256 AS BIGINT) AS offset_in_seq
+    FROM st s LEFT JOIN train tr USING (doc_id)
+    ORDER BY s.doc_id
+""".replace("{toks}", _TOKS).replace(
+    "{sw}", ", ".join(f"'{w}'" for w in X.STOPWORDS)
+)
+
+LLM_QUERIES["curation_pipeline_manifest"] = curation_pipeline_manifest
