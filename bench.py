@@ -64,6 +64,7 @@ HEADLINE_R4 = [
     "approx_quantile_order_totals",
     "key_skew_profile_events",
     "incremental_dedup_new_docs",
+    "curation_pipeline_manifest",
 ]
 HEADLINE = HEADLINE + HEADLINE_R4
 
