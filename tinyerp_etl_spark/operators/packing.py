@@ -43,6 +43,7 @@ def distributed_prefix_sum(
     weight_col: str,
     out_col: str = "offset",
     n_buckets: int = DEFAULT_BUCKETS,
+    materialize: bool = True,
 ) -> DataFrame:
     """Exclusive prefix sum of ``weight_col`` in ``order_col`` order.
 
@@ -60,8 +61,11 @@ def distributed_prefix_sum(
     (localCheckpoint — the repo's standard multi-traversal pattern,
     cf. the year-stitching rewrite); callers should hand in the
     *compacted* frame (a histogram, a manifest), not the raw fact.
+    Pass ``materialize=False`` when the input is already checkpointed
+    or trivially cheap to recompute — it skips the eager job.
     """
-    df = df.localCheckpoint(eager=True)
+    if materialize:
+        df = df.localCheckpoint(eager=True)
     lo, hi = df.agg(F.min(order_col), F.max(order_col)).first()
     if lo is None:
         return df.withColumn(out_col, F.lit(0).cast("long"))
@@ -106,6 +110,7 @@ def pack_concat_chunks(
     tokens_col: str,
     seq_len: int,
     n_buckets: int = DEFAULT_BUCKETS,
+    materialize: bool = True,
 ) -> DataFrame:
     """Concat-and-chunk packing manifest.
 
@@ -123,7 +128,12 @@ def pack_concat_chunks(
     test so ``seq_end`` never precedes ``seq_id``.
     """
     out = distributed_prefix_sum(
-        df, order_col, tokens_col, out_col="tok_offset", n_buckets=n_buckets
+        df,
+        order_col,
+        tokens_col,
+        out_col="tok_offset",
+        n_buckets=n_buckets,
+        materialize=materialize,
     )
     seq_id = F.floor(F.col("tok_offset") / F.lit(seq_len))
     last_tok = F.col("tok_offset") + F.greatest(
