@@ -125,3 +125,33 @@ def test_mixture_resample_deterministic_and_bounded(spark):
         F.count(F.lit(1)).alias("n")).collect()}
     total = sum(counts.values())
     assert abs(counts["en"] / total - 0.7) < 0.1
+
+
+def test_mixture_thresholds_renormalizes_over_present_domains(spark):
+    # 'zh' is weighted but absent: budget binds on present domains only
+    # (documented renormalization), so 'en' keeps everything
+    df = spark.createDataFrame([("en", i) for i in range(50)], "lang string, k long")
+    out = mixture_thresholds(df, "lang", {"en": 5000, "zh": 5000}).collect()
+    assert len(out) == 1 and out[0]["lang"] == "en"
+    assert out[0]["threshold_10k"] == 10000
+
+
+def test_prefix_sum_total_col(spark):
+    from tinyerp_etl_spark.operators.packing import distributed_prefix_sum
+
+    df = spark.createDataFrame([(1, 5), (2, 7)], "k long, w long")
+    out = distributed_prefix_sum(df, "k", "w", total_col="n").collect()
+    assert {r["n"] for r in out} == {12}
+
+
+def test_incremental_dedup_emits_fingerprint(spark):
+    from tinyerp_etl_spark.operators.dedup import incremental_dedup
+
+    batch = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "alpha beta"), (3, "gamma")], "doc_id long, text string"
+    )
+    store = spark.createDataFrame([("zzz",)], "fingerprint string")
+    rows = {r["doc_id"]: r for r in incremental_dedup(batch, store).collect()}
+    assert rows[1]["disposition"] == "new" and rows[2]["disposition"] == "dup_in_batch"
+    assert rows[1]["fingerprint"] == rows[2]["fingerprint"]
+    assert rows[3]["fingerprint"] is not None

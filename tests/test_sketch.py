@@ -132,3 +132,12 @@ def test_exact_rank_quantiles_weighted_and_partition_invariant(spark):
         for r in exact_rank_quantiles(b, "v", "c", {"p50": 5000, "p99": 9900}).collect()
     }
     assert pa == pb == {"p50": 1, "p99": 5}
+
+
+def test_exact_rank_quantiles_empty_histogram_keeps_labels(spark):
+    from tinyerp_etl_spark.operators.sketch import exact_rank_quantiles
+
+    hist = spark.createDataFrame([], "v long, c long")
+    rows = exact_rank_quantiles(hist, "v", "c", {"p50": 5000, "p99": 9900}).collect()
+    assert sorted(r["label"] for r in rows) == ["p50", "p99"]
+    assert all(r["q_value"] is None for r in rows)

@@ -674,6 +674,9 @@ def incremental_dedup(
     )
     return ranked.join(store, "fingerprint", "left").select(
         id_col,
+        # the fingerprint rides along so 'new' rows can be appended to
+        # the store without a second tokenize+hash pass over the batch
+        "fingerprint",
         F.when(F.col(id_col) != F.col("batch_min"), F.lit("dup_in_batch"))
         .when(F.col("__in_store").isNotNull(), F.lit("dup_of_corpus"))
         .otherwise(F.lit("new"))

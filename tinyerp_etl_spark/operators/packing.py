@@ -44,6 +44,7 @@ def distributed_prefix_sum(
     out_col: str = "offset",
     n_buckets: int = DEFAULT_BUCKETS,
     materialize: bool = True,
+    total_col: str | None = None,
 ) -> DataFrame:
     """Exclusive prefix sum of ``weight_col`` in ``order_col`` order.
 
@@ -63,12 +64,19 @@ def distributed_prefix_sum(
     *compacted* frame (a histogram, a manifest), not the raw fact.
     Pass ``materialize=False`` when the input is already checkpointed
     or trivially cheap to recompute — it skips the eager job.
+    ``total_col`` optionally attaches the grand total of
+    ``weight_col`` as a literal column — it falls out of the phase-2
+    bucket totals for free, saving callers (e.g. the quantile rank
+    targets) a separate aggregation job.
     """
     if materialize:
         df = df.localCheckpoint(eager=True)
     lo, hi = df.agg(F.min(order_col), F.max(order_col)).first()
     if lo is None:
-        return df.withColumn(out_col, F.lit(0).cast("long"))
+        out = df.withColumn(out_col, F.lit(0).cast("long"))
+        if total_col is not None:
+            out = out.withColumn(total_col, F.lit(0).cast("long"))
+        return out
     width = max((int(hi) - int(lo)) // n_buckets + 1, 1)
     bucketed = df.withColumn(
         "__psum_bucket", F.floor((F.col(order_col) - F.lit(int(lo))) / F.lit(width))
@@ -91,7 +99,7 @@ def distributed_prefix_sum(
     local = Window.partitionBy("__psum_bucket").orderBy(order_col).rowsBetween(
         Window.unboundedPreceding, -1
     )
-    return (
+    out = (
         bucketed.join(F.broadcast(base_df), "__psum_bucket")
         .withColumn(
             out_col,
@@ -102,6 +110,9 @@ def distributed_prefix_sum(
         )
         .drop("__psum_bucket", "__psum_base")
     )
+    if total_col is not None:
+        out = out.withColumn(total_col, F.lit(int(base)).cast("long"))
+    return out
 
 
 def pack_concat_chunks(

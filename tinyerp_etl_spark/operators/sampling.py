@@ -66,9 +66,16 @@ def mixture_thresholds(
         t_d        = (budget * w10k_d) // count_d  (per-10000 keep rate)
 
     Domains absent from ``weights_10k`` are dropped (threshold 0).
-    Returns one row per domain: ``(domain, n_total, threshold_10k)`` —
-    a broadcast-size dimension to join against the corpus; the counts
-    aggregation is the only data-plane pass.
+    Weighted domains absent from the DATA are excluded from the budget
+    derivation: the binding-minimum is taken over domains actually
+    present, i.e. the recipe renormalizes over what exists rather than
+    collapsing to an empty mix (a zero-count domain would otherwise
+    force budget 0). The shortfall is visible in the output — the
+    missing domain simply has no row — so callers that require every
+    weighted domain should assert on the returned dimension.
+    Returns one row per PRESENT domain: ``(domain, n_total,
+    threshold_10k)`` — a broadcast-size dimension to join against the
+    corpus; the counts aggregation is the only data-plane pass.
     """
     w_rows = [(d, int(w)) for d, w in weights_10k.items()]
     assert w_rows and all(w > 0 for _, w in w_rows), (

@@ -239,11 +239,19 @@ def exact_rank_quantiles(
     from tinyerp_etl_spark.operators.packing import distributed_prefix_sum
 
     hist = distributed_prefix_sum(
-        df, value_col, weight_col, out_col="__cum_before", n_buckets=n_buckets
+        df,
+        value_col,
+        weight_col,
+        out_col="__cum_before",
+        n_buckets=n_buckets,
+        total_col="__n",
     ).withColumn(
         "__cum_incl", F.col("__cum_before") + F.col(weight_col).cast("long")
     )
-    total = hist.agg(F.max("__cum_incl").cast("long").alias("__n"))
+    # grand total rides out of the prefix sum as a literal — one cheap
+    # first-row probe instead of a second aggregation job over the
+    # histogram (NULL on an empty histogram, making targets NULL too)
+    total = hist.agg(F.max("__n").alias("__n"))
     spec = df.sparkSession.createDataFrame(
         [(label, int(p)) for label, p in p10ks.items()], "label string, p10k int"
     )
@@ -252,9 +260,9 @@ def exact_rank_quantiles(
         "label",
         F.expr("(p10k * __n + 9999L) div 10000").alias("target_rank"),
     )
-    return (
+    found = (
         hist.crossJoin(F.broadcast(targets))
-        .groupBy("label", "target_rank")
+        .groupBy("label")
         .agg(
             F.min(
                 F.when(
@@ -262,5 +270,9 @@ def exact_rank_quantiles(
                 )
             ).alias("q_value")
         )
-        .select("label", "q_value", "target_rank")
+    )
+    # left join from targets so an empty histogram still yields one
+    # row per requested label (NULL q_value/target_rank), never zero
+    return targets.join(found, "label", "left").select(
+        "label", "q_value", "target_rank"
     )

@@ -121,6 +121,27 @@ def stopword_count(col: Column | str) -> Column:
     )
 
 
+def c4_verdict(col: Column | str) -> Column:
+    """C4-style quality verdict: FIRST failing rule, else ``keep``.
+
+    The single source of truth for the rule cascade (too_short →
+    too_much_punct → low_stopword) shared by the standalone filter
+    query and the end-to-end curation pipeline — thresholds compare
+    exact integers cross-multiplied, so no float ever decides a
+    keep/drop and any SQL mirror reproduces the branch bit-for-bit.
+    """
+    n_tok = token_count(col)
+    n_chr = char_count(col).cast("long")
+    n_punct = punct_count(col).cast("long")
+    n_sw = stopword_count(col)
+    return (
+        F.when(n_tok < 25, F.lit("too_short"))
+        .when(n_punct * 10 > n_chr, F.lit("too_much_punct"))
+        .when(n_sw * 10 < n_tok, F.lit("low_stopword"))
+        .otherwise(F.lit("keep"))
+    )
+
+
 def lang_marker_score(col: Column | str, lang: str) -> Column:
     """How many marker-word occurrences of ``lang`` the text contains."""
     toks = tokens(col)

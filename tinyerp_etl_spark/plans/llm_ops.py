@@ -434,17 +434,10 @@ def c4_quality_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     staged = docs.unionByName(noisy)
     n_tok = X.token_count("text")
-    n_chr = X.char_count("text").cast("long")
-    n_punct = X.punct_count("text").cast("long")
-    n_sw = X.stopword_count("text")
-    verdict = (
-        F.when(n_tok < 25, F.lit("too_short"))
-        .when(n_punct * 10 > n_chr, F.lit("too_much_punct"))
-        .when(n_sw * 10 < n_tok, F.lit("low_stopword"))
-        .otherwise(F.lit("keep"))
-    )
     return (
-        staged.select("source", verdict.alias("verdict"), n_tok.alias("n_tok"))
+        staged.select(
+            "source", X.c4_verdict("text").alias("verdict"), n_tok.alias("n_tok")
+        )
         .groupBy("source", "verdict")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -1508,6 +1501,7 @@ LLM_ORACLES["incremental_dedup_new_docs"] = f"""
       FROM incoming
     )
     SELECT doc_id,
+           fp AS fingerprint,
            CASE WHEN doc_id <> batch_min THEN 'dup_in_batch'
                 WHEN fp IN (SELECT fp FROM existing) THEN 'dup_of_corpus'
                 ELSE 'new' END AS disposition
@@ -1595,21 +1589,11 @@ def curation_pipeline_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("doc_id") + 100000).alias("doc_id"), "text", "lang"
         )
     )
-    n_tok = X.token_count("text")
-    n_chr = X.char_count("text").cast("long")
-    n_punct = X.punct_count("text").cast("long")
-    n_sw = X.stopword_count("text")
-    verdict = (
-        F.when(n_tok < 25, F.lit("too_short"))
-        .when(n_punct * 10 > n_chr, F.lit("too_much_punct"))
-        .when(n_sw * 10 < n_tok, F.lit("low_stopword"))
-        .otherwise(F.lit("keep"))
-    )
     ann0 = staged.select(
         "doc_id",
         "lang",
-        n_tok.cast("long").alias("n_tokens"),
-        verdict.alias("verdict"),
+        X.token_count("text").cast("long").alias("n_tokens"),
+        X.c4_verdict("text").alias("verdict"),
         X.fingerprint("text").alias("fingerprint"),
     ).withColumn(
         "canon",
@@ -1633,7 +1617,14 @@ def curation_pipeline_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("verdict") != "keep", F.concat(F.lit("drop_"), F.col("verdict"))
             )
             .when(F.col("doc_id") != F.col("canon"), F.lit("dup_drop"))
-            .when(F.col("hb") >= F.col("threshold_10k"), F.lit("mix_drop"))
+            # a NULL threshold (lang absent from the mixture weights)
+            # must drop, matching mixture_resample's inner-join
+            # semantics — NOT fall through to the split branches
+            .when(
+                F.col("threshold_10k").isNull()
+                | (F.col("hb") >= F.col("threshold_10k")),
+                F.lit("mix_drop"),
+            )
             .when(F.col("sb") == 8, F.lit("val"))
             .when(F.col("sb") == 9, F.lit("test"))
             .otherwise(F.lit("train")),
@@ -1713,7 +1704,8 @@ LLM_ORACLES["curation_pipeline_manifest"] = f"""
       SELECT doc_id, n_tokens,
              CASE WHEN verdict <> 'keep' THEN 'drop_' || verdict
                   WHEN doc_id <> canon THEN 'dup_drop'
-                  WHEN hb >= threshold_10k THEN 'mix_drop'
+                  WHEN threshold_10k IS NULL OR hb >= threshold_10k
+                    THEN 'mix_drop'
                   WHEN sb = 8 THEN 'val'
                   WHEN sb = 9 THEN 'test'
                   ELSE 'train' END AS stage

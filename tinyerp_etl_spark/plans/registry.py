@@ -138,9 +138,9 @@ _RELATIONAL_NAMES = [
 # Round 4 gate: the 50 queries that most need a fresh driver row.
 _ROUND4_FRONT_50 = [
     # (0) queries NEW in round 4 — zero driver evidence yet, so they
-    # outrank stale-but-proven rows (displaced to make room: the five
-    # static expression showcases + pii_redact_docs, which rotate back
-    # in round 5)
+    # outrank stale-but-proven rows (displaced to make room, per the
+    # module docstring: the six static showcases, setops_bag_semantics,
+    # and pii_redact_docs — all of which rotate back in round 5)
     "sequence_packing_manifest",
     "domain_mixture_resample",
     "approx_quantile_order_totals",

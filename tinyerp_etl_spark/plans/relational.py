@@ -1495,12 +1495,15 @@ def approx_quantile_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     tol = F.expr("(2 * n_rows + 999) div 1000")
+    # the sketch value occupies ranks [lt+1, le]; within_bound iff that
+    # window intersects [target-tol, target+tol] (note lt+1, not lt —
+    # a value whose first rank is one past the envelope must fail)
     return per_label.select(
         "label",
         "exact_cents",
         "n_rows",
         (
-            (F.coalesce(F.col("lt"), F.lit(0)) <= F.col("target_rank") + tol)
+            (F.coalesce(F.col("lt"), F.lit(0)) + 1 <= F.col("target_rank") + tol)
             & (F.coalesce(F.col("le"), F.lit(0)) >= F.col("target_rank") - tol)
         ).alias("within_bound"),
     ).orderBy("label")
