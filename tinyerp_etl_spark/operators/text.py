@@ -392,3 +392,41 @@ def pii_counts(col: Column | str) -> dict[str, Column]:
         "n_emails": F.size(F.regexp_extract_all(c, F.lit(PII_EMAIL_RE), 0)),
         "n_phones": F.size(F.regexp_extract_all(c, F.lit(PII_PHONE_RE), 0)),
     }
+
+
+def unigram_surprisal(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc mean token surprisal in integer BITS — the float-free
+    version of CCNet-style LM-perplexity filtering.
+
+    rarity(tok) = bit_length(total_tokens // count(tok)), an integer
+    ≈ -log2 p(tok) (both engines compute it as length(bin(x)), so no
+    transcendental function ever decides a score). Docs whose mean
+    rarity is very low are boilerplate (all ultra-common tokens);
+    very high means gibberish/rare-token noise — the same two tails a
+    real perplexity filter cuts.
+
+    Plan: one explode, token frequencies as a window over the single
+    token shuffle (the tfidf pattern — no second join), corpus total
+    broadcast from a 1-row aggregate, then one per-doc aggregation.
+    Zero-token docs have no token rows and are absent from the output
+    by construction.
+    """
+    from pyspark.sql.window import Window
+
+    toks = docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
+    total = toks.agg(F.count(F.lit(1)).cast("long").alias("n_corpus"))
+    rated = (
+        toks.crossJoin(F.broadcast(total))
+        .withColumn(
+            "cnt", F.count(F.lit(1)).over(Window.partitionBy("token"))
+        )
+        .withColumn(
+            "bits", F.length(F.bin(F.expr("n_corpus div cnt"))).cast("long")
+        )
+    )
+    return rated.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_tok"),
+        F.sum("bits").cast("long").alias("sum_bits"),
+    )

@@ -1728,3 +1728,93 @@ LLM_ORACLES["curation_pipeline_manifest"] = f"""
 )
 
 LLM_QUERIES["curation_pipeline_manifest"] = curation_pipeline_manifest
+
+
+def unigram_surprisal_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-style quality filter without a float in sight.
+
+    operators/text.py:unigram_surprisal scores every doc by mean token
+    rarity in integer bits (bit_length of total/count ≈ -log2 p); the
+    keep band [4, 12] bits cuts the same two tails an LM-perplexity
+    filter cuts — all-boilerplate docs (too predictable) and
+    rare-token noise (too surprising). The synthetic corpus sits in a
+    tight 5.0-5.5 bit band, so both tails are STAGED in both engines
+    (every 25th doc spawns a 150x-repeated-stopword copy at +800000
+    and an 8-unique-token gibberish copy at +900000) — the filter's
+    drop branches are exercised, not vacuous. The band test
+    cross-multiplies integers; mean_bits is the one derived double
+    (exact division of two bounded longs — bit-identical anywhere).
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    every25 = docs.filter(F.col("doc_id") % 25 == 0)
+    boiler = every25.select(
+        (F.col("doc_id") + 800000).alias("doc_id"),
+        F.expr("repeat('the ', 150)").alias("text"),
+    )
+    gibber = every25.select(
+        (F.col("doc_id") + 900000).alias("doc_id"),
+        F.concat_ws(
+            " ",
+            *[
+                F.concat(
+                    F.lit("qz"), F.col("doc_id").cast("string"), F.lit("x" + c)
+                )
+                for c in "abcdefgh"
+            ],
+        ).alias("text"),
+    )
+    staged = docs.unionByName(boiler).unionByName(gibber)
+    scored = X.unigram_surprisal(staged)
+    return scored.select(
+        "doc_id",
+        "n_tok",
+        "sum_bits",
+        (F.col("sum_bits") / F.col("n_tok")).cast("double").alias("mean_bits"),
+        (
+            (F.col("sum_bits") * 100 >= F.col("n_tok") * 400)
+            & (F.col("sum_bits") * 100 <= F.col("n_tok") * 1200)
+        ).alias("keep"),
+    ).orderBy("doc_id")
+
+
+LLM_ORACLES["unigram_surprisal_filter"] = f"""
+    WITH staged AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 800000, trim(repeat('the ', 150))
+      FROM documents WHERE doc_id % 25 = 0
+      UNION ALL
+      SELECT doc_id + 900000,
+             concat_ws(' ',
+               'qz' || doc_id || 'xa', 'qz' || doc_id || 'xb',
+               'qz' || doc_id || 'xc', 'qz' || doc_id || 'xd',
+               'qz' || doc_id || 'xe', 'qz' || doc_id || 'xf',
+               'qz' || doc_id || 'xg', 'qz' || doc_id || 'xh')
+      FROM documents WHERE doc_id % 25 = 0
+    ),
+    toks AS (
+      SELECT doc_id, unnest({_TOKS}) AS token FROM staged
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_corpus FROM toks),
+    rated AS (
+      SELECT doc_id,
+             CAST(length(bin((SELECT n_corpus FROM tot)
+                             // count(*) OVER (PARTITION BY token)))
+                  AS BIGINT) AS bits
+      FROM toks
+    ),
+    per_doc AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_tok,
+             CAST(sum(bits) AS BIGINT) AS sum_bits
+      FROM rated GROUP BY doc_id
+    )
+    SELECT doc_id, n_tok, sum_bits,
+           CAST(sum_bits AS DOUBLE) / n_tok AS mean_bits,
+           (sum_bits * 100 >= n_tok * 400 AND sum_bits * 100 <= n_tok * 1200)
+             AS keep
+    FROM per_doc
+    ORDER BY doc_id
+"""
+
+LLM_QUERIES["unigram_surprisal_filter"] = unigram_surprisal_filter

@@ -7,11 +7,12 @@ rows-only check from the driver.
 Ordering note: the driver's correctness gate covers the first 50
 registry entries, so insertion order is the rotation schedule.
 Round 4's front 50 =
-  (0) the eight queries NEW in round 4 (sequence packing, domain
+  (0) the nine queries NEW in round 4 (sequence packing, domain
       mixture resample, approx-quantile contract, key-skew profile,
       XML round-trip, incremental batch-vs-store dedup, training
-      shard manifest, end-to-end curation pipeline) — zero driver
-      evidence outranks stale-but-proven rows,
+      shard manifest, end-to-end curation pipeline, unigram
+      surprisal filter) — zero driver evidence outranks
+      stale-but-proven rows,
   (a) every query whose engine code changed this round: the HLL
       within-bound contract (the r03 `no_oracle` slot, now
       hash-checkable), the two `_year_stitched` rewrites, the OLS
@@ -23,12 +24,13 @@ Round 4's front 50 =
   (b) queries whose newest green row dates to round 1 (the
       relational join/TPC-H families) — oldest evidence first,
       exactly the freshness debt VERDICT r3 flagged. To make room
-      for (0), eight low-churn rows wait for round 5: the six static
+      for (0), nine low-churn rows wait for round 5: the six static
       showcases (scalar/array/null/coercion/datetime/window-nav),
-      setops_bag_semantics (its set-op twin setops_customer_nations
-      stays in), and pii_redact_docs (r2).
+      setops_bag_semantics and unpivot_nation_balances (their twins
+      setops_customer_nations / pivot_status_by_priority stay in),
+      and pii_redact_docs (r2).
 Cumulative ledger: all 121 pre-round-4 queries have at least one
-green row across rounds 1-3; the 8 round-4 additions get theirs this
+green row across rounds 1-3; the 9 round-4 additions get theirs this
 round.
 """
 
@@ -139,8 +141,8 @@ _RELATIONAL_NAMES = [
 _ROUND4_FRONT_50 = [
     # (0) queries NEW in round 4 — zero driver evidence yet, so they
     # outrank stale-but-proven rows (displaced to make room, per the
-    # module docstring: the six static showcases, setops_bag_semantics,
-    # and pii_redact_docs — all of which rotate back in round 5)
+    # module docstring: six static showcases, setops_bag_semantics,
+    # unpivot_nation_balances, pii_redact_docs — all back in round 5)
     "sequence_packing_manifest",
     "domain_mixture_resample",
     "approx_quantile_order_totals",
@@ -149,6 +151,7 @@ _ROUND4_FRONT_50 = [
     "incremental_dedup_new_docs",
     "training_shard_manifest",
     "curation_pipeline_manifest",
+    "unigram_surprisal_filter",
     # (a) engine code changed this round
     "hll_distinct_users",
     "anomaly_zscore_daily_revenue",
@@ -190,7 +193,6 @@ _ROUND4_FRONT_50 = [
     "groupwise_min_cheapest_parts",
     "quantiles_order_value_by_status",
     "pivot_status_by_priority",
-    "unpivot_nation_balances",
     "deterministic_sample_orders",
     "stratified_sample_orders",
 ]
