@@ -65,6 +65,7 @@ HEADLINE_R4 = [
     "key_skew_profile_events",
     "incremental_dedup_new_docs",
     "curation_pipeline_manifest",
+    "unigram_surprisal_filter",
 ]
 HEADLINE = HEADLINE + HEADLINE_R4
 
