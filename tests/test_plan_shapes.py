@@ -448,3 +448,20 @@ def test_mixture_resample_is_one_broadcast_join(spark, sf_dir):
     # broadcast; no shuffle of documents for the join itself
     plan = plan_of(QUERIES["domain_mixture_resample"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_shard_manifest_has_no_global_sort_before_output(spark, sf_dir):
+    # positions are ranked within shards (16-way parallel window); the
+    # only unpartitioned step allowed is the final presentation orderBy
+    plan = plan_of(QUERIES["training_shard_manifest"](spark, sf_dir))
+    assert "Window" in plan
+    window_part = plan.split("Window")[1]
+    assert "shard" in window_part.split("\n")[0] or "partitionBy" not in window_part
+
+
+def test_surprisal_counts_ride_the_token_shuffle(spark, sf_dir):
+    # token frequency must come from a window over the token shuffle
+    # (tfidf pattern), not a second join of a counts aggregate
+    plan = plan_of(QUERIES["unigram_surprisal_filter"](spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert "Window" in plan
