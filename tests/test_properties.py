@@ -283,3 +283,32 @@ def test_mixture_thresholds_laws(spark, rows):
         # implied expected keep (n * t / 10000) must not exceed the
         # budget's allotment for d (+1 for the floor boundary)
         assert n * t <= budget * w[d] + n
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10**6),
+            st.integers(min_value=0, max_value=500),
+        ),
+        min_size=1,
+        max_size=30,
+        unique_by=lambda t: t[0],
+    ),
+    st.integers(min_value=1, max_value=64),
+)
+def test_packing_reconstructs_token_stream(spark, pairs, seq_len):
+    """Packing coordinates must tile the concatenated token stream: the
+    offsets are the exclusive cumsum, every offset_in_seq < seq_len,
+    and seq_id * seq_len + offset_in_seq == tok_offset."""
+    from tinyerp_etl_spark.operators.packing import pack_concat_chunks
+
+    df = spark.createDataFrame(pairs, "k long, w long")
+    rows = pack_concat_chunks(df, "k", "w", seq_len=seq_len).collect()
+    run = 0
+    for r in sorted(rows, key=lambda r: r["k"]):
+        assert r["tok_offset"] == run
+        assert 0 <= r["offset_in_seq"] < seq_len
+        assert r["seq_id"] * seq_len + r["offset_in_seq"] == r["tok_offset"]
+        run += r["w"]
