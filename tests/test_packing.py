@@ -155,3 +155,11 @@ def test_incremental_dedup_emits_fingerprint(spark):
     assert rows[1]["disposition"] == "new" and rows[2]["disposition"] == "dup_in_batch"
     assert rows[1]["fingerprint"] == rows[2]["fingerprint"]
     assert rows[3]["fingerprint"] is not None
+
+
+def test_prefix_sum_null_weights_count_as_zero(spark):
+    df = spark.createDataFrame(
+        [(1, 5), (2, None), (3, 7)], "k long, w long"
+    )
+    out = _rows(distributed_prefix_sum(df, "k", "w"), "k", "offset")
+    assert out == [(1, 0), (2, 5), (3, 5)]

@@ -68,7 +68,13 @@ def distributed_prefix_sum(
     ``weight_col`` as a literal column — it falls out of the phase-2
     bucket totals for free, saving callers (e.g. the quantile rank
     targets) a separate aggregation job.
+
+    NULL weights count as zero (coalesced up front) — without that, a
+    single NULL would silently poison every offset after it.
     """
+    df = df.withColumn(
+        weight_col, F.coalesce(F.col(weight_col).cast("long"), F.lit(0))
+    )
     if materialize:
         df = df.localCheckpoint(eager=True)
     lo, hi = df.agg(F.min(order_col), F.max(order_col)).first()
