@@ -33,7 +33,10 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 #: Buckets for the two-phase scan. The driver holds exactly this many
-#: rows (one total per bucket), independent of data size.
+#: rows (one total per bucket), independent of data size. Phase-3
+#: window parallelism equals the bucket count, so a cluster run sizes
+#: ``n_buckets`` to ~2x total cores (the collect stays tiny either
+#: way); 32 matches the local[32] test substrate.
 DEFAULT_BUCKETS = 32
 
 

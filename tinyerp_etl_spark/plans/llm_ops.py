@@ -1577,6 +1577,12 @@ def curation_pipeline_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-stage aggregations are the 5-row mixture dim and the packing
     prefix sum. This is the query a pipeline owner would actually run
     nightly to answer "where did my tokens go?".
+
+    At 100 TB the checkpoint of the annotated corpus becomes a
+    TableStore artifact (a durable manifest table, partitioned by
+    stage) rather than executor-local storage — same plan, durable
+    intermediate; the per-stage filters then become partition-pruned
+    reads of that manifest.
     """
     from pyspark.sql.window import Window
 
