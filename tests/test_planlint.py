@@ -1,0 +1,65 @@
+"""Plan linter: detects the three 100 TB anti-patterns, passes clean plans."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from tinyerp_etl_spark.operators.planlint import assert_scalable_plan, plan_findings
+
+
+def _base(spark):
+    return spark.range(100).selectExpr("id", "id % 5 AS k")
+
+
+def test_flags_unpartitioned_window(spark):
+    df = _base(spark).withColumn("r", F.row_number().over(Window.orderBy("id")))
+    assert any("unpartitioned window" in f for f in plan_findings(df))
+    with pytest.raises(ValueError):
+        assert_scalable_plan(df)
+
+
+def test_passes_partitioned_window(spark):
+    df = _base(spark).withColumn(
+        "r", F.row_number().over(Window.partitionBy("k").orderBy("id"))
+    )
+    assert plan_findings(df) == []
+
+
+def test_flags_row_at_a_time_udf(spark):
+    plus_one = F.udf(lambda x: x + 1, "long")
+    df = _base(spark).withColumn("u", plus_one("id"))
+    assert any("BatchEvalPython" in f for f in plan_findings(df))
+
+
+def test_passes_arrow_udf(spark):
+    from pyspark.sql.functions import pandas_udf
+
+    # no type hints: `from __future__ import annotations` stringifies
+    # them, which pandas_udf's hint resolver rejects
+    plus_one = pandas_udf(lambda s: s + 1, "long")
+
+    df = _base(spark).withColumn("u", plus_one("id"))
+    assert plan_findings(df) == []
+
+
+def test_flags_cartesian_product(spark):
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        big = spark.range(10_000)
+        df = big.crossJoin(big.selectExpr("id AS j"))
+        assert any("cartesian" in f for f in plan_findings(df))
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+
+
+def test_gate_queries_are_clean(spark, sf_dir):
+    # the flagship and the round-4 prefix-sum family must lint clean
+    from tinyerp_etl_spark.plans.llm_ops import sequence_packing_manifest
+    from tinyerp_etl_spark.plans.relational import q1_pricing_summary
+
+    assert plan_findings(q1_pricing_summary(spark, sf_dir)) == []
+    assert plan_findings(sequence_packing_manifest(spark, sf_dir)) == []
