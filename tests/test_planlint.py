@@ -63,3 +63,10 @@ def test_gate_queries_are_clean(spark, sf_dir):
 
     assert plan_findings(q1_pricing_summary(spark, sf_dir)) == []
     assert plan_findings(sequence_packing_manifest(spark, sf_dir)) == []
+
+
+def test_passes_partition_only_window(spark):
+    # partitionBy with no orderBy shows as two bracket groups too —
+    # must NOT be confused with an unpartitioned ordered window
+    df = _base(spark).withColumn("m", F.min("id").over(Window.partitionBy("k")))
+    assert plan_findings(df) == []

@@ -27,9 +27,13 @@ import re
 from pyspark.sql import DataFrame
 
 #: A physical Window line carries bracket groups
-#: ``Window [exprs], [partition], [order]`` when partitioned and only
-#: ``Window [exprs], [order]`` when the spec has no partition key.
+#: ``Window [exprs], [partition], [order]`` when fully specified,
+#: ``Window [exprs], [partition]`` for partition-only specs (safe),
+#: and ``Window [exprs], [order]`` when the spec has NO partition key
+#: — the dangerous one. With two groups the cases are distinguished by
+#: sort markers (ASC/DESC) in the trailing group.
 _WINDOW_LINE = re.compile(r"\bWindow\s+\[")
+_TRAILING_GROUP = re.compile(r"\],\s*\[([^\[\]]*)\]\s*$")
 
 
 def plan_findings(df: DataFrame) -> list[str]:
@@ -38,7 +42,12 @@ def plan_findings(df: DataFrame) -> list[str]:
     plan = df._jdf.queryExecution().executedPlan().toString()
     findings: list[str] = []
     for line in plan.splitlines():
-        if _WINDOW_LINE.search(line) and line.count("], [") < 2:
+        if not _WINDOW_LINE.search(line):
+            continue
+        if line.count("], [") >= 2:
+            continue  # [exprs], [partition], [order] — partitioned
+        tail = _TRAILING_GROUP.search(line.rstrip())
+        if tail and (" ASC" in tail.group(1) or " DESC" in tail.group(1)):
             findings.append(
                 "unpartitioned window (single-task WindowExec): "
                 + line.strip()[:120]

@@ -38,6 +38,11 @@ def get_spark(app_name: str = "tinyerp-etl-spark") -> SparkSession:
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # UDTFs execute Arrow-batched (ArrowEvalPythonUDTF) instead of
+        # row-at-a-time BatchEvalPythonUDTF — with this, NO Python
+        # operator in the engine crosses the JVM boundary per-row
+        # (plan-linted across all 130 gate queries)
+        .config("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
         # Guarded fallback for TIMESTAMP(NANOS) testdata generations
         # (round 1 shipped ns; current files are us). The catalog sniffs
         # the parquet footer and only uses the nanos long-read path when
