@@ -451,12 +451,14 @@ def test_mixture_resample_is_one_broadcast_join(spark, sf_dir):
 
 
 def test_shard_manifest_has_no_global_sort_before_output(spark, sf_dir):
-    # positions are ranked within shards (16-way parallel window); the
-    # only unpartitioned step allowed is the final presentation orderBy
-    plan = plan_of(QUERIES["training_shard_manifest"](spark, sf_dir))
-    assert "Window" in plan
-    window_part = plan.split("Window")[1]
-    assert "shard" in window_part.split("\n")[0] or "partitionBy" not in window_part
+    # positions are ranked within shards (16-way parallel window) —
+    # the linter's unpartitioned-window check must come back clean
+    # (a previous hand-rolled string assert here was vacuous)
+    from tinyerp_etl_spark.operators.planlint import plan_findings
+
+    df = QUERIES["training_shard_manifest"](spark, sf_dir)
+    assert plan_findings(df) == []
+    assert "Window" in plan_of(df)
 
 
 def test_surprisal_counts_ride_the_token_shuffle(spark, sf_dir):

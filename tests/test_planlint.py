@@ -45,15 +45,28 @@ def test_passes_arrow_udf(spark):
 
 
 def test_flags_cartesian_product(spark):
+    orig = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         big = spark.range(10_000)
         df = big.crossJoin(big.selectExpr("id AS j"))
         assert any("cartesian" in f for f in plan_findings(df))
     finally:
-        spark.conf.set(
-            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
-        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", orig)
+
+
+def test_flags_unpartitioned_pandas_window(spark):
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    mean_udf = pandas_udf(
+        lambda s: s.mean(), "double", PandasUDFType.GROUPED_AGG
+    )
+    bad = _base(spark).withColumn("m", mean_udf("id").over(Window.orderBy("k")))
+    assert any("unpartitioned window" in f for f in plan_findings(bad))
+    good = _base(spark).withColumn(
+        "m", mean_udf("id").over(Window.partitionBy("k"))
+    )
+    assert plan_findings(good) == []
 
 
 def test_gate_queries_are_clean(spark, sf_dir):

@@ -310,5 +310,8 @@ def test_packing_reconstructs_token_stream(spark, pairs, seq_len):
     for r in sorted(rows, key=lambda r: r["k"]):
         assert r["tok_offset"] == run
         assert 0 <= r["offset_in_seq"] < seq_len
-        assert r["seq_id"] * seq_len + r["offset_in_seq"] == r["tok_offset"]
+        # spans_boundary must agree with an independent rederivation
+        # from (offset_in_seq, weight) — not from tok_offset itself
+        expect_spans = r["offset_in_seq"] + max(r["w"], 1) > seq_len
+        assert r["spans_boundary"] == expect_spans
         run += r["w"]

@@ -32,8 +32,14 @@ from pyspark.sql import DataFrame
 #: and ``Window [exprs], [order]`` when the spec has NO partition key
 #: — the dangerous one. With two groups the cases are distinguished by
 #: sort markers (ASC/DESC) in the trailing group.
-_WINDOW_LINE = re.compile(r"\bWindow\s+\[")
-_TRAILING_GROUP = re.compile(r"\],\s*\[([^\[\]]*)\]\s*$")
+#: Matches plain WindowExec AND its pandas-UDF siblings
+#: (ArrowWindowPython in Spark 4, WindowInPandas in Spark 3) — a
+#: pandas-UDF window funnels through one task just the same when
+#: unpartitioned.
+_WINDOW_LINE = re.compile(r"\b(?:Window|WindowInPandas|ArrowWindowPython)\s+\[")
+#: Final bracket group, tolerating a trailing scalar (ArrowWindowPython
+#: appends a batch-size number after the order group).
+_TRAILING_GROUP = re.compile(r"\],\s*\[([^\[\]]*)\](?:,\s*[\w$]+)?\s*$")
 
 
 def plan_findings(df: DataFrame) -> list[str]:

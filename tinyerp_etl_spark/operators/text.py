@@ -416,7 +416,11 @@ def unigram_surprisal(
     from pyspark.sql.window import Window
 
     toks = docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
-    total = toks.agg(F.count(F.lit(1)).cast("long").alias("n_corpus"))
+    # corpus total WITHOUT a second tokenize+explode pass: sum of
+    # per-doc token counts over the un-exploded frame
+    total = docs.agg(
+        F.sum(token_count(text_col).cast("long")).alias("n_corpus")
+    )
     rated = (
         toks.crossJoin(F.broadcast(total))
         .withColumn(

@@ -1745,20 +1745,24 @@ def unigram_surprisal_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter cuts — all-boilerplate docs (too predictable) and
     rare-token noise (too surprising). The synthetic corpus sits in a
     tight 5.0-5.5 bit band, so both tails are STAGED in both engines
-    (every 25th doc spawns a 150x-repeated-stopword copy at +800000
-    and an 8-unique-token gibberish copy at +900000) — the filter's
+    (every 25th doc spawns a 150x-repeated-stopword copy at id
+    -(4k+1) and an 8-unique-token gibberish copy at -(4k+2); negative
+    ids cannot collide with real ids at any scale) — the filter's
     drop branches are exercised, not vacuous. The band test
     cross-multiplies integers; mean_bits is the one derived double
     (exact division of two bounded longs — bit-identical anywhere).
     """
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     every25 = docs.filter(F.col("doc_id") % 25 == 0)
+    # staged ids live on the negative axis (-(4k+1) / -(4k+2)): disjoint
+    # from any non-negative real id AND from each other at EVERY corpus
+    # scale — additive offsets collide once real ids reach the offset
     boiler = every25.select(
-        (F.col("doc_id") + 800000).alias("doc_id"),
+        (-(F.col("doc_id") * 4 + 1)).alias("doc_id"),
         F.expr("repeat('the ', 150)").alias("text"),
     )
     gibber = every25.select(
-        (F.col("doc_id") + 900000).alias("doc_id"),
+        (-(F.col("doc_id") * 4 + 2)).alias("doc_id"),
         F.concat_ws(
             " ",
             *[
@@ -1787,10 +1791,10 @@ LLM_ORACLES["unigram_surprisal_filter"] = f"""
     WITH staged AS (
       SELECT doc_id, text FROM documents
       UNION ALL
-      SELECT doc_id + 800000, trim(repeat('the ', 150))
+      SELECT -(doc_id * 4 + 1), trim(repeat('the ', 150))
       FROM documents WHERE doc_id % 25 = 0
       UNION ALL
-      SELECT doc_id + 900000,
+      SELECT -(doc_id * 4 + 2),
              concat_ws(' ',
                'qz' || doc_id || 'xa', 'qz' || doc_id || 'xb',
                'qz' || doc_id || 'xc', 'qz' || doc_id || 'xd',
