@@ -66,6 +66,11 @@ HEADLINE_R4 = [
     "incremental_dedup_new_docs",
     "curation_pipeline_manifest",
     "unigram_surprisal_filter",
+    # TPC-H completions (Q2/Q14/Q17/Q22 shapes), also new in round 4
+    "q2_min_cost_supplier",
+    "q14_promo_revenue",
+    "q17_small_quantity_revenue",
+    "q22_dormant_customers",
 ]
 HEADLINE = HEADLINE + HEADLINE_R4
 

@@ -230,6 +230,52 @@ def test_q21_scans_lineitem_once(spark, sf_dir):
     assert "Expand" not in plan
 
 
+def test_q2_window_is_partitioned_and_dims_broadcast(spark, sf_dir):
+    """The groupwise-min window partitions on the part key (never a
+    global-order window) and supplier/nation ride broadcasts; the part
+    filter reaches the parquet scan."""
+    plan = plan_of(QUERIES["q2_min_cost_supplier"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    segs = plan.split("PushedFilters")
+    assert any("p_type" in seg.split("\n")[0] for seg in segs[1:])
+    # window over l_partkey, not an empty partition spec
+    assert "windowspecdefinition(l_partkey" in plan
+
+
+def test_q14_month_filter_reaches_scan(spark, sf_dir):
+    """September prunes the fact at the parquet scan; part is
+    broadcast; one aggregate pass (no joins beyond the broadcast)."""
+    plan = plan_of(QUERIES["q14_promo_revenue"](spark, sf_dir))
+    segs = plan.split("PushedFilters")
+    assert any("l_shipdate" in seg.split("\n")[0] for seg in segs[1:])
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_q17_scans_lineitem_at_most_twice_no_fact_shuffle_join(spark, sf_dir):
+    """The decorrelated per-part AVG joins back via broadcast (per_part
+    is bounded by one brand's parts) — no sort-merge join of the fact
+    against itself."""
+    plan = plan_of(QUERIES["q17_small_quantity_revenue"](spark, sf_dir), "simple")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    segs = plan_of(QUERIES["q17_small_quantity_revenue"](spark, sf_dir)).split(
+        "PushedFilters"
+    )
+    assert any("p_brand" in seg.split("\n")[0] for seg in segs[1:])
+
+
+def test_q22_anti_join_and_scalar_broadcast(spark, sf_dir):
+    """The balance floor rides a 1-row broadcast; the dormancy check is
+    a LeftAnti join on the customer key; the date bound reaches the
+    orders scan."""
+    plan = plan_of(QUERIES["q22_dormant_customers"](spark, sf_dir))
+    assert "LeftAnti" in plan
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+    segs = plan.split("PushedFilters")
+    assert any("o_orderdate" in seg.split("\n")[0] for seg in segs[1:])
+
+
 def test_q11_total_is_broadcast_back(spark, sf_dir):
     """The grand-total scalar rides a broadcast, not a shuffle."""
     plan = plan_of(QUERIES["q11_important_parts"](spark, sf_dir), "simple")

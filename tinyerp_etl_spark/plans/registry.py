@@ -7,11 +7,12 @@ rows-only check from the driver.
 Ordering note: the driver's correctness gate covers the first 50
 registry entries, so insertion order is the rotation schedule.
 Round 4's front 50 =
-  (0) the nine queries NEW in round 4 (sequence packing, domain
+  (0) the thirteen queries NEW in round 4 (sequence packing, domain
       mixture resample, approx-quantile contract, key-skew profile,
       XML round-trip, incremental batch-vs-store dedup, training
       shard manifest, end-to-end curation pipeline, unigram
-      surprisal filter) — zero driver evidence outranks
+      surprisal filter, and the four TPC-H completions
+      Q2/Q14/Q17/Q22) — zero driver evidence outranks
       stale-but-proven rows,
   (a) every query whose engine code changed this round: the HLL
       within-bound contract (the r03 `no_oracle` slot, now
@@ -24,13 +25,17 @@ Round 4's front 50 =
   (b) queries whose newest green row dates to round 1 (the
       relational join/TPC-H families) — oldest evidence first,
       exactly the freshness debt VERDICT r3 flagged. To make room
-      for (0), nine low-churn rows wait for round 5: the six static
-      showcases (scalar/array/null/coercion/datetime/window-nav),
-      setops_bag_semantics and unpivot_nation_balances (their twins
-      setops_customer_nations / pivot_status_by_priority stay in),
-      and pii_redact_docs (r2).
+      for (0), thirteen low-churn rows wait for round 5: the six
+      static showcases (scalar/array/null/coercion/datetime/
+      window-nav), setops_bag_semantics and unpivot_nation_balances
+      (their twins setops_customer_nations / pivot_status_by_priority
+      stay in), pii_redact_docs (r2), groupwise_min_cheapest_parts,
+      quantiles_order_value_by_status, and the two sampling queries
+      (deterministic/stratified — both r1-proven, pure and
+      input-stable).
 Cumulative ledger: all 121 pre-round-4 queries have at least one
-green row across rounds 1-3; the 9 round-4 additions get theirs this
+green row across rounds 1-3; the 13 round-4 additions (9 training-
+pipeline ops + the TPC-H completions Q2/Q14/Q17/Q22) get theirs this
 round.
 """
 
@@ -152,6 +157,10 @@ _ROUND4_FRONT_50 = [
     "training_shard_manifest",
     "curation_pipeline_manifest",
     "unigram_surprisal_filter",
+    "q2_min_cost_supplier",
+    "q14_promo_revenue",
+    "q17_small_quantity_revenue",
+    "q22_dormant_customers",
     # (a) engine code changed this round
     "hll_distinct_users",
     "anomaly_zscore_daily_revenue",
@@ -190,11 +199,7 @@ _ROUND4_FRONT_50 = [
     "q15_top_supplier",
     "q18_large_volume_customers",
     "q19_discount_revenue",
-    "groupwise_min_cheapest_parts",
-    "quantiles_order_value_by_status",
     "pivot_status_by_priority",
-    "deterministic_sample_orders",
-    "stratified_sample_orders",
 ]
 
 # Round 3 gate (kept for the rotation ledger).

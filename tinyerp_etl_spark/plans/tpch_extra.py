@@ -15,6 +15,13 @@ decorrelation / aggregation pattern, not the benchmark text:
 - Q21 -> EXISTS + NOT-EXISTS double-correlation, reformulated as one
   per-order aggregation (one shuffle on orderkey) instead of two
   correlated self-joins of a 100 TB fact
+- Q2  -> groupwise-min over a derived cost relation joined back on
+  (key, min) — the correlated MIN subquery decorrelated
+- Q14 -> conditional-sum ratio over one month (promo revenue share)
+- Q17 -> correlated per-key AVG threshold decorrelated into an
+  aggregate + join-back, compared in integer space
+- Q22 -> scalar-subquery balance floor + NOT EXISTS (anti join)
+  against recent orders, grouped by nation
 
 plus GROUPING SETS (rollup/cube's general form, via spark.sql).
 
@@ -250,6 +257,166 @@ def q21_sole_late_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 shape: groupwise minimum-cost supplier per part.
+
+    No partsupp table, so the supplier's "offer" for a part is the
+    cheapest extended price it ever shipped that part at (exact cents,
+    from lineitem). The classic correlated MIN subquery decorrelates
+    into: (1) one fact shuffle to aggregate offers per (part,
+    supplier) — map-side combinable; (2) a MIN window over the part
+    key on the already-aggregated, dimension-bounded offers relation;
+    (3) an equality filter keeping the groupwise minima; (4) broadcast
+    supplier/nation lookups. Top-100 by account balance is a
+    TakeOrdered (no global sort materialization). Ties on the min are
+    kept, as in the original; the sort key (acctbal, part, supplier)
+    is total, so LIMIT is deterministic.
+    """
+    from pyspark.sql import Window
+
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "STANDARD") & (F.col("p_size") < 10)
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    offers = (
+        li.join(broadcast(p.select("p_partkey")), li.l_partkey == p.p_partkey, "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(cents("l_extendedprice")).alias("offer_cents"))
+    )
+    best = F.min("offer_cents").over(Window.partitionBy("l_partkey"))
+    return (
+        offers.withColumn("best_cents", best)
+        .filter(F.col("offer_cents") == F.col("best_cents"))
+        .join(broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            "s_suppkey",
+            "s_name",
+            F.col("n_name").alias("nation_name"),
+            (F.col("offer_cents") / F.lit(100.0)).cast("double").alias("best_price"),
+            cents("s_acctbal").alias("acctbal_cents"),
+        )
+        .orderBy(F.col("acctbal_cents").desc(), "p_partkey", "s_suppkey")
+        .limit(100)
+    )
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 shape: conditional-aggregation revenue ratio for one month.
+
+    Promo share of revenue = 100 * sum(revenue where p_type PROMO) /
+    sum(revenue), September 1997. The month filter prunes the fact at
+    the scan (pushed to parquet); part is broadcast; both sums are
+    exact integer 1e-4 units accumulated in one two-phase aggregate,
+    and the ratio is a single IEEE division at the end — bit-identical
+    to the oracle at any partition count.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part")
+    rev_e4 = cents("l_extendedprice") * (100 - cents("l_discount"))
+    return (
+        li.join(broadcast(p.select("p_partkey", "p_type")), li.l_partkey == p.p_partkey)
+        .agg(
+            sum_exact(F.when(F.col("p_type") == "PROMO", rev_e4).otherwise(F.lit(0))).alias(
+                "promo_e4"
+            ),
+            sum_exact(rev_e4).alias("total_e4"),
+        )
+        .select(
+            (F.lit(100.0) * F.col("promo_e4") / F.col("total_e4"))
+            .cast("double")
+            .alias("promo_revenue")
+        )
+    )
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17 shape: correlated per-part AVG threshold, decorrelated.
+
+    Average yearly revenue lost to small-quantity orders of one brand:
+    lineitems with l_quantity < 0.2 * avg(l_quantity) of their part.
+    The correlated scalar AVG becomes a per-part aggregate joined back
+    on the part key; the brand semi-join prunes the fact BEFORE both
+    the aggregate and the join, so only ~1/|brands| of lineitem is
+    touched. per_part is bounded by the part dimension → broadcast
+    join-back, no second fact shuffle. The 0.2*avg comparison is done
+    in integers (qty*5*n < sum_qty), so membership can't flap on FP
+    noise, and the final /700.0 (7 years x cents) is one IEEE op.
+    """
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#21")
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .join(broadcast(p.select("p_partkey")), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .select(
+            "l_partkey",
+            cents("l_quantity").alias("qty_cents"),
+            cents("l_extendedprice").alias("price_cents"),
+        )
+    )
+    per_part = li.groupBy("l_partkey").agg(
+        sum_exact(F.col("qty_cents")).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return (
+        li.join(broadcast(per_part), "l_partkey")
+        .filter(F.col("qty_cents") * 5 * F.col("n") < F.col("sum_qty"))
+        .agg(
+            (sum_exact(F.col("price_cents")) / F.lit(700.0))
+            .cast("double")
+            .alias("avg_yearly")
+        )
+    )
+
+
+def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 shape: scalar-subquery floor + anti join, per nation.
+
+    No c_phone column, so the "country code" bucket is c_nationkey
+    (< 10), and "never ordered" becomes "no order since 2000-01-01" —
+    this data has no orderless customers, which keeps the anti join
+    non-degenerate. Plan: (1) 1-row aggregate of positive balances
+    over the eligible slice, broadcast back (the classic scalar
+    subquery); (2) balance floor compared in integer space
+    (bal*n > sum — no FP boundary flap); (3) left-anti join against
+    recent orders' custkeys on the customer key — at 100 TB both
+    sides shuffle-partition on custkey, the anti probe is the
+    distinct custkey set of a date-pruned scan; (4) a 10-group
+    aggregate. Column names match the oracle: c_nationkey, numcust,
+    totacctbal.
+    """
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_nationkey") < 10)
+    eligible = c.select(
+        "c_custkey", "c_nationkey", cents("c_acctbal").alias("bal_cents")
+    )
+    pos = eligible.filter(F.col("bal_cents") > 0).agg(
+        F.sum("bal_cents").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    recent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    return (
+        eligible.crossJoin(broadcast(pos))
+        .filter(F.col("bal_cents") * F.col("n") > F.col("s"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            (sum_exact(F.col("bal_cents")) / F.lit(100.0))
+            .cast("double")
+            .alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
 def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUPING SETS — the general form rollup/cube specialize.
 
@@ -282,6 +449,10 @@ TPCH_EXTRA_QUERIES = {
     "q16_supplier_diversity": q16_supplier_diversity,
     "q20_heavy_part_suppliers": q20_heavy_part_suppliers,
     "q21_sole_late_shippers": q21_sole_late_shippers,
+    "q2_min_cost_supplier": q2_min_cost_supplier,
+    "q14_promo_revenue": q14_promo_revenue,
+    "q17_small_quantity_revenue": q17_small_quantity_revenue,
+    "q22_dormant_customers": q22_dormant_customers,
     "grouping_sets_revenue": grouping_sets_revenue,
 }
 
@@ -397,6 +568,84 @@ TPCH_EXTRA_ORACLES: dict[str, str] = {
         WHERE n_supp >= 2 AND n_late_supp = 1
         GROUP BY s_name
         ORDER BY numwait DESC, s_name
+    """,
+    "q2_min_cost_supplier": """
+        WITH offers AS (
+          SELECT l_partkey, l_suppkey,
+                 min(CAST(round(l_extendedprice*100) AS BIGINT)) AS offer_cents
+          FROM lineitem
+          WHERE l_partkey IN (
+            SELECT p_partkey FROM part WHERE p_type = 'STANDARD' AND p_size < 10
+          )
+          GROUP BY l_partkey, l_suppkey
+        ),
+        best AS (
+          SELECT l_partkey, min(offer_cents) AS best_cents
+          FROM offers GROUP BY l_partkey
+        )
+        SELECT o.l_partkey AS p_partkey, s.s_suppkey, s.s_name,
+               n.n_name AS nation_name,
+               CAST(o.offer_cents / 100.0 AS DOUBLE) AS best_price,
+               CAST(round(s.s_acctbal*100) AS BIGINT) AS acctbal_cents
+        FROM offers o
+        JOIN best b ON o.l_partkey = b.l_partkey AND o.offer_cents = b.best_cents
+        JOIN supplier s ON o.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        ORDER BY acctbal_cents DESC, p_partkey, s_suppkey
+        LIMIT 100
+    """,
+    "q14_promo_revenue": """
+        SELECT CAST(
+          100.0 * sum(CASE WHEN p_type = 'PROMO'
+                THEN CAST(round(l_extendedprice*100) AS BIGINT)
+                     * (100 - CAST(round(l_discount*100) AS BIGINT))
+                ELSE 0 END)
+          / sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                * (100 - CAST(round(l_discount*100) AS BIGINT)))
+          AS DOUBLE) AS promo_revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+          AND l_shipdate <  TIMESTAMP '1997-10-01'
+    """,
+    "q17_small_quantity_revenue": """
+        WITH li AS (
+          SELECT l_partkey,
+                 CAST(round(l_quantity*100) AS BIGINT) AS qty_cents,
+                 CAST(round(l_extendedprice*100) AS BIGINT) AS price_cents
+          FROM lineitem
+          WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_brand = 'Brand#21')
+        ),
+        per_part AS (
+          SELECT l_partkey, sum(qty_cents) AS sum_qty, count(*) AS n
+          FROM li GROUP BY l_partkey
+        )
+        SELECT CAST(sum(li.price_cents) / 700.0 AS DOUBLE) AS avg_yearly
+        FROM li JOIN per_part ON li.l_partkey = per_part.l_partkey
+        WHERE li.qty_cents * 5 * per_part.n < per_part.sum_qty
+    """,
+    "q22_dormant_customers": """
+        WITH eligible AS (
+          SELECT c_custkey, c_nationkey,
+                 CAST(round(c_acctbal*100) AS BIGINT) AS bal_cents
+          FROM customer WHERE c_nationkey < 10
+        ),
+        pos AS (
+          SELECT sum(bal_cents) AS s, count(*) AS n
+          FROM eligible WHERE bal_cents > 0
+        ),
+        dormant AS (
+          SELECT e.c_custkey, e.c_nationkey, e.bal_cents
+          FROM eligible e, pos
+          WHERE e.bal_cents * pos.n > pos.s
+            AND NOT EXISTS (
+              SELECT 1 FROM orders o
+              WHERE o.o_custkey = e.c_custkey
+                AND o.o_orderdate >= TIMESTAMP '2000-01-01'
+            )
+        )
+        SELECT c_nationkey, count(*) AS numcust,
+               CAST(sum(bal_cents) / 100.0 AS DOUBLE) AS totacctbal
+        FROM dormant GROUP BY c_nationkey ORDER BY c_nationkey
     """,
     "grouping_sets_revenue": """
         SELECT
