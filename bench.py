@@ -71,6 +71,9 @@ HEADLINE_R4 = [
     "q14_promo_revenue",
     "q17_small_quantity_revenue",
     "q22_dormant_customers",
+    # mergeable-sketch rollups, also new in round 4
+    "kmv_sketch_rollup",
+    "hll_union_rollup",
 ]
 HEADLINE = HEADLINE + HEADLINE_R4
 

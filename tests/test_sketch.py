@@ -141,3 +141,38 @@ def test_exact_rank_quantiles_empty_histogram_keeps_labels(spark):
     rows = exact_rank_quantiles(hist, "v", "c", {"p50": 5000, "p99": 9900}).collect()
     assert sorted(r["label"] for r in rows) == ["p50", "p99"]
     assert all(r["q_value"] is None for r in rows)
+
+
+def test_kmv_merge_equals_direct_sketch(spark):
+    """The merge identity: per-day sketches merged == sketch built
+    directly on the union (the property the rollup gate query relies
+    on), at any partitioning, including groups below capacity."""
+    from tinyerp_etl_spark.operators.sketch import (
+        kmv_distinct_estimate,
+        kmv_merge_estimate,
+        kmv_sketches,
+    )
+
+    rows = [
+        # group "big": 200 distinct values spread over 4 days
+        ("big", i % 4, i) for i in range(200)
+    ] + [
+        # group "small": 10 distinct values (below k) over 2 days
+        ("small", i % 2, 1000 + i) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "g string, day int, v long").repartition(7)
+
+    daily = kmv_sketches(df, ["g", "day"], "v", k=16)
+    merged = {
+        r["g"]: (r["n_kept"], r["kth_min_hash"], r["n_estimate"])
+        for r in kmv_merge_estimate(daily, ["g"], k=16).collect()
+    }
+    direct = {
+        r["g"]: (r["kth_min_hash"], r["n_estimate"])
+        for r in kmv_distinct_estimate(df, "g", "v", k=16).collect()
+    }
+    assert merged["big"][1:] == direct["big"]
+    assert merged["small"][1:] == (None, 10.0)
+    assert merged["small"][0] == 10
+    # sketch rows are bounded at k elements
+    assert all(len(r["kmv_sketch"]) <= 16 for r in daily.collect())

@@ -65,6 +65,83 @@ def kmv_distinct_estimate(
     )
 
 
+def kmv_sketches(
+    df: DataFrame, group_cols: list[str], value_col: str, k: int = 64
+) -> DataFrame:
+    """Per-group KMV sketch as a bounded array column.
+
+    Output: (*group_cols, kmv_sketch array<long>) — the k smallest
+    distinct value hashes per group, ascending. This is the storable
+    form of the sketch: at 100 TB you persist one such row per
+    (entity, fine-grain-bucket) — e.g. per (event_type, day) — and any
+    coarser rollup (weekly, all-time, cross-entity) is answered by
+    merging sketches instead of rescanning the raw fact.
+
+    Memory is bounded by construction: the window keeps only rank<=k
+    rows per group BEFORE the collect, so no aggregation buffer ever
+    holds more than k elements (unlike a naive collect_set of all
+    values — the anti-pattern the LSH bucket cap exists for).
+    """
+    hashed = df.select(
+        *[F.col(c) for c in group_cols], value_hash32(value_col).alias("__h")
+    ).distinct()
+    w = Window.partitionBy(*group_cols).orderBy("__h")
+    topk = hashed.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") <= k
+    )
+    return topk.groupBy(*group_cols).agg(
+        F.sort_array(F.collect_list("__h")).alias("kmv_sketch")
+    )
+
+
+def kmv_merge_estimate(
+    sketches: DataFrame,
+    group_cols: list[str],
+    sketch_col: str = "kmv_sketch",
+    k: int = 64,
+) -> DataFrame:
+    """Merge fine-grain KMV sketches to a coarser grouping + estimate.
+
+    Union the hash sets, re-take the k smallest, estimate as
+    (k-1)/(kth_min/2^32). KMV's merge is LOSSLESS in the sense that
+    the merged sketch equals the sketch built directly on the union:
+    a hash among the global k smallest has at most k-1 hashes below it
+    anywhere, so it ranks <=k inside its own fine-grain sketch and is
+    guaranteed to be present in the input. That identity is what the
+    differential oracle checks (the DuckDB side computes the sketch
+    straight from the raw fact).
+
+    Output: (*group_cols, n_kept, kth_min_hash, n_estimate) where
+    n_kept = min(k, distinct hashes) — below capacity the estimate is
+    the exact count, standard KMV behavior.
+    """
+    ex = sketches.select(
+        *[F.col(c) for c in group_cols], F.explode(sketch_col).alias("__h")
+    ).distinct()
+    w = Window.partitionBy(*group_cols).orderBy("__h")
+    ranked = ex.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") <= k
+    )
+    return (
+        ranked.groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.max(F.when(F.col("__rn") == k, F.col("__h"))).alias("kth_min_hash"),
+        )
+        .select(
+            *group_cols,
+            "n_kept",
+            "kth_min_hash",
+            F.when(
+                F.col("kth_min_hash").isNotNull(),
+                F.round((k - 1) / (F.col("kth_min_hash") / F.lit(HASH_SPACE)), 2),
+            )
+            .otherwise(F.col("n_kept").cast("double"))
+            .alias("n_estimate"),
+        )
+    )
+
+
 def _candidate_count_rows(
     df: DataFrame, value_col: str, min_share: float, cap: int
 ) -> DataFrame:

@@ -809,6 +809,72 @@ def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def kmv_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup: per-day KMV sketches merged per type.
+
+    The 100 TB rollup pattern (the reference's dashboard model implies
+    pre-aggregated rollups; ref tiny_api_v2_cliente.py README.md:3):
+    persist one bounded sketch row per (event_type, day), then answer
+    ANY coarser distinct-count grain — weekly, all-time, cross-type —
+    by merging sketches, never rescanning the raw fact. KMV's merge is
+    exact-reproducible (merged sketch == sketch of the union, see
+    operators/sketch.py:kmv_merge_estimate), so unlike HLL this
+    two-level path sits under the full hash gate: the oracle builds
+    the sketch straight from raw events and must land on the same
+    kth-min hash and estimate the daily-merge path produces.
+    """
+    from tinyerp_etl_spark.operators.sketch import (
+        kmv_merge_estimate,
+        kmv_sketches,
+    )
+
+    ev = load_table(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    daily = kmv_sketches(ev, ["event_type", "day"], "user_id", k=64)
+    merged = kmv_merge_estimate(daily, ["event_type"], k=64)
+    n_days = daily.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_days"))
+    return (
+        merged.join(n_days, "event_type")
+        .select("event_type", "n_days", "n_kept", "kth_min_hash", "n_estimate")
+        .orderBy("event_type")
+    )
+
+
+def hll_union_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native-HLL twin of kmv_sketch_rollup: daily hll_sketch_agg
+    sketches re-merged with hll_union_agg, then estimated.
+
+    Demonstrates the JVM datasketches path for the same
+    persist-fine/merge-coarse pattern: register-wise max is
+    associative and commutative, so the merged estimate is identical
+    to the direct single-pass sketch — which is why the same
+    deterministic 5% within-bound contract used by hll_distinct_users
+    stays hash-checkable here (DuckDB can't reproduce the estimate,
+    but it can verify the bound).
+    """
+    ev = load_table(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    daily = ev.groupBy("event_type", "day").agg(
+        F.hll_sketch_agg("user_id").alias("day_sketch")
+    )
+    merged = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("day_sketch")).alias("approx")
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    return (
+        merged.join(exact, "event_type")
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("approx") - F.col("exact_users"))
+                <= F.expr("(exact_users + 19) div 20")
+            ).alias("within_bound"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def replace_order_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Detail-table replacement (ref search_pedidos_v2 contract).
 
@@ -1303,6 +1369,45 @@ ETL_ORACLES: dict[str, str] = {
         ORDER BY user_id, version
     """,
     "hll_distinct_users": """
+        SELECT event_type,
+               count(DISTINCT user_id) AS exact_users,
+               TRUE AS within_bound
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    "kmv_sketch_rollup": """
+        WITH hashed AS (
+          SELECT DISTINCT event_type,
+                 CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+          FROM events
+        ),
+        ranked AS (
+          SELECT event_type, h,
+                 row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+          FROM hashed
+        ),
+        agg AS (
+          SELECT event_type,
+                 count(*) AS n_kept,
+                 max(CASE WHEN rn = 64 THEN h END) AS kth_min_hash
+          FROM ranked
+          WHERE rn <= 64
+          GROUP BY event_type
+        ),
+        days AS (
+          SELECT event_type, count(DISTINCT CAST(ts AS DATE)) AS n_days
+          FROM events
+          GROUP BY event_type
+        )
+        SELECT a.event_type, d.n_days, a.n_kept, a.kth_min_hash,
+               CASE WHEN a.kth_min_hash IS NOT NULL
+                    THEN round(63 / (a.kth_min_hash / 4294967296.0), 2)
+                    ELSE CAST(a.n_kept AS DOUBLE) END AS n_estimate
+        FROM agg a JOIN days d ON a.event_type = d.event_type
+        ORDER BY a.event_type
+    """,
+    "hll_union_rollup": """
         SELECT event_type,
                count(DISTINCT user_id) AS exact_users,
                TRUE AS within_bound

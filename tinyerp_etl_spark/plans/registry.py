@@ -7,12 +7,13 @@ rows-only check from the driver.
 Ordering note: the driver's correctness gate covers the first 50
 registry entries, so insertion order is the rotation schedule.
 Round 4's front 50 =
-  (0) the thirteen queries NEW in round 4 (sequence packing, domain
+  (0) the fifteen queries NEW in round 4 (sequence packing, domain
       mixture resample, approx-quantile contract, key-skew profile,
       XML round-trip, incremental batch-vs-store dedup, training
       shard manifest, end-to-end curation pipeline, unigram
-      surprisal filter, and the four TPC-H completions
-      Q2/Q14/Q17/Q22) — zero driver evidence outranks
+      surprisal filter, the four TPC-H completions Q2/Q14/Q17/Q22,
+      and the mergeable-sketch rollups kmv_sketch_rollup /
+      hll_union_rollup) — zero driver evidence outranks
       stale-but-proven rows,
   (a) every query whose engine code changed this round: the HLL
       within-bound contract (the r03 `no_oracle` slot, now
@@ -25,18 +26,20 @@ Round 4's front 50 =
   (b) queries whose newest green row dates to round 1 (the
       relational join/TPC-H families) — oldest evidence first,
       exactly the freshness debt VERDICT r3 flagged. To make room
-      for (0), thirteen low-churn rows wait for round 5: the six
+      for (0), fifteen low-churn rows wait for round 5: the six
       static showcases (scalar/array/null/coercion/datetime/
       window-nav), setops_bag_semantics and unpivot_nation_balances
       (their twins setops_customer_nations / pivot_status_by_priority
       stay in), pii_redact_docs (r2), groupwise_min_cheapest_parts,
-      quantiles_order_value_by_status, and the two sampling queries
+      quantiles_order_value_by_status, the two sampling queries
       (deterministic/stratified — both r1-proven, pure and
-      input-stable).
+      input-stable), and conditional_agg_returnflag /
+      subquery_small_quantity_revenue (their plan shapes are
+      represented by the fresher q14/q17 rows in this gate).
 Cumulative ledger: all 121 pre-round-4 queries have at least one
-green row across rounds 1-3; the 13 round-4 additions (9 training-
-pipeline ops + the TPC-H completions Q2/Q14/Q17/Q22) get theirs this
-round.
+green row across rounds 1-3; the 15 round-4 additions (9 training-
+pipeline ops + TPC-H completions Q2/Q14/Q17/Q22 + the two sketch
+rollups) get theirs this round.
 """
 
 from __future__ import annotations
@@ -90,6 +93,8 @@ _ETL_NAMES = [
     "hierarchy_closure_part",
     "key_skew_profile_events",
     "xml_roundtrip_orders",
+    "kmv_sketch_rollup",
+    "hll_union_rollup",
 ]
 
 _RELATIONAL_NAMES = [
@@ -161,6 +166,8 @@ _ROUND4_FRONT_50 = [
     "q14_promo_revenue",
     "q17_small_quantity_revenue",
     "q22_dormant_customers",
+    "kmv_sketch_rollup",
+    "hll_union_rollup",
     # (a) engine code changed this round
     "hll_distinct_users",
     "anomaly_zscore_daily_revenue",
@@ -191,9 +198,7 @@ _ROUND4_FRONT_50 = [
     "topk_expensive_orders",
     "setops_customer_nations",
     "exists_returned_orders",
-    "subquery_small_quantity_revenue",
     "scalar_subquery_rich_idle_customers",
-    "conditional_agg_returnflag",
     "q10_returned_items",
     "q13_order_distribution",
     "q15_top_supplier",
