@@ -78,6 +78,29 @@ HEADLINE_R4 = [
 HEADLINE = HEADLINE + HEADLINE_R4
 
 
+def _calibrate_host(spark) -> dict[str, float]:
+    """Fixed reference workloads, independent of the engine under test.
+
+    The bench runs on whatever VM the round lands on, and measured
+    host speed has varied round-to-round by >1.4x on identical code
+    (r3 vs r4 hosts). These two constants — a JVM codegen loop and a
+    pure-Python loop — measure the HOST, so round-over-round totals
+    can be normalized (total / jvm_calibration) before being read as
+    an engine regression or win. Min of 3, like the queries.
+    """
+    jvm = py = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(200_000_000).selectExpr("sum(id * 2 + 1)").collect()
+        jvm = min(jvm, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        acc = 0
+        for i in range(3_000_000):
+            acc += i * i
+        py = min(py, time.perf_counter() - t0)
+    return {"jvm_range_sum_sec": round(jvm, 4), "py_loop_sec": round(py, 4)}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([\d.]+)", sf_dir)
@@ -118,6 +141,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "comparable_r3_total": round(comparable, 4),
+                "host_calibration": _calibrate_host(spark),
             }
         )
     )
