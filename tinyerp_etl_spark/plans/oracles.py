@@ -78,6 +78,35 @@ RELATIONAL_ORACLES: dict[str, str] = {
         UNION ALL SELECT 'lineitem', count(*) FROM lineitem
         ORDER BY table_name
     """,
+    "data_profile_orders": """
+        WITH stacked AS (
+          SELECT 'o_orderkey' AS col_name, CAST(o_orderkey AS VARCHAR) AS v_str,
+                 CAST(o_orderkey AS BIGINT) AS v_num FROM orders
+          UNION ALL SELECT 'o_custkey', CAST(o_custkey AS VARCHAR),
+                 CAST(o_custkey AS BIGINT) FROM orders
+          UNION ALL SELECT 'o_totalprice_cents',
+                 CAST(CAST(round(o_totalprice*100) AS BIGINT) AS VARCHAR),
+                 CAST(round(o_totalprice*100) AS BIGINT) FROM orders
+          UNION ALL SELECT 'o_orderdate_epoch',
+                 CAST(CAST(epoch(o_orderdate) AS BIGINT) AS VARCHAR),
+                 CAST(epoch(o_orderdate) AS BIGINT) FROM orders
+          UNION ALL SELECT 'o_orderstatus', o_orderstatus, NULL FROM orders
+          UNION ALL SELECT 'o_orderpriority', o_orderpriority, NULL FROM orders
+        ),
+        pairs AS (
+          SELECT col_name, v_str, count(*) AS cnt, max(v_num) AS v_num
+          FROM stacked GROUP BY col_name, v_str
+        )
+        SELECT col_name,
+               CAST(sum(cnt) AS BIGINT) AS n_rows,
+               CAST(sum(CASE WHEN v_str IS NULL THEN cnt ELSE 0 END) AS BIGINT)
+                 AS n_nulls,
+               count(CASE WHEN v_str IS NOT NULL THEN 1 END) AS n_distinct,
+               min(v_num) AS min_num, max(v_num) AS max_num,
+               min(CASE WHEN v_num IS NULL THEN v_str END) AS min_str,
+               max(CASE WHEN v_num IS NULL THEN v_str END) AS max_str
+        FROM pairs GROUP BY col_name ORDER BY col_name
+    """,
     "q3_shipping_priority": """
         SELECT
           o_orderkey,

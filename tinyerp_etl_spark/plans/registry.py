@@ -7,13 +7,14 @@ rows-only check from the driver.
 Ordering note: the driver's correctness gate covers the first 50
 registry entries, so insertion order is the rotation schedule.
 Round 4's front 50 =
-  (0) the fifteen queries NEW in round 4 (sequence packing, domain
+  (0) the sixteen queries NEW in round 4 (sequence packing, domain
       mixture resample, approx-quantile contract, key-skew profile,
       XML round-trip, incremental batch-vs-store dedup, training
       shard manifest, end-to-end curation pipeline, unigram
       surprisal filter, the four TPC-H completions Q2/Q14/Q17/Q22,
-      and the mergeable-sketch rollups kmv_sketch_rollup /
-      hll_union_rollup) — zero driver evidence outranks
+      the mergeable-sketch rollups kmv_sketch_rollup /
+      hll_union_rollup, and the single-scan column profiler
+      data_profile_orders) — zero driver evidence outranks
       stale-but-proven rows,
   (a) every query whose engine code changed this round: the HLL
       within-bound contract (the r03 `no_oracle` slot, now
@@ -26,20 +27,22 @@ Round 4's front 50 =
   (b) queries whose newest green row dates to round 1 (the
       relational join/TPC-H families) — oldest evidence first,
       exactly the freshness debt VERDICT r3 flagged. To make room
-      for (0), fifteen low-churn rows wait for round 5: the six
+      for (0), sixteen low-churn rows wait for round 5: the six
       static showcases (scalar/array/null/coercion/datetime/
       window-nav), setops_bag_semantics and unpivot_nation_balances
       (their twins setops_customer_nations / pivot_status_by_priority
       stay in), pii_redact_docs (r2), groupwise_min_cheapest_parts,
       quantiles_order_value_by_status, the two sampling queries
       (deterministic/stratified — both r1-proven, pure and
-      input-stable), and conditional_agg_returnflag /
+      input-stable), conditional_agg_returnflag /
       subquery_small_quantity_revenue (their plan shapes are
-      represented by the fresher q14/q17 rows in this gate).
+      represented by the fresher q14/q17 rows in this gate), and
+      audit_counts (displaced by its own per-column generalization,
+      data_profile_orders).
 Cumulative ledger: all 121 pre-round-4 queries have at least one
-green row across rounds 1-3; the 15 round-4 additions (9 training-
+green row across rounds 1-3; the 16 round-4 additions (9 training-
 pipeline ops + TPC-H completions Q2/Q14/Q17/Q22 + the two sketch
-rollups) get theirs this round.
+rollups + the single-scan column profiler) get theirs this round.
 """
 
 from __future__ import annotations
@@ -103,6 +106,7 @@ _RELATIONAL_NAMES = [
     "agg_rollup",
     "agg_cube",
     "audit_counts",
+    "data_profile_orders",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "join_left_enrich",
@@ -188,7 +192,7 @@ _ROUND4_FRONT_50 = [
     "agg_distinct_count",
     "agg_rollup",
     "agg_cube",
-    "audit_counts",
+    "data_profile_orders",
     "join_left_enrich",
     "join_semi_customers_with_orders",
     "join_anti_orphan_audit",

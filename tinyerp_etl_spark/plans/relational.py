@@ -22,7 +22,12 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 from pyspark.sql.window import Window
 
-from tinyerp_etl_spark.functions.exact import avg_from_cents, sum_cents, sum_exact
+from tinyerp_etl_spark.functions.exact import (
+    avg_from_cents,
+    cents,
+    sum_cents,
+    sum_exact,
+)
 from tinyerp_etl_spark.sources.catalog import load_table
 
 # --------------------------------------------------------------------------
@@ -131,6 +136,32 @@ def audit_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out.orderBy("table_name")
+
+
+def data_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column data profile of orders in ONE scan.
+
+    Extends the reference's COUNT(*)-only audit (ref
+    tiny_api_v2_cliente.py:395-401) to the per-column stats a
+    dashboard-serving warehouse actually monitors: null counts,
+    distinct counts, value ranges. operators/profile.py stacks the
+    columns in one projection and pair-collapses before the shuffle —
+    no per-column scans, no mixed-distinct Expand; values travel in
+    canonical integer form (cents / epoch) so the oracle is exact.
+    """
+    from tinyerp_etl_spark.operators.profile import profile_columns
+
+    o = load_table(spark, sf_dir, "orders")
+    return profile_columns(
+        o,
+        numeric_cols={
+            "o_orderkey": F.col("o_orderkey").cast("long"),
+            "o_custkey": F.col("o_custkey").cast("long"),
+            "o_totalprice_cents": cents("o_totalprice"),
+            "o_orderdate_epoch": F.unix_timestamp("o_orderdate"),
+        },
+        string_cols=["o_orderstatus", "o_orderpriority"],
+    )
 
 
 # --------------------------------------------------------------------------
