@@ -246,3 +246,36 @@ def test_time_travel_read_and_cdc_between_versions(spark, sf_dir, tmp_path):
 
     with pytest.raises(ValueError):
         store.read_version(99)
+
+
+def test_vacuum_reaps_old_versions_protects_current(spark, sf_dir, tmp_path):
+    """VACUUM deletes versions beyond the retention window, never the
+    CURRENT pointer version, and reaped versions raise on time travel
+    while retained ones stay readable."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from tinyerp_etl_spark.etl.table_store import TableStore
+    from tinyerp_etl_spark.sources.catalog import TABLES, load_table
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 20)
+    store = TableStore(spark, str(tmp_path / "t"), TABLES["events"])
+    for i in range(1, 5):  # v1..v4
+        store.commit(ev.filter(F.col("event_id") < 5 * i), n_files=1)
+    assert store.versions() == [1, 2, 3, 4]
+
+    assert store.vacuum(retain_last=2) == [1, 2]
+    assert store.versions() == [3, 4]
+    with _pytest.raises(ValueError):
+        store.read_version(1)
+    assert store.read_version(3).count() == 15
+    assert store.read().count() == 20  # current untouched
+
+    # retention smaller than history never deletes the CURRENT version
+    assert store.vacuum(retain_last=1) == [3]
+    assert store.versions() == [4]
+    assert store.read().count() == 20
+    with _pytest.raises(ValueError):
+        store.vacuum(retain_last=0)
+    # idempotent once within retention
+    assert store.vacuum(retain_last=1) == []

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -200,3 +201,36 @@ class TableStore:
         any point between MERGEs.
         """
         return self.commit(self.read(), n_files=n_files)
+
+    def vacuum(self, retain_last: int = 2) -> list[int]:
+        """Delete version directories beyond the newest ``retain_last``
+        (the lakehouse VACUUM / retention step).
+
+        Every commit (MERGE, compaction, schema backfill) leaves a full
+        immutable copy behind for time travel; at daily cadence on a
+        100 TB table that is 365x the storage per year unless old
+        versions are reaped. Retention keeps the newest N versions
+        (N >= 1); the CURRENT pointer version is never deleted even if
+        an inconsistent ``retain_last`` would ask for it, so concurrent
+        readers of the current snapshot are never pulled out from
+        under — the same guarantee Delta's VACUUM retention window
+        provides, expressed in versions instead of hours. Time-travel
+        reads of reaped versions raise (read_version already checks
+        directory existence).
+
+        Returns the version numbers deleted, ascending.
+        """
+        if retain_last < 1:
+            raise ValueError("retain_last must be >= 1")
+        vs = self.versions()
+        current = self.current_version()
+        keep = set(vs[-retain_last:])
+        if current is not None:
+            keep.add(current)
+        deleted = []
+        for v in vs:
+            if v in keep:
+                continue
+            shutil.rmtree(self._version_dir(v))
+            deleted.append(v)
+        return deleted
