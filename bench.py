@@ -74,6 +74,9 @@ HEADLINE_R4 = [
     # mergeable-sketch rollups, also new in round 4
     "kmv_sketch_rollup",
     "hll_union_rollup",
+    # single-scan profiler + fused-SQL ML inference, also new in round 4
+    "data_profile_orders",
+    "sql_ml_inference_score",
 ]
 HEADLINE = HEADLINE + HEADLINE_R4
 

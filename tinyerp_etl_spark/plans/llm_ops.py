@@ -1828,3 +1828,67 @@ LLM_ORACLES["unigram_surprisal_filter"] = f"""
 """
 
 LLM_QUERIES["unigram_surprisal_filter"] = unigram_surprisal_filter
+
+
+def sql_ml_inference_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ML inference fused into the scan as pure SQL (no UDF).
+
+    The pattern from "ML Inference Pipeline Execution Using Pure SQL
+    Based on Operator Fusion" (ICDE 2025, PAPERS.md): a trained linear
+    quality model's feature extraction + scoring collapses into column
+    expressions that run inside whole-stage codegen — one pass over
+    the corpus, no Python boundary, no model server. Features (token
+    count, char count, digit/uppercase counts) and weights are all
+    integers, the logit accumulates in exact integer space, and the
+    decision threshold compares integers — so unlike a float
+    sigmoid-score pipeline the verdict is bit-identical across engines
+    and partition counts (the sigmoid is monotone, so thresholding the
+    logit IS thresholding the probability). Weights here are fixed
+    stand-ins for a trained model's coefficients; at 100 TB this plan
+    shape scores the full corpus at scan speed.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_chars = F.length("text")
+    n_tok = X.token_count("text")
+    n_digits = n_chars - F.length(F.regexp_replace(F.col("text"), "[0-9]", ""))
+    n_upper = n_chars - F.length(F.regexp_replace(F.col("text"), "[A-Z]", ""))
+    logit = (
+        F.lit(500) * n_tok
+        - F.lit(80) * n_chars
+        - F.lit(300) * n_digits
+        - F.lit(100) * n_upper
+        + F.lit(1000)
+    ).cast("long")
+    return (
+        docs.select("source", logit.alias("logit"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("logit") > 4300).cast("long")).alias("n_pass"),
+            F.sum("logit").alias("sum_logit"),
+        )
+        .orderBy("source")
+    )
+
+
+LLM_ORACLES["sql_ml_inference_score"] = f"""
+    WITH f AS (
+      SELECT source,
+             len(text) AS n_chars,
+             len({_TOKS}) AS n_tok,
+             len(text) - len(regexp_replace(text, '[0-9]', '', 'g')) AS n_digits,
+             len(text) - len(regexp_replace(text, '[A-Z]', '', 'g')) AS n_upper
+      FROM documents
+    ),
+    s AS (
+      SELECT source,
+             500*n_tok - 80*n_chars - 300*n_digits - 100*n_upper + 1000 AS logit
+      FROM f
+    )
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(CASE WHEN logit > 4300 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+           CAST(sum(logit) AS BIGINT) AS sum_logit
+    FROM s GROUP BY source ORDER BY source
+"""
+
+LLM_QUERIES["sql_ml_inference_score"] = sql_ml_inference_score

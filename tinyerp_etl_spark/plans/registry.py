@@ -7,14 +7,15 @@ rows-only check from the driver.
 Ordering note: the driver's correctness gate covers the first 50
 registry entries, so insertion order is the rotation schedule.
 Round 4's front 50 =
-  (0) the sixteen queries NEW in round 4 (sequence packing, domain
+  (0) the seventeen queries NEW in round 4 (sequence packing, domain
       mixture resample, approx-quantile contract, key-skew profile,
       XML round-trip, incremental batch-vs-store dedup, training
       shard manifest, end-to-end curation pipeline, unigram
       surprisal filter, the four TPC-H completions Q2/Q14/Q17/Q22,
       the mergeable-sketch rollups kmv_sketch_rollup /
-      hll_union_rollup, and the single-scan column profiler
-      data_profile_orders) — zero driver evidence outranks
+      hll_union_rollup, the single-scan column profiler
+      data_profile_orders, and the fused-SQL ML inference scorer
+      sql_ml_inference_score) — zero driver evidence outranks
       stale-but-proven rows,
   (a) every query whose engine code changed this round: the HLL
       within-bound contract (the r03 `no_oracle` slot, now
@@ -27,7 +28,7 @@ Round 4's front 50 =
   (b) queries whose newest green row dates to round 1 (the
       relational join/TPC-H families) — oldest evidence first,
       exactly the freshness debt VERDICT r3 flagged. To make room
-      for (0), sixteen low-churn rows wait for round 5: the six
+      for (0), seventeen low-churn rows wait for round 5: the six
       static showcases (scalar/array/null/coercion/datetime/
       window-nav), setops_bag_semantics and unpivot_nation_balances
       (their twins setops_customer_nations / pivot_status_by_priority
@@ -36,13 +37,16 @@ Round 4's front 50 =
       (deterministic/stratified — both r1-proven, pure and
       input-stable), conditional_agg_returnflag /
       subquery_small_quantity_revenue (their plan shapes are
-      represented by the fresher q14/q17 rows in this gate), and
+      represented by the fresher q14/q17 rows in this gate),
       audit_counts (displaced by its own per-column generalization,
-      data_profile_orders).
+      data_profile_orders), and window_rank_price_in_status
+      (rank-window shape represented by
+      window_latest_order_per_customer and q2's partitioned window).
 Cumulative ledger: all 121 pre-round-4 queries have at least one
-green row across rounds 1-3; the 16 round-4 additions (9 training-
+green row across rounds 1-3; the 17 round-4 additions (9 training-
 pipeline ops + TPC-H completions Q2/Q14/Q17/Q22 + the two sketch
-rollups + the single-scan column profiler) get theirs this round.
+rollups + the column profiler + the fused-SQL ML scorer) get theirs
+this round.
 """
 
 from __future__ import annotations
@@ -172,6 +176,7 @@ _ROUND4_FRONT_50 = [
     "q22_dormant_customers",
     "kmv_sketch_rollup",
     "hll_union_rollup",
+    "sql_ml_inference_score",
     # (a) engine code changed this round
     "hll_distinct_users",
     "anomaly_zscore_daily_revenue",
@@ -198,7 +203,6 @@ _ROUND4_FRONT_50 = [
     "join_anti_orphan_audit",
     "join_full_outer_balance",
     "window_latest_order_per_customer",
-    "window_rank_price_in_status",
     "topk_expensive_orders",
     "setops_customer_nations",
     "exists_returned_orders",
