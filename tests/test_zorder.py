@@ -95,3 +95,12 @@ def test_zorder_clustering_tightens_both_dims(spark, sf_dir, tmp_path):
     # z-order: meaningfully tight on BOTH dimensions
     assert _file_stat_fraction(zed_dir, "day") < 0.7
     assert _file_stat_fraction(zed_dir, "cust") < 0.7
+
+
+def test_zorder_rejects_oversized_bits(spark):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        zorder_key("a", "b", bits=17)
+    with _pytest.raises(ValueError):
+        zorder_key("a", "b", bits=0)

@@ -48,6 +48,10 @@ def zorder_key(a: Column | str, b: Column | str, bits: int = 16) -> Column:
     propagate to a NULL key (sorts last; keep them out of clustered
     columns or coalesce to a sentinel first).
     """
+    if not 1 <= bits <= 16:
+        # the spread masks assume 16-bit lanes; a larger request would
+        # silently drop bits 16+ of both dimensions — fail loudly
+        raise ValueError(f"bits must be in [1, 16], got {bits}")
     ca = F.col(a) if isinstance(a, str) else a
     cb = F.col(b) if isinstance(b, str) else b
     return _spread_bits(ca.cast("long"), bits).bitwiseOR(
