@@ -176,3 +176,38 @@ def test_kmv_merge_equals_direct_sketch(spark):
     assert merged["small"][0] == 10
     # sketch rows are bounded at k elements
     assert all(len(r["kmv_sketch"]) <= 16 for r in daily.collect())
+
+
+def test_kmv_incremental_maintenance_equals_full_rebuild(spark):
+    """Maintaining the sketch table batch-by-batch is bit-identical to
+    rebuilding from all raw data (associativity + dup-idempotence),
+    including groups touched by only one batch."""
+    from tinyerp_etl_spark.operators.sketch import (
+        kmv_merge_sketches,
+        kmv_sketches,
+    )
+
+    rows = [("g%d" % (i % 3), i % 5, i % 97) for i in range(400)]
+    df = spark.createDataFrame(rows, "g string, day int, v long").repartition(5)
+    # batch 1: days 0-2 (all groups); batch 2: days 3-4 + a brand-new group
+    b1 = df.filter("day < 3")
+    b2 = df.filter("day >= 3").union(
+        spark.createDataFrame([("gnew", 9, 1)], "g string, day int, v long")
+    )
+    full = df.union(spark.createDataFrame([("gnew", 9, 1)], "g string, day int, v long"))
+
+    k = 16
+    stored = kmv_sketches(b1, ["g"], "v", k=k)
+    maintained = kmv_merge_sketches(
+        stored, kmv_sketches(b2, ["g"], "v", k=k), ["g"], k=k
+    )
+    rebuilt = kmv_sketches(full, ["g"], "v", k=k)
+
+    got = {r["g"]: r["kmv_sketch"] for r in maintained.collect()}
+    want = {r["g"]: r["kmv_sketch"] for r in rebuilt.collect()}
+    assert got == want
+    # duplicate replay of the same increment changes nothing (idempotent)
+    replayed = kmv_merge_sketches(
+        maintained, kmv_sketches(b2, ["g"], "v", k=k), ["g"], k=k
+    )
+    assert {r["g"]: r["kmv_sketch"] for r in replayed.collect()} == want

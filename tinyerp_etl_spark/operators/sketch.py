@@ -142,6 +142,41 @@ def kmv_merge_estimate(
     )
 
 
+def kmv_merge_sketches(
+    stored: DataFrame,
+    increment: DataFrame,
+    group_cols: list[str],
+    sketch_col: str = "kmv_sketch",
+    k: int = 64,
+) -> DataFrame:
+    """Incremental sketch-table maintenance: fold an increment's
+    sketches into the stored table, output the merged SKETCHES.
+
+    The maintenance twin of kmv_merge_estimate (which outputs
+    estimates): union the per-group hash sets, re-take the k smallest,
+    keep the array form so the result can be committed back to the
+    sketch table (TableStore) and merged again next batch. Because
+    KMV merge is associative and idempotent-on-duplicates, maintaining
+    the table incrementally batch-by-batch is bit-identical to
+    rebuilding it from all raw data — work per batch is proportional
+    to the INCREMENT (plus k rows per touched group), never to
+    history. Groups present in only one input pass through unchanged.
+    """
+    unioned = stored.select(*group_cols, sketch_col).unionByName(
+        increment.select(*group_cols, sketch_col)
+    )
+    ex = unioned.select(
+        *[F.col(c) for c in group_cols], F.explode(sketch_col).alias("__h")
+    ).distinct()
+    w = Window.partitionBy(*group_cols).orderBy("__h")
+    return (
+        ex.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .groupBy(*group_cols)
+        .agg(F.sort_array(F.collect_list("__h")).alias(sketch_col))
+    )
+
+
 def _candidate_count_rows(
     df: DataFrame, value_col: str, min_share: float, cap: int
 ) -> DataFrame:
