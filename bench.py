@@ -77,6 +77,8 @@ HEADLINE_R4 = [
     # single-scan profiler + fused-SQL ML inference, also new in round 4
     "data_profile_orders",
     "sql_ml_inference_score",
+    # z-order clustered write + 2-D predicate read-back
+    "zorder_clustered_scan",
 ]
 HEADLINE = HEADLINE + HEADLINE_R4
 

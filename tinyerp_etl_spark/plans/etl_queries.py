@@ -580,6 +580,68 @@ def time_travel_orders_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(scratch, ignore_errors=True)
 
 
+def zorder_clustered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustered write + 2-D predicate read-back, hash-gated.
+
+    Stages orders into a TableStore clustered by the Morton key of
+    (quantized custkey, quantized order epoch-day) —
+    functions/zorder.py, pure codegen bit ops — then answers a
+    two-dimensional range predicate (customer band x one year) from
+    the clustered table, per order year. The oracle computes the same
+    aggregate straight from the raw table, so the clustered write +
+    read round-trip is hash-checked end-to-end (lossless layout,
+    filter correctness); the data-SKIPPING effect itself (tight
+    per-file footer stats on BOTH dimensions) is pinned by
+    tests/test_zorder.py. Quantization bounds come from a 1-row
+    control-plane aggregate; they shape the layout only, never the
+    result.
+    """
+    import shutil
+    import tempfile
+
+    from tinyerp_etl_spark.etl.table_store import TableStore
+    from tinyerp_etl_spark.functions.zorder import zorder_key
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    b = o.agg(
+        F.min("o_custkey").alias("cmin"),
+        F.max("o_custkey").alias("cmax"),
+        F.min(F.unix_timestamp("o_orderdate")).alias("dmin"),
+        F.max(F.unix_timestamp("o_orderdate")).alias("dmax"),
+    ).first()
+    qc = (
+        (F.col("o_custkey") - b.cmin) * 65535 / F.lit(max(b.cmax - b.cmin, 1))
+    ).cast("long")
+    qd = (
+        (F.unix_timestamp("o_orderdate") - b.dmin)
+        * 65535
+        / F.lit(max(b.dmax - b.dmin, 1))
+    ).cast("long")
+    scratch = tempfile.mkdtemp(prefix="zorder_q_")
+    try:
+        store = TableStore(spark, f"{scratch}/orders_z", o.schema)
+        store.commit(o, n_files=8, cluster_by=[zorder_key(qc, qd)])
+        out = (
+            store.read()
+            .filter(
+                F.col("o_custkey").between(100, 400)
+                & (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+            )
+            .groupBy(F.year("o_orderdate").alias("o_year"))
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                sum_cents("o_totalprice").alias("sum_price"),
+            )
+            .orderBy("o_year")
+        )
+        return _persist_result(out, "zorder_clustered_scan")
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
 def copurchase_pagerank_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank (3 iterations) over the co-purchase part graph.
 
@@ -1375,6 +1437,18 @@ ETL_ORACLES: dict[str, str] = {
         FROM events
         GROUP BY event_type
         ORDER BY event_type
+    """,
+    "zorder_clustered_scan": """
+        SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+               count(*) AS n_rows,
+               CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) / 100.0 AS DOUBLE)
+                 AS sum_price
+        FROM orders
+        WHERE o_custkey BETWEEN 100 AND 400
+          AND o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o_orderdate <  TIMESTAMP '1998-01-01'
+        GROUP BY o_year
+        ORDER BY o_year
     """,
     "kmv_sketch_rollup": """
         WITH hashed AS (
