@@ -315,3 +315,81 @@ def test_packing_reconstructs_token_stream(spark, pairs, seq_len):
         expect_spans = r["offset_in_seq"] + max(r["w"], 1) > seq_len
         assert r["spans_boundary"] == expect_spans
         run += r["w"]
+
+
+# --------------------------------------------------------- round-4 additions
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(min_value=-10_000, max_value=10_000)),
+            st.one_of(st.none(), st.text(alphabet="abcXYZ 0", max_size=6)),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    st.integers(min_value=1, max_value=5),
+)
+def test_profile_columns_matches_reference_model(spark, rows, parts):
+    """profile_columns == a pandas-free reference computed in Python,
+    for arbitrary null patterns and any partitioning."""
+    from tinyerp_etl_spark.operators.profile import profile_columns
+
+    df = spark.createDataFrame(
+        [(n, s) for n, s in rows], "num long, tag string"
+    ).repartition(parts)
+    out = {
+        r["col_name"]: r
+        for r in profile_columns(
+            df, numeric_cols={"num": F.col("num")}, string_cols=["tag"]
+        ).collect()
+    }
+
+    nums = [n for n, _ in rows if n is not None]
+    tags = [s for _, s in rows if s is not None]
+    r = out["num"]
+    assert r["n_rows"] == len(rows)
+    assert r["n_nulls"] == len(rows) - len(nums)
+    assert r["n_distinct"] == len(set(nums))
+    assert r["min_num"] == (min(nums) if nums else None)
+    assert r["max_num"] == (max(nums) if nums else None)
+    t = out["tag"]
+    assert t["n_nulls"] == len(rows) - len(tags)
+    assert t["n_distinct"] == len(set(tags))
+    assert t["min_str"] == (min(tags) if tags else None)
+    assert t["max_str"] == (max(tags) if tags else None)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=65535),
+            st.integers(min_value=0, max_value=65535),
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_zorder_key_matches_reference_model(spark, pts):
+    """zorder_key == bit-by-bit Python interleave for arbitrary
+    16-bit points, and is monotone-preserving on equal points."""
+    from tinyerp_etl_spark.functions.zorder import zorder_key
+
+    def ref(a, b):
+        out = 0
+        for i in range(16):
+            out |= ((a >> i) & 1) << (2 * i)
+            out |= ((b >> i) & 1) << (2 * i + 1)
+        return out
+
+    df = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(pts)], "i long, a long, b long"
+    )
+    got = {
+        r["i"]: r["z"] for r in df.select("i", zorder_key("a", "b").alias("z")).collect()
+    }
+    for i, (a, b) in enumerate(pts):
+        assert got[i] == ref(a, b)
