@@ -66,3 +66,11 @@ def test_profile_is_one_scan_no_expand(spark, sf_dir):
     )
     assert plan.count("orders.parquet") == 1  # one scan for 6 columns
     assert "Expand" not in plan  # no mixed-distinct expansion
+
+
+def test_profile_rejects_empty_column_set(spark):
+    import pytest as _pytest
+
+    df = spark.range(3)
+    with _pytest.raises(ValueError):
+        profile_columns(df, numeric_cols={}, string_cols=[])

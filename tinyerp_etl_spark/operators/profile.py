@@ -48,6 +48,8 @@ def profile_columns(
      min_str, max_str) — min/max_num are NULL for string columns and
     vice versa.
     """
+    if not numeric_cols and not string_cols:
+        raise ValueError("profile_columns needs at least one column")
     entries = []
     for name, expr in numeric_cols.items():
         entries.append(
