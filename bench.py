@@ -79,6 +79,8 @@ HEADLINE_R4 = [
     "sql_ml_inference_score",
     # z-order clustered write + 2-D predicate read-back
     "zorder_clustered_scan",
+    # bucketed fact-fact join round-trip
+    "bucketed_join_revenue",
 ]
 HEADLINE = HEADLINE + HEADLINE_R4
 

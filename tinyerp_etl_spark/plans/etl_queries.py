@@ -17,7 +17,7 @@ from tinyerp_etl_spark.etl.merge import (
     merge_upsert,
     set_null_on_missing_parent,
 )
-from tinyerp_etl_spark.functions.exact import sum_cents
+from tinyerp_etl_spark.functions.exact import cents, sum_cents, sum_exact
 from tinyerp_etl_spark.operators.hierarchy import ancestor_closure
 from tinyerp_etl_spark.sources.catalog import load_table
 
@@ -639,6 +639,61 @@ def zorder_clustered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return _persist_result(out, "zorder_clustered_scan")
     finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located fact-fact join under the hash gate.
+
+    Stages orders and lineitem as tables bucketed (and sorted) on the
+    order key — the layout that makes every future header/detail join
+    shuffle-free at 100 TB (the dominant cost of the workload's
+    fact-fact joins; plan-level proof that the Exchange disappears is
+    tests/test_bucketing.py) — then answers a per-status revenue
+    rollup from the bucketed copies. The oracle computes the same
+    rollup from the raw tables, so the bucketed write + read
+    round-trip (hash distribution, sorted buckets, table metadata) is
+    differentially checked end-to-end, not just plan-asserted.
+    """
+    import shutil
+    import tempfile
+
+    scratch = tempfile.mkdtemp(prefix="bucketed_q_")
+    try:
+        (
+            load_table(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_orderstatus")
+            .write.mode("overwrite")
+            .bucketBy(8, "o_orderkey")
+            .sortBy("o_orderkey")
+            .option("path", f"{scratch}/orders_bg")
+            .saveAsTable("orders_bucket_gate")
+        )
+        (
+            load_table(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_extendedprice", "l_discount")
+            .write.mode("overwrite")
+            .bucketBy(8, "l_orderkey")
+            .sortBy("l_orderkey")
+            .option("path", f"{scratch}/lineitem_bg")
+            .saveAsTable("lineitem_bucket_gate")
+        )
+        o = spark.table("orders_bucket_gate")
+        li = spark.table("lineitem_bucket_gate")
+        rev_e4 = cents("l_extendedprice") * (100 - cents("l_discount"))
+        out = (
+            o.join(li, o.o_orderkey == li.l_orderkey)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_lines"),
+                (sum_exact(rev_e4) / F.lit(1e4)).cast("double").alias("revenue"),
+            )
+            .orderBy("o_orderstatus")
+        )
+        return _persist_result(out, "bucketed_join_revenue")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS orders_bucket_gate")
+        spark.sql("DROP TABLE IF EXISTS lineitem_bucket_gate")
         shutil.rmtree(scratch, ignore_errors=True)
 
 
@@ -1437,6 +1492,16 @@ ETL_ORACLES: dict[str, str] = {
         FROM events
         GROUP BY event_type
         ORDER BY event_type
+    """,
+    "bucketed_join_revenue": """
+        SELECT o_orderstatus,
+               count(*) AS n_lines,
+               CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                        * (100 - CAST(round(l_discount*100) AS BIGINT))) / 1e4
+                    AS DOUBLE) AS revenue
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
     """,
     "zorder_clustered_scan": """
         SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
