@@ -234,3 +234,67 @@ def test_extract_frames_drops_mid_header_truncation(spark):
     )
     rows = extract_frames(df, every_nth=1).collect()
     assert [r["frame_index"] for r in rows] == [0]
+
+
+def _gradient_ppm(width=36, height=24, flip=False, tweak=()):
+    """Deterministic horizontal-gradient P6 image; ``tweak`` is a set
+    of pixel indices whose bytes get nudged (small perceptual edit)."""
+    raster = bytearray()
+    for y in range(height):
+        for x in range(width):
+            v = (255 * x) // (width - 1)
+            if flip:
+                v = 255 - v
+            raster += bytes([v, v, v])
+    for i in tweak:
+        for c in range(3):
+            raster[i * 3 + c] = min(255, raster[i * 3 + c] + 40)
+    return b"P6\n%d %d\n255\n" % (width, height) + bytes(raster)
+
+
+def test_dhash_stable_under_resize_far_under_inversion(spark):
+    from tinyerp_etl_spark.operators.multimodal import (
+        _dhash64,
+        _resize_pnm,
+    )
+
+    base = _gradient_ppm()
+    small = _resize_pnm(base, 18, 12)  # same image, half resolution
+    inverted = _gradient_ppm(flip=True)
+
+    h_base, h_small, h_inv = _dhash64(base), _dhash64(small), _dhash64(inverted)
+    assert bin(h_base ^ h_small).count("1") <= 4  # resize-stable
+    assert bin(h_base ^ h_inv).count("1") >= 32  # inversion is far
+
+
+def test_dhash_neardup_pairs_banded_join(spark):
+    from tinyerp_etl_spark.operators.multimodal import (
+        dhash_media,
+        dhash_neardup_pairs,
+        pack_media,
+    )
+
+    imgs = [
+        (1, _gradient_ppm()),
+        (2, _gradient_ppm(tweak={5, 40, 100})),  # tiny edit of 1
+        (3, _gradient_ppm(flip=True)),  # perceptually different
+        (4, b"RIFFnotanimage!!"),  # non-PNM payload drops out
+    ]
+    media = pack_media(
+        spark.createDataFrame(imgs, "media_id long, content binary"),
+        id_col="media_id",
+        payload_col="content",
+        mime="image/x-portable-pixmap",
+    )
+    hashes = dhash_media(media)
+    got = {r["media_id"] for r in hashes.collect()}
+    assert got == {1, 2, 3}
+
+    pairs = dhash_neardup_pairs(hashes, max_hamming=6).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
+    assert all(r["hamming"] <= 6 for r in pairs)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        dhash_neardup_pairs(hashes, max_hamming=8)

@@ -395,3 +395,115 @@ def extract_frames(df: DataFrame, every_nth: int = 10) -> DataFrame:
             )
 
     return df.select("media_id", "content").mapInPandas(gen, FRAMES_SCHEMA)
+
+
+def _dhash64(payload: bytes) -> int:
+    """64-bit difference hash (dHash) of a binary PNM image.
+
+    Downsample to a 9x8 grayscale grid with the same nearest-neighbor
+    sampling as _resize_pnm, then set one bit per horizontal neighbor
+    pair: bit = 1 iff left pixel is brighter. Pure integer arithmetic
+    over the REAL raster — no float, no library — so the hash is
+    deterministic everywhere. Robust to resizing and brightness-
+    preserving re-encodes (the classic perceptual-dedup property);
+    a flipped/inverted image lands far away in Hamming space.
+    """
+    w, h, ch, off = _parse_pnm_header(payload)
+    raster = payload[off : off + w * h * ch]
+    bits = 0
+    for y in range(8):
+        sy = min(h - 1, (y * h) // 8)
+        row = sy * w * ch
+        vals = []
+        for x in range(9):
+            sx = min(w - 1, (x * w) // 9)
+            px = row + sx * ch
+            vals.append(sum(raster[px : px + ch]))
+        for x in range(8):
+            bits = (bits << 1) | (1 if vals[x] > vals[x + 1] else 0)
+    return bits
+
+
+def dhash_media(df: DataFrame) -> DataFrame:
+    """Perceptual hash column for an image payload table.
+
+    Input: MEDIA_SCHEMA-shaped (media_id, content, meta). Output:
+    (media_id, dhash long). One Arrow-batched pass; payload bytes
+    never leave the executor. Non-PNM payloads (audio, video
+    containers) hash to NULL and drop out — at 100 TB you'd partition
+    the media table by kind and scan only images.
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_ids, out_hashes = [], []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                payload = bytes(content)
+                try:
+                    hsh = _dhash64(payload)
+                except (ValueError, IndexError):
+                    continue
+                out_ids.append(int(mid))
+                # two's-complement into a signed 64-bit long
+                out_hashes.append(hsh - (1 << 64) if hsh >= (1 << 63) else hsh)
+            yield pd.DataFrame({"media_id": out_ids, "dhash": out_hashes})
+
+    return df.select("media_id", "content").mapInPandas(
+        gen, schema="media_id long, dhash long"
+    )
+
+
+def dhash_neardup_pairs(hashes: DataFrame, max_hamming: int = 6) -> DataFrame:
+    """Near-duplicate image pairs by banded Hamming join on dHashes.
+
+    8 bands of 8 bits: two hashes within Hamming distance 7 share at
+    least one identical band (pigeonhole), so candidate generation is
+    an equi-join on (band_index, band_value) — never an all-pairs
+    product — and the exact Hamming check is a single codegen
+    expression (bit_count(xor)). Same scale shape as the MinHash LSH
+    path (operators/dedup.py), including its caveat: a degenerate
+    band bucket (millions of near-black thumbnails) wants the same
+    bucket-cap + quarantine routing before the pair join.
+    """
+    if not 0 <= max_hamming <= 7:
+        raise ValueError("banded recall guarantee requires max_hamming in [0, 7]")
+    bands = hashes.select(
+        "media_id",
+        "dhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned(F.col("dhash"), i * 8)
+                        .bitwiseAND(F.lit(255))
+                        .alias("val"),
+                    )
+                    for i in range(8)
+                ]
+            )
+        ).alias("bv"),
+    ).select("media_id", "dhash", "bv.band", "bv.val")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("id_a"),
+            F.col("b.media_id").alias("id_b"),
+            F.col("a.dhash").alias("ha"),
+            F.col("b.dhash").alias("hb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

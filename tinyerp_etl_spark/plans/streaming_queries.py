@@ -221,6 +221,14 @@ STREAMING_ORACLES: dict[str, str] = {
         GROUP BY user_id, session_id
         ORDER BY user_id, session_start
     """,
+    "image_dhash_parity": """
+        SELECT CAST(doc_id AS BIGINT) AS media_id,
+               CAST(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE -1 END AS BIGINT)
+                 AS dhash
+        FROM documents
+        WHERE doc_id < 64
+        ORDER BY media_id
+    """,
     "multimodal_manifest": """
         SELECT
           doc_id AS media_id,
@@ -233,6 +241,37 @@ STREAMING_ORACLES: dict[str, str] = {
 }
 
 
+def image_dhash_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image hashing (dHash) under the hash gate.
+
+    Stages one real binary PPM per document (doc_id < 64): even ids
+    get a left-to-right brightness gradient, odd ids the reverse.
+    dHash compares horizontal neighbors on a 9x8 grid, so the
+    increasing image hashes to exactly 0 (no pixel brighter than its
+    right neighbor) and the decreasing one to all-ones (-1 as a
+    signed long) — closed-form values the DuckDB oracle derives from
+    id parity alone. That pins the REAL codec path end-to-end under
+    the differential gate: PNM header parse, raster sampling, bit
+    packing, two's-complement emission (operators/multimodal.py:
+    _dhash64, dhash_media). The banded Hamming near-dup join over
+    these hashes is covered by tests/test_multimodal.py.
+    """
+    from tinyerp_etl_spark.operators.multimodal import dhash_media
+
+    w, h = 18, 8
+    inc = bytes([255 * x // (w - 1) for x in range(w)]) * h
+    dec = bytes([255 - 255 * x // (w - 1) for x in range(w)]) * h
+    head = b"P5\n%d %d\n255\n" % (w, h)
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 64)
+    media = docs.select(
+        F.col("doc_id").cast("long").alias("media_id"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit(head + inc))
+        .otherwise(F.lit(head + dec))
+        .alias("content"),
+    )
+    return dhash_media(media).orderBy("media_id")
+
+
 STREAMING_QUERIES = {
     "events_time_grain_rollup": events_time_grain_rollup,
     "events_tumbling_hourly": events_tumbling_hourly,
@@ -240,4 +279,5 @@ STREAMING_QUERIES = {
     "events_session_windows": events_session_windows,
     "multimodal_manifest": multimodal_manifest,
     "multimodal_frame_sample": multimodal_frame_sample,
+    "image_dhash_parity": image_dhash_parity,
 }
