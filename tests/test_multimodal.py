@@ -298,3 +298,65 @@ def test_dhash_neardup_pairs_banded_join(spark):
 
     with _pytest.raises(ValueError):
         dhash_neardup_pairs(hashes, max_hamming=8)
+
+
+def _square_wav(frames=1300, rate=8000, period=20, amp=16000, silence_front=True):
+    """16-bit PCM WAV: silence then a square wave (or the reverse)."""
+    import io
+    import struct as _struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        half = frames // 2
+        quiet = b"".join(_struct.pack("<h", 0) for _ in range(half))
+        loud = b"".join(
+            _struct.pack("<h", amp if (i // (period // 2)) % 2 else -amp)
+            for i in range(frames - half)
+        )
+        w.writeframes(quiet + loud if silence_front else loud + quiet)
+    return buf.getvalue()
+
+
+def test_audio_fingerprint_volume_invariant_and_contour_sensitive(spark):
+    from tinyerp_etl_spark.operators.multimodal import _audio_fingerprint64
+
+    a = _square_wav(amp=16000)
+    a_quiet = _square_wav(amp=4000)  # same contour, 1/4 volume
+    b = _square_wav(silence_front=False)  # mirrored energy contour
+
+    fa, faq, fb = (
+        _audio_fingerprint64(a),
+        _audio_fingerprint64(a_quiet),
+        _audio_fingerprint64(b),
+    )
+    assert fa == faq  # uniform scaling preserves every comparison
+    assert bin(fa ^ fb).count("1") >= 16  # mirrored contour lands far
+
+
+def test_audio_neardup_pairs_via_generic_banded_join(spark):
+    from tinyerp_etl_spark.operators.multimodal import (
+        audio_fingerprint_media,
+        hash_neardup_pairs,
+        pack_media,
+    )
+
+    rows = [
+        (1, _square_wav(amp=16000)),
+        (2, _square_wav(amp=8000)),  # volume-scaled twin of 1
+        (3, _square_wav(silence_front=False)),  # different contour
+        (4, b"P6\n1 1\n255\nxxx"),  # image payload drops out
+    ]
+    media = pack_media(
+        spark.createDataFrame(rows, "media_id long, content binary"),
+        id_col="media_id",
+        payload_col="content",
+        mime="audio/wav",
+    )
+    fps = audio_fingerprint_media(media)
+    assert {r["media_id"] for r in fps.collect()} == {1, 2, 3}
+    pairs = hash_neardup_pairs(fps, "afp", max_hamming=2).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}

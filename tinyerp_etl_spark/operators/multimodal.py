@@ -456,26 +456,117 @@ def dhash_media(df: DataFrame) -> DataFrame:
 def dhash_neardup_pairs(hashes: DataFrame, max_hamming: int = 6) -> DataFrame:
     """Near-duplicate image pairs by banded Hamming join on dHashes.
 
-    8 bands of 8 bits: two hashes within Hamming distance 7 share at
-    least one identical band (pigeonhole), so candidate generation is
-    an equi-join on (band_index, band_value) — never an all-pairs
-    product — and the exact Hamming check is a single codegen
-    expression (bit_count(xor)). Same scale shape as the MinHash LSH
-    path (operators/dedup.py), including its caveat: a degenerate
-    band bucket (millions of near-black thumbnails) wants the same
-    bucket-cap + quarantine routing before the pair join.
+    Thin wrapper over hash_neardup_pairs (the generic 64-bit banded
+    join shared with the audio fingerprint path): candidate
+    generation is an equi-join on (band_index, band_value) — never an
+    all-pairs product — with recall guaranteed for Hamming <= 7 by
+    pigeonhole, and the exact check one codegen bit_count(xor). Same
+    scale caveat as the MinHash LSH path (operators/dedup.py): a
+    degenerate band bucket (millions of near-black thumbnails) wants
+    the bucket-cap + quarantine routing before the pair join.
     """
+    return hash_neardup_pairs(hashes, "dhash", "media_id", max_hamming)
+
+
+def _audio_fingerprint64(payload: bytes) -> int:
+    """64-bit energy-contour fingerprint of a 16-bit PCM WAV.
+
+    Split the audio into 64 equal time windows, total the absolute
+    sample amplitudes per window (pure integers), and set bit w iff
+    window w is louder than the track's mean window (compared
+    cross-multiplied in exact integers, so uniform volume scaling
+    preserves every bit). Global-mean comparison — unlike the image
+    dHash's neighbor comparison — keeps step-shaped signals apart:
+    silence-then-loud and loud-then-silence land ~64 bits from each
+    other instead of 2. The audio analog of dHash; same banded-join
+    dedup path (hash_neardup_pairs).
+    """
+    # inline RIFF walk (not via _decode_wav) to keep the sums in exact
+    # integer space end-to-end — the float RMS there would reintroduce
+    # rounding into an order comparison
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, channels, bits, data = 12, None, None, b""
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            channels = struct.unpack_from("<H", body, 2)[0]
+            bits = struct.unpack_from("<H", body, 14)[0]
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)
+    if channels is None or bits != 16:
+        raise ValueError("only 16-bit PCM WAV supported")
+    frame_bytes = channels * 2
+    n = len(data) // frame_bytes
+    if n < 64:
+        raise ValueError("payload too short to fingerprint (needs >= 64 frames)")
+    energies = []
+    counts = []
+    for w in range(64):
+        lo, hi = w * n // 64, (w + 1) * n // 64
+        acc = 0
+        for f in range(lo, hi):
+            (v,) = struct.unpack_from("<h", data, f * frame_bytes)
+            acc += v if v >= 0 else -v
+        energies.append(acc)
+        counts.append(hi - lo)
+    total_energy = sum(energies)
+    total_frames = sum(counts)
+    bits_out = 0
+    for w in range(64):
+        # per-frame energy[w] > per-frame mean, cross-multiplied exact:
+        # (e_w / c_w) > (E / N)  <=>  e_w * N > E * c_w
+        louder = energies[w] * total_frames > total_energy * counts[w]
+        bits_out = (bits_out << 1) | (1 if louder else 0)
+    return bits_out
+
+
+def audio_fingerprint_media(df: DataFrame) -> DataFrame:
+    """(media_id, afp long) for WAV payloads; non-WAV rows drop out.
+    One Arrow-batched pass, same shape as dhash_media."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fps = [], []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                try:
+                    fp = _audio_fingerprint64(bytes(content))
+                except (ValueError, IndexError, struct.error):
+                    continue
+                ids.append(int(mid))
+                fps.append(fp - (1 << 64) if fp >= (1 << 63) else fp)
+            yield pd.DataFrame({"media_id": ids, "afp": fps})
+
+    return df.select("media_id", "content").mapInPandas(
+        gen, schema="media_id long, afp long"
+    )
+
+
+def hash_neardup_pairs(
+    hashes: DataFrame,
+    hash_col: str,
+    id_col: str = "media_id",
+    max_hamming: int = 6,
+) -> DataFrame:
+    """Banded Hamming near-dup join over ANY 64-bit hash column —
+    the generic engine behind dhash_neardup_pairs (images) and the
+    audio fingerprint path. 8 bands x 8 bits: recall is guaranteed
+    for Hamming distance <= 7 by pigeonhole; the exact distance check
+    is codegen bit_count(xor)."""
     if not 0 <= max_hamming <= 7:
         raise ValueError("banded recall guarantee requires max_hamming in [0, 7]")
     bands = hashes.select(
-        "media_id",
-        "dhash",
+        F.col(id_col).alias("__id"),
+        F.col(hash_col).alias("__h"),
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(i).alias("band"),
-                        F.shiftrightunsigned(F.col("dhash"), i * 8)
+                        F.shiftrightunsigned(F.col(hash_col), i * 8)
                         .bitwiseAND(F.lit(255))
                         .alias("val"),
                     )
@@ -483,27 +574,23 @@ def dhash_neardup_pairs(hashes: DataFrame, max_hamming: int = 6) -> DataFrame:
                 ]
             )
         ).alias("bv"),
-    ).select("media_id", "dhash", "bv.band", "bv.val")
+    ).select("__id", "__h", "bv.band", "bv.val")
     a, b = bands.alias("a"), bands.alias("b")
-    cand = (
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.val") == F.col("b.val"))
-            & (F.col("a.media_id") < F.col("b.media_id")),
+            & (F.col("a.__id") < F.col("b.__id")),
         )
         .select(
-            F.col("a.media_id").alias("id_a"),
-            F.col("b.media_id").alias("id_b"),
-            F.col("a.dhash").alias("ha"),
-            F.col("b.dhash").alias("hb"),
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.col("a.__h").alias("ha"),
+            F.col("b.__h").alias("hb"),
         )
         .distinct()
-    )
-    return (
-        cand.withColumn(
-            "hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
-        )
+        .withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )

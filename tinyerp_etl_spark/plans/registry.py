@@ -7,7 +7,7 @@ rows-only check from the driver.
 Ordering note: the driver's correctness gate covers the first 50
 registry entries, so insertion order is the rotation schedule.
 Round 4's front 50 =
-  (0) the twenty queries NEW in round 4 (sequence packing, domain
+  (0) the twenty-one queries NEW in round 4 (sequence packing, domain
       mixture resample, approx-quantile contract, key-skew profile,
       XML round-trip, incremental batch-vs-store dedup, training
       shard manifest, end-to-end curation pipeline, unigram
@@ -17,9 +17,9 @@ Round 4's front 50 =
       data_profile_orders, the fused-SQL ML inference scorer
       sql_ml_inference_score, the z-order clustered round-trip
       zorder_clustered_scan, the bucketed fact-fact join round-trip
-      bucketed_join_revenue, and the perceptual-hash codec check
-      image_dhash_parity) — zero driver evidence outranks
-      stale-but-proven rows,
+      bucketed_join_revenue, and the perceptual-hash codec checks
+      image_dhash_parity / audio_fingerprint_parity) — zero driver
+      evidence outranks stale-but-proven rows,
   (a) every query whose engine code changed this round: the HLL
       within-bound contract (the r03 `no_oracle` slot, now
       hash-checkable), the two `_year_stitched` rewrites, the OLS
@@ -31,7 +31,7 @@ Round 4's front 50 =
   (b) queries whose newest green row dates to round 1 (the
       relational join/TPC-H families) — oldest evidence first,
       exactly the freshness debt VERDICT r3 flagged. To make room
-      for (0), twenty low-churn rows wait for round 5: the six
+      for (0), twenty-one low-churn rows wait for round 5: the six
       static showcases (scalar/array/null/coercion/datetime/
       window-nav), setops_bag_semantics and unpivot_nation_balances
       (their twins setops_customer_nations / pivot_status_by_priority
@@ -47,14 +47,15 @@ Round 4's front 50 =
       partitioned window), and q10_returned_items (join+group+top-k
       shape represented by the fresher q3/q18 rows in this gate),
       exists_returned_orders (its EXISTS shape represented by the
-      fresher q4 semi-join row), and join_semi_customers_with_orders
-      (semi shape also in the gate via q4/q20).
+      fresher q4 semi-join row), join_semi_customers_with_orders
+      (semi shape also in the gate via q4/q20), and agg_rollup (its
+      shape is a special case of agg_cube, which stays in).
 Cumulative ledger: all 121 pre-round-4 queries have at least one
-green row across rounds 1-3; the 20 round-4 additions (9 training-
+green row across rounds 1-3; the 21 round-4 additions (9 training-
 pipeline ops + TPC-H completions Q2/Q14/Q17/Q22 + the two sketch
 rollups + the column profiler + the fused-SQL ML scorer + the
-z-order and bucketed-join round-trips + the dHash codec check) get
-theirs this round.
+z-order and bucketed-join round-trips + the image/audio codec
+checks) get theirs this round.
 """
 
 from __future__ import annotations
@@ -190,6 +191,7 @@ _ROUND4_FRONT_50 = [
     "zorder_clustered_scan",
     "bucketed_join_revenue",
     "image_dhash_parity",
+    "audio_fingerprint_parity",
     # (a) engine code changed this round
     "hll_distinct_users",
     "anomaly_zscore_daily_revenue",
@@ -208,7 +210,6 @@ _ROUND4_FRONT_50 = [
     "decontaminate_docs",
     # (b) newest green row is round 1 — oldest evidence first
     "agg_distinct_count",
-    "agg_rollup",
     "agg_cube",
     "data_profile_orders",
     "join_left_enrich",

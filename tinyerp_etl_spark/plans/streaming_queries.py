@@ -229,6 +229,15 @@ STREAMING_ORACLES: dict[str, str] = {
         WHERE doc_id < 64
         ORDER BY media_id
     """,
+    "audio_fingerprint_parity": """
+        SELECT CAST(doc_id AS BIGINT) AS media_id,
+               CAST(CASE WHEN doc_id % 2 = 0
+                         THEN 4294967295 ELSE -4294967296 END AS BIGINT)
+                 AS afp
+        FROM documents
+        WHERE doc_id < 64
+        ORDER BY media_id
+    """,
     "multimodal_manifest": """
         SELECT
           doc_id AS media_id,
@@ -272,6 +281,50 @@ def image_dhash_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dhash_media(media).orderBy("media_id")
 
 
+def audio_fingerprint_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio energy fingerprint under the hash gate (WAV codec twin of
+    image_dhash_parity).
+
+    Even doc ids get a WAV whose first half is silence and second half
+    a square wave; odd ids the mirror. With 1280 frames the
+    half-boundary falls exactly on a window edge, so the 64-bit
+    energy-vs-mean fingerprint is closed-form: silence-first =
+    0x00000000FFFFFFFF (4294967295), loud-first = 0xFFFFFFFF00000000
+    (-4294967296 as a signed long). The oracle derives both from id
+    parity, pinning the RIFF chunk walk, integer energy windows, and
+    exact cross-multiplied mean comparison end-to-end
+    (operators/multimodal.py: _audio_fingerprint64).
+    """
+    import io
+    import struct as _struct
+    import wave
+
+    from tinyerp_etl_spark.operators.multimodal import audio_fingerprint_media
+
+    def wav(silence_first: bool) -> bytes:
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(8000)
+            quiet = _struct.pack("<h", 0) * 640
+            loud = b"".join(
+                _struct.pack("<h", 16000 if (i // 10) % 2 else -16000)
+                for i in range(640)
+            )
+            w.writeframes(quiet + loud if silence_first else loud + quiet)
+        return buf.getvalue()
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 64)
+    media = docs.select(
+        F.col("doc_id").cast("long").alias("media_id"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit(wav(True)))
+        .otherwise(F.lit(wav(False)))
+        .alias("content"),
+    )
+    return audio_fingerprint_media(media).orderBy("media_id")
+
+
 STREAMING_QUERIES = {
     "events_time_grain_rollup": events_time_grain_rollup,
     "events_tumbling_hourly": events_tumbling_hourly,
@@ -280,4 +333,5 @@ STREAMING_QUERIES = {
     "multimodal_manifest": multimodal_manifest,
     "multimodal_frame_sample": multimodal_frame_sample,
     "image_dhash_parity": image_dhash_parity,
+    "audio_fingerprint_parity": audio_fingerprint_parity,
 }
