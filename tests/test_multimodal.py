@@ -360,3 +360,31 @@ def test_audio_neardup_pairs_via_generic_banded_join(spark):
     assert {r["media_id"] for r in fps.collect()} == {1, 2, 3}
     pairs = hash_neardup_pairs(fps, "afp", max_hamming=2).collect()
     assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
+
+
+def test_video_neardup_pairs_shared_frames(spark):
+    from tinyerp_etl_spark.operators.multimodal import video_neardup_pairs
+
+    def frame(seed):
+        # 18x8 PGM with a seed-dependent gradient direction per row
+        raster = bytearray()
+        for y in range(8):
+            for x in range(18):
+                v = (255 * x) // 17 if (seed >> y) & 1 else 255 - (255 * x) // 17
+                raster.append(v)
+        return b"P5\n18 8\n255\n" + bytes(raster)
+
+    distinct = [frame(s) for s in (3, 12, 48, 77, 129, 200, 211, 250)]
+    vid_a = b"".join(distinct[:6])  # frames 0-5
+    vid_b = b"".join(distinct[2:8])  # shares frames 2-5 with A
+    vid_c = b"".join(frame(s) for s in (5, 9, 17, 33, 65, 130))  # disjoint
+    df = spark.createDataFrame(
+        [(1, bytearray(vid_a)), (2, bytearray(vid_b)), (3, bytearray(vid_c))],
+        "media_id long, content binary",
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["shared_frames"]
+        for r in video_neardup_pairs(df, every_nth=1, min_shared_frames=2).collect()
+    }
+    assert set(pairs) == {(1, 2)}
+    assert pairs[(1, 2)] == 4

@@ -594,3 +594,64 @@ def hash_neardup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def video_frame_hashes(df: DataFrame, every_nth: int = 10) -> DataFrame:
+    """(media_id, frame_index, dhash) for concatenated-PNM video
+    payloads: sample every Nth frame (extract_frames walks headers
+    without per-frame payload copies), dHash each sampled frame. One
+    Arrow pass for extraction, one for hashing — both columnar."""
+    frames = extract_frames(df, every_nth=every_nth)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, hashes = [], [], []
+            for mid, idx, content in zip(
+                pdf["media_id"], pdf["frame_index"], pdf["content"]
+            ):
+                try:
+                    hsh = _dhash64(bytes(content))
+                except (ValueError, IndexError):
+                    continue
+                ids.append(int(mid))
+                idxs.append(int(idx))
+                hashes.append(hsh - (1 << 64) if hsh >= (1 << 63) else hsh)
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_index": idxs, "dhash": hashes}
+            )
+
+    return frames.select("media_id", "frame_index", "content").mapInPandas(
+        gen, schema="media_id long, frame_index long, dhash long"
+    )
+
+
+def video_neardup_pairs(
+    df: DataFrame, every_nth: int = 10, min_shared_frames: int = 2
+) -> DataFrame:
+    """Near-duplicate videos = videos sharing >= k sampled-frame
+    dHashes (re-encoded, trimmed, or re-ordered copies keep most frame
+    hashes; unrelated footage shares none).
+
+    Scale shape: candidate pairs come from an equi-join on the frame
+    hash itself (distinct per video first, so a still scene can't
+    multiply pairs), then one count-per-pair aggregate — never an
+    all-pairs product over videos. A viral clip embedded in many
+    videos makes its hash bucket hot; the LSH bucket-cap + quarantine
+    pattern (operators/dedup.py) applies unchanged.
+    """
+    fh = video_frame_hashes(df, every_nth=every_nth).select(
+        "media_id", "dhash"
+    ).distinct()
+    a, b = fh.alias("a"), fh.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.dhash") == F.col("b.dhash"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .groupBy(
+            F.col("a.media_id").alias("id_a"), F.col("b.media_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared_frames"))
+        .filter(F.col("shared_frames") >= min_shared_frames)
+    )
