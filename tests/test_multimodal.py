@@ -388,3 +388,24 @@ def test_video_neardup_pairs_shared_frames(spark):
     }
     assert set(pairs) == {(1, 2)}
     assert pairs[(1, 2)] == 4
+
+
+def test_hash_neardup_bucket_cap_routes_flood_to_quarantine(spark):
+    """A duplicate flood (many identical hashes) must never expand into
+    k^2/2 pairs: over-cap buckets quarantine, outputs stay disjoint,
+    and distinct near-dups elsewhere are unaffected."""
+    from tinyerp_etl_spark.operators.multimodal import hash_neardup_pairs
+
+    flood = [(i, 0x1234567812345678) for i in range(100)]  # identical
+    near = [(1000, 0x00FF00FF00FF00FF), (1001, 0x00FF00FF00FF00FE)]  # d=1
+    df = spark.createDataFrame(flood + near, "media_id long, h long")
+
+    pairs, quarantined = hash_neardup_pairs(
+        df, "h", max_hamming=2, bucket_cap=8, with_quarantine=True
+    )
+    assert {r["media_id"] for r in quarantined.collect()} == set(range(100))
+    assert {(r["id_a"], r["id_b"]) for r in pairs.collect()} == {(1000, 1001)}
+
+    # without the flag: best-effort pairs, still no flood expansion
+    best_effort = hash_neardup_pairs(df, "h", max_hamming=2, bucket_cap=8)
+    assert {(r["id_a"], r["id_b"]) for r in best_effort.collect()} == {(1000, 1001)}

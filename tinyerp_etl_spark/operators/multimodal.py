@@ -550,12 +550,27 @@ def hash_neardup_pairs(
     hash_col: str,
     id_col: str = "media_id",
     max_hamming: int = 6,
-) -> DataFrame:
+    bucket_cap: int = 64,
+    with_quarantine: bool = False,
+) -> DataFrame | tuple[DataFrame, DataFrame]:
     """Banded Hamming near-dup join over ANY 64-bit hash column —
     the generic engine behind dhash_neardup_pairs (images) and the
     audio fingerprint path. 8 bands x 8 bits: recall is guaranteed
     for Hamming distance <= 7 by pigeonhole; the exact distance check
-    is codegen bit_count(xor)."""
+    is codegen bit_count(xor).
+
+    Band buckets are CAPPED, same doctrine and mechanics as the
+    MinHash LSH path (operators/dedup.py): a (band, value) bucket of
+    k members expands into k(k-1)/2 join rows, the executor-OOM shape
+    on duplicate-heavy media (millions of near-black thumbnails share
+    every band). A window COUNT over the band partitioning tags
+    bucket sizes first — no aggregation buffer grows with the bucket —
+    and over-cap buckets never reach the self-join; their member ids
+    are returned as a second (disjoint) quarantine DataFrame when
+    ``with_quarantine`` is set, to be routed through exact dedup on
+    the raw hash (identical hashes need no Hamming join) before
+    re-running the banded pass on what remains.
+    """
     if not 0 <= max_hamming <= 7:
         raise ValueError("banded recall guarantee requires max_hamming in [0, 7]")
     bands = hashes.select(
@@ -575,8 +590,18 @@ def hash_neardup_pairs(
             )
         ).alias("bv"),
     ).select("__id", "__h", "bv.band", "bv.val")
-    a, b = bands.alias("a"), bands.alias("b")
-    return (
+    from pyspark.sql.window import Window
+
+    wb = Window.partitionBy("band", "val")
+    tagged = bands.withColumn("__n", F.count(F.lit(1)).over(wb))
+    ok = tagged.filter(F.col("__n") <= bucket_cap).drop("__n")
+    quarantined = (
+        tagged.filter(F.col("__n") > bucket_cap)
+        .select(F.col("__id").alias(id_col))
+        .distinct()
+    )
+    a, b = ok.alias("a"), ok.alias("b")
+    pairs = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -594,6 +619,15 @@ def hash_neardup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+    if not with_quarantine:
+        return pairs
+    # disjoint outputs, mirroring lsh_candidate_pairs: a quarantined
+    # id's under-cap pairs are withheld so the two-phase pipeline
+    # never double-processes a medium
+    q_a = quarantined.select(F.col(id_col).alias("id_a"))
+    q_b = quarantined.select(F.col(id_col).alias("id_b"))
+    disjoint = pairs.join(q_a, "id_a", "left_anti").join(q_b, "id_b", "left_anti")
+    return disjoint, quarantined
 
 
 def video_frame_hashes(df: DataFrame, every_nth: int = 10) -> DataFrame:
