@@ -409,3 +409,123 @@ def test_hash_neardup_bucket_cap_routes_flood_to_quarantine(spark):
     # without the flag: best-effort pairs, still no flood expansion
     best_effort = hash_neardup_pairs(df, "h", max_hamming=2, bucket_cap=8)
     assert {(r["id_a"], r["id_b"]) for r in best_effort.collect()} == {(1000, 1001)}
+
+
+def test_dhash_rejects_truncated_raster(spark):
+    """A truncated payload must raise, not hash to a mostly-zero value
+    that clusters every corrupt file as a false near-duplicate."""
+    import pytest as _pytest
+
+    from tinyerp_etl_spark.operators.multimodal import _dhash64, dhash_media
+
+    full = _gradient_ppm()
+    truncated = full[: len(full) // 2]
+    with _pytest.raises(ValueError, match="truncated"):
+        _dhash64(truncated)
+
+    # the mapInPandas kernel routes the row through the drop path
+    df = spark.createDataFrame(
+        [(1, bytearray(full)), (2, bytearray(truncated))],
+        "media_id long, content binary",
+    )
+    assert {r["media_id"] for r in dhash_media(df).collect()} == {1}
+
+
+def test_wav_zero_channels_routes_to_drop_path(spark):
+    """channels=0 in the fmt chunk must raise ValueError (the handled
+    drop-path class), not ZeroDivisionError (which would fail the job)."""
+    import struct as _struct
+
+    import pytest as _pytest
+
+    from tinyerp_etl_spark.operators.multimodal import (
+        _audio_fingerprint64,
+        _decode_wav,
+        audio_fingerprint_media,
+    )
+
+    fmt = _struct.pack("<HHIIHH", 1, 0, 8000, 0, 0, 16)  # channels=0, bits=16
+    data = b"\x00\x00" * 200
+    body = (
+        b"WAVE"
+        + b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+        + b"data" + _struct.pack("<I", len(data)) + data
+    )
+    wav = b"RIFF" + _struct.pack("<I", len(body)) + body
+
+    with _pytest.raises(ValueError):
+        _audio_fingerprint64(wav)
+    with _pytest.raises(ValueError):
+        _decode_wav(wav)
+
+    good = _square_wav()
+    df = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bytearray(wav))],
+        "media_id long, content binary",
+    )
+    assert {r["media_id"] for r in audio_fingerprint_media(df).collect()} == {1}
+
+
+def test_dhash_neardup_pairs_cap_passthrough(spark):
+    """The image-level API exposes bucket_cap/with_quarantine: an
+    exact-duplicate flood of images quarantines instead of silently
+    returning zero pairs with no signal."""
+    from tinyerp_etl_spark.operators.multimodal import (
+        dhash_media,
+        dhash_neardup_pairs,
+    )
+
+    flood_img = _gradient_ppm()
+    near = _gradient_ppm(tweak={5, 40, 100})
+    rows = [(i, bytearray(flood_img)) for i in range(30)]
+    rows += [(1000, bytearray(_gradient_ppm(flip=True))), (1001, bytearray(near))]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    hashes = dhash_media(df)
+
+    pairs, quarantined = dhash_neardup_pairs(
+        hashes, max_hamming=6, bucket_cap=8, with_quarantine=True
+    )
+    q = {r["media_id"] for r in quarantined.collect()}
+    assert set(range(30)) <= q
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert all(a not in q and b not in q for a, b in got)
+
+
+def test_video_neardup_viral_frame_quarantines(spark):
+    """A frame hash shared by many videos (the black/blank-frame case)
+    must not expand k(k-1)/2 join rows: over-cap hashes quarantine and
+    disjoint outputs withhold the quarantined videos' pairs."""
+    from tinyerp_etl_spark.operators.multimodal import video_neardup_pairs
+
+    def frame(seed):
+        raster = bytearray()
+        for y in range(8):
+            for x in range(18):
+                v = (255 * x) // 17 if (seed >> y) & 1 else 255 - (255 * x) // 17
+                raster.append(v)
+        return b"P5\n18 8\n255\n" + bytes(raster)
+
+    viral = frame(0)  # shared by every flood video
+    distinct = [frame(s) for s in (3, 12, 48, 77, 129, 200, 211, 250)]
+    rows = []
+    # 20 videos all containing the viral frame + one unique frame
+    for i in range(20):
+        rows.append((i, bytearray(viral + frame(60 + i))))
+    # a genuine near-dup pair sharing two non-viral frames
+    rows.append((1000, bytearray(b"".join(distinct[:4]))))
+    rows.append((1001, bytearray(b"".join(distinct[2:6]))))
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+
+    pairs, quarantined = video_neardup_pairs(
+        df, every_nth=1, min_shared_frames=2, bucket_cap=8, with_quarantine=True
+    )
+    q = {r["media_id"] for r in quarantined.collect()}
+    assert q == set(range(20))
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert got == {(1000, 1001)}
+
+    # without the flag: best-effort, the flood still never expands
+    best_effort = video_neardup_pairs(
+        df, every_nth=1, min_shared_frames=2, bucket_cap=8
+    )
+    assert {(r["id_a"], r["id_b"]) for r in best_effort.collect()} == {(1000, 1001)}

@@ -166,7 +166,10 @@ def _decode_wav(payload: bytes) -> tuple[int, int, int, list[float]]:
         elif cid == b"data":
             data = body
         pos += 8 + size + (size & 1)  # chunks are word-aligned
-    if channels is None or bits != 16:
+    # `not channels` also rejects channels=0, which would otherwise
+    # divide by frame_bytes=0 below — ZeroDivisionError is not in the
+    # callers' drop-path handlers, so one corrupt WAV would fail the job
+    if not channels or bits != 16:
         raise ValueError("only 16-bit PCM WAV supported")
     frame_bytes = channels * 2
     n_frames = len(data) // frame_bytes
@@ -409,6 +412,12 @@ def _dhash64(payload: bytes) -> int:
     a flipped/inverted image lands far away in Hamming space.
     """
     w, h, ch, off = _parse_pnm_header(payload)
+    if len(payload) < off + w * h * ch:
+        # a truncated raster would sample empty slices (sum() == 0) and
+        # hash to a valid-looking mostly-zero value, clustering every
+        # corrupt file as a false near-duplicate — reject instead so
+        # callers route the row through their documented drop path
+        raise ValueError("truncated PNM raster")
     raster = payload[off : off + w * h * ch]
     bits = 0
     for y in range(8):
@@ -453,19 +462,32 @@ def dhash_media(df: DataFrame) -> DataFrame:
     )
 
 
-def dhash_neardup_pairs(hashes: DataFrame, max_hamming: int = 6) -> DataFrame:
+def dhash_neardup_pairs(
+    hashes: DataFrame,
+    max_hamming: int = 6,
+    bucket_cap: int = 64,
+    with_quarantine: bool = False,
+) -> DataFrame | tuple[DataFrame, DataFrame]:
     """Near-duplicate image pairs by banded Hamming join on dHashes.
 
     Thin wrapper over hash_neardup_pairs (the generic 64-bit banded
     join shared with the audio fingerprint path): candidate
     generation is an equi-join on (band_index, band_value) — never an
     all-pairs product — with recall guaranteed for Hamming <= 7 by
-    pigeonhole, and the exact check one codegen bit_count(xor). Same
-    scale caveat as the MinHash LSH path (operators/dedup.py): a
-    degenerate band bucket (millions of near-black thumbnails) wants
-    the bucket-cap + quarantine routing before the pair join.
+    pigeonhole, and the exact check one codegen bit_count(xor).
+    ``bucket_cap``/``with_quarantine`` pass straight through: on
+    exact-duplicate-heavy image sets (millions of near-black
+    thumbnails share every band) the over-cap buckets are quarantined
+    for exact-hash dedup first instead of silently dropping out.
     """
-    return hash_neardup_pairs(hashes, "dhash", "media_id", max_hamming)
+    return hash_neardup_pairs(
+        hashes,
+        "dhash",
+        "media_id",
+        max_hamming,
+        bucket_cap=bucket_cap,
+        with_quarantine=with_quarantine,
+    )
 
 
 def _audio_fingerprint64(payload: bytes) -> int:
@@ -497,7 +519,8 @@ def _audio_fingerprint64(payload: bytes) -> int:
         elif cid == b"data":
             data = body
         pos += 8 + size + (size & 1)
-    if channels is None or bits != 16:
+    # `not channels` rejects channels=0 too (frame_bytes=0 division)
+    if not channels or bits != 16:
         raise ValueError("only 16-bit PCM WAV supported")
     frame_bytes = channels * 2
     n = len(data) // frame_bytes
@@ -660,8 +683,12 @@ def video_frame_hashes(df: DataFrame, every_nth: int = 10) -> DataFrame:
 
 
 def video_neardup_pairs(
-    df: DataFrame, every_nth: int = 10, min_shared_frames: int = 2
-) -> DataFrame:
+    df: DataFrame,
+    every_nth: int = 10,
+    min_shared_frames: int = 2,
+    bucket_cap: int = 64,
+    with_quarantine: bool = False,
+) -> DataFrame | tuple[DataFrame, DataFrame]:
     """Near-duplicate videos = videos sharing >= k sampled-frame
     dHashes (re-encoded, trimmed, or re-ordered copies keep most frame
     hashes; unrelated footage shares none).
@@ -669,15 +696,30 @@ def video_neardup_pairs(
     Scale shape: candidate pairs come from an equi-join on the frame
     hash itself (distinct per video first, so a still scene can't
     multiply pairs), then one count-per-pair aggregate — never an
-    all-pairs product over videos. A viral clip embedded in many
-    videos makes its hash bucket hot; the LSH bucket-cap + quarantine
-    pattern (operators/dedup.py) applies unchanged.
+    all-pairs product over videos. A viral frame hash (black/blank
+    frames across k videos) still expands k·(k-1)/2 join rows, so the
+    LSH bucket-cap doctrine applies HERE too: a window COUNT over the
+    hash tags bucket sizes on the same shuffle, over-cap hashes never
+    reach the self-join, and with ``with_quarantine`` their video ids
+    come back as a second (disjoint) DataFrame — route those through
+    exact full-payload dedup (a blank-heavy video is usually an exact
+    copy anyway) before re-running on what remains.
     """
-    fh = video_frame_hashes(df, every_nth=every_nth).select(
-        "media_id", "dhash"
-    ).distinct()
-    a, b = fh.alias("a"), fh.alias("b")
-    return (
+    fh = (
+        video_frame_hashes(df, every_nth=every_nth)
+        .select("media_id", "dhash")
+        .distinct()
+    )
+    from pyspark.sql.window import Window
+
+    wb = Window.partitionBy("dhash")
+    tagged = fh.withColumn("__n", F.count(F.lit(1)).over(wb))
+    ok = tagged.filter(F.col("__n") <= bucket_cap).drop("__n")
+    quarantined = (
+        tagged.filter(F.col("__n") > bucket_cap).select("media_id").distinct()
+    )
+    a, b = ok.alias("a"), ok.alias("b")
+    pairs = (
         a.join(
             b,
             (F.col("a.dhash") == F.col("b.dhash"))
@@ -689,3 +731,12 @@ def video_neardup_pairs(
         .agg(F.count(F.lit(1)).alias("shared_frames"))
         .filter(F.col("shared_frames") >= min_shared_frames)
     )
+    if not with_quarantine:
+        return pairs
+    # disjoint outputs, mirroring hash_neardup_pairs: a quarantined
+    # video's under-cap pairs are withheld so the two-phase pipeline
+    # never double-processes a video
+    q_a = quarantined.select(F.col("media_id").alias("id_a"))
+    q_b = quarantined.select(F.col("media_id").alias("id_b"))
+    disjoint = pairs.join(q_a, "id_a", "left_anti").join(q_b, "id_b", "left_anti")
+    return disjoint, quarantined

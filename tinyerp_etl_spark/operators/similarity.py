@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 QUANT = 1_000_000  # 1e-6 quantization ticks
 SIGN_BUCKET_DIMS = 8  # leading dims used for the LSH sign bucket
@@ -360,11 +361,24 @@ def neardup_pairs(
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> DataFrame:
+    bucket_cap: int = 256,
+    with_quarantine: bool = False,
+) -> DataFrame | tuple[DataFrame, DataFrame]:
     """Embedding near-duplicate pairs within LSH buckets.
 
     Pairs are only formed inside a bucket (the LSH contract); the
     exact quantized cosine then filters to ``score >= threshold``.
+
+    Buckets are CAPPED, the `_capped_bucket_pairs` doctrine from
+    operators/dedup.py: on exactly the duplicate-heavy corpus this op
+    targets, a sign bucket of k near-identical embeddings expands
+    k·(k-1)/2 full-vector pairs through one shuffle partition — the
+    executor-OOM shape. A window COUNT over ``__bucket`` tags sizes
+    on the same shuffle the join needs anyway; over-cap buckets never
+    reach the self-join, and with ``with_quarantine`` their vector
+    ids come back as a second (disjoint) DataFrame to route through
+    exact-hash dedup (near-identical vectors usually ARE identical)
+    before re-running on what remains.
     """
     # norms are computed once per VECTOR before the join — higher-order
     # array expressions are interpreted (not codegen'd), so recomputing
@@ -376,13 +390,21 @@ def neardup_pairs(
         sign_bucket(F.col(vec_col)).alias("__bucket"),
         quantized_norm2(F.col(vec_col)).alias("__n2"),
     )
-    left = b.select(
+    wb = Window.partitionBy("__bucket")
+    tagged = b.withColumn("__n", F.count(F.lit(1)).over(wb))
+    ok = tagged.filter(F.col("__n") <= bucket_cap).drop("__n")
+    quarantined = (
+        tagged.filter(F.col("__n") > bucket_cap)
+        .select(F.col(id_col))
+        .distinct()
+    )
+    left = ok.select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("vec_a"),
         "__bucket",
         F.col("__n2").alias("__n2_a"),
     )
-    right = b.select(
+    right = ok.select(
         F.col(id_col).alias("id_b"),
         F.col(vec_col).alias("vec_b"),
         "__bucket",
@@ -395,12 +417,19 @@ def neardup_pairs(
     # both sides carry the full vector column (data-scale): never let
     # the size-estimate pick a broadcast build — same OOM class as the
     # shingle-table verify join (see dedup.lsh_neardup_verified)
-    return (
+    pairs = (
         left.hint("shuffle_hash").join(right.hint("shuffle_hash"), "__bucket")
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", score.alias("score"))
         .filter(F.col("score") >= threshold)
     )
+    if not with_quarantine:
+        return pairs
+    # disjoint outputs, mirroring lsh_candidate_pairs / hash_neardup_pairs
+    q_a = quarantined.select(F.col(id_col).alias("id_a"))
+    q_b = quarantined.select(F.col(id_col).alias("id_b"))
+    disjoint = pairs.join(q_a, "id_a", "left_anti").join(q_b, "id_b", "left_anti")
+    return disjoint, quarantined
 
 
 #: Largest query batch knn_join will broadcast. Beyond this, the
