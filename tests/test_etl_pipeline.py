@@ -279,3 +279,66 @@ def test_vacuum_reaps_old_versions_protects_current(spark, sf_dir, tmp_path):
         store.vacuum(retain_last=0)
     # idempotent once within retention
     assert store.vacuum(retain_last=1) == []
+
+
+def test_optimistic_concurrency_two_writer_race(spark, sf_dir, tmp_path):
+    """Two writers computing from the same base version: the second
+    commit with expected_version must fail with ConcurrentWriteError
+    (not silently last-win the pointer rename), its orphan version dir
+    must not survive, and the first writer's rows stay current."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from tinyerp_etl_spark.etl.table_store import ConcurrentWriteError, TableStore
+    from tinyerp_etl_spark.sources.catalog import TABLES, load_table
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 40)
+    store = TableStore(spark, str(tmp_path / "t"), TABLES["events"])
+    store.commit(ev, n_files=1)
+
+    # both writers read at v1
+    base = store.current_version()
+    writer_a = TableStore(spark, str(tmp_path / "t"), TABLES["events"])
+    writer_b = TableStore(spark, str(tmp_path / "t"), TABLES["events"])
+    df_a = writer_a.read().filter(F.col("event_id") < 30)
+    df_b = writer_b.read().filter(F.col("event_id") < 20)
+
+    assert writer_a.commit(df_a, n_files=1, expected_version=base) == 2
+
+    with _pytest.raises(ConcurrentWriteError, match="advanced"):
+        writer_b.commit(df_b, n_files=1, expected_version=base)
+
+    # loser left no pointer movement and no committed version dir
+    assert store.current_version() == 2
+    assert store.versions() == [1, 2]
+    assert store.read().count() == 30  # writer A's rows, not B's
+
+    # the documented retry loop: re-read, recompute, commit at the new base
+    df_b2 = writer_b.read().filter(F.col("event_id") < 20)
+    assert writer_b.commit(df_b2, n_files=1, expected_version=2) == 3
+    assert store.read().count() == 20
+
+    # None preserves unconditional last-writer-wins for single-writer use
+    assert store.commit(store.read(), n_files=1) == 4
+
+
+def test_optimistic_concurrency_rejects_stale_fast(spark, sf_dir, tmp_path):
+    """The early check fires before any data write: a stale
+    expected_version fails immediately and writes nothing."""
+    import os
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from tinyerp_etl_spark.etl.table_store import ConcurrentWriteError, TableStore
+    from tinyerp_etl_spark.sources.catalog import TABLES, load_table
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 10)
+    store = TableStore(spark, str(tmp_path / "t"), TABLES["events"])
+    store.commit(ev, n_files=1)
+    store.commit(ev, n_files=1)
+
+    before = set(os.listdir(str(tmp_path / "t")))
+    with _pytest.raises(ConcurrentWriteError):
+        store.commit(ev, n_files=1, expected_version=1)
+    assert set(os.listdir(str(tmp_path / "t"))) == before

@@ -26,6 +26,18 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructField, StructType, _parse_datatype_string
 
 
+class ConcurrentWriteError(RuntimeError):
+    """Another writer committed between this writer's read and commit.
+
+    The optimistic-concurrency conflict signal (commit with
+    ``expected_version``): the caller should re-read the table,
+    recompute its write against the new current version, and retry —
+    the transaction-retry loop the reference gets from PostgreSQL
+    (ref tiny_api_v2_cliente.py:404-413) expressed over immutable
+    version directories.
+    """
+
+
 class TableStore:
     """A named, versioned parquet table rooted at ``path``."""
 
@@ -139,8 +151,23 @@ class TableStore:
         df: DataFrame,
         n_files: int | None = None,
         cluster_by: list[str] | None = None,
+        expected_version: int | None = None,
     ) -> int:
         """Write ``df`` as the next version and swap the pointer.
+
+        ``expected_version`` enables optimistic concurrency, the same
+        check-before-swing Delta's commit protocol makes: pass the
+        version the write was COMPUTED FROM (``current_version()`` at
+        read time) and the commit fails with ConcurrentWriteError if
+        another writer advanced the pointer in between — instead of
+        silently last-winning the rename and losing that writer's rows.
+        At 100 TB with a nightly pipeline plus ad-hoc backfills this is
+        the difference between a retry and a quiet data loss. The check
+        runs twice: early (before the expensive version write) and
+        again immediately before the pointer swap, shrinking the
+        unguarded window to the rename itself. ``None`` preserves the
+        unconditional last-writer-wins behavior for single-writer
+        pipelines.
 
         ``n_files`` coalesces the write to that many output files —
         the small-files control: a MERGE rewriting a table through 32
@@ -157,7 +184,13 @@ class TableStore:
         for the single-dimension case). Worth one extra shuffle when
         the table is read selectively many times per write.
         """
-        v = (self.current_version() or 0) + 1
+        base = self.current_version()
+        if expected_version is not None and (base or 0) != expected_version:
+            raise ConcurrentWriteError(
+                f"table at {self.path} advanced to v{base} since "
+                f"v{expected_version} was read; recompute and retry"
+            )
+        v = (base or 0) + 1
         out = self._version_dir(v)
         data = df.select([f.name for f in self.schema.fields])
         if cluster_by:
@@ -172,6 +205,18 @@ class TableStore:
         if self.partition_by:
             writer = writer.partitionBy(*self.partition_by)
         writer.parquet(out)
+        if expected_version is not None:
+            # re-check after the (slow) data write: a concurrent commit
+            # that landed while this version was being written must fail
+            # here, not silently lose the race at the rename
+            now = self.current_version()
+            if (now or 0) != expected_version:
+                shutil.rmtree(out, ignore_errors=True)
+                raise ConcurrentWriteError(
+                    f"table at {self.path} advanced to v{now} during the "
+                    f"write of v{v} (read at v{expected_version}); "
+                    "recompute and retry"
+                )
         # atomic pointer swap: write-temp + rename is atomic on POSIX
         fd, tmp = tempfile.mkstemp(dir=self.path, prefix="._CURRENT.")
         with os.fdopen(fd, "w") as f:

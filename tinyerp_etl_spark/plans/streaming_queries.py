@@ -238,6 +238,23 @@ STREAMING_ORACLES: dict[str, str] = {
         WHERE doc_id < 64
         ORDER BY media_id
     """,
+    # the construction overlaps member frame-sets by id arithmetic
+    # (see video_neardup_parity): within each group of 4,
+    # (m0,m1)->4 shared, (m0,m2)->2, (m1,m2)->4, m3 disjoint
+    "video_neardup_parity": """
+        WITH ids AS (
+          SELECT CAST(doc_id AS BIGINT) AS id FROM documents WHERE doc_id < 12
+        )
+        SELECT a.id AS id_a, b.id AS id_b,
+               CAST(CASE WHEN a.id % 4 = 0 AND b.id % 4 = 1 THEN 4
+                         WHEN a.id % 4 = 0 AND b.id % 4 = 2 THEN 2
+                         WHEN a.id % 4 = 1 AND b.id % 4 = 2 THEN 4
+                    END AS BIGINT) AS shared_frames
+        FROM ids a JOIN ids b
+          ON a.id < b.id AND a.id // 4 = b.id // 4
+        WHERE (a.id % 4, b.id % 4) IN ((0, 1), (0, 2), (1, 2))
+        ORDER BY id_a, id_b
+    """,
     "multimodal_manifest": """
         SELECT
           doc_id AS media_id,
@@ -325,6 +342,61 @@ def audio_fingerprint_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_fingerprint_media(media).orderBy("media_id")
 
 
+def video_neardup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-duplicate detection under the hash gate (the video
+    sibling of image_dhash_parity / audio_fingerprint_parity).
+
+    Stages one concatenated-PNM video per document (doc_id < 12) from
+    a seed-parameterized frame family: frame(seed) is an 18x8 PGM
+    whose row y runs left-to-right increasing iff bit y of the seed is
+    set, so its dHash is the closed-form 64-bit value with byte y =
+    0x00 (increasing: no pixel brighter than its right neighbor) or
+    0xFF — injective in the seed, no two frames collide. Videos are
+    grouped in fours (g = doc_id // 4) over disjoint per-group seed
+    ranges; within a group the member frame-sets overlap by
+    construction: |S0 ∩ S1| = 4, |S0 ∩ S2| = 2, |S1 ∩ S2| = 4, S3
+    disjoint. The DuckDB oracle therefore derives every
+    (id_a, id_b, shared_frames) row ≥ the threshold from id
+    arithmetic alone, pinning the REAL path end-to-end: multi-frame
+    PNM header walk, per-frame dHash, per-video distinct, the CAPPED
+    frame-hash equi-join, and the shared-frame count
+    (operators/multimodal.py: extract_frames, video_frame_hashes,
+    video_neardup_pairs). Reference n/a — beyond-reference scope.
+    """
+    from tinyerp_etl_spark.operators.multimodal import video_neardup_pairs
+
+    def frame(seed: int) -> bytes:
+        raster = bytearray()
+        for y in range(8):
+            inc = (seed >> y) & 1
+            for x in range(18):
+                v = (255 * x) // 17 if inc else 255 - (255 * x) // 17
+                raster.append(v)
+        return b"P5\n18 8\n255\n" + bytes(raster)
+
+    member_seeds = {
+        0: (0, 1, 2, 3, 4, 5),
+        1: (2, 3, 4, 5, 6, 7),
+        2: (4, 5, 6, 7, 8, 9),
+        3: (10, 11, 12, 13, 14, 15),
+    }
+
+    def video(doc_id: int) -> bytes:
+        g, m = doc_id // 4, doc_id % 4
+        return b"".join(frame(16 * g + s) for s in member_seeds[m])
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 12)
+    content = F.lit(video(0))
+    for i in range(1, 12):
+        content = F.when(F.col("doc_id") == i, F.lit(video(i))).otherwise(content)
+    media = docs.select(
+        F.col("doc_id").cast("long").alias("media_id"), content.alias("content")
+    )
+    return video_neardup_pairs(media, every_nth=1, min_shared_frames=2).orderBy(
+        "id_a", "id_b"
+    )
+
+
 STREAMING_QUERIES = {
     "events_time_grain_rollup": events_time_grain_rollup,
     "events_tumbling_hourly": events_tumbling_hourly,
@@ -334,4 +406,5 @@ STREAMING_QUERIES = {
     "multimodal_frame_sample": multimodal_frame_sample,
     "image_dhash_parity": image_dhash_parity,
     "audio_fingerprint_parity": audio_fingerprint_parity,
+    "video_neardup_parity": video_neardup_parity,
 }
