@@ -122,6 +122,14 @@ def main() -> None:
     queries[HEADLINE[0]](spark, sf_dir).count()
     spark.range(1000).mapInPandas(lambda it: it, schema="id long").count()
 
+    # calibrate BEFORE the query passes as well as after: the JVM loop
+    # is JIT-warmth-sensitive (0.18 s cold -> 0.09 s warm observed on
+    # the r4 host), so a single post-run constant under- or over-states
+    # host speed depending on where in the process it ran. Emitting the
+    # bracket (start + end) pins the warmth skew; the steadier Python
+    # loop anchors cross-host comparison.
+    cal_start = _calibrate_host(spark)
+
     # three passes, report the per-query minimum: absorbs first-touch
     # effects and transient host noise so the number tracks the engine
     # (n=2 left q3 a 1.7x outlier in round 2 purely from sampling)
@@ -149,6 +157,7 @@ def main() -> None:
                 "sf": sf,
                 "comparable_r3_total": round(comparable, 4),
                 "host_calibration": _calibrate_host(spark),
+                "host_calibration_start": cal_start,
             }
         )
     )

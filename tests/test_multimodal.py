@@ -529,3 +529,30 @@ def test_video_neardup_viral_frame_quarantines(spark):
         df, every_nth=1, min_shared_frames=2, bucket_cap=8
     )
     assert {(r["id_a"], r["id_b"]) for r in best_effort.collect()} == {(1000, 1001)}
+
+
+def test_jpeg_reencode_preserves_dhash_through_pil_seam(spark):
+    """The actual cross-codec dedup claim: a PNM image and its JPEG
+    re-encode land within a few Hamming bits of each other, so the
+    banded join pairs them. Runs only where Pillow exists (cluster
+    images); the gate container skips."""
+    import pytest
+
+    pytest.importorskip("PIL")
+    import io
+
+    from PIL import Image
+
+    from tinyerp_etl_spark.operators.multimodal import _dhash64
+
+    src = _gradient_ppm(width=36, height=24)
+    # PNM -> PIL -> JPEG bytes -> PIL -> PNM bytes (the seam round-trip)
+    img = Image.open(io.BytesIO(src))
+    buf = io.BytesIO()
+    img.convert("RGB").save(buf, format="JPEG", quality=90)
+    back = Image.open(io.BytesIO(buf.getvalue())).convert("RGB")
+    w, h = back.size
+    pnm = b"P6\n%d %d\n255\n" % (w, h) + bytes(
+        v for px in back.getdata() for v in px
+    )
+    assert bin(_dhash64(src) ^ _dhash64(pnm)).count("1") <= 4

@@ -6,6 +6,21 @@ rows-only check from the driver.
 
 Ordering note: the driver's correctness gate covers the first 50
 registry entries, so insertion order is the rotation schedule.
+Round 5's front 50 (see _ROUND5_FRONT_50's inline comments for the
+per-group rationale) =
+  (0) the two queries NEW in round 5 (video_neardup_parity,
+      perceptual_checker_parity),
+  (a) the 21 rows round 4 displaced — VERDICT r4 named them round
+      5's backbone,
+  (b) the four queries over engine code changed this round
+      (sign-bucket cap, codec guards, TableStore commit path),
+  (c) 23 of the 27 remaining round-2-stale rows, oldest evidence
+      first; deferred to round 6: embedding_topk_bruteforce/ivf/lsh
+      (kernel represented by embedding_neardup_pairs +
+      embedding_knn_join in this gate) and pandas_udf_mask_names
+      (shape represented by pii_redact_docs in this gate).
+Cumulative ledger: after round 5 lands, every query's newest green
+row is r3+ except the four deferrals (r2).
 Round 4's front 50 =
   (0) the twenty-one queries NEW in round 4 (sequence packing, domain
       mixture resample, approx-quantile contract, key-skew profile,
@@ -166,7 +181,75 @@ _RELATIONAL_NAMES = [
     "approx_quantile_order_totals",
 ]
 
-# Round 4 gate: the 50 queries that most need a fresh driver row.
+# Round 5 gate: the 50 queries that most need a fresh driver row.
+_ROUND5_FRONT_50 = [
+    # (0) queries NEW in round 5 — zero driver evidence yet
+    "video_neardup_parity",
+    "perceptual_checker_parity",
+    # (a) the 21 rows round 4 displaced (VERDICT r4 item 1: these are
+    # "round 5's front-50 backbone"; all r1-proven except
+    # pii_redact_docs at r2, code unchanged, evidence stale)
+    "scalar_functions_showcase",
+    "array_functions_showcase",
+    "null_handling_showcase",
+    "coercion_showcase",
+    "datetime_functions_showcase",
+    "window_navigation_showcase",
+    "setops_bag_semantics",
+    "unpivot_nation_balances",
+    "pii_redact_docs",
+    "groupwise_min_cheapest_parts",
+    "quantiles_order_value_by_status",
+    "deterministic_sample_orders",
+    "stratified_sample_orders",
+    "conditional_agg_returnflag",
+    "subquery_small_quantity_revenue",
+    "audit_counts",
+    "window_rank_price_in_status",
+    "q10_returned_items",
+    "exists_returned_orders",
+    "join_semi_customers_with_orders",
+    "agg_rollup",
+    # (b) engine code changed this round: the sign-bucket cap
+    # (similarity.neardup_pairs), the codec guards (_dhash64
+    # truncation check, WAV channels=0), and the TableStore commit
+    # path (optimistic-concurrency plumbing)
+    "embedding_neardup_pairs",
+    "image_dhash_parity",
+    "audio_fingerprint_parity",
+    "time_travel_orders_versions",
+    # (c) newest green row is round 2 — oldest evidence first
+    # (23 of the 27 remaining r2 rows; deferred to round 6: the
+    # embedding_topk trio, whose unchanged scoring kernel is
+    # represented in this gate by embedding_neardup_pairs and the
+    # r4-green embedding_knn_join, and pandas_udf_mask_names, whose
+    # masking shape is represented by pii_redact_docs above)
+    "chunk_documents_stats",
+    "embedding_quantize_int8",
+    "exact_dup_groups",
+    "grouping_sets_revenue",
+    "incremental_rollup_orders",
+    "lang_id_docs",
+    "pandas_udaf_weighted_price",
+    "q11_important_parts",
+    "q12_priority_by_linestatus",
+    "q16_supplier_diversity",
+    "q20_heavy_part_suppliers",
+    "q21_sole_late_shippers",
+    "q4_priority_late_ship",
+    "q9_product_type_profit",
+    "repetition_profile_docs",
+    "replace_order_items",
+    "simhash_docs",
+    "snapshot_diff_orders",
+    "text_profile_docs",
+    "tfidf_top_terms",
+    "token_count_by_source",
+    "udtf_word_positions",
+    "winnow_fingerprint_docs",
+]
+
+# Round 4 gate (kept for the rotation ledger).
 _ROUND4_FRONT_50 = [
     # (0) queries NEW in round 4 — zero driver evidence yet, so they
     # outrank stale-but-proven rows (displaced to make room, per the
@@ -297,7 +380,7 @@ def all_queries() -> dict[str, QueryFn]:
     for name in _RELATIONAL_NAMES:
         pool[name] = getattr(relational, name)
 
-    queries: dict[str, QueryFn] = {n: pool[n] for n in _ROUND4_FRONT_50}
+    queries: dict[str, QueryFn] = {n: pool[n] for n in _ROUND5_FRONT_50}
     for name, fn in pool.items():
         queries.setdefault(name, fn)
     assert len(queries) == len(pool), "front-50 must be a subset of the pool"

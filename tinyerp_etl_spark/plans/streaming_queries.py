@@ -238,6 +238,18 @@ STREAMING_ORACLES: dict[str, str] = {
         WHERE doc_id < 64
         ORDER BY media_id
     """,
+    # alternating-bits closed forms: 0xAAAA...AA wraps to
+    # -6148914691236517206 signed; 0x5555...55 = 6148914691236517205
+    "perceptual_checker_parity": """
+        SELECT CAST(doc_id AS BIGINT) AS media_id,
+               CAST(CASE WHEN doc_id % 2 = 0 THEN -6148914691236517206
+                         ELSE 6148914691236517205 END AS BIGINT) AS dhash,
+               CAST(CASE WHEN doc_id % 2 = 0 THEN -6148914691236517206
+                         ELSE 6148914691236517205 END AS BIGINT) AS afp
+        FROM documents
+        WHERE doc_id < 64
+        ORDER BY media_id
+    """,
     # the construction overlaps member frame-sets by id arithmetic
     # (see video_neardup_parity): within each group of 4,
     # (m0,m1)->4 shared, (m0,m2)->2, (m1,m2)->4, m3 disjoint
@@ -342,6 +354,83 @@ def audio_fingerprint_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_fingerprint_media(media).orderBy("media_id")
 
 
+def perceptual_checker_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second closed-form pattern for BOTH perceptual codecs (the
+    round-4 parity queries pin only the degenerate 0 / all-ones
+    hashes; this one pins the alternating-bits values and stresses
+    codec edges the first pattern can't reach).
+
+    Image: an odd-width (19x8) PGM checkerboard whose brightness
+    alternates per SAMPLED column (period 2 in col//2), with a '#'
+    comment line and multi-whitespace in the header — so the dHash's
+    neighbor comparisons alternate exactly: even doc ids hash to
+    0xAAAA...AA (-6148914691236517206 signed), odd ids to the
+    complement 0x5555...55 (6148914691236517205). Pins comment
+    parsing, odd-width nearest-neighbor sampling, and full-width bit
+    alternation.
+
+    Audio: a 1280-frame WAV (64 windows x 20 frames exactly) whose
+    windows alternate square-wave-loud / silent per window: a window
+    is louder than the track mean iff it is a loud one, so even doc
+    ids fingerprint to the same 0xAAAA...AA and odd ids to
+    0x5555...55. Pins the exact window-boundary arithmetic
+    (w*n//64 with n a multiple of 64) and per-window alternation.
+
+    One row per doc_id < 64 with BOTH hashes, derived by the DuckDB
+    oracle from id parity alone. Reference n/a — beyond-reference.
+    """
+    import io
+    import struct as _struct
+    import wave
+
+    from tinyerp_etl_spark.operators.multimodal import (
+        audio_fingerprint_media,
+        dhash_media,
+    )
+
+    w, h = 19, 8
+    def checker(bright_first: bool) -> bytes:
+        head = b"P5\n# checkerboard parity probe\n%d  %d\n255\n" % (w, h)
+        row = bytes(
+            255 if ((col // 2) % 2 == 0) == bright_first else 0 for col in range(w)
+        )
+        return head + row * h
+
+    def altwav(loud_even: bool) -> bytes:
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as wv:
+            wv.setnchannels(1)
+            wv.setsampwidth(2)
+            wv.setframerate(8000)
+            frames = bytearray()
+            for win in range(64):
+                loud = (win % 2 == 0) == loud_even
+                for i in range(20):
+                    v = (16000 if i % 2 else -16000) if loud else 0
+                    frames += _struct.pack("<h", v)
+            wv.writeframes(bytes(frames))
+        return buf.getvalue()
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 64)
+    media = docs.select(
+        F.col("doc_id").cast("long").alias("media_id"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit(checker(True)))
+        .otherwise(F.lit(checker(False)))
+        .alias("content"),
+    )
+    audio = docs.select(
+        F.col("doc_id").cast("long").alias("media_id"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit(altwav(True)))
+        .otherwise(F.lit(altwav(False)))
+        .alias("content"),
+    )
+    return (
+        dhash_media(media)
+        .join(audio_fingerprint_media(audio), "media_id")
+        .orderBy("media_id")
+    )
+
+
 def video_neardup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video near-duplicate detection under the hash gate (the video
     sibling of image_dhash_parity / audio_fingerprint_parity).
@@ -407,4 +496,5 @@ STREAMING_QUERIES = {
     "image_dhash_parity": image_dhash_parity,
     "audio_fingerprint_parity": audio_fingerprint_parity,
     "video_neardup_parity": video_neardup_parity,
+    "perceptual_checker_parity": perceptual_checker_parity,
 }
