@@ -8,15 +8,16 @@ Ordering note: the driver's correctness gate covers the first 50
 registry entries, so insertion order is the rotation schedule.
 Round 5's front 50 (see _ROUND5_FRONT_50's inline comments for the
 per-group rationale) =
-  (0) the two queries NEW in round 5 (video_neardup_parity,
-      perceptual_checker_parity),
+  (0) the three queries NEW in round 5 (video_neardup_parity,
+      perceptual_checker_parity, mp4_container_parity),
   (a) the 21 rows round 4 displaced — VERDICT r4 named them round
       5's backbone,
   (b) the four queries over engine code changed this round
       (sign-bucket cap, codec guards, TableStore commit path),
-  (c) 23 of the 27 remaining round-2-stale rows, oldest evidence
+  (c) 22 of the 27 remaining round-2-stale rows, oldest evidence
       first; deferred to round 6: embedding_topk_bruteforce/ivf/lsh
-      (kernel represented by embedding_neardup_pairs +
+      and embedding_quantize_int8 (their shared quantized-scoring
+      kernel is represented by embedding_neardup_pairs +
       embedding_knn_join in this gate) and pandas_udf_mask_names
       (shape represented by pii_redact_docs in this gate).
 Cumulative ledger: after round 5 lands, every query's newest green
@@ -186,6 +187,7 @@ _ROUND5_FRONT_50 = [
     # (0) queries NEW in round 5 — zero driver evidence yet
     "video_neardup_parity",
     "perceptual_checker_parity",
+    "mp4_container_parity",
     # (a) the 21 rows round 4 displaced (VERDICT r4 item 1: these are
     # "round 5's front-50 backbone"; all r1-proven except
     # pii_redact_docs at r2, code unchanged, evidence stale)
@@ -219,13 +221,13 @@ _ROUND5_FRONT_50 = [
     "audio_fingerprint_parity",
     "time_travel_orders_versions",
     # (c) newest green row is round 2 — oldest evidence first
-    # (23 of the 27 remaining r2 rows; deferred to round 6: the
-    # embedding_topk trio, whose unchanged scoring kernel is
-    # represented in this gate by embedding_neardup_pairs and the
-    # r4-green embedding_knn_join, and pandas_udf_mask_names, whose
-    # masking shape is represented by pii_redact_docs above)
+    # (22 of the 27 remaining r2 rows; deferred to round 6: the
+    # embedding_topk trio and embedding_quantize_int8, whose shared
+    # quantized-scoring kernel is represented in this gate by
+    # embedding_neardup_pairs and the r4-green embedding_knn_join,
+    # and pandas_udf_mask_names, whose masking shape is represented
+    # by pii_redact_docs above)
     "chunk_documents_stats",
-    "embedding_quantize_int8",
     "exact_dup_groups",
     "grouping_sets_revenue",
     "incremental_rollup_orders",

@@ -238,6 +238,20 @@ STREAMING_ORACLES: dict[str, str] = {
         WHERE doc_id < 64
         ORDER BY media_id
     """,
+    # sample k of doc d is bright-first iff (d+k) even -> alternating
+    # closed-form dHash per (doc_id + frame_index) parity; 3 samples
+    # per container (see mp4_container_parity)
+    "mp4_container_parity": """
+        WITH k AS (SELECT unnest([0, 1, 2]) AS frame_index)
+        SELECT CAST(doc_id AS BIGINT) AS media_id,
+               CAST(frame_index AS BIGINT) AS frame_index,
+               CAST(CASE WHEN (doc_id + frame_index) % 2 = 0
+                         THEN -6148914691236517206
+                         ELSE 6148914691236517205 END AS BIGINT) AS dhash
+        FROM documents CROSS JOIN k
+        WHERE doc_id < 24
+        ORDER BY media_id, frame_index
+    """,
     # alternating-bits closed forms: 0xAAAA...AA wraps to
     # -6148914691236517206 signed; 0x5555...55 = 6148914691236517205
     "perceptual_checker_parity": """
@@ -431,6 +445,47 @@ def perceptual_checker_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def mp4_container_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP4/ISO-BMFF container sampling under the hash gate.
+
+    Stages one MP4 per document (doc_id < 24), each wrapping three
+    checkerboard PGM samples in an UNEVEN chunk layout ([2, 1] — two
+    stsc runs, two stco offsets), so the full container walk is load-
+    bearing: box nesting, hdlr track selection, stsz sizes, stsc runs,
+    stco offsets, byte-range slicing, then the real PNM dHash on each
+    sliced sample. Sample k of document d is bright-first iff
+    (d + k) is even, so its dHash is the closed-form alternating-bits
+    value: 0xAAAA...AA (-6148914691236517206) when (d + k) % 2 == 0,
+    else 0x5555...55 (6148914691236517205) — the oracle derives every
+    row from (doc_id + frame_index) parity alone. Container walk is
+    operators/mp4.py (public ISO/IEC 14496-12 layout); decode of real
+    codec bitstreams stays behind the documented seam. Reference n/a.
+    """
+    from tinyerp_etl_spark.operators.mp4 import build_minimal_mp4, mp4_frame_hashes
+
+    w, h = 19, 8
+
+    def checker(bright_first: bool) -> bytes:
+        head = b"P5\n%d %d\n255\n" % (w, h)
+        row = bytes(
+            255 if ((col // 2) % 2 == 0) == bright_first else 0 for col in range(w)
+        )
+        return head + row * h
+
+    def mp4_for(parity: int) -> bytes:
+        frames = [checker((parity + k) % 2 == 0) for k in range(3)]
+        return build_minimal_mp4(frames, chunking=[2, 1])
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 24)
+    media = docs.select(
+        F.col("doc_id").cast("long").alias("media_id"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit(mp4_for(0)))
+        .otherwise(F.lit(mp4_for(1)))
+        .alias("content"),
+    )
+    return mp4_frame_hashes(media, every_nth=1).orderBy("media_id", "frame_index")
+
+
 def video_neardup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video near-duplicate detection under the hash gate (the video
     sibling of image_dhash_parity / audio_fingerprint_parity).
@@ -497,4 +552,5 @@ STREAMING_QUERIES = {
     "audio_fingerprint_parity": audio_fingerprint_parity,
     "video_neardup_parity": video_neardup_parity,
     "perceptual_checker_parity": perceptual_checker_parity,
+    "mp4_container_parity": mp4_container_parity,
 }
