@@ -593,3 +593,123 @@ def test_stream_dedup_resumes_after_restart_without_duplicates(
         store.read().groupBy("event_id").count().filter(F.col("count") > 1)
     )
     assert dup.isEmpty()
+
+
+def test_stream_stream_attribution_join_equals_batch(
+    spark, sf_dir, stream_dir, tmp_path
+):
+    """Watermarked stream-stream interval join (view->purchase within
+    the horizon) drained with availableNow == the identical batch
+    inner join — the lambda-architecture collapse for attribution."""
+    from tinyerp_etl_spark.streaming.stream_pipeline import (
+        attribution_stream_stream_join,
+        read_events_stream,
+    )
+
+    events_stream = read_events_stream(spark, stream_dir)
+    views = events_stream.filter(F.col("event_type") == "view")
+    purchases = events_stream.filter(F.col("event_type") == "purchase")
+    joined = attribution_stream_stream_join(
+        views, purchases, horizon="1 hour", lateness="30 minutes"
+    )
+
+    out = str(tmp_path / "attr_out")
+    (
+        joined.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "attr_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    got = {
+        (r["view_id"], r["purchase_id"], r["latency_sec"])
+        for r in spark.read.parquet(out).collect()
+    }
+
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    want = {
+        (r["view_id"], r["purchase_id"], r["latency_sec"])
+        for r in v.join(
+            p,
+            F.expr(
+                "v_user = p_user AND purchase_ts > view_ts "
+                "AND purchase_ts <= view_ts + INTERVAL 1 HOUR"
+            ),
+        )
+        .select(
+            "view_id",
+            "purchase_id",
+            (
+                F.col("purchase_ts").cast("long") - F.col("view_ts").cast("long")
+            ).alias("latency_sec"),
+        )
+        .collect()
+    }
+    assert got == want
+    assert len(got) > 0  # the fixture data must actually attribute
+
+
+def test_merge_sink_occ_survives_concurrent_writer(
+    spark, sf_dir, stream_dir, tmp_path
+):
+    """A concurrent commit landing between a batch's read and commit
+    must trigger the sink's OCC retry (re-read + re-merge), not lose
+    the concurrent writer's rows."""
+    from tinyerp_etl_spark.etl.merge import merge_upsert
+    from tinyerp_etl_spark.streaming.stream_pipeline import (
+        read_events_stream,
+        run_stream_to_merge_sink,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    store = TableStore(spark, str(tmp_path / "occ_tbl"), TABLES["events"])
+    # a concurrent writer's pre-existing rows, ids disjoint from the stream
+    backfill = events.limit(5).withColumn(
+        "event_id", F.col("event_id") + 90_000_000
+    )
+    store.commit(backfill, n_files=1)
+
+    # monkeypatch one mid-sink interleave: the FIRST commit attempt of
+    # the sink sees the table advance under it
+    real_commit = store.commit
+    interleaved = {"done": False}
+
+    def racing_commit(df, *a, **kw):
+        if not interleaved["done"]:
+            interleaved["done"] = True
+            # concurrent writer lands another backfill row first
+            extra = events.limit(1).withColumn(
+                "event_id", F.col("event_id") + 91_000_000
+            )
+            real_commit(merge_upsert(store.read(), extra, ["event_id"]))
+        return real_commit(df, *a, **kw)
+
+    store.commit = racing_commit
+    try:
+        run_stream_to_merge_sink(
+            spark,
+            read_events_stream(spark, stream_dir),
+            store,
+            ["event_id"],
+            str(tmp_path / "occ_ckpt"),
+        )
+    finally:
+        store.commit = real_commit
+
+    n_events = events.count()
+    # all stream rows + 5 backfill + 1 concurrent row survived
+    assert store.read().count() == n_events + 6
+    assert (
+        store.read().filter(F.col("event_id") >= 90_000_000).count() == 6
+    )

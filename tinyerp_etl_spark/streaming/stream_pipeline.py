@@ -108,18 +108,36 @@ def run_stream_to_merge_sink(
     keys: list[str],
     checkpoint_dir: str,
     transform: Callable[[DataFrame], DataFrame] | None = None,
+    occ_retries: int = 3,
 ) -> None:
     """Drain a stream into a TableStore via per-batch MERGE (availableNow).
 
     foreachBatch + idempotent MERGE = the reference's at-least-once
     delivery with ON CONFLICT upsert (#14 + #22): batch replays after
     a crash are absorbed by the key-merge.
+
+    Each batch commits under optimistic concurrency: the MERGE is
+    computed against the version it read, and if a concurrent writer
+    (a backfill, a compaction job) advanced the table in between, the
+    commit raises instead of silently overwriting that writer's rows —
+    the sink then re-reads and re-merges (the MERGE is idempotent, so
+    the retry is safe), up to ``occ_retries`` times. With no
+    concurrent writer the expected_version check always passes and
+    behavior is unchanged.
     """
+    from tinyerp_etl_spark.etl.table_store import ConcurrentWriteError
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         df = transform(batch_df) if transform is not None else batch_df
-        merged = merge_upsert(store.read(), df, keys)
-        store.commit(merged)
+        for attempt in range(occ_retries + 1):
+            base = store.current_version()
+            merged = merge_upsert(store.read(), df, keys)
+            try:
+                store.commit(merged, expected_version=base)
+                return
+            except ConcurrentWriteError:
+                if attempt == occ_retries:
+                    raise
 
     (
         stream_df.writeStream.foreachBatch(sink)
@@ -177,4 +195,65 @@ def dedup_events_stream(
     """
     return stream_df.withWatermark("ts", lateness).dropDuplicatesWithinWatermark(
         ["event_id"]
+    )
+
+
+def attribution_stream_stream_join(
+    views: DataFrame,
+    purchases: DataFrame,
+    horizon: str = "1 hour",
+    lateness: str = "30 minutes",
+) -> DataFrame:
+    """Watermarked stream-stream interval join: every (view, purchase)
+    pair for the same user where the purchase lands within ``horizon``
+    after the view — streaming attribution.
+
+    Both sides are unbounded, so this is a true stream-stream join:
+    Spark buffers each side's rows in state and the TIME-RANGE
+    predicate plus both watermarks bound how long — a view older than
+    watermark - horizon can never match a future purchase, so its
+    state is evicted. Without the range condition state grows forever;
+    with it, state size tracks (horizon + lateness) worth of data, the
+    property that makes this runnable on an unbounded stream. Batch
+    semantics are the identical inner join (the stream==batch test
+    pins equivalence), so the same line of SQL answers both the
+    backfill and the live query — the lambda-architecture collapse.
+
+    Inputs must carry (user_id, ts, event_id); output one row per
+    attributed pair with the view->purchase latency in seconds.
+    """
+    v = (
+        views.withWatermark("ts", lateness)
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+    )
+    p = (
+        purchases.withWatermark("ts", lateness)
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+    )
+    return v.join(
+        p,
+        F.expr(
+            f"""
+            v_user = p_user
+            AND purchase_ts > view_ts
+            AND purchase_ts <= view_ts + INTERVAL {horizon}
+            """
+        ),
+    ).select(
+        F.col("v_user").alias("user_id"),
+        "view_id",
+        "purchase_id",
+        "view_ts",
+        "purchase_ts",
+        (
+            F.col("purchase_ts").cast("long") - F.col("view_ts").cast("long")
+        ).alias("latency_sec"),
     )
