@@ -55,3 +55,53 @@ def test_neardup_pairs_flood_bucket_quarantines(spark):
     # without the flag: best-effort pairs, still no flood expansion
     best_effort = neardup_pairs(df, threshold=0.99, bucket_cap=8)
     assert {(r["id_a"], r["id_b"]) for r in best_effort.collect()} == {(1000, 1001)}
+
+
+# pinned-centroid design: ids 1..8 are the IVF centroid ids, so the
+# toy corpora below give ids 1 and 2 the two cluster directions and
+# keep every other test vector at id >= 10
+_BASE = [1.0, 2.0, 3.0, 4.0, 1.0, 2.0, 3.0, 4.0]
+_OTHER = [-1.0, 2.0, -3.0, 4.0, -1.0, 2.0, -3.0, 4.0]
+
+
+def test_semantic_dedup_greedy_keep_first(spark):
+    """Within a cluster, every ε-ball keeps exactly its lowest id;
+    distinct meanings survive; output covers every input row."""
+    from tinyerp_etl_spark.operators.similarity import semantic_dedup
+
+    rows = [
+        (1, _BASE),                          # centroid / lowest id of its ball
+        (2, _OTHER),                         # centroid of the other cluster
+        (10, [x + 0.01 for x in _BASE]),     # paraphrase of 1 -> dropped
+        (11, [x + 0.02 for x in _BASE]),     # also in 1's ball -> dropped
+        (12, [x + 0.001 for x in _OTHER]),   # paraphrase of 2 -> dropped
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    got = {r["vec_id"]: r["kept"] for r in semantic_dedup(df, threshold=0.99).collect()}
+    assert got == {1: True, 2: True, 10: False, 11: False, 12: False}
+
+
+def test_semantic_dedup_overcap_cluster_conservative_or_quarantined(spark):
+    """Over-cap clusters: conservative keep by default (dedup must not
+    silently drop data), quarantine list when asked."""
+    from tinyerp_etl_spark.operators.similarity import semantic_dedup
+
+    flood = [(100 + i, _BASE) for i in range(30)]  # all land in cluster 1
+    rows = [(1, _BASE), (2, _OTHER)] + flood + [
+        (1000, [x + 0.001 for x in _OTHER])        # cluster 2, dup of 2
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    res = {r["vec_id"]: r["kept"] for r in
+           semantic_dedup(df, threshold=0.99, cluster_cap=8).collect()}
+    assert res[1] and all(res[100 + i] for i in range(30))  # conservative keep
+    assert res[2] is True and res[1000] is False  # small cluster still deduped
+
+    deduped, q = semantic_dedup(
+        df, threshold=0.99, cluster_cap=8, with_quarantine=True
+    )
+    qids = {r["vec_id"] for r in q.collect()}
+    assert qids == {1} | {100 + i for i in range(30)}  # the whole hot cluster
+    out = {r["vec_id"]: r["kept"] for r in deduped.collect()}
+    assert out == {2: True, 1000: False}  # disjoint from quarantine

@@ -432,6 +432,89 @@ def neardup_pairs(
     return disjoint, quarantined
 
 
+def semantic_dedup(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cluster_cap: int = 1024,
+    with_quarantine: bool = False,
+) -> DataFrame | tuple[DataFrame, DataFrame]:
+    """SemDeDup-style semantic deduplication: cluster, then greedily
+    prune near-identical meanings within each cluster (Abbas et al.
+    2023, "SemDeDup" — the embedding-space dedup a web-scale training
+    pipeline runs AFTER exact/MinHash dedup to remove paraphrases and
+    re-renderings that share no n-grams).
+
+    Contract (deterministic, oracle-checkable): assign every vector to
+    its nearest pinned centroid (ivf_assign — at 100 TB the assignment
+    is the table's partition column, so this phase is a pruned scan,
+    not a shuffle); within a cluster, DROP vector x iff some y with
+    id(y) < id(x) sits at cosine >= threshold — the greedy keep-first
+    rule, so every ε-neighborhood keeps exactly its lowest-id member
+    and the kept set is reproducible row-for-row.
+
+    Scale shape: pairs form only within a cluster (never across), the
+    within-cluster self-join carries the `_capped_bucket_pairs`
+    doctrine — a window COUNT on the cluster key (same shuffle the
+    join needs) tags sizes, over-cap clusters never reach the join,
+    and their members come back as a quarantine DataFrame when
+    ``with_quarantine`` is set (route through exact-hash dedup first;
+    an over-cap semantic cluster is usually an exact-duplicate flood).
+    Without the flag, over-cap cluster members are conservatively
+    KEPT (kept=true) — dedup is an optimization, silently dropping
+    data is not.
+
+    Returns (vec_id, list_id, kept boolean), one row per input vector.
+    """
+    assigned = ivf_assign(embeddings, id_col, vec_col)
+    wb = Window.partitionBy("list_id")
+    tagged = assigned.withColumn("__n", F.count(F.lit(1)).over(wb))
+    ok = tagged.filter(F.col("__n") <= cluster_cap).drop("__n")
+    quarantined = (
+        tagged.filter(F.col("__n") > cluster_cap).select(F.col(id_col)).distinct()
+    )
+    base = ok.withColumn("__n2", quantized_norm2(F.col(vec_col)))
+    left = base.select(
+        F.col(id_col).alias("__id_a"),
+        F.col(vec_col).alias("__vec_a"),
+        "list_id",
+        F.col("__n2").alias("__n2_a"),
+    )
+    right = base.select(
+        F.col(id_col).alias("__id_b"),
+        F.col(vec_col).alias("__vec_b"),
+        "list_id",
+        F.col("__n2").alias("__n2_b"),
+    )
+    score = (
+        quantized_dot(F.col("__vec_a"), F.col("__vec_b"))
+        / F.sqrt(F.col("__n2_a").cast("double") * F.col("__n2_b").cast("double"))
+    ).cast("double")
+    # full vectors on both sides: force the shuffle build, same OOM
+    # rationale as neardup_pairs
+    dropped = (
+        left.hint("shuffle_hash")
+        .join(right.hint("shuffle_hash"), "list_id")
+        .filter(F.col("__id_b") < F.col("__id_a"))
+        .filter(score >= threshold)
+        .select(F.col("__id_a").alias(id_col))
+        .distinct()
+    )
+    result = (
+        assigned.select(id_col, "list_id")
+        .join(dropped.withColumn("__dropped", F.lit(True)), id_col, "left")
+        .select(
+            id_col,
+            "list_id",
+            F.coalesce(~F.col("__dropped"), F.lit(True)).alias("kept"),
+        )
+    )
+    if not with_quarantine:
+        return result
+    return result.join(quarantined, id_col, "left_anti"), quarantined
+
+
 #: Largest query batch knn_join will broadcast. Beyond this, the
 #: broadcast (corpus-rows × batch) score fan-out stops being "a batch
 #: against the corpus" and the bucketed paths are the right tool.

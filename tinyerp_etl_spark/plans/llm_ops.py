@@ -376,6 +376,29 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.neardup_pairs(staged, threshold=0.98).orderBy("id_a", "id_b")
 
 
+def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over embeddings ∪ perturbed paraphrase copies.
+
+    Copies (vec_id+100000, elements +0.01) land in the same centroid
+    cluster at cosine ~0.9999 to their source: the greedy keep-first
+    contract must keep every original (lowest id in its ε-ball) and
+    drop every copy, while genuinely distinct vectors stay kept —
+    the semantic layer of the dedup stack (after exact/MinHash, which
+    see no shared n-grams in a paraphrase). operators/similarity.py:
+    semantic_dedup; cluster assignment is the pinned-centroid
+    ivf_assign, so the oracle replicates it in SQL row-for-row.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    copies = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: (x.cast("double") + 0.01).cast("float")
+        ).alias("embedding"),
+    )
+    staged = emb.unionByName(copies)
+    return S.semantic_dedup(staged, threshold=0.95).orderBy("vec_id")
+
+
 def embedding_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch ANN: top-5 neighbors for EVERY query in a broadcast batch
     (vec_id ≡ 0 mod 100) in one corpus scan — the k-NN join shape a
@@ -1109,6 +1132,43 @@ LLM_ORACLES: dict[str, str] = {
         WHERE {_cosine_sql("l.embedding", "r.embedding")} >= 0.98
         ORDER BY id_a, id_b
     """,
+    # greedy keep-first SemDeDup: x dropped iff a lower-id y in the
+    # same pinned-centroid cluster sits at cosine >= 0.95
+    "semantic_dedup_embeddings": f"""
+        WITH staged AS (
+          SELECT vec_id, embedding FROM embeddings
+          UNION ALL
+          SELECT vec_id + 100000,
+                 list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) + 0.01 AS FLOAT))
+          FROM embeddings WHERE vec_id % 10 = 0
+        ),
+        cents AS (
+          SELECT vec_id AS centroid_id, embedding AS cvec
+          FROM embeddings
+          WHERE vec_id BETWEEN {S.IVF_CENTROID_IDS[0]} AND {S.IVF_CENTROID_IDS[-1]}
+        ),
+        scored AS (
+          SELECT e.vec_id, e.embedding, c.centroid_id,
+                 row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY {_cosine_sql("e.embedding", "c.cvec")} DESC, c.centroid_id ASC
+                 ) AS rn
+          FROM staged e CROSS JOIN cents c
+        ),
+        lists AS (
+          SELECT vec_id, embedding, centroid_id AS list_id FROM scored WHERE rn = 1
+        ),
+        dropped AS (
+          SELECT DISTINCT a.vec_id
+          FROM lists a JOIN lists b
+            ON a.list_id = b.list_id AND b.vec_id < a.vec_id
+          WHERE {_cosine_sql("a.embedding", "b.embedding")} >= 0.95
+        )
+        SELECT l.vec_id, l.list_id,
+               (d.vec_id IS NULL) AS kept
+        FROM lists l LEFT JOIN dropped d ON l.vec_id = d.vec_id
+        ORDER BY l.vec_id
+    """,
 }
 
 
@@ -1299,6 +1359,7 @@ LLM_ORACLES["embedding_knn_join"] = f"""
 LLM_QUERIES.update(
     {
         "embedding_knn_join": embedding_knn_join,
+        "semantic_dedup_embeddings": semantic_dedup_embeddings,
         "train_val_test_split_docs": train_val_test_split_docs,
         "c4_quality_filter_stats": c4_quality_filter_stats,
         "boilerplate_ngram_stats": boilerplate_ngram_stats,
