@@ -82,7 +82,12 @@ HEADLINE_R4 = [
     # bucketed fact-fact join round-trip
     "bucketed_join_revenue",
 ]
-HEADLINE = HEADLINE + HEADLINE_R4
+# Added round 5: semantic dedup + float-free ranked retrieval.
+HEADLINE_R5 = [
+    "semantic_dedup_embeddings",
+    "bm25i_retrieval_docs",
+]
+HEADLINE = HEADLINE + HEADLINE_R4 + HEADLINE_R5
 
 
 def _calibrate_host(spark) -> dict[str, float]:
@@ -145,7 +150,9 @@ def main() -> None:
             if name not in timings or dt < timings[name]:
                 timings[name] = round(dt, 4)
     total = sum(timings.values())
-    comparable = sum(v for k, v in timings.items() if k not in HEADLINE_R4)
+    comparable = sum(
+        v for k, v in timings.items() if k not in HEADLINE_R4 and k not in HEADLINE_R5
+    )
 
     print(
         json.dumps(

@@ -148,3 +148,49 @@ def test_lsh_quarantine_outputs_are_disjoint(spark):
     }
     assert touched.isdisjoint(q)
     assert (900, 901) in {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+
+
+def test_bm25i_rank_contract(spark):
+    """Rare terms outrank ubiquitous ones; tf saturates at the cap;
+    longer docs are damped; ranking is exact-integer deterministic."""
+    from tinyerp_etl_spark.operators.text import bm25i_topk
+
+    rows = [
+        (1, "rare common common"),              # rare term, short doc
+        (2, "common common common common"),     # only common, tf-heavy
+        (3, "rare " + "filler " * 40),          # rare term, long doc
+        (4, "common rare rare"),                # rare twice, short
+        (5, "nothing matching here"),
+        # background docs: make 'common' genuinely common (df 8/10)
+        # while 'rare' stays rare (df 3/10 -> more idf bits)
+    ] + [(5 + i, "common filler filler") for i in range(1, 6)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [(r["doc_id"], r["score"]) for r in
+           bm25i_topk(docs, ["rare", "common"], k=10).collect()]
+    ids = [d for d, _ in got]
+    assert 5 not in ids                  # no matching term, no row
+    assert ids.index(4) < ids.index(2)   # rare beats tf-saturated common
+    assert ids.index(1) < ids.index(3)   # short rare doc beats long one
+    scores = dict(got)
+    assert all(isinstance(s, int) for s in scores.values())
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="query_terms"):
+        bm25i_topk(docs, [])
+
+
+def test_bm25i_tf_saturation(spark):
+    """tf beyond the cap adds nothing: a 50x spam repeat scores the
+    same as 5 mentions (the anti-keyword-stuffing property)."""
+    from tinyerp_etl_spark.operators.text import bm25i_topk
+
+    pad = "x " * 20  # identical lengths so norm cancels
+    rows = [
+        (1, ("term " * 5) + pad + "y " * 45),
+        (2, ("term " * 50) + pad),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    scores = {r["doc_id"]: r["score"] for r in
+              bm25i_topk(docs, ["term"], k=10).collect()}
+    assert scores[1] == scores[2]

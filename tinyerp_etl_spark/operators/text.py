@@ -434,3 +434,82 @@ def unigram_surprisal(
         F.count(F.lit(1)).cast("long").alias("n_tok"),
         F.sum("bits").cast("long").alias("sum_bits"),
     )
+
+
+#: BM25i term-frequency saturation cap (the k1 role, integerized).
+BM25I_TF_CAP = 5
+#: BM25i length-normalization scale (the b role, integerized).
+BM25I_NORM_SCALE = 1000
+
+
+def bm25i_topk(
+    docs,
+    query_terms: list[str],
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Integer BM25-flavor ranked retrieval: top-k docs for a bag of
+    query terms, float-free so the ranking is bit-identical on any
+    engine and any partitioning.
+
+    Classic BM25 needs ln(N/df) and float length normalization — and
+    cross-engine ln differs in ulps, which under a hash gate means
+    flapping ranks. BM25i keeps the three BM25 ingredients but in
+    exact integer space (the unigram_surprisal trick, generalized):
+
+      idf   -> bit_length(N div df)   (integer log2; rare terms score
+                                       high, ubiquitous terms -> 1)
+      tf    -> least(tf, 5)           (saturation: k1's job)
+      norm  -> (2000 * raw) div (1000 + (1000 * dl * N) div total_len)
+                                      (docs longer than average are
+                                       damped toward 2/3, shorter
+                                       boosted toward 2x: b's job)
+
+    Plan shape: the term filter lands BEFORE the tf aggregation (query
+    terms are literals, so only matching tokens ever shuffle); df and
+    the corpus stats are tiny broadcast frames; top-k is a TakeOrdered
+    with a deterministic (score DESC, id ASC) tie-break. One token
+    shuffle total — at 100 TB this is the inverted-index-free scan
+    shape, and with a pre-built (token -> doc) index table the same
+    scoring expression runs over the index instead.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    base = docs.select(
+        F.col(id_col), tokens(text_col).alias("__toks")
+    ).withColumn("__dl", F.array_size("__toks").cast("long"))
+    stats = base.agg(
+        F.count(F.lit(1)).cast("long").alias("__n_docs"),
+        F.sum("__dl").cast("long").alias("__total_len"),
+    )
+    tf = (
+        base.select(F.col(id_col), "__dl", F.explode("__toks").alias("token"))
+        .filter(F.col("token").isin(list(query_terms)))
+        .groupBy(id_col, "__dl", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("__tf"))
+    )
+    dfreq = tf.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("__df")
+    )
+    raw = (
+        tf.join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "__bits", F.length(F.bin(F.expr("__n_docs div __df"))).cast("long")
+        )
+        .groupBy(id_col, "__dl", "__n_docs", "__total_len")
+        .agg(
+            F.sum(
+                F.col("__bits") * F.least(F.col("__tf"), F.lit(BM25I_TF_CAP))
+            ).alias("__raw")
+        )
+    )
+    scored = raw.select(
+        F.col(id_col),
+        F.expr(
+            "(2000 * __raw) div "
+            "(1000 + (1000 * __dl * __n_docs) div __total_len)"
+        ).cast("long").alias("score"),
+    )
+    return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)

@@ -90,6 +90,18 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bm25i_retrieval_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Float-free ranked retrieval over the corpus: top-10 docs for a
+    3-term query mixing one rare term ('dup', df ~5% — high idf bits)
+    with two ubiquitous ones, through the integer BM25 scorer
+    (operators/text.py: bm25i_topk). Every score is exact integer
+    arithmetic, so ranks are bit-identical across engines and
+    partitionings — the property classic ln-based BM25 cannot give a
+    hash gate."""
+    docs = load_table(spark, sf_dir, "documents")
+    return X.bm25i_topk(docs, ["dup", "spark", "window"], k=10)
+
+
 def lang_id_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-based language guess vs the labeled lang column."""
     docs = load_table(spark, sf_dir, "documents")
@@ -1134,6 +1146,42 @@ LLM_ORACLES: dict[str, str] = {
     """,
     # greedy keep-first SemDeDup: x dropped iff a lower-id y in the
     # same pinned-centroid cluster sits at cosine >= 0.95
+    # integer BM25: bit-length idf, capped tf, integer length norm —
+    # see operators/text.py:bm25i_topk for the closed arithmetic
+    "bm25i_retrieval_docs": f"""
+        WITH base AS (
+          SELECT doc_id, {_TOKS} AS toks FROM documents
+        ),
+        b AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM base),
+        stats AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(dl) AS BIGINT) AS total_len
+          FROM b
+        ),
+        tf AS (
+          SELECT doc_id, dl, token, CAST(count(*) AS BIGINT) AS tf
+          FROM (SELECT doc_id, dl, unnest(toks) AS token FROM b)
+          WHERE token IN ('dup', 'spark', 'window')
+          GROUP BY doc_id, dl, token
+        ),
+        dfreq AS (
+          SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token
+        ),
+        raw AS (
+          SELECT f.doc_id, f.dl,
+                 sum(CAST(length(printf('%b', s.n_docs // d.df)) AS BIGINT)
+                     * least(f.tf, 5)) AS raw
+          FROM tf f JOIN dfreq d USING (token) CROSS JOIN stats s
+          GROUP BY f.doc_id, f.dl
+        )
+        SELECT r.doc_id,
+               CAST((2000 * r.raw)
+                    // (1000 + (1000 * r.dl * s.n_docs) // s.total_len)
+                    AS BIGINT) AS score
+        FROM raw r CROSS JOIN stats s
+        ORDER BY score DESC, r.doc_id ASC
+        LIMIT 10
+    """,
     "semantic_dedup_embeddings": f"""
         WITH staged AS (
           SELECT vec_id, embedding FROM embeddings
@@ -1183,6 +1231,7 @@ LLM_QUERIES = {
     "chunk_documents_stats": chunk_documents_stats,
     "winnow_fingerprint_docs": winnow_fingerprint_docs,
     "lang_id_docs": lang_id_docs,
+    "bm25i_retrieval_docs": bm25i_retrieval_docs,
     "token_count_by_source": token_count_by_source,
     "exact_dup_groups": exact_dup_groups,
     "dedup_exact_count": dedup_exact_count,

@@ -8,21 +8,24 @@ Ordering note: the driver's correctness gate covers the first 50
 registry entries, so insertion order is the rotation schedule.
 Round 5's front 50 (see _ROUND5_FRONT_50's inline comments for the
 per-group rationale) =
-  (0) the four queries NEW in round 5 (video_neardup_parity,
+  (0) the five queries NEW in round 5 (video_neardup_parity,
       perceptual_checker_parity, mp4_container_parity,
-      semantic_dedup_embeddings),
+      semantic_dedup_embeddings, bm25i_retrieval_docs),
   (a) the 21 rows round 4 displaced — VERDICT r4 named them round
       5's backbone,
   (b) the four queries over engine code changed this round
       (sign-bucket cap, codec guards, TableStore commit path),
-  (c) 21 of the 27 remaining round-2-stale rows, oldest evidence
+  (c) 20 of the 27 remaining round-2-stale rows, oldest evidence
       first; deferred to round 6: embedding_topk_bruteforce/ivf/lsh
       and embedding_quantize_int8 (their shared quantized-scoring
       kernel is represented by embedding_neardup_pairs +
       embedding_knn_join + the new semantic_dedup_embeddings in this
       gate), pandas_udf_mask_names (shape represented by
-      pii_redact_docs in this gate), and exact_dup_groups (its
-      fingerprint kernel twin dedup_exact_count is r4-green).
+      pii_redact_docs in this gate), exact_dup_groups (its
+      fingerprint kernel twin dedup_exact_count is r4-green), and
+      token_count_by_source (its tokenizer kernel is exercised by
+      the new bm25i_retrieval_docs plus text_profile_docs /
+      tfidf_top_terms in this gate).
 Cumulative ledger: after round 5 lands, every query's newest green
 row is r3+ except the four deferrals (r2).
 Round 4's front 50 =
@@ -192,6 +195,7 @@ _ROUND5_FRONT_50 = [
     "perceptual_checker_parity",
     "mp4_container_parity",
     "semantic_dedup_embeddings",
+    "bm25i_retrieval_docs",
     # (a) the 21 rows round 4 displaced (VERDICT r4 item 1: these are
     # "round 5's front-50 backbone"; all r1-proven except
     # pii_redact_docs at r2, code unchanged, evidence stale)
@@ -225,13 +229,15 @@ _ROUND5_FRONT_50 = [
     "audio_fingerprint_parity",
     "time_travel_orders_versions",
     # (c) newest green row is round 2 — oldest evidence first
-    # (21 of the 27 remaining r2 rows; deferred to round 6: the
+    # (20 of the 27 remaining r2 rows; deferred to round 6: the
     # embedding_topk trio and embedding_quantize_int8, whose shared
     # quantized-scoring kernel is represented in this gate by
     # embedding_neardup_pairs and the r4-green embedding_knn_join,
     # pandas_udf_mask_names, whose masking shape is represented by
-    # pii_redact_docs above, and exact_dup_groups, whose fingerprint
-    # kernel twin dedup_exact_count is r4-green)
+    # pii_redact_docs above, exact_dup_groups, whose fingerprint
+    # kernel twin dedup_exact_count is r4-green, and
+    # token_count_by_source, whose tokenizer kernel bm25i/tfidf/
+    # text_profile exercise in this gate)
     "chunk_documents_stats",
     "grouping_sets_revenue",
     "incremental_rollup_orders",
@@ -250,7 +256,6 @@ _ROUND5_FRONT_50 = [
     "snapshot_diff_orders",
     "text_profile_docs",
     "tfidf_top_terms",
-    "token_count_by_source",
     "udtf_word_positions",
     "winnow_fingerprint_docs",
 ]
