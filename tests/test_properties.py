@@ -393,3 +393,62 @@ def test_zorder_key_matches_reference_model(spark, pts):
     }
     for i, (a, b) in enumerate(pts):
         assert got[i] == ref(a, b)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    sizes=st.lists(st.integers(min_value=1, max_value=400), min_size=1, max_size=12),
+    chunk_seed=st.integers(min_value=0, max_value=10**6),
+)
+def test_mp4_roundtrip_property(sizes, chunk_seed):
+    """build_minimal_mp4 -> _parse_sample_table is the identity on
+    sample payloads for ANY sample sizes and ANY chunk partitioning
+    (pure Python property — no Spark job per example)."""
+    from tinyerp_etl_spark.operators.mp4 import (
+        _parse_sample_table,
+        build_minimal_mp4,
+    )
+
+    frames = [bytes([(i * 37 + j) % 256 for j in range(n)]) for i, n in enumerate(sizes)]
+    # derive a deterministic chunk partition of len(frames) from the seed
+    chunking = []
+    left, s = len(frames), chunk_seed
+    while left > 0:
+        take = (s % left) + 1
+        chunking.append(take)
+        left -= take
+        s = (s * 1103515245 + 12345) % (2**31)
+    mp4 = build_minimal_mp4(frames, chunking=chunking)
+    table = _parse_sample_table(mp4)
+    assert [i for i, *_ in table] == list(range(len(frames)))
+    assert [d for *_, d in table] == list(range(len(frames)))  # stts dts
+    for i, off, sz, _ in table:
+        assert mp4[off : off + sz] == frames[i]
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    sizes=st.lists(st.integers(min_value=1, max_value=200), min_size=1, max_size=8),
+    cut=st.integers(min_value=1, max_value=10**6),
+)
+def test_mp4_truncation_never_mis_slices(sizes, cut):
+    """ANY truncation of a valid container either still parses every
+    claimed sample fully in-bounds, or raises — never a short slice."""
+    import pytest as _pytest
+
+    from tinyerp_etl_spark.operators.mp4 import (
+        _parse_sample_table,
+        build_minimal_mp4,
+    )
+
+    frames = [bytes([j % 251 for j in range(n)]) for n in sizes]
+    mp4 = build_minimal_mp4(frames)
+    truncated = mp4[: len(mp4) - 1 - (cut % len(mp4))]
+    import struct as _struct
+
+    try:
+        table = _parse_sample_table(truncated)
+    except (ValueError, IndexError, _struct.error):
+        return  # rejected loudly: the drop path (kernels catch these)
+    for _i, off, sz, _d in table:
+        assert off + sz <= len(truncated)

@@ -528,6 +528,58 @@ def copurchase_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle enumeration over the co-purchase graph — the classic
+    graph-motif shape (community detection, recommendation clustering)
+    as three relational self-joins, no graph library.
+
+    Edges: part pairs co-occurring in >= 2 orders (the support
+    threshold sparsifies a dense co-occurrence graph the way real
+    market-basket analyses do). Every edge is stored once with
+    part_a < part_b, so chaining e1(a,b) ⨝ e2(b,c) ⨝ e3(a,c) yields
+    each triangle exactly once with a < b < c — no permutation dedup
+    needed. Scale shape: the pair join is bounded per-order by basket
+    size; the triangle join's fan-out is bounded by the support
+    threshold (a hub vertex of degree d contributes O(d²) wedge
+    candidates — raising min support is the standard mitigation, and
+    the count-window cap doctrine applies to the wedge join if a
+    corpus needs it). All-integer output, deterministic total order.
+    """
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("pa", "pb")
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    return (
+        e1.join(e2, F.col("e1.pb") == F.col("e2.pa"))
+        .join(
+            e3,
+            (F.col("e1.pa") == F.col("e3.pa")) & (F.col("e2.pb") == F.col("e3.pb")),
+        )
+        .select(
+            F.col("e1.pa").alias("part_a"),
+            F.col("e1.pb").alias("part_b"),
+            F.col("e2.pb").alias("part_c"),
+        )
+        .orderBy("part_a", "part_b", "part_c")
+    )
+
+
 def time_travel_orders_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Versioned-table reads (time travel) + compaction under the gate.
 
@@ -1316,6 +1368,21 @@ ETL_ORACLES: dict[str, str] = {
         GROUP BY part_a, part_b
         ORDER BY n_orders DESC, part_a, part_b
         LIMIT 20
+    """,
+    "copurchase_triangles": """
+        WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        edges AS (
+          SELECT a.l_partkey AS pa, b.l_partkey AS pb
+          FROM li a JOIN li b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY pa, pb
+          HAVING count(*) >= 2
+        )
+        SELECT e1.pa AS part_a, e1.pb AS part_b, e2.pb AS part_c
+        FROM edges e1
+        JOIN edges e2 ON e1.pb = e2.pa
+        JOIN edges e3 ON e1.pa = e3.pa AND e2.pb = e3.pb
+        ORDER BY part_a, part_b, part_c
     """,
     "time_travel_orders_versions": """
         WITH v1 AS (

@@ -27,7 +27,9 @@ per-group rationale) =
       the new bm25i_retrieval_docs plus text_profile_docs /
       tfidf_top_terms in this gate).
 Cumulative ledger: after round 5 lands, every query's newest green
-row is r3+ except the four deferrals (r2).
+row is r3+ except the six deferrals (r2) and the round-5 additions
+beyond the five gated ones (copurchase_triangles — pytest-parity
+green this round, front-50 candidate for round 6).
 Round 4's front 50 =
   (0) the twenty-one queries NEW in round 4 (sequence packing, domain
       mixture resample, approx-quantile contract, key-skew profile,
@@ -116,6 +118,7 @@ _ETL_NAMES = [
     "fuzzy_match_customers",
     "copurchase_part_pairs",
     "copurchase_pagerank_3iter",
+    "copurchase_triangles",
     "time_travel_orders_versions",
     "funnel_view_click_purchase",
     "file_format_roundtrip_orders",
