@@ -342,3 +342,63 @@ def test_optimistic_concurrency_rejects_stale_fast(spark, sf_dir, tmp_path):
     with _pytest.raises(ConcurrentWriteError):
         store.commit(ev, n_files=1, expected_version=1)
     assert set(os.listdir(str(tmp_path / "t"))) == before
+
+
+def test_commit_never_clobbers_claimed_version_dir(spark, sf_dir, tmp_path):
+    """The rename-claim protocol: a version directory that already
+    exists (a concurrent winner mid-commit) can never be overwritten
+    or deleted by a racing writer — OCC raises, legacy takes the next
+    free version; the claimed dir's contents survive both."""
+    import os
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from tinyerp_etl_spark.etl.table_store import ConcurrentWriteError, TableStore
+    from tinyerp_etl_spark.sources.catalog import TABLES, load_table
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 10)
+    store = TableStore(spark, str(tmp_path / "t"), TABLES["events"])
+    store.commit(ev, n_files=1)
+
+    # simulate a concurrent winner that has CLAIMED v2 (renamed its
+    # staging dir into place) but not yet swapped the pointer
+    claimed = store._version_dir(2)
+    os.makedirs(claimed)
+    marker = os.path.join(claimed, "winner.parquet")
+    with open(marker, "w") as f:
+        f.write("winner bytes")
+
+    # OCC path: the racing writer must fail at the claim, not clobber
+    with _pytest.raises(ConcurrentWriteError, match="claimed"):
+        store.commit(ev, n_files=1, expected_version=1)
+    assert open(marker).read() == "winner bytes"
+
+    # legacy path (no expected_version): takes the NEXT free version,
+    # still never touching the claimed dir
+    v = store.commit(ev, n_files=1)
+    assert v == 3
+    assert open(marker).read() == "winner bytes"
+    assert store.current_version() == 3
+    # no staging leftovers
+    assert not [d for d in os.listdir(str(tmp_path / "t")) if d.startswith(".staging")]
+
+
+def test_occ_armed_for_first_batch_into_fresh_store(spark, sf_dir, tmp_path):
+    """expected_version=0 on an empty table means 'expected empty':
+    a concurrent first commit must fail the check (the fresh-store
+    hole the sink's `or 0` closes)."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from tinyerp_etl_spark.etl.table_store import ConcurrentWriteError, TableStore
+    from tinyerp_etl_spark.sources.catalog import TABLES, load_table
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 10)
+    store = TableStore(spark, str(tmp_path / "t"), TABLES["events"])
+    assert store.commit(ev, n_files=1, expected_version=0) == 1  # empty as expected
+
+    store2 = TableStore(spark, str(tmp_path / "t2"), TABLES["events"])
+    store2.commit(ev, n_files=1)  # concurrent writer lands first
+    with _pytest.raises(ConcurrentWriteError):
+        store2.commit(ev, n_files=1, expected_version=0)

@@ -156,3 +156,31 @@ def test_cross_container_dedup_mp4_equals_pnm(spark):
         min_shared_frames=2,
     ).collect()
     assert [(r["id_a"], r["id_b"], r["shared_frames"]) for r in direct] == [(1, 2, 4)]
+
+
+def test_malformed_stsc_raises_not_misslices(spark):
+    """A non-ascending stsc run table must RAISE into the drop path —
+    never silently mis-slice sample ranges into the hasher."""
+    import struct
+
+    import pytest
+
+    from tinyerp_etl_spark.operators.mp4 import (
+        _parse_sample_table,
+        build_minimal_mp4,
+        mp4_sample_table,
+    )
+
+    good = bytearray(build_minimal_mp4([_frame(3), _frame(12), _frame(48)], chunking=[1, 2]))
+    i = bytes(good).find(b"stsc")
+    # stsc full box after type: [4 ver/flags][4 n_runs][12-byte runs...]
+    runs_at = i + 4 + 4 + 4
+    r1 = bytes(good[runs_at : runs_at + 12])
+    r2 = bytes(good[runs_at + 12 : runs_at + 24])
+    good[runs_at : runs_at + 12] = r2
+    good[runs_at + 12 : runs_at + 24] = r1  # runs now descend
+    with pytest.raises(ValueError, match="stsc"):
+        _parse_sample_table(bytes(good))
+
+    df = spark.createDataFrame([(1, bytes(good))], "media_id long, content binary")
+    assert mp4_sample_table(df).count() == 0  # row drops, job survives

@@ -64,9 +64,10 @@ _BASE = [1.0, 2.0, 3.0, 4.0, 1.0, 2.0, 3.0, 4.0]
 _OTHER = [-1.0, 2.0, -3.0, 4.0, -1.0, 2.0, -3.0, 4.0]
 
 
-def test_semantic_dedup_greedy_keep_first(spark):
-    """Within a cluster, every ε-ball keeps exactly its lowest id;
-    distinct meanings survive; output covers every input row."""
+def test_semantic_dedup_lower_id_dominance(spark):
+    """Within a cluster, a vector with any lower-id in-threshold
+    neighbor is dropped; distinct meanings survive; output covers
+    every input row."""
     from tinyerp_etl_spark.operators.similarity import semantic_dedup
 
     rows = [
@@ -105,3 +106,27 @@ def test_semantic_dedup_overcap_cluster_conservative_or_quarantined(spark):
     assert qids == {1} | {100 + i for i in range(30)}  # the whole hot cluster
     out = {r["vec_id"]: r["kept"] for r in deduped.collect()}
     assert out == {2: True, 1000: False}  # disjoint from quarantine
+
+
+def test_semantic_dedup_chain_drops_whole_tail(spark):
+    """The documented dominance-vs-greedy difference: on a transitive
+    chain a~b, b~c, a≁c, dominance drops BOTH b and c (strict greedy
+    would re-keep c). This pins the contract so a silent semantics
+    change cannot hide."""
+    import math
+
+    from tinyerp_etl_spark.operators.similarity import semantic_dedup
+
+    # unit vectors in a 8-dim plane at angles 0, θ, 2θ: cos(θ) above
+    # the threshold, cos(2θ) below it — an exact a~b, b~c, a≁c chain
+    theta = 0.2
+    def vec(k):
+        a = [math.cos(k * theta), math.sin(k * theta)] + [0.0] * 6
+        return [round(x, 6) for x in a]
+
+    rows = [(1, vec(0)), (10, vec(1)), (11, vec(2))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r["vec_id"]: r["kept"]
+           for r in semantic_dedup(df, threshold=0.95).collect()}
+    # cos(theta)=0.980 >= 0.95 (a~b and b~c), cos(2*theta)=0.921 < 0.95
+    assert got == {1: True, 10: False, 11: False}

@@ -160,14 +160,21 @@ class TableStore:
         version the write was COMPUTED FROM (``current_version()`` at
         read time) and the commit fails with ConcurrentWriteError if
         another writer advanced the pointer in between — instead of
-        silently last-winning the rename and losing that writer's rows.
-        At 100 TB with a nightly pipeline plus ad-hoc backfills this is
-        the difference between a retry and a quiet data loss. The check
-        runs twice: early (before the expensive version write) and
-        again immediately before the pointer swap, shrinking the
-        unguarded window to the rename itself. ``None`` preserves the
-        unconditional last-writer-wins behavior for single-writer
-        pipelines.
+        silently last-winning and losing that writer's rows. At 100 TB
+        with a nightly pipeline plus ad-hoc backfills this is the
+        difference between a retry and a quiet data loss.
+
+        The write NEVER touches the shared version directory directly:
+        data lands in a private staging dir (unique per attempt), and
+        the version number is claimed by an atomic directory rename —
+        two writers racing for the same version number cannot clobber
+        each other because exactly one rename onto ``v{N+1}`` can
+        succeed; the loser's rename fails and its staging dir is
+        discarded. With ``expected_version`` set the loser raises
+        ConcurrentWriteError (retry protocol); with ``None`` it claims
+        the NEXT free version instead — last-writer-wins ordering for
+        single-writer/legacy pipelines, still without ever deleting a
+        committed directory.
 
         ``n_files`` coalesces the write to that many output files —
         the small-files control: a MERGE rewriting a table through 32
@@ -190,8 +197,6 @@ class TableStore:
                 f"table at {self.path} advanced to v{base} since "
                 f"v{expected_version} was read; recompute and retry"
             )
-        v = (base or 0) + 1
-        out = self._version_dir(v)
         data = df.select([f.name for f in self.schema.fields])
         if cluster_by:
             if n_files is not None:
@@ -201,22 +206,44 @@ class TableStore:
             data = data.sortWithinPartitions(*cluster_by)
         elif n_files is not None:
             data = data.coalesce(n_files)
+        # stage into a PRIVATE directory: a concurrent writer racing
+        # for the same version number must never be able to overwrite
+        # or delete bytes this writer (or the winner) has committed
+        staging = tempfile.mkdtemp(dir=self.path, prefix=".staging-")
         writer = data.write.mode("overwrite")
         if self.partition_by:
             writer = writer.partitionBy(*self.partition_by)
-        writer.parquet(out)
+        writer.parquet(staging)
         if expected_version is not None:
             # re-check after the (slow) data write: a concurrent commit
             # that landed while this version was being written must fail
-            # here, not silently lose the race at the rename
+            # here, not lose the race at the claim below
             now = self.current_version()
             if (now or 0) != expected_version:
-                shutil.rmtree(out, ignore_errors=True)
+                shutil.rmtree(staging, ignore_errors=True)
                 raise ConcurrentWriteError(
                     f"table at {self.path} advanced to v{now} during the "
-                    f"write of v{v} (read at v{expected_version}); "
-                    "recompute and retry"
+                    f"write (read at v{expected_version}); recompute and retry"
                 )
+        # claim the version number by atomic directory rename: only ONE
+        # rename onto a given v{N} can succeed (the target existing —
+        # and non-empty — fails the rename), so committed dirs are
+        # never clobbered no matter how writers race
+        v = (self.current_version() or 0) + 1
+        while True:
+            out = self._version_dir(v)
+            try:
+                os.rename(staging, out)
+                break
+            except OSError:
+                if expected_version is not None:
+                    shutil.rmtree(staging, ignore_errors=True)
+                    raise ConcurrentWriteError(
+                        f"version v{v} at {self.path} was claimed by a "
+                        f"concurrent writer (read at v{expected_version}); "
+                        "recompute and retry"
+                    ) from None
+                v += 1  # legacy path: take the next free version
         # atomic pointer swap: write-temp + rename is atomic on POSIX
         fd, tmp = tempfile.mkstemp(dir=self.path, prefix="._CURRENT.")
         with os.fdopen(fd, "w") as f:

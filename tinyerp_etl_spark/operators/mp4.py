@@ -171,17 +171,24 @@ def _parse_sample_table(payload: bytes) -> list[tuple[int, int, int, int]]:
                 cnt = n_samples - len(deltas)
             deltas.extend([delta] * cnt)
 
-        # walk chunks: stsc runs apply from first_chunk until the next run
+        # stsc runs must start at chunk 1 and ascend strictly — a
+        # malformed (unsorted) table must RAISE into the drop path,
+        # not silently mis-slice sample ranges into the hasher
+        if not runs or runs[0][0] != 1 or any(
+            runs[i][0] >= runs[i + 1][0] for i in range(len(runs) - 1)
+        ):
+            raise ValueError("malformed stsc run table")
+        # walk chunks with a run POINTER (O(chunks + runs), not
+        # O(chunks * runs)): each run applies from its first_chunk
+        # until the next run starts
         out: list[tuple[int, int, int, int]] = []
         si = 0
         dts = 0
+        ri = 0
         for ci, chunk_off in enumerate(chunk_offsets, start=1):
-            per = 0
-            for first, n_per in runs:
-                if first <= ci:
-                    per = n_per
-                else:
-                    break
+            while ri + 1 < len(runs) and runs[ri + 1][0] <= ci:
+                ri += 1
+            per = runs[ri][1]
             off = chunk_off
             for _ in range(per):
                 if si >= n_samples:

@@ -440,9 +440,9 @@ def semantic_dedup(
     cluster_cap: int = 1024,
     with_quarantine: bool = False,
 ) -> DataFrame | tuple[DataFrame, DataFrame]:
-    """SemDeDup-style semantic deduplication: cluster, then greedily
-    prune near-identical meanings within each cluster (Abbas et al.
-    2023, "SemDeDup" — the embedding-space dedup a web-scale training
+    """SemDeDup-style semantic deduplication: cluster, then prune
+    near-identical meanings within each cluster (Abbas et al. 2023,
+    "SemDeDup" — the embedding-space dedup a web-scale training
     pipeline runs AFTER exact/MinHash dedup to remove paraphrases and
     re-renderings that share no n-grams).
 
@@ -450,9 +450,19 @@ def semantic_dedup(
     its nearest pinned centroid (ivf_assign — at 100 TB the assignment
     is the table's partition column, so this phase is a pruned scan,
     not a shuffle); within a cluster, DROP vector x iff some y with
-    id(y) < id(x) sits at cosine >= threshold — the greedy keep-first
-    rule, so every ε-neighborhood keeps exactly its lowest-id member
-    and the kept set is reproducible row-for-row.
+    id(y) < id(x) sits at cosine >= threshold — LOWER-ID DOMINANCE.
+    Note this is deliberately NOT strict sequential greedy: on a
+    transitive chain a~b, b~c, a≁c (ids a<b<c) dominance drops both b
+    and c (c has an in-threshold lower-id neighbor, even though that
+    neighbor was itself dropped), where sequential greedy would
+    re-keep c. Dominance needs ONE join instead of an iterative
+    fixpoint, is order-deterministic, and errs toward dropping more
+    near-boundary chain members — acceptable for training-data dedup,
+    where a doc within ε of an already-near-duplicate doc is itself
+    marginal. Pipelines that need transitive-component semantics
+    (keep exactly one per connected ε-component) should feed
+    ``neardup_pairs`` output through ``dedup.neardup_components``
+    instead.
 
     Scale shape: pairs form only within a cluster (never across), the
     within-cluster self-join carries the `_capped_bucket_pairs`

@@ -466,26 +466,43 @@ def bm25i_topk(
                                        damped toward 2/3, shorter
                                        boosted toward 2x: b's job)
 
-    Plan shape: the term filter lands BEFORE the tf aggregation (query
-    terms are literals, so only matching tokens ever shuffle); df and
-    the corpus stats are tiny broadcast frames; top-k is a TakeOrdered
-    with a deterministic (score DESC, id ASC) tie-break. One token
-    shuffle total — at 100 TB this is the inverted-index-free scan
-    shape, and with a pre-built (token -> doc) index table the same
-    scoring expression runs over the index instead.
+    Plan shape: the tokenized frame is checkpointed ONCE (both the
+    corpus-stats aggregate and the tf branch hang off it — without
+    the checkpoint each branch would re-run the tokenizer scan, the
+    most expensive stage at 100 TB); the term filter lands BEFORE the
+    tf aggregation (query terms are literals, so only matching tokens
+    ever shuffle); df and the corpus stats are tiny broadcast frames;
+    top-k is a TakeOrdered with a deterministic (score DESC, id ASC)
+    tie-break. One token shuffle, one tokenizer pass — and with a
+    pre-built (token -> doc) index table the same scoring expression
+    runs over the index instead.
     """
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
-    base = docs.select(
-        F.col(id_col), tokens(text_col).alias("__toks")
-    ).withColumn("__dl", F.array_size("__toks").cast("long"))
+    terms = list(query_terms)
+    # ONE tokenizer pass, checkpointed: the stats aggregate and the tf
+    # branch both hang off this frame, and what gets materialized is
+    # only (id, doc_len, query-term tokens) — the full token arrays
+    # are filtered away BEFORE the checkpoint, so the materialized
+    # footprint is ids + one long + the (few) matching tokens per doc,
+    # not the tokenized corpus
+    base = (
+        docs.select(F.col(id_col), tokens(text_col).alias("__toks"))
+        .select(
+            F.col(id_col),
+            F.array_size("__toks").cast("long").alias("__dl"),
+            F.filter(
+                "__toks", lambda t: t.isin(terms)
+            ).alias("__qtoks"),
+        )
+        .localCheckpoint(eager=True)
+    )
     stats = base.agg(
         F.count(F.lit(1)).cast("long").alias("__n_docs"),
         F.sum("__dl").cast("long").alias("__total_len"),
     )
     tf = (
-        base.select(F.col(id_col), "__dl", F.explode("__toks").alias("token"))
-        .filter(F.col("token").isin(list(query_terms)))
+        base.select(F.col(id_col), "__dl", F.explode("__qtoks").alias("token"))
         .groupBy(id_col, "__dl", "token")
         .agg(F.count(F.lit(1)).cast("long").alias("__tf"))
     )

@@ -392,9 +392,9 @@ def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup over embeddings ∪ perturbed paraphrase copies.
 
     Copies (vec_id+100000, elements +0.01) land in the same centroid
-    cluster at cosine ~0.9999 to their source: the greedy keep-first
-    contract must keep every original (lowest id in its ε-ball) and
-    drop every copy, while genuinely distinct vectors stay kept —
+    cluster at cosine ~0.9999 to their source: the lower-id-dominance
+    contract must keep every original (no lower-id in-threshold
+    neighbor) and drop every copy, while distinct vectors stay kept —
     the semantic layer of the dedup stack (after exact/MinHash, which
     see no shared n-grams in a paraphrase). operators/similarity.py:
     semantic_dedup; cluster assignment is the pinned-centroid
@@ -1137,15 +1137,25 @@ LLM_ORACLES: dict[str, str] = {
                  list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) + 0.01 AS FLOAT))
           FROM embeddings WHERE vec_id % 10 = 0
         ),
-        b AS (SELECT vec_id, embedding, {_SIGN_BUCKET} AS bucket FROM staged)
+        b AS (SELECT vec_id, embedding, {_SIGN_BUCKET} AS bucket FROM staged),
+        -- model the engine's bucket cap (neardup_pairs default 256):
+        -- over-cap sign buckets emit no pairs, at ANY scale factor —
+        -- without this the oracle would silently diverge from the
+        -- capped engine the first time a corpus filled a bucket
+        ok AS (
+          SELECT * FROM (
+            SELECT b.*, count(*) OVER (PARTITION BY bucket) AS n FROM b
+          ) WHERE n <= 256
+        )
         SELECT l.vec_id AS id_a, r.vec_id AS id_b,
                {_cosine_sql("l.embedding", "r.embedding")} AS score
-        FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+        FROM ok l JOIN ok r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
         WHERE {_cosine_sql("l.embedding", "r.embedding")} >= 0.98
         ORDER BY id_a, id_b
     """,
-    # greedy keep-first SemDeDup: x dropped iff a lower-id y in the
-    # same pinned-centroid cluster sits at cosine >= 0.95
+    # lower-id-dominance SemDeDup: x dropped iff a lower-id y in the
+    # same pinned-centroid cluster sits at cosine >= 0.95 (NOT strict
+    # sequential greedy — see semantic_dedup's docstring on chains)
     # integer BM25: bit-length idf, capped tf, integer length norm —
     # see operators/text.py:bm25i_topk for the closed arithmetic
     "bm25i_retrieval_docs": f"""
@@ -1206,9 +1216,17 @@ LLM_ORACLES: dict[str, str] = {
         lists AS (
           SELECT vec_id, embedding, centroid_id AS list_id FROM scored WHERE rn = 1
         ),
+        -- model the engine's cluster cap (semantic_dedup default
+        -- 1024): members of over-cap clusters never reach the prune
+        -- join and stay conservatively kept, at ANY scale factor
+        ok AS (
+          SELECT * FROM (
+            SELECT lists.*, count(*) OVER (PARTITION BY list_id) AS n FROM lists
+          ) WHERE n <= 1024
+        ),
         dropped AS (
           SELECT DISTINCT a.vec_id
-          FROM lists a JOIN lists b
+          FROM ok a JOIN ok b
             ON a.list_id = b.list_id AND b.vec_id < a.vec_id
           WHERE {_cosine_sql("a.embedding", "b.embedding")} >= 0.95
         )

@@ -27,9 +27,11 @@ per-group rationale) =
       the new bm25i_retrieval_docs plus text_profile_docs /
       tfidf_top_terms in this gate).
 Cumulative ledger: after round 5 lands, every query's newest green
-row is r3+ except the six deferrals (r2) and the round-5 additions
-beyond the five gated ones (copurchase_triangles — pytest-parity
-green this round, front-50 candidate for round 6).
+row is r3+ except the SEVEN deferrals (r2: the embedding_topk trio,
+embedding_quantize_int8, pandas_udf_mask_names, exact_dup_groups,
+token_count_by_source) and the round-5 additions beyond the five
+gated ones (copurchase_triangles — pytest-parity green this round,
+front-50 candidate for round 6).
 Round 4's front 50 =
   (0) the twenty-one queries NEW in round 4 (sequence packing, domain
       mixture resample, approx-quantile contract, key-skew profile,

@@ -130,7 +130,11 @@ def run_stream_to_merge_sink(
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         df = transform(batch_df) if transform is not None else batch_df
         for attempt in range(occ_retries + 1):
-            base = store.current_version()
+            # `or 0`: a fresh store reads version None, and commit()
+            # treats expected_version=None as "no check" — 0 means
+            # "expected empty", which keeps OCC armed for the FIRST
+            # batch into a new table too
+            base = store.current_version() or 0
             merged = merge_upsert(store.read(), df, keys)
             try:
                 store.commit(merged, expected_version=base)
