@@ -713,3 +713,88 @@ def test_merge_sink_occ_survives_concurrent_writer(
     assert (
         store.read().filter(F.col("event_id") >= 90_000_000).count() == 6
     )
+
+
+def test_stream_stream_join_state_survives_restart(spark, sf_dir, tmp_path):
+    """Join state must persist across availableNow restarts: views
+    buffered in run 1 still match purchases arriving in run 2, and the
+    union of both runs' outputs equals the batch join exactly (the
+    watermark eviction bound horizon+lateness >= horizon guarantees no
+    valid pair can be evicted early)."""
+    import os
+
+    from tinyerp_etl_spark.streaming.stream_pipeline import (
+        attribution_stream_stream_join,
+        read_events_stream,
+    )
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    # split the ORIGINAL parquet by median ts with pyarrow, preserving
+    # the file's physical timestamp type (a Spark rewrite would change
+    # it and break the stream reader's unit sniffing)
+    tbl = pq.read_table(f"{sf_dir}/events.parquet")
+    ts = tbl.column("ts")
+    split_ts = pc.quantile(ts.cast("int64"), q=0.5).to_pylist()[0]
+    early_tbl = tbl.filter(pc.less(ts.cast("int64"), int(split_ts)))
+    late_tbl = tbl.filter(pc.greater_equal(ts.cast("int64"), int(split_ts)))
+    assert early_tbl.num_rows > 0 and late_tbl.num_rows > 0
+
+    events = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "ssj_src")
+    os.makedirs(src)
+    pq.write_table(early_tbl, os.path.join(src, "a0.parquet"))
+
+    out = str(tmp_path / "ssj_out")
+    ckpt = str(tmp_path / "ssj_ckpt")
+
+    def drain():
+        stream = read_events_stream(spark, src)
+        joined = attribution_stream_stream_join(
+            stream.filter(F.col("event_type") == "view"),
+            stream.filter(F.col("event_type") == "purchase"),
+            horizon="1 hour",
+            lateness="30 minutes",
+        )
+        (
+            joined.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    drain()  # run 1: early half only
+    n1 = spark.read.parquet(out).count()
+
+    pq.write_table(late_tbl, os.path.join(src, "b0.parquet"))
+    drain()  # run 2: late half; must join against run 1's buffered state
+
+    got = {
+        (r["view_id"], r["purchase_id"])
+        for r in spark.read.parquet(out).collect()
+    }
+    v = events.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    p = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    want = {
+        (r["view_id"], r["purchase_id"])
+        for r in v.join(
+            p,
+            F.expr(
+                "v_user = p_user AND purchase_ts > view_ts "
+                "AND purchase_ts <= view_ts + INTERVAL 1 HOUR"
+            ),
+        ).collect()
+    }
+    assert got == want
+    assert len(got) > n1  # run 2 contributed pairs (incl. cross-file state)
