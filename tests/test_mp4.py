@@ -184,3 +184,26 @@ def test_malformed_stsc_raises_not_misslices(spark):
 
     df = spark.createDataFrame([(1, bytes(good))], "media_id long, content binary")
     assert mp4_sample_table(df).count() == 0  # row drops, job survives
+
+
+def test_co64_offsets_parse_identically(spark):
+    """The 64-bit chunk-offset table (co64 — what real >4 GiB movies
+    carry) must slice every sample exactly like its 32-bit stco twin."""
+    from tinyerp_etl_spark.operators.mp4 import (
+        _parse_sample_table,
+        build_minimal_mp4,
+    )
+
+    frames = [_frame(s) for s in (3, 12, 48, 77, 129)]
+    small = build_minimal_mp4(frames, chunking=[2, 3])
+    big = build_minimal_mp4(frames, chunking=[2, 3], use_co64=True)
+    assert b"co64" in big and b"stco" not in big
+
+    t_small = _parse_sample_table(small)
+    t_big = _parse_sample_table(big)
+    # same samples, sizes and dts; offsets differ only by header delta
+    assert [(i, sz, d) for i, _o, sz, d in t_small] == [
+        (i, sz, d) for i, _o, sz, d in t_big
+    ]
+    for (_i, off, sz, _d), f in zip(t_big, [frames[0], frames[1], frames[2], frames[3], frames[4]]):
+        assert big[off : off + sz] == f

@@ -304,7 +304,10 @@ def _box(btype: bytes, body: bytes) -> bytes:
 
 
 def build_minimal_mp4(
-    frames: list[bytes], chunking: list[int] | None = None, timescale: int = 1000
+    frames: list[bytes],
+    chunking: list[int] | None = None,
+    timescale: int = 1000,
+    use_co64: bool = False,
 ) -> bytes:
     """A spec-shaped minimal MP4 wrapping ``frames`` as video samples —
     the staging/test writer for the sampling seam (and a demonstration
@@ -312,9 +315,11 @@ def build_minimal_mp4(
     for the sample-table walk).
 
     ``chunking`` splits the samples into mdat chunks (default: one
-    chunk) so stsc/stco get real multi-run tables. Layout: ftyp,
-    moov(trak(mdia(hdlr'vide', minf(stbl(stsd, stts, stsc, stsz,
-    stco))))), mdat — offsets in stco point into mdat's body.
+    chunk) so stsc/stco get real multi-run tables. ``use_co64`` emits
+    64-bit chunk offsets (the >4 GiB-file table real movies use) in a
+    co64 box instead of stco. Layout: ftyp, moov(trak(mdia(hdlr'vide',
+    minf(stbl(stsd, stts, stsc, stsz, stco|co64))))), mdat — offsets
+    point into mdat's body.
     """
     if chunking is None:
         chunking = [len(frames)]
@@ -343,10 +348,14 @@ def build_minimal_mp4(
         + b"".join(struct.pack(">I", len(f)) for f in frames),
     )
 
-    # mdat body layout drives stco; compute the header sizes first by
-    # assembling everything except stco with a placeholder
+    off_type = b"co64" if use_co64 else b"stco"
+    off_fmt = ">Q" if use_co64 else ">I"
+    off_width = 8 if use_co64 else 4
+
+    # mdat body layout drives the offset table; compute the header
+    # sizes first by assembling with a same-size placeholder
     def assemble(stco_body: bytes) -> tuple[bytes, int]:
-        stco = _box(b"stco", stco_body)
+        stco = _box(off_type, stco_body)
         stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
         minf = _box(b"minf", stbl)
         hdlr = _box(
@@ -359,10 +368,13 @@ def build_minimal_mp4(
         head = ftyp + moov
         return head, len(head) + 8  # mdat body starts after its header
 
-    # stco's body size is fixed by len(chunking), so a zero-filled
-    # placeholder of the right size pins the header length; the second
-    # assemble with real offsets cannot change any size
-    placeholder = struct.pack(">II", 0, len(chunking)) + b"\0" * (4 * len(chunking))
+    # the offset table's body size is fixed by len(chunking), so a
+    # zero-filled placeholder of the right size pins the header
+    # length; the second assemble with real offsets cannot change any
+    # size
+    placeholder = struct.pack(">II", 0, len(chunking)) + b"\0" * (
+        off_width * len(chunking)
+    )
     _, mdat_body_at = assemble(placeholder)
     offsets = []
     off = mdat_body_at
@@ -373,7 +385,7 @@ def build_minimal_mp4(
             off += len(frames[fi])
             fi += 1
     stco_body = struct.pack(">II", 0, len(offsets)) + b"".join(
-        struct.pack(">I", o) for o in offsets
+        struct.pack(off_fmt, o) for o in offsets
     )
     head, final_at = assemble(stco_body)
     assert final_at == mdat_body_at
