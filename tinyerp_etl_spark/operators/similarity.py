@@ -461,7 +461,7 @@ def semantic_dedup(
     where a doc within ε of an already-near-duplicate doc is itself
     marginal. Pipelines that need transitive-component semantics
     (keep exactly one per connected ε-component) should feed
-    ``neardup_pairs`` output through ``dedup.neardup_components``
+    ``neardup_pairs`` output through ``dedup.connected_components``
     instead.
 
     Scale shape: pairs form only within a cluster (never across), the
