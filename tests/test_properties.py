@@ -452,3 +452,57 @@ def test_mp4_truncation_never_mis_slices(sizes, cut):
         return  # rejected loudly: the drop path (kernels catch these)
     for _i, off, sz, _d in table:
         assert off + sz <= len(truncated)
+
+
+@settings(max_examples=40, deadline=None)
+@given(blob=st.binary(min_size=0, max_size=600))
+def test_media_codecs_never_raise_outside_drop_contract(blob):
+    """ANY byte blob fed to the perceptual/codec kernels either parses
+    or raises one of the exception types the mapInPandas drop paths
+    catch — never ZeroDivisionError/struct.error escapes (the class of
+    bug ADVICE r4 found in the WAV channels=0 path)."""
+    import struct as _struct
+
+    from tinyerp_etl_spark.operators import multimodal as M
+    from tinyerp_etl_spark.operators import mp4 as MP4
+
+    for fn, allowed in [
+        (M._dhash64, (ValueError, IndexError)),
+        (M._audio_fingerprint64, (ValueError, IndexError, _struct.error)),
+        (M._decode_wav, (ValueError, IndexError, _struct.error)),
+        (M._decode_pnm, (ValueError, IndexError)),
+        (MP4._parse_sample_table, (ValueError, IndexError, _struct.error)),
+    ]:
+        try:
+            fn(blob)
+        except allowed:
+            pass  # the documented drop path
+
+
+@settings(max_examples=40, deadline=None)
+@given(blob=st.binary(min_size=0, max_size=300))
+def test_media_codecs_never_crash_on_magic_prefixed_garbage(blob):
+    """Same contract with valid magic bytes up front — the parser gets
+    deeper before the payload turns to garbage."""
+    import struct as _struct
+
+    from tinyerp_etl_spark.operators import multimodal as M
+    from tinyerp_etl_spark.operators import mp4 as MP4
+
+    wav = b"RIFF" + blob[:4] + b"WAVE" + blob
+    pnm = b"P6\n" + blob
+    mp4 = (
+        _struct.pack(">I", 8 + len(blob)) + b"moov" + blob
+        if len(blob) else b"\x00\x00\x00\x08moov"
+    )
+    for fn, payload, allowed in [
+        (M._audio_fingerprint64, wav, (ValueError, IndexError, _struct.error)),
+        (M._decode_wav, wav, (ValueError, IndexError, _struct.error)),
+        (M._dhash64, pnm, (ValueError, IndexError)),
+        (M._decode_pnm, pnm, (ValueError, IndexError)),
+        (MP4._parse_sample_table, mp4, (ValueError, IndexError, _struct.error)),
+    ]:
+        try:
+            fn(payload)
+        except allowed:
+            pass
