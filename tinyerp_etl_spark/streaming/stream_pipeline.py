@@ -163,15 +163,26 @@ def run_windowed_stream(
     """Watermarked windowed aggregation drained with availableNow.
 
     Uses update-mode foreachBatch: each batch's changed windows MERGE
-    into the store keyed by (window_start, event_type).
+    into the store keyed by (window_start, event_type), committed
+    under the same optimistic-concurrency retry as the merge sink
+    (idempotent MERGE makes the re-read + retry safe).
     """
+    from tinyerp_etl_spark.etl.table_store import ConcurrentWriteError
+
     agg = tumbling_counts(stream_df, window_len, lateness)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        merged = merge_upsert(
-            store.read(), batch_df, ["window_start", "event_type"]
-        )
-        store.commit(merged)
+        for attempt in range(4):
+            base = store.current_version() or 0
+            merged = merge_upsert(
+                store.read(), batch_df, ["window_start", "event_type"]
+            )
+            try:
+                store.commit(merged, expected_version=base)
+                return
+            except ConcurrentWriteError:
+                if attempt == 3:
+                    raise
 
     (
         agg.writeStream.foreachBatch(sink)
