@@ -528,6 +528,54 @@ def copurchase_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def attribution_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch face of the streaming attribution join: every
+    (view, purchase) pair for the same user where the purchase lands
+    within 1 hour after the view, with the latency in exact
+    microseconds (sub-second truncation differs between a seconds
+    cast and epoch(); unix_micros is exact on both engines).
+
+    The SAME join predicate runs as a true stream-stream join in
+    streaming/stream_pipeline.py:attribution_stream_stream_join
+    (watermarks bound the buffered state there; the stream==batch and
+    restart tests in tests/test_streaming.py pin the equivalence) —
+    this is the lambda-architecture collapse: one line of SQL answers
+    the backfill and the live query. Plan shape: an equi-join on
+    user_id with the time-range as a post-join predicate — Spark
+    hashes on the equi key, so this is NOT a theta join; the range
+    only filters matched pairs.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    return (
+        v.join(
+            p,
+            F.expr(
+                "v_user = p_user AND purchase_ts > view_ts "
+                "AND purchase_ts <= view_ts + INTERVAL 1 HOUR"
+            ),
+        )
+        .select(
+            F.col("v_user").alias("user_id"),
+            "view_id",
+            "purchase_id",
+            (
+                F.unix_micros("purchase_ts") - F.unix_micros("view_ts")
+            ).alias("latency_us"),
+        )
+        .orderBy("view_id", "purchase_id")
+    )
+
+
 def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle enumeration over the co-purchase graph — the classic
     graph-motif shape (community detection, recommendation clustering)
@@ -1368,6 +1416,24 @@ ETL_ORACLES: dict[str, str] = {
         GROUP BY part_a, part_b
         ORDER BY n_orders DESC, part_a, part_b
         LIMIT 20
+    """,
+    "attribution_interval_join": """
+        WITH v AS (
+          SELECT user_id AS v_user, event_id AS view_id, ts AS view_ts
+          FROM events WHERE event_type = 'view'
+        ),
+        p AS (
+          SELECT user_id AS p_user, event_id AS purchase_id, ts AS purchase_ts
+          FROM events WHERE event_type = 'purchase'
+        )
+        SELECT v_user AS user_id, view_id, purchase_id,
+               CAST(epoch_us(purchase_ts) - epoch_us(view_ts) AS BIGINT)
+                 AS latency_us
+        FROM v JOIN p
+          ON v_user = p_user
+         AND purchase_ts > view_ts
+         AND purchase_ts <= view_ts + INTERVAL 1 HOUR
+        ORDER BY view_id, purchase_id
     """,
     "copurchase_triangles": """
         WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),

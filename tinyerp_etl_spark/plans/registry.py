@@ -30,8 +30,8 @@ Cumulative ledger: after round 5 lands, every query's newest green
 row is r3+ except the SEVEN deferrals (r2: the embedding_topk trio,
 embedding_quantize_int8, pandas_udf_mask_names, exact_dup_groups,
 token_count_by_source) and the round-5 additions beyond the five
-gated ones (copurchase_triangles — pytest-parity green this round,
-front-50 candidate for round 6).
+gated ones (copurchase_triangles and attribution_interval_join —
+pytest-parity green this round, front-50 candidates for round 6).
 Round 4's front 50 =
   (0) the twenty-one queries NEW in round 4 (sequence packing, domain
       mixture resample, approx-quantile contract, key-skew profile,
@@ -121,6 +121,7 @@ _ETL_NAMES = [
     "copurchase_part_pairs",
     "copurchase_pagerank_3iter",
     "copurchase_triangles",
+    "attribution_interval_join",
     "time_travel_orders_versions",
     "funnel_view_click_purchase",
     "file_format_roundtrip_orders",
