@@ -369,8 +369,11 @@ def test_commit_never_clobbers_claimed_version_dir(spark, sf_dir, tmp_path):
     with open(marker, "w") as f:
         f.write("winner bytes")
 
-    # OCC path: the racing writer must fail at the claim, not clobber
-    with _pytest.raises(ConcurrentWriteError, match="claimed"):
+    # the rename IS the commit record: current_version rolls forward
+    # to the claimed dir even though the pointer still says 1, so the
+    # racing OCC writer fails the fast pre-check — and never clobbers
+    assert store.current_version() == 2
+    with _pytest.raises(ConcurrentWriteError, match="advanced"):
         store.commit(ev, n_files=1, expected_version=1)
     assert open(marker).read() == "winner bytes"
 
@@ -382,6 +385,64 @@ def test_commit_never_clobbers_claimed_version_dir(spark, sf_dir, tmp_path):
     assert store.current_version() == 3
     # no staging leftovers
     assert not [d for d in os.listdir(str(tmp_path / "t")) if d.startswith(".staging")]
+
+
+def test_occ_rename_is_sole_arbiter(spark, sf_dir, tmp_path):
+    """The TOCTOU window between the post-write recheck and the claim:
+    if a concurrent commit lands in that window, this writer's rename
+    onto the PINNED v{expected+1} must fail (the dir is taken) — it
+    must NOT re-read the pointer and silently claim one higher, which
+    would orphan the concurrent writer's rows. Simulated by freezing
+    current_version at the stale value so both pre-checks pass and
+    only the rename can arbitrate."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from tinyerp_etl_spark.etl.table_store import ConcurrentWriteError, TableStore
+    from tinyerp_etl_spark.sources.catalog import TABLES, load_table
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 10)
+    store = TableStore(spark, str(tmp_path / "t"), TABLES["events"])
+    store.commit(ev, n_files=1)
+
+    racer = TableStore(spark, str(tmp_path / "t"), TABLES["events"])
+    racer.current_version = lambda: 1  # checks see the world at v1
+    store.commit(ev.filter(F.col("event_id") < 5), n_files=1, expected_version=1)  # winner → v2
+    with _pytest.raises(ConcurrentWriteError, match="claimed"):
+        racer.commit(ev, n_files=1, expected_version=1)
+    # the winner's commit is intact — nothing claimed past it
+    assert store.current_version() == 2
+    assert store.read().count() == 5
+
+
+def test_crashed_writer_orphan_rolls_forward(spark, sf_dir, tmp_path):
+    """A crash between the version-dir rename and the pointer swap must
+    not wedge the table: the renamed dir holds a complete write, so it
+    becomes the current version (roll-forward) and the OCC retry loop
+    proceeds at the next number instead of failing forever."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from tinyerp_etl_spark.etl.table_store import TableStore
+    from tinyerp_etl_spark.sources.catalog import TABLES, load_table
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 10)
+    store = TableStore(spark, str(tmp_path / "t"), TABLES["events"])
+    store.commit(ev, n_files=1)
+
+    # simulate the crash: commit v2 fully, then rewind the pointer to v1
+    store.commit(ev.filter(F.col("event_id") < 5), n_files=1)
+    with open(os.path.join(str(tmp_path / "t"), "_CURRENT"), "w") as f:
+        f.write("1")
+
+    # readers roll forward to the complete renamed version
+    assert store.current_version() == 2
+    assert store.read().count() == 5
+    # and an OCC commit computed from the rolled-forward version lands
+    assert store.commit(ev, n_files=1, expected_version=2) == 3
+    assert store.current_version() == 3
+    assert store.read().count() == 10
 
 
 def test_occ_armed_for_first_batch_into_fresh_store(spark, sf_dir, tmp_path):

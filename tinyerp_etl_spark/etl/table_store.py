@@ -17,6 +17,7 @@ single-writer point.
 
 from __future__ import annotations
 
+import errno
 import json
 import os
 import shutil
@@ -106,11 +107,30 @@ class TableStore:
         return True
 
     def current_version(self) -> int | None:
+        """Newest committed version: max(pointer, newest version dir).
+
+        The version-directory RENAME is the commit record — a renamed
+        dir always holds a complete write (staging is renamed only
+        after the parquet write finishes), so a crash between the
+        rename and the pointer swap rolls FORWARD: the next reader or
+        writer sees the renamed version as current and the pointer
+        heals on the next commit. Without this, an orphaned claimed
+        dir would make every subsequent OCC commit fail its rename
+        forever (the pointer never advancing past the orphan).
+        """
+        ptr = None
         try:
             with open(self._pointer) as f:
-                return int(f.read().strip())
+                ptr = int(f.read().strip())
         except (FileNotFoundError, ValueError):
-            return None
+            pass
+        vs = self.versions()
+        disk = vs[-1] if vs else None
+        if ptr is None:
+            return disk
+        if disk is None:
+            return ptr
+        return max(ptr, disk)
 
     def _version_dir(self, v: int) -> str:
         return os.path.join(self.path, f"v{v:06d}")
@@ -228,14 +248,31 @@ class TableStore:
         # claim the version number by atomic directory rename: only ONE
         # rename onto a given v{N} can succeed (the target existing —
         # and non-empty — fails the rename), so committed dirs are
-        # never clobbered no matter how writers race
-        v = (self.current_version() or 0) + 1
+        # never clobbered no matter how writers race. With
+        # expected_version the claimed number is PINNED to expected+1
+        # (never re-read): the rename onto v{expected+1} is the sole
+        # arbiter, so a concurrent commit landing between the recheck
+        # above and this rename loses the rename instead of silently
+        # claiming one version higher and overwriting the winner.
+        if expected_version is not None:
+            v = expected_version + 1
+        else:
+            v = (self.current_version() or 0) + 1
         while True:
             out = self._version_dir(v)
             try:
                 os.rename(staging, out)
                 break
-            except OSError:
+            except OSError as e:
+                if not (
+                    isinstance(e, FileExistsError)
+                    or e.errno in (errno.EEXIST, errno.ENOTEMPTY)
+                ):
+                    # rename failed for a reason OTHER than the target
+                    # being claimed (EACCES, ENOSPC, EXDEV, ...): not a
+                    # concurrency event — surface it instead of looping
+                    shutil.rmtree(staging, ignore_errors=True)
+                    raise
                 if expected_version is not None:
                     shutil.rmtree(staging, ignore_errors=True)
                     raise ConcurrentWriteError(

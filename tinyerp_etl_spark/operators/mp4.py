@@ -110,7 +110,11 @@ def _parse_sample_table(payload: bytes) -> list[tuple[int, int, int, int]]:
         except ValueError:
             continue
         h = _full_box_body(payload, hdlr_body, hdlr_end)
-        # hdlr: pre_defined(4) then handler_type(4)
+        # hdlr: pre_defined(4) then handler_type(4) — bound the read
+        # against the hdlr box itself, or a short box silently compares
+        # bytes of the NEXT sibling and can mis-select/mis-skip a track
+        if h + 8 > hdlr_end:
+            raise ValueError("truncated hdlr")
         if payload[h + 4 : h + 8] != b"vide":
             continue
         minf_body, minf_end = _find_box(payload, mdia_body, mdia_end, b"minf")

@@ -361,7 +361,7 @@ def neardup_pairs(
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    bucket_cap: int = 256,
+    bucket_cap: int | None = None,
     with_quarantine: bool = False,
 ) -> DataFrame | tuple[DataFrame, DataFrame]:
     """Embedding near-duplicate pairs within LSH buckets.
@@ -369,7 +369,7 @@ def neardup_pairs(
     Pairs are only formed inside a bucket (the LSH contract); the
     exact quantized cosine then filters to ``score >= threshold``.
 
-    Buckets are CAPPED, the `_capped_bucket_pairs` doctrine from
+    ``bucket_cap`` opts into the `_capped_bucket_pairs` doctrine from
     operators/dedup.py: on exactly the duplicate-heavy corpus this op
     targets, a sign bucket of k near-identical embeddings expands
     k·(k-1)/2 full-vector pairs through one shuffle partition — the
@@ -378,7 +378,11 @@ def neardup_pairs(
     reach the self-join, and with ``with_quarantine`` their vector
     ids come back as a second (disjoint) DataFrame to route through
     exact-hash dedup (near-identical vectors usually ARE identical)
-    before re-running on what remains.
+    before re-running on what remains. The cap is OPT-IN (default
+    None = every pair reported) so callers never lose recall without
+    asking for it; pass a cap at data scale, and pass
+    ``with_quarantine`` too unless dropping over-cap ids unreported
+    is acceptable for the workload.
     """
     # norms are computed once per VECTOR before the join — higher-order
     # array expressions are interpreted (not codegen'd), so recomputing
@@ -390,14 +394,18 @@ def neardup_pairs(
         sign_bucket(F.col(vec_col)).alias("__bucket"),
         quantized_norm2(F.col(vec_col)).alias("__n2"),
     )
-    wb = Window.partitionBy("__bucket")
-    tagged = b.withColumn("__n", F.count(F.lit(1)).over(wb))
-    ok = tagged.filter(F.col("__n") <= bucket_cap).drop("__n")
-    quarantined = (
-        tagged.filter(F.col("__n") > bucket_cap)
-        .select(F.col(id_col))
-        .distinct()
-    )
+    if bucket_cap is not None:
+        wb = Window.partitionBy("__bucket")
+        tagged = b.withColumn("__n", F.count(F.lit(1)).over(wb))
+        ok = tagged.filter(F.col("__n") <= bucket_cap).drop("__n")
+        quarantined = (
+            tagged.filter(F.col("__n") > bucket_cap)
+            .select(F.col(id_col))
+            .distinct()
+        )
+    else:
+        ok = b
+        quarantined = b.select(F.col(id_col)).limit(0)
     left = ok.select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("vec_a"),
@@ -425,11 +433,13 @@ def neardup_pairs(
     )
     if not with_quarantine:
         return pairs
-    # disjoint outputs, mirroring lsh_candidate_pairs / hash_neardup_pairs
-    q_a = quarantined.select(F.col(id_col).alias("id_a"))
-    q_b = quarantined.select(F.col(id_col).alias("id_b"))
-    disjoint = pairs.join(q_a, "id_a", "left_anti").join(q_b, "id_b", "left_anti")
-    return disjoint, quarantined
+    # the outputs are disjoint BY CONSTRUCTION here: a vector has
+    # exactly one sign bucket, so a quarantined id (over-cap bucket)
+    # can never appear in `ok` and hence never in `pairs` — no
+    # anti-join needed. Contrast multimodal.video_neardup_pairs,
+    # where an id spans MANY frame-hash buckets (some ok, some
+    # over-cap) and the anti-join is load-bearing.
+    return pairs, quarantined
 
 
 def semantic_dedup(
@@ -475,7 +485,11 @@ def semantic_dedup(
     KEPT (kept=true) — dedup is an optimization, silently dropping
     data is not.
 
-    Returns (vec_id, list_id, kept boolean), one row per input vector.
+    Returns (vec_id, list_id, kept boolean) — one row per input
+    vector without the flag; with ``with_quarantine`` the result
+    covers input MINUS the quarantined ids (the two frames are
+    disjoint and their union is the input), so quarantined vectors
+    are never double-reported.
     """
     assigned = ivf_assign(embeddings, id_col, vec_col)
     wb = Window.partitionBy("list_id")

@@ -385,7 +385,11 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("embedding"),
     )
     staged = emb.unionByName(copies)
-    return S.neardup_pairs(staged, threshold=0.98).orderBy("id_a", "id_b")
+    # cap passed EXPLICITLY (capping is opt-in in the operator — no
+    # silent recall loss for library callers); the oracle models 256
+    return S.neardup_pairs(staged, threshold=0.98, bucket_cap=256).orderBy(
+        "id_a", "id_b"
+    )
 
 
 def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1138,7 +1142,7 @@ LLM_ORACLES: dict[str, str] = {
           FROM embeddings WHERE vec_id % 10 = 0
         ),
         b AS (SELECT vec_id, embedding, {_SIGN_BUCKET} AS bucket FROM staged),
-        -- model the engine's bucket cap (neardup_pairs default 256):
+        -- model the engine's bucket cap (the gate passes 256):
         -- over-cap sign buckets emit no pairs, at ANY scale factor —
         -- without this the oracle would silently diverge from the
         -- capped engine the first time a corpus filled a bucket
