@@ -57,11 +57,21 @@ def test_neardup_pairs_flood_bucket_quarantines(spark):
     assert {(r["id_a"], r["id_b"]) for r in best_effort.collect()} == {(1000, 1001)}
 
 
-# pinned-centroid design: ids 1..8 are the IVF centroid ids, so the
-# toy corpora below give ids 1 and 2 the two cluster directions and
-# keep every other test vector at id >= 10
+# the toy corpora below pass an EXPLICIT pre-trained centroid index
+# (the persisted-artifact path of ivf_assign/semantic_dedup) so the
+# tests pin the dedup CONTRACT without depending on what k-means
+# training does with a handful of vectors (with k=8 > n, training
+# would give every vector its own cluster and dedup becomes a no-op)
 _BASE = [1.0, 2.0, 3.0, 4.0, 1.0, 2.0, 3.0, 4.0]
 _OTHER = [-1.0, 2.0, -3.0, 4.0, -1.0, 2.0, -3.0, 4.0]
+
+
+def _ticks(vec):
+    return [int(round(x * 1_000_000)) for x in vec]
+
+
+# two pinned clusters on the two toy directions
+_TOY_CENTROIDS = [(1, _ticks(_BASE)), (2, _ticks(_OTHER))]
 
 
 def test_semantic_dedup_lower_id_dominance(spark):
@@ -79,7 +89,12 @@ def test_semantic_dedup_lower_id_dominance(spark):
     ]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
 
-    got = {r["vec_id"]: r["kept"] for r in semantic_dedup(df, threshold=0.99).collect()}
+    got = {
+        r["vec_id"]: r["kept"]
+        for r in semantic_dedup(
+            df, threshold=0.99, centroids=_TOY_CENTROIDS
+        ).collect()
+    }
     assert got == {1: True, 2: True, 10: False, 11: False, 12: False}
 
 
@@ -126,7 +141,57 @@ def test_semantic_dedup_chain_drops_whole_tail(spark):
 
     rows = [(1, vec(0)), (10, vec(1)), (11, vec(2))]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # one pinned cluster: the chain semantics need all three together
+    one_cluster = [(1, [1_000_000, 100_000, 0, 0, 0, 0, 0, 0])]
     got = {r["vec_id"]: r["kept"]
-           for r in semantic_dedup(df, threshold=0.95).collect()}
+           for r in semantic_dedup(
+               df, threshold=0.95, centroids=one_cluster).collect()}
     # cos(theta)=0.980 >= 0.95 (a~b and b~c), cos(2*theta)=0.921 < 0.95
     assert got == {1: True, 10: False, 11: False}
+
+
+def test_train_kmeans_deterministic_and_balanced(spark):
+    """Training is a pure function of the corpus: two runs (and any
+    partitioning — the oracle parity pins that) give bit-identical
+    centroids; every centroid id 1..k appears exactly once; k > n
+    degrades to one seed per vector."""
+    from tinyerp_etl_spark.operators.similarity import train_kmeans
+
+    rows = [(i, [float((i * 7) % 11), float((i * 3) % 5), 1.0, float(i % 2)])
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    a = train_kmeans(df, k=4, iters=2)
+    b = train_kmeans(df, k=4, iters=2)
+    assert a == b
+    assert [c for c, _ in a] == [1, 2, 3, 4]
+    assert all(len(t) == 4 for _, t in a)
+
+    tiny = spark.createDataFrame(rows[:2], "vec_id long, embedding array<float>")
+    assert len(train_kmeans(tiny, k=8, iters=1)) == 2
+
+
+def test_train_kmeans_empty_cluster_keeps_seed(spark):
+    """A centroid that attracts no members keeps its previous ticks
+    (never collapses to null/zero): 2 identical vectors + k=2 means
+    one seed wins every member and the other must survive unchanged."""
+    from tinyerp_etl_spark.operators.similarity import train_kmeans
+
+    rows = [(1, [1.0, 0.0]), (2, [1.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = train_kmeans(df, k=2, iters=3)
+    assert len(cents) == 2
+    # both seeds were [1.0, 0.0]; the loser keeps those ticks
+    assert all(t == [1_000_000, 0] for _, t in cents)
+
+
+def test_kmeans_centroids_counts_cover_corpus(spark):
+    """n_members over all lists sums to the corpus size, and empty
+    lists report 0 (not a missing row)."""
+    from tinyerp_etl_spark.operators.similarity import kmeans_centroids
+
+    rows = [(i, [float(i % 3), 1.0]) for i in range(12)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = kmeans_centroids(df, k=5, iters=1).collect()
+    assert len(out) == 5
+    assert sum(r["n_members"] for r in out) == 12

@@ -168,67 +168,209 @@ def lsh_topk(
     )
 
 
-# ---- IVF (inverted-file) ANN -------------------------------------------
-# Centroids in a real pipeline are trained offline (k-means over a sample)
-# and versioned with the index; here a deterministic sample of the corpus
-# (fixed vec_ids) stands in so both engines share them literally.
-IVF_CENTROID_IDS = list(range(1, 9))
+# ---- IVF (inverted-file) ANN over TRAINED centroids ----------------------
+# Centroids are trained by a deterministic fixed-iteration integer-space
+# Lloyd's (k-means): seeds are the k corpus vectors with the smallest
+# md5-prefix of their id (a deterministic pseudo-random sample both
+# engines can compute literally), assignment is the exact quantized
+# cosine with ties to the lower centroid_id, and the update step is the
+# element-wise integer mean of member ticks (exact int64 sums; one IEEE
+# double division + floor(+0.5) per dimension) — so training is
+# bit-identical at any parallelism and the DuckDB oracle is an unrolled
+# SQL of the same iterations. In a real pipeline this runs offline over
+# a seeded sample and the centroid table is versioned with the index.
+KMEANS_K = 8
+KMEANS_ITERS = 3
 IVF_NPROBE = 2
 
 
-def ivf_centroids(
-    embeddings: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
-) -> DataFrame:
-    """The (tiny, broadcastable) centroid table: (centroid_id, centroid_vec)."""
-    return embeddings.filter(F.col(id_col).isin(IVF_CENTROID_IDS)).select(
-        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("centroid_vec")
+def _ticks_dot(a: Column, b: Column) -> Column:
+    """Exact integer dot of two already-quantized tick arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
     )
 
 
-def ivf_assign(
-    embeddings: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
-) -> DataFrame:
-    """Assign every vector to its nearest centroid's inverted list.
+def _ticks_norm2(a: Column) -> Column:
+    return F.aggregate(
+        F.transform(a, lambda x: x * x),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
 
-    centroids broadcast to every partition; the keep-best is a max_by
-    aggregation on (score, -centroid_id) — partial-aggregable map-side,
-    so the shuffle carries one row per vector and nothing is sorted
-    (a window formulation would shuffle AND sort the full table). At
-    100 TB this runs once at ingest and ``list_id`` becomes the
-    table's partition column — query time then touches only ``nprobe``
-    partitions (partition pruning).
+
+def _seed_hash(col: Column) -> Column:
+    """Cross-engine deterministic pseudo-random key: first 8 md5 hex
+    digits of the DECIMAL string of the id, as a long. Identical in
+    DuckDB as CAST(concat('0x', substr(md5(CAST(x AS VARCHAR)),1,8))
+    AS BIGINT)."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast("long")
+
+
+def _assign_ticks(base: DataFrame, cents: list[tuple[int, list[int]]]) -> DataFrame:
+    """Nearest-centroid assignment in tick space.
+
+    ``base`` carries (..., __vt ticks, __n2); centroids ride in as a
+    broadcast literal frame (k rows — control plane). The keep-best is
+    a max_by aggregation on (score, -centroid_id) — partial-aggregable
+    map-side, so the shuffle carries one row per vector and nothing is
+    sorted (a window formulation would shuffle AND sort the full
+    table). Adds ``list_id``; drops the internal score.
     """
-    cents = F.broadcast(
-        ivf_centroids(embeddings, id_col, vec_col).withColumn(
-            "__cn2", quantized_norm2(F.col("centroid_vec"))
-        )
+    spark = base.sparkSession
+    cdf = spark.createDataFrame(
+        [(int(c), [int(x) for x in t]) for c, t in cents],
+        "centroid_id int, __ct array<long>",
+    ).withColumn("__cn2", _ticks_norm2(F.col("__ct")))
+    scored = base.crossJoin(F.broadcast(cdf)).withColumn(
+        "__cscore",
+        (
+            _ticks_dot(F.col("__vt"), F.col("__ct"))
+            / F.sqrt(F.col("__n2").cast("double") * F.col("__cn2").cast("double"))
+        ).cast("double"),
     )
-    # vector norm once per row, centroid norms in the broadcast table —
-    # not inside each of the n_centroids cosines per row
-    scored = (
-        embeddings.withColumn("__n2", quantized_norm2(F.col(vec_col)))
-        .crossJoin(cents)
-        .select(
-            F.col(id_col),
-            F.col(vec_col),
-            "centroid_id",
-            (
-                quantized_dot(F.col(vec_col), F.col("centroid_vec"))
-                / F.sqrt(F.col("__n2").cast("double") * F.col("__cn2").cast("double"))
-            ).cast("double").alias("__cscore"),
-        )
-    )
+    carry = [c for c in base.columns if c not in ("__vt", "__n2")]
     # max_by tie-break: higher score wins, then lower centroid_id —
     # encoded as lexicographic max over (score, -centroid_id).
-    # any_value(vec) is deterministic here: vec is functionally
+    # any_value is deterministic here: carried columns are functionally
     # dependent on the group key.
-    return scored.groupBy(id_col).agg(
-        F.any_value(vec_col).alias(vec_col),
+    return scored.groupBy(carry[0]).agg(
+        *[F.any_value(c).alias(c) for c in carry[1:]],
+        F.any_value("__vt").alias("__vt"),
         F.max_by(
             "centroid_id",
             F.struct(F.col("__cscore"), (-F.col("centroid_id")).alias("__nc")),
         ).alias("list_id"),
     )
+
+
+def train_kmeans(
+    embeddings: DataFrame,
+    k: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[int]]]:
+    """Deterministic integer-space Lloyd's; returns [(centroid_id, ticks)].
+
+    Each iteration is one distributed assignment pass (broadcast
+    centroids, map-side partial max_by) plus one distributed update
+    (posexplode to (list, dim, tick), partial-agg integer sums) — the
+    only driver-side data is the k centroid rows per iteration
+    (control plane, same class as the watermark reads). Empty clusters
+    keep their previous centroid. centroid_id is the seed's rank in
+    (md5-prefix, id) order, 1-based, so assignment ties break toward
+    the seed that hashes first — stable across engines and rebuilds.
+
+    The update mean floor(sum/n + 0.5) divides two exact int64s in
+    IEEE double — deterministic at any partitioning; at corpus sizes
+    where a per-(list,dim) tick sum could exceed 2^53 the sums should
+    be widened to decimal(38,0) (functions/exact.py discipline), which
+    changes nothing at the gate scales.
+    """
+    base = embeddings.select(
+        F.col(id_col), _q(F.col(vec_col)).alias("__vt")
+    ).withColumn("__n2", _ticks_norm2(F.col("__vt")))
+    seeds = (
+        base.select(id_col, "__vt", _seed_hash(F.col(id_col)).alias("__h"))
+        .orderBy("__h", id_col)
+        .limit(k)
+        .collect()
+    )
+    cents = [(i + 1, list(r["__vt"])) for i, r in enumerate(seeds)]
+    for _ in range(iters):
+        assigned = _assign_ticks(base.select(id_col, "__vt", "__n2"), cents)
+        new_rows = (
+            assigned.select("list_id", F.posexplode("__vt").alias("__dim", "__tick"))
+            .groupBy("list_id", "__dim")
+            .agg(F.sum("__tick").alias("__s"), F.count(F.lit(1)).alias("__n"))
+            .select(
+                "list_id",
+                "__dim",
+                F.floor(F.col("__s").cast("double") / F.col("__n") + F.lit(0.5))
+                .cast("long")
+                .alias("__t"),
+            )
+            .groupBy("list_id")
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("__dim", "__t"))),
+                    lambda s: s["__t"],
+                ).alias("__ct")
+            )
+            .collect()
+        )
+        updated = {r["list_id"]: list(r["__ct"]) for r in new_rows}
+        cents = [(cid, updated.get(cid, t)) for cid, t in cents]
+    return cents
+
+
+def kmeans_centroids(
+    embeddings: DataFrame,
+    k: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The trained centroid table + final membership counts.
+
+    (centroid_id, centroid_ticks array<long>, n_members) — the
+    tiny, broadcastable index artifact a real pipeline would persist
+    and version alongside the corpus.
+    """
+    cents = train_kmeans(embeddings, k, iters, id_col, vec_col)
+    spark = embeddings.sparkSession
+    base = embeddings.select(
+        F.col(id_col), _q(F.col(vec_col)).alias("__vt")
+    ).withColumn("__n2", _ticks_norm2(F.col("__vt")))
+    counts = _assign_ticks(base, cents).groupBy("list_id").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    cdf = spark.createDataFrame(
+        [(int(c), [int(x) for x in t]) for c, t in cents],
+        "centroid_id int, centroid_ticks array<long>",
+    )
+    return cdf.join(
+        counts, cdf["centroid_id"] == counts["list_id"], "left"
+    ).select(
+        "centroid_id",
+        "centroid_ticks",
+        F.coalesce(F.col("n_members"), F.lit(0).cast("long")).alias("n_members"),
+    )
+
+
+def ivf_centroids(
+    embeddings: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """The (tiny, broadcastable) trained centroid table in tick space."""
+    return kmeans_centroids(embeddings, id_col=id_col, vec_col=vec_col).select(
+        "centroid_id", "centroid_ticks"
+    )
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[tuple[int, list[int]]] | None = None,
+) -> DataFrame:
+    """Assign every vector to its nearest trained centroid's list.
+
+    ``centroids`` accepts a pre-trained [(centroid_id, ticks)] (the
+    persisted index artifact); when None the index is trained from the
+    corpus itself (train_kmeans). Assignment is one broadcast pass; at
+    100 TB this runs once at ingest and ``list_id`` becomes the
+    table's partition column — query time then touches only ``nprobe``
+    partitions (partition pruning).
+    """
+    if centroids is None:
+        centroids = train_kmeans(embeddings, id_col=id_col, vec_col=vec_col)
+    base = embeddings.select(
+        F.col(id_col), F.col(vec_col), _q(F.col(vec_col)).alias("__vt")
+    ).withColumn("__n2", _ticks_norm2(F.col("__vt")))
+    return _assign_ticks(base, centroids).select(id_col, vec_col, "list_id")
 
 
 def ivf_topk(
@@ -238,19 +380,21 @@ def ivf_topk(
     nprobe: int = IVF_NPROBE,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: list[tuple[int, list[int]]] | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: scan only the query's ``nprobe`` nearest lists.
 
-    Control plane (driver-side, ~n_centroids+1 rows): collect the
-    centroid matrix and the query vector, pick the ``nprobe`` probe
-    lists. Data plane: ONE Arrow-batched mapInPandas pass assigns each
-    vector to its list (argmax over the exact quantized cosine, ties
-    to the lower centroid_id) and scores the probe-list members
-    against the query — numpy broadcast instead of interpreted
-    per-element array expressions (~3× on the scan). The arithmetic
-    replicates the column-expression path bit-for-bit: int64 quantized
-    dots, norms widened to double before multiplying, one final
-    division. Top-k is a TakeOrdered in Spark.
+    Control plane (driver-side): the trained centroid matrix (k rows —
+    train_kmeans, or a pre-trained index passed as ``centroids``) and
+    the query vector; pick the ``nprobe`` probe lists. Data plane: ONE
+    Arrow-batched mapInPandas pass assigns each vector to its list
+    (argmax over the exact quantized cosine, ties to the lower
+    centroid_id) and scores the probe-list members against the query —
+    numpy broadcast instead of interpreted per-element array
+    expressions (~3× on the scan). The arithmetic replicates the
+    column-expression path bit-for-bit: int64 quantized dots, norms
+    widened to double before multiplying, one final division. Top-k is
+    a TakeOrdered in Spark.
 
     With list-partitioned storage (ivf_assign as the write-time
     partition column) the same query is a pruned read of
@@ -260,10 +404,14 @@ def ivf_topk(
     import pandas as pd
     from pyspark.sql import types as T
 
-    rows = embeddings.filter(
-        F.col(id_col).isin([query_vec_id] + IVF_CENTROID_IDS)
-    ).select(id_col, vec_col).collect()
-    by_id = {r[id_col]: np.asarray(r[vec_col], dtype=np.float64) for r in rows}
+    if centroids is None:
+        centroids = train_kmeans(embeddings, id_col=id_col, vec_col=vec_col)
+
+    qrow = (
+        embeddings.filter(F.col(id_col) == query_vec_id)
+        .select(vec_col)
+        .collect()
+    )
 
     def _quant(m: np.ndarray) -> np.ndarray:
         # mirrors _q: round(double(x) * QUANT) as int64. Widen float32
@@ -275,9 +423,9 @@ def ivf_topk(
             scaled >= 0, np.floor(scaled + 0.5), np.ceil(scaled - 0.5)
         ).astype(np.int64)
 
-    qv = _quant(by_id[query_vec_id])
-    cmat = np.stack([_quant(by_id[c]) for c in sorted(IVF_CENTROID_IDS)])
-    cids = np.array(sorted(IVF_CENTROID_IDS), dtype=np.int64)
+    qv = _quant(np.asarray(qrow[0][vec_col], dtype=np.float64))
+    cmat = np.stack([np.asarray(t, dtype=np.int64) for _, t in centroids])
+    cids = np.array([c for c, _ in centroids], dtype=np.int64)
     cn2 = (cmat.astype(np.float64) ** 2).sum(axis=1)
     qn2 = float((qv.astype(np.float64) ** 2).sum())
 
@@ -449,6 +597,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     cluster_cap: int = 1024,
     with_quarantine: bool = False,
+    centroids: list[tuple[int, list[int]]] | None = None,
 ) -> DataFrame | tuple[DataFrame, DataFrame]:
     """SemDeDup-style semantic deduplication: cluster, then prune
     near-identical meanings within each cluster (Abbas et al. 2023,
@@ -457,7 +606,7 @@ def semantic_dedup(
     re-renderings that share no n-grams).
 
     Contract (deterministic, oracle-checkable): assign every vector to
-    its nearest pinned centroid (ivf_assign — at 100 TB the assignment
+    its nearest trained centroid (ivf_assign — at 100 TB the assignment
     is the table's partition column, so this phase is a pruned scan,
     not a shuffle); within a cluster, DROP vector x iff some y with
     id(y) < id(x) sits at cosine >= threshold — LOWER-ID DOMINANCE.
@@ -491,7 +640,7 @@ def semantic_dedup(
     disjoint and their union is the input), so quarantined vectors
     are never double-reported.
     """
-    assigned = ivf_assign(embeddings, id_col, vec_col)
+    assigned = ivf_assign(embeddings, id_col, vec_col, centroids=centroids)
     wb = Window.partitionBy("list_id")
     tagged = assigned.withColumn("__n", F.count(F.lit(1)).over(wb))
     ok = tagged.filter(F.col("__n") <= cluster_cap).drop("__n")

@@ -326,9 +326,21 @@ def embedding_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def embedding_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-list top-10 neighbors of vec_id=0 (nprobe=2 of 8 lists)."""
+    """IVF-list top-10 neighbors of vec_id=0 (nprobe=2 of 8 trained lists)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return S.ivf_topk(emb, query_vec_id=0, k=10)
+
+
+def kmeans_centroids_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained IVF index artifact: deterministic integer k-means
+    (k=8, 3 Lloyd's iterations, md5-prefix seeding) over the corpus,
+    as (centroid_id, centroid_ticks, n_members). Exact tick-space
+    arithmetic end-to-end, so the centroids — and every operator built
+    on them (ivf_assign/ivf_topk/semantic_dedup) — are bit-identical
+    across engines, partitionings, and rebuilds.
+    operators/similarity.py:train_kmeans."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.kmeans_centroids(emb).orderBy("centroid_id")
 
 
 def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -401,8 +413,9 @@ def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     neighbor) and drop every copy, while distinct vectors stay kept —
     the semantic layer of the dedup stack (after exact/MinHash, which
     see no shared n-grams in a paraphrase). operators/similarity.py:
-    semantic_dedup; cluster assignment is the pinned-centroid
-    ivf_assign, so the oracle replicates it in SQL row-for-row.
+    semantic_dedup; cluster assignment is ivf_assign over centroids
+    TRAINED on the staged corpus (deterministic integer k-means), so
+    the oracle replicates training + assignment in SQL row-for-row.
     """
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     copies = emb.filter(F.col("vec_id") % 10 == 0).select(
@@ -656,6 +669,75 @@ _SIGN_BUCKET = " + ".join(
     f"CASE WHEN " + _QD.format(x=f"embedding[{j + 1}]") + f" > 0 THEN {2**j} ELSE 0 END"
     for j in range(S.SIGN_BUCKET_DIMS)
 )
+
+# tick-space twins of _DOT/_NORM2 for arrays that are ALREADY quantized
+# (the k-means centroid arithmetic works entirely in tick space)
+_TDOT = "list_sum(list_transform(list_zip({a}, {b}), p -> p[1] * p[2]))"
+_TNORM2 = "list_sum(list_transform({a}, x -> x * x))"
+
+
+def _tcos_sql(a: str, b: str) -> str:
+    dot = _TDOT.format(a=a, b=b)
+    na = _TNORM2.format(a=a)
+    nb = _TNORM2.format(a=b)
+    return (
+        f"CAST(CAST({dot} AS DOUBLE) / "
+        f"sqrt(CAST({na} AS DOUBLE) * CAST({nb} AS DOUBLE)) AS DOUBLE)"
+    )
+
+
+def _kmeans_ctes(src: str, k: int = S.KMEANS_K, iters: int = S.KMEANS_ITERS) -> tuple[str, str]:
+    """The deterministic integer k-means of similarity.train_kmeans,
+    unrolled as a DuckDB CTE chain over ``src`` (vec_id, embedding).
+
+    Returns (cte_text, final_cte_name); the final CTE yields
+    (centroid_id, cticks). Mirrors the engine literally: md5-prefix
+    seeding ranked by (hash, vec_id), assignment by exact tick-space
+    cosine with ties to the lower centroid_id, update by
+    floor(sum/n + 0.5) per dimension in IEEE double over exact int64
+    sums, empty clusters keeping their previous centroid.
+    """
+    qd = _QD.format(x="x")
+    ctes = [
+        f"__kt AS (SELECT vec_id, list_transform({src}.embedding, x -> {qd}) AS ticks "
+        f"FROM {src})"
+    ]
+    ctes.append(f"""__c0 AS (
+      SELECT row_number() OVER (ORDER BY h, vec_id) AS centroid_id, ticks AS cticks
+      FROM (SELECT vec_id, ticks,
+                   CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+            FROM __kt ORDER BY h, vec_id LIMIT {k})
+    )""")
+    for t in range(1, iters + 1):
+        prev = f"__c{t - 1}"
+        ctes.append(f"""__a{t} AS (
+          SELECT vec_id, ticks, centroid_id AS list_id FROM (
+            SELECT v.vec_id, v.ticks, c.centroid_id,
+                   row_number() OVER (PARTITION BY v.vec_id
+                     ORDER BY {_tcos_sql("v.ticks", "c.cticks")} DESC, c.centroid_id ASC) AS rn
+            FROM __kt v CROSS JOIN {prev} c) WHERE rn = 1
+        )""")
+        ctes.append(f"""__u{t} AS (
+          SELECT list_id AS centroid_id,
+                 list_transform(list_sort(list({{'d': dim, 'tv': tval}})), s -> s.tv) AS cticks
+          FROM (
+            SELECT list_id, dim,
+                   CAST(floor(CAST(sum(tick) AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS tval
+            FROM (SELECT list_id,
+                         unnest(range(1, len(ticks) + 1)) AS dim,
+                         unnest(ticks) AS tick
+                  FROM __a{t})
+            GROUP BY list_id, dim)
+          GROUP BY list_id
+        )""")
+        ctes.append(f"""__c{t} AS (
+          SELECT p.centroid_id, COALESCE(u.cticks, p.cticks) AS cticks
+          FROM {prev} p LEFT JOIN __u{t} u USING (centroid_id)
+        )""")
+    return ",\n".join(ctes), f"__c{iters}"
+
+
+_KM_CTES_EMB, _KM_FINAL = _kmeans_ctes("embeddings")
 
 
 def _lang_score_sql(lang: str) -> str:
@@ -1079,36 +1161,46 @@ LLM_ORACLES: dict[str, str] = {
         LIMIT 10
     """,
     "embedding_topk_ivf": f"""
-        WITH cents AS (
-          SELECT vec_id AS centroid_id, embedding AS cvec
-          FROM embeddings
-          WHERE vec_id BETWEEN {S.IVF_CENTROID_IDS[0]} AND {S.IVF_CENTROID_IDS[-1]}
-        ),
-        scored AS (
-          SELECT e.vec_id, e.embedding, c.centroid_id,
-                 row_number() OVER (
-                   PARTITION BY e.vec_id
-                   ORDER BY {_cosine_sql("e.embedding", "c.cvec")} DESC, c.centroid_id ASC
-                 ) AS rn
-          FROM embeddings e CROSS JOIN cents c
-        ),
+        WITH {_KM_CTES_EMB},
         lists AS (
-          SELECT vec_id, embedding, centroid_id AS list_id FROM scored WHERE rn = 1
+          SELECT vec_id, ticks, centroid_id AS list_id FROM (
+            SELECT v.vec_id, v.ticks, c.centroid_id,
+                   row_number() OVER (
+                     PARTITION BY v.vec_id
+                     ORDER BY {_tcos_sql("v.ticks", "c.cticks")} DESC, c.centroid_id ASC
+                   ) AS rn
+            FROM __kt v CROSS JOIN {_KM_FINAL} c) WHERE rn = 1
         ),
-        q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+        q AS (SELECT ticks AS qticks FROM __kt WHERE vec_id = 0),
         qranked AS (
           SELECT centroid_id,
                  row_number() OVER (
-                   ORDER BY {_cosine_sql("cvec", "qvec")} DESC, centroid_id ASC
+                   ORDER BY {_tcos_sql("cticks", "qticks")} DESC, centroid_id ASC
                  ) AS rn
-          FROM cents, q
+          FROM {_KM_FINAL}, q
         ),
         probe AS (SELECT centroid_id AS list_id FROM qranked WHERE rn <= {S.IVF_NPROBE})
-        SELECT l.vec_id, {_cosine_sql("l.embedding", "qvec")} AS score
+        SELECT l.vec_id, {_tcos_sql("l.ticks", "qticks")} AS score
         FROM lists l JOIN probe p ON l.list_id = p.list_id, q
         WHERE l.vec_id != 0
         ORDER BY score DESC, l.vec_id ASC
         LIMIT 10
+    """,
+    "kmeans_centroids_embeddings": f"""
+        WITH {_KM_CTES_EMB},
+        __fa AS (
+          SELECT centroid_id AS list_id FROM (
+            SELECT v.vec_id, c.centroid_id,
+                   row_number() OVER (PARTITION BY v.vec_id
+                     ORDER BY {_tcos_sql("v.ticks", "c.cticks")} DESC, c.centroid_id ASC) AS rn
+            FROM __kt v CROSS JOIN {_KM_FINAL} c) WHERE rn = 1
+        )
+        SELECT c.centroid_id, c.cticks AS centroid_ticks,
+               CAST(COALESCE(n.n, 0) AS BIGINT) AS n_members
+        FROM {_KM_FINAL} c
+        LEFT JOIN (SELECT list_id, count(*) AS n FROM __fa GROUP BY list_id) n
+          ON c.centroid_id = n.list_id
+        ORDER BY c.centroid_id
     """,
     "embedding_label_centroids": f"""
         WITH q AS (
@@ -1204,21 +1296,17 @@ LLM_ORACLES: dict[str, str] = {
                  list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) + 0.01 AS FLOAT))
           FROM embeddings WHERE vec_id % 10 = 0
         ),
-        cents AS (
-          SELECT vec_id AS centroid_id, embedding AS cvec
-          FROM embeddings
-          WHERE vec_id BETWEEN {S.IVF_CENTROID_IDS[0]} AND {S.IVF_CENTROID_IDS[-1]}
-        ),
-        scored AS (
-          SELECT e.vec_id, e.embedding, c.centroid_id,
-                 row_number() OVER (
-                   PARTITION BY e.vec_id
-                   ORDER BY {_cosine_sql("e.embedding", "c.cvec")} DESC, c.centroid_id ASC
-                 ) AS rn
-          FROM staged e CROSS JOIN cents c
-        ),
+        -- centroids are TRAINED over the staged corpus (the engine's
+        -- semantic_dedup calls ivf_assign, which trains on its input)
+        {_kmeans_ctes("staged")[0]},
         lists AS (
-          SELECT vec_id, embedding, centroid_id AS list_id FROM scored WHERE rn = 1
+          SELECT vec_id, ticks AS embedding, centroid_id AS list_id FROM (
+            SELECT v.vec_id, v.ticks, c.centroid_id,
+                   row_number() OVER (
+                     PARTITION BY v.vec_id
+                     ORDER BY {_tcos_sql("v.ticks", "c.cticks")} DESC, c.centroid_id ASC
+                   ) AS rn
+            FROM __kt v CROSS JOIN {_kmeans_ctes("staged")[1]} c) WHERE rn = 1
         ),
         -- model the engine's cluster cap (semantic_dedup default
         -- 1024): members of over-cap clusters never reach the prune
@@ -1229,10 +1317,13 @@ LLM_ORACLES: dict[str, str] = {
           ) WHERE n <= 1024
         ),
         dropped AS (
+          -- pair scoring in TICK space (lists.embedding carries the
+          -- already-quantized ticks): _cosine_sql would re-quantize
+          -- and overflow int64 on the squared terms
           SELECT DISTINCT a.vec_id
           FROM ok a JOIN ok b
             ON a.list_id = b.list_id AND b.vec_id < a.vec_id
-          WHERE {_cosine_sql("a.embedding", "b.embedding")} >= 0.95
+          WHERE {_tcos_sql("a.embedding", "b.embedding")} >= 0.95
         )
         SELECT l.vec_id, l.list_id,
                (d.vec_id IS NULL) AS kept
@@ -1430,6 +1521,7 @@ LLM_ORACLES["embedding_knn_join"] = f"""
 LLM_QUERIES.update(
     {
         "embedding_knn_join": embedding_knn_join,
+        "kmeans_centroids_embeddings": kmeans_centroids_embeddings,
         "semantic_dedup_embeddings": semantic_dedup_embeddings,
         "train_val_test_split_docs": train_val_test_split_docs,
         "c4_quality_filter_stats": c4_quality_filter_stats,
