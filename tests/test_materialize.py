@@ -1,0 +1,84 @@
+"""The reliability seam: materialize() must change durability only,
+never answers — and the reliable path must be loud about its
+prerequisite instead of silently handing back non-durable blocks."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tinyerp_etl_spark.functions.materialize import (
+    DIR_CONF,
+    RELIABLE_CONF,
+    materialize,
+)
+
+
+def _frame(spark):
+    return (
+        spark.range(0, 1000)
+        .select(
+            F.col("id"),
+            (F.col("id") % 7).alias("k"),
+            (F.col("id") * 37 % 101).alias("v"),
+        )
+        .groupBy("k")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _value_hash(df):
+    cols = sorted(df.columns)
+    return (
+        df.select(F.md5(F.concat_ws("|", *[F.col(c).cast("string") for c in cols])).alias("h"))
+        .agg(F.sum(F.conv(F.substring("h", 1, 8), 16, 10).cast("decimal(38,0)")))
+        .first()[0]
+    )
+
+
+def test_reliable_without_dir_raises(spark):
+    """Asking for durability without a durable destination must fail
+    fast, not quietly fall back to executor-local blocks."""
+    if spark.sparkContext.getCheckpointDir() is not None:
+        pytest.skip("checkpoint dir already set session-wide")
+    with pytest.raises(ValueError, match="checkpoint directory"):
+        materialize(_frame(spark), reliable=True)
+
+
+def test_dir_conf_applies_checkpoint_dir(spark, tmp_path):
+    if spark.sparkContext.getCheckpointDir() is not None:
+        pytest.skip("checkpoint dir already set session-wide")
+    spark.conf.set(DIR_CONF, str(tmp_path / "confdir"))
+    try:
+        out = materialize(_frame(spark), reliable=True)
+        assert out.count() == 7
+        assert "confdir" in (spark.sparkContext.getCheckpointDir() or "")
+    finally:
+        spark.conf.unset(DIR_CONF)
+
+
+def test_reliable_and_local_paths_identical(spark, tmp_path):
+    """Flip the switch, get the same rows — durability is the ONLY
+    difference between the two strategies."""
+    local = materialize(_frame(spark))
+    h_local = _value_hash(local)
+
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    try:
+        spark.conf.set(RELIABLE_CONF, "true")
+        reliable = materialize(_frame(spark))
+        assert _value_hash(reliable) == h_local
+        assert reliable.collect() == local.collect()
+    finally:
+        spark.conf.unset(RELIABLE_CONF)
+
+
+def test_explicit_override_beats_session_conf(spark, tmp_path):
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    spark.conf.set(RELIABLE_CONF, "true")
+    try:
+        # explicit False → localCheckpoint even with the switch on
+        out = materialize(_frame(spark), reliable=False)
+        assert out.count() == 7
+    finally:
+        spark.conf.unset(RELIABLE_CONF)

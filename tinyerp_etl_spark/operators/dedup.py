@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from tinyerp_etl_spark.functions.materialize import materialize
 from tinyerp_etl_spark.operators.text import fingerprint, token_hash32, tokens
 
 # ---- deterministic MinHash family (mirrored literally in the oracle SQL)
@@ -475,9 +476,9 @@ def connected_components(
             # truncate lineage: comp deepens by one join per round, and
             # the fixed-point isEmpty() re-evaluates the whole chain —
             # O(iterations²) work on deep graphs (long chains) without
-            # this. localCheckpoint materializes the pair-scale label
+            # this. materialize() snapshots the pair-scale label
             # table and restarts the lineage from it.
-            comp = comp.localCheckpoint()
+            comp = materialize(comp)
     return comp
 
 

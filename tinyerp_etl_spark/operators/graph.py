@@ -10,7 +10,7 @@ hash gate via an unrolled-CTE SQL oracle.
 
 Scale: each iteration shuffles the edge list once (groupBy dst) — the
 standard Pregel-on-relational shape. At 100 TB graph scale a real run
-would localCheckpoint between iterations to truncate lineage and keep
+would materialize() between iterations to truncate lineage and keep
 the 2×-per-round plan growth bounded; at a fixed 3 iterations the lazy
 DAG is fine and keeps the operator side-effect-free.
 
@@ -44,7 +44,7 @@ def pagerank_fixed(edges: DataFrame, iterations: int = 3) -> DataFrame:
     materialization barrier costs more than the recompute at bench
     scale — measured 3.4 s lazy vs 3.7 s pinned at sf0.1). For an
     expensive edge derivation at cluster scale, persist or
-    localCheckpoint the edges before calling this.
+    materialize() the edges before calling this.
     """
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     nodes = (

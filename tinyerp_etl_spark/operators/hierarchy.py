@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from tinyerp_etl_spark.functions.materialize import materialize
+
 
 def flatten_tree_payload(
     nodes: list[dict],
@@ -91,6 +93,6 @@ def ancestor_closure(
             # truncate lineage every few levels: the frontier deepens
             # by one join per level and the per-level isEmpty() walks
             # the whole chain — O(depth²) on deep trees without this
-            frontier = frontier.localCheckpoint()
+            frontier = materialize(frontier)
         result = result.unionByName(frontier)
     return result

@@ -32,6 +32,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from tinyerp_etl_spark.functions.materialize import materialize as _materialize
+
 #: Buckets for the two-phase scan. The driver holds exactly this many
 #: rows (one total per bucket), independent of data size. Phase-3
 #: window parallelism equals the bucket count, so a cluster run sizes
@@ -62,7 +64,7 @@ def distributed_prefix_sum(
 
     The input plan is traversed three times (min/max probe, bucket
     totals, final cumsum join), so it is materialized once up front
-    (localCheckpoint — the repo's standard multi-traversal pattern,
+    (functions/materialize.py — the repo's standard multi-traversal pattern,
     cf. the year-stitching rewrite); callers should hand in the
     *compacted* frame (a histogram, a manifest), not the raw fact.
     Pass ``materialize=False`` when the input is already checkpointed
@@ -79,7 +81,7 @@ def distributed_prefix_sum(
         weight_col, F.coalesce(F.col(weight_col).cast("long"), F.lit(0))
     )
     if materialize:
-        df = df.localCheckpoint(eager=True)
+        df = _materialize(df)
     lo, hi = df.agg(F.min(order_col), F.max(order_col)).first()
     if lo is None:
         out = df.withColumn(out_col, F.lit(0).cast("long"))

@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from tinyerp_etl_spark.functions.materialize import materialize
+
 WORD_RE = r"(\w+)"
 
 # Tiny per-language marker vocabularies for the n-gram/stopword
@@ -495,8 +497,8 @@ def bm25i_topk(
                 "__toks", lambda t: t.isin(terms)
             ).alias("__qtoks"),
         )
-        .localCheckpoint(eager=True)
     )
+    base = materialize(base)
     stats = base.agg(
         F.count(F.lit(1)).cast("long").alias("__n_docs"),
         F.sum("__dl").cast("long").alias("__total_len"),

@@ -17,6 +17,7 @@ from tinyerp_etl_spark.etl.merge import (
     merge_upsert,
     set_null_on_missing_parent,
 )
+from tinyerp_etl_spark.functions.materialize import materialize
 from tinyerp_etl_spark.functions.exact import cents, sum_cents, sum_exact
 from tinyerp_etl_spark.operators.hierarchy import ancestor_closure
 from tinyerp_etl_spark.sources.catalog import load_table
@@ -1917,11 +1918,10 @@ def key_skew_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # per-key counts feed three consumers (summary, histogram, quantile
     # ride-along) — materialize the compacted frame once
-    per_key = (
+    per_key = materialize(
         load_table(spark, sf_dir, "events")
         .groupBy("user_id")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-        .localCheckpoint(eager=True)
     )
     summary = per_key.agg(
         F.count(F.lit(1)).cast("long").alias("n_keys"),

@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from tinyerp_etl_spark.functions.materialize import materialize
 from tinyerp_etl_spark.operators import dedup as D
 from tinyerp_etl_spark.operators import similarity as S
 from tinyerp_etl_spark.operators import text as X
@@ -1830,7 +1831,8 @@ def curation_pipeline_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.when(F.col("verdict") == "keep", F.col("doc_id"))).over(
             Window.partitionBy("fingerprint")
         ),
-    ).localCheckpoint(eager=True)
+    )
+    ann0 = materialize(ann0)
 
     survivors = ann0.filter(
         (F.col("verdict") == "keep") & (F.col("doc_id") == F.col("canon"))

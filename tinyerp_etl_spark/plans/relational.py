@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 from pyspark.sql.window import Window
 
+from tinyerp_etl_spark.functions.materialize import materialize
 from tinyerp_etl_spark.functions.exact import (
     avg_from_cents,
     cents,
@@ -901,7 +902,8 @@ def _year_stitched(daily: DataFrame, date_col: str, n_ctx: int) -> DataFrame:
     group — absent calendar years and thin years both stitch exactly.
 
     The day-grain series is calendar-bounded (<= 366 rows/year), so it
-    is localCheckpoint'd up front: ONE pass of the upstream fact
+    is materialized up front (functions/materialize.py — localCheckpoint
+    locally, .checkpoint() under the reliable switch): ONE pass of the fact
     aggregation materializes it, and the year->group control collect
     (<= one row per calendar year — same class as the IVF centroid
     collect), the own rows, and the context rows all read the
@@ -909,12 +911,13 @@ def _year_stitched(daily: DataFrame, date_col: str, n_ctx: int) -> DataFrame:
     formulation ran 6 fact scans (column pruning defeats exchange
     reuse across branches); un-checkpointed, the control collect +
     two-branch union ran 3. On a cluster where executor loss matters,
-    materializing the day table to storage replaces the checkpoint.
+    flip spark.graft.materialize.reliable to route this (and every
+    other materialize site) to durable checkpoint storage.
     The group assignment is inlined as a literal map.
     tests/test_plan_shapes.py pins both the stitch equivalence (incl.
     sparse/thin-year series) and the no-single-partition-window shape.
     """
-    daily = daily.localCheckpoint()
+    daily = materialize(daily)
     y = F.year(F.col(date_col))
     # null dates (no year) are skipped here: they fall outside every
     # group map entry, element_at returns NULL, and the rows ride a
