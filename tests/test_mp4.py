@@ -207,3 +207,96 @@ def test_co64_offsets_parse_identically(spark):
     ]
     for (_i, off, sz, _d), f in zip(t_big, [frames[0], frames[1], frames[2], frames[3], frames[4]]):
         assert big[off : off + sz] == f
+
+
+def test_stss_sync_sampling_strides_over_candidates(spark):
+    """every_nth strides over SYNC candidates (not original indices,
+    not all samples), emitting the samples' ORIGINAL indices; the
+    sample table exposes the per-sample sync flag."""
+    from tinyerp_etl_spark.operators.mp4 import (
+        build_minimal_mp4,
+        extract_mp4_samples,
+        mp4_sample_table,
+    )
+
+    frames = [_frame(s) for s in (3, 12, 48, 77, 129, 200)]
+    mp4 = build_minimal_mp4(frames, chunking=[2, 1, 3], sync_samples=[1, 3, 4, 6])
+    df = spark.createDataFrame([(1, bytearray(mp4))], "media_id long, content binary")
+
+    flags = {
+        r["sample_index"]: r["is_sync"] for r in mp4_sample_table(df).collect()
+    }
+    assert flags == {0: True, 1: False, 2: True, 3: True, 4: False, 5: True}
+
+    # candidates [0,2,3,5]; stride 2 -> originals {0, 3}
+    rows = extract_mp4_samples(df, every_nth=2).collect()
+    assert {r["sample_index"] for r in rows} == {0, 3}
+    by_idx = {r["sample_index"]: bytes(r["content"]) for r in rows}
+    assert by_idx[0] == frames[0] and by_idx[3] == frames[3]
+
+    # stride 1 -> every sync sample
+    assert {
+        r["sample_index"] for r in extract_mp4_samples(df, every_nth=1).collect()
+    } == {0, 2, 3, 5}
+
+    # raw stride over ALL samples when sync_only is off
+    assert {
+        r["sample_index"]
+        for r in extract_mp4_samples(df, every_nth=2, sync_only=False).collect()
+    } == {0, 2, 4}
+
+
+def test_stss_absent_means_all_sync(spark):
+    """Spec: no stss box => every sample is a sync sample, so the
+    sync-aware default reproduces the raw every-nth stride exactly."""
+    from tinyerp_etl_spark.operators.mp4 import (
+        build_minimal_mp4,
+        extract_mp4_samples,
+        mp4_sample_table,
+    )
+
+    frames = [_frame(s) for s in (3, 12, 48, 77, 129)]
+    mp4 = build_minimal_mp4(frames, chunking=[2, 3])
+    df = spark.createDataFrame([(1, bytearray(mp4))], "media_id long, content binary")
+
+    assert all(r["is_sync"] for r in mp4_sample_table(df).collect())
+    sync_default = {
+        (r["sample_index"], bytes(r["content"]))
+        for r in extract_mp4_samples(df, every_nth=2).collect()
+    }
+    raw = {
+        (r["sample_index"], bytes(r["content"]))
+        for r in extract_mp4_samples(df, every_nth=2, sync_only=False).collect()
+    }
+    assert sync_default == raw == {(0, frames[0]), (2, frames[2]), (4, frames[4])}
+
+
+def test_malformed_stss_drops_row(spark):
+    """A non-increasing or out-of-range stss table must raise into the
+    drop path, not silently mis-select keyframes."""
+    import struct as _struct
+
+    import pytest as _pytest
+
+    from tinyerp_etl_spark.operators.mp4 import (
+        _parse_sample_table,
+        build_minimal_mp4,
+        mp4_sample_table,
+    )
+
+    good = build_minimal_mp4([_frame(3), _frame(12)], sync_samples=[1, 2])
+    # corrupt the stss entries in place: [1, 2] -> [2, 2] (not strictly
+    # increasing)
+    pos = good.index(b"stss")
+    entries_at = pos + 4 + 4 + 4  # type, version/flags, entry_count
+    bad = bytearray(good)
+    bad[entries_at : entries_at + 4] = _struct.pack(">I", 2)
+    with _pytest.raises(ValueError, match="stss"):
+        _parse_sample_table(bytes(bad), with_sync=True)
+
+    df = spark.createDataFrame([(1, bad)], "media_id long, content binary")
+    assert mp4_sample_table(df).count() == 0  # dropped, job survives
+
+    # out-of-range sample number
+    with _pytest.raises(ValueError, match="sync_samples"):
+        build_minimal_mp4([_frame(3)], sync_samples=[2])

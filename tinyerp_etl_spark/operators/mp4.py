@@ -91,13 +91,22 @@ def _full_box_body(data: bytes, body: int, bend: int) -> int:
     return body + 4
 
 
-def _parse_sample_table(payload: bytes) -> list[tuple[int, int, int, int]]:
+def _parse_sample_table(
+    payload: bytes, with_sync: bool = False
+) -> list[tuple[int, int, int, int]] | tuple[list[tuple[int, int, int, int]], set[int] | None]:
     """(sample_index, byte_offset, byte_size, dts) for the first video
     track, from the plain stbl tables — no bitstream decode.
 
     dts is in media timescale units (stts cumulative), the value a
     frame-rate-aware sampler needs; callers that sample by index can
     ignore it.
+
+    ``with_sync=True`` also returns the sync-sample (keyframe) set
+    from the optional ``stss`` box as 0-based indices — None when the
+    box is absent, which per spec means EVERY sample is a sync sample.
+    A sampler that slices non-sync samples of a real H.264 track hands
+    the decoder P/B-frames it cannot decode standalone; sync-aware
+    sampling is what makes ``every_nth`` produce decodable frames.
     """
     end = len(payload)
     moov_body, moov_end = _find_box(payload, 0, end, b"moov")
@@ -175,6 +184,26 @@ def _parse_sample_table(payload: bytes) -> list[tuple[int, int, int, int]]:
                 cnt = n_samples - len(deltas)
             deltas.extend([delta] * cnt)
 
+        # stss: optional sync-sample (keyframe) table — 1-based sample
+        # numbers, strictly increasing per spec; absent ⇒ all sync
+        sync: set[int] | None = None
+        try:
+            b, e = _find_box(payload, stbl_body, stbl_end, b"stss")
+        except ValueError as ex:
+            if "missing" not in str(ex):
+                raise
+        else:
+            p = _full_box_body(payload, b, e)
+            (n_sync,) = struct.unpack_from(">I", payload, p)
+            if n_sync > n_samples or p + 4 + 4 * n_sync > e:
+                raise ValueError("truncated or oversized stss table")
+            nums = struct.unpack_from(f">{n_sync}I", payload, p + 4)
+            if any(nums[i] >= nums[i + 1] for i in range(len(nums) - 1)) or (
+                nums and (nums[0] < 1 or nums[-1] > n_samples)
+            ):
+                raise ValueError("malformed stss table")
+            sync = {n - 1 for n in nums}
+
         # stsc runs must start at chunk 1 and ascend strictly — a
         # malformed (unsorted) table must RAISE into the drop path,
         # not silently mis-slice sample ranges into the hasher
@@ -206,42 +235,67 @@ def _parse_sample_table(payload: bytes) -> list[tuple[int, int, int, int]]:
                 si += 1
         if si != n_samples:
             raise ValueError("chunk walk did not cover every sample")
-        return out
+        return (out, sync) if with_sync else out
     raise ValueError("no video track")
 
 
 MP4_SAMPLE_SCHEMA = (
-    "media_id long, sample_index long, byte_offset long, byte_size long, dts long"
+    "media_id long, sample_index long, byte_offset long, byte_size long, "
+    "dts long, is_sync boolean"
 )
 
 
 def mp4_sample_table(df: DataFrame) -> DataFrame:
     """Per-sample byte ranges of MP4 payloads — the container index as
-    a DataFrame. Malformed containers drop their row (same contract as
-    the PNM/WAV decode paths)."""
+    a DataFrame, including the stss sync flag (every sample is sync
+    when the box is absent, per spec). Malformed containers drop their
+    row (same contract as the PNM/WAV decode paths)."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, content in zip(pdf["media_id"], pdf["content"]):
                 try:
-                    table = _parse_sample_table(bytes(content))
+                    table, sync = _parse_sample_table(bytes(content), with_sync=True)
                 except (ValueError, IndexError, struct.error):
                     continue
-                rows.extend((int(mid), i, off, sz, dts) for i, off, sz, dts in table)
+                rows.extend(
+                    (int(mid), i, off, sz, dts, sync is None or i in sync)
+                    for i, off, sz, dts in table
+                )
             yield pd.DataFrame(
                 rows,
-                columns=["media_id", "sample_index", "byte_offset", "byte_size", "dts"],
+                columns=[
+                    "media_id",
+                    "sample_index",
+                    "byte_offset",
+                    "byte_size",
+                    "dts",
+                    "is_sync",
+                ],
             )
 
     return df.select("media_id", "content").mapInPandas(gen, MP4_SAMPLE_SCHEMA)
 
 
-def extract_mp4_samples(df: DataFrame, every_nth: int = 1) -> DataFrame:
-    """(media_id, sample_index, content) — every Nth video sample's
-    bytes sliced straight out of mdat by the stbl byte ranges. The
-    sliced bytes are the codec bitstream; decode is the cluster-side
-    seam. One Arrow pass; the slice is zero-copy within the batch."""
+def extract_mp4_samples(
+    df: DataFrame, every_nth: int = 1, sync_only: bool = True
+) -> DataFrame:
+    """(media_id, sample_index, content) — every Nth decodable video
+    sample's bytes sliced straight out of mdat by the stbl byte
+    ranges. The sliced bytes are the codec bitstream; decode is the
+    cluster-side seam. One Arrow pass; the slice is zero-copy within
+    the batch.
+
+    ``sync_only`` (default) samples among SYNC samples (the stss
+    keyframe table): slicing every Nth sample of a real H.264 track
+    would mostly hand the decoder P/B-frames that are not decodable
+    standalone. ``every_nth`` strides over the sync candidates; the
+    emitted ``sample_index`` stays the sample's ORIGINAL index. When
+    stss is absent every sample is sync (spec), so the behavior is
+    exactly the every-Nth-of-all stride. ``sync_only=False`` restores
+    the raw stride (a downstream decoder that handles open-GOP
+    reordering wants all samples)."""
     if every_nth < 1:
         raise ValueError("every_nth must be >= 1")
 
@@ -251,11 +305,15 @@ def extract_mp4_samples(df: DataFrame, every_nth: int = 1) -> DataFrame:
             for mid, content in zip(pdf["media_id"], pdf["content"]):
                 payload = bytes(content)
                 try:
-                    table = _parse_sample_table(payload)
+                    table, sync = _parse_sample_table(payload, with_sync=True)
                 except (ValueError, IndexError, struct.error):
                     continue
-                for i, off, sz, _dts in table:
-                    if i % every_nth:
+                if sync_only and sync is not None:
+                    candidates = [r for r in table if r[0] in sync]
+                else:
+                    candidates = table
+                for j, (i, off, sz, _dts) in enumerate(candidates):
+                    if j % every_nth:
                         continue
                     ids.append(int(mid))
                     idxs.append(i)
@@ -269,7 +327,9 @@ def extract_mp4_samples(df: DataFrame, every_nth: int = 1) -> DataFrame:
     )
 
 
-def mp4_frame_hashes(df: DataFrame, every_nth: int = 1) -> DataFrame:
+def mp4_frame_hashes(
+    df: DataFrame, every_nth: int = 1, sync_only: bool = True
+) -> DataFrame:
     """(media_id, frame_index, dhash) for MP4 payloads whose samples
     decode through an available codec — here the real PNM path, so the
     container walk + byte slicing + perceptual hash run end-to-end
@@ -279,7 +339,7 @@ def mp4_frame_hashes(df: DataFrame, every_nth: int = 1) -> DataFrame:
     or on the union — container-agnostic video dedup)."""
     from tinyerp_etl_spark.operators.multimodal import _dhash64
 
-    samples = extract_mp4_samples(df, every_nth=every_nth)
+    samples = extract_mp4_samples(df, every_nth=every_nth, sync_only=sync_only)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -312,6 +372,7 @@ def build_minimal_mp4(
     chunking: list[int] | None = None,
     timescale: int = 1000,
     use_co64: bool = False,
+    sync_samples: list[int] | None = None,
 ) -> bytes:
     """A spec-shaped minimal MP4 wrapping ``frames`` as video samples —
     the staging/test writer for the sampling seam (and a demonstration
@@ -321,9 +382,12 @@ def build_minimal_mp4(
     ``chunking`` splits the samples into mdat chunks (default: one
     chunk) so stsc/stco get real multi-run tables. ``use_co64`` emits
     64-bit chunk offsets (the >4 GiB-file table real movies use) in a
-    co64 box instead of stco. Layout: ftyp, moov(trak(mdia(hdlr'vide',
-    minf(stbl(stsd, stts, stsc, stsz, stco|co64))))), mdat — offsets
-    point into mdat's body.
+    co64 box instead of stco. ``sync_samples`` emits an stss
+    sync-sample (keyframe) table with those 1-BASED sample numbers —
+    omitted entirely when None (spec: absent stss ⇒ all sync). Layout:
+    ftyp, moov(trak(mdia(hdlr'vide', minf(stbl(stsd, stts, stsc,
+    stsz[, stss], stco|co64))))), mdat — offsets point into mdat's
+    body.
     """
     if chunking is None:
         chunking = [len(frames)]
@@ -351,6 +415,18 @@ def build_minimal_mp4(
         struct.pack(">III", 0, 0, len(frames))
         + b"".join(struct.pack(">I", len(f)) for f in frames),
     )
+    stss = b""
+    if sync_samples is not None:
+        if sorted(set(sync_samples)) != list(sync_samples) or (
+            sync_samples
+            and (sync_samples[0] < 1 or sync_samples[-1] > len(frames))
+        ):
+            raise ValueError("sync_samples must be strictly increasing 1-based")
+        stss = _box(
+            b"stss",
+            struct.pack(">II", 0, len(sync_samples))
+            + b"".join(struct.pack(">I", s) for s in sync_samples),
+        )
 
     off_type = b"co64" if use_co64 else b"stco"
     off_fmt = ">Q" if use_co64 else ">I"
@@ -360,7 +436,7 @@ def build_minimal_mp4(
     # sizes first by assembling with a same-size placeholder
     def assemble(stco_body: bytes) -> tuple[bytes, int]:
         stco = _box(off_type, stco_body)
-        stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+        stbl = _box(b"stbl", stsd + stts + stsc + stsz + stss + stco)
         minf = _box(b"minf", stbl)
         hdlr = _box(
             b"hdlr", struct.pack(">I", 0) + struct.pack(">I", 0) + b"vide" + b"\0" * 12

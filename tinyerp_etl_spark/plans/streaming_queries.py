@@ -252,6 +252,20 @@ STREAMING_ORACLES: dict[str, str] = {
         WHERE doc_id < 24
         ORDER BY media_id, frame_index
     """,
+    # keyframe stride: sync candidates are samples {0,2,3,5} (stss
+    # [1,3,4,6] 1-based); every_nth=2 over CANDIDATES picks original
+    # samples 0 and 3; dHash closed form by (doc_id + k) parity
+    "mp4_keyframe_parity": """
+        WITH k AS (SELECT unnest([0, 3]) AS frame_index)
+        SELECT CAST(doc_id AS BIGINT) AS media_id,
+               CAST(frame_index AS BIGINT) AS frame_index,
+               CAST(CASE WHEN (doc_id + frame_index) % 2 = 0
+                         THEN -6148914691236517206
+                         ELSE 6148914691236517205 END AS BIGINT) AS dhash
+        FROM documents CROSS JOIN k
+        WHERE doc_id < 24
+        ORDER BY media_id, frame_index
+    """,
     # alternating-bits closed forms: 0xAAAA...AA wraps to
     # -6148914691236517206 signed; 0x5555...55 = 6148914691236517205
     "perceptual_checker_parity": """
@@ -486,6 +500,51 @@ def mp4_container_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mp4_frame_hashes(media, every_nth=1).orderBy("media_id", "frame_index")
 
 
+def mp4_keyframe_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stss-aware (keyframe) MP4 sampling under the hash gate.
+
+    Stages one MP4 per document (doc_id < 24) wrapping SIX checker
+    PGM samples in an uneven [2, 1, 3] chunk layout, with an stss
+    sync-sample table marking samples {1, 3, 4, 6} (1-based) as
+    keyframes. ``mp4_frame_hashes(every_nth=2)`` must stride over the
+    SYNC CANDIDATES — picking original samples 0 and 3 — so the
+    closed-form oracle derives exactly two rows per container from
+    (doc_id + frame_index) parity. The construction distinguishes all
+    three failure modes: striding original indices over sync would
+    pick {0, 2}; ignoring stss entirely would pick {0, 2, 4}; and a
+    prefix-biased stss parse would mis-slice sample 3 out of the
+    middle chunk. Sample k of document d is bright-first iff (d + k)
+    is even (same closed form as mp4_container_parity).
+    operators/mp4.py stss walk; ISO/IEC 14496-12 public spec.
+    Reference n/a.
+    """
+    from tinyerp_etl_spark.operators.mp4 import build_minimal_mp4, mp4_frame_hashes
+
+    w, h = 19, 8
+
+    def checker(bright_first: bool) -> bytes:
+        head = b"P5\n%d %d\n255\n" % (w, h)
+        row = bytes(
+            255 if ((col // 2) % 2 == 0) == bright_first else 0 for col in range(w)
+        )
+        return head + row * h
+
+    def mp4_for(parity: int) -> bytes:
+        frames = [checker((parity + k) % 2 == 0) for k in range(6)]
+        return build_minimal_mp4(
+            frames, chunking=[2, 1, 3], sync_samples=[1, 3, 4, 6]
+        )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 24)
+    media = docs.select(
+        F.col("doc_id").cast("long").alias("media_id"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit(mp4_for(0)))
+        .otherwise(F.lit(mp4_for(1)))
+        .alias("content"),
+    )
+    return mp4_frame_hashes(media, every_nth=2).orderBy("media_id", "frame_index")
+
+
 def video_neardup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video near-duplicate detection under the hash gate (the video
     sibling of image_dhash_parity / audio_fingerprint_parity).
@@ -553,4 +612,5 @@ STREAMING_QUERIES = {
     "video_neardup_parity": video_neardup_parity,
     "perceptual_checker_parity": perceptual_checker_parity,
     "mp4_container_parity": mp4_container_parity,
+    "mp4_keyframe_parity": mp4_keyframe_parity,
 }
