@@ -82,3 +82,43 @@ def test_explicit_override_beats_session_conf(spark, tmp_path):
         assert out.count() == 7
     finally:
         spark.conf.unset(RELIABLE_CONF)
+
+
+def test_repointed_dir_conf_reapplied(spark, tmp_path):
+    """Changing spark.graft.materialize.dir AFTER materialize() has
+    applied it must repoint the checkpoint dir, not die silently
+    (first-use-wins was the round-6 behavior)."""
+    import tinyerp_etl_spark.functions.materialize as M
+
+    a, b = str(tmp_path / "dur_a"), str(tmp_path / "dur_b")
+    spark.sparkContext.setCheckpointDir(a)
+    M._LAST_APPLIED_DIR = a  # as if materialize() itself applied a
+    spark.conf.set(DIR_CONF, b)
+    try:
+        out = materialize(_frame(spark), reliable=True)
+        assert out.count() == 7
+        assert "dur_b" in (spark.sparkContext.getCheckpointDir() or "")
+    finally:
+        spark.conf.unset(DIR_CONF)
+        M._LAST_APPLIED_DIR = None
+
+
+def test_dead_dir_conf_warns_once(spark, tmp_path):
+    """A DIR_CONF that loses to a manually-set checkpoint dir warns
+    (once per value) instead of being silently dead."""
+    import warnings
+
+    import tinyerp_etl_spark.functions.materialize as M
+
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "manual"))
+    M._LAST_APPLIED_DIR = None
+    M._WARNED_DEAD_CONF.clear()
+    spark.conf.set(DIR_CONF, str(tmp_path / "dead"))
+    try:
+        with pytest.warns(UserWarning, match="ignored"):
+            materialize(_frame(spark), reliable=True)
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            materialize(_frame(spark), reliable=True)
+    finally:
+        spark.conf.unset(DIR_CONF)

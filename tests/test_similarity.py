@@ -195,3 +195,35 @@ def test_kmeans_centroids_counts_cover_corpus(spark):
     out = kmeans_centroids(df, k=5, iters=1).collect()
     assert len(out) == 5
     assert sum(r["n_members"] for r in out) == 12
+
+
+def test_neardup_pairs_uncapped_default_warns(spark):
+    """bucket_cap=None (the recall-first default) must be loud about
+    the k·(k-1)/2 expansion risk; an explicit cap stays silent."""
+    import warnings
+
+    from tinyerp_etl_spark.operators.similarity import neardup_pairs
+
+    df = spark.createDataFrame(
+        [(i, _BASE) for i in range(4)], "vec_id long, embedding array<float>"
+    )
+    with pytest.warns(UserWarning, match="bucket_cap"):
+        neardup_pairs(df, threshold=0.99)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        neardup_pairs(df, threshold=0.99, bucket_cap=8)
+
+
+def test_ivf_topk_tie_break_independent_of_centroid_order(spark):
+    """A pre-trained index passed in NON-ascending centroid_id order
+    must produce the same assignments as _assign_ticks (ties to the
+    LOWER id): with duplicate centroid ticks and nprobe=1 every vector
+    ties, so all must land on (and be scanned from) list 1 — an
+    order-sensitive argmax would assign to list 2 and return nothing."""
+    from tinyerp_etl_spark.operators.similarity import ivf_topk
+
+    rows = [(i, _BASE) for i in range(6)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    dup = [(2, _ticks(_BASE)), (1, _ticks(_BASE))]  # deliberately unsorted
+    out = ivf_topk(df, query_vec_id=0, k=10, nprobe=1, centroids=dup).collect()
+    assert {r["vec_id"] for r in out} == {1, 2, 3, 4, 5}

@@ -39,6 +39,14 @@ from pyspark.sql import DataFrame
 RELIABLE_CONF = "spark.graft.materialize.reliable"
 DIR_CONF = "spark.graft.materialize.dir"
 
+# The DIR_CONF value materialize() itself last applied via
+# setCheckpointDir. Needed because getCheckpointDir() returns the
+# uuid SUBDIRECTORY Spark creates under the configured path, so the
+# session conf can't be compared against it directly — and a
+# repointed DIR_CONF must not be silently dead (first-use-wins).
+_LAST_APPLIED_DIR: str | None = None
+_WARNED_DEAD_CONF: set[str] = set()
+
 
 def materialize(df: DataFrame, reliable: bool | None = None, eager: bool = True) -> DataFrame:
     """Materialize ``df`` and truncate its lineage.
@@ -61,9 +69,10 @@ def materialize(df: DataFrame, reliable: bool | None = None, eager: bool = True)
         )
     if not reliable:
         return df.localCheckpoint(eager=eager)
+    global _LAST_APPLIED_DIR
     sc = spark.sparkContext
+    target = spark.conf.get(DIR_CONF, None)
     if sc.getCheckpointDir() is None:
-        target = spark.conf.get(DIR_CONF, None)
         if not target:
             raise ValueError(
                 "reliable materialization needs a checkpoint directory: "
@@ -72,4 +81,25 @@ def materialize(df: DataFrame, reliable: bool | None = None, eager: bool = True)
                 "HDFS/S3 on a cluster)"
             )
         sc.setCheckpointDir(target)
+        _LAST_APPLIED_DIR = target
+    elif target and _LAST_APPLIED_DIR is not None and target != _LAST_APPLIED_DIR:
+        # the conf was repointed AFTER materialize() applied it —
+        # honor the new value instead of first-use-wins-silently
+        sc.setCheckpointDir(target)
+        _LAST_APPLIED_DIR = target
+    elif target and _LAST_APPLIED_DIR is None and target not in _WARNED_DEAD_CONF:
+        # the user set the checkpoint dir directly AND the conf is
+        # set to something materialize() never applied: the manual
+        # call wins, but say so (once per value) — a dead DIR_CONF
+        # should be loud
+        import warnings
+
+        _WARNED_DEAD_CONF.add(target)
+        warnings.warn(
+            f"{DIR_CONF}={target!r} is set but the checkpoint "
+            f"directory was already configured directly "
+            f"({sc.getCheckpointDir()!r}); the conf is ignored — "
+            "unset one of the two",
+            stacklevel=2,
+        )
     return df.checkpoint(eager=eager)

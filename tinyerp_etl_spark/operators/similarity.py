@@ -406,6 +406,12 @@ def ivf_topk(
 
     if centroids is None:
         centroids = train_kmeans(embeddings, id_col=id_col, vec_col=vec_col)
+    # argmax breaks score ties to the FIRST row of the centroid matrix,
+    # so the matrix must be in ascending centroid_id order for ties to
+    # resolve to the lower id — the documented contract _assign_ticks
+    # and the oracle implement. A caller-passed pre-trained index in
+    # arbitrary order must not silently change assignments.
+    centroids = sorted(centroids, key=lambda c: c[0])
 
     qrow = (
         embeddings.filter(F.col(id_col) == query_vec_id)
@@ -532,6 +538,22 @@ def neardup_pairs(
     ``with_quarantine`` too unless dropping over-cap ids unreported
     is acceptable for the workload.
     """
+    if bucket_cap is None:
+        import warnings
+
+        # the default changed from 256 to None (uncapped) in round 6:
+        # recall-first for library callers, but a duplicate-flooded
+        # sign bucket of k vectors still expands k·(k-1)/2 pairs
+        # through one shuffle partition — the executor-OOM shape the
+        # cap exists to prevent. Loud signal instead of a silent OOM
+        # for data-scale callers that relied on the old default.
+        warnings.warn(
+            "neardup_pairs: bucket_cap=None emits every within-bucket "
+            "pair (k·(k-1)/2 per bucket through one shuffle partition); "
+            "pass a cap (e.g. 256) plus with_quarantine=True at data "
+            "scale",
+            stacklevel=2,
+        )
     # norms are computed once per VECTOR before the join — higher-order
     # array expressions are interpreted (not codegen'd), so recomputing
     # both norms inside every pair's cosine would triple the dominant
