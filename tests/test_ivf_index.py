@@ -1,0 +1,60 @@
+"""The persisted IVF index artifact: save/load fidelity, parameter and
+fingerprint invalidation, and the self-healing load-or-train path."""
+
+from __future__ import annotations
+
+from tinyerp_etl_spark.operators.ivf_index import (
+    corpus_fingerprint,
+    load_ivf_index,
+    load_or_train_ivf_index,
+    save_ivf_index,
+)
+from tinyerp_etl_spark.operators.similarity import train_kmeans
+
+
+def _corpus(spark, n=30):
+    rows = [(i, [float(i % 5), 1.0, float(i % 3), 2.0]) for i in range(n)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_save_load_roundtrip_bit_identical(spark, tmp_path):
+    emb = _corpus(spark)
+    cents = train_kmeans(emb, k=4, iters=2)
+    fp = corpus_fingerprint(emb)
+    path = str(tmp_path / "idx")
+    save_ivf_index(spark, path, cents, fp, k=4, iters=2)
+    loaded = load_ivf_index(
+        spark, path, expect_params=(4, 2, 4096), expect_fingerprint=fp
+    )
+    assert loaded == sorted(cents, key=lambda c: c[0])
+
+
+def test_load_rejects_param_and_fingerprint_mismatch(spark, tmp_path):
+    emb = _corpus(spark)
+    cents = train_kmeans(emb, k=4, iters=2)
+    fp = corpus_fingerprint(emb)
+    path = str(tmp_path / "idx")
+    save_ivf_index(spark, path, cents, fp, k=4, iters=2)
+    # different hyperparameters -> must not reuse
+    assert load_ivf_index(spark, path, expect_params=(8, 3, 4096)) is None
+    # corpus changed under the artifact -> must not reuse
+    assert (
+        load_ivf_index(spark, path, expect_fingerprint=(fp[0] + 1, fp[1]))
+        is None
+    )
+    # no expectations -> raw load succeeds
+    assert load_ivf_index(spark, path) is not None
+
+
+def test_load_or_train_self_heals_and_persists(spark, tmp_path):
+    path = str(tmp_path / "idx")
+    emb = _corpus(spark)
+    assert load_ivf_index(spark, path) is None
+    cents = load_or_train_ivf_index(spark, emb, path, k=4, iters=2)
+    # second call loads the artifact (same result, no retrain visible)
+    again = load_or_train_ivf_index(spark, emb, path, k=4, iters=2)
+    assert again == cents
+    # corpus grows -> fingerprint mismatch -> retrain + new version
+    bigger = _corpus(spark, 45)
+    healed = load_or_train_ivf_index(spark, bigger, path, k=4, iters=2)
+    assert healed == train_kmeans(bigger, k=4, iters=2)

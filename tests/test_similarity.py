@@ -227,3 +227,26 @@ def test_ivf_topk_tie_break_independent_of_centroid_order(spark):
     dup = [(2, _ticks(_BASE)), (1, _ticks(_BASE))]  # deliberately unsorted
     out = ivf_topk(df, query_vec_id=0, k=10, nprobe=1, centroids=dup).collect()
     assert {r["vec_id"] for r in out} == {1, 2, 3, 4, 5}
+
+
+def test_train_kmeans_sample_cap_noop_under_cap_and_binding_over(spark):
+    """Corpora under the cap train on every row (bit-identical to
+    uncapped); over the cap, training reads exactly the sample_cap
+    smallest (hash, id) rows — deterministic regardless of order."""
+    from pyspark.sql import functions as F
+
+    from tinyerp_etl_spark.operators.similarity import train_kmeans
+
+    rows = [(i, [float(i % 7), 1.0, float(i % 3), 2.0]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    full = train_kmeans(df, k=4, iters=2, sample_cap=None)
+    capped_loose = train_kmeans(df, k=4, iters=2, sample_cap=100)
+    assert capped_loose == full
+
+    tight_a = train_kmeans(df, k=4, iters=2, sample_cap=10)
+    tight_b = train_kmeans(
+        df.orderBy(F.rand(7)), k=4, iters=2, sample_cap=10
+    )
+    assert tight_a == tight_b
+    with pytest.raises(ValueError, match="sample_cap"):
+        train_kmeans(df, k=11, iters=1, sample_cap=10)

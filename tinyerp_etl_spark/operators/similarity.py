@@ -182,6 +182,14 @@ def lsh_topk(
 KMEANS_K = 8
 KMEANS_ITERS = 3
 IVF_NPROBE = 2
+#: Largest training sample train_kmeans reads when centroids are
+#: trained from the input corpus: the deterministic md5-prefix sample
+#: (smallest seed-hash rows) bounds training to ONE corpus pass (the
+#: TakeOrdered sample scan) plus iterations over a materialized
+#: ≤4096-row frame — centroid quality needs a representative sample,
+#: not the corpus, and an unbounded per-iteration corpus scan is the
+#: piece of in-query training that cannot survive 100 TB.
+TRAIN_SAMPLE_CAP = 4096
 
 
 def _ticks_dot(a: Column, b: Column) -> Column:
@@ -252,8 +260,19 @@ def train_kmeans(
     iters: int = KMEANS_ITERS,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    sample_cap: int | None = TRAIN_SAMPLE_CAP,
 ) -> list[tuple[int, list[int]]]:
     """Deterministic integer-space Lloyd's; returns [(centroid_id, ticks)].
+
+    Training reads a deterministic sample, not the corpus: the
+    ``sample_cap`` rows with the smallest (md5-prefix hash, id) — one
+    TakeOrdered corpus pass, materialized once (functions/
+    materialize.py seam), with every Lloyd's iteration then running
+    over the tiny sample frame. Corpora at or under the cap train on
+    every row, so the cap changes nothing at gate scales while
+    removing the per-iteration corpus scan that made in-query training
+    a 100 TB anti-pattern. ``sample_cap=None`` restores full-corpus
+    training (per-iteration corpus scans — offline use only).
 
     Each iteration is one distributed assignment pass (broadcast
     centroids, map-side partial max_by) plus one distributed update
@@ -263,6 +282,8 @@ def train_kmeans(
     keep their previous centroid. centroid_id is the seed's rank in
     (md5-prefix, id) order, 1-based, so assignment ties break toward
     the seed that hashes first — stable across engines and rebuilds.
+    Seeds are the first k rows of the SAME (hash, id) order the sample
+    uses, so seeding is identical with or without the cap.
 
     The update mean floor(sum/n + 0.5) divides two exact int64s in
     IEEE double — deterministic at any partitioning; at corpus sizes
@@ -270,15 +291,18 @@ def train_kmeans(
     be widened to decimal(38,0) (functions/exact.py discipline), which
     changes nothing at the gate scales.
     """
+    from tinyerp_etl_spark.functions.materialize import materialize
+
     base = embeddings.select(
-        F.col(id_col), _q(F.col(vec_col)).alias("__vt")
+        F.col(id_col),
+        _q(F.col(vec_col)).alias("__vt"),
+        _seed_hash(F.col(id_col)).alias("__h"),
     ).withColumn("__n2", _ticks_norm2(F.col("__vt")))
-    seeds = (
-        base.select(id_col, "__vt", _seed_hash(F.col(id_col)).alias("__h"))
-        .orderBy("__h", id_col)
-        .limit(k)
-        .collect()
-    )
+    if sample_cap is not None:
+        if k > sample_cap:
+            raise ValueError(f"k={k} exceeds sample_cap={sample_cap}")
+        base = materialize(base.orderBy("__h", id_col).limit(sample_cap))
+    seeds = base.orderBy("__h", id_col).limit(k).collect()
     cents = [(i + 1, list(r["__vt"])) for i, r in enumerate(seeds)]
     for _ in range(iters):
         assigned = _assign_ticks(base.select(id_col, "__vt", "__n2"), cents)
@@ -313,14 +337,17 @@ def kmeans_centroids(
     iters: int = KMEANS_ITERS,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    sample_cap: int | None = TRAIN_SAMPLE_CAP,
 ) -> DataFrame:
     """The trained centroid table + final membership counts.
 
     (centroid_id, centroid_ticks array<long>, n_members) — the
     tiny, broadcastable index artifact a real pipeline would persist
-    and version alongside the corpus.
+    and version alongside the corpus (operators/ivf_index.py does).
+    Training reads the bounded sample; n_members counts the FULL
+    corpus assignment (one broadcast pass).
     """
-    cents = train_kmeans(embeddings, k, iters, id_col, vec_col)
+    cents = train_kmeans(embeddings, k, iters, id_col, vec_col, sample_cap)
     spark = embeddings.sparkSession
     base = embeddings.select(
         F.col(id_col), _q(F.col(vec_col)).alias("__vt")

@@ -13,6 +13,8 @@ exercised, not vacuously empty.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -21,6 +23,49 @@ from tinyerp_etl_spark.operators import dedup as D
 from tinyerp_etl_spark.operators import similarity as S
 from tinyerp_etl_spark.operators import text as X
 from tinyerp_etl_spark.sources.catalog import load_table
+
+# ---- persisted IVF index plumbing (operators/ivf_index.py) ---------------
+# Process-level cache of the loaded index per corpus dir: the gate
+# driver runs many queries in one process, and two of them (ivf top-k,
+# semantic dedup) score through the same artifact — load it once.
+_IVF_CACHE: dict[str, list[tuple[int, list[int]]]] = {}
+
+
+def _artifact_root() -> str:
+    """Where index artifacts persist across runs. Defaults to
+    <repo>/artifacts (tracked — the committed centroid table IS the
+    train-at-ingest story); override with SPARK_GRAFT_ARTIFACT_DIR."""
+    env = os.environ.get("SPARK_GRAFT_ARTIFACT_DIR")
+    if env:
+        return env
+    return os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "artifacts",
+    )
+
+
+def _ivf_index_for(spark: SparkSession, sf_dir: str) -> list[tuple[int, list[int]]]:
+    """The loaded-or-trained IVF index for a corpus dir.
+
+    Query-path operators must NOT train k-means per invocation (the
+    round-6 9.95x regression and a genuine 100 TB anti-pattern: index
+    construction in the query path). This loads the persisted
+    TableStore artifact — one fingerprint scan to validate, k rows to
+    read — and only trains (then persists) when the artifact is
+    missing or stale. Correctness is still gate-proven per query: the
+    DuckDB oracles re-derive the centroids by unrolled SQL training,
+    so a wrong/stale loaded index hash-mismatches immediately.
+    """
+    key = os.path.abspath(sf_dir)
+    if key not in _IVF_CACHE:
+        from tinyerp_etl_spark.operators.ivf_index import load_or_train_ivf_index
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        path = os.path.join(
+            _artifact_root(), "ivf_index", os.path.basename(key) or "corpus"
+        )
+        _IVF_CACHE[key] = load_or_train_ivf_index(spark, emb, path)
+    return _IVF_CACHE[key]
 
 # ---------------------------------------------------------------- text
 
@@ -327,9 +372,14 @@ def embedding_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def embedding_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-list top-10 neighbors of vec_id=0 (nprobe=2 of 8 trained lists)."""
+    """IVF-list top-10 neighbors of vec_id=0 (nprobe=2 of 8 trained
+    lists), scoring through the PERSISTED index (_ivf_index_for) —
+    train at ingest, prune at query. The oracle trains its centroids
+    from scratch in SQL, so this row also proves loaded ≡ trained."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return S.ivf_topk(emb, query_vec_id=0, k=10)
+    return S.ivf_topk(
+        emb, query_vec_id=0, k=10, centroids=_ivf_index_for(spark, sf_dir)
+    )
 
 
 def kmeans_centroids_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -342,6 +392,42 @@ def kmeans_centroids_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/similarity.py:train_kmeans."""
     emb = load_table(spark, sf_dir, "embeddings")
     return S.kmeans_centroids(emb).orderBy("centroid_id")
+
+
+def ivf_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted-index round-trip: the shared loaded-or-trained index
+    (the artifact embedding_topk_ivf / semantic_dedup_embeddings score
+    through) written to a FRESH versioned TableStore and read back
+    must be bit-identical to what was written — and, because the
+    oracle re-derives the centroids by unrolled SQL training, also
+    identical to freshly-trained centroids. Any serialization drift
+    (tick truncation, row loss, param mismatch, fingerprint rot)
+    surfaces as persisted_match=false or a hash mismatch.
+    operators/ivf_index.py."""
+    import tempfile
+
+    from tinyerp_etl_spark.operators import ivf_index as IX
+
+    cents = _ivf_index_for(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    fp = IX.corpus_fingerprint(emb)
+    path = os.path.join(tempfile.mkdtemp(prefix="ivf_idx_rt_"), "index")
+    IX.save_ivf_index(spark, path, cents, fp)
+    loaded = IX.load_ivf_index(
+        spark,
+        path,
+        expect_params=(S.KMEANS_K, S.KMEANS_ITERS, S.TRAIN_SAMPLE_CAP),
+        expect_fingerprint=fp,
+    )
+    match = loaded == sorted(cents, key=lambda c: c[0])
+    rows = [
+        (int(cid), [int(t) for t in ticks], bool(match))
+        for cid, ticks in (loaded or [])
+    ]
+    return spark.createDataFrame(
+        rows,
+        "centroid_id int, centroid_ticks array<bigint>, persisted_match boolean",
+    ).orderBy("centroid_id")
 
 
 def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -414,9 +500,12 @@ def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     neighbor) and drop every copy, while distinct vectors stay kept —
     the semantic layer of the dedup stack (after exact/MinHash, which
     see no shared n-grams in a paraphrase). operators/similarity.py:
-    semantic_dedup; cluster assignment is ivf_assign over centroids
-    TRAINED on the staged corpus (deterministic integer k-means), so
-    the oracle replicates training + assignment in SQL row-for-row.
+    semantic_dedup; cluster assignment is ivf_assign over the
+    PERSISTED index trained on the base corpus (_ivf_index_for) — the
+    ingest-time index classifies the incoming staged batch, exactly
+    the at-scale flow — and the oracle replicates training (on the
+    base corpus) + assignment (of the staged rows) in SQL
+    row-for-row, so a stale loaded index hash-mismatches.
     """
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     copies = emb.filter(F.col("vec_id") % 10 == 0).select(
@@ -426,7 +515,9 @@ def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("embedding"),
     )
     staged = emb.unionByName(copies)
-    return S.semantic_dedup(staged, threshold=0.95).orderBy("vec_id")
+    return S.semantic_dedup(
+        staged, threshold=0.95, centroids=_ivf_index_for(spark, sf_dir)
+    ).orderBy("vec_id")
 
 
 def embedding_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -693,21 +784,30 @@ def _kmeans_ctes(src: str, k: int = S.KMEANS_K, iters: int = S.KMEANS_ITERS) -> 
 
     Returns (cte_text, final_cte_name); the final CTE yields
     (centroid_id, cticks). Mirrors the engine literally: md5-prefix
-    seeding ranked by (hash, vec_id), assignment by exact tick-space
-    cosine with ties to the lower centroid_id, update by
-    floor(sum/n + 0.5) per dimension in IEEE double over exact int64
-    sums, empty clusters keeping their previous centroid.
+    seeding ranked by (hash, vec_id), training over the bounded
+    (hash, vec_id)-smallest sample (TRAIN_SAMPLE_CAP — a no-op while
+    the corpus fits under the cap, but modeled here so engine and
+    oracle agree at ANY scale factor, the capped-operator convention),
+    assignment by exact tick-space cosine with ties to the lower
+    centroid_id, update by floor(sum/n + 0.5) per dimension in IEEE
+    double over exact int64 sums, empty clusters keeping their
+    previous centroid.
     """
     qd = _QD.format(x="x")
     ctes = [
         f"__kt AS (SELECT vec_id, list_transform({src}.embedding, x -> {qd}) AS ticks "
         f"FROM {src})"
     ]
+    ctes.append(f"""__ks AS (
+      SELECT vec_id, ticks, h FROM (
+        SELECT vec_id, ticks,
+               CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+        FROM __kt)
+      ORDER BY h, vec_id LIMIT {S.TRAIN_SAMPLE_CAP}
+    )""")
     ctes.append(f"""__c0 AS (
       SELECT row_number() OVER (ORDER BY h, vec_id) AS centroid_id, ticks AS cticks
-      FROM (SELECT vec_id, ticks,
-                   CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h
-            FROM __kt ORDER BY h, vec_id LIMIT {k})
+      FROM (SELECT vec_id, ticks, h FROM __ks ORDER BY h, vec_id LIMIT {k})
     )""")
     for t in range(1, iters + 1):
         prev = f"__c{t - 1}"
@@ -716,7 +816,7 @@ def _kmeans_ctes(src: str, k: int = S.KMEANS_K, iters: int = S.KMEANS_ITERS) -> 
             SELECT v.vec_id, v.ticks, c.centroid_id,
                    row_number() OVER (PARTITION BY v.vec_id
                      ORDER BY {_tcos_sql("v.ticks", "c.cticks")} DESC, c.centroid_id ASC) AS rn
-            FROM __kt v CROSS JOIN {prev} c) WHERE rn = 1
+            FROM __ks v CROSS JOIN {prev} c) WHERE rn = 1
         )""")
         ctes.append(f"""__u{t} AS (
           SELECT list_id AS centroid_id,
@@ -1203,6 +1303,15 @@ LLM_ORACLES: dict[str, str] = {
           ON c.centroid_id = n.list_id
         ORDER BY c.centroid_id
     """,
+    # the persisted artifact must round-trip to exactly the
+    # freshly-trained centroids — the oracle IS the fresh training
+    "ivf_index_roundtrip": f"""
+        WITH {_KM_CTES_EMB}
+        SELECT centroid_id, cticks AS centroid_ticks,
+               TRUE AS persisted_match
+        FROM {_KM_FINAL}
+        ORDER BY centroid_id
+    """,
     "embedding_label_centroids": f"""
         WITH q AS (
           SELECT label,
@@ -1297,9 +1406,16 @@ LLM_ORACLES: dict[str, str] = {
                  list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) + 0.01 AS FLOAT))
           FROM embeddings WHERE vec_id % 10 = 0
         ),
-        -- centroids are TRAINED over the staged corpus (the engine's
-        -- semantic_dedup calls ivf_assign, which trains on its input)
-        {_kmeans_ctes("staged")[0]},
+        -- centroids are TRAINED over the BASE corpus (the engine's
+        -- gate query passes the persisted ingest-time index, which
+        -- was trained on `embeddings`); the staged batch is then
+        -- ASSIGNED to those centroids
+        {_KM_CTES_EMB},
+        __st AS (
+          SELECT vec_id,
+                 list_transform(staged.embedding, x -> {_QD.format(x="x")}) AS ticks
+          FROM staged
+        ),
         lists AS (
           SELECT vec_id, ticks AS embedding, centroid_id AS list_id FROM (
             SELECT v.vec_id, v.ticks, c.centroid_id,
@@ -1307,7 +1423,7 @@ LLM_ORACLES: dict[str, str] = {
                      PARTITION BY v.vec_id
                      ORDER BY {_tcos_sql("v.ticks", "c.cticks")} DESC, c.centroid_id ASC
                    ) AS rn
-            FROM __kt v CROSS JOIN {_kmeans_ctes("staged")[1]} c) WHERE rn = 1
+            FROM __st v CROSS JOIN {_KM_FINAL} c) WHERE rn = 1
         ),
         -- model the engine's cluster cap (semantic_dedup default
         -- 1024): members of over-cap clusters never reach the prune
@@ -1523,6 +1639,7 @@ LLM_QUERIES.update(
     {
         "embedding_knn_join": embedding_knn_join,
         "kmeans_centroids_embeddings": kmeans_centroids_embeddings,
+        "ivf_index_roundtrip": ivf_index_roundtrip,
         "semantic_dedup_embeddings": semantic_dedup_embeddings,
         "train_val_test_split_docs": train_val_test_split_docs,
         "c4_quality_filter_stats": c4_quality_filter_stats,
