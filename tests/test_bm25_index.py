@@ -1,0 +1,84 @@
+"""The persisted BM25i postings index: indexed ≡ corpus-scan scores,
+query-term-only reads (pushed filter), fingerprint invalidation."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tinyerp_etl_spark.operators.bm25_index import (
+    bm25i_topk_indexed,
+    build_bm25_index,
+    load_bm25_index,
+    save_bm25_index,
+)
+from tinyerp_etl_spark.operators.ivf_index import corpus_fingerprint
+from tinyerp_etl_spark.operators.text import bm25i_topk
+
+
+def _docs(spark, n=40):
+    rows = [
+        (
+            i,
+            ("spark rules " * (i % 4))
+            + ("window dup " * (i % 3))
+            + ("filler words here " * (i % 5)),
+        )
+        for i in range(n)
+    ] + [(n, "")]  # a zero-token doc must still count in the stats
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_indexed_equals_scan_scores(spark, tmp_path):
+    docs = _docs(spark)
+    path = str(tmp_path / "bm25")
+    save_bm25_index(spark, path, docs)
+    postings, stats = load_bm25_index(spark, path)
+    terms = ["spark", "dup", "window"]
+    want = [
+        (r["doc_id"], r["score"])
+        for r in bm25i_topk(docs, terms, k=15).collect()
+    ]
+    got = [
+        (r["doc_id"], r["score"])
+        for r in bm25i_topk_indexed(postings, stats, terms, k=15).collect()
+    ]
+    assert got == want and len(got) > 0
+
+
+def test_stats_count_zero_token_docs(spark):
+    docs = _docs(spark, 10)
+    _, stats = build_bm25_index(docs)
+    srow = stats.first()
+    assert srow["n_docs"] == 11  # 10 + the empty doc
+
+
+def test_query_reads_only_query_term_postings(spark, tmp_path):
+    """The term filter must reach the parquet scan as a pushed
+    predicate — at scale that is the difference between reading three
+    tokens' row groups and re-reading the tokenized corpus."""
+    docs = _docs(spark)
+    path = str(tmp_path / "bm25")
+    save_bm25_index(spark, path, docs)
+    postings, stats = load_bm25_index(spark, path)
+    plan = (
+        bm25i_topk_indexed(postings, stats, ["spark"], k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters" in plan
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("token" in ln for ln in pushed), pushed
+
+
+def test_fingerprint_invalidates_on_corpus_change(spark, tmp_path):
+    docs = _docs(spark)
+    path = str(tmp_path / "bm25")
+    save_bm25_index(spark, path, docs)
+    fp = corpus_fingerprint(docs, "doc_id")
+    assert load_bm25_index(spark, path, expect_fingerprint=fp) is not None
+    grown = docs.union(
+        spark.createDataFrame([(999, "new doc")], "doc_id long, text string")
+    )
+    fp2 = corpus_fingerprint(grown, "doc_id")
+    assert load_bm25_index(spark, path, expect_fingerprint=fp2) is None

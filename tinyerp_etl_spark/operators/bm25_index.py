@@ -1,0 +1,217 @@
+"""Persisted BM25i postings index: tokenize once at ingest, score
+from the index at query time.
+
+``text.bm25i_topk`` re-tokenizes the corpus on every query — fine for
+a one-off, wrong as the steady state: tokenization is the most
+expensive stage at scale and its output is query-independent. This
+module materializes that output once as two TableStore artifacts:
+
+- ``postings`` (token, doc_id, tf, dl): one row per distinct
+  (document, token), committed with ``cluster_by=["token"]`` so the
+  parquet row groups carry tight disjoint token ranges — a query's
+  ``token IN (...)`` filter reaches the scan as a pushed predicate
+  and prunes row groups/files before any IO (the data-skipping lever;
+  at true scale the token hash-prefix would also be the partition
+  column).
+- ``stats`` (n_docs, total_len + corpus fingerprint): the two corpus
+  constants BM25's idf and length normalization need, including
+  zero-token documents the postings cannot represent.
+
+``bm25i_topk_indexed`` then scores ANY query from the artifacts with
+the exact integer arithmetic of ``bm25i_topk`` (bit_length idf,
+capped tf, integer length norm) — same scores, bit-for-bit, with the
+corpus scan replaced by a pruned index read. The gate query
+(plans/llm_ops.py:bm25i_index_retrieval) shares the corpus-scan
+oracle, so indexed ≡ scan is hash-proven every round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DecimalType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from tinyerp_etl_spark.etl.table_store import TableStore
+from tinyerp_etl_spark.operators.ivf_index import corpus_fingerprint
+from tinyerp_etl_spark.operators.text import (
+    BM25I_NORM_SCALE,
+    BM25I_TF_CAP,
+    tokens,
+)
+
+BM25_POSTINGS_SCHEMA = StructType(
+    [
+        StructField("token", StringType()),
+        StructField("doc_id", LongType()),
+        StructField("tf", LongType()),
+        StructField("dl", LongType()),
+    ]
+)
+
+BM25_STATS_SCHEMA = StructType(
+    [
+        StructField("n_docs", LongType()),
+        StructField("total_len", LongType()),
+        StructField("fp_n", LongType()),
+        StructField("fp_hashsum", DecimalType(38, 0)),
+    ]
+)
+
+
+def build_bm25_index(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> tuple[DataFrame, DataFrame]:
+    """(postings, stats) for a document corpus.
+
+    Offline build: the tokenizer runs over the corpus here — once —
+    so it never runs at query time again. Stats count EVERY document
+    (zero-token docs contribute to n_docs and nothing to postings,
+    exactly how ``bm25i_topk``'s in-query aggregate sees them).
+    """
+    with_dl = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        tokens(text_col).alias("__toks"),
+    ).select(
+        "doc_id",
+        F.array_size("__toks").cast("long").alias("dl"),
+        F.col("__toks"),
+    )
+    postings = (
+        with_dl.select("doc_id", "dl", F.explode("__toks").alias("token"))
+        .groupBy("token", "doc_id", "dl")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .select("token", "doc_id", "tf", "dl")
+    )
+    stats = with_dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("total_len"),
+    )
+    return postings, stats
+
+
+def save_bm25_index(
+    spark: SparkSession,
+    path: str,
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> int:
+    """Build and persist the index; returns the postings version.
+
+    Postings are committed clustered by token (range-partitioned +
+    sorted — row-group stats become disjoint token ranges); stats is
+    a 1-row table carrying the corpus fingerprint for load-time
+    validation.
+    """
+    import decimal
+
+    postings, stats = build_bm25_index(docs, text_col, id_col)
+    fp = corpus_fingerprint(docs, id_col)
+    srow = stats.first()
+    stats_df = spark.createDataFrame(
+        [
+            (
+                int(srow["n_docs"]),
+                int(srow["total_len"]),
+                int(fp[0]),
+                decimal.Decimal(fp[1]),
+            )
+        ],
+        BM25_STATS_SCHEMA,
+    )
+    TableStore(spark, f"{path}/stats", BM25_STATS_SCHEMA).commit(
+        stats_df, n_files=1
+    )
+    return TableStore(spark, f"{path}/postings", BM25_POSTINGS_SCHEMA).commit(
+        postings, cluster_by=["token"]
+    )
+
+
+def load_bm25_index(
+    spark: SparkSession,
+    path: str,
+    expect_fingerprint: tuple[int, int] | None = None,
+) -> tuple[DataFrame, dict] | None:
+    """(postings DataFrame, stats dict) or None when absent/stale.
+
+    The postings come back as a lazy DataFrame over the current
+    version — filters compose onto the parquet scan (pushdown), so
+    loading costs nothing until a query selects its terms.
+    """
+    stats_store = TableStore(spark, f"{path}/stats", BM25_STATS_SCHEMA)
+    postings_store = TableStore(spark, f"{path}/postings", BM25_POSTINGS_SCHEMA)
+    if (
+        not stats_store.exists()
+        or stats_store.current_version() is None
+        or not postings_store.exists()
+        or postings_store.current_version() is None
+    ):
+        return None
+    srow = stats_store.read().first()
+    if srow is None:
+        return None
+    if expect_fingerprint is not None and (
+        (int(srow["fp_n"]), int(srow["fp_hashsum"])) != expect_fingerprint
+    ):
+        return None
+    stats = {
+        "n_docs": int(srow["n_docs"]),
+        "total_len": int(srow["total_len"]),
+    }
+    return postings_store.read(), stats
+
+
+def bm25i_topk_indexed(
+    postings: DataFrame,
+    stats: dict,
+    query_terms: list[str],
+    k: int = 10,
+) -> DataFrame:
+    """Integer BM25 top-k scored FROM the index — no tokenizer, no
+    corpus scan; the term filter is the first thing the plan does, so
+    the clustered parquet read touches only the query terms' postings
+    (tests pin the pushed filter).
+
+    Arithmetic is the literal ``text.bm25i_topk`` scoring: idf =
+    bit_length(n_docs div df), tf capped at BM25I_TF_CAP, integer
+    length norm over BM25I_NORM_SCALE — so the indexed and scan faces
+    return identical (doc_id, score) rows for any query.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    terms = list(query_terms)
+    hits = postings.filter(F.col("token").isin(terms))
+    dfreq = hits.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("__df")
+    )
+    n_docs, total_len = int(stats["n_docs"]), int(stats["total_len"])
+    raw = (
+        hits.join(F.broadcast(dfreq), "token")
+        .withColumn(
+            "__bits",
+            F.length(F.bin(F.expr(f"{n_docs} div __df"))).cast("long"),
+        )
+        .groupBy("doc_id", "dl")
+        .agg(
+            F.sum(
+                F.col("__bits") * F.least(F.col("tf"), F.lit(BM25I_TF_CAP))
+            ).alias("__raw")
+        )
+    )
+    ns = BM25I_NORM_SCALE
+    scored = raw.select(
+        "doc_id",
+        F.expr(
+            f"({2 * ns} * __raw) div "
+            f"({ns} + ({ns} * dl * {n_docs}) div {total_len})"
+        )
+        .cast("long")
+        .alias("score"),
+    )
+    return scored.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)

@@ -148,6 +148,47 @@ def bm25i_retrieval_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.bm25i_topk(docs, ["dup", "spark", "window"], k=10)
 
 
+# process-level handle on the persisted BM25 index per corpus dir
+_BM25_CACHE: dict[str, tuple] = {}
+
+
+def _bm25_index_for(spark: SparkSession, sf_dir: str):
+    """(postings, stats) for a corpus dir — persisted TableStore
+    artifacts (operators/bm25_index.py), loaded with a one-scan
+    fingerprint check, built-and-persisted only when missing/stale.
+    The tokenizer thus runs at ingest, never per query — the same
+    train-at-ingest flow as _ivf_index_for."""
+    key = os.path.abspath(sf_dir)
+    if key not in _BM25_CACHE:
+        from tinyerp_etl_spark.operators import bm25_index as B
+        from tinyerp_etl_spark.operators.ivf_index import corpus_fingerprint
+
+        docs = load_table(spark, sf_dir, "documents")
+        path = os.path.join(
+            _artifact_root(), "bm25_index", os.path.basename(key) or "corpus"
+        )
+        fp = corpus_fingerprint(docs, "doc_id")
+        loaded = B.load_bm25_index(spark, path, expect_fingerprint=fp)
+        if loaded is None:
+            B.save_bm25_index(spark, path, docs)
+            loaded = B.load_bm25_index(spark, path, expect_fingerprint=fp)
+            assert loaded is not None, "bm25 index write did not round-trip"
+        _BM25_CACHE[key] = loaded
+    return _BM25_CACHE[key]
+
+
+def bm25i_index_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The indexed face of bm25i_retrieval_docs: identical query,
+    identical integer scores, but scored FROM the persisted postings
+    index — the term filter prunes the clustered parquet read to the
+    query terms' row groups instead of tokenizing the corpus. Shares
+    the corpus-scan oracle, so indexed ≡ scan is hash-proven."""
+    from tinyerp_etl_spark.operators import bm25_index as B
+
+    postings, stats = _bm25_index_for(spark, sf_dir)
+    return B.bm25i_topk_indexed(postings, stats, ["dup", "spark", "window"], k=10)
+
+
 def lang_id_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-based language guess vs the labeled lang column."""
     docs = load_table(spark, sf_dir, "documents")
@@ -1449,6 +1490,10 @@ LLM_ORACLES: dict[str, str] = {
     """,
 }
 
+# the indexed face must produce the exact rows of the corpus-scan
+# face — one oracle serves both, which IS the indexed≡scan proof
+LLM_ORACLES["bm25i_index_retrieval"] = LLM_ORACLES["bm25i_retrieval_docs"]
+
 
 LLM_QUERIES = {
     "heavy_hitter_tokens": heavy_hitter_tokens,
@@ -1462,6 +1507,7 @@ LLM_QUERIES = {
     "winnow_fingerprint_docs": winnow_fingerprint_docs,
     "lang_id_docs": lang_id_docs,
     "bm25i_retrieval_docs": bm25i_retrieval_docs,
+    "bm25i_index_retrieval": bm25i_index_retrieval,
     "token_count_by_source": token_count_by_source,
     "exact_dup_groups": exact_dup_groups,
     "dedup_exact_count": dedup_exact_count,
