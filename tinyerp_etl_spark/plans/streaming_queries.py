@@ -9,6 +9,8 @@ loop stream ≡ batch ≡ oracle.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -138,6 +140,27 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 STREAMING_ORACLES: dict[str, str] = {
+    # stream and batch faces must agree pair-for-pair: the oracle is
+    # the batch interval join with both membership flags TRUE
+    "attribution_lambda_parity": """
+        WITH v AS (
+          SELECT user_id AS v_user, event_id AS view_id, ts AS view_ts
+          FROM events WHERE event_type = 'view'
+        ),
+        p AS (
+          SELECT user_id AS p_user, event_id AS purchase_id, ts AS purchase_ts
+          FROM events WHERE event_type = 'purchase'
+        )
+        SELECT v_user AS user_id, view_id, purchase_id,
+               CAST(epoch_us(purchase_ts) - epoch_us(view_ts) AS BIGINT)
+                 AS latency_us,
+               TRUE AS in_batch, TRUE AS in_stream
+        FROM v JOIN p
+          ON v_user = p_user
+         AND purchase_ts > view_ts
+         AND purchase_ts <= view_ts + INTERVAL 1 HOUR
+        ORDER BY view_id, purchase_id
+    """,
     "events_time_grain_rollup": """
         WITH e AS (
           SELECT date_trunc('hour', ts)  AS bucket_hour,
@@ -600,8 +623,101 @@ def video_neardup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def attribution_lambda_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lambda-architecture collapse, under one gate: the REAL
+    watermarked stream-stream attribution join (streaming/
+    stream_pipeline.py:attribution_stream_stream_join, drained with
+    an availableNow trigger over the staged events parquet) and the
+    batch face (plans/etl_queries.py:attribution_interval_join's
+    predicate) run over the SAME input, full-outer-compared per
+    (user, view, purchase) pair. The oracle is the batch join with
+    in_batch = in_stream = true — any divergence (a pair only one
+    face produced, or a latency disagreement routing a row into a
+    one-sided bucket) breaks the row hash. COVERAGE's stream ≡ batch
+    promise, driver-proven rather than pytest-only.
+    """
+    import shutil
+    import tempfile
+
+    from tinyerp_etl_spark.streaming.stream_pipeline import (
+        attribution_stream_stream_join,
+        read_events_stream,
+    )
+
+    scratch = tempfile.mkdtemp(prefix="attr_parity_")
+    src = os.path.join(scratch, "in")
+    os.makedirs(src)
+    shutil.copy(f"{sf_dir}/events.parquet", os.path.join(src, "batch0.parquet"))
+    stream = read_events_stream(spark, src)
+    joined = attribution_stream_stream_join(
+        stream.filter(F.col("event_type") == "view"),
+        stream.filter(F.col("event_type") == "purchase"),
+        horizon="1 hour",
+        lateness="30 minutes",
+    )
+    out = os.path.join(scratch, "out")
+    (
+        joined.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", os.path.join(scratch, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    streamed = spark.read.parquet(out).select(
+        "user_id",
+        "view_id",
+        "purchase_id",
+        (
+            F.unix_micros("purchase_ts") - F.unix_micros("view_ts")
+        ).alias("latency_us"),
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    batch = v.join(
+        p,
+        F.expr(
+            "v_user = p_user AND purchase_ts > view_ts "
+            "AND purchase_ts <= view_ts + INTERVAL 1 HOUR"
+        ),
+    ).select(
+        F.col("v_user").alias("user_id"),
+        "view_id",
+        "purchase_id",
+        (F.unix_micros("purchase_ts") - F.unix_micros("view_ts")).alias(
+            "latency_us"
+        ),
+    )
+    keys = ["user_id", "view_id", "purchase_id", "latency_us"]
+    return (
+        batch.withColumn("in_batch", F.lit(True))
+        .join(
+            streamed.withColumn("in_stream", F.lit(True)),
+            keys,
+            "full_outer",
+        )
+        .select(
+            *keys,
+            F.coalesce("in_batch", F.lit(False)).alias("in_batch"),
+            F.coalesce("in_stream", F.lit(False)).alias("in_stream"),
+        )
+        .orderBy("view_id", "purchase_id")
+    )
+
+
 STREAMING_QUERIES = {
     "events_time_grain_rollup": events_time_grain_rollup,
+    "attribution_lambda_parity": attribution_lambda_parity,
     "events_tumbling_hourly": events_tumbling_hourly,
     "events_sliding_windows": events_sliding_windows,
     "events_session_windows": events_session_windows,
