@@ -6,8 +6,12 @@ rows-only check from the driver.
 
 Ordering note: the driver's correctness gate covers the first 50
 registry entries, so insertion order is the rotation schedule.
-Round 5's front 50 (see _ROUND5_FRONT_50's inline comments for the
-per-group rationale) =
+ACTIVE: _ROUND7_FRONT_50 (see its inline comments for composition and
+the cumulative ledger — after round 7's gate runs green, every
+query's newest driver row is r4+ except the seven documented r3
+deferrals). Prior gates below for the ledger.
+Round 5's front 50 (ran in rounds 5 AND 6; see _ROUND5_FRONT_50's
+inline comments for the per-group rationale) =
   (0) the five queries NEW in round 5 (video_neardup_parity,
       perceptual_checker_parity, mp4_container_parity,
       semantic_dedup_embeddings, bm25i_retrieval_docs),
@@ -194,7 +198,95 @@ _RELATIONAL_NAMES = [
     "approx_quantile_order_totals",
 ]
 
-# Round 5 gate: the 50 queries that most need a fresh driver row.
+# Round 7 gate: the 50 queries that most need a fresh driver row.
+# Composition (ledger computed from the three prior lists; r5's list
+# also ran in round 6, so "r5" evidence below means r6-fresh):
+#   (0) the 14 queries with ZERO driver evidence — the whole round-6
+#       debt plus this round's additions: the four VERDICT r6 named
+#       (kmeans_centroids_embeddings, mp4_keyframe_parity,
+#       copurchase_triangles, attribution_interval_join), the seven
+#       round-2 deferrals carried since r5 (embedding_topk trio,
+#       embedding_quantize_int8, pandas_udf_mask_names,
+#       exact_dup_groups, token_count_by_source), and the three NEW
+#       round-7 gates (ivf_index_roundtrip, bm25i_index_retrieval,
+#       attribution_lambda_parity),
+#   (a) semantic_dedup_embeddings — r6-green but its engine path AND
+#       oracle were rewritten this round (persisted-index assignment),
+#       so the old green row no longer covers the code,
+#   (b) the 13 events readers + streaming batch twins whose newest
+#       green row is r3 (VERDICT r6 missing #4),
+#   (c) the 11 remaining never-refreshed r3 group-(a) rows
+#       (cohort/streaks/fuzzy/copurchase pairs/funnel/file formats/
+#       quarantine/nested flatten/incremental pipeline/json props/
+#       variant props),
+#   (d) 11 more r3-latest rows: the r1-era relational backbone
+#       (q1/q3/q5/q7/q8/sql_q6), embedding_label_centroids,
+#       heavy_hitter_tokens, copurchase_pagerank_3iter,
+#       train_val_test_split_docs, c4_quality_filter_stats.
+# Deferred to round 8 (the ONLY rows whose newest green will then
+# predate r4): boilerplate_ngram_stats, collocations_top_pmi,
+# gapfill_daily_revenue, monthly_revenue_trend, promo_revenue_ratio,
+# set_null_missing_region, window_running_total — all r3-green on
+# code untouched since.
+_ROUND7_FRONT_50 = [
+    # (0) zero driver evidence
+    "kmeans_centroids_embeddings",
+    "ivf_index_roundtrip",
+    "bm25i_index_retrieval",
+    "attribution_lambda_parity",
+    "mp4_keyframe_parity",
+    "copurchase_triangles",
+    "attribution_interval_join",
+    "embedding_topk_bruteforce",
+    "embedding_topk_lsh",
+    "embedding_topk_ivf",
+    "embedding_quantize_int8",
+    "pandas_udf_mask_names",
+    "exact_dup_groups",
+    "token_count_by_source",
+    # (a) engine + oracle rewritten this round
+    "semantic_dedup_embeddings",
+    # (b) events readers + streaming twins, newest green r3
+    "events_time_grain_rollup",
+    "events_tumbling_hourly",
+    "events_sliding_windows",
+    "events_session_windows",
+    "asof_purchase_to_view",
+    "range_join_event_bursts",
+    "kmv_distinct_users",
+    "scd2_user_event_history",
+    "sessionize_user_events",
+    "watermark_resolution_matrix",
+    "skew_salted_event_totals",
+    "merge_upsert_events",
+    "keep_latest_event_per_user",
+    # (c) never-refreshed r3 group-(a) rows
+    "cohort_retention_daily",
+    "longest_active_streaks",
+    "fuzzy_match_customers",
+    "copurchase_part_pairs",
+    "funnel_view_click_purchase",
+    "file_format_roundtrip_orders",
+    "csv_quarantine_split",
+    "nested_flatten_roundtrip",
+    "incremental_pipeline_events",
+    "json_props_rollup",
+    "variant_props_extract",
+    # (d) oldest remaining evidence (r3), relational backbone first
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "sql_q6_forecast_revenue",
+    "embedding_label_centroids",
+    "heavy_hitter_tokens",
+    "copurchase_pagerank_3iter",
+    "train_val_test_split_docs",
+    "c4_quality_filter_stats",
+]
+
+# Round 5 gate (ran in rounds 5 AND 6; kept for the rotation ledger).
 _ROUND5_FRONT_50 = [
     # (0) queries NEW in round 5 — zero driver evidence yet
     "video_neardup_parity",
@@ -397,7 +489,7 @@ def all_queries() -> dict[str, QueryFn]:
     for name in _RELATIONAL_NAMES:
         pool[name] = getattr(relational, name)
 
-    queries: dict[str, QueryFn] = {n: pool[n] for n in _ROUND5_FRONT_50}
+    queries: dict[str, QueryFn] = {n: pool[n] for n in _ROUND7_FRONT_50}
     for name, fn in pool.items():
         queries.setdefault(name, fn)
     assert len(queries) == len(pool), "front-50 must be a subset of the pool"
