@@ -75,10 +75,19 @@ def test_fingerprint_invalidates_on_corpus_change(spark, tmp_path):
     docs = _docs(spark)
     path = str(tmp_path / "bm25")
     save_bm25_index(spark, path, docs)
-    fp = corpus_fingerprint(docs, "doc_id")
+    fp = corpus_fingerprint(docs, "doc_id", "text")
     assert load_bm25_index(spark, path, expect_fingerprint=fp) is not None
+    # growing the id set invalidates
     grown = docs.union(
         spark.createDataFrame([(999, "new doc")], "doc_id long, text string")
     )
-    fp2 = corpus_fingerprint(grown, "doc_id")
+    fp2 = corpus_fingerprint(grown, "doc_id", "text")
     assert load_bm25_index(spark, path, expect_fingerprint=fp2) is None
+    # an IN-PLACE text edit (same doc_ids) must also invalidate —
+    # id-only fingerprints would bless the stale postings
+    edited = docs.withColumn(
+        "text", F.concat(F.col("text"), F.lit(" edited"))
+    )
+    fp3 = corpus_fingerprint(edited, "doc_id", "text")
+    assert fp3[0] == fp[0] and fp3[1] != fp[1]
+    assert load_bm25_index(spark, path, expect_fingerprint=fp3) is None

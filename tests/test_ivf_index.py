@@ -58,3 +58,23 @@ def test_load_or_train_self_heals_and_persists(spark, tmp_path):
     bigger = _corpus(spark, 45)
     healed = load_or_train_ivf_index(spark, bigger, path, k=4, iters=2)
     assert healed == train_kmeans(bigger, k=4, iters=2)
+
+
+def test_load_or_train_invalidates_on_inplace_reembed(spark, tmp_path):
+    """Re-embedding the corpus IN PLACE (same vec_ids, new values)
+    must retrain — an id-only fingerprint would silently reuse the
+    stale index."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "idx")
+    emb = _corpus(spark)
+    c1 = load_or_train_ivf_index(spark, emb, path, k=4, iters=2)
+    reemb = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: (x.cast("double") * 2.0 + 1.0).cast("float")
+        ).alias("embedding"),
+    )
+    c2 = load_or_train_ivf_index(spark, reemb, path, k=4, iters=2)
+    assert c2 == train_kmeans(reemb, k=4, iters=2)
+    assert c2 != c1

@@ -92,7 +92,9 @@ def test_repointed_dir_conf_reapplied(spark, tmp_path):
 
     a, b = str(tmp_path / "dur_a"), str(tmp_path / "dur_b")
     spark.sparkContext.setCheckpointDir(a)
-    M._LAST_APPLIED_DIR = a  # as if materialize() itself applied a
+    # as if materialize() itself applied a
+    M._LAST_APPLIED_DIR = a
+    M._LAST_APPLIED_RESULT = spark.sparkContext.getCheckpointDir()
     spark.conf.set(DIR_CONF, b)
     try:
         out = materialize(_frame(spark), reliable=True)
@@ -101,6 +103,7 @@ def test_repointed_dir_conf_reapplied(spark, tmp_path):
     finally:
         spark.conf.unset(DIR_CONF)
         M._LAST_APPLIED_DIR = None
+        M._LAST_APPLIED_RESULT = None
 
 
 def test_dead_dir_conf_warns_once(spark, tmp_path):
@@ -112,6 +115,7 @@ def test_dead_dir_conf_warns_once(spark, tmp_path):
 
     spark.sparkContext.setCheckpointDir(str(tmp_path / "manual"))
     M._LAST_APPLIED_DIR = None
+    M._LAST_APPLIED_RESULT = None
     M._WARNED_DEAD_CONF.clear()
     spark.conf.set(DIR_CONF, str(tmp_path / "dead"))
     try:
@@ -122,3 +126,28 @@ def test_dead_dir_conf_warns_once(spark, tmp_path):
             materialize(_frame(spark), reliable=True)
     finally:
         spark.conf.unset(DIR_CONF)
+
+
+def test_manual_override_survives_conf_repoint(spark, tmp_path):
+    """A manual setCheckpointDir made AFTER materialize() applied the
+    conf must win over a later conf repoint (warned, not stomped)."""
+    import tinyerp_etl_spark.functions.materialize as M
+
+    a = str(tmp_path / "conf_a")
+    spark.sparkContext.setCheckpointDir(a)
+    M._LAST_APPLIED_DIR = a  # as if materialize() applied a
+    M._LAST_APPLIED_RESULT = spark.sparkContext.getCheckpointDir()
+    # the user now overrides directly...
+    manual = str(tmp_path / "manual_m")
+    spark.sparkContext.setCheckpointDir(manual)
+    # ...and the conf is later repointed to b
+    M._WARNED_DEAD_CONF.clear()
+    spark.conf.set(DIR_CONF, str(tmp_path / "conf_b"))
+    try:
+        with pytest.warns(UserWarning, match="ignored"):
+            materialize(_frame(spark), reliable=True)
+        assert "manual_m" in (spark.sparkContext.getCheckpointDir() or "")
+    finally:
+        spark.conf.unset(DIR_CONF)
+        M._LAST_APPLIED_DIR = None
+        M._LAST_APPLIED_RESULT = None

@@ -40,11 +40,17 @@ RELIABLE_CONF = "spark.graft.materialize.reliable"
 DIR_CONF = "spark.graft.materialize.dir"
 
 # The DIR_CONF value materialize() itself last applied via
-# setCheckpointDir. Needed because getCheckpointDir() returns the
+# setCheckpointDir, and the getCheckpointDir() result that apply
+# produced. The pair is needed because getCheckpointDir() returns the
 # uuid SUBDIRECTORY Spark creates under the configured path, so the
-# session conf can't be compared against it directly — and a
-# repointed DIR_CONF must not be silently dead (first-use-wins).
+# session conf can't be compared against it directly — and BOTH
+# directions must stay loud: a repointed DIR_CONF must not be
+# silently dead (first-use-wins), and a manual setCheckpointDir made
+# after materialize() applied the conf must not be silently stomped
+# by a later conf repoint (the current dir differing from
+# _LAST_APPLIED_RESULT is how the manual call is detected).
 _LAST_APPLIED_DIR: str | None = None
+_LAST_APPLIED_RESULT: str | None = None
 _WARNED_DEAD_CONF: set[str] = set()
 
 
@@ -69,10 +75,11 @@ def materialize(df: DataFrame, reliable: bool | None = None, eager: bool = True)
         )
     if not reliable:
         return df.localCheckpoint(eager=eager)
-    global _LAST_APPLIED_DIR
+    global _LAST_APPLIED_DIR, _LAST_APPLIED_RESULT
     sc = spark.sparkContext
     target = spark.conf.get(DIR_CONF, None)
-    if sc.getCheckpointDir() is None:
+    cur = sc.getCheckpointDir()
+    if cur is None:
         if not target:
             raise ValueError(
                 "reliable materialization needs a checkpoint directory: "
@@ -82,24 +89,28 @@ def materialize(df: DataFrame, reliable: bool | None = None, eager: bool = True)
             )
         sc.setCheckpointDir(target)
         _LAST_APPLIED_DIR = target
-    elif target and _LAST_APPLIED_DIR is not None and target != _LAST_APPLIED_DIR:
-        # the conf was repointed AFTER materialize() applied it —
-        # honor the new value instead of first-use-wins-silently
+        _LAST_APPLIED_RESULT = sc.getCheckpointDir()
+    elif _LAST_APPLIED_RESULT is None or cur != _LAST_APPLIED_RESULT:
+        # the current dir is NOT the one materialize() last applied:
+        # the user set it directly (before first use, or overriding a
+        # previously-applied conf). The manual call wins — but a
+        # DIR_CONF that is now dead should be loud (once per value),
+        # whatever order the two settings happened in.
+        if target and target not in _WARNED_DEAD_CONF:
+            import warnings
+
+            _WARNED_DEAD_CONF.add(target)
+            warnings.warn(
+                f"{DIR_CONF}={target!r} is set but the checkpoint "
+                f"directory was configured directly ({cur!r}); the "
+                "conf is ignored — unset one of the two",
+                stacklevel=2,
+            )
+    elif target and target != _LAST_APPLIED_DIR:
+        # the conf was repointed AFTER materialize() applied it (and
+        # nobody set the dir manually in between) — honor the new
+        # value instead of first-use-wins-silently
         sc.setCheckpointDir(target)
         _LAST_APPLIED_DIR = target
-    elif target and _LAST_APPLIED_DIR is None and target not in _WARNED_DEAD_CONF:
-        # the user set the checkpoint dir directly AND the conf is
-        # set to something materialize() never applied: the manual
-        # call wins, but say so (once per value) — a dead DIR_CONF
-        # should be loud
-        import warnings
-
-        _WARNED_DEAD_CONF.add(target)
-        warnings.warn(
-            f"{DIR_CONF}={target!r} is set but the checkpoint "
-            f"directory was already configured directly "
-            f"({sc.getCheckpointDir()!r}); the conf is ignored — "
-            "unset one of the two",
-            stacklevel=2,
-        )
+        _LAST_APPLIED_RESULT = sc.getCheckpointDir()
     return df.checkpoint(eager=eager)

@@ -107,12 +107,17 @@ def save_bm25_index(
     Postings are committed clustered by token (range-partitioned +
     sorted — row-group stats become disjoint token ranges); stats is
     a 1-row table carrying the corpus fingerprint for load-time
-    validation.
+    validation. The fingerprint covers the TEXT values (an in-place
+    edit that keeps the doc_id set must invalidate), and the postings
+    commit FIRST: a crash between the two commits then leaves an old
+    stats fingerprint next to new postings — a mismatch, so the next
+    load fails closed and rebuilds — never a current fingerprint
+    blessing stale postings.
     """
     import decimal
 
     postings, stats = build_bm25_index(docs, text_col, id_col)
-    fp = corpus_fingerprint(docs, id_col)
+    fp = corpus_fingerprint(docs, id_col, text_col)
     srow = stats.first()
     stats_df = spark.createDataFrame(
         [
@@ -125,12 +130,13 @@ def save_bm25_index(
         ],
         BM25_STATS_SCHEMA,
     )
+    version = TableStore(spark, f"{path}/postings", BM25_POSTINGS_SCHEMA).commit(
+        postings, cluster_by=["token"]
+    )
     TableStore(spark, f"{path}/stats", BM25_STATS_SCHEMA).commit(
         stats_df, n_files=1
     )
-    return TableStore(spark, f"{path}/postings", BM25_POSTINGS_SCHEMA).commit(
-        postings, cluster_by=["token"]
-    )
+    return version
 
 
 def load_bm25_index(

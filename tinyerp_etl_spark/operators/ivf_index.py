@@ -27,7 +27,7 @@ ingest, prune at query" design the 100 TB story needs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
@@ -43,7 +43,6 @@ from tinyerp_etl_spark.operators.similarity import (
     KMEANS_ITERS,
     KMEANS_K,
     TRAIN_SAMPLE_CAP,
-    _seed_hash,
     train_kmeans,
 )
 
@@ -61,26 +60,52 @@ IVF_INDEX_SCHEMA = StructType(
 
 
 def corpus_fingerprint(
-    embeddings: DataFrame, id_col: str = "vec_id"
+    df: DataFrame, id_col: str = "vec_id", content: Column | str | None = None
 ) -> tuple[int, int]:
-    """(row count, exact sum of the md5-prefix seed hash over ids).
+    """(row count, exact sum of an md5-prefix hash over id + content).
 
-    One aggregate over the id column only — column pruning keeps the
-    scan to a few bytes per row, so validating an index costs one
-    cheap pass instead of the five full passes training costs. The
-    hash sum is the same cross-engine md5-prefix idiom the k-means
-    seeding uses, accumulated in decimal(38,0) (functions/exact.py
-    discipline: 2^32-sized terms over an unbounded corpus overflow
-    int64 long before they overflow a 38-digit decimal).
+    ``content`` is a column (or column name) whose VALUE participates
+    in the hash — without it, an in-place rewrite that keeps the id
+    set (re-embedding with a new model, editing document text) would
+    fingerprint identically and a stale index would be silently
+    reused. Callers that persist an index over column X must
+    fingerprint X. One aggregate pass over (id, content) only —
+    column pruning keeps the scan far cheaper than the five full
+    passes training costs. The hash is the same cross-engine
+    md5-prefix idiom the k-means seeding uses, accumulated in
+    decimal(38,0) (functions/exact.py discipline: 2^32-sized terms
+    over an unbounded corpus overflow int64 long before they overflow
+    a 38-digit decimal).
     """
-    row = embeddings.agg(
+    keyed = F.col(id_col).cast("string")
+    if content is not None:
+        c = F.col(content) if isinstance(content, str) else content
+        keyed = F.concat_ws("|", keyed, c.cast("string"))
+    row = df.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.coalesce(
-            F.sum(_seed_hash(F.col(id_col)).cast("decimal(38,0)")),
+            F.sum(
+                F.conv(F.substring(F.md5(keyed), 1, 8), 16, 10)
+                .cast("long")
+                .cast("decimal(38,0)")
+            ),
             F.lit(0).cast("decimal(38,0)"),
         ).alias("hsum"),
     ).first()
     return int(row["n"]), int(row["hsum"])
+
+
+def embedding_content(vec_col: str = "embedding") -> Column:
+    """The canonical content column for fingerprinting an embedding
+    corpus: the quantized tick vector rendered as a comma string —
+    value-sensitive (any element change shifts the hash) and
+    deterministic across engines (integer formatting, unlike float
+    array stringification)."""
+    from tinyerp_etl_spark.operators.similarity import _q
+
+    return F.concat_ws(
+        ",", F.transform(_q(F.col(vec_col)), lambda x: x.cast("string"))
+    )
 
 
 def index_store(spark: SparkSession, path: str) -> TableStore:
@@ -172,8 +197,15 @@ def load_or_train_ivf_index(
     with different parameters, or (with ``verify``) no longer matches
     the corpus. ``verify=False`` trusts the artifact version — the
     true-scale mode, where the ingest pipeline owns index freshness.
+
+    The fingerprint covers the embedding VALUES (embedding_content),
+    not just the id set — re-embedding the corpus in place retrains.
     """
-    fp = corpus_fingerprint(embeddings, id_col) if verify else None
+    fp = (
+        corpus_fingerprint(embeddings, id_col, embedding_content(vec_col))
+        if verify
+        else None
+    )
     cents = load_ivf_index(
         spark, path, expect_params=(k, iters, sample_cap), expect_fingerprint=fp
     )
@@ -183,6 +215,6 @@ def load_or_train_ivf_index(
         embeddings, k, iters, id_col=id_col, vec_col=vec_col, sample_cap=sample_cap
     )
     if fp is None:
-        fp = corpus_fingerprint(embeddings, id_col)
+        fp = corpus_fingerprint(embeddings, id_col, embedding_content(vec_col))
     save_ivf_index(spark, path, cents, fp, k=k, iters=iters, sample_cap=sample_cap)
     return cents

@@ -61,11 +61,20 @@ def _ivf_index_for(spark: SparkSession, sf_dir: str) -> list[tuple[int, list[int
         from tinyerp_etl_spark.operators.ivf_index import load_or_train_ivf_index
 
         emb = load_table(spark, sf_dir, "embeddings")
-        path = os.path.join(
-            _artifact_root(), "ivf_index", os.path.basename(key) or "corpus"
-        )
+        path = os.path.join(_artifact_root(), "ivf_index", _corpus_tag(key))
         _IVF_CACHE[key] = load_or_train_ivf_index(spark, emb, path)
     return _IVF_CACHE[key]
+
+
+def _corpus_tag(abs_dir: str) -> str:
+    """Artifact directory name for a corpus dir: the basename for
+    readability plus an abspath hash for uniqueness — two corpora
+    whose directories share a final path component (/a/sf0.1 and
+    /b/sf0.1) must not collide on one persisted index."""
+    import hashlib
+
+    base = os.path.basename(abs_dir) or "corpus"
+    return f"{base}-{hashlib.md5(abs_dir.encode()).hexdigest()[:8]}"
 
 # ---------------------------------------------------------------- text
 
@@ -164,10 +173,8 @@ def _bm25_index_for(spark: SparkSession, sf_dir: str):
         from tinyerp_etl_spark.operators.ivf_index import corpus_fingerprint
 
         docs = load_table(spark, sf_dir, "documents")
-        path = os.path.join(
-            _artifact_root(), "bm25_index", os.path.basename(key) or "corpus"
-        )
-        fp = corpus_fingerprint(docs, "doc_id")
+        path = os.path.join(_artifact_root(), "bm25_index", _corpus_tag(key))
+        fp = corpus_fingerprint(docs, "doc_id", "text")
         loaded = B.load_bm25_index(spark, path, expect_fingerprint=fp)
         if loaded is None:
             B.save_bm25_index(spark, path, docs)
@@ -445,21 +452,29 @@ def ivf_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tick truncation, row loss, param mismatch, fingerprint rot)
     surfaces as persisted_match=false or a hash mismatch.
     operators/ivf_index.py."""
+    import shutil
     import tempfile
 
     from tinyerp_etl_spark.operators import ivf_index as IX
 
     cents = _ivf_index_for(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
-    fp = IX.corpus_fingerprint(emb)
-    path = os.path.join(tempfile.mkdtemp(prefix="ivf_idx_rt_"), "index")
-    IX.save_ivf_index(spark, path, cents, fp)
-    loaded = IX.load_ivf_index(
-        spark,
-        path,
-        expect_params=(S.KMEANS_K, S.KMEANS_ITERS, S.TRAIN_SAMPLE_CAP),
-        expect_fingerprint=fp,
-    )
+    fp = IX.corpus_fingerprint(emb, content=IX.embedding_content())
+    scratch = tempfile.mkdtemp(prefix="ivf_idx_rt_")
+    try:
+        path = os.path.join(scratch, "index")
+        IX.save_ivf_index(spark, path, cents, fp)
+        loaded = IX.load_ivf_index(
+            spark,
+            path,
+            expect_params=(S.KMEANS_K, S.KMEANS_ITERS, S.TRAIN_SAMPLE_CAP),
+            expect_fingerprint=fp,
+        )
+    finally:
+        # loaded is a collected Python list — nothing lazy reads the
+        # scratch store after this point, so reap it (gate/bench runs
+        # must not accumulate /tmp garbage)
+        shutil.rmtree(scratch, ignore_errors=True)
     match = loaded == sorted(cents, key=lambda c: c[0])
     rows = [
         (int(cid), [int(t) for t in ticks], bool(match))

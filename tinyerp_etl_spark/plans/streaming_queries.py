@@ -639,65 +639,63 @@ def attribution_lambda_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
+    from tinyerp_etl_spark.plans.etl_queries import attribution_interval_join
     from tinyerp_etl_spark.streaming.stream_pipeline import (
         attribution_stream_stream_join,
         read_events_stream,
     )
 
     scratch = tempfile.mkdtemp(prefix="attr_parity_")
-    src = os.path.join(scratch, "in")
-    os.makedirs(src)
-    shutil.copy(f"{sf_dir}/events.parquet", os.path.join(src, "batch0.parquet"))
-    stream = read_events_stream(spark, src)
-    joined = attribution_stream_stream_join(
-        stream.filter(F.col("event_type") == "view"),
-        stream.filter(F.col("event_type") == "purchase"),
-        horizon="1 hour",
-        lateness="30 minutes",
-    )
-    out = os.path.join(scratch, "out")
-    (
-        joined.writeStream.format("parquet")
-        .option("path", out)
-        .option("checkpointLocation", os.path.join(scratch, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
-    streamed = spark.read.parquet(out).select(
-        "user_id",
-        "view_id",
-        "purchase_id",
+    try:
+        src = os.path.join(scratch, "in")
+        os.makedirs(src)
+        shutil.copy(
+            f"{sf_dir}/events.parquet", os.path.join(src, "batch0.parquet")
+        )
+        stream = read_events_stream(spark, src)
+        joined = attribution_stream_stream_join(
+            stream.filter(F.col("event_type") == "view"),
+            stream.filter(F.col("event_type") == "purchase"),
+            horizon="1 hour",
+            lateness="30 minutes",
+        )
+        out = os.path.join(scratch, "out")
         (
-            F.unix_micros("purchase_ts") - F.unix_micros("view_ts")
-        ).alias("latency_us"),
+            joined.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", os.path.join(scratch, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+        # explicit schema: a zero-pair drain writes metadata but no
+        # data files, and a schema-less read would crash rather than
+        # yield the empty (but valid) comparison
+        streamed_rows = (
+            spark.read.schema(joined.schema)
+            .parquet(out)
+            .select(
+                "user_id",
+                "view_id",
+                "purchase_id",
+                (
+                    F.unix_micros("purchase_ts") - F.unix_micros("view_ts")
+                ).alias("latency_us"),
+            )
+            .collect()
+        )
+    finally:
+        # the stream result is collected (pair-scale by the horizon
+        # bound); nothing lazy reads the scratch sink after this
+        shutil.rmtree(scratch, ignore_errors=True)
+    streamed = spark.createDataFrame(
+        streamed_rows,
+        "user_id long, view_id long, purchase_id long, latency_us long",
     )
 
-    ev = load_table(spark, sf_dir, "events")
-    v = ev.filter(F.col("event_type") == "view").select(
-        F.col("user_id").alias("v_user"),
-        F.col("event_id").alias("view_id"),
-        F.col("ts").alias("view_ts"),
-    )
-    p = ev.filter(F.col("event_type") == "purchase").select(
-        F.col("user_id").alias("p_user"),
-        F.col("event_id").alias("purchase_id"),
-        F.col("ts").alias("purchase_ts"),
-    )
-    batch = v.join(
-        p,
-        F.expr(
-            "v_user = p_user AND purchase_ts > view_ts "
-            "AND purchase_ts <= view_ts + INTERVAL 1 HOUR"
-        ),
-    ).select(
-        F.col("v_user").alias("user_id"),
-        "view_id",
-        "purchase_id",
-        (F.unix_micros("purchase_ts") - F.unix_micros("view_ts")).alias(
-            "latency_us"
-        ),
-    )
+    # the batch face IS the gated batch query — one definition, so the
+    # parity gate can never drift against a stale copy of the predicate
+    batch = attribution_interval_join(spark, sf_dir)
     keys = ["user_id", "view_id", "purchase_id", "latency_us"]
     return (
         batch.withColumn("in_batch", F.lit(True))
