@@ -91,3 +91,36 @@ def test_fingerprint_invalidates_on_corpus_change(spark, tmp_path):
     fp3 = corpus_fingerprint(edited, "doc_id", "text")
     assert fp3[0] == fp[0] and fp3[1] != fp[1]
     assert load_bm25_index(spark, path, expect_fingerprint=fp3) is None
+
+
+def test_incremental_update_equals_full_rebuild(spark, tmp_path):
+    """Folding a new batch in (only the batch tokenizes) must be
+    bit-identical to rebuilding over the union — scores, stats, AND
+    the additive corpus fingerprint; a replayed (overlapping) batch
+    must fail fast instead of double-counting."""
+    import pytest
+
+    from tinyerp_etl_spark.operators.bm25_index import update_bm25_index
+
+    docs = _docs(spark)
+    base = docs.filter(F.col("doc_id") % 3 != 0)
+    batch = docs.filter(F.col("doc_id") % 3 == 0)
+
+    inc_path, full_path = str(tmp_path / "inc"), str(tmp_path / "full")
+    save_bm25_index(spark, inc_path, base)
+    update_bm25_index(spark, inc_path, batch)
+    save_bm25_index(spark, full_path, docs)
+
+    fp = corpus_fingerprint(docs, "doc_id", "text")
+    inc = load_bm25_index(spark, inc_path, expect_fingerprint=fp)
+    full = load_bm25_index(spark, full_path, expect_fingerprint=fp)
+    assert inc is not None and full is not None  # additive fp == union fp
+    (ip, istats), (fp_post, fstats) = inc, full
+    assert istats == fstats
+    terms = ["spark", "dup", "window"]
+    assert (
+        bm25i_topk_indexed(ip, istats, terms, k=20).collect()
+        == bm25i_topk_indexed(fp_post, fstats, terms, k=20).collect()
+    )
+    with pytest.raises(ValueError, match="append-only"):
+        update_bm25_index(spark, inc_path, batch)

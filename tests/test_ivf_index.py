@@ -78,3 +78,31 @@ def test_load_or_train_invalidates_on_inplace_reembed(spark, tmp_path):
     c2 = load_or_train_ivf_index(spark, reemb, path, k=4, iters=2)
     assert c2 == train_kmeans(reemb, k=4, iters=2)
     assert c2 != c1
+
+
+def test_list_partitioned_layout_prunes_directories(spark, tmp_path):
+    """The at-scale layout: vectors committed hive-partitioned by
+    list_id must answer an nprobe query from a PARTITION-PRUNED read
+    (PartitionFilters on list_id), never a full-directory scan."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    from tinyerp_etl_spark.etl.table_store import TableStore
+    from tinyerp_etl_spark.operators.similarity import ivf_assign
+
+    emb = _corpus(spark, 40)
+    cents = train_kmeans(emb, k=4, iters=1)
+    assigned = ivf_assign(emb, centroids=cents)
+    store = TableStore(
+        spark,
+        str(tmp_path / "vectors"),
+        StructType.fromDDL("vec_id long, embedding array<float>, list_id int"),
+        partition_by=["list_id"],
+    )
+    store.commit(assigned.select("vec_id", "embedding", "list_id"))
+    pruned = store.read().filter(F.col("list_id").isin([1, 2]))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and any("list_id" in ln for ln in pf), plan
+    got = {r["list_id"] for r in pruned.select("list_id").distinct().collect()}
+    assert got <= {1, 2} and got

@@ -45,6 +45,13 @@ from tinyerp_etl_spark.operators.text import (
     tokens,
 )
 
+#: Output files per postings commit — the small-files control: the
+#: range-partition-by-token sort shuffles into this many tasks/files
+#: instead of the session shuffle-partition count (32 sorted files of
+#: a few thousand rows each at test scale is pure overhead). A
+#: cluster run sizes this to corpus_bytes / target_file_size.
+POSTINGS_FILES = 8
+
 BM25_POSTINGS_SCHEMA = StructType(
     [
         StructField("token", StringType()),
@@ -131,11 +138,71 @@ def save_bm25_index(
         BM25_STATS_SCHEMA,
     )
     version = TableStore(spark, f"{path}/postings", BM25_POSTINGS_SCHEMA).commit(
-        postings, cluster_by=["token"]
+        postings, n_files=POSTINGS_FILES, cluster_by=["token"]
     )
     TableStore(spark, f"{path}/stats", BM25_STATS_SCHEMA).commit(
         stats_df, n_files=1
     )
+    return version
+
+
+def update_bm25_index(
+    spark: SparkSession,
+    path: str,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> int:
+    """Fold a batch of NEW documents into the persisted index —
+    incremental maintenance, bit-identical to a full rebuild (the
+    kmv_merge_sketches discipline applied to text retrieval).
+
+    Only the batch tokenizes: compute ∝ increment, while a rebuild
+    re-tokenizes the corpus (the dominant cost at scale). Existing
+    postings merge by union (no overlap possible — the append-only
+    contract is ENFORCED: a batch doc_id already present raises
+    instead of double-counting its tokens), stats add, and the corpus
+    fingerprint adds EXACTLY (it is a sum over rows, so
+    old ⊕ batch ≡ a fresh fingerprint of the union — no old-corpus
+    scan needed to keep validation sound). Postings commit before
+    stats, same crash-ordering rationale as save_bm25_index.
+    """
+    import decimal
+
+    loaded = load_bm25_index(spark, path)
+    if loaded is None:
+        return save_bm25_index(spark, path, new_docs, text_col, id_col)
+    postings, _stats = loaded
+    stats_store = TableStore(spark, f"{path}/stats", BM25_STATS_SCHEMA)
+    srow = stats_store.read().first()
+
+    batch_ids = new_docs.select(F.col(id_col).cast("long").alias("doc_id"))
+    if not postings.join(batch_ids, "doc_id", "left_semi").isEmpty():
+        raise ValueError(
+            "update_bm25_index batch contains doc_ids already indexed; "
+            "incremental maintenance is append-only — rebuild "
+            "(save_bm25_index) to replace documents"
+        )
+    new_postings, new_stats = build_bm25_index(new_docs, text_col, id_col)
+    nrow = new_stats.first()
+    bfp = corpus_fingerprint(new_docs, id_col, text_col)
+    merged_stats = spark.createDataFrame(
+        [
+            (
+                int(srow["n_docs"]) + int(nrow["n_docs"]),
+                int(srow["total_len"]) + int(nrow["total_len"]),
+                int(srow["fp_n"]) + int(bfp[0]),
+                decimal.Decimal(int(srow["fp_hashsum"]) + bfp[1]),
+            )
+        ],
+        BM25_STATS_SCHEMA,
+    )
+    version = TableStore(spark, f"{path}/postings", BM25_POSTINGS_SCHEMA).commit(
+        postings.unionByName(new_postings),
+        n_files=POSTINGS_FILES,
+        cluster_by=["token"],
+    )
+    stats_store.commit(merged_stats, n_files=1)
     return version
 
 

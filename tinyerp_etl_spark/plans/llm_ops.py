@@ -196,6 +196,48 @@ def bm25i_index_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return B.bm25i_topk_indexed(postings, stats, ["dup", "spark", "window"], k=10)
 
 
+def bm25i_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental index maintenance, differentially proven: build the
+    index over 90% of the corpus, FOLD the remaining 10% in with
+    update_bm25_index (only the batch tokenizes; stats and the corpus
+    fingerprint ADD), score the same query — and share the corpus-scan
+    oracle, so incremental ≡ full-corpus is hash-proven. The kmv
+    incremental-sketch discipline applied to text retrieval.
+    operators/bm25_index.py:update_bm25_index."""
+    import shutil
+    import tempfile
+
+    from tinyerp_etl_spark.operators import bm25_index as B
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % 10 != 0)
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    scratch = tempfile.mkdtemp(prefix="bm25_incr_")
+    try:
+        path = os.path.join(scratch, "index")
+        B.save_bm25_index(spark, path, base)
+        B.update_bm25_index(spark, path, batch)
+        fp = corpus_fingerprint_docs(docs)
+        loaded = B.load_bm25_index(spark, path, expect_fingerprint=fp)
+        assert loaded is not None, "merged fingerprint must equal the union's"
+        postings, stats = loaded
+        rows = B.bm25i_topk_indexed(
+            postings, stats, ["dup", "spark", "window"], k=10
+        ).collect()
+    finally:
+        # rows are collected (k-scale); nothing lazy reads the scratch
+        shutil.rmtree(scratch, ignore_errors=True)
+    return spark.createDataFrame(rows, "doc_id long, score long").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+
+
+def corpus_fingerprint_docs(docs: DataFrame) -> tuple[int, int]:
+    from tinyerp_etl_spark.operators.ivf_index import corpus_fingerprint
+
+    return corpus_fingerprint(docs, "doc_id", "text")
+
+
 def lang_id_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-based language guess vs the labeled lang column."""
     docs = load_table(spark, sf_dir, "documents")
@@ -427,6 +469,87 @@ def embedding_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return S.ivf_topk(
         emb, query_vec_id=0, k=10, centroids=_ivf_index_for(spark, sf_dir)
+    )
+
+
+def ivf_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The at-scale IVF layout, differentially proven: every vector is
+    assigned to its persisted-index list (ivf_assign with the loaded
+    centroids), the corpus is committed as a TableStore version
+    HIVE-PARTITIONED by list_id, and the query is answered from a
+    PARTITION-PRUNED read of its nprobe lists — only nprobe/k of the
+    corpus directories are opened (the pruning is pinned by a
+    PartitionFilters plan assert in tests/test_ivf_index.py). Shares
+    embedding_topk_ivf's oracle, so pruned-layout scoring ≡ the
+    full-scan IVF path hash-for-hash. This is the 'list_id as the
+    write-time partition column' flow the similarity docstrings
+    prescribe for 100 TB: assignment at ingest, directory pruning at
+    query."""
+    import math
+    import shutil
+    import tempfile
+
+    from pyspark.sql.types import StructType
+
+    from tinyerp_etl_spark.etl.table_store import TableStore
+
+    cents = _ivf_index_for(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = S.ivf_assign(emb, centroids=cents)
+
+    # control plane: quantize the query vector (half-up, mirroring
+    # similarity._q) and rank centroids by exact tick cosine with
+    # ties to the lower id — the same probe-list rule as ivf_topk
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[
+        "embedding"
+    ]
+
+    def _half_up(x: float) -> int:
+        s = float(x) * S.QUANT
+        return int(math.floor(s + 0.5)) if s >= 0 else int(math.ceil(s - 0.5))
+
+    qt = [_half_up(x) for x in qvec]
+    qn2 = sum(t * t for t in qt)
+
+    def _ccos(ticks: list[int]) -> float:
+        dot = sum(a * b for a, b in zip(ticks, qt))
+        n2 = sum(t * t for t in ticks)
+        return dot / math.sqrt(float(n2) * float(qn2))
+
+    ranked = sorted(cents, key=lambda c: (-_ccos(c[1]), c[0]))
+    probe = [cid for cid, _ in ranked[: S.IVF_NPROBE]]
+
+    scratch = tempfile.mkdtemp(prefix="ivf_part_")
+    try:
+        store = TableStore(
+            spark,
+            os.path.join(scratch, "vectors"),
+            StructType.fromDDL("vec_id long, embedding array<float>, list_id int"),
+            partition_by=["list_id"],
+        )
+        store.commit(assigned.select("vec_id", "embedding", "list_id"))
+        qlit = F.array(*[F.lit(float(x)).cast("float") for x in qvec])
+        score = (
+            S.quantized_dot(F.col("embedding"), qlit)
+            / F.sqrt(
+                S.quantized_norm2(F.col("embedding")).cast("double")
+                * F.lit(float(qn2))
+            )
+        ).cast("double")
+        rows = (
+            store.read()
+            .filter(F.col("list_id").isin([int(p) for p in probe]))
+            .filter(F.col("vec_id") != 0)
+            .select(F.col("vec_id").cast("long").alias("vec_id"), score.alias("score"))
+            .orderBy(F.col("score").desc(), F.col("vec_id").asc())
+            .limit(10)
+            .collect()
+        )
+    finally:
+        # top-k is collected; nothing lazy reads the scratch store
+        shutil.rmtree(scratch, ignore_errors=True)
+    return spark.createDataFrame(rows, "vec_id long, score double").orderBy(
+        F.col("score").desc(), F.col("vec_id").asc()
     )
 
 
@@ -1508,6 +1631,10 @@ LLM_ORACLES: dict[str, str] = {
 # the indexed face must produce the exact rows of the corpus-scan
 # face — one oracle serves both, which IS the indexed≡scan proof
 LLM_ORACLES["bm25i_index_retrieval"] = LLM_ORACLES["bm25i_retrieval_docs"]
+# incrementally-maintained index ≡ full corpus, same proof shape
+LLM_ORACLES["bm25i_incremental_index"] = LLM_ORACLES["bm25i_retrieval_docs"]
+# partition-pruned IVF layout ≡ the full-scan IVF path
+LLM_ORACLES["ivf_partitioned_scan"] = LLM_ORACLES["embedding_topk_ivf"]
 
 
 LLM_QUERIES = {
@@ -1523,6 +1650,8 @@ LLM_QUERIES = {
     "lang_id_docs": lang_id_docs,
     "bm25i_retrieval_docs": bm25i_retrieval_docs,
     "bm25i_index_retrieval": bm25i_index_retrieval,
+    "bm25i_incremental_index": bm25i_incremental_index,
+    "ivf_partitioned_scan": ivf_partitioned_scan,
     "token_count_by_source": token_count_by_source,
     "exact_dup_groups": exact_dup_groups,
     "dedup_exact_count": dedup_exact_count,
