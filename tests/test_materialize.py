@@ -90,11 +90,11 @@ def test_repointed_dir_conf_reapplied(spark, tmp_path):
     (first-use-wins was the round-6 behavior)."""
     import tinyerp_etl_spark.functions.materialize as M
 
+    ctx = spark.sparkContext.applicationId
     a, b = str(tmp_path / "dur_a"), str(tmp_path / "dur_b")
     spark.sparkContext.setCheckpointDir(a)
     # as if materialize() itself applied a
-    M._LAST_APPLIED_DIR = a
-    M._LAST_APPLIED_RESULT = spark.sparkContext.getCheckpointDir()
+    M._LAST_APPLIED[ctx] = (a, spark.sparkContext.getCheckpointDir())
     spark.conf.set(DIR_CONF, b)
     try:
         out = materialize(_frame(spark), reliable=True)
@@ -102,8 +102,7 @@ def test_repointed_dir_conf_reapplied(spark, tmp_path):
         assert "dur_b" in (spark.sparkContext.getCheckpointDir() or "")
     finally:
         spark.conf.unset(DIR_CONF)
-        M._LAST_APPLIED_DIR = None
-        M._LAST_APPLIED_RESULT = None
+        M._LAST_APPLIED.pop(ctx, None)
 
 
 def test_dead_dir_conf_warns_once(spark, tmp_path):
@@ -114,8 +113,7 @@ def test_dead_dir_conf_warns_once(spark, tmp_path):
     import tinyerp_etl_spark.functions.materialize as M
 
     spark.sparkContext.setCheckpointDir(str(tmp_path / "manual"))
-    M._LAST_APPLIED_DIR = None
-    M._LAST_APPLIED_RESULT = None
+    M._LAST_APPLIED.pop(spark.sparkContext.applicationId, None)
     M._WARNED_DEAD_CONF.clear()
     spark.conf.set(DIR_CONF, str(tmp_path / "dead"))
     try:
@@ -133,10 +131,11 @@ def test_manual_override_survives_conf_repoint(spark, tmp_path):
     conf must win over a later conf repoint (warned, not stomped)."""
     import tinyerp_etl_spark.functions.materialize as M
 
+    ctx = spark.sparkContext.applicationId
     a = str(tmp_path / "conf_a")
     spark.sparkContext.setCheckpointDir(a)
-    M._LAST_APPLIED_DIR = a  # as if materialize() applied a
-    M._LAST_APPLIED_RESULT = spark.sparkContext.getCheckpointDir()
+    # as if materialize() applied a
+    M._LAST_APPLIED[ctx] = (a, spark.sparkContext.getCheckpointDir())
     # the user now overrides directly...
     manual = str(tmp_path / "manual_m")
     spark.sparkContext.setCheckpointDir(manual)
@@ -149,5 +148,4 @@ def test_manual_override_survives_conf_repoint(spark, tmp_path):
         assert "manual_m" in (spark.sparkContext.getCheckpointDir() or "")
     finally:
         spark.conf.unset(DIR_CONF)
-        M._LAST_APPLIED_DIR = None
-        M._LAST_APPLIED_RESULT = None
+        M._LAST_APPLIED.pop(ctx, None)

@@ -39,18 +39,20 @@ from pyspark.sql import DataFrame
 RELIABLE_CONF = "spark.graft.materialize.reliable"
 DIR_CONF = "spark.graft.materialize.dir"
 
-# The DIR_CONF value materialize() itself last applied via
-# setCheckpointDir, and the getCheckpointDir() result that apply
-# produced. The pair is needed because getCheckpointDir() returns the
-# uuid SUBDIRECTORY Spark creates under the configured path, so the
+# Per-SparkContext record of the DIR_CONF value materialize() last
+# applied via setCheckpointDir and the getCheckpointDir() result that
+# apply produced (keyed by applicationId — checkpoint dirs are
+# context state, and a second context in the same process must not
+# make the first context's conf-applied dir look manually set). The
+# pair is needed because getCheckpointDir() returns the uuid
+# SUBDIRECTORY Spark creates under the configured path, so the
 # session conf can't be compared against it directly — and BOTH
 # directions must stay loud: a repointed DIR_CONF must not be
 # silently dead (first-use-wins), and a manual setCheckpointDir made
 # after materialize() applied the conf must not be silently stomped
-# by a later conf repoint (the current dir differing from
-# _LAST_APPLIED_RESULT is how the manual call is detected).
-_LAST_APPLIED_DIR: str | None = None
-_LAST_APPLIED_RESULT: str | None = None
+# by a later conf repoint (the current dir differing from the
+# recorded apply result is how the manual call is detected).
+_LAST_APPLIED: dict[str, tuple[str, str | None]] = {}
 _WARNED_DEAD_CONF: set[str] = set()
 
 
@@ -75,10 +77,11 @@ def materialize(df: DataFrame, reliable: bool | None = None, eager: bool = True)
         )
     if not reliable:
         return df.localCheckpoint(eager=eager)
-    global _LAST_APPLIED_DIR, _LAST_APPLIED_RESULT
     sc = spark.sparkContext
+    ctx = sc.applicationId
     target = spark.conf.get(DIR_CONF, None)
     cur = sc.getCheckpointDir()
+    applied = _LAST_APPLIED.get(ctx)
     if cur is None:
         if not target:
             raise ValueError(
@@ -88,9 +91,8 @@ def materialize(df: DataFrame, reliable: bool | None = None, eager: bool = True)
                 "HDFS/S3 on a cluster)"
             )
         sc.setCheckpointDir(target)
-        _LAST_APPLIED_DIR = target
-        _LAST_APPLIED_RESULT = sc.getCheckpointDir()
-    elif _LAST_APPLIED_RESULT is None or cur != _LAST_APPLIED_RESULT:
+        _LAST_APPLIED[ctx] = (target, sc.getCheckpointDir())
+    elif applied is None or cur != applied[1]:
         # the current dir is NOT the one materialize() last applied:
         # the user set it directly (before first use, or overriding a
         # previously-applied conf). The manual call wins — but a
@@ -106,11 +108,10 @@ def materialize(df: DataFrame, reliable: bool | None = None, eager: bool = True)
                 "conf is ignored — unset one of the two",
                 stacklevel=2,
             )
-    elif target and target != _LAST_APPLIED_DIR:
+    elif target and target != applied[0]:
         # the conf was repointed AFTER materialize() applied it (and
         # nobody set the dir manually in between) — honor the new
         # value instead of first-use-wins-silently
         sc.setCheckpointDir(target)
-        _LAST_APPLIED_DIR = target
-        _LAST_APPLIED_RESULT = sc.getCheckpointDir()
+        _LAST_APPLIED[ctx] = (target, sc.getCheckpointDir())
     return df.checkpoint(eager=eager)

@@ -77,9 +77,13 @@ def build_bm25_index(
     """(postings, stats) for a document corpus.
 
     Offline build: the tokenizer runs over the corpus here — once —
-    so it never runs at query time again. Stats count EVERY document
-    (zero-token docs contribute to n_docs and nothing to postings,
-    exactly how ``bm25i_topk``'s in-query aggregate sees them).
+    so it never runs at query time again. Stats count EVERY document;
+    a ZERO-TOKEN document gets one (token=NULL, tf=0) membership row
+    in the postings (explode_outer) — scoring never sees it (a term
+    filter drops NULL tokens), but the postings' doc_id set then
+    covers the whole corpus, which the incremental updater's
+    append-only check relies on (a replayed empty doc must be caught,
+    not silently double-counted into n_docs and the fingerprint).
     """
     with_dl = docs.select(
         F.col(id_col).cast("long").alias("doc_id"),
@@ -90,9 +94,10 @@ def build_bm25_index(
         F.col("__toks"),
     )
     postings = (
-        with_dl.select("doc_id", "dl", F.explode("__toks").alias("token"))
+        with_dl.select("doc_id", "dl", F.explode_outer("__toks").alias("token"))
         .groupBy("token", "doc_id", "dl")
-        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        # count(col) skips NULLs: the membership row gets tf=0
+        .agg(F.count("token").cast("long").alias("tf"))
         .select("token", "doc_id", "tf", "dl")
     )
     stats = with_dl.agg(
@@ -152,6 +157,7 @@ def update_bm25_index(
     new_docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    check_overlap: bool = True,
 ) -> int:
     """Fold a batch of NEW documents into the persisted index —
     incremental maintenance, bit-identical to a full rebuild (the
@@ -160,29 +166,43 @@ def update_bm25_index(
     Only the batch tokenizes: compute ∝ increment, while a rebuild
     re-tokenizes the corpus (the dominant cost at scale). Existing
     postings merge by union (no overlap possible — the append-only
-    contract is ENFORCED: a batch doc_id already present raises
-    instead of double-counting its tokens), stats add, and the corpus
-    fingerprint adds EXACTLY (it is a sum over rows, so
-    old ⊕ batch ≡ a fresh fingerprint of the union — no old-corpus
-    scan needed to keep validation sound). Postings commit before
-    stats, same crash-ordering rationale as save_bm25_index.
+    contract is ENFORCED: a batch doc_id already present, including a
+    zero-token doc via its membership row, raises instead of
+    double-counting), stats add, and the corpus fingerprint adds
+    EXACTLY (it is a sum over rows, so old ⊕ batch ≡ a fresh
+    fingerprint of the union — no old-corpus scan needed to keep
+    validation sound). Postings commit before stats, same
+    crash-ordering rationale as save_bm25_index, and BOTH commits
+    carry ``expected_version``: a concurrent fold or rebuild makes
+    this read-modify-write raise ConcurrentWriteError (recompute and
+    retry) instead of last-writer-wins losing a batch.
+
+    ``check_overlap`` reads the postings' doc_id column — column-
+    pruned, but still O(index) IO per fold since doc_id is neither
+    the cluster nor partition key. At true scale either accept it,
+    partition postings by a doc_id range too, or pass False when an
+    upstream ledger already guarantees batch novelty (the
+    ``verify=False`` analog on the IVF side).
     """
     import decimal
 
-    loaded = load_bm25_index(spark, path)
-    if loaded is None:
-        return save_bm25_index(spark, path, new_docs, text_col, id_col)
-    postings, _stats = loaded
+    postings_store = TableStore(spark, f"{path}/postings", BM25_POSTINGS_SCHEMA)
     stats_store = TableStore(spark, f"{path}/stats", BM25_STATS_SCHEMA)
+    postings_version = postings_store.current_version()
+    stats_version = stats_store.current_version()
+    if postings_version is None or stats_version is None:
+        return save_bm25_index(spark, path, new_docs, text_col, id_col)
+    postings = postings_store.read()
     srow = stats_store.read().first()
 
-    batch_ids = new_docs.select(F.col(id_col).cast("long").alias("doc_id"))
-    if not postings.join(batch_ids, "doc_id", "left_semi").isEmpty():
-        raise ValueError(
-            "update_bm25_index batch contains doc_ids already indexed; "
-            "incremental maintenance is append-only — rebuild "
-            "(save_bm25_index) to replace documents"
-        )
+    if check_overlap:
+        batch_ids = new_docs.select(F.col(id_col).cast("long").alias("doc_id"))
+        if not postings.join(batch_ids, "doc_id", "left_semi").isEmpty():
+            raise ValueError(
+                "update_bm25_index batch contains doc_ids already indexed; "
+                "incremental maintenance is append-only — rebuild "
+                "(save_bm25_index) to replace documents"
+            )
     new_postings, new_stats = build_bm25_index(new_docs, text_col, id_col)
     nrow = new_stats.first()
     bfp = corpus_fingerprint(new_docs, id_col, text_col)
@@ -197,12 +217,13 @@ def update_bm25_index(
         ],
         BM25_STATS_SCHEMA,
     )
-    version = TableStore(spark, f"{path}/postings", BM25_POSTINGS_SCHEMA).commit(
+    version = postings_store.commit(
         postings.unionByName(new_postings),
         n_files=POSTINGS_FILES,
         cluster_by=["token"],
+        expected_version=postings_version,
     )
-    stats_store.commit(merged_stats, n_files=1)
+    stats_store.commit(merged_stats, n_files=1, expected_version=stats_version)
     return version
 
 
@@ -236,6 +257,8 @@ def load_bm25_index(
     stats = {
         "n_docs": int(srow["n_docs"]),
         "total_len": int(srow["total_len"]),
+        "fp_n": int(srow["fp_n"]),
+        "fp_hashsum": int(srow["fp_hashsum"]),
     }
     return postings_store.read(), stats
 

@@ -43,6 +43,7 @@ from tinyerp_etl_spark.operators.similarity import (
     KMEANS_ITERS,
     KMEANS_K,
     TRAIN_SAMPLE_CAP,
+    _seed_hash,
     train_kmeans,
 )
 
@@ -84,11 +85,7 @@ def corpus_fingerprint(
     row = df.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.coalesce(
-            F.sum(
-                F.conv(F.substring(F.md5(keyed), 1, 8), 16, 10)
-                .cast("long")
-                .cast("decimal(38,0)")
-            ),
+            F.sum(_seed_hash(keyed).cast("decimal(38,0)")),
             F.lit(0).cast("decimal(38,0)"),
         ).alias("hsum"),
     ).first()

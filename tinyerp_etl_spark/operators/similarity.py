@@ -254,6 +254,47 @@ def _assign_ticks(base: DataFrame, cents: list[tuple[int, list[int]]]) -> DataFr
     )
 
 
+def quantize_vector(vec) -> list[int]:
+    """Driver-side twin of ``_q``: half-up rounding of double(x)*QUANT.
+
+    Python's round() is half-even and numpy's np.round too — Spark's
+    round() is half-away-from-zero, so the control-plane quantization
+    must spell floor(+0.5)/ceil(-0.5) explicitly. This is THE one
+    definition every driver-side consumer (ivf_topk's query/centroid
+    prep, the partitioned-scan gate) must share — a second copy that
+    drifted on the rounding rule would silently flip assignment ties.
+    """
+    import math
+
+    out = []
+    for x in vec:
+        s = float(x) * QUANT
+        out.append(int(math.floor(s + 0.5)) if s >= 0 else int(math.ceil(s - 0.5)))
+    return out
+
+
+def probe_lists(
+    centroids: list[tuple[int, list[int]]], query_ticks: list[int], nprobe: int
+) -> list[int]:
+    """The IVF probe-selection control plane, shared by every caller:
+    rank centroids by exact-integer-dot cosine against the query
+    ticks, ties to the LOWER centroid_id, take ``nprobe``. One
+    definition so ivf_topk and the partitioned-layout scan can never
+    disagree on which lists a query touches (the probe set is part of
+    the oracle-checked contract)."""
+    import math
+
+    qn2 = sum(t * t for t in query_ticks)
+
+    def cos(ticks: list[int]) -> float:
+        dot = sum(a * b for a, b in zip(ticks, query_ticks))
+        n2 = sum(t * t for t in ticks)
+        return dot / math.sqrt(float(n2) * float(qn2))
+
+    ranked = sorted(centroids, key=lambda c: (-cos(c[1]), c[0]))
+    return [cid for cid, _ in ranked[:nprobe]]
+
+
 def train_kmeans(
     embeddings: DataFrame,
     k: int = KMEANS_K,
@@ -447,25 +488,23 @@ def ivf_topk(
     )
 
     def _quant(m: np.ndarray) -> np.ndarray:
-        # mirrors _q: round(double(x) * QUANT) as int64. Widen float32
-        # input to float64 BEFORE scaling (like the column expression);
-        # and Spark round() is half-up while np.round is half-even, so
-        # use floor(x+0.5)/ceil(x-0.5) which is exactly half-up.
+        # vectorized twin of quantize_vector (the shared driver-side
+        # definition): widen float32 to float64 BEFORE scaling (like
+        # the column expression); Spark round() is half-up while
+        # np.round is half-even, so floor(x+0.5)/ceil(x-0.5).
         scaled = np.asarray(m, dtype=np.float64) * QUANT
         return np.where(
             scaled >= 0, np.floor(scaled + 0.5), np.ceil(scaled - 0.5)
         ).astype(np.int64)
 
-    qv = _quant(np.asarray(qrow[0][vec_col], dtype=np.float64))
+    qv = np.array(quantize_vector(qrow[0][vec_col]), dtype=np.int64)
     cmat = np.stack([np.asarray(t, dtype=np.int64) for _, t in centroids])
     cids = np.array([c for c, _ in centroids], dtype=np.int64)
     cn2 = (cmat.astype(np.float64) ** 2).sum(axis=1)
     qn2 = float((qv.astype(np.float64) ** 2).sum())
 
-    # probe lists: nprobe nearest centroids to the query (ties → lower id)
-    cscores = (cmat @ qv).astype(np.float64) / np.sqrt(cn2 * qn2)
-    order = np.lexsort((cids, -cscores))
-    probe = set(cids[order[:nprobe]].tolist())
+    # probe lists via the ONE shared control-plane rule (ties → lower id)
+    probe = set(probe_lists(centroids, qv.tolist(), nprobe))
 
     out_schema = T.StructType(
         [

@@ -170,11 +170,10 @@ def _bm25_index_for(spark: SparkSession, sf_dir: str):
     key = os.path.abspath(sf_dir)
     if key not in _BM25_CACHE:
         from tinyerp_etl_spark.operators import bm25_index as B
-        from tinyerp_etl_spark.operators.ivf_index import corpus_fingerprint
 
         docs = load_table(spark, sf_dir, "documents")
         path = os.path.join(_artifact_root(), "bm25_index", _corpus_tag(key))
-        fp = corpus_fingerprint(docs, "doc_id", "text")
+        fp = corpus_fingerprint_docs(docs)
         loaded = B.load_bm25_index(spark, path, expect_fingerprint=fp)
         if loaded is None:
             B.save_bm25_index(spark, path, docs)
@@ -233,6 +232,9 @@ def bm25i_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def corpus_fingerprint_docs(docs: DataFrame) -> tuple[int, int]:
+    """THE fingerprint convention for the documents corpus (id +
+    text content) — one spelling, used by the artifact loader and the
+    incremental gate alike so the two can never drift."""
     from tinyerp_etl_spark.operators.ivf_index import corpus_fingerprint
 
     return corpus_fingerprint(docs, "doc_id", "text")
@@ -485,7 +487,6 @@ def ivf_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     write-time partition column' flow the similarity docstrings
     prescribe for 100 TB: assignment at ingest, directory pruning at
     query."""
-    import math
     import shutil
     import tempfile
 
@@ -497,27 +498,16 @@ def ivf_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     assigned = S.ivf_assign(emb, centroids=cents)
 
-    # control plane: quantize the query vector (half-up, mirroring
-    # similarity._q) and rank centroids by exact tick cosine with
-    # ties to the lower id — the same probe-list rule as ivf_topk
+    # control plane: the SAME shared quantize + probe-selection rule
+    # ivf_topk uses (similarity.quantize_vector / probe_lists) — the
+    # probe set is part of the oracle-checked contract, so there is
+    # exactly one definition of it
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[
         "embedding"
     ]
-
-    def _half_up(x: float) -> int:
-        s = float(x) * S.QUANT
-        return int(math.floor(s + 0.5)) if s >= 0 else int(math.ceil(s - 0.5))
-
-    qt = [_half_up(x) for x in qvec]
+    qt = S.quantize_vector(qvec)
     qn2 = sum(t * t for t in qt)
-
-    def _ccos(ticks: list[int]) -> float:
-        dot = sum(a * b for a, b in zip(ticks, qt))
-        n2 = sum(t * t for t in ticks)
-        return dot / math.sqrt(float(n2) * float(qn2))
-
-    ranked = sorted(cents, key=lambda c: (-_ccos(c[1]), c[0]))
-    probe = [cid for cid, _ in ranked[: S.IVF_NPROBE]]
+    probe = S.probe_lists(cents, qt, S.IVF_NPROBE)
 
     scratch = tempfile.mkdtemp(prefix="ivf_part_")
     try:
