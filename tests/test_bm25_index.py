@@ -178,3 +178,16 @@ def test_concurrent_fold_raises_not_lost(spark, tmp_path):
         store.commit(current, n_files=1, expected_version=v)
     # and a clean (non-raced) fold still succeeds afterwards
     update_bm25_index(spark, path, batch)
+
+
+def test_rank_topn_ties_break_to_lower_id(spark):
+    """_rank_topn's count-of-strictly-better rank must equal
+    row_number under the total (score DESC, id ASC) order — score
+    ties rank the lower id first, no duplicate ranks."""
+    from tinyerp_etl_spark.plans.llm_ops import _rank_topn
+
+    top = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 5)], "doc_id long, score long"
+    )
+    ranks = {r["doc_id"]: r["r"] for r in _rank_topn(top, "doc_id").collect()}
+    assert ranks == {1: 1, 2: 2, 3: 3}

@@ -231,6 +231,75 @@ def bm25i_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: RRF constants: the standard k=60 damping plus an integer scale so
+#: fused scores are exact integers (1e6 div (60+rank)) — no float
+#: reciprocal sums, so the fusion ranking is bit-identical on any
+#: engine and partitioning (the bm25i discipline applied to fusion).
+RRF_K = 60
+RRF_SCALE = 1_000_000
+RRF_TOPN = 20
+
+
+def _rank_topn(top: DataFrame, id_col: str) -> DataFrame:
+    """Dense 1-based ranks for an already-top-N frame (id, score):
+    rank = 1 + |rows strictly better under (score DESC, id ASC)|.
+
+    A bounded self-join instead of a window: the frame is k-scale by
+    construction (a TakeOrdered output), and an unpartitioned
+    row_number would funnel through one task — the linter's first
+    anti-pattern. N² comparisons of N=20 rows is control-plane work
+    expressed in-plan."""
+    a, b = top.alias("a"), top.alias("b")
+    better = (F.col("b.score") > F.col("a.score")) | (
+        (F.col("b.score") == F.col("a.score"))
+        & (F.col(f"b.{id_col}") < F.col(f"a.{id_col}"))
+    )
+    return (
+        a.join(b, better, "left")
+        .groupBy(F.col(f"a.{id_col}").alias(id_col))
+        .agg((F.count(F.col(f"b.{id_col}")) + 1).cast("long").alias("r"))
+    )
+
+
+def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search: reciprocal-rank fusion of the lexical and the
+    semantic ranking — the retrieval shape a RAG/data-curation stack
+    actually runs (BM25 catches exact terms, embeddings catch
+    paraphrases; RRF is the standard score-free fusion, Cormack et
+    al. SIGIR'09). Text side scores FROM the persisted postings
+    index; vector side is the exact cosine top-N. Fusion is integer
+    RRF (RRF_SCALE div (RRF_K + rank), absent rank contributes 0) so
+    the fused ranking is hash-gateable. Output: (doc_id, rrf,
+    r_text, r_vec) top-10, either rank NULL when the doc appears in
+    only one ranking."""
+    from tinyerp_etl_spark.operators import bm25_index as B
+
+    postings, stats = _bm25_index_for(spark, sf_dir)
+    text_top = B.bm25i_topk_indexed(
+        postings, stats, ["dup", "spark", "window"], k=RRF_TOPN
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    vec_top = S.brute_force_topk(emb, query_vec_id=0, k=RRF_TOPN)
+
+    t = _rank_topn(text_top, "doc_id").withColumnRenamed("r", "r_text")
+    v = (
+        _rank_topn(vec_top, "vec_id")
+        .select(F.col("vec_id").alias("doc_id"), F.col("r").alias("r_vec"))
+    )
+    fused = t.join(v, "doc_id", "full_outer").select(
+        "doc_id",
+        F.expr(
+            f"coalesce({RRF_SCALE} div ({RRF_K} + r_text), 0) + "
+            f"coalesce({RRF_SCALE} div ({RRF_K} + r_vec), 0)"
+        )
+        .cast("long")
+        .alias("rrf"),
+        "r_text",
+        "r_vec",
+    )
+    return fused.orderBy(F.col("rrf").desc(), F.col("doc_id").asc()).limit(10)
+
+
 def corpus_fingerprint_docs(docs: DataFrame) -> tuple[int, int]:
     """THE fingerprint convention for the documents corpus (id +
     text content) — one spelling, used by the artifact loader and the
@@ -1623,6 +1692,76 @@ LLM_ORACLES: dict[str, str] = {
 LLM_ORACLES["bm25i_index_retrieval"] = LLM_ORACLES["bm25i_retrieval_docs"]
 # incrementally-maintained index ≡ full corpus, same proof shape
 LLM_ORACLES["bm25i_incremental_index"] = LLM_ORACLES["bm25i_retrieval_docs"]
+# hybrid RRF: the bm25i top-20 and cosine top-20 re-derived from the
+# corpus, row_number ranks (the engine's count-of-strictly-better
+# rank is identical under the total (score DESC, id ASC) order),
+# integer reciprocal contributions fused over a full outer join
+LLM_ORACLES["hybrid_rrf_retrieval"] = f"""
+    WITH base AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents
+    ),
+    b AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM base),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(dl) AS BIGINT) AS total_len
+      FROM b
+    ),
+    tf AS (
+      SELECT doc_id, dl, token, CAST(count(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, dl, unnest(toks) AS token FROM b)
+      WHERE token IN ('dup', 'spark', 'window')
+      GROUP BY doc_id, dl, token
+    ),
+    dfreq AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token
+    ),
+    raw AS (
+      SELECT f.doc_id, f.dl,
+             sum(CAST(length(printf('%b', s.n_docs // d.df)) AS BIGINT)
+                 * least(f.tf, 5)) AS raw
+      FROM tf f JOIN dfreq d USING (token) CROSS JOIN stats s
+      GROUP BY f.doc_id, f.dl
+    ),
+    tscores AS (
+      SELECT r.doc_id,
+             CAST((2000 * r.raw)
+                  // (1000 + (1000 * r.dl * s.n_docs) // s.total_len)
+                  AS BIGINT) AS score
+      FROM raw r CROSS JOIN stats s
+      ORDER BY score DESC, r.doc_id ASC
+      LIMIT {RRF_TOPN}
+    ),
+    t AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r_text
+      FROM tscores
+    ),
+    q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+    vscores AS (
+      SELECT vec_id, {_cosine_sql("embedding", "qvec")} AS score
+      FROM embeddings, q
+      WHERE vec_id != 0
+      ORDER BY score DESC, vec_id ASC
+      LIMIT {RRF_TOPN}
+    ),
+    v AS (
+      SELECT vec_id AS doc_id,
+             row_number() OVER (ORDER BY score DESC, vec_id ASC) AS r_vec
+      FROM vscores
+    ),
+    f AS (
+      SELECT COALESCE(t.doc_id, v.doc_id) AS doc_id,
+             CAST(COALESCE({RRF_SCALE} // ({RRF_K} + t.r_text), 0)
+                + COALESCE({RRF_SCALE} // ({RRF_K} + v.r_vec), 0)
+                AS BIGINT) AS rrf,
+             CAST(t.r_text AS BIGINT) AS r_text,
+             CAST(v.r_vec AS BIGINT) AS r_vec
+      FROM t FULL OUTER JOIN v ON t.doc_id = v.doc_id
+    )
+    SELECT doc_id, rrf, r_text, r_vec FROM f
+    ORDER BY rrf DESC, doc_id ASC
+    LIMIT 10
+"""
 # partition-pruned IVF layout ≡ the full-scan IVF path
 LLM_ORACLES["ivf_partitioned_scan"] = LLM_ORACLES["embedding_topk_ivf"]
 
@@ -1642,6 +1781,7 @@ LLM_QUERIES = {
     "bm25i_index_retrieval": bm25i_index_retrieval,
     "bm25i_incremental_index": bm25i_incremental_index,
     "ivf_partitioned_scan": ivf_partitioned_scan,
+    "hybrid_rrf_retrieval": hybrid_rrf_retrieval,
     "token_count_by_source": token_count_by_source,
     "exact_dup_groups": exact_dup_groups,
     "dedup_exact_count": dedup_exact_count,

@@ -219,18 +219,18 @@ _RELATIONAL_NAMES = [
 #       (cohort/streaks/fuzzy/copurchase pairs/funnel/file formats/
 #       quarantine/nested flatten/incremental pipeline/json props/
 #       variant props),
-#   (d) 9 more r3-latest rows (the r1-era relational backbone
+#   (d) 8 more r3-latest rows (the r1-era relational backbone
 #       q1/q3/q5/q7/q8/sql_q6, embedding_label_centroids,
-#       heavy_hitter_tokens, copurchase_pagerank_3iter) plus the two
-#       at-scale index queries added late in round 7
-#       (ivf_partitioned_scan, bm25i_incremental_index — zero
-#       evidence outranks stale-but-proven, the r4 principle).
+#       heavy_hitter_tokens) plus the three queries added late in
+#       round 7 (ivf_partitioned_scan, bm25i_incremental_index,
+#       hybrid_rrf_retrieval — zero evidence outranks
+#       stale-but-proven, the r4 principle).
 # Deferred to round 8 (the ONLY rows whose newest green will then
 # predate r4): boilerplate_ngram_stats, collocations_top_pmi,
-# gapfill_daily_revenue, monthly_revenue_trend, promo_revenue_ratio,
-# set_null_missing_region, window_running_total,
-# train_val_test_split_docs, c4_quality_filter_stats — all r3-green
-# on code untouched since.
+# copurchase_pagerank_3iter, gapfill_daily_revenue,
+# monthly_revenue_trend, promo_revenue_ratio, set_null_missing_region,
+# window_running_total, train_val_test_split_docs,
+# c4_quality_filter_stats — all r3-green on code untouched since.
 _ROUND7_FRONT_50 = [
     # (0) zero driver evidence
     "kmeans_centroids_embeddings",
@@ -284,9 +284,9 @@ _ROUND7_FRONT_50 = [
     "sql_q6_forecast_revenue",
     "embedding_label_centroids",
     "heavy_hitter_tokens",
-    "copurchase_pagerank_3iter",
     "ivf_partitioned_scan",
     "bm25i_incremental_index",
+    "hybrid_rrf_retrieval",
 ]
 
 # Round 5 gate (ran in rounds 5 AND 6; kept for the rotation ledger).
