@@ -92,6 +92,7 @@ HEADLINE_R5 = [
 # for the round-over-round comparison).
 HEADLINE_R7 = [
     "bm25i_index_retrieval",
+    "hybrid_rrf_retrieval",
 ]
 HEADLINE = HEADLINE + HEADLINE_R4 + HEADLINE_R5 + HEADLINE_R7
 
