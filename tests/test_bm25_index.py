@@ -180,14 +180,26 @@ def test_concurrent_fold_raises_not_lost(spark, tmp_path):
     update_bm25_index(spark, path, batch)
 
 
-def test_rank_topn_ties_break_to_lower_id(spark):
-    """_rank_topn's count-of-strictly-better rank must equal
-    row_number under the total (score DESC, id ASC) order — score
-    ties rank the lower id first, no duplicate ranks."""
-    from tinyerp_etl_spark.plans.llm_ops import _rank_topn
+def test_rrf_ranks_ties_break_to_lower_id(spark):
+    """_rrf_ranks must equal row_number under the total (score DESC,
+    id ASC) order — score ties rank the lower id first, no duplicate
+    ranks, regardless of input row order."""
+    from tinyerp_etl_spark.plans.llm_ops import _rrf_ranks
 
-    top = spark.createDataFrame(
-        [(1, 10), (2, 10), (3, 5)], "doc_id long, score long"
-    )
-    ranks = {r["doc_id"]: r["r"] for r in _rank_topn(top, "doc_id").collect()}
-    assert ranks == {1: 1, 2: 2, 3: 3}
+    rows = [
+        {"doc_id": 3, "score": 5},
+        {"doc_id": 2, "score": 10},
+        {"doc_id": 1, "score": 10},
+    ]
+    assert _rrf_ranks(rows, "doc_id") == {1: 1, 2: 2, 3: 3}
+
+
+def test_hybrid_rrf_plan_is_scale_safe(spark, sf_dir):
+    """The fusion query's design rationale IS a plan shape: each
+    branch one scan ending in TakeOrdered, no unpartitioned window,
+    no cartesian — pin it so a join-strategy or Spark upgrade
+    regression is caught before a driver round."""
+    from tinyerp_etl_spark.operators.planlint import plan_findings
+    from tinyerp_etl_spark.plans.llm_ops import hybrid_rrf_retrieval
+
+    assert plan_findings(hybrid_rrf_retrieval(spark, sf_dir)) == []

@@ -240,25 +240,19 @@ RRF_SCALE = 1_000_000
 RRF_TOPN = 20
 
 
-def _rank_topn(top: DataFrame, id_col: str) -> DataFrame:
-    """Dense 1-based ranks for an already-top-N frame (id, score):
-    rank = 1 + |rows strictly better under (score DESC, id ASC)|.
+def _rrf_ranks(rows, id_name: str) -> dict[int, int]:
+    """1-based ranks of collected top-N rows under the
+    (score DESC, id ASC) total order — identical to row_number in
+    that order (ties are impossible under a total order, so the
+    competition/row_number distinction never arises; pinned by test).
 
-    A bounded self-join instead of a window: the frame is k-scale by
-    construction (a TakeOrdered output), and an unpartitioned
-    row_number would funnel through one task — the linter's first
-    anti-pattern. N² comparisons of N=20 rows is control-plane work
-    expressed in-plan."""
-    a, b = top.alias("a"), top.alias("b")
-    better = (F.col("b.score") > F.col("a.score")) | (
-        (F.col("b.score") == F.col("a.score"))
-        & (F.col(f"b.{id_col}") < F.col(f"a.{id_col}"))
-    )
-    return (
-        a.join(b, better, "left")
-        .groupBy(F.col(f"a.{id_col}").alias(id_col))
-        .agg((F.count(F.col(f"b.{id_col}")) + 1).cast("long").alias("r"))
-    )
+    Driver-side on purpose: the inputs are TakeOrdered outputs (k
+    rows — control plane, the ivf probe-list class). An in-plan
+    self-join rank would re-execute each branch's corpus scan on both
+    join sides (TakeOrdered is not an exchange Spark can reuse),
+    doubling the scan cost for a k²-row comparison."""
+    ordered = sorted(rows, key=lambda r: (-r["score"], r[id_name]))
+    return {int(r[id_name]): i + 1 for i, r in enumerate(ordered)}
 
 
 def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -269,35 +263,41 @@ def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     al. SIGIR'09). Text side scores FROM the persisted postings
     index; vector side is the exact cosine top-N. Fusion is integer
     RRF (RRF_SCALE div (RRF_K + rank), absent rank contributes 0) so
-    the fused ranking is hash-gateable. Output: (doc_id, rrf,
-    r_text, r_vec) top-10, either rank NULL when the doc appears in
-    only one ranking."""
+    the fused ranking is hash-gateable. Each branch runs ONE
+    distributed scan ending in TakeOrdered; the two k-row result
+    sets are control-plane (collected once, the ivf probe-list
+    class) and fuse driver-side — an in-plan rank join would
+    re-execute both corpus scans. Output: (doc_id, rrf, r_text,
+    r_vec) top-10, either rank NULL when the doc appears in only
+    one ranking."""
     from tinyerp_etl_spark.operators import bm25_index as B
 
     postings, stats = _bm25_index_for(spark, sf_dir)
-    text_top = B.bm25i_topk_indexed(
+    text_rows = B.bm25i_topk_indexed(
         postings, stats, ["dup", "spark", "window"], k=RRF_TOPN
-    )
+    ).collect()
     emb = load_table(spark, sf_dir, "embeddings")
-    vec_top = S.brute_force_topk(emb, query_vec_id=0, k=RRF_TOPN)
+    vec_rows = S.brute_force_topk(emb, query_vec_id=0, k=RRF_TOPN).collect()
 
-    t = _rank_topn(text_top, "doc_id").withColumnRenamed("r", "r_text")
-    v = (
-        _rank_topn(vec_top, "vec_id")
-        .select(F.col("vec_id").alias("doc_id"), F.col("r").alias("r_vec"))
-    )
-    fused = t.join(v, "doc_id", "full_outer").select(
-        "doc_id",
-        F.expr(
-            f"coalesce({RRF_SCALE} div ({RRF_K} + r_text), 0) + "
-            f"coalesce({RRF_SCALE} div ({RRF_K} + r_vec), 0)"
+    t = _rrf_ranks(text_rows, "doc_id")
+    v = _rrf_ranks(vec_rows, "vec_id")
+    fused = [
+        (
+            doc,
+            (RRF_SCALE // (RRF_K + t[doc]) if doc in t else 0)
+            + (RRF_SCALE // (RRF_K + v[doc]) if doc in v else 0),
+            t.get(doc),
+            v.get(doc),
         )
-        .cast("long")
-        .alias("rrf"),
-        "r_text",
-        "r_vec",
+        for doc in set(t) | set(v)
+    ]
+    return (
+        spark.createDataFrame(
+            fused, "doc_id long, rrf long, r_text long, r_vec long"
+        )
+        .orderBy(F.col("rrf").desc(), F.col("doc_id").asc())
+        .limit(10)
     )
-    return fused.orderBy(F.col("rrf").desc(), F.col("doc_id").asc()).limit(10)
 
 
 def corpus_fingerprint_docs(docs: DataFrame) -> tuple[int, int]:
@@ -1078,6 +1078,50 @@ def _kmeans_ctes(src: str, k: int = S.KMEANS_K, iters: int = S.KMEANS_ITERS) -> 
 
 _KM_CTES_EMB, _KM_FINAL = _kmeans_ctes("embeddings")
 
+# shared BM25i scoring fragment (the _NEARDUP_CTES pattern): ONE SQL
+# spelling of tokenize → stats → capped-tf/bit-idf → integer norm,
+# consumed by the retrieval oracle (LIMIT 10) and the hybrid-fusion
+# oracle (LIMIT RRF_TOPN) — the cap/scale constants can never drift
+# between the two
+_BM25_CTES = f"""base AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents
+    ),
+    b AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM base),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(dl) AS BIGINT) AS total_len
+      FROM b
+    ),
+    tf AS (
+      SELECT doc_id, dl, token, CAST(count(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, dl, unnest(toks) AS token FROM b)
+      WHERE token IN ('dup', 'spark', 'window')
+      GROUP BY doc_id, dl, token
+    ),
+    dfreq AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token
+    ),
+    raw AS (
+      SELECT f.doc_id, f.dl,
+             sum(CAST(length(printf('%b', s.n_docs // d.df)) AS BIGINT)
+                 * least(f.tf, 5)) AS raw
+      FROM tf f JOIN dfreq d USING (token) CROSS JOIN stats s
+      GROUP BY f.doc_id, f.dl
+    )"""
+_BM25_SCORED = """SELECT r.doc_id,
+           CAST((2000 * r.raw)
+                // (1000 + (1000 * r.dl * s.n_docs) // s.total_len)
+                AS BIGINT) AS score
+    FROM raw r CROSS JOIN stats s"""
+
+# shared exact-cosine top-N fragment, consumed by the brute-force
+# oracle (LIMIT 10) and the hybrid-fusion oracle (LIMIT RRF_TOPN)
+_VEC_Q_CTE = "q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0)"
+_VEC_SCORED = (
+    f"SELECT vec_id, {_cosine_sql('embedding', 'qvec')} AS score "
+    "FROM embeddings, q WHERE vec_id != 0"
+)
+
 
 def _lang_score_sql(lang: str) -> str:
     markers = ", ".join(f"'{m}'" for m in X.LANG_MARKERS[lang])
@@ -1481,10 +1525,8 @@ LLM_ORACLES: dict[str, str] = {
         ORDER BY doc_id
     """,
     "embedding_topk_bruteforce": f"""
-        WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0)
-        SELECT vec_id, {_cosine_sql("embedding", "qvec")} AS score
-        FROM embeddings, q
-        WHERE vec_id != 0
+        WITH {_VEC_Q_CTE}
+        {_VEC_SCORED}
         ORDER BY score DESC, vec_id ASC
         LIMIT 10
     """,
@@ -1603,36 +1645,8 @@ LLM_ORACLES: dict[str, str] = {
     # integer BM25: bit-length idf, capped tf, integer length norm —
     # see operators/text.py:bm25i_topk for the closed arithmetic
     "bm25i_retrieval_docs": f"""
-        WITH base AS (
-          SELECT doc_id, {_TOKS} AS toks FROM documents
-        ),
-        b AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM base),
-        stats AS (
-          SELECT CAST(count(*) AS BIGINT) AS n_docs,
-                 CAST(sum(dl) AS BIGINT) AS total_len
-          FROM b
-        ),
-        tf AS (
-          SELECT doc_id, dl, token, CAST(count(*) AS BIGINT) AS tf
-          FROM (SELECT doc_id, dl, unnest(toks) AS token FROM b)
-          WHERE token IN ('dup', 'spark', 'window')
-          GROUP BY doc_id, dl, token
-        ),
-        dfreq AS (
-          SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token
-        ),
-        raw AS (
-          SELECT f.doc_id, f.dl,
-                 sum(CAST(length(printf('%b', s.n_docs // d.df)) AS BIGINT)
-                     * least(f.tf, 5)) AS raw
-          FROM tf f JOIN dfreq d USING (token) CROSS JOIN stats s
-          GROUP BY f.doc_id, f.dl
-        )
-        SELECT r.doc_id,
-               CAST((2000 * r.raw)
-                    // (1000 + (1000 * r.dl * s.n_docs) // s.total_len)
-                    AS BIGINT) AS score
-        FROM raw r CROSS JOIN stats s
+        WITH {_BM25_CTES}
+        {_BM25_SCORED}
         ORDER BY score DESC, r.doc_id ASC
         LIMIT 10
     """,
@@ -1697,37 +1711,9 @@ LLM_ORACLES["bm25i_incremental_index"] = LLM_ORACLES["bm25i_retrieval_docs"]
 # rank is identical under the total (score DESC, id ASC) order),
 # integer reciprocal contributions fused over a full outer join
 LLM_ORACLES["hybrid_rrf_retrieval"] = f"""
-    WITH base AS (
-      SELECT doc_id, {_TOKS} AS toks FROM documents
-    ),
-    b AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM base),
-    stats AS (
-      SELECT CAST(count(*) AS BIGINT) AS n_docs,
-             CAST(sum(dl) AS BIGINT) AS total_len
-      FROM b
-    ),
-    tf AS (
-      SELECT doc_id, dl, token, CAST(count(*) AS BIGINT) AS tf
-      FROM (SELECT doc_id, dl, unnest(toks) AS token FROM b)
-      WHERE token IN ('dup', 'spark', 'window')
-      GROUP BY doc_id, dl, token
-    ),
-    dfreq AS (
-      SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token
-    ),
-    raw AS (
-      SELECT f.doc_id, f.dl,
-             sum(CAST(length(printf('%b', s.n_docs // d.df)) AS BIGINT)
-                 * least(f.tf, 5)) AS raw
-      FROM tf f JOIN dfreq d USING (token) CROSS JOIN stats s
-      GROUP BY f.doc_id, f.dl
-    ),
+    WITH {_BM25_CTES},
     tscores AS (
-      SELECT r.doc_id,
-             CAST((2000 * r.raw)
-                  // (1000 + (1000 * r.dl * s.n_docs) // s.total_len)
-                  AS BIGINT) AS score
-      FROM raw r CROSS JOIN stats s
+      {_BM25_SCORED}
       ORDER BY score DESC, r.doc_id ASC
       LIMIT {RRF_TOPN}
     ),
@@ -1736,11 +1722,9 @@ LLM_ORACLES["hybrid_rrf_retrieval"] = f"""
              row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r_text
       FROM tscores
     ),
-    q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+    {_VEC_Q_CTE},
     vscores AS (
-      SELECT vec_id, {_cosine_sql("embedding", "qvec")} AS score
-      FROM embeddings, q
-      WHERE vec_id != 0
+      {_VEC_SCORED}
       ORDER BY score DESC, vec_id ASC
       LIMIT {RRF_TOPN}
     ),

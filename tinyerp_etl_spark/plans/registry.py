@@ -8,8 +8,8 @@ Ordering note: the driver's correctness gate covers the first 50
 registry entries, so insertion order is the rotation schedule.
 ACTIVE: _ROUND7_FRONT_50 (see its inline comments for composition and
 the cumulative ledger — after round 7's gate runs green, every
-query's newest driver row is r4+ except the seven documented r3
-deferrals). Prior gates below for the ledger.
+query's newest driver row is r4+ except the TEN documented r3
+deferrals listed there). Prior gates below for the ledger.
 Round 5's front 50 (ran in rounds 5 AND 6; see _ROUND5_FRONT_50's
 inline comments for the per-group rationale) =
   (0) the five queries NEW in round 5 (video_neardup_parity,
