@@ -145,6 +145,56 @@ def test_zero_token_doc_replay_rejected(spark, tmp_path):
         update_bm25_index(spark, path, empty_batch)
 
 
+def test_skip_existing_folds_only_new_docs(spark, tmp_path):
+    """on_overlap="skip_existing": a partially-replayed batch folds
+    ONLY its genuinely-new docs (result ≡ full rebuild of the union),
+    and a fully-replayed batch is a version-preserving no-op — the
+    at-least-once → exactly-once contract the streaming sink needs."""
+    from tinyerp_etl_spark.operators.bm25_index import update_bm25_index
+
+    docs = _docs(spark)
+    base = docs.filter(F.col("doc_id") % 3 != 0)
+    path = str(tmp_path / "bm25")
+    save_bm25_index(spark, path, base)
+
+    # batch = the new third PLUS a replayed slice of the base
+    batch = docs.filter(
+        (F.col("doc_id") % 3 == 0) | (F.col("doc_id") % 7 == 0)
+    )
+    v = update_bm25_index(spark, path, batch, on_overlap="skip_existing")
+
+    full_path = str(tmp_path / "full")
+    save_bm25_index(spark, full_path, docs)
+    fp = corpus_fingerprint(docs, "doc_id", "text")
+    inc = load_bm25_index(spark, path, expect_fingerprint=fp)
+    full = load_bm25_index(spark, full_path, expect_fingerprint=fp)
+    assert inc is not None and full is not None  # no double-count in fp
+    (ip, istats), (fpost, fstats) = inc, full
+    assert istats == fstats
+    terms = ["spark", "dup", "window"]
+    assert (
+        bm25i_topk_indexed(ip, istats, terms, k=20).collect()
+        == bm25i_topk_indexed(fpost, fstats, terms, k=20).collect()
+    )
+
+    # full replay: no-op, same version, stats untouched
+    v2 = update_bm25_index(spark, path, batch, on_overlap="skip_existing")
+    assert v2 == v
+    _, istats2 = load_bm25_index(spark, path, expect_fingerprint=fp)
+    assert istats2 == istats
+
+
+def test_on_overlap_rejects_unknown_mode(spark, tmp_path):
+    import pytest
+
+    from tinyerp_etl_spark.operators.bm25_index import update_bm25_index
+
+    with pytest.raises(ValueError, match="on_overlap"):
+        update_bm25_index(
+            spark, str(tmp_path / "x"), _docs(spark, 3), on_overlap="merge"
+        )
+
+
 def test_concurrent_fold_raises_not_lost(spark, tmp_path):
     """update_bm25_index is a read-modify-write: a commit that lands
     between its read and its write must surface as

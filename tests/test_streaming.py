@@ -798,3 +798,90 @@ def test_stream_stream_join_state_survives_restart(spark, sf_dir, tmp_path):
     }
     assert got == want
     assert len(got) > n1  # run 2 contributed pairs (incl. cross-file state)
+
+
+def test_stream_to_bm25_index_equals_batch_build(spark, sf_dir, tmp_path):
+    """Index-at-ingest: draining a document stream through
+    run_stream_to_bm25_index (micro-batch folds, maxFilesPerTrigger=1)
+    must land the SAME index as one offline save_bm25_index over the
+    corpus — scores and stats bit-identical — and a full at-least-once
+    replay (fresh checkpoint, same files) must be a no-op."""
+    import os
+    import shutil
+
+    from tinyerp_etl_spark.operators.bm25_index import (
+        bm25i_topk_indexed,
+        load_bm25_index,
+        save_bm25_index,
+    )
+    from tinyerp_etl_spark.operators.ivf_index import corpus_fingerprint
+    from tinyerp_etl_spark.streaming.stream_pipeline import (
+        run_stream_to_bm25_index,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    # stage as two stream files so availableNow folds >1 micro-batch
+    docs_dir = str(tmp_path / "docs_stream")
+    os.makedirs(docs_dir)
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(
+        str(tmp_path / "half0")
+    )
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(
+        str(tmp_path / "half1")
+    )
+    for i in range(2):
+        for f in os.listdir(tmp_path / f"half{i}"):
+            if f.endswith(".parquet"):
+                shutil.copy(
+                    tmp_path / f"half{i}" / f,
+                    os.path.join(docs_dir, f"batch{i}.parquet"),
+                )
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(docs_dir)
+    )
+    idx_path = str(tmp_path / "bm25_stream")
+    run_stream_to_bm25_index(
+        spark, stream, idx_path, str(tmp_path / "ckpt_a")
+    )
+
+    full_path = str(tmp_path / "bm25_full")
+    save_bm25_index(spark, full_path, docs)
+    fp = corpus_fingerprint(docs, "doc_id", "text")
+    got = load_bm25_index(spark, idx_path, expect_fingerprint=fp)
+    want = load_bm25_index(spark, full_path, expect_fingerprint=fp)
+    assert got is not None and want is not None
+    (gp, gstats), (wp, wstats) = got, want
+    assert gstats == wstats
+    terms = ["the", "data", "model"]
+    assert (
+        bm25i_topk_indexed(gp, gstats, terms, k=20).collect()
+        == bm25i_topk_indexed(wp, wstats, terms, k=20).collect()
+    )
+
+    # full replay: a FRESH checkpoint re-delivers every file; the
+    # skip-existing fold absorbs it — index version unchanged
+    from tinyerp_etl_spark.etl.table_store import TableStore
+    from tinyerp_etl_spark.operators.bm25_index import BM25_POSTINGS_SCHEMA
+
+    v_before = TableStore(
+        spark, f"{idx_path}/postings", BM25_POSTINGS_SCHEMA
+    ).current_version()
+    replay = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(docs_dir)
+    )
+    run_stream_to_bm25_index(
+        spark, replay, idx_path, str(tmp_path / "ckpt_b")
+    )
+    v_after = TableStore(
+        spark, f"{idx_path}/postings", BM25_POSTINGS_SCHEMA
+    ).current_version()
+    assert v_after == v_before
+    gp2, gstats2 = load_bm25_index(spark, idx_path, expect_fingerprint=fp)
+    assert gstats2 == gstats

@@ -158,6 +158,7 @@ def update_bm25_index(
     text_col: str = "text",
     id_col: str = "doc_id",
     check_overlap: bool = True,
+    on_overlap: str = "raise",
 ) -> int:
     """Fold a batch of NEW documents into the persisted index —
     incremental maintenance, bit-identical to a full rebuild (the
@@ -183,9 +184,20 @@ def update_bm25_index(
     partition postings by a doc_id range too, or pass False when an
     upstream ledger already guarantees batch novelty (the
     ``verify=False`` analog on the IVF side).
+
+    ``on_overlap`` chooses the replay semantics when the check finds
+    already-indexed ids: ``"raise"`` (the batch-job default — a
+    replayed batch is a caller bug) or ``"skip_existing"`` — fold
+    only the genuinely-new docs, so an at-least-once delivery (a
+    replayed streaming micro-batch, a retried page) folds to an
+    exactly-once index, the same idempotence contract the MERGE sink
+    gives row upserts. A fully-replayed batch is then a no-op that
+    returns the current version.
     """
     import decimal
 
+    if on_overlap not in ("raise", "skip_existing"):
+        raise ValueError(f"on_overlap must be 'raise' or 'skip_existing', got {on_overlap!r}")
     postings_store = TableStore(spark, f"{path}/postings", BM25_POSTINGS_SCHEMA)
     stats_store = TableStore(spark, f"{path}/stats", BM25_STATS_SCHEMA)
     postings_version = postings_store.current_version()
@@ -197,12 +209,22 @@ def update_bm25_index(
 
     if check_overlap:
         batch_ids = new_docs.select(F.col(id_col).cast("long").alias("doc_id"))
-        if not postings.join(batch_ids, "doc_id", "left_semi").isEmpty():
+        has_overlap = not postings.join(batch_ids, "doc_id", "left_semi").isEmpty()
+        if has_overlap and on_overlap == "raise":
             raise ValueError(
                 "update_bm25_index batch contains doc_ids already indexed; "
                 "incremental maintenance is append-only — rebuild "
                 "(save_bm25_index) to replace documents"
             )
+        if has_overlap:
+            indexed = postings.select("doc_id").distinct()
+            new_docs = new_docs.join(
+                indexed,
+                new_docs[id_col].cast("long") == indexed["doc_id"],
+                "left_anti",
+            )
+            if new_docs.isEmpty():
+                return postings_version
     new_postings, new_stats = build_bm25_index(new_docs, text_col, id_col)
     nrow = new_stats.first()
     bfp = corpus_fingerprint(new_docs, id_col, text_col)

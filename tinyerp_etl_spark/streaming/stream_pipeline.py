@@ -152,6 +152,54 @@ def run_stream_to_merge_sink(
     )
 
 
+def run_stream_to_bm25_index(
+    spark: SparkSession,
+    docs_stream: DataFrame,
+    index_path: str,
+    checkpoint_dir: str,
+    occ_retries: int = 3,
+) -> None:
+    """Drain a document stream into the persisted BM25 postings index
+    (availableNow) — continuous index-at-ingest: each micro-batch
+    tokenizes ONLY itself and folds in via
+    operators/bm25_index.update_bm25_index, so queries always score
+    from an index that is current to the last drained batch and the
+    tokenizer never runs at query time.
+
+    Idempotence under at-least-once delivery: a replayed batch (crash
+    between the fold and the checkpoint commit, a re-delivered file)
+    is absorbed by ``on_overlap="skip_existing"`` — already-indexed
+    doc_ids are anti-joined away and a fully-replayed batch is a
+    no-op, the same replay contract the MERGE sink gives row upserts.
+    Folds retry under optimistic concurrency like the merge sink: a
+    concurrent writer (a rebuild, another folder) advancing the index
+    between read and commit raises ConcurrentWriteError inside
+    update_bm25_index, and the fold is recomputed against the new
+    version (safe — the skip-existing filter re-derives what is new).
+    """
+    from tinyerp_etl_spark.etl.table_store import ConcurrentWriteError
+    from tinyerp_etl_spark.operators.bm25_index import update_bm25_index
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        for attempt in range(occ_retries + 1):
+            try:
+                update_bm25_index(
+                    spark, index_path, batch_df, on_overlap="skip_existing"
+                )
+                return
+            except ConcurrentWriteError:
+                if attempt == occ_retries:
+                    raise
+
+    (
+        docs_stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
 def run_windowed_stream(
     spark: SparkSession,
     stream_df: DataFrame,
