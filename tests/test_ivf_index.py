@@ -106,3 +106,60 @@ def test_list_partitioned_layout_prunes_directories(spark, tmp_path):
     assert pf and any("list_id" in ln for ln in pf), plan
     got = {r["list_id"] for r in pruned.select("list_id").distinct().collect()}
     assert got <= {1, 2} and got
+
+
+def test_narrow_assign_matches_aggregate_assign(spark, sf_dir):
+    """ivf_assign_narrow (the per-row array_max expression) must
+    reproduce ivf_assign (_assign_ticks max_by aggregation) row for
+    row — including score-tie resolution to the LOWER centroid_id —
+    regardless of the order the centroid index is passed in, and its
+    plan must contain no Exchange (it is the streaming-legal narrow
+    projection)."""
+    from tinyerp_etl_spark.operators.similarity import (
+        ivf_assign,
+        ivf_assign_narrow,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = train_kmeans(emb)
+    want = {
+        (r["vec_id"], r["list_id"])
+        for r in ivf_assign(emb, centroids=cents)
+        .select("vec_id", "list_id")
+        .collect()
+    }
+    for order in (cents, list(reversed(cents))):
+        got = {
+            (r["vec_id"], r["list_id"])
+            for r in ivf_assign_narrow(emb, centroids=order)
+            .select("vec_id", "list_id")
+            .collect()
+        }
+        assert got == want and len(got) > 0
+    plan = (
+        ivf_assign_narrow(emb, centroids=cents)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_narrow_assign_tie_breaks_to_lower_id(spark):
+    """A vector exactly equidistant (duplicate centroids) must land in
+    the LOWER centroid_id's list — the documented _assign_ticks
+    contract, enforced here on the narrow expression directly."""
+    from tinyerp_etl_spark.operators.similarity import ivf_assign_narrow
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    dup = [(7, [1_000_000, 0]), (3, [1_000_000, 0]), (5, [0, 1_000_000])]
+    got = {
+        (r["vec_id"], r["list_id"])
+        for r in ivf_assign_narrow(emb, centroids=dup)
+        .select("vec_id", "list_id")
+        .collect()
+    }
+    assert got == {(1, 3), (2, 5)}

@@ -885,3 +885,74 @@ def test_stream_to_bm25_index_equals_batch_build(spark, sf_dir, tmp_path):
     assert v_after == v_before
     gp2, gstats2 = load_bm25_index(spark, idx_path, expect_fingerprint=fp)
     assert gstats2 == gstats
+
+
+def test_stream_to_ivf_corpus_equals_batch_layout(spark, sf_dir, tmp_path):
+    """Streaming assignment-at-ingest: draining an embedding stream
+    through run_stream_to_ivf_corpus (narrow per-row assignment, native
+    partitioned file sink) must produce exactly the batch ivf_assign
+    layout — same (vec_id, list_id) rows, hive list_id= partition dirs
+    — and a rerun from the same checkpoint must add nothing (the file
+    sink's exactly-once metadata log)."""
+    import os as _os
+
+    from tinyerp_etl_spark.operators.similarity import ivf_assign, train_kmeans
+    from tinyerp_etl_spark.streaming.stream_pipeline import (
+        run_stream_to_ivf_corpus,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    cents = train_kmeans(emb)
+
+    src = str(tmp_path / "emb_stream")
+    _os.makedirs(src)
+    for i, pred in enumerate(
+        (F.col("vec_id") % 2 == 0, F.col("vec_id") % 2 == 1)
+    ):
+        out = tmp_path / f"part{i}"
+        emb.filter(pred).coalesce(1).write.parquet(str(out))
+        for f in _os.listdir(out):
+            if f.endswith(".parquet"):
+                _os.rename(out / f, _os.path.join(src, f"b{i}.parquet"))
+
+    corpus = str(tmp_path / "ivf_corpus")
+    ckpt = str(tmp_path / "ckpt")
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    run_stream_to_ivf_corpus(spark, stream, corpus, ckpt, cents)
+
+    want = {
+        (r["vec_id"], r["list_id"])
+        for r in ivf_assign(emb, centroids=cents)
+        .select("vec_id", "list_id")
+        .collect()
+    }
+    back = spark.read.parquet(corpus)
+    got = {
+        (r["vec_id"], r["list_id"])
+        for r in back.select("vec_id", "list_id").collect()
+    }
+    assert got == want and len(got) > 0
+    # hive layout: list_id=N partition dirs on disk
+    assert any(d.startswith("list_id=") for d in _os.listdir(corpus))
+    # a pruned read keeps its PartitionFilters
+    pruned = back.filter(F.col("list_id") == sorted({l for _, l in want})[0])
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert any(
+        "PartitionFilters" in ln and "list_id" in ln
+        for ln in plan.splitlines()
+    ), plan
+
+    # rerun from the SAME checkpoint: nothing new, no duplicates
+    rerun = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    run_stream_to_ivf_corpus(spark, rerun, corpus, ckpt, cents)
+    assert spark.read.parquet(corpus).count() == len(want)

@@ -441,6 +441,67 @@ def ivf_assign(
     return _assign_ticks(base, centroids).select(id_col, vec_col, "list_id")
 
 
+def ivf_assign_expr(
+    vec_col: Column, centroids: list[tuple[int, list[int]]]
+) -> Column:
+    """Per-ROW nearest-centroid list_id as a narrow column expression.
+
+    ``_assign_ticks`` keeps the best centroid with a max_by
+    AGGREGATION over a broadcast join — the right shape for a batch
+    corpus pass, but an aggregation nonetheless, which a streaming
+    append-mode projection cannot run. The index is k driver-side rows,
+    so the same argmax folds into ONE expression: an array of
+    (score, -centroid_id, centroid_id) structs — one per centroid,
+    centroid ticks inlined as literals — reduced with array_max, whose
+    lexicographic struct ordering IS max_by's (score, -id) tie rule:
+    higher score wins, then the LOWER centroid_id. Same tick
+    arithmetic (_ticks_dot / integer norms widened to double before
+    one division), so assignments are bit-identical to _assign_ticks —
+    pinned by test and by the shared-oracle gate query.
+
+    No join, no shuffle, no state: usable in a streaming micro-batch
+    projection (run_stream_to_ivf_corpus), a generated column, or any
+    select — the assignment-at-ingest primitive at its narrowest.
+    """
+    cents = sorted(((int(c), [int(x) for x in t]) for c, t in centroids))
+    vt = _q(vec_col)
+    n2 = _ticks_norm2(vt).cast("double")
+    candidates = []
+    for cid, ticks in cents:
+        ct = F.array(*[F.lit(t).cast("long") for t in ticks])
+        cn2 = float(sum(t * t for t in ticks))
+        score = (_ticks_dot(vt, ct) / F.sqrt(n2 * F.lit(cn2))).cast("double")
+        candidates.append(
+            F.struct(
+                score.alias("s"),
+                F.lit(-cid).cast("int").alias("nid"),
+                F.lit(cid).cast("int").alias("id"),
+            )
+        )
+    return F.array_max(F.array(*candidates))["id"].alias("list_id")
+
+
+def ivf_assign_narrow(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[tuple[int, list[int]]] | None = None,
+) -> DataFrame:
+    """ivf_assign via the narrow per-row expression — identical
+    (id, vec, list_id) rows, zero shuffles (a pure projection), and
+    legal on a STREAMING DataFrame. Prefer this form whenever the
+    assignment feeds a write (ingest); the aggregate form remains for
+    plans that already carry the crossJoin frame.
+    """
+    if centroids is None:
+        centroids = train_kmeans(embeddings, id_col=id_col, vec_col=vec_col)
+    return embeddings.select(
+        F.col(id_col),
+        F.col(vec_col),
+        ivf_assign_expr(F.col(vec_col), centroids),
+    )
+
+
 def ivf_topk(
     embeddings: DataFrame,
     query_vec_id: int,

@@ -612,6 +612,25 @@ def ivf_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ivf_assign_narrow_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-corpus list assignment computed with the NARROW per-row
+    expression (similarity.ivf_assign_expr over the loaded persisted
+    index — no join, no aggregation, no shuffle): the form a streaming
+    ingest projection uses (run_stream_to_ivf_corpus). The oracle
+    re-derives assignment by unrolled SQL training + windowed argmax,
+    so a hash match proves narrow ≡ aggregate (_assign_ticks) ≡
+    trained-index assignment — the streaming ingest path writes
+    exactly the partitions the batch layout and the pruned queries
+    expect."""
+    cents = _ivf_index_for(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        S.ivf_assign_narrow(emb, centroids=cents)
+        .select("vec_id", "list_id")
+        .orderBy("vec_id")
+    )
+
+
 def kmeans_centroids_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The trained IVF index artifact: deterministic integer k-means
     (k=8, 3 Lloyd's iterations, md5-prefix seeding) over the corpus,
@@ -1749,6 +1768,21 @@ LLM_ORACLES["hybrid_rrf_retrieval"] = f"""
 # partition-pruned IVF layout ≡ the full-scan IVF path
 LLM_ORACLES["ivf_partitioned_scan"] = LLM_ORACLES["embedding_topk_ivf"]
 
+# the narrow (streaming-ingest) assignment expression ≡ unrolled
+# training + windowed-argmax assignment, row for row over the corpus
+LLM_ORACLES["ivf_assign_narrow_parity"] = f"""
+    WITH {_KM_CTES_EMB},
+    lists AS (
+      SELECT vec_id, centroid_id AS list_id FROM (
+        SELECT v.vec_id, c.centroid_id,
+               row_number() OVER (PARTITION BY v.vec_id
+                 ORDER BY {_tcos_sql("v.ticks", "c.cticks")} DESC, c.centroid_id ASC) AS rn
+        FROM __kt v CROSS JOIN {_KM_FINAL} c) WHERE rn = 1
+    )
+    SELECT vec_id, CAST(list_id AS INTEGER) AS list_id FROM lists
+    ORDER BY vec_id
+"""
+
 
 LLM_QUERIES = {
     "heavy_hitter_tokens": heavy_hitter_tokens,
@@ -1765,6 +1799,7 @@ LLM_QUERIES = {
     "bm25i_index_retrieval": bm25i_index_retrieval,
     "bm25i_incremental_index": bm25i_incremental_index,
     "ivf_partitioned_scan": ivf_partitioned_scan,
+    "ivf_assign_narrow_parity": ivf_assign_narrow_parity,
     "hybrid_rrf_retrieval": hybrid_rrf_retrieval,
     "token_count_by_source": token_count_by_source,
     "exact_dup_groups": exact_dup_groups,

@@ -219,18 +219,20 @@ _RELATIONAL_NAMES = [
 #       (cohort/streaks/fuzzy/copurchase pairs/funnel/file formats/
 #       quarantine/nested flatten/incremental pipeline/json props/
 #       variant props),
-#   (d) 8 more r3-latest rows (the r1-era relational backbone
-#       q1/q3/q5/q7/q8/sql_q6, embedding_label_centroids,
-#       heavy_hitter_tokens) plus the three queries added late in
-#       round 7 (ivf_partitioned_scan, bm25i_incremental_index,
-#       hybrid_rrf_retrieval — zero evidence outranks
-#       stale-but-proven, the r4 principle).
+#   (d) 7 more r3-latest rows (the r1-era relational backbone
+#       q1/q3/q5/q7/q8/sql_q6, embedding_label_centroids) plus the
+#       four queries added late in round 7 (ivf_partitioned_scan,
+#       bm25i_incremental_index, hybrid_rrf_retrieval,
+#       ivf_assign_narrow_parity — zero evidence outranks
+#       stale-but-proven, the r4 principle; the last displaced
+#       heavy_hitter_tokens, r3-green on untouched code).
 # Deferred to round 8 (the ONLY rows whose newest green will then
 # predate r4): boilerplate_ngram_stats, collocations_top_pmi,
 # copurchase_pagerank_3iter, gapfill_daily_revenue,
 # monthly_revenue_trend, promo_revenue_ratio, set_null_missing_region,
 # window_running_total, train_val_test_split_docs,
-# c4_quality_filter_stats — all r3-green on code untouched since.
+# c4_quality_filter_stats, heavy_hitter_tokens — all r3-green on code
+# untouched since.
 _ROUND7_FRONT_50 = [
     # (0) zero driver evidence
     "kmeans_centroids_embeddings",
@@ -283,10 +285,10 @@ _ROUND7_FRONT_50 = [
     "q8_market_share",
     "sql_q6_forecast_revenue",
     "embedding_label_centroids",
-    "heavy_hitter_tokens",
     "ivf_partitioned_scan",
     "bm25i_incremental_index",
     "hybrid_rrf_retrieval",
+    "ivf_assign_narrow_parity",
 ]
 
 # Round 5 gate (ran in rounds 5 AND 6; kept for the rotation ledger).

@@ -200,6 +200,54 @@ def run_stream_to_bm25_index(
     )
 
 
+def run_stream_to_ivf_corpus(
+    spark: SparkSession,
+    emb_stream: DataFrame,
+    corpus_dir: str,
+    checkpoint_dir: str,
+    centroids: list[tuple[int, list[int]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Drain an embedding stream into a list_id-partitioned parquet
+    corpus (availableNow) — the streaming half of the IVF
+    assignment-at-ingest story (ivf_partitioned_scan is the batch
+    half): each vector is assigned to its persisted-index list with
+    the NARROW per-row expression (similarity.ivf_assign_expr — no
+    aggregation, legal in an append-mode stream) and lands in its
+    ``list_id=N`` hive partition, so queries partition-prune to their
+    nprobe lists with no reprocessing step between ingest and query.
+
+    The sink is Spark's native streaming file sink, NOT foreachBatch:
+    its _spark_metadata transaction log gives exactly-once file
+    output under at-least-once processing (a replayed batch's files
+    are never double-committed), and batch reads of ``corpus_dir``
+    honor the log — duplicates from an abandoned attempt are
+    invisible. That is strictly stronger than the anti-join replay
+    absorption the BM25 fold needs, and it is free — the index is a
+    pure partitioned append, no read-modify-write, so no OCC retry
+    loop either. Requires the pre-trained ``centroids`` artifact
+    (operators/ivf_index.load_ivf_index): training belongs offline,
+    never in the ingest hot path.
+    """
+    from tinyerp_etl_spark.operators.similarity import ivf_assign_expr
+
+    assigned = emb_stream.select(
+        F.col(id_col),
+        F.col(vec_col),
+        ivf_assign_expr(F.col(vec_col), centroids),
+    )
+    (
+        assigned.writeStream.format("parquet")
+        .partitionBy("list_id")
+        .option("path", corpus_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
 def run_windowed_stream(
     spark: SparkSession,
     stream_df: DataFrame,
