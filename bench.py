@@ -93,6 +93,8 @@ HEADLINE_R5 = [
 HEADLINE_R7 = [
     "bm25i_index_retrieval",
     "hybrid_rrf_retrieval",
+    "paragraph_dedup_docs",
+    "bloom_decontaminate_docs",
 ]
 HEADLINE = HEADLINE + HEADLINE_R4 + HEADLINE_R5 + HEADLINE_R7
 

@@ -211,3 +211,64 @@ def test_kmv_incremental_maintenance_equals_full_rebuild(spark):
         maintained, kmv_sketches(b2, ["g"], "v", k=k), ["g"], k=k
     )
     assert {r["g"]: r["kmv_sketch"] for r in replayed.collect()} == want
+
+
+# ----------------------------------------------------------------- Bloom
+
+
+def test_bloom_no_false_negatives_and_bounded_bitmap(spark):
+    from tinyerp_etl_spark.operators.sketch import (
+        BLOOM_M_BITS,
+        bloom_build,
+        bloom_probe,
+    )
+
+    members = spark.createDataFrame(
+        [(f"member-{i}",) for i in range(200)], "key string"
+    )
+    bitmap = bloom_build(members, "key")
+    # bitmap is fixed-size regardless of input cardinality
+    assert bitmap.count() <= BLOOM_M_BITS // 64
+    probed = {
+        r["key"]: r["bloom_hit"]
+        for r in bloom_probe(members, "key", bitmap).collect()
+    }
+    # the defining Bloom guarantee: every inserted key tests positive
+    assert all(v == 1 for v in probed.values())
+
+
+def test_bloom_rejects_most_non_members(spark):
+    from tinyerp_etl_spark.operators.sketch import bloom_build, bloom_probe
+
+    members = spark.createDataFrame(
+        [(f"member-{i}",) for i in range(100)], "key string"
+    )
+    others = spark.createDataFrame(
+        [(f"other-{i}",) for i in range(500)], "key string"
+    )
+    bitmap = bloom_build(members, "key")
+    hits = (
+        bloom_probe(others, "key", bitmap)
+        .agg(F.sum("bloom_hit").alias("n"))
+        .collect()[0]["n"]
+    )
+    # 100 keys * 5 bits into 65536 bits -> per-probe FP rate
+    # ~ (500/65536)^5 ~ 1e-11; even 1% of 500 would signal a bug
+    assert hits <= 5
+
+
+def test_bloom_probe_is_broadcast_only(spark):
+    from tinyerp_etl_spark.operators.sketch import bloom_build, bloom_probe
+
+    members = spark.createDataFrame([("a",), ("b",)], "key string")
+    corpus = spark.createDataFrame(
+        [(i, f"k{i}") for i in range(50)], "id long, key string"
+    )
+    plan = bloom_probe(
+        corpus, "key", bloom_build(members, "key")
+    )._jdf.queryExecution().executedPlan().toString()
+    # the corpus side must not shuffle: the bitmap folds to one row
+    # and broadcasts; any Exchange on the probe side would mean the
+    # corpus was repartitioned just to test membership
+    probe_side = plan.split("BroadcastNestedLoopJoin")[0]
+    assert "Exchange" not in probe_side

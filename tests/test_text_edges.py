@@ -194,3 +194,70 @@ def test_bm25i_tf_saturation(spark):
     scores = {r["doc_id"]: r["score"] for r in
               bm25i_topk(docs, ["term"], k=10).collect()}
     assert scores[1] == scores[2]
+
+
+# ------------------------------------------------------- paragraph dedup
+
+
+def test_paragraph_rows_chunking_and_tail(spark):
+    from tinyerp_etl_spark.operators.dedup import paragraph_rows
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"w{i}" for i in range(10))),  # 8 + 2-token tail
+            (2, "solo"),
+            (3, ""),  # empty -> no rows
+        ],
+        "doc_id long, text string",
+    )
+    rows = sorted(
+        (r["doc_id"], r["pos"], r["para"])
+        for r in paragraph_rows(docs).collect()
+    )
+    assert rows == [
+        (1, 0, " ".join(f"w{i}" for i in range(8))),
+        (1, 1, "w8 w9"),
+        (2, 0, "solo"),
+    ]
+
+
+def test_paragraph_dedup_first_occurrence_wins(spark):
+    from tinyerp_etl_spark.operators.dedup import paragraph_dedup_summary
+
+    shared = " ".join(["dup"] * 8)
+    unique_a = " ".join(f"a{i}" for i in range(8))
+    unique_b = " ".join(f"b{i}" for i in range(8))
+    docs = spark.createDataFrame(
+        [
+            # doc 1 holds the first occurrence (smallest (doc_id, pos))
+            (1, unique_a + " " + shared),
+            # doc 2 repeats it (drops), keeps its own unique paragraph
+            (2, shared + " " + unique_b),
+            # doc 3 is all repeats -> everything drops, md5('') rides
+            (3, shared),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_paras"], r["n_kept"], r["n_dropped"], r["kept_text_md5"])
+        for r in paragraph_dedup_summary(docs).collect()
+    }
+    import hashlib
+
+    assert out[1] == (
+        2, 2, 0,
+        hashlib.md5((unique_a + " " + shared).encode()).hexdigest(),
+    )
+    assert out[2] == (2, 1, 1, hashlib.md5(unique_b.encode()).hexdigest())
+    assert out[3] == (1, 0, 1, hashlib.md5(b"").hexdigest())
+
+
+def test_paragraph_dedup_within_doc_repeat_drops_second(spark):
+    from tinyerp_etl_spark.operators.dedup import paragraph_dedup_summary
+
+    para = " ".join(["x"] * 8)
+    docs = spark.createDataFrame(
+        [(1, para + " " + para)], "doc_id long, text string"
+    )
+    r = paragraph_dedup_summary(docs).collect()[0]
+    assert (r["n_paras"], r["n_kept"], r["n_dropped"]) == (2, 1, 1)

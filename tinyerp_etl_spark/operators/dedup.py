@@ -683,3 +683,98 @@ def incremental_dedup(
         .otherwise(F.lit("new"))
         .alias("disposition"),
     )
+
+
+# ------------------------------------------------------------- paragraph
+#
+# Global paragraph-level exact dedup (the CCNet / Dolma pass): split
+# every document into fixed-width token paragraphs, keep only the
+# globally FIRST occurrence of each distinct paragraph (lexicographic
+# (doc_id, position)), and reassemble documents from their surviving
+# paragraphs. Doc-level exact dedup is the special case where every
+# paragraph of a later copy drops; the paragraph grain additionally
+# strips shared boilerplate out of otherwise-unique docs.
+
+PARA_W = 8  # paragraph width in tokens (synthetic corpus has no newlines)
+
+
+def paragraph_rows(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exploded (id, pos, para) rows: non-overlapping PARA_W-token
+    chunks in document order; the tail chunk keeps its short remainder
+    so every token belongs to exactly one paragraph. Empty docs yield
+    no rows (positive-arithmetic bounds only — integer division of
+    negatives rounds differently across engines)."""
+    w = PARA_W
+    n_paras = f"((size(__toks) + {w - 1}) div {w})"
+    exploded = (
+        docs.select(
+            F.col(id_col), tokens(text_col).alias("__toks")
+        )
+        .filter(F.size("__toks") > 0)
+        .select(
+            id_col,
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, {n_paras} - 1),"
+                    f" j -> array_join(slice(__toks, j * {w} + 1, {w}), ' '))"
+                )
+            ).alias("pos", "para"),
+        )
+    )
+    return exploded
+
+
+def paragraph_dedup_summary(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc outcome of global first-occurrence paragraph dedup.
+
+    Output: (id, n_paras, n_kept, n_dropped, kept_text_md5) where
+    kept_text_md5 hashes the doc REASSEMBLED from its surviving
+    paragraphs in original order ('' when everything dropped).
+
+    Plan shape for 100 TB: one explode, one map-side-combinable
+    groupBy-min over the paragraph text (first-occurrence rule as
+    min(struct(doc_id, pos)) — NO global window), one shuffle join
+    back on the paragraph key, one per-doc reassembly aggregation.
+    The groupBy key is the paragraph string itself; cardinality is
+    bounded by corpus token count / PARA_W and hashes uniformly.
+    """
+    paras = paragraph_rows(docs, text_col, id_col)
+    firsts = paras.groupBy("para").agg(
+        F.min(F.struct(F.col(id_col), F.col("pos"))).alias("__first")
+    )
+    flagged = paras.join(firsts, "para").withColumn(
+        "__keep",
+        (
+            (F.col(f"__first.{id_col}") == F.col(id_col))
+            & (F.col("__first.pos") == F.col("pos"))
+        ).cast("int"),
+    )
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_paras"),
+            F.sum("__keep").alias("n_kept"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(
+                                    F.col("__keep") == 1,
+                                    F.struct("pos", "para"),
+                                )
+                            )
+                        ),
+                        lambda s: s["para"],
+                    ),
+                    " ",
+                )
+            ).alias("kept_text_md5"),
+        )
+        .withColumn("n_dropped", F.col("n_paras") - F.col("n_kept"))
+        .select(id_col, "n_paras", "n_kept", "n_dropped", "kept_text_md5")
+    )

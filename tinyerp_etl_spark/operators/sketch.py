@@ -388,3 +388,108 @@ def exact_rank_quantiles(
     return targets.join(found, "label", "left").select(
         "label", "q_value", "target_rank"
     )
+
+
+# ------------------------------------------------------------------ Bloom
+#
+# Deterministic Bloom filter: the membership sketch the dedup /
+# decontamination family was missing. KMV answers "how many distinct";
+# the Bloom filter answers "is this key in the reference set" with a
+# fixed-size bitmap and a bounded false-positive rate — the standard
+# way to decontaminate a 100 TB training corpus against an eval set
+# without shuffling the corpus: build the bitmap from the (small) eval
+# side once, broadcast it, and probe map-side. Spark's built-in
+# bloomFilter lives on the JVM DataFrameStatFunctions and is neither
+# reproducible across engines nor reachable from the SQL surface, so
+# this one is built from the same portable md5-prefix hash as KMV /
+# the LSH family: k positions per key, bitmap as (word_idx, mask)
+# longs via bit_or aggregation. Bit-identical in any engine; the
+# DuckDB oracle models the same positions as a distinct-position set
+# (membership-in-set == all-bits-set, provably the same predicate).
+
+BLOOM_M_BITS = 1 << 16  # bitmap width in bits; at scale size by n*k/ln2
+BLOOM_K = 5  # hash functions per key
+
+
+def bloom_positions(
+    key_col, k: int = BLOOM_K, m_bits: int = BLOOM_M_BITS
+) -> F.Column:
+    """array<long> of the k bit positions for a key.
+
+    Position i = md5(key || '#i') 32-bit prefix mod m_bits — the same
+    portable hash family as ``value_hash32``, salted by the hash
+    index so the k positions are independent.
+    """
+    c = F.col(key_col) if isinstance(key_col, str) else key_col
+    return F.array(
+        *[
+            (
+                F.conv(
+                    F.substring(F.md5(F.concat(c, F.lit(f"#{i}"))), 1, 8), 16, 10
+                ).cast("long")
+                % F.lit(m_bits)
+            )
+            for i in range(1, k + 1)
+        ]
+    )
+
+
+def bloom_build(
+    keys: DataFrame, key_col: str, k: int = BLOOM_K, m_bits: int = BLOOM_M_BITS
+) -> DataFrame:
+    """Build the bitmap: (word_idx, mask) rows, one per 64-bit word.
+
+    At most m_bits/64 rows regardless of input size — the property
+    that makes the probe side a broadcast join. bit_or is a
+    map-side-combinable aggregate, so building from 100 TB of keys
+    shuffles only (word_idx, partial_mask) pairs.
+    """
+    pos = keys.select(F.explode(bloom_positions(key_col, k, m_bits)).alias("pos"))
+    return (
+        pos.select(
+            F.expr("pos div 64").alias("word_idx"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").alias(
+                "__m"
+            ),
+        )
+        .groupBy("word_idx")
+        .agg(F.expr("bit_or(__m)").alias("mask"))
+    )
+
+
+def bloom_probe(
+    df: DataFrame,
+    key_col: str,
+    bitmap: DataFrame,
+    k: int = BLOOM_K,
+    m_bits: int = BLOOM_M_BITS,
+) -> DataFrame:
+    """Flag rows whose key tests positive against the bitmap.
+
+    Adds ``bloom_hit`` (1 = all k bits set — member or false
+    positive; 0 = definitely not in the reference set). The bitmap
+    (at most m_bits/64 rows) is folded into ONE map row and
+    broadcast-crossed onto the corpus, so the probe is a pure per-row
+    expression: no explode, no shuffle, no re-aggregation of the
+    corpus — the plan shape that keeps a 100 TB probe map-side. The
+    corpus rides through with all its columns untouched.
+    """
+    dense = bitmap.groupBy().agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("word_idx", "mask"))
+        ).alias("__bloom_map")
+    )
+    probed = (
+        df.join(F.broadcast(dense))
+        .withColumn("__bloom_pos", bloom_positions(key_col, k, m_bits))
+        .withColumn(
+            "bloom_hit",
+            F.expr(
+                "CAST(forall(__bloom_pos, p ->"
+                " (coalesce(__bloom_map[p div 64], CAST(0 AS BIGINT))"
+                "  & shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))) != 0"
+                ") AS INT)"
+            ),
+        )
+    )
+    return probed.drop("__bloom_map", "__bloom_pos")

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from tinyerp_etl_spark.functions.materialize import materialize
 from tinyerp_etl_spark.operators import dedup as D
 from tinyerp_etl_spark.operators import similarity as S
+from tinyerp_etl_spark.operators import sketch as SK
 from tinyerp_etl_spark.operators import text as X
 from tinyerp_etl_spark.sources.catalog import load_table
 
@@ -2574,3 +2575,161 @@ LLM_ORACLES["sql_ml_inference_score"] = f"""
 """
 
 LLM_QUERIES["sql_ml_inference_score"] = sql_ml_inference_score
+
+
+# --------------------------- round-7 additions: paragraph dedup + Bloom
+
+
+def paragraph_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global paragraph-level exact dedup (CCNet/Dolma pass) with
+    document rewrite.
+
+    Stages three corpus layers so the operator's behavior is actually
+    exercised: the originals, full copies of every 10th doc (every
+    paragraph drops — doc dedup as the degenerate case), and
+    footer-extended copies of every 7th doc (aligned prefix
+    paragraphs drop, the mutated tail survives — the
+    strip-shared-boilerplate case). Each surviving doc is reassembled
+    from its kept paragraphs in order and fingerprinted.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    footer = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(
+            F.col("text"), F.lit(" subscribe to our newsletter today friends")
+        ).alias("text"),
+    )
+    staged = docs.unionByName(copies).unionByName(footer)
+    return D.paragraph_dedup_summary(staged).orderBy("doc_id")
+
+
+LLM_ORACLES["paragraph_dedup_docs"] = f"""
+    WITH staged AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0
+      UNION ALL
+      SELECT doc_id + 200000,
+             text || ' subscribe to our newsletter today friends'
+      FROM documents WHERE doc_id % 7 = 0
+    ),
+    t AS (
+      SELECT doc_id, {_TOKS} AS toks FROM staged
+      WHERE len({_TOKS}) > 0
+    ),
+    px AS (
+      SELECT doc_id, toks,
+             unnest(range((len(toks) + 7) // 8)) AS pos
+      FROM t
+    ),
+    p AS (
+      SELECT doc_id, pos,
+             array_to_string(list_slice(toks, pos * 8 + 1, pos * 8 + 8), ' ')
+               AS para
+      FROM px
+    ),
+    k AS (
+      SELECT doc_id, pos, para,
+             CASE WHEN row_number()
+                    OVER (PARTITION BY para ORDER BY doc_id, pos) = 1
+                  THEN 1 ELSE 0 END AS keep
+      FROM p
+    )
+    SELECT doc_id,
+           count(*) AS n_paras,
+           CAST(sum(keep) AS BIGINT) AS n_kept,
+           CAST(count(*) - sum(keep) AS BIGINT) AS n_dropped,
+           md5(coalesce(
+             string_agg(CASE WHEN keep = 1 THEN para END, ' ' ORDER BY pos),
+             '')) AS kept_text_md5
+    FROM k
+    GROUP BY doc_id
+    ORDER BY doc_id
+"""
+LLM_QUERIES["paragraph_dedup_docs"] = paragraph_dedup_docs
+
+
+def bloom_decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination: flag corpus docs whose normalized
+    fingerprint tests positive against a bitmap built from the eval
+    set (every 17th doc), with explicit false-positive accounting.
+
+    The 100 TB shape this demonstrates: the reference (eval) side
+    folds into a FIXED-SIZE bitmap (m = 2^16 bits here; sized by
+    n*k/ln2 at scale) regardless of corpus size, the bitmap broadcasts
+    as one map row, and the probe is a pure per-row expression — the
+    corpus is never shuffled, unlike a distinct-key semi-join
+    decontamination. n_false_positives is the Bloom trade made
+    visible: docs flagged without being members.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    keyed = docs.select(
+        "doc_id",
+        "source",
+        F.md5(F.concat_ws(" ", X.tokens("text"))).alias("key"),
+    )
+    bitmap = SK.bloom_build(
+        keyed.filter(F.col("doc_id") % 17 == 0).select("key"), "key"
+    )
+    probed = SK.bloom_probe(keyed, "key", bitmap)
+    bits = bitmap.agg(
+        F.sum(F.expr("bit_count(mask)")).cast("long").alias("n_bits_set")
+    )
+    return (
+        probed.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("bloom_hit").alias("n_flagged"),
+            F.sum(
+                F.when(F.col("doc_id") % 17 == 0, 1).otherwise(0)
+            ).alias("n_members"),
+            F.sum(
+                F.when(
+                    (F.col("bloom_hit") == 1) & (F.col("doc_id") % 17 != 0), 1
+                ).otherwise(0)
+            ).alias("n_false_positives"),
+        )
+        .join(F.broadcast(bits))
+        .orderBy("source")
+    )
+
+
+LLM_ORACLES["bloom_decontaminate_docs"] = f"""
+    WITH keyed AS (
+      SELECT doc_id, source,
+             md5(array_to_string({_TOKS}, ' ')) AS key
+      FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, source,
+             CAST(concat('0x',
+               substr(md5(key || '#' || CAST(i AS VARCHAR)), 1, 8))
+               AS BIGINT) % 65536 AS pos
+      FROM keyed, range(1, 6) r(i)
+    ),
+    eval_bits AS (SELECT DISTINCT pos FROM pos WHERE doc_id % 17 = 0),
+    hits AS (
+      SELECT p.doc_id, p.source,
+             min(CASE WHEN e.pos IS NOT NULL THEN 1 ELSE 0 END) AS bloom_hit
+      FROM pos p LEFT JOIN eval_bits e ON p.pos = e.pos
+      GROUP BY p.doc_id, p.source
+    ),
+    nb AS (SELECT count(*) AS n_bits_set FROM eval_bits)
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(bloom_hit) AS BIGINT) AS n_flagged,
+           CAST(sum(CASE WHEN doc_id % 17 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_members,
+           CAST(sum(CASE WHEN bloom_hit = 1 AND doc_id % 17 <> 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_false_positives,
+           (SELECT n_bits_set FROM nb) AS n_bits_set
+    FROM hits
+    GROUP BY source
+    ORDER BY source
+"""
+LLM_QUERIES["bloom_decontaminate_docs"] = bloom_decontaminate_docs

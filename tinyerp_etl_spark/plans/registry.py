@@ -219,20 +219,22 @@ _RELATIONAL_NAMES = [
 #       (cohort/streaks/fuzzy/copurchase pairs/funnel/file formats/
 #       quarantine/nested flatten/incremental pipeline/json props/
 #       variant props),
-#   (d) 7 more r3-latest rows (the r1-era relational backbone
-#       q1/q3/q5/q7/q8/sql_q6, embedding_label_centroids) plus the
-#       four queries added late in round 7 (ivf_partitioned_scan,
-#       bm25i_incremental_index, hybrid_rrf_retrieval,
-#       ivf_assign_narrow_parity — zero evidence outranks
-#       stale-but-proven, the r4 principle; the last displaced
-#       heavy_hitter_tokens, r3-green on untouched code).
+#   (d) 5 more r3-latest rows (relational backbone q1/q3/q5/sql_q6,
+#       embedding_label_centroids) plus the six queries added late in
+#       round 7 (ivf_partitioned_scan, bm25i_incremental_index,
+#       hybrid_rrf_retrieval, ivf_assign_narrow_parity,
+#       paragraph_dedup_docs, bloom_decontaminate_docs — zero
+#       evidence outranks stale-but-proven, the r4 principle; each
+#       new addition displaced the most-stable r3-green backbone row:
+#       heavy_hitter_tokens, then q7_volume_shipping and
+#       q8_market_share, all on untouched code).
 # Deferred to round 8 (the ONLY rows whose newest green will then
 # predate r4): boilerplate_ngram_stats, collocations_top_pmi,
 # copurchase_pagerank_3iter, gapfill_daily_revenue,
 # monthly_revenue_trend, promo_revenue_ratio, set_null_missing_region,
 # window_running_total, train_val_test_split_docs,
-# c4_quality_filter_stats, heavy_hitter_tokens — all r3-green on code
-# untouched since.
+# c4_quality_filter_stats, heavy_hitter_tokens, q7_volume_shipping,
+# q8_market_share — all r3-green on code untouched since.
 _ROUND7_FRONT_50 = [
     # (0) zero driver evidence
     "kmeans_centroids_embeddings",
@@ -281,14 +283,14 @@ _ROUND7_FRONT_50 = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
-    "q7_volume_shipping",
-    "q8_market_share",
     "sql_q6_forecast_revenue",
     "embedding_label_centroids",
     "ivf_partitioned_scan",
     "bm25i_incremental_index",
     "hybrid_rrf_retrieval",
     "ivf_assign_narrow_parity",
+    "paragraph_dedup_docs",
+    "bloom_decontaminate_docs",
 ]
 
 # Round 5 gate (ran in rounds 5 AND 6; kept for the rotation ledger).
