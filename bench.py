@@ -95,6 +95,7 @@ HEADLINE_R7 = [
     "hybrid_rrf_retrieval",
     "paragraph_dedup_docs",
     "bloom_decontaminate_docs",
+    "bpe_train_merges",
 ]
 HEADLINE = HEADLINE + HEADLINE_R4 + HEADLINE_R5 + HEADLINE_R7
 

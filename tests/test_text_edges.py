@@ -261,3 +261,56 @@ def test_paragraph_dedup_within_doc_repeat_drops_second(spark):
     )
     r = paragraph_dedup_summary(docs).collect()[0]
     assert (r["n_paras"], r["n_kept"], r["n_dropped"]) == (2, 1, 1)
+
+
+# ------------------------------------------------------------ BPE train
+
+
+def test_bpe_train_canonical_example():
+    from tinyerp_etl_spark.operators.text import bpe_train
+
+    # the Sennrich et al. worked example: 'es' then 'est' win
+    m = bpe_train(
+        [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)], 2
+    )
+    assert m == [(1, "e", "s", "es", 9), (2, "es", "t", "est", 9)]
+
+
+def test_bpe_train_tie_breaks_to_smallest_pair():
+    from tinyerp_etl_spark.operators.text import bpe_train
+
+    # 'ab' and 'ba' both occur once; (a,b) < (b,a) lexicographically
+    m = bpe_train([("ab", 1), ("ba", 1)], 1)
+    assert m[0][1:3] == ("a", "b")
+
+
+def test_bpe_train_merged_symbol_participates_in_later_rounds():
+    from tinyerp_etl_spark.operators.text import bpe_train
+
+    m = bpe_train([("aab", 3), ("aac", 2)], 2)
+    assert m[0] == (1, "a", "a", "aa", 5)
+    # round 2: the merged 'aa' symbol is a first-class pair member
+    assert m[1][1:4] == ("aa", "b", "aab")
+
+
+def test_bpe_train_shared_boundary_run_merges_once_per_pass():
+    from tinyerp_etl_spark.operators.text import bpe_train
+
+    # ' a a a b ': position count sees (a,a) twice, but the
+    # non-overlapping replace merges only the first occurrence —
+    # the documented encoding quirk, identical in the SQL oracle.
+    m = bpe_train([("aaab", 4)], 2)
+    assert m[0] == (1, "a", "a", "aa", 8)
+    # remaining seq is ' aa a b ': (aa,a) and (a,b) tie at 4 and the
+    # lexicographically smaller ('a','b') wins
+    assert m[1] == (2, "a", "b", "ab", 4)
+
+
+def test_bpe_train_stops_when_no_pairs_remain():
+    from tinyerp_etl_spark.operators.text import bpe_train
+
+    # single-char words have no adjacent pairs at all
+    assert bpe_train([("a", 3), ("b", 1)], 5) == []
+    # one word, fully merged before the merge budget runs out
+    m = bpe_train([("ab", 2)], 5)
+    assert len(m) == 1 and m[0][3] == "ab"

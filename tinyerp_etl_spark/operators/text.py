@@ -532,3 +532,64 @@ def bm25i_topk(
         ).cast("long").alias("score"),
     )
     return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+
+
+# ---------------------------------------------------------------- BPE
+#
+# Deterministic byte-pair-encoding merge training — tokenizer vocab
+# induction, the one corpus-scale tokenizer op the engine was missing.
+# The classic BPE trainer property (the reason single-node tokenizer
+# trainers work on web-scale corpora) is that only the WORD FREQUENCY
+# extraction touches the corpus; the merge iterations run on the
+# word-count table, which is bounded by the vocabulary, not the corpus.
+# The engine keeps that split: one map-side-combinable groupBy over
+# the corpus, a deterministic (freq DESC, word ASC) vocab cap, then
+# control-plane training over the collected counts (same pattern as
+# the k-means centroid collects — k rows per iteration, never the
+# corpus).
+#
+# Determinism rules (mirrored exactly by the DuckDB oracle, which
+# unrolls the same iterations in SQL):
+# - pair counts are per adjacent POSITION (freq-weighted), computed on
+#   the current symbol sequences;
+# - best pair = max count, ties to the lexicographically smallest
+#   (left, right);
+# - merging rewrites the space-joined symbol string via non-overlapping
+#   left-to-right replace of ' l r ' with ' lr ' — str.replace and SQL
+#   replace share these semantics, which is what makes the unrolled
+#   oracle exact. (A shared-boundary run like 'a a a' merges once per
+#   pass under this rule; documented encoding quirk, identical in both
+#   engines.)
+
+BPE_N_MERGES = 8
+BPE_VOCAB_CAP = 4096
+
+
+def bpe_train(
+    word_freqs: list[tuple[str, int]], n_merges: int = BPE_N_MERGES
+) -> list[tuple[int, str, str, str, int]]:
+    """Train merge rules on a (word, freq) table.
+
+    Returns [(merge_idx, left_sym, right_sym, merged, pair_count)].
+    Pure control-plane: input size is capped by the caller
+    (BPE_VOCAB_CAP), so this never sees corpus-scale data.
+    """
+    seqs = {w: " " + " ".join(w) + " " for w, _ in word_freqs}
+    freqs = dict(word_freqs)
+    merges: list[tuple[int, str, str, str, int]] = []
+    for it in range(1, n_merges + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for w, s in seqs.items():
+            syms = s.split()
+            f = freqs[w]
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + f
+        if not counts:
+            break
+        (left, right), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        pat, rep = f" {left} {right} ", f" {left}{right} "
+        seqs = {w: s.replace(pat, rep) for w, s in seqs.items()}
+        merges.append((it, left, right, left + right, cnt))
+    return merges

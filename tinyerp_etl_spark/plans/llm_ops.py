@@ -2733,3 +2733,97 @@ LLM_ORACLES["bloom_decontaminate_docs"] = f"""
     ORDER BY source
 """
 LLM_QUERIES["bloom_decontaminate_docs"] = bloom_decontaminate_docs
+
+
+# ------------------------------- round-7 addition: BPE merge training
+
+
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer vocab induction: deterministic BPE merge training.
+
+    The corpus-scale stage is ONE map-side-combinable word-frequency
+    groupBy; the vocab then caps deterministically (freq DESC, word
+    ASC, BPE_VOCAB_CAP) and the merge iterations train control-plane
+    on the collected counts — the classic BPE-trainer split that makes
+    tokenizer training tractable at 100 TB (work per iteration is
+    O(vocab), never O(corpus)). The DuckDB oracle unrolls the same
+    iterations in SQL, so the trained merge table is hash-proven, not
+    just plausible.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        X.tokens("text").alias("toks")
+    )
+    words = (
+        docs.select(F.explode("toks").alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    top = (
+        words.orderBy(F.col("freq").desc(), "word")
+        .limit(X.BPE_VOCAB_CAP)
+        .collect()
+    )
+    merges = X.bpe_train([(r["word"], r["freq"]) for r in top])
+    return spark.createDataFrame(
+        merges,
+        "merge_idx int, left_sym string, right_sym string,"
+        " merged string, pair_count bigint",
+    ).orderBy("merge_idx")
+
+
+def _bpe_oracle_sql(n_merges: int, vocab_cap: int) -> str:
+    """The unrolled-iteration oracle (same pattern as the k-means
+    oracle): each round derives position-based pair counts from the
+    previous round's symbol sequences, picks the (cnt DESC, l, r)
+    best, and rewrites sequences with the same non-overlapping
+    replace the engine uses."""
+    ctes = [
+        f"""words AS (
+          SELECT tok AS word, count(*) AS freq
+          FROM (SELECT unnest({_TOKS}) AS tok FROM documents)
+          GROUP BY tok ORDER BY freq DESC, word LIMIT {vocab_cap}
+        ),
+        v0 AS MATERIALIZED (
+          SELECT word, freq,
+                 ' ' || trim(regexp_replace(word, '(.)', '\\1 ', 'g')) || ' '
+                   AS seq
+          FROM words
+        )"""
+    ]
+    for n in range(1, n_merges + 1):
+        p = n - 1
+        ctes.append(
+            f"""p{n} AS (
+          SELECT freq, s, unnest(range(1, len(s))) AS i
+          FROM (SELECT freq, string_split(trim(seq), ' ') AS s FROM v{p}) t
+        ),
+        c{n} AS (
+          SELECT s[i] AS l, s[i+1] AS r, CAST(sum(freq) AS BIGINT) AS cnt
+          FROM p{n} GROUP BY 1, 2
+        ),
+        b{n} AS MATERIALIZED (SELECT l, r, cnt FROM c{n} ORDER BY cnt DESC, l, r LIMIT 1),
+        v{n} AS MATERIALIZED (
+          SELECT word, freq,
+                 replace(seq,
+                   ' ' || (SELECT l FROM b{n}) || ' ' || (SELECT r FROM b{n}) || ' ',
+                   ' ' || (SELECT l FROM b{n}) || (SELECT r FROM b{n}) || ' ')
+                   AS seq
+          FROM v{p}
+        )"""
+        )
+    unions = "\n      UNION ALL\n".join(
+        f"      SELECT {n} AS merge_idx, l AS left_sym, r AS right_sym,"
+        f" l || r AS merged, cnt AS pair_count FROM b{n}"
+        for n in range(1, n_merges + 1)
+    )
+    return (
+        "WITH "
+        + ",\n        ".join(ctes)
+        + f"\n{unions}\n      ORDER BY merge_idx"
+    )
+
+
+LLM_ORACLES["bpe_train_merges"] = _bpe_oracle_sql(
+    X.BPE_N_MERGES, X.BPE_VOCAB_CAP
+)
+LLM_QUERIES["bpe_train_merges"] = bpe_train_merges
