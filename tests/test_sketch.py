@@ -269,6 +269,13 @@ def test_bloom_probe_is_broadcast_only(spark):
     )._jdf.queryExecution().executedPlan().toString()
     # the corpus side must not shuffle: the bitmap folds to one row
     # and broadcasts; any Exchange on the probe side would mean the
-    # corpus was repartitioned just to test membership
-    probe_side = plan.split("BroadcastNestedLoopJoin")[0]
+    # corpus was repartitioned just to test membership. In the plan
+    # tree string the join prints BEFORE its children and the stream
+    # (corpus) child prints first under BuildRight, so the corpus
+    # subtree is the segment between the join line and the
+    # BroadcastExchange that starts the build side.
+    assert "BroadcastNestedLoopJoin" in plan and "BroadcastExchange" in plan
+    probe_side = plan.split("BroadcastNestedLoopJoin", 1)[1].split(
+        "BroadcastExchange", 1
+    )[0]
     assert "Exchange" not in probe_side

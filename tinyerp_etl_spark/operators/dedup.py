@@ -735,14 +735,17 @@ def paragraph_dedup_summary(
     kept_text_md5 hashes the doc REASSEMBLED from its surviving
     paragraphs in original order ('' when everything dropped).
 
-    Plan shape for 100 TB: one explode, one map-side-combinable
-    groupBy-min over the paragraph text (first-occurrence rule as
+    Plan shape for 100 TB: one explode (materialized — the exploded
+    rows feed BOTH the groupBy-min and the join-back side, and
+    without the snapshot Spark re-tokenizes and re-explodes the whole
+    corpus for each consumer), one map-side-combinable groupBy-min
+    over the paragraph text (first-occurrence rule as
     min(struct(doc_id, pos)) — NO global window), one shuffle join
     back on the paragraph key, one per-doc reassembly aggregation.
     The groupBy key is the paragraph string itself; cardinality is
     bounded by corpus token count / PARA_W and hashes uniformly.
     """
-    paras = paragraph_rows(docs, text_col, id_col)
+    paras = materialize(paragraph_rows(docs, text_col, id_col))
     firsts = paras.groupBy("para").agg(
         F.min(F.struct(F.col(id_col), F.col("pos"))).alias("__first")
     )

@@ -423,12 +423,7 @@ def bloom_positions(
     c = F.col(key_col) if isinstance(key_col, str) else key_col
     return F.array(
         *[
-            (
-                F.conv(
-                    F.substring(F.md5(F.concat(c, F.lit(f"#{i}"))), 1, 8), 16, 10
-                ).cast("long")
-                % F.lit(m_bits)
-            )
+            value_hash32(F.concat(c, F.lit(f"#{i}"))) % F.lit(m_bits)
             for i in range(1, k + 1)
         ]
     )

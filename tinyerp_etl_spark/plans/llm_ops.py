@@ -2579,6 +2579,10 @@ LLM_QUERIES["sql_ml_inference_score"] = sql_ml_inference_score
 
 # --------------------------- round-7 additions: paragraph dedup + Bloom
 
+#: staged boilerplate footer — ONE definition shared by the engine
+#: staging and the oracle CTE so the two can't drift
+_PARA_FOOTER = " subscribe to our newsletter today friends"
+
 
 def paragraph_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global paragraph-level exact dedup (CCNet/Dolma pass) with
@@ -2598,9 +2602,7 @@ def paragraph_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     footer = docs.filter(F.col("doc_id") % 7 == 0).select(
         (F.col("doc_id") + 200000).alias("doc_id"),
-        F.concat(
-            F.col("text"), F.lit(" subscribe to our newsletter today friends")
-        ).alias("text"),
+        F.concat(F.col("text"), F.lit(_PARA_FOOTER)).alias("text"),
     )
     staged = docs.unionByName(copies).unionByName(footer)
     return D.paragraph_dedup_summary(staged).orderBy("doc_id")
@@ -2613,7 +2615,7 @@ LLM_ORACLES["paragraph_dedup_docs"] = f"""
       SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0
       UNION ALL
       SELECT doc_id + 200000,
-             text || ' subscribe to our newsletter today friends'
+             text || '{_PARA_FOOTER}'
       FROM documents WHERE doc_id % 7 = 0
     ),
     t AS (
@@ -2622,13 +2624,14 @@ LLM_ORACLES["paragraph_dedup_docs"] = f"""
     ),
     px AS (
       SELECT doc_id, toks,
-             unnest(range((len(toks) + 7) // 8)) AS pos
+             unnest(range((len(toks) + {D.PARA_W - 1}) // {D.PARA_W})) AS pos
       FROM t
     ),
     p AS (
       SELECT doc_id, pos,
-             array_to_string(list_slice(toks, pos * 8 + 1, pos * 8 + 8), ' ')
-               AS para
+             array_to_string(
+               list_slice(toks, pos * {D.PARA_W} + 1,
+                          pos * {D.PARA_W} + {D.PARA_W}), ' ') AS para
       FROM px
     ),
     k AS (
@@ -2701,16 +2704,18 @@ def bloom_decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 LLM_ORACLES["bloom_decontaminate_docs"] = f"""
     WITH keyed AS (
+      -- coalesce matches the engine: Spark's concat_ws ignores a
+      -- NULL token array, so a NULL text keys as md5('')
       SELECT doc_id, source,
-             md5(array_to_string({_TOKS}, ' ')) AS key
+             md5(coalesce(array_to_string({_TOKS}, ' '), '')) AS key
       FROM documents
     ),
     pos AS (
       SELECT doc_id, source,
              CAST(concat('0x',
                substr(md5(key || '#' || CAST(i AS VARCHAR)), 1, 8))
-               AS BIGINT) % 65536 AS pos
-      FROM keyed, range(1, 6) r(i)
+               AS BIGINT) % {SK.BLOOM_M_BITS} AS pos
+      FROM keyed, range(1, {SK.BLOOM_K + 1}) r(i)
     ),
     eval_bits AS (SELECT DISTINCT pos FROM pos WHERE doc_id % 17 = 0),
     hits AS (

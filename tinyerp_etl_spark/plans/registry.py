@@ -8,7 +8,7 @@ Ordering note: the driver's correctness gate covers the first 50
 registry entries, so insertion order is the rotation schedule.
 ACTIVE: _ROUND7_FRONT_50 (see its inline comments for composition and
 the cumulative ledger — after round 7's gate runs green, every
-query's newest driver row is r4+ except the TEN documented r3
+query's newest driver row is r4+ except the FOURTEEN documented r3
 deferrals listed there). Prior gates below for the ledger.
 Round 5's front 50 (ran in rounds 5 AND 6; see _ROUND5_FRONT_50's
 inline comments for the per-group rationale) =
