@@ -96,6 +96,7 @@ HEADLINE_R7 = [
     "paragraph_dedup_docs",
     "bloom_decontaminate_docs",
     "bpe_train_merges",
+    "bpe_segment_stats",
 ]
 HEADLINE = HEADLINE + HEADLINE_R4 + HEADLINE_R5 + HEADLINE_R7
 

@@ -314,3 +314,21 @@ def test_bpe_train_stops_when_no_pairs_remain():
     # one word, fully merged before the merge budget runs out
     m = bpe_train([("ab", 2)], 5)
     assert len(m) == 1 and m[0][3] == "ab"
+
+
+def test_bpe_segment_rejects_symbols_outside_alphabet(spark, monkeypatch):
+    # merge symbols inline into a SQL expression; anything outside the
+    # tokenizer alphabet must fail loudly, never build the expression
+    from tinyerp_etl_spark.plans import llm_ops
+    import pytest
+
+    monkeypatch.setitem(
+        llm_ops._BPE_CACHE,
+        "/bad/corpus",
+        [(1, "a'; drop", "b", "a'; dropb", 1)],
+    )
+    import os
+
+    monkeypatch.setattr(os.path, "abspath", lambda p: p)
+    with pytest.raises(ValueError, match="outside"):
+        llm_ops.bpe_segment_stats(spark, "/bad/corpus")

@@ -2755,20 +2755,7 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     iterations in SQL, so the trained merge table is hash-proven, not
     just plausible.
     """
-    docs = load_table(spark, sf_dir, "documents").select(
-        X.tokens("text").alias("toks")
-    )
-    words = (
-        docs.select(F.explode("toks").alias("word"))
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).alias("freq"))
-    )
-    top = (
-        words.orderBy(F.col("freq").desc(), "word")
-        .limit(X.BPE_VOCAB_CAP)
-        .collect()
-    )
-    merges = X.bpe_train([(r["word"], r["freq"]) for r in top])
+    merges = _bpe_merges_for(spark, sf_dir)
     return spark.createDataFrame(
         merges,
         "merge_idx int, left_sym string, right_sym string,"
@@ -2776,12 +2763,41 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("merge_idx")
 
 
-def _bpe_oracle_sql(n_merges: int, vocab_cap: int) -> str:
-    """The unrolled-iteration oracle (same pattern as the k-means
-    oracle): each round derives position-based pair counts from the
-    previous round's symbol sequences, picks the (cnt DESC, l, r)
-    best, and rewrites sequences with the same non-overlapping
-    replace the engine uses."""
+#: process cache of trained merges per corpus dir — the gate driver
+#: runs bpe_train_merges AND bpe_segment_stats in one process; train
+#: the shared rules once (same pattern as _IVF_CACHE)
+_BPE_CACHE: dict[str, list[tuple[int, str, str, str, int]]] = {}
+
+
+def _bpe_merges_for(
+    spark: SparkSession, sf_dir: str
+) -> list[tuple[int, str, str, str, int]]:
+    key = os.path.abspath(sf_dir)
+    if key not in _BPE_CACHE:
+        docs = load_table(spark, sf_dir, "documents").select(
+            X.tokens("text").alias("toks")
+        )
+        words = (
+            docs.select(F.explode("toks").alias("word"))
+            .groupBy("word")
+            .agg(F.count(F.lit(1)).alias("freq"))
+        )
+        top = (
+            words.orderBy(F.col("freq").desc(), "word")
+            .limit(X.BPE_VOCAB_CAP)
+            .collect()
+        )
+        _BPE_CACHE[key] = X.bpe_train([(r["word"], r["freq"]) for r in top])
+    return _BPE_CACHE[key]
+
+
+def _bpe_cte_chain(n_merges: int, vocab_cap: int) -> list[str]:
+    """The unrolled-training CTE chain shared by both BPE oracles
+    (same pattern as the k-means oracle): each round derives
+    position-based pair counts from the previous round's symbol
+    sequences, picks the (cnt DESC, l, r) best, and rewrites
+    sequences with the same non-overlapping replace the engine
+    uses. b{n} holds round n's winning pair."""
     ctes = [
         f"""words AS (
           SELECT tok AS word, count(*) AS freq
@@ -2816,6 +2832,11 @@ def _bpe_oracle_sql(n_merges: int, vocab_cap: int) -> str:
           FROM v{p}
         )"""
         )
+    return ctes
+
+
+def _bpe_oracle_sql(n_merges: int, vocab_cap: int) -> str:
+    ctes = _bpe_cte_chain(n_merges, vocab_cap)
     unions = "\n      UNION ALL\n".join(
         f"      SELECT {n} AS merge_idx, l AS left_sym, r AS right_sym,"
         f" l || r AS merged, cnt AS pair_count FROM b{n}"
@@ -2832,3 +2853,110 @@ LLM_ORACLES["bpe_train_merges"] = _bpe_oracle_sql(
     X.BPE_N_MERGES, X.BPE_VOCAB_CAP
 )
 LLM_QUERIES["bpe_train_merges"] = bpe_train_merges
+
+
+def bpe_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the trained BPE merges corpus-wide: per-source token /
+    char / post-merge symbol counts (the compression the vocab buys).
+
+    This is the inference half of the tokenizer story — the part that
+    actually runs at 100 TB. The trained rules (control-plane, cached
+    alongside bpe_train_merges) inline as a chain of literal
+    `replace` calls inside ONE JVM-side column expression over the
+    token array: no UDF, no explode, no shuffle before the final
+    per-source aggregation. Merge symbols are validated against the
+    tokenizer alphabet before inlining — corpus content can never
+    inject into the expression.
+    """
+    import re as _re
+
+    merges = _bpe_merges_for(spark, sf_dir)
+    seg = "concat(' ', trim(regexp_replace(t, '(.)', '$1 ')), ' ')"
+    for _, left, right, _, _ in merges:
+        for s in (left, right):
+            if not _re.fullmatch(r"[a-z0-9_]+", s):
+                raise ValueError(f"merge symbol {s!r} outside \\w alphabet")
+        seg = f"replace({seg}, ' {left} {right} ', ' {left}{right} ')"
+    n_syms = f"size(split(trim({seg}), ' '))"
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", X.tokens("text").alias("toks")
+    )
+    per_doc = docs.select(
+        "source",
+        F.coalesce(F.array_size("toks"), F.lit(0)).alias("n_tok"),
+        F.coalesce(
+            F.expr(
+                "aggregate(transform(toks, t -> length(t)),"
+                " 0L, (a, x) -> a + x)"
+            ),
+            F.lit(0),
+        ).alias("n_char"),
+        F.coalesce(
+            F.expr(
+                f"aggregate(transform(toks, t -> {n_syms}),"
+                " 0L, (a, x) -> a + x)"
+            ),
+            F.lit(0),
+        ).alias("n_sym"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.sum("n_char").alias("n_chars"),
+            F.sum("n_sym").alias("n_symbols"),
+        )
+        .orderBy("source")
+    )
+
+
+def _bpe_segment_oracle_sql(n_merges: int, vocab_cap: int) -> str:
+    """Train via the shared unrolled chain, then apply the same
+    literal replace chain to every corpus token (pattern built from
+    b{n} scalar subqueries) and aggregate per source."""
+    seg = "' ' || trim(regexp_replace(t, '(.)', '\\1 ', 'g')) || ' '"
+    for n in range(1, n_merges + 1):
+        l, r = f"(SELECT l FROM b{n})", f"(SELECT r FROM b{n})"
+        seg = (
+            f"replace({seg}, ' ' || {l} || ' ' || {r} || ' ',"
+            f" ' ' || {l} || {r} || ' ')"
+        )
+    ctes = _bpe_cte_chain(n_merges, vocab_cap)
+    ctes.append(
+        f"""tok_t AS (
+          SELECT source, unnest({_TOKS}) AS t FROM documents
+        ),
+        seg_t AS (
+          SELECT source, len(t) AS n_char,
+                 len(string_split(trim({seg}), ' ')) AS n_sym
+          FROM tok_t
+        ),
+        docs_t AS (
+          SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+        ),
+        tok_agg AS (
+          SELECT source,
+                 CAST(count(*) AS BIGINT) AS n_tokens,
+                 CAST(sum(n_char) AS BIGINT) AS n_chars,
+                 CAST(sum(n_sym) AS BIGINT) AS n_symbols
+          FROM seg_t GROUP BY source
+        )"""
+    )
+    return (
+        "WITH "
+        + ",\n        ".join(ctes)
+        + """
+      SELECT d.source, d.n_docs,
+             coalesce(t.n_tokens, 0) AS n_tokens,
+             coalesce(t.n_chars, 0) AS n_chars,
+             coalesce(t.n_symbols, 0) AS n_symbols
+      FROM docs_t d LEFT JOIN tok_agg t ON d.source = t.source
+      ORDER BY d.source"""
+    )
+
+
+LLM_ORACLES["bpe_segment_stats"] = _bpe_segment_oracle_sql(
+    X.BPE_N_MERGES, X.BPE_VOCAB_CAP
+)
+LLM_QUERIES["bpe_segment_stats"] = bpe_segment_stats
