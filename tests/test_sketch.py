@@ -279,3 +279,69 @@ def test_bloom_probe_is_broadcast_only(spark):
         "BroadcastExchange", 1
     )[0]
     assert "Exchange" not in probe_side
+
+
+def test_bloom_merge_equals_rebuild_and_is_replay_idempotent(spark):
+    from tinyerp_etl_spark.operators.sketch import bloom_build, bloom_merge
+
+    xs = spark.createDataFrame([(f"x{i}",) for i in range(60)], "key string")
+    ys = spark.createDataFrame([(f"y{i}",) for i in range(40)], "key string")
+    both = xs.unionByName(ys)
+
+    def as_map(bm):
+        return {r["word_idx"]: r["mask"] for r in bm.collect()}
+
+    merged = as_map(bloom_merge(bloom_build(xs, "key"), bloom_build(ys, "key")))
+    rebuilt = as_map(bloom_build(both, "key"))
+    # incremental fold == full rebuild, bit for bit
+    assert merged == rebuilt
+    # replaying a batch into the merged bitmap changes nothing
+    replay = as_map(
+        bloom_merge(bloom_build(both, "key"), bloom_build(ys, "key"))
+    )
+    assert replay == rebuilt
+
+
+def test_bloom_probe_is_streaming_legal(spark, tmp_path):
+    """The probe is a stream-static broadcast join + per-row
+    expression — append-mode legal, so decontamination can run at
+    ingest. A drained availableNow stream must flag exactly what the
+    batch probe flags."""
+    import os
+
+    from tinyerp_etl_spark.operators.sketch import bloom_build, bloom_probe
+
+    members = spark.createDataFrame(
+        [(f"m{i}",) for i in range(20)], "key string"
+    )
+    corpus = spark.createDataFrame(
+        [(i, f"m{i}" if i % 3 == 0 else f"other{i}") for i in range(60)],
+        "id long, key string",
+    )
+    src = str(tmp_path / "src")
+    os.makedirs(src, exist_ok=True)
+    corpus.coalesce(1).write.mode("overwrite").parquet(src)
+    bitmap = bloom_build(members, "key")
+
+    stream = spark.readStream.schema("id long, key string").parquet(src)
+    got: dict[int, int] = {}
+
+    def sink(batch_df, _bid):
+        for r in batch_df.collect():
+            got[r["id"]] = r["bloom_hit"]
+
+    (
+        bloom_probe(stream, "key", bitmap)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    want = {
+        r["id"]: r["bloom_hit"]
+        for r in bloom_probe(corpus, "key", bitmap).collect()
+    }
+    assert got == want
+    # true members (key m{i} with i in the member range) always flag
+    assert all(want[i] == 1 for i in range(0, 20, 3))

@@ -488,3 +488,24 @@ def bloom_probe(
         )
     )
     return probed.drop("__bloom_map", "__bloom_pos")
+
+
+def bloom_merge(bitmap_a: DataFrame, bitmap_b: DataFrame) -> DataFrame:
+    """Union two Bloom bitmaps: word-wise bit_or.
+
+    This is the incremental-maintenance story for the membership
+    sketch: fold a new batch's bitmap into the stored one without
+    touching the old keys (work ∝ bitmap size, a constant). Because
+    bit_or is idempotent and commutative, an at-least-once replay of
+    the same batch is a no-op — merge(b, b) == b bit-for-bit — so the
+    fold needs no dedup bookkeeping, unlike the postings-index path.
+    """
+    a = bitmap_a.select("word_idx", F.col("mask").alias("__a"))
+    b = bitmap_b.select("word_idx", F.col("mask").alias("__b"))
+    return a.join(b, "word_idx", "full_outer").select(
+        "word_idx",
+        F.expr(
+            "coalesce(__a, CAST(0 AS BIGINT))"
+            " | coalesce(__b, CAST(0 AS BIGINT))"
+        ).alias("mask"),
+    )
