@@ -332,3 +332,36 @@ def test_bpe_segment_rejects_symbols_outside_alphabet(spark, monkeypatch):
     monkeypatch.setattr(os.path, "abspath", lambda p: p)
     with pytest.raises(ValueError, match="outside"):
         llm_ops.bpe_segment_stats(spark, "/bad/corpus")
+
+
+def test_paragraph_index_fold_equals_rebuild_and_replay_is_noop(spark):
+    from tinyerp_etl_spark.operators.dedup import (
+        build_paragraph_index,
+        update_paragraph_index,
+    )
+
+    p1 = " ".join(f"a{i}" for i in range(8))
+    p2 = " ".join(f"b{i}" for i in range(8))
+    p3 = " ".join(f"c{i}" for i in range(8))
+    batch1 = spark.createDataFrame(
+        [(1, p1 + " " + p2), (2, p2)], "doc_id long, text string"
+    )
+    batch2 = spark.createDataFrame(
+        [(10, p2 + " " + p3), (11, p3)], "doc_id long, text string"
+    )
+
+    def as_set(df):
+        return {(r["para"], r["first_doc"], r["first_pos"]) for r in df.collect()}
+
+    folded = update_paragraph_index(
+        update_paragraph_index(build_paragraph_index(batch1.limit(0)), batch1),
+        batch2,
+    )
+    rebuilt = build_paragraph_index(batch1.unionByName(batch2))
+    assert as_set(folded) == as_set(rebuilt)
+    # p2's first occurrence stays (1, 1) — batch2's later copy never
+    # overwrites history
+    assert (p2, 1, 1) in as_set(folded)
+    # replaying batch2 folds zero new rows
+    replay = update_paragraph_index(folded, batch2)
+    assert as_set(replay) == as_set(folded)

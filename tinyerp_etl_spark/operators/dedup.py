@@ -781,3 +781,58 @@ def paragraph_dedup_summary(
         .withColumn("n_dropped", F.col("n_paras") - F.col("n_kept"))
         .select(id_col, "n_paras", "n_kept", "n_dropped", "kept_text_md5")
     )
+
+
+def update_paragraph_index(
+    stored: DataFrame,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fold a new batch into the stored first-occurrence paragraph
+    index: (para, first_doc, first_pos) rows, one per distinct
+    paragraph ever seen.
+
+    The incremental-maintenance half of paragraph dedup (the same
+    at-scale contract as the BM25 fold-in / KMV / Bloom maintenance
+    ops): history is NEVER re-tokenized. Only the batch explodes; its
+    within-batch first occurrences anti-join the stored paragraph
+    keys, and survivors append. Requires batch ids > stored ids
+    (append-only ingest order — checked), which is what makes stored
+    rows immutable: an earlier (doc_id, pos) can never arrive later,
+    so the fold is pure append and a replayed batch folds to zero new
+    rows (idempotent). Work ∝ batch + one equi-join against the index
+    (shuffle-free on the store side when the store is bucketed by
+    para).
+    """
+    batch_paras = paragraph_rows(batch, text_col, id_col)
+    batch_firsts = (
+        batch_paras.groupBy("para")
+        .agg(F.min(F.struct(F.col(id_col), F.col("pos"))).alias("__first"))
+        .select(
+            "para",
+            F.col(f"__first.{id_col}").alias("first_doc"),
+            F.col("__first.pos").alias("first_pos"),
+        )
+    )
+    fresh = batch_firsts.join(
+        stored.select("para"), "para", "left_anti"
+    )
+    return stored.unionByName(fresh)
+
+
+def build_paragraph_index(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The from-scratch twin of update_paragraph_index (rebuild
+    contract for the fold test: incremental fold == full rebuild)."""
+    return (
+        paragraph_rows(docs, text_col, id_col)
+        .groupBy("para")
+        .agg(F.min(F.struct(F.col(id_col), F.col("pos"))).alias("__first"))
+        .select(
+            "para",
+            F.col(f"__first.{id_col}").alias("first_doc"),
+            F.col("__first.pos").alias("first_pos"),
+        )
+    )
