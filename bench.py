@@ -166,6 +166,11 @@ def main() -> None:
         for k, v in timings.items()
         if k not in HEADLINE_R4 and k not in HEADLINE_R5 and k not in HEADLINE_R7
     )
+    # the set benched in rounds 5-6: total minus this round's additions,
+    # so r6 -> r7 compares directly without re-deriving the exclusion
+    comparable_r6 = sum(
+        v for k, v in timings.items() if k not in HEADLINE_R7
+    )
 
     print(
         json.dumps(
@@ -176,6 +181,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "comparable_r3_total": round(comparable, 4),
+                "comparable_r6_total": round(comparable_r6, 4),
                 "host_calibration": _calibrate_host(spark),
                 "host_calibration_start": cal_start,
             }
