@@ -2960,3 +2960,101 @@ LLM_ORACLES["bpe_segment_stats"] = _bpe_segment_oracle_sql(
     X.BPE_N_MERGES, X.BPE_VOCAB_CAP
 )
 LLM_QUERIES["bpe_segment_stats"] = bpe_segment_stats
+
+
+# ------------------- round-7 addition: LSH candidate-recall audit
+
+
+def lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measure the LSH candidate generator against exact ground truth.
+
+    Dedup quality is usually ASSERTED from banding theory; this query
+    MEASURES it: ground truth = every pair with shingle-Jaccard >= 0.5
+    (computed exactly via the co-shingle inverted-index join, with the
+    threshold in integer space: 3*|I| >= |A|+|B| <=> J >= 1/2), versus
+    the capped LSH candidate set the production pipeline uses. Output:
+    one row of confusion counts + integer recall. A banding miss
+    (near-dup pair sharing no band bucket) or a cap quarantine shows
+    up as n_missed > 0 — the number the curation team actually needs.
+
+    Scale note: the ground-truth join is verification-scale (cost ~
+    co-shingled pairs), so at 100 TB this is an AUDIT query run on a
+    deterministic sample, not a pipeline stage; the candidate side is
+    the production path at any scale.
+    """
+    staged = _docs_with_neardups(spark, sf_dir)
+    sh = staged.select(
+        "doc_id", F.explode(D.shingles("text")).alias("shingle")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    truth = (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b")),
+            "doc_b",
+        )
+        .filter(3 * F.col("n_inter") >= F.col("n_a") + F.col("n_b"))
+        .select("doc_a", "doc_b")
+    )
+    cands = D.lsh_candidate_pairs(staged).select("doc_a", "doc_b")
+    hit = truth.join(cands, ["doc_a", "doc_b"], "left_semi")
+    n_truth = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    n_cands = cands.agg(F.count(F.lit(1)).alias("n_candidates"))
+    n_hit = hit.agg(F.count(F.lit(1)).alias("n_hit"))
+    return (
+        n_truth.join(F.broadcast(n_cands))
+        .join(F.broadcast(n_hit))
+        .select(
+            "n_truth",
+            "n_candidates",
+            "n_hit",
+            (F.col("n_truth") - F.col("n_hit")).alias("n_missed"),
+            F.expr("(n_hit * 10000) div n_truth").alias("recall_p10k"),
+            (F.col("n_candidates") - F.col("n_hit")).alias(
+                "n_false_candidates"
+            ),
+        )
+    )
+
+
+LLM_ORACLES["lsh_recall_report"] = f"""
+    WITH {_NEARDUP_CTES},
+    truth_inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+      FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    truth AS (
+      SELECT i.doc_a, i.doc_b
+      FROM truth_inter i
+      JOIN sizes sa ON sa.doc_id = i.doc_a
+      JOIN sizes sb ON sb.doc_id = i.doc_b
+      WHERE 3 * i.n_inter >= sa.n + sb.n
+    ),
+    hit AS (
+      SELECT t.doc_a, t.doc_b
+      FROM truth t JOIN cands c ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+    ),
+    counts AS (
+      SELECT (SELECT count(*) FROM truth) AS n_truth,
+             (SELECT count(*) FROM cands) AS n_candidates,
+             (SELECT count(*) FROM hit) AS n_hit
+    )
+    SELECT n_truth, n_candidates, n_hit,
+           n_truth - n_hit AS n_missed,
+           (n_hit * 10000) // n_truth AS recall_p10k,
+           n_candidates - n_hit AS n_false_candidates
+    FROM counts
+"""
+LLM_QUERIES["lsh_recall_report"] = lsh_recall_report
