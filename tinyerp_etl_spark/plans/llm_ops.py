@@ -3058,3 +3058,162 @@ LLM_ORACLES["lsh_recall_report"] = f"""
     FROM counts
 """
 LLM_QUERIES["lsh_recall_report"] = lsh_recall_report
+
+
+# ------------------- round-7 addition: IVF recall@k audit
+
+#: recall-audit shape: first _RECALL_Q vectors are the query set,
+#: recall@_RECALL_K against the exhaustive tick-cosine ranking
+_RECALL_Q = 4
+_RECALL_K = 10
+
+
+def ivf_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measure IVF pruning loss: recall@k of the nprobe-pruned search
+    vs the exhaustive scan, per query vector.
+
+    The ANN twin of lsh_recall_report: both rankings use the SAME
+    exact tick-cosine scorer, so any n_hit < k isolates what the
+    nprobe list pruning (not scoring noise) lost — the number that
+    decides nprobe at 100 TB. Ground truth is the full-corpus scan
+    (audit-scale by design); the pruned side is the production path
+    through the persisted index.
+    """
+    cents = _ivf_index_for(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id", S._q(F.col("embedding")).alias("__vt")
+    ).withColumn("__n2", S._ticks_norm2(F.col("__vt")))
+    qs = base.filter(F.col("vec_id") < _RECALL_Q).select(
+        F.col("vec_id").alias("qid"),
+        F.col("__vt").alias("__qt"),
+        F.col("__n2").alias("__qn2"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("qid").orderBy(
+        F.col("score").desc(), F.col("vec_id").asc()
+    )
+
+    def scored(df):
+        return df.withColumn(
+            "score",
+            (
+                S._ticks_dot(F.col("__vt"), F.col("__qt"))
+                / F.sqrt(
+                    F.col("__n2").cast("double") * F.col("__qn2").cast("double")
+                )
+            ).cast("double"),
+        )
+
+    ftop = (
+        scored(base.join(F.broadcast(qs)).filter(F.col("vec_id") != F.col("qid")))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _RECALL_K)
+        .select("qid", "vec_id")
+    )
+
+    assigned = S.ivf_assign(emb, centroids=cents)
+    abase = assigned.select(
+        "vec_id", "list_id", S._q(F.col("embedding")).alias("__vt")
+    ).withColumn("__n2", S._ticks_norm2(F.col("__vt")))
+    # probe selection: the SAME shared control-plane rule ivf_topk uses
+    qrows = sorted(
+        emb.filter(F.col("vec_id") < _RECALL_Q)
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: r["vec_id"],
+    )
+    probe_pairs = [
+        (int(r["vec_id"]), int(lid))
+        for r in qrows
+        for lid in S.probe_lists(
+            cents, S.quantize_vector(r["embedding"]), S.IVF_NPROBE
+        )
+    ]
+    probes = spark.createDataFrame(probe_pairs, "qid long, list_id int")
+    itop = (
+        scored(
+            abase.join(F.broadcast(probes), "list_id")
+            .join(F.broadcast(qs), "qid")
+            .filter(F.col("vec_id") != F.col("qid"))
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _RECALL_K)
+        .select("qid", "vec_id")
+    )
+    hits = (
+        ftop.join(itop, ["qid", "vec_id"], "left_semi")
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return (
+        qs.select("qid")
+        .join(hits, "qid", "left")
+        .select(
+            "qid",
+            F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
+            F.expr(
+                f"(coalesce(n_hit, CAST(0 AS BIGINT)) * 10000) div {_RECALL_K}"
+            ).alias("recall_p10k"),
+        )
+        .orderBy("qid")
+    )
+
+
+LLM_ORACLES["ivf_recall_report"] = f"""
+    WITH {_KM_CTES_EMB},
+    qs AS (SELECT vec_id AS qid, ticks AS qticks FROM __kt
+           WHERE vec_id < {_RECALL_Q}),
+    fs AS (
+      SELECT q.qid, v.vec_id, {_tcos_sql("v.ticks", "q.qticks")} AS score
+      FROM __kt v CROSS JOIN qs q WHERE v.vec_id <> q.qid
+    ),
+    ftop AS (
+      SELECT qid, vec_id FROM (
+        SELECT qid, vec_id, row_number() OVER (
+          PARTITION BY qid ORDER BY score DESC, vec_id ASC) AS rn
+        FROM fs) WHERE rn <= {_RECALL_K}
+    ),
+    lists AS (
+      SELECT vec_id, ticks, centroid_id AS list_id FROM (
+        SELECT v.vec_id, v.ticks, c.centroid_id,
+               row_number() OVER (PARTITION BY v.vec_id
+                 ORDER BY {_tcos_sql("v.ticks", "c.cticks")} DESC,
+                          c.centroid_id ASC) AS rn
+        FROM __kt v CROSS JOIN {_KM_FINAL} c) WHERE rn = 1
+    ),
+    qprobe AS (
+      SELECT qid, centroid_id AS list_id FROM (
+        SELECT q.qid, c.centroid_id,
+               row_number() OVER (PARTITION BY q.qid
+                 ORDER BY {_tcos_sql("c.cticks", "q.qticks")} DESC,
+                          c.centroid_id ASC) AS rn
+        FROM {_KM_FINAL} c CROSS JOIN qs q) WHERE rn <= {S.IVF_NPROBE}
+    ),
+    isc AS (
+      SELECT q.qid, l.vec_id, {_tcos_sql("l.ticks", "q.qticks")} AS score
+      FROM lists l
+      JOIN qprobe p ON l.list_id = p.list_id
+      JOIN qs q ON q.qid = p.qid
+      WHERE l.vec_id <> q.qid
+    ),
+    itop AS (
+      SELECT qid, vec_id FROM (
+        SELECT qid, vec_id, row_number() OVER (
+          PARTITION BY qid ORDER BY score DESC, vec_id ASC) AS rn
+        FROM isc) WHERE rn <= {_RECALL_K}
+    ),
+    hits AS (
+      SELECT f.qid, count(*) AS n_hit
+      FROM ftop f JOIN itop i ON i.qid = f.qid AND i.vec_id = f.vec_id
+      GROUP BY f.qid
+    )
+    SELECT q.qid,
+           CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+           (CAST(coalesce(h.n_hit, 0) AS BIGINT) * 10000) // {_RECALL_K}
+             AS recall_p10k
+    FROM qs q LEFT JOIN hits h ON h.qid = q.qid
+    ORDER BY q.qid
+"""
+LLM_QUERIES["ivf_recall_report"] = ivf_recall_report
