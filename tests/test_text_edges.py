@@ -365,3 +365,28 @@ def test_paragraph_index_fold_equals_rebuild_and_replay_is_noop(spark):
     # replaying batch2 folds zero new rows
     replay = update_paragraph_index(folded, batch2)
     assert as_set(replay) == as_set(folded)
+
+
+def test_paragraph_index_rejects_out_of_order_backfill(spark):
+    import pytest
+
+    from tinyerp_etl_spark.operators.dedup import (
+        build_paragraph_index,
+        update_paragraph_index,
+    )
+
+    para = " ".join(f"p{i}" for i in range(8))
+    stored = build_paragraph_index(
+        spark.createDataFrame([(100, para)], "doc_id long, text string")
+    )
+    backfill = spark.createDataFrame(
+        [(5, para)], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="PREDATES"):
+        update_paragraph_index(stored, backfill)
+    # but an out-of-order batch of brand-new paragraphs folds fine
+    new_para = " ".join(f"q{i}" for i in range(8))
+    ok = update_paragraph_index(
+        stored, spark.createDataFrame([(5, new_para)], "doc_id long, text string")
+    )
+    assert ok.count() == 2

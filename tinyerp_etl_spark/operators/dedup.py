@@ -783,49 +783,14 @@ def paragraph_dedup_summary(
     )
 
 
-def update_paragraph_index(
-    stored: DataFrame,
-    batch: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-) -> DataFrame:
-    """Fold a new batch into the stored first-occurrence paragraph
-    index: (para, first_doc, first_pos) rows, one per distinct
-    paragraph ever seen.
-
-    The incremental-maintenance half of paragraph dedup (the same
-    at-scale contract as the BM25 fold-in / KMV / Bloom maintenance
-    ops): history is NEVER re-tokenized. Only the batch explodes; its
-    within-batch first occurrences anti-join the stored paragraph
-    keys, and survivors append. Requires batch ids > stored ids
-    (append-only ingest order — checked), which is what makes stored
-    rows immutable: an earlier (doc_id, pos) can never arrive later,
-    so the fold is pure append and a replayed batch folds to zero new
-    rows (idempotent). Work ∝ batch + one equi-join against the index
-    (shuffle-free on the store side when the store is bucketed by
-    para).
-    """
-    batch_paras = paragraph_rows(batch, text_col, id_col)
-    batch_firsts = (
-        batch_paras.groupBy("para")
-        .agg(F.min(F.struct(F.col(id_col), F.col("pos"))).alias("__first"))
-        .select(
-            "para",
-            F.col(f"__first.{id_col}").alias("first_doc"),
-            F.col("__first.pos").alias("first_pos"),
-        )
-    )
-    fresh = batch_firsts.join(
-        stored.select("para"), "para", "left_anti"
-    )
-    return stored.unionByName(fresh)
-
-
 def build_paragraph_index(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """The from-scratch twin of update_paragraph_index (rebuild
-    contract for the fold test: incremental fold == full rebuild)."""
+    """First-occurrence paragraph index: (para, first_doc, first_pos),
+    one row per distinct paragraph. The from-scratch twin of
+    update_paragraph_index (rebuild contract for the fold test:
+    incremental fold == full rebuild) AND the single definition of
+    the first-occurrence rule both paths share."""
     return (
         paragraph_rows(docs, text_col, id_col)
         .groupBy("para")
@@ -836,3 +801,63 @@ def build_paragraph_index(
             F.col("__first.pos").alias("first_pos"),
         )
     )
+
+
+def update_paragraph_index(
+    stored: DataFrame,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    check_order: bool = True,
+) -> DataFrame:
+    """Fold a new batch into the stored first-occurrence paragraph
+    index: (para, first_doc, first_pos) rows, one per distinct
+    paragraph ever seen.
+
+    The incremental-maintenance half of paragraph dedup (the same
+    at-scale contract as the BM25 fold-in / KMV / Bloom maintenance
+    ops): history is NEVER re-tokenized. Only the batch explodes; its
+    within-batch first occurrences anti-join the stored paragraph
+    keys, and survivors append. Correctness rests on append-only
+    ingest order (an earlier (doc_id, pos) never arrives later), so
+    stored rows are immutable, the fold is pure append, and a
+    replayed batch folds to zero new rows (idempotent).
+    ``check_order=True`` (default) enforces exactly that invariant:
+    it raises if any batch paragraph already in the store PREDATES
+    the stored first occurrence — the case where the fold would
+    silently keep the wrong 'first'. Exact replays and out-of-order
+    batches of brand-new paragraphs pass (both fold correctly); the
+    probe is one control-plane count on the same para-key join the
+    fold performs. Pass False only when the caller already guarantees
+    ordering. Work ∝ batch + one equi-join against the index
+    (shuffle-free on the store side when the store is bucketed by
+    para).
+    """
+    batch_firsts = build_paragraph_index(batch, text_col, id_col)
+    if check_order:
+        n_viol = (
+            batch_firsts.select(
+                "para",
+                F.col("first_doc").alias("__bd"),
+                F.col("first_pos").alias("__bp"),
+            )
+            .join(stored, "para")
+            .filter(
+                (F.col("__bd") < F.col("first_doc"))
+                | (
+                    (F.col("__bd") == F.col("first_doc"))
+                    & (F.col("__bp") < F.col("first_pos"))
+                )
+            )
+            .limit(1)
+            .count()
+        )
+        if n_viol:
+            raise ValueError(
+                "update_paragraph_index: the batch contains a paragraph "
+                "occurrence that PREDATES its stored first occurrence — "
+                "out-of-order backfill would keep the wrong 'first'; "
+                "rebuild the index instead (or fold batches in id order)"
+            )
+    fresh = batch_firsts.join(stored.select("para"), "para", "left_anti")
+    return stored.unionByName(fresh)

@@ -2918,9 +2918,16 @@ def _bpe_segment_oracle_sql(n_merges: int, vocab_cap: int) -> str:
     seg = "' ' || trim(regexp_replace(t, '(.)', '\\1 ', 'g')) || ' '"
     for n in range(1, n_merges + 1):
         l, r = f"(SELECT l FROM b{n})", f"(SELECT r FROM b{n})"
+        # training can terminate early (no pairs left): b{n} is then
+        # empty and the scalar subqueries are NULL. coalesce the
+        # pattern to a control char that never appears in a symbol
+        # sequence, so the missing merge is an identity replace
+        # instead of NULL-poisoning the whole chain (the engine
+        # likewise applies only the merges that were trained).
         seg = (
-            f"replace({seg}, ' ' || {l} || ' ' || {r} || ' ',"
-            f" ' ' || {l} || {r} || ' ')"
+            f"replace({seg},"
+            f" coalesce(' ' || {l} || ' ' || {r} || ' ', chr(1)),"
+            f" coalesce(' ' || {l} || {r} || ' ', ''))"
         )
     ctes = _bpe_cte_chain(n_merges, vocab_cap)
     ctes.append(
@@ -3020,7 +3027,13 @@ def lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_candidates",
             "n_hit",
             (F.col("n_truth") - F.col("n_hit")).alias("n_missed"),
-            F.expr("(n_hit * 10000) div n_truth").alias("recall_p10k"),
+            # NULL (not a crash, not a fake 100%) when the truth set is
+            # empty — the documented sampled-audit mode can hit this,
+            # and ANSI mode makes a bare div 0 throw
+            F.expr(
+                "CASE WHEN n_truth = 0 THEN CAST(NULL AS BIGINT)"
+                " ELSE (n_hit * 10000) div n_truth END"
+            ).alias("recall_p10k"),
             (F.col("n_candidates") - F.col("n_hit")).alias(
                 "n_false_candidates"
             ),
@@ -3053,7 +3066,8 @@ LLM_ORACLES["lsh_recall_report"] = f"""
     )
     SELECT n_truth, n_candidates, n_hit,
            n_truth - n_hit AS n_missed,
-           (n_hit * 10000) // n_truth AS recall_p10k,
+           CASE WHEN n_truth = 0 THEN NULL
+                ELSE (n_hit * 10000) // n_truth END AS recall_p10k,
            n_candidates - n_hit AS n_false_candidates
     FROM counts
 """
