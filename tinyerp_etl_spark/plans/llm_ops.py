@@ -3231,3 +3231,130 @@ LLM_ORACLES["ivf_recall_report"] = f"""
     ORDER BY q.qid
 """
 LLM_QUERIES["ivf_recall_report"] = ivf_recall_report
+
+
+# ------------- round-7 addition: int8 quantization fidelity audit
+
+
+def int8_rank_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measure what 1-byte storage costs the ranking: top-k overlap
+    between the exact cosine ranking and the ranking over int8 codes.
+
+    Third member of the measurement family (LSH recall, IVF recall,
+    now quantization fidelity). The int8-reconstructed cosine
+    collapses to the SAME integer-ratio formula as the exact tick
+    cosine — cos(dequant a, dequant b) = dot(qa,qb)/(|qa||qb|), the
+    per-vector scales cancel — so both rankings run one scorer over
+    different integer arrays and the overlap isolates pure
+    quantization error. The number that decides whether the 4x
+    storage saving is free at serving time.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def ranked(base):
+        qs = base.filter(F.col("vec_id") < _RECALL_Q).select(
+            F.col("vec_id").alias("qid"),
+            F.col("__vt").alias("__qt"),
+            F.col("__n2").alias("__qn2"),
+        )
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("qid").orderBy(
+            F.col("score").desc(), F.col("vec_id").asc()
+        )
+        return (
+            base.join(F.broadcast(qs))
+            .filter(F.col("vec_id") != F.col("qid"))
+            .withColumn(
+                "score",
+                (
+                    S._ticks_dot(F.col("__vt"), F.col("__qt"))
+                    / F.sqrt(
+                        F.col("__n2").cast("double")
+                        * F.col("__qn2").cast("double")
+                    )
+                ).cast("double"),
+            )
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= _RECALL_K)
+            .select("qid", "vec_id")
+        )
+
+    exact_base = emb.select(
+        "vec_id", S._q(F.col("embedding")).alias("__vt")
+    ).withColumn("__n2", S._ticks_norm2(F.col("__vt")))
+    code_base = emb.select(
+        "vec_id", S.quantize_int8(F.col("embedding"))["q"].alias("__vt")
+    ).withColumn("__n2", S._ticks_norm2(F.col("__vt")))
+
+    hits = (
+        ranked(exact_base)
+        .join(ranked(code_base), ["qid", "vec_id"], "left_semi")
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    qids = emb.filter(F.col("vec_id") < _RECALL_Q).select(
+        F.col("vec_id").alias("qid")
+    )
+    return (
+        qids.join(hits, "qid", "left")
+        .select(
+            "qid",
+            F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
+            F.expr(
+                f"(coalesce(n_hit, CAST(0 AS BIGINT)) * 10000) div {_RECALL_K}"
+            ).alias("overlap_p10k"),
+        )
+        .orderBy("qid")
+    )
+
+
+LLM_ORACLES["int8_rank_fidelity"] = f"""
+    WITH tk AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> {_QD.format(x="x")}) AS v
+      FROM embeddings
+    ),
+    cs AS (
+      SELECT vec_id,
+             greatest(list_max(list_transform(embedding,
+                 x -> abs(CAST(x AS DOUBLE)))), 1e-12) / 127.0 AS scale,
+             embedding
+      FROM embeddings
+    ),
+    ck AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                 x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS BIGINT))
+               AS v
+      FROM cs
+    ),
+    tq AS (SELECT vec_id AS qid, v AS qv FROM tk WHERE vec_id < {_RECALL_Q}),
+    cq AS (SELECT vec_id AS qid, v AS qv FROM ck WHERE vec_id < {_RECALL_Q}),
+    ft AS (
+      SELECT qid, vec_id FROM (
+        SELECT q.qid, v.vec_id, row_number() OVER (PARTITION BY q.qid
+          ORDER BY {_tcos_sql("v.v", "q.qv")} DESC, v.vec_id ASC) AS rn
+        FROM tk v CROSS JOIN tq q WHERE v.vec_id <> q.qid
+      ) WHERE rn <= {_RECALL_K}
+    ),
+    ct AS (
+      SELECT qid, vec_id FROM (
+        SELECT q.qid, v.vec_id, row_number() OVER (PARTITION BY q.qid
+          ORDER BY {_tcos_sql("v.v", "q.qv")} DESC, v.vec_id ASC) AS rn
+        FROM ck v CROSS JOIN cq q WHERE v.vec_id <> q.qid
+      ) WHERE rn <= {_RECALL_K}
+    ),
+    hits AS (
+      SELECT f.qid, count(*) AS n_hit
+      FROM ft f JOIN ct c ON c.qid = f.qid AND c.vec_id = f.vec_id
+      GROUP BY f.qid
+    )
+    SELECT q.qid,
+           CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+           (CAST(coalesce(h.n_hit, 0) AS BIGINT) * 10000) // {_RECALL_K}
+             AS overlap_p10k
+    FROM tq q LEFT JOIN hits h ON h.qid = q.qid
+    ORDER BY q.qid
+"""
+LLM_QUERIES["int8_rank_fidelity"] = int8_rank_fidelity

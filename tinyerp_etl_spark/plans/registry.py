@@ -8,7 +8,7 @@ Ordering note: the driver's correctness gate covers the first 50
 registry entries, so insertion order is the rotation schedule.
 ACTIVE: _ROUND7_FRONT_50 (see its inline comments for composition and
 the cumulative ledger — after round 7's gate runs green, every
-query's newest driver row is r4+ except the SEVENTEEN documented r3
+query's newest driver row is r4+ except the EIGHTEEN documented r3
 deferrals listed there). Prior gates below for the ledger.
 Round 5's front 50 (ran in rounds 5 AND 6; see _ROUND5_FRONT_50's
 inline comments for the per-group rationale) =
@@ -219,18 +219,21 @@ _RELATIONAL_NAMES = [
 #       (cohort/streaks/fuzzy/copurchase pairs/funnel/file formats/
 #       quarantine/nested flatten/incremental pipeline/json props/
 #       variant props),
-#   (d) the r3-latest flagship q1_pricing_summary plus the ten
-#       queries added late in round 7 (ivf_partitioned_scan,
-#       bm25i_incremental_index, hybrid_rrf_retrieval,
-#       ivf_assign_narrow_parity, paragraph_dedup_docs,
-#       bloom_decontaminate_docs, bpe_train_merges,
-#       bpe_segment_stats, lsh_recall_report, ivf_recall_report —
-#       zero evidence outranks stale-but-proven, the r4 principle;
-#       each new addition displaced the most-stable r3-green backbone
-#       row: heavy_hitter_tokens, then q7_volume_shipping,
+#   (d) the eleven queries added late in round 7
+#       (ivf_partitioned_scan, bm25i_incremental_index,
+#       hybrid_rrf_retrieval, ivf_assign_narrow_parity,
+#       paragraph_dedup_docs, bloom_decontaminate_docs,
+#       bpe_train_merges, bpe_segment_stats, lsh_recall_report,
+#       ivf_recall_report, int8_rank_fidelity — zero evidence
+#       outranks stale-but-proven, the r4 principle; each new
+#       addition displaced the most-stable r3-green backbone row:
+#       heavy_hitter_tokens, then q7_volume_shipping,
 #       q8_market_share, q5_local_supplier_volume,
-#       q3_shipping_priority, embedding_label_centroids, and
-#       sql_q6_forecast_revenue, all on untouched code).
+#       q3_shipping_priority, embedding_label_centroids,
+#       sql_q6_forecast_revenue, and finally the flagship
+#       q1_pricing_summary — r3-green, and its scan/filter/agg kernel
+#       is exercised by dozens of remaining gate rows — all on
+#       untouched code).
 # Deferred to round 8 (the ONLY rows whose newest green will then
 # predate r4): boilerplate_ngram_stats, collocations_top_pmi,
 # copurchase_pagerank_3iter, gapfill_daily_revenue,
@@ -238,8 +241,8 @@ _RELATIONAL_NAMES = [
 # window_running_total, train_val_test_split_docs,
 # c4_quality_filter_stats, heavy_hitter_tokens, q7_volume_shipping,
 # q8_market_share, q5_local_supplier_volume, q3_shipping_priority,
-# embedding_label_centroids, sql_q6_forecast_revenue — all r3-green
-# on code untouched since.
+# embedding_label_centroids, sql_q6_forecast_revenue,
+# q1_pricing_summary — all r3-green on code untouched since.
 _ROUND7_FRONT_50 = [
     # (0) zero driver evidence
     "kmeans_centroids_embeddings",
@@ -284,8 +287,7 @@ _ROUND7_FRONT_50 = [
     "incremental_pipeline_events",
     "json_props_rollup",
     "variant_props_extract",
-    # (d) oldest remaining evidence (r3), relational backbone first
-    "q1_pricing_summary",
+    # (d) the round-7 late additions (zero evidence at birth)
     "ivf_partitioned_scan",
     "bm25i_incremental_index",
     "hybrid_rrf_retrieval",
@@ -296,6 +298,7 @@ _ROUND7_FRONT_50 = [
     "bpe_segment_stats",
     "lsh_recall_report",
     "ivf_recall_report",
+    "int8_rank_fidelity",
 ]
 
 # Round 5 gate (ran in rounds 5 AND 6; kept for the rotation ledger).
