@@ -506,3 +506,89 @@ def test_media_codecs_never_crash_on_magic_prefixed_garbage(blob):
             fn(payload)
         except allowed:
             pass
+
+
+# ------------------------------------------------- round-7 additions
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.text(alphabet="abcd", min_size=1, max_size=6),
+            st.integers(min_value=1, max_value=50),
+        ),
+        min_size=1,
+        max_size=12,
+        unique_by=lambda t: t[0],
+    ),
+    st.randoms(use_true_random=False),
+)
+def test_bpe_train_is_input_order_invariant(word_freqs, rnd):
+    """The trained merges depend only on the (word, freq) SET: pair
+    counts are commutative sums and the tie-break is a total order,
+    so permuting the vocab table (its arrival order from the shuffle)
+    must not change a single merge — the determinism the oracle gate
+    relies on at any partitioning."""
+    from tinyerp_etl_spark.operators.text import bpe_train
+
+    shuffled = list(word_freqs)
+    rnd.shuffle(shuffled)
+    assert bpe_train(shuffled, 5) == bpe_train(word_freqs, 5)
+
+
+def _ref_paragraph_dedup(docs, w=8):
+    """Pure-Python model of paragraph_dedup_summary."""
+    import hashlib
+    import re
+
+    paras = []  # (para, doc_id, pos)
+    for doc_id, text in docs:
+        toks = re.findall(r"\w+", text.lower())
+        for j in range((len(toks) + w - 1) // w):
+            paras.append((" ".join(toks[j * w : j * w + w]), doc_id, j))
+    first = {}
+    for para, doc_id, pos in sorted(paras, key=lambda t: (t[1], t[2])):
+        first.setdefault(para, (doc_id, pos))
+    out = {}
+    for doc_id, text in docs:
+        mine = [(p, d, j) for p, d, j in paras if d == doc_id]
+        if not mine:
+            continue
+        kept = [p for p, d, j in mine if first[p] == (d, j)]
+        out[doc_id] = (
+            len(mine),
+            len(kept),
+            len(mine) - len(kept),
+            hashlib.md5(" ".join(kept).encode()).hexdigest(),
+        )
+    return out
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=40),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_paragraph_dedup_matches_python_model(spark, texts):
+    """Adversarial tiny-alphabet texts maximize paragraph collisions
+    (within-doc repeats, cross-doc dups, short tails, empty docs) —
+    the Spark result must match the pure-Python first-occurrence
+    model row for row."""
+    from tinyerp_etl_spark.operators.dedup import paragraph_dedup_summary
+
+    docs = list(enumerate(texts))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (
+            r["n_paras"],
+            r["n_kept"],
+            r["n_dropped"],
+            r["kept_text_md5"],
+        )
+        for r in paragraph_dedup_summary(df).collect()
+    }
+    assert got == _ref_paragraph_dedup(docs)
