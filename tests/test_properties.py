@@ -537,10 +537,14 @@ def test_bpe_train_is_input_order_invariant(word_freqs, rnd):
     assert bpe_train(shuffled, 5) == bpe_train(word_freqs, 5)
 
 
-def _ref_paragraph_dedup(docs, w=8):
+def _ref_paragraph_dedup(docs, w=None):
     """Pure-Python model of paragraph_dedup_summary."""
     import hashlib
     import re
+
+    from tinyerp_etl_spark.operators.dedup import PARA_W
+
+    w = PARA_W if w is None else w
 
     paras = []  # (para, doc_id, pos)
     for doc_id, text in docs:

@@ -998,6 +998,19 @@ def _band_keys_sql() -> str:
 
 
 _QD = "CAST(round(CAST({x} AS DOUBLE) * 1000000) AS BIGINT)"
+
+# int8 symmetric quantization, ONE SQL spelling (mirrors
+# operators/similarity.py:quantize_int8 term for term) — consumed by
+# the embedding_quantize_int8 oracle AND the int8_rank_fidelity
+# oracle so the formula cannot drift between them
+_INT8_SCALE_SQL = (
+    "greatest(list_max(list_transform(embedding,"
+    " x -> abs(CAST(x AS DOUBLE)))), 1e-12) / 127.0"
+)
+_INT8_CODES_FROM_SCALE = (
+    "list_transform(embedding,"
+    " x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS BIGINT))"
+)
 _DOT = (
     "list_sum(list_transform(list_zip({a}, {b}), "
     "p -> " + _QD.format(x="p[1]") + " * " + _QD.format(x="p[2]") + "))"
@@ -1279,17 +1292,13 @@ LLM_ORACLES: dict[str, str] = {
         GROUP BY cg.doc_id
         ORDER BY doc_id
     """,
-    "embedding_quantize_int8": """
+    "embedding_quantize_int8": f"""
         WITH t AS (
-          SELECT vec_id, embedding,
-                 greatest(list_max(list_transform(embedding,
-                     x -> abs(CAST(x AS DOUBLE)))), 1e-12) / 127.0 AS scale
+          SELECT vec_id, embedding, {_INT8_SCALE_SQL} AS scale
           FROM embeddings
         ),
         qv AS (
-          SELECT vec_id, scale,
-                 list_transform(embedding,
-                     x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS BIGINT)) AS q
+          SELECT vec_id, scale, {_INT8_CODES_FROM_SCALE} AS q
           FROM t
         )
         SELECT vec_id,
@@ -3074,7 +3083,12 @@ LLM_ORACLES["lsh_recall_report"] = f"""
 LLM_QUERIES["lsh_recall_report"] = lsh_recall_report
 
 
-# ------------------- round-7 addition: IVF recall@k audit
+# ---------------- round-7 additions: the ranking-measurement family
+#
+# Three audits (IVF recall, int8 fidelity; LSH recall lives above with
+# the near-dup CTEs) share ONE scorer, ONE top-k rule, and ONE report
+# shape — defined once here so the "same scorer" claim each audit
+# makes is true by construction, not by parallel maintenance.
 
 #: recall-audit shape: first _RECALL_Q vectors are the query set,
 #: recall@_RECALL_K against the exhaustive tick-cosine ranking
@@ -3082,50 +3096,94 @@ _RECALL_Q = 4
 _RECALL_K = 10
 
 
+def _recall_queries(base: DataFrame) -> DataFrame:
+    """(qid, __qt, __qn2): the first _RECALL_Q ids of a
+    (vec_id, __vt, __n2) frame, renamed for the broadcast join."""
+    return base.filter(F.col("vec_id") < _RECALL_Q).select(
+        F.col("vec_id").alias("qid"),
+        F.col("__vt").alias("__qt"),
+        F.col("__n2").alias("__qn2"),
+    )
+
+
+def _tick_scored(df: DataFrame) -> DataFrame:
+    """The family's single scorer: exact integer-ratio cosine over
+    (__vt, __n2) × (__qt, __qn2) — one IEEE division at the end."""
+    return df.withColumn(
+        "score",
+        (
+            S._ticks_dot(F.col("__vt"), F.col("__qt"))
+            / F.sqrt(
+                F.col("__n2").cast("double") * F.col("__qn2").cast("double")
+            )
+        ).cast("double"),
+    )
+
+
+def _topk_per_qid(df: DataFrame) -> DataFrame:
+    """The family's single top-k rule: row_number per qid over
+    (score DESC, vec_id ASC), keep _RECALL_K."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("qid").orderBy(
+        F.col("score").desc(), F.col("vec_id").asc()
+    )
+    return (
+        df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _RECALL_K)
+        .select("qid", "vec_id")
+    )
+
+
+def _exhaustive_topk(base: DataFrame, qs: DataFrame) -> DataFrame:
+    """Full-corpus ranking: broadcast the query set over base."""
+    return _topk_per_qid(
+        _tick_scored(
+            base.join(F.broadcast(qs)).filter(F.col("vec_id") != F.col("qid"))
+        )
+    )
+
+
+def _overlap_report(
+    qids: DataFrame, truth: DataFrame, probe: DataFrame, out_col: str
+) -> DataFrame:
+    """Per-qid (n_hit, <out_col>) of truth ∩ probe, every qid kept."""
+    hits = (
+        truth.join(probe, ["qid", "vec_id"], "left_semi")
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return (
+        qids.join(hits, "qid", "left")
+        .select(
+            "qid",
+            F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
+            F.expr(
+                f"(coalesce(n_hit, CAST(0 AS BIGINT)) * 10000) div {_RECALL_K}"
+            ).alias(out_col),
+        )
+        .orderBy("qid")
+    )
+
+
 def ivf_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Measure IVF pruning loss: recall@k of the nprobe-pruned search
     vs the exhaustive scan, per query vector.
 
     The ANN twin of lsh_recall_report: both rankings use the SAME
-    exact tick-cosine scorer, so any n_hit < k isolates what the
-    nprobe list pruning (not scoring noise) lost — the number that
-    decides nprobe at 100 TB. Ground truth is the full-corpus scan
-    (audit-scale by design); the pruned side is the production path
-    through the persisted index.
+    exact tick-cosine scorer (_tick_scored), so any n_hit < k
+    isolates what the nprobe list pruning (not scoring noise) lost —
+    the number that decides nprobe at 100 TB. Ground truth is the
+    full-corpus scan (audit-scale by design); the pruned side is the
+    production path through the persisted index.
     """
     cents = _ivf_index_for(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
     base = emb.select(
         "vec_id", S._q(F.col("embedding")).alias("__vt")
     ).withColumn("__n2", S._ticks_norm2(F.col("__vt")))
-    qs = base.filter(F.col("vec_id") < _RECALL_Q).select(
-        F.col("vec_id").alias("qid"),
-        F.col("__vt").alias("__qt"),
-        F.col("__n2").alias("__qn2"),
-    )
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy("qid").orderBy(
-        F.col("score").desc(), F.col("vec_id").asc()
-    )
-
-    def scored(df):
-        return df.withColumn(
-            "score",
-            (
-                S._ticks_dot(F.col("__vt"), F.col("__qt"))
-                / F.sqrt(
-                    F.col("__n2").cast("double") * F.col("__qn2").cast("double")
-                )
-            ).cast("double"),
-        )
-
-    ftop = (
-        scored(base.join(F.broadcast(qs)).filter(F.col("vec_id") != F.col("qid")))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= _RECALL_K)
-        .select("qid", "vec_id")
-    )
+    qs = _recall_queries(base)
+    ftop = _exhaustive_topk(base, qs)
 
     assigned = S.ivf_assign(emb, centroids=cents)
     abase = assigned.select(
@@ -3146,49 +3204,80 @@ def ivf_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ]
     probes = spark.createDataFrame(probe_pairs, "qid long, list_id int")
-    itop = (
-        scored(
+    itop = _topk_per_qid(
+        _tick_scored(
             abase.join(F.broadcast(probes), "list_id")
             .join(F.broadcast(qs), "qid")
             .filter(F.col("vec_id") != F.col("qid"))
         )
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= _RECALL_K)
-        .select("qid", "vec_id")
     )
-    hits = (
-        ftop.join(itop, ["qid", "vec_id"], "left_semi")
-        .groupBy("qid")
-        .agg(F.count(F.lit(1)).alias("n_hit"))
+    return _overlap_report(qs.select("qid"), ftop, itop, "recall_p10k")
+
+
+def int8_rank_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measure what 1-byte storage costs the ranking: top-k overlap
+    between the exact cosine ranking and the ranking over int8 codes.
+
+    Third member of the measurement family. The int8-reconstructed
+    cosine collapses to the SAME integer-ratio formula as the exact
+    tick cosine — cos(dequant a, dequant b) = dot(qa,qb)/(|qa||qb|),
+    the per-vector scales cancel — so both rankings run _tick_scored
+    over different integer arrays and the overlap isolates pure
+    quantization error. The number that decides whether the 4x
+    storage saving is free at serving time.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact_base = emb.select(
+        "vec_id", S._q(F.col("embedding")).alias("__vt")
+    ).withColumn("__n2", S._ticks_norm2(F.col("__vt")))
+    code_base = emb.select(
+        "vec_id", S.quantize_int8(F.col("embedding"))["q"].alias("__vt")
+    ).withColumn("__n2", S._ticks_norm2(F.col("__vt")))
+    return _overlap_report(
+        _recall_queries(exact_base).select("qid"),
+        _exhaustive_topk(exact_base, _recall_queries(exact_base)),
+        _exhaustive_topk(code_base, _recall_queries(code_base)),
+        "overlap_p10k",
     )
+
+
+# --- the oracle side of the family: shared CTE/report generators ----
+
+
+def _rank_topk_sql(vsrc: str, qsrc: str, vcol: str, qcol: str) -> str:
+    """One definition of the ranking CTE body: row_number per qid over
+    (tick-cosine DESC, vec_id ASC), keep _RECALL_K."""
     return (
-        qs.select("qid")
-        .join(hits, "qid", "left")
-        .select(
-            "qid",
-            F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
-            F.expr(
-                f"(coalesce(n_hit, CAST(0 AS BIGINT)) * 10000) div {_RECALL_K}"
-            ).alias("recall_p10k"),
-        )
-        .orderBy("qid")
+        "SELECT qid, vec_id FROM (\n"
+        "        SELECT q.qid, v.vec_id, row_number() OVER (PARTITION BY q.qid\n"
+        f"          ORDER BY {_tcos_sql(f'v.{vcol}', f'q.{qcol}')} DESC,\n"
+        "                   v.vec_id ASC) AS rn\n"
+        f"        FROM {vsrc} v CROSS JOIN {qsrc} q WHERE v.vec_id <> q.qid\n"
+        f"      ) WHERE rn <= {_RECALL_K}"
     )
+
+
+_HITS_CTE = """hits AS (
+      SELECT f.qid, count(*) AS n_hit
+      FROM ftop f JOIN itop i ON i.qid = f.qid AND i.vec_id = f.vec_id
+      GROUP BY f.qid
+    )"""
+
+
+def _overlap_final_sql(qsrc: str, out_col: str) -> str:
+    return f"""SELECT q.qid,
+           CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+           (CAST(coalesce(h.n_hit, 0) AS BIGINT) * 10000) // {_RECALL_K}
+             AS {out_col}
+    FROM {qsrc} q LEFT JOIN hits h ON h.qid = q.qid
+    ORDER BY q.qid"""
 
 
 LLM_ORACLES["ivf_recall_report"] = f"""
     WITH {_KM_CTES_EMB},
     qs AS (SELECT vec_id AS qid, ticks AS qticks FROM __kt
            WHERE vec_id < {_RECALL_Q}),
-    fs AS (
-      SELECT q.qid, v.vec_id, {_tcos_sql("v.ticks", "q.qticks")} AS score
-      FROM __kt v CROSS JOIN qs q WHERE v.vec_id <> q.qid
-    ),
-    ftop AS (
-      SELECT qid, vec_id FROM (
-        SELECT qid, vec_id, row_number() OVER (
-          PARTITION BY qid ORDER BY score DESC, vec_id ASC) AS rn
-        FROM fs) WHERE rn <= {_RECALL_K}
-    ),
+    ftop AS ({_rank_topk_sql("__kt", "qs", "ticks", "qticks")}),
     lists AS (
       SELECT vec_id, ticks, centroid_id AS list_id FROM (
         SELECT v.vec_id, v.ticks, c.centroid_id,
@@ -3205,108 +3294,24 @@ LLM_ORACLES["ivf_recall_report"] = f"""
                           c.centroid_id ASC) AS rn
         FROM {_KM_FINAL} c CROSS JOIN qs q) WHERE rn <= {S.IVF_NPROBE}
     ),
-    isc AS (
-      SELECT q.qid, l.vec_id, {_tcos_sql("l.ticks", "q.qticks")} AS score
+    pruned AS (
+      SELECT q.qid AS qid, l.vec_id AS vec_id, l.ticks AS ticks,
+             q.qticks AS qticks
       FROM lists l
       JOIN qprobe p ON l.list_id = p.list_id
       JOIN qs q ON q.qid = p.qid
-      WHERE l.vec_id <> q.qid
     ),
     itop AS (
       SELECT qid, vec_id FROM (
-        SELECT qid, vec_id, row_number() OVER (
-          PARTITION BY qid ORDER BY score DESC, vec_id ASC) AS rn
-        FROM isc) WHERE rn <= {_RECALL_K}
+        SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+          ORDER BY {_tcos_sql("ticks", "qticks")} DESC, vec_id ASC) AS rn
+        FROM pruned WHERE vec_id <> qid
+      ) WHERE rn <= {_RECALL_K}
     ),
-    hits AS (
-      SELECT f.qid, count(*) AS n_hit
-      FROM ftop f JOIN itop i ON i.qid = f.qid AND i.vec_id = f.vec_id
-      GROUP BY f.qid
-    )
-    SELECT q.qid,
-           CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
-           (CAST(coalesce(h.n_hit, 0) AS BIGINT) * 10000) // {_RECALL_K}
-             AS recall_p10k
-    FROM qs q LEFT JOIN hits h ON h.qid = q.qid
-    ORDER BY q.qid
+    {_HITS_CTE}
+    {_overlap_final_sql("qs", "recall_p10k")}
 """
 LLM_QUERIES["ivf_recall_report"] = ivf_recall_report
-
-
-# ------------- round-7 addition: int8 quantization fidelity audit
-
-
-def int8_rank_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Measure what 1-byte storage costs the ranking: top-k overlap
-    between the exact cosine ranking and the ranking over int8 codes.
-
-    Third member of the measurement family (LSH recall, IVF recall,
-    now quantization fidelity). The int8-reconstructed cosine
-    collapses to the SAME integer-ratio formula as the exact tick
-    cosine — cos(dequant a, dequant b) = dot(qa,qb)/(|qa||qb|), the
-    per-vector scales cancel — so both rankings run one scorer over
-    different integer arrays and the overlap isolates pure
-    quantization error. The number that decides whether the 4x
-    storage saving is free at serving time.
-    """
-    emb = load_table(spark, sf_dir, "embeddings")
-
-    def ranked(base):
-        qs = base.filter(F.col("vec_id") < _RECALL_Q).select(
-            F.col("vec_id").alias("qid"),
-            F.col("__vt").alias("__qt"),
-            F.col("__n2").alias("__qn2"),
-        )
-        from pyspark.sql.window import Window
-
-        w = Window.partitionBy("qid").orderBy(
-            F.col("score").desc(), F.col("vec_id").asc()
-        )
-        return (
-            base.join(F.broadcast(qs))
-            .filter(F.col("vec_id") != F.col("qid"))
-            .withColumn(
-                "score",
-                (
-                    S._ticks_dot(F.col("__vt"), F.col("__qt"))
-                    / F.sqrt(
-                        F.col("__n2").cast("double")
-                        * F.col("__qn2").cast("double")
-                    )
-                ).cast("double"),
-            )
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= _RECALL_K)
-            .select("qid", "vec_id")
-        )
-
-    exact_base = emb.select(
-        "vec_id", S._q(F.col("embedding")).alias("__vt")
-    ).withColumn("__n2", S._ticks_norm2(F.col("__vt")))
-    code_base = emb.select(
-        "vec_id", S.quantize_int8(F.col("embedding"))["q"].alias("__vt")
-    ).withColumn("__n2", S._ticks_norm2(F.col("__vt")))
-
-    hits = (
-        ranked(exact_base)
-        .join(ranked(code_base), ["qid", "vec_id"], "left_semi")
-        .groupBy("qid")
-        .agg(F.count(F.lit(1)).alias("n_hit"))
-    )
-    qids = emb.filter(F.col("vec_id") < _RECALL_Q).select(
-        F.col("vec_id").alias("qid")
-    )
-    return (
-        qids.join(hits, "qid", "left")
-        .select(
-            "qid",
-            F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
-            F.expr(
-                f"(coalesce(n_hit, CAST(0 AS BIGINT)) * 10000) div {_RECALL_K}"
-            ).alias("overlap_p10k"),
-        )
-        .orderBy("qid")
-    )
 
 
 LLM_ORACLES["int8_rank_fidelity"] = f"""
@@ -3316,45 +3321,18 @@ LLM_ORACLES["int8_rank_fidelity"] = f"""
       FROM embeddings
     ),
     cs AS (
-      SELECT vec_id,
-             greatest(list_max(list_transform(embedding,
-                 x -> abs(CAST(x AS DOUBLE)))), 1e-12) / 127.0 AS scale,
-             embedding
+      SELECT vec_id, {_INT8_SCALE_SQL} AS scale, embedding
       FROM embeddings
     ),
     ck AS (
-      SELECT vec_id,
-             list_transform(embedding,
-                 x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS BIGINT))
-               AS v
+      SELECT vec_id, {_INT8_CODES_FROM_SCALE} AS v
       FROM cs
     ),
     tq AS (SELECT vec_id AS qid, v AS qv FROM tk WHERE vec_id < {_RECALL_Q}),
     cq AS (SELECT vec_id AS qid, v AS qv FROM ck WHERE vec_id < {_RECALL_Q}),
-    ft AS (
-      SELECT qid, vec_id FROM (
-        SELECT q.qid, v.vec_id, row_number() OVER (PARTITION BY q.qid
-          ORDER BY {_tcos_sql("v.v", "q.qv")} DESC, v.vec_id ASC) AS rn
-        FROM tk v CROSS JOIN tq q WHERE v.vec_id <> q.qid
-      ) WHERE rn <= {_RECALL_K}
-    ),
-    ct AS (
-      SELECT qid, vec_id FROM (
-        SELECT q.qid, v.vec_id, row_number() OVER (PARTITION BY q.qid
-          ORDER BY {_tcos_sql("v.v", "q.qv")} DESC, v.vec_id ASC) AS rn
-        FROM ck v CROSS JOIN cq q WHERE v.vec_id <> q.qid
-      ) WHERE rn <= {_RECALL_K}
-    ),
-    hits AS (
-      SELECT f.qid, count(*) AS n_hit
-      FROM ft f JOIN ct c ON c.qid = f.qid AND c.vec_id = f.vec_id
-      GROUP BY f.qid
-    )
-    SELECT q.qid,
-           CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
-           (CAST(coalesce(h.n_hit, 0) AS BIGINT) * 10000) // {_RECALL_K}
-             AS overlap_p10k
-    FROM tq q LEFT JOIN hits h ON h.qid = q.qid
-    ORDER BY q.qid
+    ftop AS ({_rank_topk_sql("tk", "tq", "v", "qv")}),
+    itop AS ({_rank_topk_sql("ck", "cq", "v", "qv")}),
+    {_HITS_CTE}
+    {_overlap_final_sql("tq", "overlap_p10k")}
 """
 LLM_QUERIES["int8_rank_fidelity"] = int8_rank_fidelity
