@@ -1,0 +1,161 @@
+"""Persisted Bloom bitmap: build once from the reference set, load at
+ingest/query, fold new reference batches in with bit_or.
+
+The decontamination story end-to-end: `bloom_build` (operators/
+sketch.py) folds the eval/benchmark set into a fixed-size bitmap;
+this module persists that bitmap as a versioned TableStore artifact
+(≤ m_bits/64 rows — control-plane size, same contract as the IVF
+centroid table in operators/ivf_index.py) so every ingest job loads
+it instead of rescanning the reference corpus. `update_bloom_bitmap`
+is the maintenance half: new reference keys fold in with bit_or —
+idempotent and commutative, so an at-least-once replay is detected as
+a no-change fold and skipped WITHOUT a version bump (the
+version-preserving-no-op contract the BM25 postings fold also
+carries). The m/k hyperparameters ride denormalized on every row; a
+load with mismatched parameters returns None rather than silently
+probing against a bitmap built with a different hash family.
+
+The reference has no membership-sketch path (it is a REST→PostgreSQL
+ETL, ref tiny_api_v2_cliente.py); this is the Spark-first
+"build at ingest, broadcast at probe" design the 100 TB
+decontamination story needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+from tinyerp_etl_spark.etl.table_store import TableStore
+from tinyerp_etl_spark.operators.sketch import (
+    BLOOM_K,
+    BLOOM_M_BITS,
+    bloom_build,
+    bloom_merge,
+)
+
+BLOOM_INDEX_SCHEMA = StructType(
+    [
+        StructField("word_idx", LongType()),
+        StructField("mask", LongType()),
+        StructField("m_bits", IntegerType()),
+        StructField("k_hashes", IntegerType()),
+    ]
+)
+
+
+def bitmap_store(spark: SparkSession, path: str) -> TableStore:
+    return TableStore(spark, path, BLOOM_INDEX_SCHEMA)
+
+
+def save_bloom_bitmap(
+    spark: SparkSession,
+    path: str,
+    bitmap: DataFrame,
+    m_bits: int = BLOOM_M_BITS,
+    k: int = BLOOM_K,
+) -> int:
+    """Persist a (word_idx, mask) bitmap as the next TableStore
+    version, hyperparameters denormalized onto every row."""
+    rows = bitmap.select(
+        F.col("word_idx").cast("long"),
+        F.col("mask").cast("long"),
+        F.lit(int(m_bits)).cast("int").alias("m_bits"),
+        F.lit(int(k)).cast("int").alias("k_hashes"),
+    )
+    return bitmap_store(spark, path).commit(rows, n_files=1)
+
+
+def load_bloom_bitmap(
+    spark: SparkSession,
+    path: str,
+    m_bits: int = BLOOM_M_BITS,
+    k: int = BLOOM_K,
+) -> DataFrame | None:
+    """The current bitmap version as (word_idx, mask), or None when
+    absent or built with different m/k (a probe against a mismatched
+    hash family would return garbage, never an error — fail loud)."""
+    store = bitmap_store(spark, path)
+    if not store.exists() or store.current_version() is None:
+        return None
+    rows = store.read().collect()
+    if not rows:
+        return None
+    if any((r["m_bits"], r["k_hashes"]) != (m_bits, k) for r in rows):
+        return None
+    return spark.createDataFrame(
+        [(r["word_idx"], r["mask"]) for r in rows],
+        "word_idx long, mask long",
+    )
+
+
+def update_bloom_bitmap(
+    spark: SparkSession,
+    path: str,
+    new_keys: DataFrame,
+    key_col: str = "key",
+    m_bits: int = BLOOM_M_BITS,
+    k: int = BLOOM_K,
+) -> int | None:
+    """Fold a batch of new reference keys into the stored bitmap.
+
+    Work ∝ batch keys + bitmap size (a constant), never the history.
+    When the fold sets no new bit — an exact replay, or keys whose
+    bits were already covered — the commit is SKIPPED and the current
+    version returned unchanged (bit_or idempotence makes the no-op
+    detectable by comparing ≤ m/64 masks, a control-plane check).
+    Returns the committed (or preserved) version; creates version 0
+    when no bitmap exists yet.
+    """
+    batch = bloom_build(new_keys, key_col, k=k, m_bits=m_bits)
+    stored = load_bloom_bitmap(spark, path, m_bits=m_bits, k=k)
+    if stored is None:
+        return save_bloom_bitmap(spark, path, batch, m_bits=m_bits, k=k)
+    merged = bloom_merge(stored, batch)
+    changed = (
+        merged.alias("m")
+        .join(stored.alias("s"), "word_idx", "left")
+        .filter(
+            F.col("s.mask").isNull() | (F.col("m.mask") != F.col("s.mask"))
+        )
+        .limit(1)
+        .count()
+    )
+    if not changed:
+        return bitmap_store(spark, path).current_version()
+    return save_bloom_bitmap(spark, path, merged, m_bits=m_bits, k=k)
+
+
+def run_stream_to_bloom_bitmap(
+    spark: SparkSession,
+    keys_stream: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+    key_col: str = "key",
+    m_bits: int = BLOOM_M_BITS,
+    k: int = BLOOM_K,
+) -> None:
+    """Fold a stream of reference keys into the persisted bitmap —
+    decontamination-set maintenance at ingest.
+
+    Each micro-batch folds through ``update_bloom_bitmap``: bit_or
+    idempotence absorbs at-least-once redelivery (a fully-replayed
+    batch is a version-preserving no-op), so the sink needs no
+    transactional bookkeeping beyond the store's own versioning.
+    availableNow drains the backlog and stops (the test/backfill
+    trigger; a production stream would run continuous).
+    """
+
+    def fold(batch_df: DataFrame, _batch_id: int) -> None:
+        update_bloom_bitmap(
+            spark, path, batch_df, key_col=key_col, m_bits=m_bits, k=k
+        )
+
+    (
+        keys_stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
