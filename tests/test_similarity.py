@@ -250,3 +250,27 @@ def test_train_kmeans_sample_cap_noop_under_cap_and_binding_over(spark):
     assert tight_a == tight_b
     with pytest.raises(ValueError, match="sample_cap"):
         train_kmeans(df, k=11, iters=1, sample_cap=10)
+
+
+def test_nprobe_recall_curve_is_monotone_and_exhaustive_at_full_depth(
+    spark, sf_dir
+):
+    """Probe sets are nested prefixes, so recall@k must be
+    non-decreasing in nprobe; at nprobe = KMEANS_K every list is
+    probed and the ranking IS the exhaustive one — recall exactly
+    10000 p10k."""
+    from tinyerp_etl_spark.operators.similarity import KMEANS_K
+    from tinyerp_etl_spark.plans.llm_ops import (
+        _NPROBE_LEVELS,
+        ivf_nprobe_recall_curve,
+    )
+
+    rows = sorted(
+        (r["nprobe"], r["recall_p10k"])
+        for r in ivf_nprobe_recall_curve(spark, sf_dir).collect()
+    )
+    assert [n for n, _ in rows] == sorted(_NPROBE_LEVELS)
+    recalls = [r for _, r in rows]
+    assert recalls == sorted(recalls)
+    assert max(_NPROBE_LEVELS) == KMEANS_K
+    assert rows[-1][1] == 10000

@@ -3336,3 +3336,151 @@ LLM_ORACLES["int8_rank_fidelity"] = f"""
     {_overlap_final_sql("tq", "overlap_p10k")}
 """
 LLM_QUERIES["int8_rank_fidelity"] = int8_rank_fidelity
+
+
+#: the nprobe levels the sizing curve sweeps (1 = cheapest probe,
+#: KMEANS_K = exhaustive-over-lists; recall must be monotone in nprobe)
+_NPROBE_LEVELS = [1, 2, 4, 8]
+
+
+def ivf_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The nprobe sizing curve: mean recall@k across the query set at
+    each probe depth — the artifact a deployment reads to pick nprobe.
+
+    ivf_recall_report measures ONE operating point (IVF_NPROBE); this
+    sweeps the knob. One corpus assignment and one exhaustive ranking
+    are computed ONCE and shared across all levels; each level only
+    re-ranks within its probe lists (probe sets are nested, so the
+    work per extra level is the marginal lists). Recall is provably
+    non-decreasing in nprobe — pinned by test — and the top level
+    (nprobe = k lists) must equal the exhaustive ranking exactly.
+    """
+    cents = _ivf_index_for(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id", S._q(F.col("embedding")).alias("__vt")
+    ).withColumn("__n2", S._ticks_norm2(F.col("__vt")))
+    qs = _recall_queries(base)
+    ftop = _exhaustive_topk(base, qs)
+
+    assigned = S.ivf_assign(emb, centroids=cents)
+    abase = assigned.select(
+        "vec_id", "list_id", S._q(F.col("embedding")).alias("__vt")
+    ).withColumn("__n2", S._ticks_norm2(F.col("__vt")))
+    qrows = sorted(
+        emb.filter(F.col("vec_id") < _RECALL_Q)
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: r["vec_id"],
+    )
+    max_np = max(_NPROBE_LEVELS)
+    ranked_lists = {
+        int(r["vec_id"]): S.probe_lists(
+            cents, S.quantize_vector(r["embedding"]), max_np
+        )
+        for r in qrows
+    }
+    # (nprobe, qid, list_id): nested prefixes of the ranked probe list
+    probe_pairs = [
+        (np_, qid, int(lid))
+        for np_ in _NPROBE_LEVELS
+        for qid, lids in ranked_lists.items()
+        for lid in lids[:np_]
+    ]
+    probes = spark.createDataFrame(
+        probe_pairs, "nprobe int, qid long, list_id int"
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("nprobe", "qid").orderBy(
+        F.col("score").desc(), F.col("vec_id").asc()
+    )
+    itop = (
+        _tick_scored(
+            abase.join(F.broadcast(probes), "list_id")
+            .join(F.broadcast(qs), "qid")
+            .filter(F.col("vec_id") != F.col("qid"))
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _RECALL_K)
+        .select("nprobe", "qid", "vec_id")
+    )
+    hits = (
+        itop.join(ftop, ["qid", "vec_id"], "left_semi")
+        .groupBy("nprobe")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    levels = spark.createDataFrame(
+        [(n,) for n in _NPROBE_LEVELS], "nprobe int"
+    )
+    total = _RECALL_Q * _RECALL_K
+    return (
+        levels.join(hits, "nprobe", "left")
+        .select(
+            "nprobe",
+            F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
+            F.expr(
+                f"(coalesce(n_hit, CAST(0 AS BIGINT)) * 10000) div {total}"
+            ).alias("recall_p10k"),
+        )
+        .orderBy("nprobe")
+    )
+
+
+def _nprobe_curve_oracle_sql() -> str:
+    levels = ", ".join(f"({n})" for n in _NPROBE_LEVELS)
+    total = _RECALL_Q * _RECALL_K
+    return f"""
+    WITH {_KM_CTES_EMB},
+    qs AS (SELECT vec_id AS qid, ticks AS qticks FROM __kt
+           WHERE vec_id < {_RECALL_Q}),
+    ftop AS ({_rank_topk_sql("__kt", "qs", "ticks", "qticks")}),
+    lists AS (
+      SELECT vec_id, ticks, centroid_id AS list_id FROM (
+        SELECT v.vec_id, v.ticks, c.centroid_id,
+               row_number() OVER (PARTITION BY v.vec_id
+                 ORDER BY {_tcos_sql("v.ticks", "c.cticks")} DESC,
+                          c.centroid_id ASC) AS rn
+        FROM __kt v CROSS JOIN {_KM_FINAL} c) WHERE rn = 1
+    ),
+    levels(nprobe) AS (VALUES {levels}),
+    qprobe AS (
+      SELECT lv.nprobe, r.qid, r.centroid_id AS list_id FROM (
+        SELECT q.qid, c.centroid_id,
+               row_number() OVER (PARTITION BY q.qid
+                 ORDER BY {_tcos_sql("c.cticks", "q.qticks")} DESC,
+                          c.centroid_id ASC) AS rn
+        FROM {_KM_FINAL} c CROSS JOIN qs q) r
+      JOIN levels lv ON r.rn <= lv.nprobe
+    ),
+    pruned AS (
+      SELECT p.nprobe, q.qid AS qid, l.vec_id AS vec_id,
+             l.ticks AS ticks, q.qticks AS qticks
+      FROM lists l
+      JOIN qprobe p ON l.list_id = p.list_id
+      JOIN qs q ON q.qid = p.qid
+    ),
+    itop AS (
+      SELECT nprobe, qid, vec_id FROM (
+        SELECT nprobe, qid, vec_id, row_number() OVER (
+          PARTITION BY nprobe, qid
+          ORDER BY {_tcos_sql("ticks", "qticks")} DESC, vec_id ASC) AS rn
+        FROM pruned WHERE vec_id <> qid
+      ) WHERE rn <= {_RECALL_K}
+    ),
+    hits AS (
+      SELECT i.nprobe, count(*) AS n_hit
+      FROM itop i JOIN ftop f ON f.qid = i.qid AND f.vec_id = i.vec_id
+      GROUP BY i.nprobe
+    )
+    SELECT lv.nprobe,
+           CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+           (CAST(coalesce(h.n_hit, 0) AS BIGINT) * 10000) // {total}
+             AS recall_p10k
+    FROM levels lv LEFT JOIN hits h ON h.nprobe = lv.nprobe
+    ORDER BY lv.nprobe
+"""
+
+
+LLM_ORACLES["ivf_nprobe_recall_curve"] = _nprobe_curve_oracle_sql()
+LLM_QUERIES["ivf_nprobe_recall_curve"] = ivf_nprobe_recall_curve

@@ -234,6 +234,11 @@ _RELATIONAL_NAMES = [
 #       q1_pricing_summary — r3-green, and its scan/filter/agg kernel
 #       is exercised by dozens of remaining gate rows — all on
 #       untouched code).
+# Registered OUTSIDE the front-50 this round (pytest oracle sweep
+# hash-gates it; front-50 candidate for round 8 alongside the
+# deferrals): ivf_nprobe_recall_curve — adding an 11th late query
+# would have displaced a group-(b)/(c) row that itself needs the
+# refresh.
 # Deferred to round 8 (the ONLY rows whose newest green will then
 # predate r4): boilerplate_ngram_stats, collocations_top_pmi,
 # copurchase_pagerank_3iter, gapfill_daily_revenue,
