@@ -93,3 +93,16 @@ def test_stream_fold_equals_offline_build(spark, tmp_path):
     run_stream_to_bloom_bitmap(spark, replay, path, str(tmp_path / "ckpt_b"))
     assert bitmap_store(spark, path).current_version() == v
     assert _as_map(load_bloom_bitmap(spark, path)) == _as_map(want)
+
+
+def test_bloom_update_refuses_mismatched_hash_family(spark, tmp_path):
+    path = str(tmp_path / "bloom")
+    update_bloom_bitmap(spark, path, _keys(spark, ["a", "b"]))
+    before = _as_map(load_bloom_bitmap(spark, path))
+    # folding under a different k must raise, never silently rebuild a
+    # bitmap containing only the new batch (Bloom false negatives)
+    import pytest
+
+    with pytest.raises(ValueError, match="different m/k"):
+        update_bloom_bitmap(spark, path, _keys(spark, ["c"]), k=3)
+    assert _as_map(load_bloom_bitmap(spark, path)) == before

@@ -55,16 +55,29 @@ def save_bloom_bitmap(
     bitmap: DataFrame,
     m_bits: int = BLOOM_M_BITS,
     k: int = BLOOM_K,
+    expected_version: int | None = None,
 ) -> int:
     """Persist a (word_idx, mask) bitmap as the next TableStore
-    version, hyperparameters denormalized onto every row."""
+    version, hyperparameters denormalized onto every row.
+    ``expected_version`` passes through to the OCC commit (0 =
+    'expect no version yet' — the atomic-bootstrap form)."""
     rows = bitmap.select(
         F.col("word_idx").cast("long"),
         F.col("mask").cast("long"),
         F.lit(int(m_bits)).cast("int").alias("m_bits"),
         F.lit(int(k)).cast("int").alias("k_hashes"),
     )
-    return bitmap_store(spark, path).commit(rows, n_files=1)
+    return bitmap_store(spark, path).commit(
+        rows, n_files=1, expected_version=expected_version
+    )
+
+
+def _bitmap_rows(spark: SparkSession, path: str, version: int | None):
+    """Collected rows of the pinned bitmap version; None when the
+    store is absent (no version committed)."""
+    if version is None:
+        return None
+    return bitmap_store(spark, path).read_version(version).collect()
 
 
 def load_bloom_bitmap(
@@ -77,9 +90,7 @@ def load_bloom_bitmap(
     absent or built with different m/k (a probe against a mismatched
     hash family would return garbage, never an error — fail loud)."""
     store = bitmap_store(spark, path)
-    if not store.exists() or store.current_version() is None:
-        return None
-    rows = store.read().collect()
+    rows = _bitmap_rows(spark, path, store.current_version())
     if not rows:
         return None
     if any((r["m_bits"], r["k_hashes"]) != (m_bits, k) for r in rows):
@@ -102,16 +113,43 @@ def update_bloom_bitmap(
 
     Work ∝ batch keys + bitmap size (a constant), never the history.
     When the fold sets no new bit — an exact replay, or keys whose
-    bits were already covered — the commit is SKIPPED and the current
+    bits were already covered — the commit is SKIPPED and the read
     version returned unchanged (bit_or idempotence makes the no-op
     detectable by comparing ≤ m/64 masks, a control-plane check).
-    Returns the committed (or preserved) version; creates version 0
-    when no bitmap exists yet.
+
+    Concurrency and safety: the version is captured BEFORE the read
+    and pinned on the commit (``expected_version``), so two
+    concurrent folders raise ConcurrentWriteError instead of
+    last-writer-wins dropping bits — a Bloom filter must never grow a
+    false negative. A store whose rows carry DIFFERENT m/k raises —
+    folding a fresh bitmap over a mismatched family would silently
+    discard every historical reference key.
     """
+    store = bitmap_store(spark, path)
+    read_version = store.current_version()
+    rows = _bitmap_rows(spark, path, read_version)
+    if rows and any(
+        (r["m_bits"], r["k_hashes"]) != (m_bits, k) for r in rows
+    ):
+        raise ValueError(
+            f"bloom bitmap at {path} was built with different m/k "
+            f"than the fold ({rows[0]['m_bits']}/{rows[0]['k_hashes']} "
+            f"vs {m_bits}/{k}); rebuild instead of folding"
+        )
     batch = bloom_build(new_keys, key_col, k=k, m_bits=m_bits)
-    stored = load_bloom_bitmap(spark, path, m_bits=m_bits, k=k)
-    if stored is None:
-        return save_bloom_bitmap(spark, path, batch, m_bits=m_bits, k=k)
+    if not rows:
+        return save_bloom_bitmap(
+            spark,
+            path,
+            batch,
+            m_bits=m_bits,
+            k=k,
+            expected_version=read_version or 0,
+        )
+    stored = spark.createDataFrame(
+        [(r["word_idx"], r["mask"]) for r in rows],
+        "word_idx long, mask long",
+    )
     merged = bloom_merge(stored, batch)
     changed = (
         merged.alias("m")
@@ -123,8 +161,15 @@ def update_bloom_bitmap(
         .count()
     )
     if not changed:
-        return bitmap_store(spark, path).current_version()
-    return save_bloom_bitmap(spark, path, merged, m_bits=m_bits, k=k)
+        return read_version
+    return save_bloom_bitmap(
+        spark,
+        path,
+        merged,
+        m_bits=m_bits,
+        k=k,
+        expected_version=read_version,
+    )
 
 
 def run_stream_to_bloom_bitmap(

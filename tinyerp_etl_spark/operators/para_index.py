@@ -79,20 +79,36 @@ def fold_batch_into_paragraph_index(
 
     Only the batch tokenizes; a fold that appends zero rows (exact
     replay, or every batch paragraph already indexed) preserves the
-    current version. The commit pins expected_version (OCC), so two
-    concurrent folders cannot silently lose each other's paragraphs.
+    read version. The version is captured BEFORE the read and the
+    read pins that exact version (read_version), then the commit
+    carries it as expected_version — so a concurrent folder that
+    lands in between raises ConcurrentWriteError instead of this
+    writer silently omitting its paragraphs; the bootstrap commit
+    pins expected_version=0 (atomic first-writer-wins). The no-op
+    probe is a limit(1) count on the batch-vs-store anti-join —
+    O(batch + one column-pruned join), never a count of the
+    data-scale store.
     """
     store = para_store(spark, path)
-    stored = load_paragraph_index(spark, path)
-    if stored is None:
-        return save_paragraph_index(
-            spark, path, build_paragraph_index(batch, text_col, id_col)
-        )
     read_version = store.current_version()
+    if read_version is None:
+        return store.commit(
+            build_paragraph_index(batch, text_col, id_col).select(
+                "para", "first_doc", "first_pos"
+            ),
+            n_files=4,
+            cluster_by=["para"],
+            expected_version=0,
+        )
+    stored = store.read_version(read_version)
     merged = update_paragraph_index(stored, batch, text_col, id_col)
-    n_before = stored.count()
-    n_after = merged.count()
-    if n_after == n_before:
+    any_fresh = (
+        build_paragraph_index(batch, text_col, id_col)
+        .join(stored.select("para"), "para", "left_anti")
+        .limit(1)
+        .count()
+    )
+    if not any_fresh:
         return read_version
     return store.commit(
         merged.select("para", "first_doc", "first_pos"),

@@ -3273,19 +3273,48 @@ def _overlap_final_sql(qsrc: str, out_col: str) -> str:
     ORDER BY q.qid"""
 
 
-LLM_ORACLES["ivf_recall_report"] = f"""
-    WITH {_KM_CTES_EMB},
-    qs AS (SELECT vec_id AS qid, ticks AS qticks FROM __kt
-           WHERE vec_id < {_RECALL_Q}),
-    ftop AS ({_rank_topk_sql("__kt", "qs", "ticks", "qticks")}),
-    lists AS (
+#: one definition of the oracle-side corpus→list assignment (the SQL
+#: twin of ivf_assign), shared by the recall report and the nprobe
+#: curve so the assignment tie-break cannot drift between them
+_IVF_LISTS_CTE = f"""lists AS (
       SELECT vec_id, ticks, centroid_id AS list_id FROM (
         SELECT v.vec_id, v.ticks, c.centroid_id,
                row_number() OVER (PARTITION BY v.vec_id
                  ORDER BY {_tcos_sql("v.ticks", "c.cticks")} DESC,
                           c.centroid_id ASC) AS rn
         FROM __kt v CROSS JOIN {_KM_FINAL} c) WHERE rn = 1
+    )"""
+
+
+def _pruned_itop_sql(with_nprobe: bool) -> str:
+    """pruned + itop CTE pair over lists ⋈ qprobe ⋈ qs; with_nprobe
+    threads the sweep level through the partition key."""
+    sel = "p.nprobe AS nprobe, " if with_nprobe else ""
+    out = "nprobe, " if with_nprobe else ""
+    part = "nprobe, qid" if with_nprobe else "qid"
+    return f"""pruned AS (
+      SELECT {sel}q.qid AS qid, l.vec_id AS vec_id,
+             l.ticks AS ticks, q.qticks AS qticks
+      FROM lists l
+      JOIN qprobe p ON l.list_id = p.list_id
+      JOIN qs q ON q.qid = p.qid
     ),
+    itop AS (
+      SELECT {out}qid, vec_id FROM (
+        SELECT {out}qid, vec_id, row_number() OVER (
+          PARTITION BY {part}
+          ORDER BY {_tcos_sql("ticks", "qticks")} DESC, vec_id ASC) AS rn
+        FROM pruned WHERE vec_id <> qid
+      ) WHERE rn <= {_RECALL_K}
+    )"""
+
+
+LLM_ORACLES["ivf_recall_report"] = f"""
+    WITH {_KM_CTES_EMB},
+    qs AS (SELECT vec_id AS qid, ticks AS qticks FROM __kt
+           WHERE vec_id < {_RECALL_Q}),
+    ftop AS ({_rank_topk_sql("__kt", "qs", "ticks", "qticks")}),
+    {_IVF_LISTS_CTE},
     qprobe AS (
       SELECT qid, centroid_id AS list_id FROM (
         SELECT q.qid, c.centroid_id,
@@ -3294,20 +3323,7 @@ LLM_ORACLES["ivf_recall_report"] = f"""
                           c.centroid_id ASC) AS rn
         FROM {_KM_FINAL} c CROSS JOIN qs q) WHERE rn <= {S.IVF_NPROBE}
     ),
-    pruned AS (
-      SELECT q.qid AS qid, l.vec_id AS vec_id, l.ticks AS ticks,
-             q.qticks AS qticks
-      FROM lists l
-      JOIN qprobe p ON l.list_id = p.list_id
-      JOIN qs q ON q.qid = p.qid
-    ),
-    itop AS (
-      SELECT qid, vec_id FROM (
-        SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
-          ORDER BY {_tcos_sql("ticks", "qticks")} DESC, vec_id ASC) AS rn
-        FROM pruned WHERE vec_id <> qid
-      ) WHERE rn <= {_RECALL_K}
-    ),
+    {_pruned_itop_sql(with_nprobe=False)},
     {_HITS_CTE}
     {_overlap_final_sql("qs", "recall_p10k")}
 """
@@ -3435,14 +3451,7 @@ def _nprobe_curve_oracle_sql() -> str:
     qs AS (SELECT vec_id AS qid, ticks AS qticks FROM __kt
            WHERE vec_id < {_RECALL_Q}),
     ftop AS ({_rank_topk_sql("__kt", "qs", "ticks", "qticks")}),
-    lists AS (
-      SELECT vec_id, ticks, centroid_id AS list_id FROM (
-        SELECT v.vec_id, v.ticks, c.centroid_id,
-               row_number() OVER (PARTITION BY v.vec_id
-                 ORDER BY {_tcos_sql("v.ticks", "c.cticks")} DESC,
-                          c.centroid_id ASC) AS rn
-        FROM __kt v CROSS JOIN {_KM_FINAL} c) WHERE rn = 1
-    ),
+    {_IVF_LISTS_CTE},
     levels(nprobe) AS (VALUES {levels}),
     qprobe AS (
       SELECT lv.nprobe, r.qid, r.centroid_id AS list_id FROM (
@@ -3453,21 +3462,7 @@ def _nprobe_curve_oracle_sql() -> str:
         FROM {_KM_FINAL} c CROSS JOIN qs q) r
       JOIN levels lv ON r.rn <= lv.nprobe
     ),
-    pruned AS (
-      SELECT p.nprobe, q.qid AS qid, l.vec_id AS vec_id,
-             l.ticks AS ticks, q.qticks AS qticks
-      FROM lists l
-      JOIN qprobe p ON l.list_id = p.list_id
-      JOIN qs q ON q.qid = p.qid
-    ),
-    itop AS (
-      SELECT nprobe, qid, vec_id FROM (
-        SELECT nprobe, qid, vec_id, row_number() OVER (
-          PARTITION BY nprobe, qid
-          ORDER BY {_tcos_sql("ticks", "qticks")} DESC, vec_id ASC) AS rn
-        FROM pruned WHERE vec_id <> qid
-      ) WHERE rn <= {_RECALL_K}
-    ),
+    {_pruned_itop_sql(with_nprobe=True)},
     hits AS (
       SELECT i.nprobe, count(*) AS n_hit
       FROM itop i JOIN ftop f ON f.qid = i.qid AND f.vec_id = i.vec_id
