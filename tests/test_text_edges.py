@@ -390,3 +390,18 @@ def test_paragraph_index_rejects_out_of_order_backfill(spark):
         stored, spark.createDataFrame([(5, new_para)], "doc_id long, text string")
     )
     assert ok.count() == 2
+
+
+def test_neardup_threshold_curve_is_monotone_nonincreasing(spark, sf_dir):
+    """Raising the Jaccard cutoff can only drop pairs; with the
+    tiered staging (J ~ 0.9/0.55/0.35) the curve must actually move
+    across the swept thresholds at the default test scale."""
+    from tinyerp_etl_spark.plans.llm_ops import neardup_threshold_curve
+
+    rows = sorted(
+        (r["t_p10k"], r["n_pairs"])
+        for r in neardup_threshold_curve(spark, sf_dir).collect()
+    )
+    counts = [n for _, n in rows]
+    assert counts == sorted(counts, reverse=True)
+    assert counts[0] > counts[-1]  # the staging differentiates levels

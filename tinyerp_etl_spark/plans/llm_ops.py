@@ -1178,12 +1178,17 @@ def _lang_id_sql() -> str:
 
 # shared CTE chain: staged near-dup corpus → MinHash/LSH candidates →
 # exact-Jaccard verified pairs (ends with `verified(doc_a, doc_b, jaccard)`)
-_NEARDUP_CTES = f"""staged AS (
-          SELECT doc_id, text FROM documents
-          UNION ALL
-          SELECT doc_id + 200000, 'zzz qqq ' || text FROM documents WHERE doc_id % 20 = 0
-        ),
-        t AS (SELECT doc_id, {_TOKS} AS toks FROM staged),
+def _neardup_ctes_for(staged_sql: str) -> str:
+    """The near-dup CTE chain (shingles → sigs → capped LSH candidates
+    → exact intersection) over a caller-supplied ``staged`` block —
+    one definition of the pipeline, any staging."""
+    return f"""staged AS ({staged_sql}),
+        t AS (SELECT doc_id, {{toks}} AS toks FROM staged),""".replace(
+        "{toks}", _TOKS
+    ) + _NEARDUP_TAIL
+
+
+_NEARDUP_TAIL = f"""
         sh_t AS (SELECT doc_id, {_SHINGLES} AS sh FROM t WHERE len(toks) >= 3),
         sig_t AS (SELECT doc_id, sh, {_minhash_sig_sql()} AS sig FROM sh_t WHERE len(sh) > 0),
         bands0 AS (
@@ -1217,6 +1222,16 @@ _NEARDUP_CTES = f"""staged AS (
           JOIN sizes sb ON sb.doc_id = i.doc_b
           WHERE CAST(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) AS DOUBLE) >= 0.5
         )"""
+
+#: the default staging (prefix-mutated copies of every 20th doc),
+#: shared by the minhash/neardup oracles
+_NEARDUP_CTES = _neardup_ctes_for(
+    """
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 200000, 'zzz qqq ' || text FROM documents WHERE doc_id % 20 = 0
+        """
+)
 
 
 LLM_ORACLES: dict[str, str] = {
@@ -3479,3 +3494,123 @@ def _nprobe_curve_oracle_sql() -> str:
 
 LLM_ORACLES["ivf_nprobe_recall_curve"] = _nprobe_curve_oracle_sql()
 LLM_QUERIES["ivf_nprobe_recall_curve"] = ivf_nprobe_recall_curve
+
+
+#: Jaccard thresholds (p10k) the near-dup sizing curve sweeps —
+#: the dedup-aggressiveness knob
+_NEARDUP_T_P10K = [3000, 5000, 7000]
+
+#: truncation tiers staged for the curve: (pct of tokens kept,
+#: doc_id offset, doc_id % 20 selector). A copy keeping p% of its
+#: source's tokens has shingle-Jaccard ≈ p/100 against it, so the
+#: three tiers land one near-dup population on each side of each
+#: threshold — the curve actually moves (the default prefix-mutation
+#: staging is uniformly high-J and shows a flat curve).
+_NEARDUP_TIERS = [(90, 200000, 0), (55, 300000, 1), (35, 400000, 2)]
+
+
+def _docs_with_tiered_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = "regexp_extract_all(lower(text), '(\\\\w+)', 1)"
+    staged = docs
+    for pct, offset, sel in _NEARDUP_TIERS:
+        staged = staged.unionByName(
+            docs.filter(F.col("doc_id") % 20 == sel).select(
+                (F.col("doc_id") + offset).alias("doc_id"),
+                F.expr(
+                    f"array_join(slice({toks}, 1,"
+                    f" greatest(1, (size({toks}) * {pct}) div 100)), ' ')"
+                ).alias("text"),
+            )
+        )
+    return staged
+
+
+def neardup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The near-dup threshold sizing curve: how many verified pairs
+    each Jaccard cutoff keeps — the knob that trades dedup recall
+    against false merges, measured instead of guessed.
+
+    Staging: three truncated-copy tiers (~J 0.9 / 0.55 / 0.35), one
+    on each side of each threshold, so the curve moves. One candidate
+    generation (capped LSH — tier-3 pairs also show the banding loss
+    at low J) and one exact intersection pass are shared across all
+    thresholds; each level is a pure integer filter over the same
+    (n_inter, n_a, n_b) rows (n_inter·10⁴ ≥ t·(n_a+n_b−n_inter) ⇔
+    J ≥ t/10⁴ — the integer-space threshold convention, no float
+    compare). Pair counts are necessarily non-increasing in the
+    threshold (pinned by test).
+    """
+    staged = _docs_with_tiered_neardups(spark, sf_dir)
+    cands = D.lsh_candidate_pairs(staged).select("doc_a", "doc_b")
+    sh = staged.select(
+        "doc_id", F.explode(D.shingles("text")).alias("shingle")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cands.join(a, "doc_a")
+        .join(b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    joined = inter.join(
+        sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a")),
+        "doc_a",
+    ).join(
+        sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b")),
+        "doc_b",
+    )
+    levels = spark.createDataFrame(
+        [(t,) for t in _NEARDUP_T_P10K], "t_p10k int"
+    )
+    counts = (
+        joined.crossJoin(F.broadcast(levels))
+        .filter(
+            F.expr("n_inter * 10000 >= t_p10k * (n_a + n_b - n_inter)")
+        )
+        .groupBy("t_p10k")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+    return (
+        levels.join(counts, "t_p10k", "left")
+        .select(
+            "t_p10k",
+            F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
+        )
+        .orderBy("t_p10k")
+    )
+
+
+_TIERED_STAGED_SQL = "SELECT doc_id, text FROM documents" + "".join(
+    f"""
+          UNION ALL
+          SELECT doc_id + {offset},
+                 array_to_string(list_slice({_TOKS}, 1,
+                   greatest(1, (len({_TOKS}) * {pct}) // 100)), ' ')
+          FROM documents WHERE doc_id % 20 = {sel}"""
+    for pct, offset, sel in _NEARDUP_TIERS
+)
+
+LLM_ORACLES["neardup_threshold_curve"] = f"""
+    WITH {_neardup_ctes_for(_TIERED_STAGED_SQL)},
+    levels(t_p10k) AS (VALUES {", ".join(f"({t})" for t in _NEARDUP_T_P10K)}),
+    j AS (
+      SELECT i.doc_a, i.doc_b, i.n_inter, sa.n AS n_a, sb.n AS n_b
+      FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.doc_a
+      JOIN sizes sb ON sb.doc_id = i.doc_b
+    ),
+    counts AS (
+      SELECT lv.t_p10k, count(*) AS n_pairs
+      FROM j, levels lv
+      WHERE j.n_inter * 10000 >= lv.t_p10k * (j.n_a + j.n_b - j.n_inter)
+      GROUP BY lv.t_p10k
+    )
+    SELECT lv.t_p10k,
+           CAST(coalesce(c.n_pairs, 0) AS BIGINT) AS n_pairs
+    FROM levels lv LEFT JOIN counts c ON c.t_p10k = lv.t_p10k
+    ORDER BY lv.t_p10k
+"""
+LLM_QUERIES["neardup_threshold_curve"] = neardup_threshold_curve

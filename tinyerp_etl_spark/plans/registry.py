@@ -235,10 +235,10 @@ _RELATIONAL_NAMES = [
 #       is exercised by dozens of remaining gate rows — all on
 #       untouched code).
 # Registered OUTSIDE the front-50 this round (pytest oracle sweep
-# hash-gates it; front-50 candidate for round 8 alongside the
-# deferrals): ivf_nprobe_recall_curve — adding an 11th late query
-# would have displaced a group-(b)/(c) row that itself needs the
-# refresh.
+# hash-gates them; front-50 candidates for round 8 alongside the
+# deferrals): ivf_nprobe_recall_curve and neardup_threshold_curve —
+# adding more late queries would displace group-(b)/(c) rows that
+# themselves need the refresh.
 # Deferred to round 8 (the ONLY rows whose newest green will then
 # predate r4): boilerplate_ngram_stats, collocations_top_pmi,
 # copurchase_pagerank_3iter, gapfill_daily_revenue,
