@@ -237,23 +237,23 @@ def lsh_candidate_pairs(
     return disjoint, quarantined
 
 
-def jaccard_pairs(
+def jaccard_counts(
     docs: DataFrame,
     pairs: DataFrame | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
-    threshold: float = 0.0,
 ) -> DataFrame:
-    """Exact n-gram Jaccard for given pairs (or all co-shingled pairs).
-
-    intersection/union over distinct shingle sets; both counts are
-    exact integers, so the final ratio is engine-deterministic.
+    """Exact shingle-overlap counts per pair: (doc_a, doc_b, n_inter,
+    n_a, n_b) — the ONE definition of the intersection/size join
+    topology that jaccard_pairs (float ratio), the recall audit
+    (integer threshold), and the threshold curve all consume, so the
+    three can't drift.
 
     With ``pairs`` given, the shingle join is DRIVEN BY the candidate
     pairs (pairs ⋈ shingles(a) ⋈ shingles(b)) — cost scales with
     |candidates| · |shingles/doc|, not with the number of co-shingled
     pairs in the corpus. The all-pairs path only exists for pairs=None
-    (verification-only use at small scale).
+    (verification/audit use).
     """
     sh = docs.select(F.col(id_col), F.explode(shingles(text_col)).alias("shingle"))
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
@@ -273,17 +273,35 @@ def jaccard_pairs(
             .groupBy("doc_a", "doc_b")
             .agg(F.count(F.lit(1)).alias("n_inter"))
         )
-    out = (
-        inter.join(sizes.select(F.col(id_col).alias("doc_a"), F.col("n").alias("n_a")), "doc_a")
-        .join(sizes.select(F.col(id_col).alias("doc_b"), F.col("n").alias("n_b")), "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            (
-                F.col("n_inter")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
-            ).cast("double").alias("jaccard"),
-        )
+    return inter.join(
+        sizes.select(F.col(id_col).alias("doc_a"), F.col("n").alias("n_a")),
+        "doc_a",
+    ).join(
+        sizes.select(F.col(id_col).alias("doc_b"), F.col("n").alias("n_b")),
+        "doc_b",
+    )
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    pairs: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Exact n-gram Jaccard for given pairs (or all co-shingled pairs).
+
+    intersection/union over distinct shingle sets; both counts are
+    exact integers, so the final ratio is engine-deterministic. The
+    counts come from ``jaccard_counts`` (one topology definition).
+    """
+    out = jaccard_counts(docs, pairs, text_col, id_col).select(
+        "doc_a",
+        "doc_b",
+        (
+            F.col("n_inter")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+        ).cast("double").alias("jaccard"),
     )
     if threshold > 0:
         out = out.filter(F.col("jaccard") >= threshold)

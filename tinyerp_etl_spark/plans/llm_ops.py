@@ -3014,27 +3014,8 @@ def lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     the production path at any scale.
     """
     staged = _docs_with_neardups(spark, sf_dir)
-    sh = staged.select(
-        "doc_id", F.explode(D.shingles("text")).alias("shingle")
-    )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
     truth = (
-        inter.join(
-            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a")),
-            "doc_a",
-        )
-        .join(
-            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b")),
-            "doc_b",
-        )
+        D.jaccard_counts(staged)
         .filter(3 * F.col("n_inter") >= F.col("n_a") + F.col("n_b"))
         .select("doc_a", "doc_b")
     )
@@ -3511,16 +3492,34 @@ _NEARDUP_TIERS = [(90, 200000, 0), (55, 300000, 1), (35, 400000, 2)]
 
 def _docs_with_tiered_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    toks = "regexp_extract_all(lower(text), '(\\\\w+)', 1)"
+
+    def trunc(pct: int):
+        # the SAME tokenizer the shingle pipeline uses (one
+        # definition), bound once per row so it isn't re-evaluated
+        # inside both size() and slice()
+        return D._bind_once(
+            X.tokens("text"),
+            lambda t: F.array_join(
+                F.slice(
+                    t,
+                    F.lit(1),
+                    F.greatest(
+                        F.lit(1),
+                        F.floor(
+                            F.array_size(t) * F.lit(pct) / F.lit(100)
+                        ).cast("int"),
+                    ),
+                ),
+                " ",
+            ),
+        )
+
     staged = docs
     for pct, offset, sel in _NEARDUP_TIERS:
         staged = staged.unionByName(
             docs.filter(F.col("doc_id") % 20 == sel).select(
                 (F.col("doc_id") + offset).alias("doc_id"),
-                F.expr(
-                    f"array_join(slice({toks}, 1,"
-                    f" greatest(1, (size({toks}) * {pct}) div 100)), ' ')"
-                ).alias("text"),
+                trunc(pct).alias("text"),
             )
         )
     return staged
@@ -3543,25 +3542,7 @@ def neardup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     staged = _docs_with_tiered_neardups(spark, sf_dir)
     cands = D.lsh_candidate_pairs(staged).select("doc_a", "doc_b")
-    sh = staged.select(
-        "doc_id", F.explode(D.shingles("text")).alias("shingle")
-    )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    inter = (
-        cands.join(a, "doc_a")
-        .join(b, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    joined = inter.join(
-        sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a")),
-        "doc_a",
-    ).join(
-        sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b")),
-        "doc_b",
-    )
+    joined = D.jaccard_counts(staged, cands)
     levels = spark.createDataFrame(
         [(t,) for t in _NEARDUP_T_P10K], "t_p10k int"
     )
