@@ -596,3 +596,26 @@ def test_paragraph_dedup_matches_python_model(spark, texts):
         for r in paragraph_dedup_summary(df).collect()
     }
     assert got == _ref_paragraph_dedup(docs)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.text(min_size=0, max_size=30),
+        min_size=1,
+        max_size=40,
+        unique=True,
+    )
+)
+def test_bloom_never_false_negative(spark, keys):
+    """The defining Bloom guarantee under adversarial keys (unicode,
+    empty string, whitespace): every inserted key probes positive —
+    a false negative would mean contaminated data passing as clean."""
+    from tinyerp_etl_spark.operators.sketch import bloom_build, bloom_probe
+
+    members = spark.createDataFrame([(k,) for k in keys], "key string")
+    probed = bloom_probe(
+        members, "key", bloom_build(members, "key")
+    ).collect()
+    assert len(probed) == len(keys)
+    assert all(r["bloom_hit"] == 1 for r in probed)

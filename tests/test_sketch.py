@@ -345,3 +345,18 @@ def test_bloom_probe_is_streaming_legal(spark, tmp_path):
     assert got == want
     # true members (key m{i} with i in the member range) always flag
     assert all(want[i] == 1 for i in range(0, 20, 3))
+
+
+def test_bloom_empty_reference_set_flags_nothing(spark):
+    """A fresh deployment probes against an EMPTY reference set: the
+    bitmap has zero set bits, so every probe must come back 0 — and
+    the one-row broadcast map fold must not crash on no input."""
+    from tinyerp_etl_spark.operators.sketch import bloom_build, bloom_probe
+
+    empty = spark.createDataFrame([], "key string")
+    corpus = spark.createDataFrame(
+        [(i, f"doc{i}") for i in range(20)], "id long, key string"
+    )
+    probed = bloom_probe(corpus, "key", bloom_build(empty, "key")).collect()
+    assert len(probed) == 20
+    assert all(r["bloom_hit"] == 0 for r in probed)
