@@ -188,6 +188,7 @@ def load_or_train_ivf_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     verify: bool = True,
+    fingerprint: tuple[int, int] | None = None,
 ) -> list[tuple[int, list[int]]]:
     """The self-healing query-path entry: load the persisted index,
     falling back to train-and-persist when it is absent, was trained
@@ -197,12 +198,15 @@ def load_or_train_ivf_index(
 
     The fingerprint covers the embedding VALUES (embedding_content),
     not just the id set — re-embedding the corpus in place retrains.
+    A caller that already computed it (e.g. to derive the artifact
+    directory name) passes ``fingerprint`` to skip the second scan.
     """
-    fp = (
-        corpus_fingerprint(embeddings, id_col, embedding_content(vec_col))
-        if verify
-        else None
-    )
+    if fingerprint is not None:
+        fp: tuple[int, int] | None = fingerprint
+    elif verify:
+        fp = corpus_fingerprint(embeddings, id_col, embedding_content(vec_col))
+    else:
+        fp = None
     cents = load_ivf_index(
         spark, path, expect_params=(k, iters, sample_cap), expect_fingerprint=fp
     )

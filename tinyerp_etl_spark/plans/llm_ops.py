@@ -27,9 +27,10 @@ from tinyerp_etl_spark.sources.catalog import load_table
 
 # ---- persisted IVF index plumbing (operators/ivf_index.py) ---------------
 # Process-level cache of the loaded index per corpus dir: the gate
-# driver runs many queries in one process, and two of them (ivf top-k,
-# semantic dedup) score through the same artifact — load it once.
-_IVF_CACHE: dict[str, list[tuple[int, list[int]]]] = {}
+# driver runs many queries in one process, and several queries (ivf
+# top-k, semantic dedup, the roundtrip gate) score through the same
+# artifact — load it once: (index, artifact path, corpus fingerprint).
+_IVF_CACHE: dict[str, tuple[list[tuple[int, list[int]]], str, tuple[int, int]]] = {}
 
 
 def _artifact_root() -> str:
@@ -45,8 +46,10 @@ def _artifact_root() -> str:
     )
 
 
-def _ivf_index_for(spark: SparkSession, sf_dir: str) -> list[tuple[int, list[int]]]:
-    """The loaded-or-trained IVF index for a corpus dir.
+def _ivf_artifact_for(
+    spark: SparkSession, sf_dir: str
+) -> tuple[list[tuple[int, list[int]]], str, tuple[int, int]]:
+    """(index, artifact path, corpus fingerprint) for a corpus dir.
 
     Query-path operators must NOT train k-means per invocation (the
     round-6 9.95x regression and a genuine 100 TB anti-pattern: index
@@ -56,26 +59,49 @@ def _ivf_index_for(spark: SparkSession, sf_dir: str) -> list[tuple[int, list[int
     missing or stale. Correctness is still gate-proven per query: the
     DuckDB oracles re-derive the centroids by unrolled SQL training,
     so a wrong/stale loaded index hash-mismatches immediately.
+
+    The fingerprint is computed FIRST (one column-pruned aggregate)
+    because the artifact directory is keyed by it (_corpus_tag) — and
+    passed down so load_or_train does not scan a second time.
     """
     key = os.path.abspath(sf_dir)
     if key not in _IVF_CACHE:
-        from tinyerp_etl_spark.operators.ivf_index import load_or_train_ivf_index
+        from tinyerp_etl_spark.operators.ivf_index import (
+            corpus_fingerprint,
+            embedding_content,
+            load_or_train_ivf_index,
+        )
 
         emb = load_table(spark, sf_dir, "embeddings")
-        path = os.path.join(_artifact_root(), "ivf_index", _corpus_tag(key))
-        _IVF_CACHE[key] = load_or_train_ivf_index(spark, emb, path)
+        fp = corpus_fingerprint(emb, content=embedding_content())
+        path = os.path.join(_artifact_root(), "ivf_index", _corpus_tag(sf_dir, fp))
+        cents = load_or_train_ivf_index(spark, emb, path, fingerprint=fp)
+        _IVF_CACHE[key] = (cents, path, fp)
     return _IVF_CACHE[key]
 
 
-def _corpus_tag(abs_dir: str) -> str:
-    """Artifact directory name for a corpus dir: the basename for
-    readability plus an abspath hash for uniqueness — two corpora
-    whose directories share a final path component (/a/sf0.1 and
-    /b/sf0.1) must not collide on one persisted index."""
+def _ivf_index_for(spark: SparkSession, sf_dir: str) -> list[tuple[int, list[int]]]:
+    """The loaded-or-trained IVF index for a corpus dir (see
+    _ivf_artifact_for)."""
+    return _ivf_artifact_for(spark, sf_dir)[0]
+
+
+def _corpus_tag(sf_dir: str, fingerprint: tuple[int, int]) -> str:
+    """Artifact directory name for a corpus: the basename for
+    readability plus a hash of the corpus FINGERPRINT for identity.
+
+    Keyed by content, not by absolute path: a checkout at a different
+    absolute path (CI, another machine) resolves the same committed
+    artifact instead of silently retraining into a new directory,
+    while two corpora that share a final path component (/a/sf0.1 and
+    /b/sf0.1) still cannot collide — their fingerprints differ."""
     import hashlib
 
-    base = os.path.basename(abs_dir) or "corpus"
-    return f"{base}-{hashlib.md5(abs_dir.encode()).hexdigest()[:8]}"
+    base = os.path.basename(os.path.abspath(sf_dir)) or "corpus"
+    fph = hashlib.md5(
+        f"{fingerprint[0]}|{fingerprint[1]}".encode()
+    ).hexdigest()[:8]
+    return f"{base}-{fph}"
 
 # ---------------------------------------------------------------- text
 
@@ -173,8 +199,8 @@ def _bm25_index_for(spark: SparkSession, sf_dir: str):
         from tinyerp_etl_spark.operators import bm25_index as B
 
         docs = load_table(spark, sf_dir, "documents")
-        path = os.path.join(_artifact_root(), "bm25_index", _corpus_tag(key))
         fp = corpus_fingerprint_docs(docs)
+        path = os.path.join(_artifact_root(), "bm25_index", _corpus_tag(sf_dir, fp))
         loaded = B.load_bm25_index(spark, path, expect_fingerprint=fp)
         if loaded is None:
             B.save_bm25_index(spark, path, docs)
@@ -635,57 +661,65 @@ def ivf_assign_narrow_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
 def kmeans_centroids_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The trained IVF index artifact: deterministic integer k-means
     (k=8, 3 Lloyd's iterations, md5-prefix seeding) over the corpus,
-    as (centroid_id, centroid_ticks, n_members). Exact tick-space
-    arithmetic end-to-end, so the centroids — and every operator built
-    on them (ivf_assign/ivf_topk/semantic_dedup) — are bit-identical
-    across engines, partitionings, and rebuilds.
+    as exploded (centroid_id, dim, tick, n_members) SCALAR rows —
+    the differential gate canonicalizes by hashing sortable scalars,
+    so the tick vector ships per-dimension (the
+    embedding_label_centroids pattern; r07 shipped the raw
+    array<bigint> and the driver canonicalizer crashed on it). Exact
+    tick-space arithmetic end-to-end, so the centroids — and every
+    operator built on them (ivf_assign/ivf_topk/semantic_dedup) — are
+    bit-identical across engines, partitionings, and rebuilds.
     operators/similarity.py:train_kmeans."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return S.kmeans_centroids(emb).orderBy("centroid_id")
+    return (
+        S.kmeans_centroids(emb)
+        .select(
+            "centroid_id",
+            F.posexplode("centroid_ticks").alias("dim", "tick"),
+            "n_members",
+        )
+        .select("centroid_id", "dim", "tick", "n_members")
+        .orderBy("centroid_id", "dim")
+    )
 
 
 def ivf_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Persisted-index round-trip: the shared loaded-or-trained index
-    (the artifact embedding_topk_ivf / semantic_dedup_embeddings score
-    through) written to a FRESH versioned TableStore and read back
-    must be bit-identical to what was written — and, because the
-    oracle re-derives the centroids by unrolled SQL training, also
-    identical to freshly-trained centroids. Any serialization drift
-    (tick truncation, row loss, param mismatch, fingerprint rot)
-    surfaces as persisted_match=false or a hash mismatch.
-    operators/ivf_index.py."""
-    import shutil
-    import tempfile
+    """Persisted-index round-trip: the COMMITTED artifact (the store
+    embedding_topk_ivf / semantic_dedup_embeddings score through,
+    written at train time by _ivf_artifact_for) re-loaded with full
+    param + corpus-fingerprint validation must be bit-identical to
+    the in-process index — and, because the oracle re-derives the
+    centroids by unrolled SQL training, also identical to
+    freshly-trained centroids. Any serialization drift (tick
+    truncation, row loss, param mismatch, fingerprint rot) surfaces
+    as persisted_match=false or a hash mismatch.
 
+    r07 shape fixes, both driver-facing: (a) scalar rows — ticks ship
+    exploded as (centroid_id, dim, tick), never array<bigint> (the
+    driver canonicalizer crashed hashing list cells); (b) parity is
+    asserted against the committed artifact, not a scratch
+    write+read round-trip (~5 s of TableStore control plane per gate
+    invocation; the fresh-store round-trip stays pinned in pytest —
+    tests/test_ivf_index.py). operators/ivf_index.py."""
     from tinyerp_etl_spark.operators import ivf_index as IX
 
-    cents = _ivf_index_for(spark, sf_dir)
-    emb = load_table(spark, sf_dir, "embeddings")
-    fp = IX.corpus_fingerprint(emb, content=IX.embedding_content())
-    scratch = tempfile.mkdtemp(prefix="ivf_idx_rt_")
-    try:
-        path = os.path.join(scratch, "index")
-        IX.save_ivf_index(spark, path, cents, fp)
-        loaded = IX.load_ivf_index(
-            spark,
-            path,
-            expect_params=(S.KMEANS_K, S.KMEANS_ITERS, S.TRAIN_SAMPLE_CAP),
-            expect_fingerprint=fp,
-        )
-    finally:
-        # loaded is a collected Python list — nothing lazy reads the
-        # scratch store after this point, so reap it (gate/bench runs
-        # must not accumulate /tmp garbage)
-        shutil.rmtree(scratch, ignore_errors=True)
+    cents, path, fp = _ivf_artifact_for(spark, sf_dir)
+    loaded = IX.load_ivf_index(
+        spark,
+        path,
+        expect_params=(S.KMEANS_K, S.KMEANS_ITERS, S.TRAIN_SAMPLE_CAP),
+        expect_fingerprint=fp,
+    )
     match = loaded == sorted(cents, key=lambda c: c[0])
     rows = [
-        (int(cid), [int(t) for t in ticks], bool(match))
+        (int(cid), int(dim), int(t), bool(match))
         for cid, ticks in (loaded or [])
+        for dim, t in enumerate(ticks)
     ]
     return spark.createDataFrame(
         rows,
-        "centroid_id int, centroid_ticks array<bigint>, persisted_match boolean",
-    ).orderBy("centroid_id")
+        "centroid_id int, dim int, tick long, persisted_match boolean",
+    ).orderBy("centroid_id", "dim")
 
 
 def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1620,21 +1654,28 @@ LLM_ORACLES: dict[str, str] = {
                      ORDER BY {_tcos_sql("v.ticks", "c.cticks")} DESC, c.centroid_id ASC) AS rn
             FROM __kt v CROSS JOIN {_KM_FINAL} c) WHERE rn = 1
         )
-        SELECT c.centroid_id, c.cticks AS centroid_ticks,
-               CAST(COALESCE(n.n, 0) AS BIGINT) AS n_members
-        FROM {_KM_FINAL} c
-        LEFT JOIN (SELECT list_id, count(*) AS n FROM __fa GROUP BY list_id) n
-          ON c.centroid_id = n.list_id
-        ORDER BY c.centroid_id
+        SELECT m.centroid_id, m.dim, m.tick, m.n_members
+        FROM (
+          SELECT c.centroid_id,
+                 CAST(generate_subscripts(c.cticks, 1) - 1 AS INT) AS dim,
+                 CAST(unnest(c.cticks) AS BIGINT) AS tick,
+                 CAST(COALESCE(n.n, 0) AS BIGINT) AS n_members
+          FROM {_KM_FINAL} c
+          LEFT JOIN (SELECT list_id, count(*) AS n FROM __fa GROUP BY list_id) n
+            ON c.centroid_id = n.list_id
+        ) m
+        ORDER BY m.centroid_id, m.dim
     """,
     # the persisted artifact must round-trip to exactly the
     # freshly-trained centroids — the oracle IS the fresh training
     "ivf_index_roundtrip": f"""
         WITH {_KM_CTES_EMB}
-        SELECT centroid_id, cticks AS centroid_ticks,
+        SELECT centroid_id,
+               CAST(generate_subscripts(cticks, 1) - 1 AS INT) AS dim,
+               CAST(unnest(cticks) AS BIGINT) AS tick,
                TRUE AS persisted_match
         FROM {_KM_FINAL}
-        ORDER BY centroid_id
+        ORDER BY centroid_id, dim
     """,
     "embedding_label_centroids": f"""
         WITH q AS (

@@ -43,8 +43,19 @@ def _canon_value(v: Any) -> Any:
         if v.tzinfo is not None:
             v = v.tz_convert("UTC").tz_localize(None)
         return v.isoformat()
-    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
-        return tuple(_canon_value(x) for x in v)
+    if isinstance(v, (list, tuple, dict)) or type(v).__name__ == "ndarray":
+        # The DRIVER's canonicalizer sorts raw pandas frames and dies on
+        # list cells (`TypeError: unhashable type: 'list'` — both
+        # CORRECTNESS_r07 failures). Tuple-izing here made the local
+        # sweep MORE forgiving than the gate, so complex-typed outputs
+        # passed locally and failed remotely. Fail loudly instead:
+        # registered queries must emit scalar rows (posexplode arrays —
+        # the embedding_label_centroids pattern).
+        raise TypeError(
+            "complex-typed result cell (list/map/struct): the driver "
+            "canonicalizer cannot hash it — explode to scalar rows "
+            f"(got {type(v).__name__}: {v!r:.80})"
+        )
     if hasattr(v, "item") and type(v).__module__ == "numpy":  # numpy scalar
         return _canon_value(v.item())
     if hasattr(v, "isoformat"):  # date/datetime
@@ -62,8 +73,32 @@ def canonical_rows(df: pd.DataFrame) -> list[tuple]:
     return sorted(rows, key=lambda r: tuple(str(x) for x in r))
 
 
+def assert_driver_hashable(spark_df, name: str = "?") -> None:
+    """Assert every top-level output column is scalar-typed.
+
+    The driver's correctness gate canonicalizes results by sorting and
+    hashing pandas cells; Array/Map/Struct cells crash it (the two
+    CORRECTNESS_r07 failures). This is the schema-level contract every
+    registered query must satisfy: ship vectors exploded
+    (posexplode → one scalar row per element), never as array columns.
+    """
+    from pyspark.sql.types import ArrayType, MapType, StructType as _St
+
+    bad = [
+        f.name
+        for f in spark_df.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, _St))
+    ]
+    assert not bad, (
+        f"{name}: complex-typed output column(s) {bad} — the driver "
+        "canonicalizer cannot hash list/map/struct cells; explode to "
+        "scalar rows (the embedding_label_centroids pattern)"
+    )
+
+
 def assert_matches_oracle(spark_df, sql: str, sf_dir: str, name: str = "?") -> None:
     """Assert the Spark result matches the DuckDB oracle result."""
+    assert_driver_hashable(spark_df, name=name)
     got = spark_df.toPandas()
     want = run_oracle(sql, sf_dir)
     assert len(got) == len(want), (
