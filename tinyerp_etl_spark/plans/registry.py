@@ -6,10 +6,12 @@ rows-only check from the driver.
 
 Ordering note: the driver's correctness gate covers the first 50
 registry entries, so insertion order is the rotation schedule.
-ACTIVE: _ROUND7_FRONT_50 (see its inline comments for composition and
-the cumulative ledger — after round 7's gate runs green, every
-query's newest driver row is r4+ except the EIGHTEEN documented r3
-deferrals listed there). Prior gates below for the ledger.
+ACTIVE: _ROUND9_FRONT_50 (see its inline comments for composition and
+the cumulative ledger — after round 9's gate runs green, every
+query's newest driver row is r4+ and zero rows are never-gated; the
+r3 rotation debt retires completely). Prior gates below for the
+ledger; note round 8 ran _ROUND7_FRONT_50 unchanged, so the r7 list's
+rows carry r8-fresh evidence.
 Round 5's front 50 (ran in rounds 5 AND 6; see _ROUND5_FRONT_50's
 inline comments for the per-group rationale) =
   (0) the five queries NEW in round 5 (video_neardup_parity,
@@ -198,7 +200,107 @@ _RELATIONAL_NAMES = [
     "approx_quantile_order_totals",
 ]
 
-# Round 7 gate: the 50 queries that most need a fresh driver row.
+# Round 9 gate: the 50 queries that most need a fresh driver row.
+# Ledger correction first: round 8 ran _ROUND7_FRONT_50 UNCHANGED (no
+# _ROUND8_FRONT_50 ever existed), so every "after round 7" claim below
+# also holds verbatim after round 8, and the r7 list's rows are
+# r8-fresh. Evidence ages going into round 9, computed from the four
+# ledger lists (r3/r4/r5+6/r7+8): 50 rows r8-fresh, 49 rows r6, 48
+# rows r4, 18 rows r3 (the documented deferral list, now FIVE rounds
+# stale), 2 rows never gated.
+# Composition of this list:
+#   (0) the TWO queries with zero driver evidence, registered outside
+#       the front-50 since round 7: ivf_nprobe_recall_curve,
+#       neardup_threshold_curve (both scalar-only — safe under the r8
+#       assert_driver_hashable contract),
+#   (a) ALL EIGHTEEN r3-stale deferrals (registry ledger above;
+#       VERDICT r9 ask #1) — q1_pricing_summary,
+#       q3_shipping_priority, q5_local_supplier_volume,
+#       q7_volume_shipping, q8_market_share, sql_q6_forecast_revenue,
+#       promo_revenue_ratio, monthly_revenue_trend,
+#       gapfill_daily_revenue, window_running_total,
+#       set_null_missing_region, embedding_label_centroids,
+#       heavy_hitter_tokens, boilerplate_ngram_stats,
+#       collocations_top_pmi, copurchase_pagerank_3iter,
+#       train_val_test_split_docs, c4_quality_filter_stats,
+#   (b) 30 of the 48 r4-stale rows, prioritizing the LLM-pipeline /
+#       persisted-artifact / round-trip operators whose shapes no
+#       fresher gate row covers (dedup+LSH family, curation manifests,
+#       multimodal, sketch rollups, z-order/bucketed/XML round-trips,
+#       skew profile, OLS, ML scorer, TPC-H completions Q2/Q14/Q17/
+#       Q22, hierarchy closure).
+# Deferred to round 10 (the ONLY rows whose newest green will then
+# predate r6 — all r4-green on code untouched since, every shape
+# represented by a fresher or in-gate row): agg_cube,
+# agg_distinct_count, anomaly_zscore_daily_revenue,
+# data_profile_orders, hierarchy_subtree_rollup,
+# join_anti_orphan_audit, join_full_outer_balance, join_left_enrich,
+# pivot_status_by_priority, q13_order_distribution, q15_top_supplier,
+# q18_large_volume_customers, q19_discount_revenue,
+# scalar_subquery_rich_idle_customers, setops_customer_nations,
+# topk_expensive_orders, window_latest_order_per_customer,
+# window_moving_avg_daily_revenue.
+# After round 9's gate runs green, every query's newest driver row is
+# r4+ with zero never-gated rows — the r3 rotation debt retires
+# completely for the first time.
+_ROUND9_FRONT_50 = [
+    # (0) never gated
+    "ivf_nprobe_recall_curve",
+    "neardup_threshold_curve",
+    # (a) the eighteen r3-stale deferrals
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "sql_q6_forecast_revenue",
+    "promo_revenue_ratio",
+    "monthly_revenue_trend",
+    "gapfill_daily_revenue",
+    "window_running_total",
+    "set_null_missing_region",
+    "embedding_label_centroids",
+    "heavy_hitter_tokens",
+    "boilerplate_ngram_stats",
+    "collocations_top_pmi",
+    "copurchase_pagerank_3iter",
+    "train_val_test_split_docs",
+    "c4_quality_filter_stats",
+    # (b) thirty r4-stale rows, LLM-pipeline and round-trip shapes
+    # no fresher gate row covers
+    "dedup_exact_count",
+    "dedup_keep_canonical",
+    "minhash_signatures",
+    "minhash_lsh_neardup_pairs",
+    "neardup_components",
+    "incremental_dedup_new_docs",
+    "decontaminate_docs",
+    "embedding_knn_join",
+    "curation_pipeline_manifest",
+    "domain_mixture_resample",
+    "sequence_packing_manifest",
+    "training_shard_manifest",
+    "unigram_surprisal_filter",
+    "sql_ml_inference_score",
+    "multimodal_manifest",
+    "multimodal_frame_sample",
+    "key_skew_profile_events",
+    "kmv_sketch_rollup",
+    "hll_union_rollup",
+    "hll_distinct_users",
+    "applyinpandas_group_ols",
+    "approx_quantile_order_totals",
+    "xml_roundtrip_orders",
+    "zorder_clustered_scan",
+    "bucketed_join_revenue",
+    "hierarchy_closure_part",
+    "q2_min_cost_supplier",
+    "q14_promo_revenue",
+    "q17_small_quantity_revenue",
+    "q22_dormant_customers",
+]
+
+# Round 7 gate (ran in rounds 7 AND 8; kept for the rotation ledger).
 # Composition (ledger computed from the three prior lists; r5's list
 # also ran in round 6, so "r5" evidence below means r6-fresh):
 #   (0) the 14 queries with ZERO driver evidence — the whole round-6
@@ -509,7 +611,7 @@ def all_queries() -> dict[str, QueryFn]:
     for name in _RELATIONAL_NAMES:
         pool[name] = getattr(relational, name)
 
-    queries: dict[str, QueryFn] = {n: pool[n] for n in _ROUND7_FRONT_50}
+    queries: dict[str, QueryFn] = {n: pool[n] for n in _ROUND9_FRONT_50}
     for name, fn in pool.items():
         queries.setdefault(name, fn)
     assert len(queries) == len(pool), "front-50 must be a subset of the pool"
