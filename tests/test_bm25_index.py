@@ -184,6 +184,139 @@ def test_skip_existing_folds_only_new_docs(spark, tmp_path):
     assert istats2 == istats
 
 
+def _crash_fold_postings_only(spark, path, batch):
+    """Simulate update_bm25_index crashing BETWEEN its two commits:
+    the merged postings land, the stats commit never runs — exactly
+    the torn state the agreement probe must catch."""
+    from tinyerp_etl_spark.etl.table_store import TableStore
+    from tinyerp_etl_spark.operators.bm25_index import (
+        BM25_POSTINGS_SCHEMA,
+        POSTINGS_FILES,
+        build_bm25_index,
+    )
+
+    store = TableStore(spark, f"{path}/postings", BM25_POSTINGS_SCHEMA)
+    batch_postings, _ = build_bm25_index(batch)
+    store.commit(
+        store.read().unionByName(batch_postings),
+        n_files=POSTINGS_FILES,
+        cluster_by=["token"],
+    )
+
+
+def test_crash_between_commits_then_replay_repairs_stats(spark, tmp_path):
+    """The at-least-once sequence that used to corrupt silently:
+    fold crashes after the postings commit, the batch replays with
+    skip_existing. The replay must REPAIR the stats (n_docs,
+    total_len AND the additive fingerprint) instead of anti-joining
+    the batch away and returning early with stats that permanently
+    miss it."""
+    from tinyerp_etl_spark.operators.bm25_index import update_bm25_index
+
+    docs = _docs(spark)
+    base = docs.filter(F.col("doc_id") % 3 != 0)
+    batch = docs.filter(F.col("doc_id") % 3 == 0)
+    path = str(tmp_path / "bm25")
+    save_bm25_index(spark, path, base)
+    _crash_fold_postings_only(spark, path, batch)
+
+    v = update_bm25_index(spark, path, batch, on_overlap="skip_existing")
+
+    fp = corpus_fingerprint(docs, "doc_id", "text")
+    loaded = load_bm25_index(spark, path, expect_fingerprint=fp)
+    assert loaded is not None, "repaired fingerprint must equal the union's"
+    postings, stats = loaded
+    full_path = str(tmp_path / "full")
+    save_bm25_index(spark, full_path, docs)
+    fpost, fstats = load_bm25_index(spark, full_path, expect_fingerprint=fp)
+    assert stats == fstats
+    terms = ["spark", "dup", "window"]
+    assert (
+        bm25i_topk_indexed(postings, stats, terms, k=20).collect()
+        == bm25i_topk_indexed(fpost, fstats, terms, k=20).collect()
+    )
+    # a second replay of the same batch is now a clean no-op
+    v2 = update_bm25_index(spark, path, batch, on_overlap="skip_existing")
+    assert v2 == v
+    _, stats2 = load_bm25_index(spark, path, expect_fingerprint=fp)
+    assert stats2 == stats
+
+
+def test_crash_divergence_raises_in_raise_mode(spark, tmp_path):
+    """Batch-job semantics: a torn postings/stats pair must surface
+    loudly, never fold on top of corrupted stats."""
+    import pytest
+
+    from tinyerp_etl_spark.operators.bm25_index import update_bm25_index
+
+    docs = _docs(spark)
+    base = docs.filter(F.col("doc_id") % 3 != 0)
+    batch = docs.filter(F.col("doc_id") % 3 == 0)
+    path = str(tmp_path / "bm25")
+    save_bm25_index(spark, path, base)
+    _crash_fold_postings_only(spark, path, batch)
+    with pytest.raises(RuntimeError, match="torn"):
+        update_bm25_index(spark, path, batch)
+
+
+def test_crash_divergence_unexplained_by_batch_raises(spark, tmp_path):
+    """A DIFFERENT batch arriving after the crash cannot repair the
+    stats (its indexed slice does not account for the missing docs) —
+    the fold must refuse rather than compound the corruption."""
+    import pytest
+
+    from tinyerp_etl_spark.operators.bm25_index import update_bm25_index
+
+    docs = _docs(spark)
+    base = docs.filter(F.col("doc_id") % 3 != 0)
+    crashed = docs.filter(F.col("doc_id") % 3 == 0)
+    path = str(tmp_path / "bm25")
+    save_bm25_index(spark, path, base)
+    _crash_fold_postings_only(spark, path, crashed)
+    other = spark.createDataFrame(
+        [(500, "fresh words"), (501, "more fresh")], "doc_id long, text string"
+    )
+    with pytest.raises(RuntimeError, match="does not account"):
+        update_bm25_index(spark, path, other, on_overlap="skip_existing")
+
+
+def test_torn_bootstrap_refused_unless_batch_covers_index(spark, tmp_path):
+    """A crash inside the FIRST save leaves postings with no stats.
+    update must never silently re-bootstrap from its own batch
+    (dropping every indexed doc); the one sound repair is a replay
+    that covers all indexed ids — a full rebuild from that batch."""
+    import pytest
+
+    from tinyerp_etl_spark.etl.table_store import TableStore
+    from tinyerp_etl_spark.operators.bm25_index import (
+        BM25_POSTINGS_SCHEMA,
+        POSTINGS_FILES,
+        build_bm25_index,
+        update_bm25_index,
+    )
+
+    first = _docs(spark, 8)
+    path = str(tmp_path / "bm25")
+    postings, _ = build_bm25_index(first)
+    TableStore(spark, f"{path}/postings", BM25_POSTINGS_SCHEMA).commit(
+        postings, n_files=POSTINGS_FILES, cluster_by=["token"]
+    )  # crashed save: stats never committed
+
+    # a different batch must NOT bootstrap over the orphaned postings
+    other = spark.createDataFrame(
+        [(500, "fresh words")], "doc_id long, text string"
+    )
+    with pytest.raises(RuntimeError, match="torn"):
+        update_bm25_index(spark, path, other, on_overlap="skip_existing")
+    with pytest.raises(RuntimeError, match="torn"):
+        update_bm25_index(spark, path, first)  # raise mode: always loud
+
+    # the replayed bootstrap batch covers the index → clean rebuild
+    update_bm25_index(spark, path, first, on_overlap="skip_existing")
+    fp = corpus_fingerprint(first, "doc_id", "text")
+    assert load_bm25_index(spark, path, expect_fingerprint=fp) is not None
+
+
 def test_on_overlap_rejects_unknown_mode(spark, tmp_path):
     import pytest
 

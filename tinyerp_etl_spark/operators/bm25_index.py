@@ -38,7 +38,6 @@ from pyspark.sql.types import (
 )
 
 from tinyerp_etl_spark.etl.table_store import TableStore
-from tinyerp_etl_spark.operators.ivf_index import corpus_fingerprint
 from tinyerp_etl_spark.operators.text import (
     BM25I_NORM_SCALE,
     BM25I_TF_CAP,
@@ -107,6 +106,60 @@ def build_bm25_index(
     return postings, stats
 
 
+def _stats_and_fp(
+    docs: DataFrame, text_col: str, id_col: str
+) -> tuple[int, int, int]:
+    """(n_docs, total_len, fp_hashsum) in ONE aggregate pass.
+
+    Fuses the stats aggregate with the corpus fingerprint —
+    previously two separate driver jobs per save/fold; at the control
+    plane each Spark action costs more than the data at fold scale.
+    The hash is bit-identical to ``ivf_index.corpus_fingerprint(docs,
+    id_col, text_col)`` (same keyed string, same md5-prefix hash,
+    same decimal(38,0) accumulation) and the fingerprint row count
+    equals n_docs because both count the same rows — parity is pinned
+    by test_incremental_update_equals_full_rebuild, which compares
+    the additive fingerprint against a fresh corpus_fingerprint of
+    the union.
+    """
+    from tinyerp_etl_spark.operators.similarity import _seed_hash
+
+    keyed = F.concat_ws(
+        "|", F.col(id_col).cast("string"), F.col(text_col).cast("string")
+    )
+    row = docs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.coalesce(
+            F.sum(F.array_size(tokens(text_col)).cast("long")), F.lit(0)
+        )
+        .cast("long")
+        .alias("total_len"),
+        F.coalesce(
+            F.sum(_seed_hash(keyed).cast("decimal(38,0)")),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("hsum"),
+    ).first()
+    return int(row["n_docs"]), int(row["total_len"]), int(row["hsum"])
+
+
+def _stats_row(
+    spark: SparkSession,
+    n_docs: int,
+    total_len: int,
+    fp_n: int,
+    hsum: int,
+) -> DataFrame:
+    import decimal
+
+    from tinyerp_etl_spark.functions.localdf import local_df
+
+    return local_df(
+        spark,
+        [(n_docs, total_len, fp_n, decimal.Decimal(hsum))],
+        BM25_STATS_SCHEMA,
+    )
+
+
 def save_bm25_index(
     spark: SparkSession,
     path: str,
@@ -124,29 +177,18 @@ def save_bm25_index(
     commit FIRST: a crash between the two commits then leaves an old
     stats fingerprint next to new postings — a mismatch, so the next
     load fails closed and rebuilds — never a current fingerprint
-    blessing stale postings.
+    blessing stale postings. (On a FRESH path that crash leaves
+    postings with NO stats at all; update_bm25_index detects that
+    torn bootstrap instead of silently re-bootstrapping from its own
+    batch.)
     """
-    import decimal
-
-    postings, stats = build_bm25_index(docs, text_col, id_col)
-    fp = corpus_fingerprint(docs, id_col, text_col)
-    srow = stats.first()
-    stats_df = spark.createDataFrame(
-        [
-            (
-                int(srow["n_docs"]),
-                int(srow["total_len"]),
-                int(fp[0]),
-                decimal.Decimal(fp[1]),
-            )
-        ],
-        BM25_STATS_SCHEMA,
-    )
+    postings, _ = build_bm25_index(docs, text_col, id_col)
+    n_docs, total_len, hsum = _stats_and_fp(docs, text_col, id_col)
     version = TableStore(spark, f"{path}/postings", BM25_POSTINGS_SCHEMA).commit(
         postings, n_files=POSTINGS_FILES, cluster_by=["token"]
     )
     TableStore(spark, f"{path}/stats", BM25_STATS_SCHEMA).commit(
-        stats_df, n_files=1
+        _stats_row(spark, n_docs, total_len, n_docs, hsum), n_files=1
     )
     return version
 
@@ -178,12 +220,14 @@ def update_bm25_index(
     this read-modify-write raise ConcurrentWriteError (recompute and
     retry) instead of last-writer-wins losing a batch.
 
-    ``check_overlap`` reads the postings' doc_id column — column-
-    pruned, but still O(index) IO per fold since doc_id is neither
-    the cluster nor partition key. At true scale either accept it,
-    partition postings by a doc_id range too, or pass False when an
-    upstream ledger already guarantees batch novelty (the
-    ``verify=False`` analog on the IVF side).
+    ``check_overlap`` reads the postings' (doc_id, dl) columns —
+    column-pruned, but still O(index) IO per fold since doc_id is
+    neither the cluster nor partition key. At true scale either
+    accept it, partition postings by a doc_id range too, or pass
+    False when an upstream ledger already guarantees batch novelty
+    (the ``verify=False`` analog on the IVF side). False also skips
+    the postings/stats agreement probe below — the ledger is then
+    trusted for crash accounting too.
 
     ``on_overlap`` chooses the replay semantics when the check finds
     already-indexed ids: ``"raise"`` (the batch-job default — a
@@ -193,51 +237,159 @@ def update_bm25_index(
     exactly-once index, the same idempotence contract the MERGE sink
     gives row upserts. A fully-replayed batch is then a no-op that
     returns the current version.
-    """
-    import decimal
 
+    Crash safety (the two-commit window): a crash BETWEEN the
+    postings commit and the stats commit leaves postings that contain
+    a batch the stats never counted. The overlap probe therefore also
+    verifies postings/stats AGREEMENT (stats.n_docs and
+    stats.total_len against the postings' per-doc truth — same
+    column-pruned read the overlap check already pays, one fused
+    job). On divergence under ``skip_existing`` the fold attempts the
+    one repair the at-least-once contract makes sound: if THIS
+    batch's already-indexed slice accounts exactly for the missing
+    counts (the crashed fold is being replayed), the stats are
+    repaired by adding that slice's contribution — n_docs, total_len
+    AND the additive fingerprint — before normal folding resumes.
+    Any divergence the batch does not explain raises instead of
+    compounding; under ``"raise"`` divergence always raises. (The
+    only undetected case: a non-replay batch whose indexed slice
+    coincidentally matches the missing docs in BOTH count and total
+    length — scores stay correct since they read only n_docs/
+    total_len, and the now-wrong fingerprint fails closed at the next
+    ``expect_fingerprint`` load.) A torn BOOTSTRAP (postings with no
+    stats at all, a crashed first save) is never silently
+    re-bootstrapped from the batch: under ``skip_existing`` the fold
+    rebuilds only when the batch COVERS every indexed doc (the
+    replayed-first-batch case); anything else raises and demands an
+    explicit full-corpus ``save_bm25_index``.
+    """
     if on_overlap not in ("raise", "skip_existing"):
         raise ValueError(f"on_overlap must be 'raise' or 'skip_existing', got {on_overlap!r}")
     postings_store = TableStore(spark, f"{path}/postings", BM25_POSTINGS_SCHEMA)
     stats_store = TableStore(spark, f"{path}/stats", BM25_STATS_SCHEMA)
     postings_version = postings_store.current_version()
     stats_version = stats_store.current_version()
-    if postings_version is None or stats_version is None:
+    if postings_version is None and stats_version is None:
         return save_bm25_index(spark, path, new_docs, text_col, id_col)
+    if stats_version is None or postings_version is None:
+        # torn index: exactly one artifact committed (a crash inside a
+        # bootstrap save, or a vacuumed store). Rebuilding from the
+        # batch alone would silently drop every previously indexed
+        # doc. One sound repair: the batch is a REPLAY of the crashed
+        # bootstrap (it covers all indexed ids) — rebuild from it.
+        if (
+            postings_version is not None
+            and on_overlap == "skip_existing"
+            and check_overlap
+        ):
+            indexed = postings_store.read().select("doc_id").distinct()
+            batch_ids = new_docs.select(
+                F.col(id_col).cast("long").alias("doc_id")
+            ).distinct()
+            uncovered = indexed.join(batch_ids, "doc_id", "left_anti")
+            if uncovered.isEmpty():
+                return save_bm25_index(spark, path, new_docs, text_col, id_col)
+        raise RuntimeError(
+            f"bm25 index at {path} is torn: "
+            f"postings v{postings_version} / stats v{stats_version} — a "
+            "crashed bootstrap committed one artifact without the other "
+            "and this batch does not cover the indexed docs; rebuild "
+            "over the full corpus with save_bm25_index"
+        )
     postings = postings_store.read()
     srow = stats_store.read().first()
+    stats_n = int(srow["n_docs"])
+    stats_len = int(srow["total_len"])
+    stats_fpn = int(srow["fp_n"])
+    stats_hsum = int(srow["fp_hashsum"])
 
     if check_overlap:
-        batch_ids = new_docs.select(F.col(id_col).cast("long").alias("doc_id"))
-        has_overlap = not postings.join(batch_ids, "doc_id", "left_semi").isEmpty()
-        if has_overlap and on_overlap == "raise":
-            raise ValueError(
-                "update_bm25_index batch contains doc_ids already indexed; "
-                "incremental maintenance is append-only — rebuild "
-                "(save_bm25_index) to replace documents"
+        batch_ids = new_docs.select(
+            F.col(id_col).cast("long").alias("doc_id")
+        ).distinct()
+        # ONE fused job over the postings' per-doc truth: the overlap
+        # count AND the agreement totals (previously a semi-join
+        # isEmpty that read the same columns and answered only the
+        # first question)
+        probe = (
+            postings.select("doc_id", "dl")
+            .distinct()
+            .join(
+                F.broadcast(batch_ids.withColumn("__b", F.lit(1))),
+                "doc_id",
+                "left",
             )
-        if has_overlap:
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("px_docs"),
+                F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("px_len"),
+                F.count("__b").cast("long").alias("n_overlap"),
+            )
+            .first()
+        )
+        diverged = int(probe["px_docs"]) != stats_n or int(probe["px_len"]) != stats_len
+        if diverged:
+            if on_overlap == "raise":
+                raise RuntimeError(
+                    f"bm25 index at {path} is torn: postings hold "
+                    f"{int(probe['px_docs'])} docs / total_len "
+                    f"{int(probe['px_len'])} but stats recorded {stats_n} / "
+                    f"{stats_len} (a crash between the postings and stats "
+                    "commits); replay the lost batch with "
+                    "on_overlap='skip_existing' to repair, or rebuild with "
+                    "save_bm25_index"
+                )
+            indexed = postings.select("doc_id").distinct()
+            overlap_docs = new_docs.join(
+                indexed,
+                new_docs[id_col].cast("long") == indexed["doc_id"],
+                "left_semi",
+            )
+            o_n, o_len, o_hsum = _stats_and_fp(overlap_docs, text_col, id_col)
+            if o_n == 0 or (
+                stats_n + o_n != int(probe["px_docs"])
+                or stats_len + o_len != int(probe["px_len"])
+            ):
+                raise RuntimeError(
+                    f"bm25 index at {path} is torn (postings "
+                    f"{int(probe['px_docs'])} docs / stats {stats_n}) and "
+                    "this batch's indexed slice does not account for the "
+                    "missing docs — not a replay of the crashed fold; "
+                    "rebuild over the full corpus with save_bm25_index"
+                )
+            stats_n += o_n
+            stats_len += o_len
+            stats_fpn += o_n
+            stats_hsum += o_hsum
+            stats_store.commit(
+                _stats_row(spark, stats_n, stats_len, stats_fpn, stats_hsum),
+                n_files=1,
+                expected_version=stats_version,
+            )
+            stats_version += 1
+        if int(probe["n_overlap"]) > 0:
+            if on_overlap == "raise":
+                raise ValueError(
+                    "update_bm25_index batch contains doc_ids already indexed; "
+                    "incremental maintenance is append-only — rebuild "
+                    "(save_bm25_index) to replace documents"
+                )
             indexed = postings.select("doc_id").distinct()
             new_docs = new_docs.join(
                 indexed,
                 new_docs[id_col].cast("long") == indexed["doc_id"],
                 "left_anti",
             )
-            if new_docs.isEmpty():
-                return postings_version
-    new_postings, new_stats = build_bm25_index(new_docs, text_col, id_col)
-    nrow = new_stats.first()
-    bfp = corpus_fingerprint(new_docs, id_col, text_col)
-    merged_stats = spark.createDataFrame(
-        [
-            (
-                int(srow["n_docs"]) + int(nrow["n_docs"]),
-                int(srow["total_len"]) + int(nrow["total_len"]),
-                int(srow["fp_n"]) + int(bfp[0]),
-                decimal.Decimal(int(srow["fp_hashsum"]) + bfp[1]),
-            )
-        ],
-        BM25_STATS_SCHEMA,
+    n_new, len_new, hsum_new = _stats_and_fp(new_docs, text_col, id_col)
+    if n_new == 0:
+        # fully-replayed (or empty) batch: a version-preserving no-op
+        return postings_version
+    new_postings, _ = build_bm25_index(new_docs, text_col, id_col)
+    merged_stats = _stats_row(
+        spark,
+        stats_n + n_new,
+        stats_len + len_new,
+        stats_fpn + n_new,
+        stats_hsum + hsum_new,
     )
     version = postings_store.commit(
         postings.unionByName(new_postings),
