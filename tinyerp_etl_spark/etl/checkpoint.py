@@ -25,6 +25,7 @@ from datetime import datetime, timezone
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from tinyerp_etl_spark.functions.localdf import local_df
 
 STATUS_PENDING = "PENDENTE"
 STATUS_RUNNING = "EM_ANDAMENTO"
@@ -94,7 +95,8 @@ class PageCheckpoint:
         cur.update(fields)
         cur["timestamp_ultima_pagina"] = now
         rows[process] = cur
-        df = self.spark.createDataFrame(
+        df = local_df(
+            self.spark,
             [tuple(r[f.name] for f in _SCHEMA.fields) for r in rows.values()],
             _SCHEMA,
         )

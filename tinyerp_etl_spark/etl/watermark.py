@@ -32,6 +32,7 @@ from datetime import datetime, timedelta, timezone
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from tinyerp_etl_spark.functions.localdf import local_df
 
 SAFETY_DAYS_DEFAULT = 60  # DIAS_JANELA_SEGURANCA (ref :49)
 
@@ -72,8 +73,8 @@ class WatermarkStore:
             for r in self._read().collect()
         }
         rows[process] = ts
-        merged = self.spark.createDataFrame(
-            sorted(rows.items()), _STORE_SCHEMA
+        merged = local_df(
+            self.spark, sorted(rows.items()), _STORE_SCHEMA
         )
         merged.coalesce(1).write.mode("overwrite").parquet(self.path)
 

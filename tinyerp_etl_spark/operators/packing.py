@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from tinyerp_etl_spark.functions.materialize import materialize as _materialize
+from tinyerp_etl_spark.functions.localdf import local_df
 
 #: Buckets for the two-phase scan. The driver holds exactly this many
 #: rows (one total per bucket), independent of data size. Phase-3
@@ -103,8 +104,8 @@ def distributed_prefix_sum(
     for row in sorted(totals, key=lambda r: r["__psum_bucket"]):
         bases.append((int(row["__psum_bucket"]), base))
         base += int(row["__psum_total"])
-    base_df = df.sparkSession.createDataFrame(
-        bases, "__psum_bucket long, __psum_base long"
+    base_df = local_df(
+        df.sparkSession, bases, "__psum_bucket long, __psum_base long"
     )
 
     local = Window.partitionBy("__psum_bucket").orderBy(order_col).rowsBetween(

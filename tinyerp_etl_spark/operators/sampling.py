@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from tinyerp_etl_spark.functions.localdf import local_df
 
 MYRIAD = 10_000  # hash-bucket space: rates resolve to 1/10000ths
 
@@ -85,8 +86,8 @@ def mixture_thresholds(
         "weights_10k must sum to exactly 10000 — the integer threshold "
         "derivation treats them as fractions of the total mix"
     )
-    weights = df.sparkSession.createDataFrame(
-        w_rows, f"{domain_col} string, w10k int"
+    weights = local_df(
+        df.sparkSession, w_rows, f"{domain_col} string, w10k int"
     )
     counts = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("n_total"))
     # `div` is integral division on longs — bit-identical to the

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StructField, StructType
 from pyspark.sql.window import Window
+from tinyerp_etl_spark.functions.localdf import local_df
 
 HASH_SPACE = float(2**32)
 
@@ -364,8 +365,10 @@ def exact_rank_quantiles(
     # first-row probe instead of a second aggregation job over the
     # histogram (NULL on an empty histogram, making targets NULL too)
     total = hist.agg(F.max("__n").alias("__n"))
-    spec = df.sparkSession.createDataFrame(
-        [(label, int(p)) for label, p in p10ks.items()], "label string, p10k int"
+    spec = local_df(
+        df.sparkSession,
+        [(label, int(p)) for label, p in p10ks.items()],
+        "label string, p10k int",
     )
     # target = ceil(p10k * N / 10000) in pure integer arithmetic
     targets = spec.crossJoin(F.broadcast(total)).select(

@@ -30,6 +30,7 @@ from tinyerp_etl_spark.functions.exact import (
     sum_exact,
 )
 from tinyerp_etl_spark.sources.catalog import load_table
+from tinyerp_etl_spark.functions.localdf import local_df
 
 # --------------------------------------------------------------------------
 # aggregations
@@ -1502,8 +1503,8 @@ def approx_quantile_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("label", "approx_q"),
         "n_rows",
     )
-    spec = spark.createDataFrame(
-        [(label, p) for label, p in P10K.items()], "label string, p10k int"
+    spec = local_df(
+        spark, [(label, p) for label, p in P10K.items()], "label string, p10k int"
     )
     probes = appx.join(F.broadcast(spec), "label").select(
         "label",

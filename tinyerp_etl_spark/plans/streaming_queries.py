@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from tinyerp_etl_spark.operators.multimodal import pack_media
 from tinyerp_etl_spark.sources.catalog import load_table
 from tinyerp_etl_spark.streaming.stream_pipeline import tumbling_counts
+from tinyerp_etl_spark.functions.localdf import local_df
 
 
 def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -688,7 +689,8 @@ def attribution_lambda_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the stream result is collected (pair-scale by the horizon
         # bound); nothing lazy reads the scratch sink after this
         shutil.rmtree(scratch, ignore_errors=True)
-    streamed = spark.createDataFrame(
+    streamed = local_df(
+        spark,
         streamed_rows,
         "user_id long, view_id long, purchase_id long, latency_us long",
     )
