@@ -106,3 +106,68 @@ def test_bloom_update_refuses_mismatched_hash_family(spark, tmp_path):
     with pytest.raises(ValueError, match="different m/k"):
         update_bloom_bitmap(spark, path, _keys(spark, ["c"]), k=3)
     assert _as_map(load_bloom_bitmap(spark, path)) == before
+
+
+def test_stream_fold_retries_on_concurrent_write(spark, tmp_path, monkeypatch):
+    """A concurrent writer advancing the bitmap between a fold's read
+    and commit must trigger a RECOMPUTE-and-retry (bit_or idempotence
+    makes the refold exact), not fail the stream — the same OCC loop
+    the BM25 stream fold carries."""
+    import shutil
+
+    from tinyerp_etl_spark.etl.table_store import ConcurrentWriteError
+    from tinyerp_etl_spark.operators import bloom_index as BI
+
+    names = [f"occ{i}" for i in range(20)]
+    src = str(tmp_path / "src")
+    os.makedirs(src, exist_ok=True)
+    _keys(spark, names).coalesce(1).write.parquet(src + "/p0")
+    for f in os.listdir(f"{src}/p0"):
+        if f.endswith(".parquet"):
+            shutil.copy(f"{src}/p0/{f}", f"{src}/batch0.parquet")
+    shutil.rmtree(f"{src}/p0")
+
+    real = BI.update_bloom_bitmap
+    calls = {"n": 0}
+
+    def racy(*args, **kwargs):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise ConcurrentWriteError("simulated concurrent fold")
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(BI, "update_bloom_bitmap", racy)
+    path = str(tmp_path / "bloom_occ")
+    stream = spark.readStream.schema("key string").parquet(src)
+    BI.run_stream_to_bloom_bitmap(spark, stream, path, str(tmp_path / "ckpt"))
+    assert calls["n"] == 2  # first attempt raced, retry landed
+    want = bloom_build(_keys(spark, names), "key")
+    assert _as_map(load_bloom_bitmap(spark, path)) == _as_map(want)
+
+
+def test_stream_fold_exhausted_retries_surface(spark, tmp_path, monkeypatch):
+    import shutil
+
+    import pytest
+
+    from tinyerp_etl_spark.etl.table_store import ConcurrentWriteError
+    from tinyerp_etl_spark.operators import bloom_index as BI
+
+    src = str(tmp_path / "src2")
+    os.makedirs(src, exist_ok=True)
+    _keys(spark, ["x", "y"]).coalesce(1).write.parquet(src + "/p0")
+    for f in os.listdir(f"{src}/p0"):
+        if f.endswith(".parquet"):
+            shutil.copy(f"{src}/p0/{f}", f"{src}/b.parquet")
+    shutil.rmtree(f"{src}/p0")
+
+    def always_racy(*args, **kwargs):
+        raise ConcurrentWriteError("always racing")
+
+    monkeypatch.setattr(BI, "update_bloom_bitmap", always_racy)
+    stream = spark.readStream.schema("key string").parquet(src)
+    with pytest.raises(Exception, match="always racing"):
+        BI.run_stream_to_bloom_bitmap(
+            spark, stream, str(tmp_path / "bloom_x"), str(tmp_path / "ckpt2"),
+            occ_retries=1,
+        )

@@ -3,6 +3,8 @@ fingerprint invalidation, and the self-healing load-or-train path."""
 
 from __future__ import annotations
 
+import os
+
 from tinyerp_etl_spark.operators.ivf_index import (
     corpus_fingerprint,
     load_ivf_index,
@@ -163,3 +165,72 @@ def test_narrow_assign_tie_breaks_to_lower_id(spark):
         .collect()
     }
     assert got == {(1, 3), (2, 5)}
+
+
+def test_verify_false_wins_over_passed_fingerprint(spark, tmp_path):
+    """verify=False is the documented trust-the-artifact mode: a
+    caller that ALSO passes a (mismatching) fingerprint must still
+    load the persisted index, not silently re-enable verification
+    and retrain."""
+    from tinyerp_etl_spark.operators.ivf_index import embedding_content
+
+    emb = _corpus(spark)
+    cents = train_kmeans(emb, k=4, iters=2)
+    fp = corpus_fingerprint(emb, content=embedding_content())
+    path = str(tmp_path / "idx")
+    save_ivf_index(spark, path, cents, fp, k=4, iters=2)
+
+    wrong_fp = (fp[0] + 1, fp[1] + 1)
+    got = load_or_train_ivf_index(
+        spark, emb, path, k=4, iters=2, verify=False, fingerprint=wrong_fp
+    )
+    assert got == sorted(cents, key=lambda c: c[0])
+    # and verify=True with the same wrong fingerprint DOES retrain
+    # (persisting under the wrong_fp caller-supplied fingerprint)
+    got2 = load_or_train_ivf_index(
+        spark, emb, path, k=4, iters=2, verify=True, fingerprint=wrong_fp
+    )
+    assert got2 == sorted(cents, key=lambda c: c[0])  # same corpus, same train
+    assert (
+        load_ivf_index(
+            spark, path, expect_params=(4, 2, 4096), expect_fingerprint=wrong_fp
+        )
+        is not None
+    )
+
+
+def test_gc_artifact_dirs_removes_only_dead_tags(tmp_path):
+    from tinyerp_etl_spark.plans.llm_ops import gc_artifact_dirs
+
+    kind = tmp_path / "ivf_index"
+    for tag in ("sf0.1-aaaa1111", "sf0.1-bbbb2222", "docs-cccc3333"):
+        (kind / tag).mkdir(parents=True)
+        (kind / tag / "marker").write_text("x")
+    removed = gc_artifact_dirs(str(kind), {"sf0.1-bbbb2222", "docs-cccc3333"})
+    assert removed == ["sf0.1-aaaa1111"]
+    assert sorted(os.listdir(kind)) == ["docs-cccc3333", "sf0.1-bbbb2222"]
+    # idempotent and safe on a missing root
+    assert gc_artifact_dirs(str(kind), {"sf0.1-bbbb2222", "docs-cccc3333"}) == []
+    assert gc_artifact_dirs(str(tmp_path / "nope"), set()) == []
+
+
+def test_roundtrip_gate_reports_diagnostic_on_load_failure(
+    spark, sf_dir, monkeypatch
+):
+    """When the committed artifact cannot be loaded, the gate query
+    must emit the in-process centroid rows with persisted_match=false
+    — the intended diagnostic — not an empty frame whose only signal
+    is a row-count mismatch."""
+    from tinyerp_etl_spark.operators import ivf_index as IX
+    from tinyerp_etl_spark.plans.llm_ops import ivf_index_roundtrip
+
+    baseline = ivf_index_roundtrip(spark, sf_dir).collect()
+    assert baseline and all(r["persisted_match"] for r in baseline)
+
+    monkeypatch.setattr(IX, "load_ivf_index", lambda *a, **kw: None)
+    broken = ivf_index_roundtrip(spark, sf_dir).collect()
+    assert len(broken) == len(baseline)
+    assert all(not r["persisted_match"] for r in broken)
+    assert [(r["centroid_id"], r["dim"], r["tick"]) for r in broken] == [
+        (r["centroid_id"], r["dim"], r["tick"]) for r in baseline
+    ]

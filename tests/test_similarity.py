@@ -274,3 +274,47 @@ def test_nprobe_recall_curve_is_monotone_and_exhaustive_at_full_depth(
     assert recalls == sorted(recalls)
     assert max(_NPROBE_LEVELS) == KMEANS_K
     assert rows[-1][1] == 10000
+
+
+def test_probe_lists_rejects_zero_query_vector():
+    from tinyerp_etl_spark.operators.similarity import probe_lists
+
+    cents = [(1, [1, 0]), (2, [0, 1])]
+    with pytest.raises(ValueError, match="zero query vector"):
+        probe_lists(cents, [0, 0], nprobe=1)
+
+
+def test_probe_lists_rejects_zero_tick_centroid():
+    from tinyerp_etl_spark.operators.similarity import probe_lists
+
+    with pytest.raises(ValueError, match="zero-tick centroid"):
+        probe_lists([(1, [0, 0]), (2, [0, 1])], [1, 1], nprobe=1)
+
+
+def test_ivf_assign_expr_rejects_zero_centroid_at_build(spark):
+    from tinyerp_etl_spark.operators.similarity import ivf_assign_expr
+    from pyspark.sql import functions as F
+
+    with pytest.raises(ValueError, match="zero ticks"):
+        ivf_assign_expr(F.col("embedding"), [(1, [0, 0]), (2, [0, 1])])
+
+
+def test_zero_norm_vector_fails_loudly_on_both_assignment_paths(spark):
+    """A zero embedding must raise on BOTH the aggregate and the
+    narrow assignment path — previously the columnar paths NaN-scored
+    it (arbitrary list) while the driver path raised
+    ZeroDivisionError, so the two faces could silently diverge."""
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from tinyerp_etl_spark.operators.similarity import (
+        ivf_assign,
+        ivf_assign_narrow,
+    )
+
+    rows = [(0, [1.0, 2.0]), (1, [0.0, 0.0])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = [(1, [1000000, 0]), (2, [0, 1000000])]
+    with pytest.raises(SparkRuntimeException, match="zero-norm"):
+        ivf_assign_narrow(emb, centroids=cents).collect()
+    with pytest.raises(SparkRuntimeException, match="zero-norm"):
+        ivf_assign(emb, centroids=cents).collect()

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import IntegerType, LongType, StructField, StructType
 
 from tinyerp_etl_spark.etl.table_store import TableStore
+from tinyerp_etl_spark.functions.localdf import local_df
 from tinyerp_etl_spark.operators.sketch import (
     BLOOM_K,
     BLOOM_M_BITS,
@@ -95,7 +96,8 @@ def load_bloom_bitmap(
         return None
     if any((r["m_bits"], r["k_hashes"]) != (m_bits, k) for r in rows):
         return None
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         [(r["word_idx"], r["mask"]) for r in rows],
         "word_idx long, mask long",
     )
@@ -146,7 +148,8 @@ def update_bloom_bitmap(
             k=k,
             expected_version=read_version or 0,
         )
-    stored = spark.createDataFrame(
+    stored = local_df(
+        spark,
         [(r["word_idx"], r["mask"]) for r in rows],
         "word_idx long, mask long",
     )
@@ -180,6 +183,7 @@ def run_stream_to_bloom_bitmap(
     key_col: str = "key",
     m_bits: int = BLOOM_M_BITS,
     k: int = BLOOM_K,
+    occ_retries: int = 3,
 ) -> None:
     """Fold a stream of reference keys into the persisted bitmap —
     decontamination-set maintenance at ingest.
@@ -188,14 +192,28 @@ def run_stream_to_bloom_bitmap(
     idempotence absorbs at-least-once redelivery (a fully-replayed
     batch is a version-preserving no-op), so the sink needs no
     transactional bookkeeping beyond the store's own versioning.
-    availableNow drains the backlog and stops (the test/backfill
-    trigger; a production stream would run continuous).
+    Folds retry under optimistic concurrency like the BM25 sibling
+    (run_stream_to_bm25_index): a concurrent writer advancing the
+    bitmap between this fold's read and commit raises
+    ConcurrentWriteError inside update_bloom_bitmap, and the fold is
+    recomputed against the new version — safe, because bit_or is
+    idempotent and commutative, so re-folding the batch over the
+    winner's bitmap is exactly the merged result. availableNow drains
+    the backlog and stops (the test/backfill trigger; a production
+    stream would run continuous).
     """
+    from tinyerp_etl_spark.etl.table_store import ConcurrentWriteError
 
     def fold(batch_df: DataFrame, _batch_id: int) -> None:
-        update_bloom_bitmap(
-            spark, path, batch_df, key_col=key_col, m_bits=m_bits, k=k
-        )
+        for attempt in range(occ_retries + 1):
+            try:
+                update_bloom_bitmap(
+                    spark, path, batch_df, key_col=key_col, m_bits=m_bits, k=k
+                )
+                return
+            except ConcurrentWriteError:
+                if attempt == occ_retries:
+                    raise
 
     (
         keys_stream.writeStream.foreachBatch(fold)

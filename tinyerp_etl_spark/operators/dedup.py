@@ -534,6 +534,9 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bit
 
 
 CONTAM_K = 8  # word-8-gram overlap unit for decontamination
+DECONTAM_N = 13  # word-13-gram unit for eval-set decontamination (the
+# standard: GPT-3's appendix C methodology filters training docs
+# sharing any 13-gram with an eval benchmark)
 
 
 def word_ngrams(col, k: int) -> F.Column:
@@ -582,6 +585,48 @@ def word_ngram_rows(
         [T.StructField(id_col, T.LongType()), T.StructField("gram", T.StringType())]
     )
     return docs.select(F.col(id_col).cast("long"), text_col).mapInPandas(gen, schema)
+
+
+def ngram_decontaminate(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = DECONTAM_N,
+) -> DataFrame:
+    """13-gram eval-set decontamination as a hash-bucketed JOIN —
+    the regime ``contamination_hits`` cannot serve.
+
+    contamination_hits broadcasts the eval gram set to the workers —
+    unbeatable when the benchmark fits driver memory, impossible when
+    the reference side is itself large (a whole eval SUITE, another
+    training corpus, a compliance blocklist). Here BOTH sides shingle
+    to distinct (doc, gram) rows and meet in an equi-join on the gram
+    key: Spark hash-partitions each side by the key, so every gram
+    pair co-locates in exactly one shuffle bucket — never an
+    all-pairs comparison, shuffle ∝ distinct grams, output ∝
+    contaminated docs. At true scale the shuffle narrows further by
+    joining on xxhash64(gram) with an in-bucket gram-equality verify;
+    at gate scale the plain key join keeps the oracle exact and the
+    plan shape identical.
+
+    Output: one row per contaminated corpus doc —
+    (doc_id, n_hit_grams   distinct leaked n-grams,
+             n_eval_docs   distinct benchmark docs implicated).
+    Docs shorter than ``n`` tokens produce no grams and cannot flag.
+    """
+    cg = word_ngram_rows(corpus, text_col, id_col, n)
+    eg = word_ngram_rows(eval_set, text_col, id_col, n).select(
+        F.col(id_col).alias("__eval_doc"), "gram"
+    )
+    return (
+        cg.join(eg, "gram")
+        .groupBy(id_col)
+        .agg(
+            F.count_distinct("gram").alias("n_hit_grams"),
+            F.count_distinct("__eval_doc").alias("n_eval_docs"),
+        )
+    )
 
 
 def contamination_hits(
@@ -827,6 +872,7 @@ def update_paragraph_index(
     text_col: str = "text",
     id_col: str = "doc_id",
     check_order: bool = True,
+    batch_firsts: DataFrame | None = None,
 ) -> DataFrame:
     """Fold a new batch into the stored first-occurrence paragraph
     index: (para, first_doc, first_pos) rows, one per distinct
@@ -850,8 +896,14 @@ def update_paragraph_index(
     ordering. Work ∝ batch + one equi-join against the index
     (shuffle-free on the store side when the store is bucketed by
     para).
+
+    ``batch_firsts`` optionally supplies a precomputed (ideally
+    materialized) ``build_paragraph_index(batch)`` so a caller that
+    also probes it (the persisted fold's no-op check) tokenizes the
+    batch ONCE instead of once per consumer of this lineage.
     """
-    batch_firsts = build_paragraph_index(batch, text_col, id_col)
+    if batch_firsts is None:
+        batch_firsts = build_paragraph_index(batch, text_col, id_col)
     if check_order:
         n_viol = (
             batch_firsts.select(

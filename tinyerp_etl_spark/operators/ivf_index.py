@@ -39,6 +39,7 @@ from pyspark.sql.types import (
 )
 
 from tinyerp_etl_spark.etl.table_store import TableStore
+from tinyerp_etl_spark.functions.localdf import local_df
 from tinyerp_etl_spark.operators.similarity import (
     KMEANS_ITERS,
     KMEANS_K,
@@ -139,7 +140,7 @@ def save_ivf_index(
         for cid, ticks in centroids
     ]
     store = index_store(spark, path)
-    return store.commit(spark.createDataFrame(rows, IVF_INDEX_SCHEMA), n_files=1)
+    return store.commit(local_df(spark, rows, IVF_INDEX_SCHEMA), n_files=1)
 
 
 def load_ivf_index(
@@ -200,11 +201,19 @@ def load_or_train_ivf_index(
     not just the id set — re-embedding the corpus in place retrains.
     A caller that already computed it (e.g. to derive the artifact
     directory name) passes ``fingerprint`` to skip the second scan.
+
+    Precedence: ``verify=False`` WINS over a passed ``fingerprint``
+    for load-time validation (the artifact version is trusted, as
+    documented) — the fingerprint then only spares the save-path
+    rescan if training runs. Previously a passed fingerprint silently
+    re-enabled verification, defeating the trust-the-artifact mode.
     """
-    if fingerprint is not None:
-        fp: tuple[int, int] | None = fingerprint
-    elif verify:
-        fp = corpus_fingerprint(embeddings, id_col, embedding_content(vec_col))
+    if verify:
+        fp: tuple[int, int] | None = (
+            fingerprint
+            if fingerprint is not None
+            else corpus_fingerprint(embeddings, id_col, embedding_content(vec_col))
+        )
     else:
         fp = None
     cents = load_ivf_index(
@@ -215,7 +224,10 @@ def load_or_train_ivf_index(
     cents = train_kmeans(
         embeddings, k, iters, id_col=id_col, vec_col=vec_col, sample_cap=sample_cap
     )
-    if fp is None:
-        fp = corpus_fingerprint(embeddings, id_col, embedding_content(vec_col))
-    save_ivf_index(spark, path, cents, fp, k=k, iters=iters, sample_cap=sample_cap)
+    save_fp = fingerprint if fingerprint is not None else fp
+    if save_fp is None:
+        save_fp = corpus_fingerprint(embeddings, id_col, embedding_content(vec_col))
+    save_ivf_index(
+        spark, path, cents, save_fp, k=k, iters=iters, sample_cap=sample_cap
+    )
     return cents

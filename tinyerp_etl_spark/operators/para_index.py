@@ -88,7 +88,15 @@ def fold_batch_into_paragraph_index(
     probe is a limit(1) count on the batch-vs-store anti-join —
     O(batch + one column-pruned join), never a count of the
     data-scale store.
+
+    The batch tokenizes ONCE: its first-occurrence frame is
+    materialized (functions/materialize seam) and shared by the
+    order-violation probe, the no-op probe, and the committed merge —
+    previously each of those three consumers re-ran the
+    tokenize+explode+groupBy lineage per micro-batch.
     """
+    from tinyerp_etl_spark.functions.materialize import materialize
+
     store = para_store(spark, path)
     read_version = store.current_version()
     if read_version is None:
@@ -101,9 +109,12 @@ def fold_batch_into_paragraph_index(
             expected_version=0,
         )
     stored = store.read_version(read_version)
-    merged = update_paragraph_index(stored, batch, text_col, id_col)
+    batch_firsts = materialize(build_paragraph_index(batch, text_col, id_col))
+    merged = update_paragraph_index(
+        stored, batch, text_col, id_col, batch_firsts=batch_firsts
+    )
     any_fresh = (
-        build_paragraph_index(batch, text_col, id_col)
+        batch_firsts
         .join(stored.select("para"), "para", "left_anti")
         .limit(1)
         .count()

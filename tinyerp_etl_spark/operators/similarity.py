@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+from tinyerp_etl_spark.functions.localdf import local_df
 
 QUANT = 1_000_000  # 1e-6 quantization ticks
 SIGN_BUCKET_DIMS = 8  # leading dims used for the LSH sign bucket
@@ -228,16 +229,28 @@ def _assign_ticks(base: DataFrame, cents: list[tuple[int, list[int]]]) -> DataFr
     table). Adds ``list_id``; drops the internal score.
     """
     spark = base.sparkSession
-    cdf = spark.createDataFrame(
+    cdf = local_df(
+        spark,
         [(int(c), [int(x) for x in t]) for c, t in cents],
         "centroid_id int, __ct array<long>",
     ).withColumn("__cn2", _ticks_norm2(F.col("__ct")))
+    # zero norms fail LOUDLY (and identically to probe_lists /
+    # ivf_assign_expr): a silent NaN score would let max_by pick an
+    # arbitrary list for a zero vector on one path and a different
+    # one on another
     scored = base.crossJoin(F.broadcast(cdf)).withColumn(
         "__cscore",
-        (
+        F.when(
+            (F.col("__n2") > 0) & (F.col("__cn2") > 0),
             _ticks_dot(F.col("__vt"), F.col("__ct"))
-            / F.sqrt(F.col("__n2").cast("double") * F.col("__cn2").cast("double"))
-        ).cast("double"),
+            / F.sqrt(F.col("__n2").cast("double") * F.col("__cn2").cast("double")),
+        )
+        .otherwise(
+            F.raise_error(
+                F.lit("ivf assignment: zero-norm vector or centroid has no cosine direction")
+            ).cast("double")
+        )
+        .cast("double"),
     )
     carry = [c for c in base.columns if c not in ("__vt", "__n2")]
     # max_by tie-break: higher score wins, then lower centroid_id —
@@ -285,10 +298,17 @@ def probe_lists(
     import math
 
     qn2 = sum(t * t for t in query_ticks)
+    if qn2 == 0:
+        # fail loudly and identically to the columnar twins
+        # (_assign_ticks / ivf_assign_expr raise on zero norms too):
+        # a silent NaN/NULL score would mis-rank the probe set
+        raise ValueError("probe_lists: zero query vector has no cosine direction")
 
     def cos(ticks: list[int]) -> float:
         dot = sum(a * b for a, b in zip(ticks, query_ticks))
         n2 = sum(t * t for t in ticks)
+        if n2 == 0:
+            raise ValueError("probe_lists: zero-tick centroid cannot be ranked")
         return dot / math.sqrt(float(n2) * float(qn2))
 
     ranked = sorted(centroids, key=lambda c: (-cos(c[1]), c[0]))
@@ -396,7 +416,8 @@ def kmeans_centroids(
     counts = _assign_ticks(base, cents).groupBy("list_id").agg(
         F.count(F.lit(1)).alias("n_members")
     )
-    cdf = spark.createDataFrame(
+    cdf = local_df(
+        spark,
         [(int(c), [int(x) for x in t]) for c, t in cents],
         "centroid_id int, centroid_ticks array<long>",
     )
@@ -466,11 +487,24 @@ def ivf_assign_expr(
     cents = sorted(((int(c), [int(x) for x in t]) for c, t in centroids))
     vt = _q(vec_col)
     n2 = _ticks_norm2(vt).cast("double")
+    # zero norms fail LOUDLY, matching _assign_ticks / probe_lists: a
+    # zero centroid is a broken index artifact (raise at build time);
+    # a zero row vector raises per-row instead of NaN-scoring
     candidates = []
     for cid, ticks in cents:
         ct = F.array(*[F.lit(t).cast("long") for t in ticks])
         cn2 = float(sum(t * t for t in ticks))
-        score = (_ticks_dot(vt, ct) / F.sqrt(n2 * F.lit(cn2))).cast("double")
+        if cn2 == 0:
+            raise ValueError(
+                f"ivf_assign_expr: centroid {cid} has zero ticks — broken index"
+            )
+        score = F.when(
+            n2 > 0, (_ticks_dot(vt, ct) / F.sqrt(n2 * F.lit(cn2)))
+        ).otherwise(
+            F.raise_error(
+                F.lit("ivf assignment: zero-norm vector has no cosine direction")
+            ).cast("double")
+        ).cast("double")
         candidates.append(
             F.struct(
                 score.alias("s"),

@@ -24,6 +24,7 @@ from tinyerp_etl_spark.operators import similarity as S
 from tinyerp_etl_spark.operators import sketch as SK
 from tinyerp_etl_spark.operators import text as X
 from tinyerp_etl_spark.sources.catalog import load_table
+from tinyerp_etl_spark.functions.localdf import local_df
 
 # ---- persisted IVF index plumbing (operators/ivf_index.py) ---------------
 # Process-level cache of the loaded index per corpus dir: the gate
@@ -94,7 +95,17 @@ def _corpus_tag(sf_dir: str, fingerprint: tuple[int, int]) -> str:
     absolute path (CI, another machine) resolves the same committed
     artifact instead of silently retraining into a new directory,
     while two corpora that share a final path component (/a/sf0.1 and
-    /b/sf0.1) still cannot collide — their fingerprints differ."""
+    /b/sf0.1) still cannot collide — their fingerprints differ.
+
+    Content-addressed dirs are APPEND-ONLY BY DESIGN: a corpus
+    rebuild trains into a new fingerprint-tagged directory and the
+    old one stays resolvable for any reader still pinned to the old
+    corpus (the content-address IS the version; TableStore versioning
+    still applies within a tag for same-content retrains). Long-lived
+    roots therefore accumulate dead tags; reclaim them explicitly
+    with ``gc_artifact_dirs`` — never automatically, because two
+    corpora sharing a basename are distinct live tags, so no writer
+    can know which sibling tags are dead."""
     import hashlib
 
     base = os.path.basename(os.path.abspath(sf_dir)) or "corpus"
@@ -102,6 +113,30 @@ def _corpus_tag(sf_dir: str, fingerprint: tuple[int, int]) -> str:
         f"{fingerprint[0]}|{fingerprint[1]}".encode()
     ).hexdigest()[:8]
     return f"{base}-{fph}"
+
+
+def gc_artifact_dirs(kind_dir: str, live_tags: set[str]) -> list[str]:
+    """Reclaim dead content-addressed artifact directories.
+
+    ``kind_dir`` is one artifact family root (e.g.
+    ``<artifacts>/ivf_index``); ``live_tags`` is the set of
+    _corpus_tag names still referenced (the caller derives them from
+    the corpora it serves). Every OTHER immediate subdirectory is
+    removed and returned. Explicit-invocation only — see _corpus_tag:
+    the store cannot distinguish a dead rebuild from a different live
+    corpus that shares the basename, so liveness must come from the
+    owner of the corpus list."""
+    import shutil
+
+    removed = []
+    if not os.path.isdir(kind_dir):
+        return removed
+    for name in sorted(os.listdir(kind_dir)):
+        sub = os.path.join(kind_dir, name)
+        if os.path.isdir(sub) and name not in live_tags:
+            shutil.rmtree(sub)
+            removed.append(name)
+    return removed
 
 # ---------------------------------------------------------------- text
 
@@ -253,7 +288,7 @@ def bm25i_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         # rows are collected (k-scale); nothing lazy reads the scratch
         shutil.rmtree(scratch, ignore_errors=True)
-    return spark.createDataFrame(rows, "doc_id long, score long").orderBy(
+    return local_df(spark, rows, "doc_id long, score long").orderBy(
         F.col("score").desc(), F.col("doc_id").asc()
     )
 
@@ -319,8 +354,8 @@ def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         for doc in set(t) | set(v)
     ]
     return (
-        spark.createDataFrame(
-            fused, "doc_id long, rrf long, r_text long, r_vec long"
+        local_df(
+            spark, fused, "doc_id long, rrf long, r_text long, r_vec long"
         )
         .orderBy(F.col("rrf").desc(), F.col("doc_id").asc())
         .limit(10)
@@ -459,6 +494,31 @@ def decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return D.contamination_hits(corpus, bench).orderBy("doc_id")
+
+
+def ngram_decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standard 13-gram eval-set decontamination, join-shaped.
+
+    Eval set = every 17th doc; corpus = the rest ∪ staged leaks (the
+    eval texts with a tail suffix, ids +400000 — near-verbatim leaks
+    a whole-document fingerprint check misses but any shared 13-gram
+    catches). Unlike decontaminate_docs (8-gram, broadcast-set probe),
+    this runs operators/dedup.ngram_decontaminate: both sides shingle
+    and meet in a hash-partitioned equi-join on the gram key — the
+    shape that still works when the reference side is too large to
+    broadcast. Output: (doc_id, n_hit_grams, n_eval_docs) per
+    contaminated corpus doc."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    eval_set = docs.filter(F.col("doc_id") % 17 == 0)
+    corpus = docs.filter(F.col("doc_id") % 17 != 0).unionByName(
+        eval_set.select(
+            (F.col("doc_id") + 400000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" leaked benchmark tail")).alias(
+                "text"
+            ),
+        )
+    )
+    return D.ngram_decontaminate(corpus, eval_set).orderBy("doc_id")
 
 
 # ---------------------------------------------------------------- dedup
@@ -634,7 +694,7 @@ def ivf_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         # top-k is collected; nothing lazy reads the scratch store
         shutil.rmtree(scratch, ignore_errors=True)
-    return spark.createDataFrame(rows, "vec_id long, score double").orderBy(
+    return local_df(spark, rows, "vec_id long, score double").orderBy(
         F.col("score").desc(), F.col("vec_id").asc()
     )
 
@@ -710,13 +770,19 @@ def ivf_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         expect_params=(S.KMEANS_K, S.KMEANS_ITERS, S.TRAIN_SAMPLE_CAP),
         expect_fingerprint=fp,
     )
-    match = loaded == sorted(cents, key=lambda c: c[0])
+    in_process = sorted(cents, key=lambda c: c[0])
+    match = loaded == in_process
+    # load failure (None) emits the IN-PROCESS rows with
+    # persisted_match=false: the gate then reports the intended
+    # diagnostic (a full set of false rows) instead of a bare
+    # row-count mismatch that hides which failure happened
     rows = [
         (int(cid), int(dim), int(t), bool(match))
-        for cid, ticks in (loaded or [])
+        for cid, ticks in (loaded if loaded is not None else in_process)
         for dim, t in enumerate(ticks)
     ]
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         rows,
         "centroid_id int, dim int, tick long, persisted_match boolean",
     ).orderBy("centroid_id", "dim")
@@ -2805,6 +2871,43 @@ LLM_ORACLES["bloom_decontaminate_docs"] = f"""
 LLM_QUERIES["bloom_decontaminate_docs"] = bloom_decontaminate_docs
 
 
+_NGRAM_DECONTAM_GRAMS = """unnest(list_distinct(
+    CASE WHEN len(toks) >= 13
+         THEN list_transform(range(1, len(toks) - 11),
+              i -> array_to_string(toks[i:i+12], ' '))
+         ELSE [] END)) AS gram"""
+
+LLM_ORACLES["ngram_decontaminate_docs"] = f"""
+    WITH eval_t AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents WHERE doc_id % 17 = 0
+    ),
+    corpus_raw AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 17 <> 0
+      UNION ALL
+      SELECT doc_id + 400000, text || ' leaked benchmark tail'
+      FROM documents WHERE doc_id % 17 = 0
+    ),
+    corpus_t AS (
+      SELECT doc_id, {_TOKS} AS toks FROM corpus_raw
+    ),
+    eg AS (
+      SELECT doc_id AS eval_doc, {_NGRAM_DECONTAM_GRAMS}
+      FROM eval_t
+    ),
+    cg AS (
+      SELECT doc_id, {_NGRAM_DECONTAM_GRAMS}
+      FROM corpus_t
+    )
+    SELECT cg.doc_id,
+           CAST(count(DISTINCT cg.gram) AS BIGINT) AS n_hit_grams,
+           CAST(count(DISTINCT eg.eval_doc) AS BIGINT) AS n_eval_docs
+    FROM cg JOIN eg USING (gram)
+    GROUP BY cg.doc_id
+    ORDER BY doc_id
+"""
+LLM_QUERIES["ngram_decontaminate_docs"] = ngram_decontaminate_docs
+
+
 # ------------------------------- round-7 addition: BPE merge training
 
 
@@ -2821,7 +2924,8 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     just plausible.
     """
     merges = _bpe_merges_for(spark, sf_dir)
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         merges,
         "merge_idx int, left_sym string, right_sym string,"
         " merged string, pair_count bigint",
@@ -3240,7 +3344,7 @@ def ivf_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             cents, S.quantize_vector(r["embedding"]), S.IVF_NPROBE
         )
     ]
-    probes = spark.createDataFrame(probe_pairs, "qid long, list_id int")
+    probes = local_df(spark, probe_pairs, "qid long, list_id int")
     itop = _topk_per_qid(
         _tick_scored(
             abase.join(F.broadcast(probes), "list_id")
@@ -3440,8 +3544,8 @@ def ivf_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         for qid, lids in ranked_lists.items()
         for lid in lids[:np_]
     ]
-    probes = spark.createDataFrame(
-        probe_pairs, "nprobe int, qid long, list_id int"
+    probes = local_df(
+        spark, probe_pairs, "nprobe int, qid long, list_id int"
     )
     from pyspark.sql.window import Window
 
@@ -3463,8 +3567,8 @@ def ivf_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("nprobe")
         .agg(F.count(F.lit(1)).alias("n_hit"))
     )
-    levels = spark.createDataFrame(
-        [(n,) for n in _NPROBE_LEVELS], "nprobe int"
+    levels = local_df(
+        spark, [(n,) for n in _NPROBE_LEVELS], "nprobe int"
     )
     total = _RECALL_Q * _RECALL_K
     return (
@@ -3584,8 +3688,8 @@ def neardup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     staged = _docs_with_tiered_neardups(spark, sf_dir)
     cands = D.lsh_candidate_pairs(staged).select("doc_a", "doc_b")
     joined = D.jaccard_counts(staged, cands)
-    levels = spark.createDataFrame(
-        [(t,) for t in _NEARDUP_T_P10K], "t_p10k int"
+    levels = local_df(
+        spark, [(t,) for t in _NEARDUP_T_P10K], "t_p10k int"
     )
     counts = (
         joined.crossJoin(F.broadcast(levels))
