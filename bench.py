@@ -98,7 +98,12 @@ HEADLINE_R7 = [
     "bpe_train_merges",
     "bpe_segment_stats",
 ]
-HEADLINE = HEADLINE + HEADLINE_R4 + HEADLINE_R5 + HEADLINE_R7
+# Added round 9: the 13-gram decontamination join (the at-scale twin
+# of decontaminate_docs' broadcast-set probe, already benched above).
+HEADLINE_R9 = [
+    "ngram_decontaminate_docs",
+]
+HEADLINE = HEADLINE + HEADLINE_R4 + HEADLINE_R5 + HEADLINE_R7 + HEADLINE_R9
 
 
 def _calibrate_host(spark) -> dict[str, float]:
@@ -164,12 +169,21 @@ def main() -> None:
     comparable = sum(
         v
         for k, v in timings.items()
-        if k not in HEADLINE_R4 and k not in HEADLINE_R5 and k not in HEADLINE_R7
+        if k not in HEADLINE_R4
+        and k not in HEADLINE_R5
+        and k not in HEADLINE_R7
+        and k not in HEADLINE_R9
     )
-    # the set benched in rounds 5-6: total minus this round's additions,
-    # so r6 -> r7 compares directly without re-deriving the exclusion
+    # the set benched in rounds 5-6: total minus later additions,
+    # so r6 -> r7+ compares directly without re-deriving the exclusion
     comparable_r6 = sum(
-        v for k, v in timings.items() if k not in HEADLINE_R7
+        v
+        for k, v in timings.items()
+        if k not in HEADLINE_R7 and k not in HEADLINE_R9
+    )
+    # the set benched in rounds 7-8 (the r8 verdict's common-52)
+    comparable_r8 = sum(
+        v for k, v in timings.items() if k not in HEADLINE_R9
     )
 
     print(
@@ -182,6 +196,7 @@ def main() -> None:
                 "sf": sf,
                 "comparable_r3_total": round(comparable, 4),
                 "comparable_r6_total": round(comparable_r6, 4),
+                "comparable_r8_total": round(comparable_r8, 4),
                 "host_calibration": _calibrate_host(spark),
                 "host_calibration_start": cal_start,
             }

@@ -223,12 +223,17 @@ _RELATIONAL_NAMES = [
 #       heavy_hitter_tokens, boilerplate_ngram_stats,
 #       collocations_top_pmi, copurchase_pagerank_3iter,
 #       train_val_test_split_docs, c4_quality_filter_stats,
-#   (b) 30 of the 48 r4-stale rows, prioritizing the LLM-pipeline /
+#   (0b) ngram_decontaminate_docs, NEW in round 9 (13-gram eval-set
+#       decontamination as a hash-bucketed join) — enters at birth
+#       per the r4 principle, displacing q14_promo_revenue (r4-green
+#       on untouched code; its promo-ratio shape is covered by the
+#       in-gate promo_revenue_ratio row),
+#   (b) 29 of the 48 r4-stale rows, prioritizing the LLM-pipeline /
 #       persisted-artifact / round-trip operators whose shapes no
 #       fresher gate row covers (dedup+LSH family, curation manifests,
 #       multimodal, sketch rollups, z-order/bucketed/XML round-trips,
-#       skew profile, OLS, ML scorer, TPC-H completions Q2/Q14/Q17/
-#       Q22, hierarchy closure).
+#       skew profile, OLS, ML scorer, TPC-H completions Q2/Q17/Q22,
+#       hierarchy closure).
 # Deferred to round 10 (the ONLY rows whose newest green will then
 # predate r6 — all r4-green on code untouched since, every shape
 # represented by a fresher or in-gate row): agg_cube,
@@ -239,14 +244,16 @@ _RELATIONAL_NAMES = [
 # q18_large_volume_customers, q19_discount_revenue,
 # scalar_subquery_rich_idle_customers, setops_customer_nations,
 # topk_expensive_orders, window_latest_order_per_customer,
-# window_moving_avg_daily_revenue.
+# window_moving_avg_daily_revenue, plus q14_promo_revenue (displaced
+# by the round-9 newcomer).
 # After round 9's gate runs green, every query's newest driver row is
 # r4+ with zero never-gated rows — the r3 rotation debt retires
 # completely for the first time.
 _ROUND9_FRONT_50 = [
-    # (0) never gated
+    # (0) never gated / new this round
     "ivf_nprobe_recall_curve",
     "neardup_threshold_curve",
+    "ngram_decontaminate_docs",
     # (a) the eighteen r3-stale deferrals
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -295,7 +302,6 @@ _ROUND9_FRONT_50 = [
     "bucketed_join_revenue",
     "hierarchy_closure_part",
     "q2_min_cost_supplier",
-    "q14_promo_revenue",
     "q17_small_quantity_revenue",
     "q22_dormant_customers",
 ]

@@ -41,7 +41,7 @@ def get_spark(app_name: str = "tinyerp-etl-spark") -> SparkSession:
         # UDTFs execute Arrow-batched (ArrowEvalPythonUDTF) instead of
         # row-at-a-time BatchEvalPythonUDTF — with this, NO Python
         # operator in the engine crosses the JVM boundary per-row
-        # (plan-linted across all 167 gate queries)
+        # (plan-linted across all 168 gate queries)
         .config("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
         # Guarded fallback for TIMESTAMP(NANOS) testdata generations
         # (round 1 shipped ns; current files are us). The catalog sniffs
