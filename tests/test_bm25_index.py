@@ -242,6 +242,81 @@ def test_crash_between_commits_then_replay_repairs_stats(spark, tmp_path):
     assert stats2 == stats
 
 
+def test_replay_repair_when_batch_overlaps_precrash_docs(spark, tmp_path):
+    """The at-least-once norm: the crashed batch itself OVERLAPPED
+    docs indexed before the crash, so its anti-joined (folded) slice
+    is a strict subset of its indexed slice on replay. The repair
+    must time-travel to the previous postings version and add ONLY
+    the lost docs' contribution — adding the whole indexed slice
+    would double-count the pre-crash overlap (and the old guess-from-
+    the-batch check would instead reject the legitimate replay,
+    wedging the stream)."""
+    from tinyerp_etl_spark.operators.bm25_index import update_bm25_index
+
+    docs = _docs(spark)
+    base = docs.filter(F.col("doc_id") % 3 != 0)
+    # batch = the new third PLUS a replayed slice of the base
+    batch = docs.filter(
+        (F.col("doc_id") % 3 == 0) | (F.col("doc_id") % 7 == 0)
+    )
+    path = str(tmp_path / "bm25")
+    save_bm25_index(spark, path, base)
+    # the crashed fold committed only the anti-joined NEW slice
+    _crash_fold_postings_only(
+        spark, path, docs.filter(F.col("doc_id") % 3 == 0)
+    )
+
+    v = update_bm25_index(spark, path, batch, on_overlap="skip_existing")
+
+    fp = corpus_fingerprint(docs, "doc_id", "text")
+    loaded = load_bm25_index(spark, path, expect_fingerprint=fp)
+    assert loaded is not None, "repaired fingerprint must equal the union's"
+    postings, stats = loaded
+    full_path = str(tmp_path / "full")
+    save_bm25_index(spark, full_path, docs)
+    fpost, fstats = load_bm25_index(spark, full_path, expect_fingerprint=fp)
+    assert stats == fstats
+    terms = ["spark", "dup", "window"]
+    assert (
+        bm25i_topk_indexed(postings, stats, terms, k=20).collect()
+        == bm25i_topk_indexed(fpost, fstats, terms, k=20).collect()
+    )
+    v2 = update_bm25_index(spark, path, batch, on_overlap="skip_existing")
+    assert v2 == v
+
+
+def test_duplicate_doc_ids_rejected_before_any_commit(spark, tmp_path):
+    """A duplicated doc_id would corrupt tf through the postings
+    groupBy AND desynchronize stats from the postings — which the
+    agreement probe would then report as an unrepairable torn index.
+    Fail at the source, store untouched."""
+    import pytest
+
+    from tinyerp_etl_spark.etl.table_store import TableStore
+    from tinyerp_etl_spark.operators.bm25_index import (
+        BM25_POSTINGS_SCHEMA,
+        update_bm25_index,
+    )
+
+    dup = spark.createDataFrame(
+        [(1, "alpha words"), (1, "beta words"), (2, "gamma")],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "bm25")
+    with pytest.raises(ValueError, match="unique"):
+        save_bm25_index(spark, path, dup)
+    assert not TableStore(
+        spark, f"{path}/postings", BM25_POSTINGS_SCHEMA
+    ).exists()
+
+    save_bm25_index(spark, path, _docs(spark, 5))
+    batch = spark.createDataFrame(
+        [(900, "x y"), (900, "z w")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="unique"):
+        update_bm25_index(spark, path, batch)
+
+
 def test_crash_divergence_raises_in_raise_mode(spark, tmp_path):
     """Batch-job semantics: a torn postings/stats pair must surface
     loudly, never fold on top of corrupted stats."""

@@ -129,6 +129,7 @@ def _stats_and_fp(
     )
     row = docs.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.count_distinct(F.col(id_col)).cast("long").alias("n_ids"),
         F.coalesce(
             F.sum(F.array_size(tokens(text_col)).cast("long")), F.lit(0)
         )
@@ -139,6 +140,17 @@ def _stats_and_fp(
             F.lit(0).cast("decimal(38,0)"),
         ).alias("hsum"),
     ).first()
+    if int(row["n_docs"]) != int(row["n_ids"]):
+        # a duplicated (or NULL) doc_id would corrupt tf via the
+        # postings groupBy merge AND desynchronize stats from the
+        # postings' per-doc truth — the agreement probe would then
+        # report an unrepairable 'torn' index without ever naming the
+        # real cause. Fail at the source instead.
+        raise ValueError(
+            f"bm25 corpus/batch has {int(row['n_docs'])} rows but "
+            f"{int(row['n_ids'])} distinct non-null {id_col} values — "
+            "doc ids must be unique and non-null"
+        )
     return int(row["n_docs"]), int(row["total_len"]), int(row["hsum"])
 
 
@@ -244,19 +256,20 @@ def update_bm25_index(
     verifies postings/stats AGREEMENT (stats.n_docs and
     stats.total_len against the postings' per-doc truth — same
     column-pruned read the overlap check already pays, one fused
-    job). On divergence under ``skip_existing`` the fold attempts the
-    one repair the at-least-once contract makes sound: if THIS
-    batch's already-indexed slice accounts exactly for the missing
-    counts (the crashed fold is being replayed), the stats are
-    repaired by adding that slice's contribution — n_docs, total_len
-    AND the additive fingerprint — before normal folding resumes.
-    Any divergence the batch does not explain raises instead of
-    compounding; under ``"raise"`` divergence always raises. (The
-    only undetected case: a non-replay batch whose indexed slice
-    coincidentally matches the missing docs in BOTH count and total
-    length — scores stay correct since they read only n_docs/
-    total_len, and the now-wrong fingerprint fails closed at the next
-    ``expect_fingerprint`` load.) A torn BOOTSTRAP (postings with no
+    job). On divergence under ``skip_existing`` the fold repairs by
+    identifying the EXACTLY-lost docs through time travel: the
+    previous postings version is the last state stats agreed with, so
+    current-minus-previous doc ids ARE the crashed fold's appends —
+    never inferred from the batch's indexed slice, which also holds
+    docs stats already counted when the batch overlapped pre-crash
+    history (the normal at-least-once case). If the replayed batch
+    carries all the lost docs and their contribution reconciles the
+    totals, stats are repaired (n_docs, total_len AND the additive
+    fingerprint) before normal folding resumes; a batch that does not
+    cover the lost docs, text that no longer reconciles, or a
+    vacuumed-away previous version raises instead of compounding;
+    under ``"raise"`` divergence always raises. A torn BOOTSTRAP
+    (postings with no
     stats at all, a crashed first save) is never silently
     re-bootstrapped from the batch: under ``skip_existing`` the fold
     rebuilds only when the batch COVERS every indexed doc (the
@@ -307,18 +320,16 @@ def update_bm25_index(
         batch_ids = new_docs.select(
             F.col(id_col).cast("long").alias("doc_id")
         ).distinct()
+        indexed = postings.select("doc_id").distinct()
         # ONE fused job over the postings' per-doc truth: the overlap
         # count AND the agreement totals (previously a semi-join
         # isEmpty that read the same columns and answered only the
-        # first question)
+        # first question). No broadcast hint: a backfill batch can be
+        # arbitrarily large — let AQE pick the join strategy.
         probe = (
             postings.select("doc_id", "dl")
             .distinct()
-            .join(
-                F.broadcast(batch_ids.withColumn("__b", F.lit(1))),
-                "doc_id",
-                "left",
-            )
+            .join(batch_ids.withColumn("__b", F.lit(1)), "doc_id", "left")
             .agg(
                 F.count(F.lit(1)).cast("long").alias("px_docs"),
                 F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("px_len"),
@@ -338,13 +349,41 @@ def update_bm25_index(
                     "on_overlap='skip_existing' to repair, or rebuild with "
                     "save_bm25_index"
                 )
-            indexed = postings.select("doc_id").distinct()
-            overlap_docs = new_docs.join(
-                indexed,
-                new_docs[id_col].cast("long") == indexed["doc_id"],
+            # identify the EXACT docs the crashed fold committed by
+            # time-travelling to the previous postings version — the
+            # last state stats agreed with — and diffing doc id sets.
+            # Never guess from the batch's indexed slice: a batch that
+            # overlapped pre-crash docs (normal under at-least-once
+            # streaming) has indexed docs stats ALREADY counted, and
+            # adding their contribution again would double-count.
+            missing = None
+            if postings_version > 1:
+                try:
+                    prev_ids = (
+                        postings_store.read_version(postings_version - 1)
+                        .select("doc_id")
+                        .distinct()
+                    )
+                    missing = indexed.join(prev_ids, "doc_id", "left_anti")
+                except ValueError:
+                    missing = None  # previous version vacuumed away
+            if missing is None or not missing.join(
+                batch_ids, "doc_id", "left_anti"
+            ).isEmpty():
+                raise RuntimeError(
+                    f"bm25 index at {path} is torn (postings "
+                    f"{int(probe['px_docs'])} docs / stats {stats_n}) and "
+                    "this batch is not a replay of the crashed fold (it "
+                    "does not account for the missing docs, or the "
+                    "pre-crash postings version is no longer retained); "
+                    "rebuild over the full corpus with save_bm25_index"
+                )
+            missing_docs = new_docs.join(
+                missing,
+                new_docs[id_col].cast("long") == missing["doc_id"],
                 "left_semi",
             )
-            o_n, o_len, o_hsum = _stats_and_fp(overlap_docs, text_col, id_col)
+            o_n, o_len, o_hsum = _stats_and_fp(missing_docs, text_col, id_col)
             if o_n == 0 or (
                 stats_n + o_n != int(probe["px_docs"])
                 or stats_len + o_len != int(probe["px_len"])
@@ -352,8 +391,8 @@ def update_bm25_index(
                 raise RuntimeError(
                     f"bm25 index at {path} is torn (postings "
                     f"{int(probe['px_docs'])} docs / stats {stats_n}) and "
-                    "this batch's indexed slice does not account for the "
-                    "missing docs — not a replay of the crashed fold; "
+                    "the replayed slice does not reconcile the totals — "
+                    "the batch text may differ from the crashed fold's; "
                     "rebuild over the full corpus with save_bm25_index"
                 )
             stats_n += o_n
@@ -373,7 +412,6 @@ def update_bm25_index(
                     "incremental maintenance is append-only — rebuild "
                     "(save_bm25_index) to replace documents"
                 )
-            indexed = postings.select("doc_id").distinct()
             new_docs = new_docs.join(
                 indexed,
                 new_docs[id_col].cast("long") == indexed["doc_id"],

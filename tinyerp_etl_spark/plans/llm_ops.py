@@ -2871,10 +2871,13 @@ LLM_ORACLES["bloom_decontaminate_docs"] = f"""
 LLM_QUERIES["bloom_decontaminate_docs"] = bloom_decontaminate_docs
 
 
-_NGRAM_DECONTAM_GRAMS = """unnest(list_distinct(
-    CASE WHEN len(toks) >= 13
-         THEN list_transform(range(1, len(toks) - 11),
-              i -> array_to_string(toks[i:i+12], ' '))
+# interpolates the ENGINE constant (convention: a hardcoded copy of
+# the gram width would silently drift if DECONTAM_N changed); DuckDB
+# slices are 1-based inclusive, so toks[i:i+N-1] is an N-gram
+_NGRAM_DECONTAM_GRAMS = f"""unnest(list_distinct(
+    CASE WHEN len(toks) >= {D.DECONTAM_N}
+         THEN list_transform(range(1, len(toks) - {D.DECONTAM_N - 2}),
+              i -> array_to_string(toks[i:i+{D.DECONTAM_N - 1}], ' '))
          ELSE [] END)) AS gram"""
 
 LLM_ORACLES["ngram_decontaminate_docs"] = f"""

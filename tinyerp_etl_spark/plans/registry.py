@@ -273,8 +273,8 @@ _ROUND9_FRONT_50 = [
     "copurchase_pagerank_3iter",
     "train_val_test_split_docs",
     "c4_quality_filter_stats",
-    # (b) thirty r4-stale rows, LLM-pipeline and round-trip shapes
-    # no fresher gate row covers
+    # (b) twenty-nine r4-stale rows, LLM-pipeline and round-trip
+    # shapes no fresher gate row covers
     "dedup_exact_count",
     "dedup_keep_canonical",
     "minhash_signatures",

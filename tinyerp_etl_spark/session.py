@@ -43,6 +43,13 @@ def get_spark(app_name: str = "tinyerp-etl-spark") -> SparkSession:
         # operator in the engine crosses the JVM boundary per-row
         # (plan-linted across all 168 gate queries)
         .config("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
+        # functions/localdf.local_df depends on the pandas->Spark
+        # Arrow path for its no-Python-eval plan; with fallback left
+        # on, an Arrow-unmappable cell silently reverts to the
+        # 32-slice Python-RDD conversion (~5 s per 1-row commit) and
+        # the value-identity contract goes unverified. Fail loud.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.fallback.enabled", "false")
         # Guarded fallback for TIMESTAMP(NANOS) testdata generations
         # (round 1 shipped ns; current files are us). The catalog sniffs
         # the parquet footer and only uses the nanos long-read path when
