@@ -619,3 +619,59 @@ def test_bloom_never_false_negative(spark, keys):
     ).collect()
     assert len(probed) == len(keys)
     assert all(r["bloom_hit"] == 1 for r in probed)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.sampled_from(["spark", "dup", "window", "rules", "filler", ""]),
+        min_size=0,
+        max_size=8,
+    ).map(" ".join),
+    st.integers(min_value=2, max_value=5),
+)
+def test_bm25_fold_equals_rebuild_any_partition(spark, extra_text, mod):
+    """Law: for ANY split of a corpus into (base, batch), saving base
+    then folding batch must produce an index bit-identical to a fresh
+    save of the union — postings scores, stats, AND the additive
+    fingerprint. Exercises the rewritten fold (fused probe, agreement
+    check) over varied partitions and an adversarial extra doc
+    (possibly zero-token)."""
+    from tinyerp_etl_spark.operators.bm25_index import (
+        bm25i_topk_indexed,
+        load_bm25_index,
+        save_bm25_index,
+        update_bm25_index,
+    )
+    from tinyerp_etl_spark.operators.ivf_index import corpus_fingerprint
+
+    import tempfile, shutil, os
+
+    rows = [
+        (i, ("spark rules " * (i % 3)) + ("window dup " * (i % 2)))
+        for i in range(12)
+    ] + [(12, extra_text)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    base = docs.filter(F.col("doc_id") % mod != 0)
+    batch = docs.filter(F.col("doc_id") % mod == 0)
+
+    scratch = tempfile.mkdtemp(prefix="bm25_prop_")
+    try:
+        inc, full = os.path.join(scratch, "inc"), os.path.join(scratch, "full")
+        save_bm25_index(spark, inc, base)
+        update_bm25_index(spark, inc, batch)
+        save_bm25_index(spark, full, docs)
+        fp = corpus_fingerprint(docs, "doc_id", "text")
+        li, lf = load_bm25_index(spark, inc, expect_fingerprint=fp), load_bm25_index(
+            spark, full, expect_fingerprint=fp
+        )
+        assert li is not None and lf is not None
+        (ip, istats), (fpost, fstats) = li, lf
+        assert istats == fstats
+        terms = ["spark", "dup", "window"]
+        assert (
+            bm25i_topk_indexed(ip, istats, terms, k=20).collect()
+            == bm25i_topk_indexed(fpost, fstats, terms, k=20).collect()
+        )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)

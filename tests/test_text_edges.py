@@ -405,3 +405,34 @@ def test_neardup_threshold_curve_is_monotone_nonincreasing(spark, sf_dir):
     counts = [n for _, n in rows]
     assert counts == sorted(counts, reverse=True)
     assert counts[0] > counts[-1]  # the staging differentiates levels
+
+
+def test_ngram_hash_mode_matches_exact(spark):
+    """join_on_hash=True narrows the decontamination shuffle to an
+    8-byte key; at test scale (collision-free by construction) the
+    flagged docs and their counts must be identical to the
+    exact-string join the oracle models."""
+    from tinyerp_etl_spark.operators.dedup import ngram_decontaminate
+
+    base = "one two three four five six seven eight nine ten eleven twelve thirteen"
+    rows = [
+        (1, base + " fourteen fifteen"),          # eval doc
+        (2, "totally unrelated words " * 5),
+        (3, "prefix words then " + base),         # leaks eval 13-gram
+        (4, base),                                # exactly one gram, leaks
+        (5, "short doc"),                         # < 13 tokens
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    eval_set = docs.filter("doc_id = 1")
+    corpus = docs.filter("doc_id <> 1")
+
+    def rows_of(df):
+        return sorted(
+            (r["doc_id"], r["n_hit_grams"], r["n_eval_docs"])
+            for r in df.collect()
+        )
+
+    exact = rows_of(ngram_decontaminate(corpus, eval_set))
+    hashed = rows_of(ngram_decontaminate(corpus, eval_set, join_on_hash=True))
+    assert exact == hashed
+    assert [d for d, _, _ in exact] == [3, 4]

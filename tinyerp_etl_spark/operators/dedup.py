@@ -593,6 +593,7 @@ def ngram_decontaminate(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = DECONTAM_N,
+    join_on_hash: bool = False,
 ) -> DataFrame:
     """13-gram eval-set decontamination as a hash-bucketed JOIN —
     the regime ``contamination_hits`` cannot serve.
@@ -614,11 +615,26 @@ def ngram_decontaminate(
     (doc_id, n_hit_grams   distinct leaked n-grams,
              n_eval_docs   distinct benchmark docs implicated).
     Docs shorter than ``n`` tokens produce no grams and cannot flag.
+
+    ``join_on_hash=True`` is the at-scale shuffle shape: each side
+    projects gram → xxhash64(gram) BEFORE the exchange and drops the
+    string, so the shuffle carries an 8-byte key instead of a
+    ~(13-word) string — an order of magnitude less shuffle IO for the
+    same join topology. A 64-bit collision would need ~2^32 grams per
+    side to become likely (birthday bound); for a FLAGGING decision
+    that false-positive rate is noise, which is the same trade every
+    production decontamination pipeline makes. The default stays
+    exact-string so the DuckDB oracle models the engine bit-for-bit;
+    test_ngram_hash_mode_matches_exact pins hash ≡ exact at test
+    scale.
     """
     cg = word_ngram_rows(corpus, text_col, id_col, n)
     eg = word_ngram_rows(eval_set, text_col, id_col, n).select(
         F.col(id_col).alias("__eval_doc"), "gram"
     )
+    if join_on_hash:
+        cg = cg.select(id_col, F.xxhash64("gram").alias("gram"))
+        eg = eg.select("__eval_doc", F.xxhash64("gram").alias("gram"))
     return (
         cg.join(eg, "gram")
         .groupBy(id_col)

@@ -48,7 +48,7 @@ def get_spark(app_name: str = "tinyerp-etl-spark") -> SparkSession:
         # on, an Arrow-unmappable cell silently reverts to the
         # 32-slice Python-RDD conversion (~5 s per 1-row commit) and
         # the value-identity contract goes unverified. Fail loud.
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # (arrow.pyspark.enabled itself is set above)
         .config("spark.sql.execution.arrow.pyspark.fallback.enabled", "false")
         # Guarded fallback for TIMESTAMP(NANOS) testdata generations
         # (round 1 shipped ns; current files are us). The catalog sniffs
