@@ -78,6 +78,20 @@ def test_gate_queries_are_clean(spark, sf_dir):
     assert plan_findings(sequence_packing_manifest(spark, sf_dir)) == []
 
 
+def test_ngram_decontaminate_plan_is_join_shaped(spark, sf_dir):
+    """The round-9 decontamination query's design rationale IS its
+    plan shape: an equi-join on the gram key (hash-partitioned by
+    Spark), never a cartesian expansion, no row-at-a-time Python —
+    pin it so a join-strategy regression is caught before a gate
+    round."""
+    from tinyerp_etl_spark.plans.llm_ops import ngram_decontaminate_docs
+
+    df = ngram_decontaminate_docs(spark, sf_dir)
+    assert plan_findings(df) == []
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+
+
 def test_passes_partition_only_window(spark):
     # partitionBy with no orderBy shows as two bracket groups too —
     # must NOT be confused with an unpartitioned ordered window
