@@ -1,0 +1,108 @@
+"""commit_append: incremental versions that reference the base
+version's files — union contents, batch-only IO, OCC, vacuum-safe
+hard links, compaction restoring the clustered layout."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from tinyerp_etl_spark.etl.table_store import ConcurrentWriteError, TableStore
+from tinyerp_etl_spark.functions.localdf import local_df
+
+SCHEMA = "k long, v string"
+
+
+def _store(spark, tmp_path, name="t", partition_by=None):
+    from pyspark.sql.types import StructType
+
+    return TableStore(
+        spark,
+        str(tmp_path / name),
+        StructType.fromDDL(SCHEMA),
+        partition_by=partition_by,
+    )
+
+
+def _rows(df):
+    return sorted((r["k"], r["v"]) for r in df.collect())
+
+
+def test_append_reads_union_and_writes_only_batch(spark, tmp_path):
+    st = _store(spark, tmp_path)
+    base = [(i, f"b{i}") for i in range(10)]
+    batch = [(i, f"n{i}") for i in range(100, 105)]
+    st.commit(local_df(spark, base, SCHEMA), n_files=2)
+    files_v1 = st.data_file_count(1)
+    v = st.commit_append(local_df(spark, batch, SCHEMA), n_files=1)
+    assert v == 2
+    assert _rows(st.read()) == sorted(base + batch)
+    # exactly the batch's files were added; the base files are LINKS
+    assert st.data_file_count(2) == files_v1 + 1
+    # time travel still sees the base alone
+    assert _rows(st.read_version(1)) == sorted(base)
+
+
+def test_append_requires_base_and_respects_occ(spark, tmp_path):
+    st = _store(spark, tmp_path)
+    with pytest.raises(ValueError, match="bootstrap"):
+        st.commit_append(local_df(spark, [(1, "x")], SCHEMA))
+    st.commit(local_df(spark, [(1, "x")], SCHEMA), n_files=1)
+    v = st.current_version()
+    st.commit(st.read(), n_files=1)  # concurrent writer advances
+    with pytest.raises(ConcurrentWriteError):
+        st.commit_append(
+            local_df(spark, [(2, "y")], SCHEMA), expected_version=v
+        )
+    # clean retry against the new version lands
+    st.commit_append(
+        local_df(spark, [(2, "y")], SCHEMA),
+        expected_version=st.current_version(),
+    )
+    assert _rows(st.read()) == [(1, "x"), (2, "y")]
+
+
+def test_vacuum_of_base_keeps_appended_version_readable(spark, tmp_path):
+    """Hard links must keep shared bytes alive when the base version
+    directory is reaped — the append chain cannot dangle."""
+    st = _store(spark, tmp_path)
+    base = [(i, f"b{i}") for i in range(6)]
+    st.commit(local_df(spark, base, SCHEMA), n_files=1)
+    st.commit_append(local_df(spark, [(100, "n")], SCHEMA), n_files=1)
+    st.commit_append(local_df(spark, [(101, "m")], SCHEMA), n_files=1)
+    deleted = st.vacuum(retain_last=1)
+    assert deleted == [1, 2]
+    assert _rows(st.read()) == sorted(base + [(100, "n"), (101, "m")])
+
+
+def test_compact_restores_single_file_layout(spark, tmp_path):
+    st = _store(spark, tmp_path)
+    st.commit(local_df(spark, [(1, "a")], SCHEMA), n_files=1)
+    for i in range(3):
+        st.commit_append(local_df(spark, [(10 + i, "x")], SCHEMA), n_files=1)
+    assert st.data_file_count() == 4  # the lakehouse trade: files grow
+    st.compact(n_files=1)
+    assert st.data_file_count() == 1
+    assert len(_rows(st.read())) == 4
+
+
+def test_append_with_partition_columns(spark, tmp_path):
+    st = _store(spark, tmp_path, name="p", partition_by=["v"])
+    st.commit(local_df(spark, [(1, "a"), (2, "b")], SCHEMA), n_files=1)
+    st.commit_append(local_df(spark, [(3, "a"), (4, "c")], SCHEMA), n_files=1)
+    got = _rows(st.read())
+    assert got == [(1, "a"), (2, "b"), (3, "a"), (4, "c")]
+    # hive partition dirs carry both base links and batch files
+    vdir = os.path.join(str(tmp_path / "p"), "v000002")
+    assert sorted(
+        d for d in os.listdir(vdir) if d.startswith("v=")
+    ) == ["v=a", "v=b", "v=c"]
+
+
+def test_append_cluster_by_sorts_within_batch_files(spark, tmp_path):
+    st = _store(spark, tmp_path, name="c")
+    st.commit(local_df(spark, [(5, "e"), (1, "a")], SCHEMA), n_files=1, cluster_by=["k"])
+    batch = [(9, "i"), (3, "c"), (7, "g")]
+    st.commit_append(local_df(spark, batch, SCHEMA), n_files=1, cluster_by=["k"])
+    assert _rows(st.read()) == [(1, "a"), (3, "c"), (5, "e"), (7, "g"), (9, "i")]

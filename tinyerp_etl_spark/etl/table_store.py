@@ -234,6 +234,12 @@ class TableStore:
         if self.partition_by:
             writer = writer.partitionBy(*self.partition_by)
         writer.parquet(staging)
+        return self._claim_version(staging, expected_version)
+
+    def _claim_version(self, staging: str, expected_version: int | None) -> int:
+        """Post-write recheck + atomic version claim + pointer swap —
+        the commit protocol's tail, shared by commit()/commit_append().
+        """
         if expected_version is not None:
             # re-check after the (slow) data write: a concurrent commit
             # that landed while this version was being written must fail
@@ -287,6 +293,94 @@ class TableStore:
             f.write(str(v))
         os.replace(tmp, self._pointer)
         return v
+
+    def commit_append(
+        self,
+        new_rows: DataFrame,
+        n_files: int | None = None,
+        cluster_by: list[str] | None = None,
+        expected_version: int | None = None,
+    ) -> int:
+        """Commit base-version files plus ONLY ``new_rows`` as the
+        next version — incremental-fold IO ∝ batch, never ∝ table.
+
+        ``commit()`` re-shuffles and re-writes every row per version;
+        at 100 TB an incremental maintenance fold cannot pay O(table)
+        IO per batch. This version's directory REFERENCES the current
+        version's immutable parquet files by hard link (copy when the
+        filesystem refuses links) and writes only the batch's files
+        beside them — the manifest-reuse trick a Delta/Iceberg commit
+        makes, expressed directly in the files-in-a-directory layout.
+        Readers are unchanged (a version dir is still just parquet
+        files), crash-safety is unchanged (private staging + the same
+        atomic rename claims the version number), VACUUM of the base
+        version is safe (hard links keep shared bytes alive until the
+        last referencing version is reaped), and time travel still
+        works (the base dir's entries are untouched).
+
+        The trade is the lakehouse/LSM one: per-version file count
+        grows by the batch's files per append until ``compact()``
+        rewrites one clustered layout. ``cluster_by`` still clusters
+        WITHIN the batch's files, so parquet row-group pruning holds
+        per file; only cross-file disjointness degrades until
+        compaction.
+
+        APPEND-ONLY by contract: callers must guarantee ``new_rows``
+        does not rewrite existing rows (the BM25/paragraph folds
+        enforce this upstream); a replace needs ``commit()``.
+        Requires an existing base version — bootstrap with commit().
+        """
+        base = self.current_version()
+        if base is None:
+            raise ValueError(
+                f"commit_append at {self.path} requires an existing "
+                "base version; bootstrap with commit()"
+            )
+        if expected_version is not None and base != expected_version:
+            raise ConcurrentWriteError(
+                f"table at {self.path} advanced to v{base} since "
+                f"v{expected_version} was read; recompute and retry"
+            )
+        data = new_rows.select([f.name for f in self.schema.fields])
+        if cluster_by:
+            if n_files is not None:
+                data = data.repartitionByRange(n_files, *cluster_by)
+            else:
+                data = data.repartitionByRange(*cluster_by)
+            data = data.sortWithinPartitions(*cluster_by)
+        elif n_files is not None:
+            data = data.coalesce(n_files)
+        staging = tempfile.mkdtemp(dir=self.path, prefix=".staging-")
+        writer = data.write.mode("overwrite")
+        if self.partition_by:
+            writer = writer.partitionBy(*self.partition_by)
+        writer.parquet(staging)
+        # reference the base version's data files (AFTER the Spark
+        # write — overwrite mode clears the target dir). Spark part
+        # file names embed a per-job UUID, so base and batch names
+        # cannot collide; a collision is corruption, not a race.
+        base_dir = self._version_dir(base)
+        for root, _dirs, files in os.walk(base_dir):
+            rel = os.path.relpath(root, base_dir)
+            tgt_root = staging if rel == "." else os.path.join(staging, rel)
+            for fn in files:
+                if not fn.endswith(".parquet") or fn.startswith((".", "_")):
+                    continue
+                os.makedirs(tgt_root, exist_ok=True)
+                src = os.path.join(root, fn)
+                dst = os.path.join(tgt_root, fn)
+                if os.path.exists(dst):
+                    shutil.rmtree(staging, ignore_errors=True)
+                    raise RuntimeError(
+                        f"commit_append name collision on {fn} at "
+                        f"{self.path} — base and batch part files must "
+                        "be distinct"
+                    )
+                try:
+                    os.link(src, dst)
+                except OSError:
+                    shutil.copy2(src, dst)  # EXDEV / no-hardlink FS
+        return self._claim_version(staging, expected_version)
 
     def data_file_count(self, version: int | None = None) -> int:
         """Number of parquet data files in a version (small-files gauge)."""

@@ -218,12 +218,14 @@ def update_bm25_index(
     incremental maintenance, bit-identical to a full rebuild (the
     kmv_merge_sketches discipline applied to text retrieval).
 
-    Only the batch tokenizes: compute ∝ increment, while a rebuild
-    re-tokenizes the corpus (the dominant cost at scale). Existing
-    postings merge by union (no overlap possible — the append-only
+    Only the batch tokenizes AND only the batch commits: compute and
+    write IO are both ∝ increment (the postings commit is an
+    incremental commit_append referencing the previous version's
+    files; a rebuild re-tokenizes and re-writes the corpus — the
+    dominant costs at scale). No overlap is possible — the append-only
     contract is ENFORCED: a batch doc_id already present, including a
     zero-token doc via its membership row, raises instead of
-    double-counting), stats add, and the corpus fingerprint adds
+    double-counting — stats add, and the corpus fingerprint adds
     EXACTLY (it is a sum over rows, so old ⊕ batch ≡ a fresh
     fingerprint of the union — no old-corpus scan needed to keep
     validation sound). Postings commit before stats, same
@@ -429,8 +431,15 @@ def update_bm25_index(
         stats_fpn + n_new,
         stats_hsum + hsum_new,
     )
-    version = postings_store.commit(
-        postings.unionByName(new_postings),
+    # INCREMENTAL commit: the new version hard-links the previous
+    # version's immutable postings files and writes only the batch's
+    # files — fold IO ∝ batch, never ∝ index (TableStore.commit_append).
+    # Append-only is enforced above (overlap anti-join), so no row is
+    # ever rewritten; batch files are token-clustered within
+    # themselves (per-file row-group pruning holds), and compact()
+    # restores one globally-clustered layout when file count warrants.
+    version = postings_store.commit_append(
+        new_postings,
         n_files=POSTINGS_FILES,
         cluster_by=["token"],
         expected_version=postings_version,

@@ -920,6 +920,19 @@ def update_paragraph_index(
     """
     if batch_firsts is None:
         batch_firsts = build_paragraph_index(batch, text_col, id_col)
+    fresh = paragraph_fresh_rows(stored, batch_firsts, check_order=check_order)
+    return stored.unionByName(fresh)
+
+
+def paragraph_fresh_rows(
+    stored: DataFrame, batch_firsts: DataFrame, check_order: bool = True
+) -> DataFrame:
+    """The fold's APPEND SET: batch first-occurrences whose paragraph
+    is not yet indexed — ``update_paragraph_index(stored, batch)`` ≡
+    ``stored ∪ paragraph_fresh_rows(stored, build_paragraph_index(
+    batch))``. Exposed so the persisted fold can commit ONLY these
+    rows (an incremental commit_append, IO ∝ batch) instead of
+    rewriting history. Runs the same order-violation guard."""
     if check_order:
         n_viol = (
             batch_firsts.select(
@@ -945,5 +958,4 @@ def update_paragraph_index(
                 "out-of-order backfill would keep the wrong 'first'; "
                 "rebuild the index instead (or fold batches in id order)"
             )
-    fresh = batch_firsts.join(stored.select("para"), "para", "left_anti")
-    return stored.unionByName(fresh)
+    return batch_firsts.join(stored.select("para"), "para", "left_anti")

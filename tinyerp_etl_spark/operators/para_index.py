@@ -91,11 +91,18 @@ def fold_batch_into_paragraph_index(
 
     The batch tokenizes ONCE: its first-occurrence frame is
     materialized (functions/materialize seam) and shared by the
-    order-violation probe, the no-op probe, and the committed merge —
-    previously each of those three consumers re-ran the
-    tokenize+explode+groupBy lineage per micro-batch.
+    order-violation probe, the no-op probe, and the committed append.
+
+    The commit is INCREMENTAL (TableStore.commit_append): the new
+    version hard-links the previous version's immutable files and
+    writes only the fresh paragraphs' files — fold IO ∝ batch, which
+    is what the module docstring's 100 TB note demands (previously the
+    whole index was re-shuffled and re-written per fold). First-
+    occurrence rows are immutable by the order guard, so append-only
+    is sound; per-version file count grows until ``compact()``.
     """
     from tinyerp_etl_spark.functions.materialize import materialize
+    from tinyerp_etl_spark.operators.dedup import paragraph_fresh_rows
 
     store = para_store(spark, path)
     read_version = store.current_version()
@@ -110,19 +117,11 @@ def fold_batch_into_paragraph_index(
         )
     stored = store.read_version(read_version)
     batch_firsts = materialize(build_paragraph_index(batch, text_col, id_col))
-    merged = update_paragraph_index(
-        stored, batch, text_col, id_col, batch_firsts=batch_firsts
-    )
-    any_fresh = (
-        batch_firsts
-        .join(stored.select("para"), "para", "left_anti")
-        .limit(1)
-        .count()
-    )
-    if not any_fresh:
+    fresh = materialize(paragraph_fresh_rows(stored, batch_firsts))
+    if fresh.limit(1).isEmpty():
         return read_version
-    return store.commit(
-        merged.select("para", "first_doc", "first_pos"),
+    return store.commit_append(
+        fresh.select("para", "first_doc", "first_pos"),
         n_files=4,
         cluster_by=["para"],
         expected_version=read_version,
