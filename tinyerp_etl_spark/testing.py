@@ -96,9 +96,29 @@ def assert_driver_hashable(spark_df, name: str = "?") -> None:
     )
 
 
+#: Plans with a DELIBERATE single-task window over a k-row
+#: control-plane frame (documented at each query's definition). The
+#: lint reads plan shape, not cardinality, so these are exempted BY
+#: NAME — any new exemption needs the same in-code justification.
+PLANLINT_EXEMPT = {
+    # 5 post-aggregation scenario rows get ordinals via a global
+    # row_number — control plane, not a data path (etl_queries.py)
+    "watermark_resolution_matrix",
+}
+
+
 def assert_matches_oracle(spark_df, sql: str, sf_dir: str, name: str = "?") -> None:
-    """Assert the Spark result matches the DuckDB oracle result."""
+    """Assert the Spark result matches the DuckDB oracle result —
+    and that its physical plan is scale-clean (planlint), so every
+    oracle-parity run is also a full plan audit: no unpartitioned
+    windows, no cartesian products, no row-at-a-time Python anywhere
+    in the registered surface."""
+    from tinyerp_etl_spark.operators.planlint import plan_findings
+
     assert_driver_hashable(spark_df, name=name)
+    if name not in PLANLINT_EXEMPT:
+        findings = plan_findings(spark_df)
+        assert findings == [], f"{name}: plan lint findings: {findings}"
     got = spark_df.toPandas()
     want = run_oracle(sql, sf_dir)
     assert len(got) == len(want), (
