@@ -106,3 +106,20 @@ def test_append_cluster_by_sorts_within_batch_files(spark, tmp_path):
     batch = [(9, "i"), (3, "c"), (7, "g")]
     st.commit_append(local_df(spark, batch, SCHEMA), n_files=1, cluster_by=["k"])
     assert _rows(st.read()) == [(1, "a"), (3, "c"), (5, "e"), (7, "g"), (9, "i")]
+
+
+def test_maybe_compact_only_fires_over_threshold(spark, tmp_path):
+    st = _store(spark, tmp_path, name="mc")
+    st.commit(local_df(spark, [(1, "a")], SCHEMA), n_files=1)
+    st.commit_append(local_df(spark, [(2, "b")], SCHEMA), n_files=1)
+    v = st.current_version()
+    assert st.maybe_compact(max_files=2) is None  # 2 files: under
+    assert st.current_version() == v              # no version burned
+    st.commit_append(local_df(spark, [(3, "c")], SCHEMA), n_files=1)
+    new_v = st.maybe_compact(max_files=2, cluster_by=["k"])
+    assert new_v == v + 2
+    assert st.data_file_count() == 1
+    assert _rows(st.read()) == [(1, "a"), (2, "b"), (3, "c")]
+    # empty store: a no-op, not an error
+    empty = _store(spark, tmp_path, name="mc2")
+    assert empty.maybe_compact(max_files=1) is None

@@ -405,6 +405,28 @@ class TableStore:
         """
         return self.commit(self.read(), n_files=n_files)
 
+    def maybe_compact(
+        self,
+        max_files: int,
+        n_files: int = 1,
+        cluster_by: list[str] | None = None,
+    ) -> int | None:
+        """OPTIMIZE only when the version's file count exceeds
+        ``max_files`` — the maintenance face of ``commit_append``.
+
+        Appending folds grow a version's file count by the batch's
+        files; this is the standard lakehouse answer: a threshold-
+        gated compaction that rewrites one clustered layout when (and
+        only when) the small-files debt warrants paying one O(table)
+        rewrite. Returns the new version, or None when under the
+        threshold (no commit, version preserved). ``cluster_by``
+        restores global clustering (e.g. the BM25 postings' token
+        ranges) that appends only maintain per-file.
+        """
+        if self.current_version() is None or self.data_file_count() <= max_files:
+            return None
+        return self.commit(self.read(), n_files=n_files, cluster_by=cluster_by)
+
     def vacuum(self, retain_last: int = 2) -> list[int]:
         """Delete version directories beyond the newest ``retain_last``
         (the lakehouse VACUUM / retention step).
