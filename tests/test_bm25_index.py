@@ -355,6 +355,42 @@ def test_crash_divergence_unexplained_by_batch_raises(spark, tmp_path):
         update_bm25_index(spark, path, other, on_overlap="skip_existing")
 
 
+def test_mutated_replay_with_matching_counts_is_refused(spark, tmp_path):
+    """A replay whose doc count AND total token length reconcile but
+    whose WORDS differ from the crashed fold's must raise: repairing
+    would bless a fingerprint the postings' tf rows do not match
+    (queries would silently miss the real tokens). The postings hold
+    the crashed fold's exact rows, so the repair verifies the replayed
+    text re-tokenizes to precisely them."""
+    import pytest
+
+    from tinyerp_etl_spark.operators.bm25_index import update_bm25_index
+
+    base = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta words here")],
+        "doc_id long, text string",
+    )
+    crashed = spark.createDataFrame(
+        [(10, "alpha beta"), (11, "spark dup window")],
+        "doc_id long, text string",
+    )
+    # same ids, same per-doc token counts, DIFFERENT words
+    mutated = spark.createDataFrame(
+        [(10, "zeta eta"), (11, "theta iota kappa")],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "bm25")
+    save_bm25_index(spark, path, base)
+    _crash_fold_postings_only(spark, path, crashed)
+    with pytest.raises(RuntimeError, match="mutated replay"):
+        update_bm25_index(spark, path, mutated, on_overlap="skip_existing")
+    # the TRUE replay still repairs cleanly afterwards
+    update_bm25_index(spark, path, crashed, on_overlap="skip_existing")
+    docs = base.unionByName(crashed)
+    fp = corpus_fingerprint(docs, "doc_id", "text")
+    assert load_bm25_index(spark, path, expect_fingerprint=fp) is not None
+
+
 def test_torn_bootstrap_refused_unless_batch_covers_index(spark, tmp_path):
     """A crash inside the FIRST save leaves postings with no stats.
     update must never silently re-bootstrap from its own batch

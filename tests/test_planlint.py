@@ -86,10 +86,9 @@ def test_ngram_decontaminate_plan_is_join_shaped(spark, sf_dir):
     round."""
     from tinyerp_etl_spark.plans.llm_ops import ngram_decontaminate_docs
 
-    df = ngram_decontaminate_docs(spark, sf_dir)
-    assert plan_findings(df) == []
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "CartesianProduct" not in plan
+    # plan_findings covers the cartesian and Python-eval checks; a
+    # second manual string probe would just duplicate the invariant
+    assert plan_findings(ngram_decontaminate_docs(spark, sf_dir)) == []
 
 
 def test_passes_partition_only_window(spark):

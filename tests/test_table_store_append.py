@@ -101,11 +101,26 @@ def test_append_with_partition_columns(spark, tmp_path):
 
 
 def test_append_cluster_by_sorts_within_batch_files(spark, tmp_path):
+    import pyarrow.parquet as pq
+
     st = _store(spark, tmp_path, name="c")
     st.commit(local_df(spark, [(5, "e"), (1, "a")], SCHEMA), n_files=1, cluster_by=["k"])
     batch = [(9, "i"), (3, "c"), (7, "g")]
     st.commit_append(local_df(spark, batch, SCHEMA), n_files=1, cluster_by=["k"])
     assert _rows(st.read()) == [(1, "a"), (3, "c"), (5, "e"), (7, "g"), (9, "i")]
+    # the clustering claim is WITHIN-FILE row order (row-group min/max
+    # stats stay tight) — inspect each physical file, not the collect
+    vdir = os.path.join(str(tmp_path / "c"), "v000002")
+    checked = 0
+    for fn in os.listdir(vdir):
+        if not fn.endswith(".parquet"):
+            continue
+        ks = pq.read_table(os.path.join(vdir, fn), columns=["k"]).column(
+            "k"
+        ).to_pylist()
+        assert ks == sorted(ks), (fn, ks)
+        checked += 1
+    assert checked == 2  # one linked base file + one batch file
 
 
 def test_maybe_compact_only_fires_over_threshold(spark, tmp_path):

@@ -217,6 +217,21 @@ class TableStore:
                 f"table at {self.path} advanced to v{base} since "
                 f"v{expected_version} was read; recompute and retry"
             )
+        staging = self._stage_write(df, n_files, cluster_by)
+        return self._claim_version(staging, expected_version)
+
+    def _stage_write(
+        self,
+        df: DataFrame,
+        n_files: int | None,
+        cluster_by: list[str] | None,
+    ) -> str:
+        """Schema-project, layout (cluster/coalesce), and write into a
+        PRIVATE staging directory — the commit protocol's head, shared
+        by commit()/commit_append(). Staging is private so a
+        concurrent writer racing for the same version number can never
+        overwrite or delete bytes this writer (or the winner) has
+        committed."""
         data = df.select([f.name for f in self.schema.fields])
         if cluster_by:
             if n_files is not None:
@@ -226,15 +241,12 @@ class TableStore:
             data = data.sortWithinPartitions(*cluster_by)
         elif n_files is not None:
             data = data.coalesce(n_files)
-        # stage into a PRIVATE directory: a concurrent writer racing
-        # for the same version number must never be able to overwrite
-        # or delete bytes this writer (or the winner) has committed
         staging = tempfile.mkdtemp(dir=self.path, prefix=".staging-")
         writer = data.write.mode("overwrite")
         if self.partition_by:
             writer = writer.partitionBy(*self.partition_by)
         writer.parquet(staging)
-        return self._claim_version(staging, expected_version)
+        return staging
 
     def _claim_version(self, staging: str, expected_version: int | None) -> int:
         """Post-write recheck + atomic version claim + pointer swap —
@@ -329,6 +341,16 @@ class TableStore:
         does not rewrite existing rows (the BM25/paragraph folds
         enforce this upstream); a replace needs ``commit()``.
         Requires an existing base version — bootstrap with commit().
+
+        Appends are ALWAYS optimistic: with ``expected_version=None``
+        the observed base is pinned as the expectation, so a
+        concurrent commit landing mid-write raises
+        ConcurrentWriteError instead of this append silently basing
+        on a stale version and dropping the other writer's rows.
+        (commit()'s last-writer-wins None mode is defensible — its
+        caller supplied the FULL table; an append's contract is
+        "current ∪ batch", where last-writer-wins is quiet data
+        loss.)
         """
         base = self.current_version()
         if base is None:
@@ -341,20 +363,9 @@ class TableStore:
                 f"table at {self.path} advanced to v{base} since "
                 f"v{expected_version} was read; recompute and retry"
             )
-        data = new_rows.select([f.name for f in self.schema.fields])
-        if cluster_by:
-            if n_files is not None:
-                data = data.repartitionByRange(n_files, *cluster_by)
-            else:
-                data = data.repartitionByRange(*cluster_by)
-            data = data.sortWithinPartitions(*cluster_by)
-        elif n_files is not None:
-            data = data.coalesce(n_files)
-        staging = tempfile.mkdtemp(dir=self.path, prefix=".staging-")
-        writer = data.write.mode("overwrite")
-        if self.partition_by:
-            writer = writer.partitionBy(*self.partition_by)
-        writer.parquet(staging)
+        if expected_version is None:
+            expected_version = base
+        staging = self._stage_write(new_rows, n_files, cluster_by)
         # reference the base version's data files (AFTER the Spark
         # write — overwrite mode clears the target dir). Spark part
         # file names embed a per-job UUID, so base and batch names
@@ -391,7 +402,9 @@ class TableStore:
             total += sum(1 for f in files if f.endswith(".parquet"))
         return total
 
-    def compact(self, n_files: int = 1) -> int:
+    def compact(
+        self, n_files: int = 1, cluster_by: list[str] | None = None
+    ) -> int:
         """Rewrite the current version into ``n_files`` files (OPTIMIZE).
 
         The small-files problem is cumulative: daily MERGEs each emit a
@@ -402,8 +415,27 @@ class TableStore:
         and a crash mid-compaction leaves the table untouched. Contents
         are unchanged, so this composes with the incremental layer at
         any point between MERGEs.
+
+        ``cluster_by`` restores GLOBAL clustering that appending folds
+        only maintain per-file (the BM25 postings' token ranges) —
+        compacting a clustered table without it would silently destroy
+        its data-skipping layout.
+
+        Runs under optimistic concurrency against the version it read:
+        compaction rewrites the whole table, so racing a concurrent
+        fold would otherwise drop the fold's rows from the new current
+        version — the one writer in the protocol that must never
+        last-writer-win. On ConcurrentWriteError simply retry; the
+        fold's rows are then included in the re-read.
         """
-        return self.commit(self.read(), n_files=n_files)
+        v = self.current_version()
+        assert v is not None, "table has no versions"
+        return self.commit(
+            self.read_version(v),
+            n_files=n_files,
+            cluster_by=cluster_by,
+            expected_version=v,
+        )
 
     def maybe_compact(
         self,
@@ -421,11 +453,14 @@ class TableStore:
         rewrite. Returns the new version, or None when under the
         threshold (no commit, version preserved). ``cluster_by``
         restores global clustering (e.g. the BM25 postings' token
-        ranges) that appends only maintain per-file.
+        ranges) that appends only maintain per-file. Inherits
+        compact()'s optimistic concurrency: racing a concurrent fold
+        raises ConcurrentWriteError (retry) rather than rewriting the
+        table without the fold's rows.
         """
         if self.current_version() is None or self.data_file_count() <= max_files:
             return None
-        return self.commit(self.read(), n_files=n_files, cluster_by=cluster_by)
+        return self.compact(n_files=n_files, cluster_by=cluster_by)
 
     def vacuum(self, retain_last: int = 2) -> list[int]:
         """Delete version directories beyond the newest ``retain_last``

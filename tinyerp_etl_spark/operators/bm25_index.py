@@ -154,6 +154,30 @@ def _stats_and_fp(
     return int(row["n_docs"]), int(row["total_len"]), int(row["hsum"])
 
 
+def _postings_digest(rows: DataFrame) -> tuple[int, int]:
+    """(row count, exact hash-sum) over (token, doc_id, tf, dl) rows —
+    the crash repair's content check: two postings slices are equal
+    iff their digests are (same md5-prefix/decimal(38,0) idiom as the
+    corpus fingerprint; NULL membership tokens keyed as '')."""
+    from tinyerp_etl_spark.operators.similarity import _seed_hash
+
+    keyed = F.concat_ws(
+        "|",
+        F.coalesce(F.col("token"), F.lit("")),
+        F.col("doc_id").cast("string"),
+        F.col("tf").cast("string"),
+        F.col("dl").cast("string"),
+    )
+    row = rows.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.coalesce(
+            F.sum(_seed_hash(keyed).cast("decimal(38,0)")),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("hsum"),
+    ).first()
+    return int(row["n"]), int(row["hsum"])
+
+
 def _stats_row(
     spark: SparkSession,
     n_docs: int,
@@ -396,6 +420,22 @@ def update_bm25_index(
                     "the replayed slice does not reconcile the totals — "
                     "the batch text may differ from the crashed fold's; "
                     "rebuild over the full corpus with save_bm25_index"
+                )
+            # counts alone cannot see a MUTATED replay (same doc count,
+            # same total length, different words) — but the postings DO
+            # hold the crashed fold's exact (token, doc, tf, dl) rows,
+            # so verify the replayed text re-tokenizes to precisely
+            # them before trusting its hash into the fingerprint
+            replayed_rows, _ = build_bm25_index(missing_docs, text_col, id_col)
+            stored_rows = postings.join(missing, "doc_id", "left_semi")
+            if _postings_digest(replayed_rows) != _postings_digest(stored_rows):
+                raise RuntimeError(
+                    f"bm25 index at {path} is torn and the replayed "
+                    "batch's text does not tokenize to the crashed "
+                    "fold's postings (a mutated replay) — repairing "
+                    "would bless a fingerprint the postings do not "
+                    "match; rebuild over the full corpus with "
+                    "save_bm25_index"
                 )
             stats_n += o_n
             stats_len += o_len
