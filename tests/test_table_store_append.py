@@ -138,3 +138,27 @@ def test_maybe_compact_only_fires_over_threshold(spark, tmp_path):
     # empty store: a no-op, not an error
     empty = _store(spark, tmp_path, name="mc2")
     assert empty.maybe_compact(max_files=1) is None
+
+
+def test_append_sequence_law(spark, tmp_path):
+    """Law over a whole append chain: after k appends, the current
+    version's contents equal base ∪ batches[0..k], EVERY retained
+    version time-travels to its own prefix, and file counts grow by
+    exactly one batch-file per append until compaction."""
+    import itertools
+
+    st = _store(spark, tmp_path, name="law")
+    base = [(i, f"b{i}") for i in range(4)]
+    batches = [[(100 * (j + 1) + i, f"x{j}{i}") for i in range(j + 1)] for j in range(4)]
+    st.commit(local_df(spark, base, SCHEMA), n_files=1, cluster_by=["k"])
+    for j, b in enumerate(batches):
+        v = st.commit_append(local_df(spark, b, SCHEMA), n_files=1, cluster_by=["k"])
+        assert v == j + 2
+        assert st.data_file_count(v) == v  # 1 base file + j+1 batch files
+    for v in st.versions():
+        want = base + list(itertools.chain.from_iterable(batches[: v - 1]))
+        assert _rows(st.read_version(v)) == sorted(want), f"v{v}"
+    st.maybe_compact(max_files=2, cluster_by=["k"])
+    assert st.data_file_count() == 1
+    want_all = base + list(itertools.chain.from_iterable(batches))
+    assert _rows(st.read()) == sorted(want_all)
