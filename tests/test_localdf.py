@@ -86,3 +86,44 @@ def test_write_has_no_python_eval(spark, tmp_path):
 def test_string_schema_accepted(spark):
     got = local_df(spark, [(5, "z")], "id LONG, s STRING").collect()
     assert [(r["id"], r["s"]) for r in got] == [(5, "z")]
+
+
+def test_property_matches_classic_on_random_rows(spark):
+    """Hypothesis law: for random control-plane-shaped rows (ints,
+    floats, strings, decimals, bools, Nones), local_df is
+    value-identical to the classic createDataFrame path — the
+    guarantee that lets it replace the classic path in commit code."""
+    import decimal
+
+    from hypothesis import given, settings, strategies as st
+
+    schema = "a long, b double, c string, d boolean, e decimal(38,0)"
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.one_of(st.none(), st.integers(-(2**62), 2**62)),
+                st.one_of(st.none(), st.floats(allow_nan=False, allow_infinity=False, width=64)),
+                st.one_of(st.none(), st.text(max_size=12)),
+                st.one_of(st.none(), st.booleans()),
+                st.one_of(
+                    st.none(),
+                    st.decimals(min_value=-(10**20), max_value=10**20, places=0).map(
+                        lambda d: decimal.Decimal(int(d))
+                    ),
+                ),
+            ),
+            min_size=0,
+            max_size=12,
+        )
+    )
+    def law(rows):
+        fast = local_df(spark, rows, schema)
+        classic = spark.createDataFrame(rows, schema)
+        assert fast.schema == classic.schema
+        assert sorted(map(tuple, fast.collect()), key=str) == sorted(
+            map(tuple, classic.collect()), key=str
+        )
+
+    law()

@@ -171,6 +171,13 @@ def run_stream_to_bm25_index(
     is absorbed by ``on_overlap="skip_existing"`` — already-indexed
     doc_ids are anti-joined away and a fully-replayed batch is a
     no-op, the same replay contract the MERGE sink gives row upserts.
+    A crash INSIDE the fold's two-commit window (postings landed,
+    stats did not) also heals on replay: update_bm25_index detects
+    the postings/stats divergence, identifies the lost docs by
+    time-travel diff, verifies the replayed text re-tokenizes to the
+    crashed fold's exact postings rows, and repairs the stats before
+    resuming — so the stream recovers from any single crash point
+    without operator intervention.
     Folds retry under optimistic concurrency like the merge sink: a
     concurrent writer (a rebuild, another folder) advancing the index
     between read and commit raises ConcurrentWriteError inside
