@@ -102,6 +102,7 @@ HEADLINE_R7 = [
 # of decontaminate_docs' broadcast-set probe, already benched above).
 HEADLINE_R9 = [
     "ngram_decontaminate_docs",
+    "dup_span_coverage_docs",
 ]
 HEADLINE = HEADLINE + HEADLINE_R4 + HEADLINE_R5 + HEADLINE_R7 + HEADLINE_R9
 

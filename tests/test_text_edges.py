@@ -436,3 +436,65 @@ def test_ngram_hash_mode_matches_exact(spark):
     hashed = rows_of(ngram_decontaminate(corpus, eval_set, join_on_hash=True))
     assert exact == hashed
     assert [d for d, _, _ in exact] == [3, 4]
+
+
+def _span_cov_rows(df):
+    return {
+        r["doc_id"]: (r["n_tokens"], r["n_dup_tokens"], r["coverage_ppm"])
+        for r in df.collect()
+    }
+
+
+def test_dup_span_coverage_known_small(spark):
+    """Hand-checked coverage: an 8-token span shared by two docs marks
+    exactly those 8 positions in each; a 9-token shared run yields two
+    OVERLAPPING dup grams whose covered positions de-overlap to 9; a
+    span repeated only WITHIN one doc does not flag (cross-doc rule);
+    docs shorter than the span width report zero without error."""
+    from tinyerp_etl_spark.operators.dedup import dup_span_coverage
+
+    s8 = " ".join(f"s{i}" for i in range(8))
+    s9 = " ".join(f"t{i}" for i in range(9))
+    rows = [
+        (1, "a1 a2 a3 a4 " + s8 + " a5 a6 a7 a8"),  # span at pos 5-12 of 16
+        (2, s8 + " b1 b2"),                          # span at pos 1-8 of 10
+        (3, " ".join(f"c{i}" for i in range(10))),   # clean
+        (4, "d1 d2"),                                # < 8 tokens
+        (5, s9 + " e1"),                             # 9-run at pos 1-9 of 10
+        (6, "f1 " + s9),                             # 9-run at pos 2-10 of 10
+        (7, s8 + " " + s8),                          # within-doc repeat only
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # doc 7's s8 grams ARE cross-doc dups (docs 1/2 hold them too), so
+    # split the fixture: first check the cross-doc geometry without 7
+    got = _span_cov_rows(dup_span_coverage(docs.filter("doc_id <> 7")))
+    assert got[1] == (16, 8, 8 * 1_000_000 // 16)
+    assert got[2] == (10, 8, 8 * 1_000_000 // 10)
+    assert got[3] == (10, 0, 0)
+    assert got[4] == (2, 0, 0)
+    assert got[5] == (10, 9, 9 * 1_000_000 // 10)
+    assert got[6] == (10, 9, 9 * 1_000_000 // 10)
+    # then the within-doc-only case in isolation: repetition inside a
+    # single document never reaches the ≥2-distinct-docs rule
+    solo = _span_cov_rows(dup_span_coverage(docs.filter("doc_id IN (3, 7)")))
+    assert solo[7] == (16, 0, 0)
+    assert solo[3] == (10, 0, 0)
+
+
+def test_dup_span_hash_mode_matches_exact(spark):
+    """join_on_hash=True swaps the gram string for xxhash64 before
+    both shuffles; collision-free at test scale, the per-doc coverage
+    must be identical to the exact-string topology the oracle models."""
+    from tinyerp_etl_spark.operators.dedup import dup_span_coverage
+
+    s8 = " ".join(f"s{i}" for i in range(8))
+    rows = [
+        (1, "a1 a2 " + s8),
+        (2, s8 + " b1 b2 b3"),
+        (3, "lone words only here today friend of mine"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = _span_cov_rows(dup_span_coverage(docs))
+    hashed = _span_cov_rows(dup_span_coverage(docs, join_on_hash=True))
+    assert exact == hashed
+    assert exact[1][1] == 8 and exact[2][1] == 8 and exact[3][1] == 0

@@ -25,7 +25,12 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from tinyerp_etl_spark.functions.materialize import materialize
-from tinyerp_etl_spark.operators.text import fingerprint, token_hash32, tokens
+from tinyerp_etl_spark.operators.text import (
+    fingerprint,
+    token_count,
+    token_hash32,
+    tokens,
+)
 
 # ---- deterministic MinHash family (mirrored literally in the oracle SQL)
 MINHASH_K = 16
@@ -959,3 +964,114 @@ def paragraph_fresh_rows(
                 "rebuild the index instead (or fold batches in id order)"
             )
     return batch_firsts.join(stored.select("para"), "para", "left_anti")
+
+
+# ------------------------------------------------------------ dup spans
+#
+# Span-level exact-substring duplicate coverage — the ExactSubstr
+# signal of Lee et al., "Deduplicating Training Data Makes Language
+# Models Better" (2021): for each document, what fraction of its
+# tokens sits inside a k-token run that ALSO appears verbatim in
+# another document? Whole-doc fingerprints miss it, MinHash only
+# scores global similarity; this is the grain that catches shared
+# boilerplate, quoted passages, and templated spans. The paper builds
+# a corpus-wide suffix array; the distributed re-expression is
+# positional k-gram rows + a gram-keyed aggregation — the same
+# hash-partitioned topology as every other dedup op here, no suffix
+# array and no all-pairs anything.
+
+SPAN_K = 8  # span width in tokens at gate scale (production runs ~50)
+
+
+def positional_ngram_rows(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = SPAN_K,
+) -> DataFrame:
+    """EVERY k-gram occurrence with its 1-based token position:
+    (id, pos, gram) — unlike ``word_ngram_rows`` this keeps
+    duplicates and positions, because span COVERAGE needs to know
+    where each occurrence sits, not just that the gram exists.
+    Pure posexplode over the (tokenize-once) gram array — JVM-side,
+    no Python worker. Docs with < k tokens emit no rows."""
+    grams = _bind_once(
+        tokens(text_col), lambda toks: _ngrams_of(toks, k)
+    )
+    return docs.select(
+        F.col(id_col), F.posexplode(grams).alias("pos0", "gram")
+    ).select(F.col(id_col), (F.col("pos0") + 1).alias("pos"), "gram")
+
+
+def dup_span_coverage(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = SPAN_K,
+    join_on_hash: bool = False,
+) -> DataFrame:
+    """Per-document duplicate-span coverage:
+    (id, n_tokens, n_dup_tokens, coverage_ppm) for EVERY doc —
+    ``n_dup_tokens`` counts token positions lying inside at least one
+    k-gram that occurs in ≥ 2 distinct documents, ``coverage_ppm`` is
+    the exact integer (n_dup_tokens·10⁶) div n_tokens (no float ever
+    materializes, so oracle comparison is bit-trivial).
+
+    Topology: one positional-gram pass (materialized once, consumed
+    by both sides), a groupBy(gram) distinct-doc count to find the
+    cross-doc grams — shuffle ∝ gram occurrences, map-side combine
+    collapses within-partition repeats — then an equi-join back and a
+    ×k explode of ONLY the duplicated occurrences into covered
+    positions (count_distinct de-overlaps adjacent spans; no interval
+    arithmetic needed). The ×k amplification applies to the
+    duplicated subset alone — on a clean corpus that is ~0 rows, on a
+    boilerplate-heavy one it is exactly the data you are about to
+    delete.  ``join_on_hash=True`` is the at-scale shuffle shape
+    (same contract as ``ngram_decontaminate``): both the aggregation
+    and the join key become xxhash64(gram) BEFORE the exchange, so
+    the two shuffles carry an 8-byte key instead of a ~k-word string;
+    a 64-bit collision needs ~2^32 distinct grams to become likely
+    and costs one false-covered span, the trade every production
+    span-dedup run makes. Default stays exact-string so the DuckDB
+    oracle models the engine bit-for-bit;
+    test_dup_span_hash_mode_matches_exact pins hash ≡ exact.
+    """
+    pg = materialize(positional_ngram_rows(docs, text_col, id_col, k))
+    key = F.xxhash64("gram") if join_on_hash else F.col("gram")
+    occ = pg.select(F.col(id_col), "pos", key.alias("__k"))
+    dup = (
+        occ.groupBy("__k")
+        .agg(F.count_distinct(id_col).alias("__nd"))
+        .filter(F.col("__nd") >= 2)
+        .select("__k")
+    )
+    covered = (
+        occ.join(dup, "__k")
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + (k - 1))
+            ).alias("__tok"),
+        )
+        .groupBy(id_col)
+        .agg(F.count_distinct("__tok").alias("n_dup_tokens"))
+    )
+    base = docs.select(
+        F.col(id_col), token_count(text_col).cast("long").alias("n_tokens")
+    )
+    n_dup = F.coalesce(F.col("n_dup_tokens"), F.lit(0)).cast("long")
+    return (
+        base.join(covered, id_col, "left")
+        .select(F.col(id_col), "n_tokens", n_dup.alias("n_dup_tokens"))
+        .withColumn(
+            "coverage_ppm",
+            F.when(
+                F.col("n_tokens") > 0,
+                # integer div end to end — no double ever materializes,
+                # so Spark and the DuckDB oracle agree bit-for-bit
+                F.expr("(n_dup_tokens * 1000000) div n_tokens"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long"),
+        )
+    )

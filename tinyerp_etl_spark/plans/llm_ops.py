@@ -2911,6 +2911,61 @@ LLM_ORACLES["ngram_decontaminate_docs"] = f"""
 LLM_QUERIES["ngram_decontaminate_docs"] = ngram_decontaminate_docs
 
 
+# ------------------- round-9 addition: duplicate-span coverage audit
+
+
+def dup_span_coverage_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level exact-substring duplicate coverage over the corpus.
+
+    The ExactSubstr signal (Lee et al. 2021): per document, the
+    fraction of tokens inside an 8-token run that also appears
+    verbatim in ANOTHER document — the grain that catches shared
+    boilerplate and quoted passages whole-doc fingerprints and
+    MinHash both miss. Runs operators/dedup.dup_span_coverage:
+    positional grams → cross-doc gram set (groupBy, ≥2 distinct
+    docs) → join-back → covered-position count; coverage is exact
+    integer ppm, so no float ever crosses the oracle compare. One
+    row per doc, clean docs report 0."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return D.dup_span_coverage(docs).orderBy("doc_id")
+
+
+# DuckDB twin: same positional grams (1-based starts, K-wide slices),
+# same ≥2-distinct-doc rule, covered positions de-overlapped with
+# count(DISTINCT pos + j), ppm by integer // — interpolates SPAN_K so
+# a width change cannot silently drift the oracle.
+LLM_ORACLES["dup_span_coverage_docs"] = f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    pg AS (
+      SELECT doc_id, i AS pos,
+             array_to_string(toks[i:i+{D.SPAN_K - 1}], ' ') AS gram
+      FROM t, UNNEST(range(1, len(toks) - {D.SPAN_K - 2})) AS u(i)
+      WHERE len(toks) >= {D.SPAN_K}
+    ),
+    dup AS (
+      SELECT gram FROM pg GROUP BY gram
+      HAVING count(DISTINCT doc_id) >= 2
+    ),
+    cov AS (
+      SELECT pg.doc_id,
+             count(DISTINCT pg.pos + j) AS n_dup_tokens
+      FROM pg JOIN dup USING (gram),
+           UNNEST(range(0, {D.SPAN_K})) AS g(j)
+      GROUP BY pg.doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.toks) AS BIGINT) AS n_tokens,
+           CAST(coalesce(cov.n_dup_tokens, 0) AS BIGINT) AS n_dup_tokens,
+           CAST(CASE WHEN len(t.toks) > 0
+                     THEN (coalesce(cov.n_dup_tokens, 0) * 1000000)
+                          // len(t.toks)
+                     ELSE 0 END AS BIGINT) AS coverage_ppm
+    FROM t LEFT JOIN cov USING (doc_id)
+    ORDER BY doc_id
+"""
+LLM_QUERIES["dup_span_coverage_docs"] = dup_span_coverage_docs
+
+
 # ------------------------------- round-7 addition: BPE merge training
 
 

@@ -228,7 +228,12 @@ _RELATIONAL_NAMES = [
 #       per the r4 principle, displacing q14_promo_revenue (r4-green
 #       on untouched code; its promo-ratio shape is covered by the
 #       in-gate promo_revenue_ratio row),
-#   (b) 29 of the 48 r4-stale rows, prioritizing the LLM-pipeline /
+#   (0c) dup_span_coverage_docs, also NEW in round 9 (span-level
+#       exact-substring duplicate coverage, the Lee-et-al ExactSubstr
+#       signal) — enters at birth, displacing hll_distinct_users
+#       (r4-green on untouched code; the HLL engine path stays gated
+#       through the in-gate hll_union_rollup row),
+#   (b) 28 of the 48 r4-stale rows, prioritizing the LLM-pipeline /
 #       persisted-artifact / round-trip operators whose shapes no
 #       fresher gate row covers (dedup+LSH family, curation manifests,
 #       multimodal, sketch rollups, z-order/bucketed/XML round-trips,
@@ -244,16 +249,20 @@ _RELATIONAL_NAMES = [
 # q18_large_volume_customers, q19_discount_revenue,
 # scalar_subquery_rich_idle_customers, setops_customer_nations,
 # topk_expensive_orders, window_latest_order_per_customer,
-# window_moving_avg_daily_revenue, plus q14_promo_revenue (displaced
-# by the round-9 newcomer).
+# window_moving_avg_daily_revenue, plus q14_promo_revenue and
+# hll_distinct_users (each displaced by a round-9 newcomer).
 # After round 9's gate runs green, every query's newest driver row is
 # r4+ with zero never-gated rows — the r3 rotation debt retires
 # completely for the first time.
 _ROUND9_FRONT_50 = [
-    # (0) never gated / new this round
+    # (0) never gated / new this round (dup_span_coverage_docs is the
+    # second round-9 newcomer — gated at birth per convention; it
+    # displaces hll_distinct_users, whose HLL engine path stays gated
+    # through hll_union_rollup)
     "ivf_nprobe_recall_curve",
     "neardup_threshold_curve",
     "ngram_decontaminate_docs",
+    "dup_span_coverage_docs",
     # (a) the eighteen r3-stale deferrals
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -294,7 +303,6 @@ _ROUND9_FRONT_50 = [
     "key_skew_profile_events",
     "kmv_sketch_rollup",
     "hll_union_rollup",
-    "hll_distinct_users",
     "applyinpandas_group_ols",
     "approx_quantile_order_totals",
     "xml_roundtrip_orders",
