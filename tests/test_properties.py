@@ -675,3 +675,61 @@ def test_bm25_fold_equals_rebuild_any_partition(spark, extra_text, mod):
         )
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+# ---------------------------------------------------------- dup spans
+
+
+def model_dup_span_coverage(texts: dict, k: int) -> dict:
+    """Exact Python model of operators/dedup.dup_span_coverage: same
+    ASCII \\w+ lowercase tokenizer, positional k-grams, ≥2-distinct-doc
+    rule, de-overlapped covered positions, integer-ppm coverage."""
+    import re
+
+    tok = re.compile(r"\w+", re.ASCII)
+    toks = {d: tok.findall((t or "").lower()) for d, t in texts.items()}
+    gram_docs: dict = {}
+    occs: dict = {}
+    for d, ts in toks.items():
+        for i in range(len(ts) - k + 1):
+            g = " ".join(ts[i : i + k])
+            gram_docs.setdefault(g, set()).add(d)
+            occs.setdefault(d, []).append((i + 1, g))
+    out = {}
+    for d, ts in toks.items():
+        cov: set = set()
+        for p, g in occs.get(d, []):
+            if len(gram_docs[g]) >= 2:
+                cov.update(range(p, p + k))
+        n = len(ts)
+        out[d] = (n, len(cov), (len(cov) * 1_000_000) // n if n else 0)
+    return out
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["red", "blue", "ox", "fig", "sun", "moss"]),
+            max_size=14,
+        ),
+        min_size=2,
+        max_size=5,
+    )
+)
+def test_dup_span_coverage_matches_python_model(spark, token_lists):
+    """Adversarial corpora from a 6-word alphabet (3-grams collide
+    constantly, within- and cross-doc): engine coverage must equal the
+    exact model doc for doc — bounds, overlap de-duplication, and the
+    cross-doc-only rule all fall out of the comparison."""
+    from tinyerp_etl_spark.operators.dedup import dup_span_coverage
+
+    texts = {i + 1: " ".join(ts) for i, ts in enumerate(token_lists)}
+    docs = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_dup_tokens"], r["coverage_ppm"])
+        for r in dup_span_coverage(docs, k=3).collect()
+    }
+    assert got == model_dup_span_coverage(texts, k=3)
