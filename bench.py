@@ -103,6 +103,8 @@ HEADLINE_R7 = [
 HEADLINE_R9 = [
     "ngram_decontaminate_docs",
     "dup_span_coverage_docs",
+    # PQ: codebook-training parity face + compressed-domain ADC top-k
+    "pq_topk_embeddings",
 ]
 HEADLINE = HEADLINE + HEADLINE_R4 + HEADLINE_R5 + HEADLINE_R7 + HEADLINE_R9
 

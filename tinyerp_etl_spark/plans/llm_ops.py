@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from tinyerp_etl_spark.functions.materialize import materialize
 from tinyerp_etl_spark.operators import dedup as D
+from tinyerp_etl_spark.operators import pq_index as PQX
 from tinyerp_etl_spark.operators import similarity as S
 from tinyerp_etl_spark.operators import sketch as SK
 from tinyerp_etl_spark.operators import text as X
@@ -1149,7 +1150,12 @@ def _tcos_sql(a: str, b: str) -> str:
     )
 
 
-def _kmeans_ctes(src: str, k: int = S.KMEANS_K, iters: int = S.KMEANS_ITERS) -> tuple[str, str]:
+def _kmeans_ctes(
+    src: str,
+    k: int = S.KMEANS_K,
+    iters: int = S.KMEANS_ITERS,
+    tag: str = "",
+) -> tuple[str, str]:
     """The deterministic integer k-means of similarity.train_kmeans,
     unrolled as a DuckDB CTE chain over ``src`` (vec_id, embedding).
 
@@ -1163,33 +1169,39 @@ def _kmeans_ctes(src: str, k: int = S.KMEANS_K, iters: int = S.KMEANS_ITERS) -> 
     centroid_id, update by floor(sum/n + 0.5) per dimension in IEEE
     double over exact int64 sums, empty clusters keeping their
     previous centroid.
+
+    ``tag`` suffixes every generated CTE name so several independent
+    chains can share one WITH clause (the PQ oracle trains one chain
+    per subspace); the default "" keeps the historical names (__kt,
+    __ks, __c{t}) that the IVF/semantic-dedup oracles reference.
     """
     qd = _QD.format(x="x")
+    kt, ks = f"__kt{tag}", f"__ks{tag}"
     ctes = [
-        f"__kt AS (SELECT vec_id, list_transform({src}.embedding, x -> {qd}) AS ticks "
+        f"{kt} AS (SELECT vec_id, list_transform({src}.embedding, x -> {qd}) AS ticks "
         f"FROM {src})"
     ]
-    ctes.append(f"""__ks AS (
+    ctes.append(f"""{ks} AS (
       SELECT vec_id, ticks, h FROM (
         SELECT vec_id, ticks,
                CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h
-        FROM __kt)
+        FROM {kt})
       ORDER BY h, vec_id LIMIT {S.TRAIN_SAMPLE_CAP}
     )""")
-    ctes.append(f"""__c0 AS (
+    ctes.append(f"""__c0{tag} AS (
       SELECT row_number() OVER (ORDER BY h, vec_id) AS centroid_id, ticks AS cticks
-      FROM (SELECT vec_id, ticks, h FROM __ks ORDER BY h, vec_id LIMIT {k})
+      FROM (SELECT vec_id, ticks, h FROM {ks} ORDER BY h, vec_id LIMIT {k})
     )""")
     for t in range(1, iters + 1):
-        prev = f"__c{t - 1}"
-        ctes.append(f"""__a{t} AS (
+        prev = f"__c{t - 1}{tag}"
+        ctes.append(f"""__a{t}{tag} AS (
           SELECT vec_id, ticks, centroid_id AS list_id FROM (
             SELECT v.vec_id, v.ticks, c.centroid_id,
                    row_number() OVER (PARTITION BY v.vec_id
                      ORDER BY {_tcos_sql("v.ticks", "c.cticks")} DESC, c.centroid_id ASC) AS rn
-            FROM __ks v CROSS JOIN {prev} c) WHERE rn = 1
+            FROM {ks} v CROSS JOIN {prev} c) WHERE rn = 1
         )""")
-        ctes.append(f"""__u{t} AS (
+        ctes.append(f"""__u{t}{tag} AS (
           SELECT list_id AS centroid_id,
                  list_transform(list_sort(list({{'d': dim, 'tv': tval}})), s -> s.tv) AS cticks
           FROM (
@@ -1198,15 +1210,15 @@ def _kmeans_ctes(src: str, k: int = S.KMEANS_K, iters: int = S.KMEANS_ITERS) -> 
             FROM (SELECT list_id,
                          unnest(range(1, len(ticks) + 1)) AS dim,
                          unnest(ticks) AS tick
-                  FROM __a{t})
+                  FROM __a{t}{tag})
             GROUP BY list_id, dim)
           GROUP BY list_id
         )""")
-        ctes.append(f"""__c{t} AS (
+        ctes.append(f"""__c{t}{tag} AS (
           SELECT p.centroid_id, COALESCE(u.cticks, p.cticks) AS cticks
-          FROM {prev} p LEFT JOIN __u{t} u USING (centroid_id)
+          FROM {prev} p LEFT JOIN __u{t}{tag} u USING (centroid_id)
         )""")
-    return ",\n".join(ctes), f"__c{iters}"
+    return ",\n".join(ctes), f"__c{iters}{tag}"
 
 
 _KM_CTES_EMB, _KM_FINAL = _kmeans_ctes("embeddings")
@@ -2964,6 +2976,145 @@ LLM_ORACLES["dup_span_coverage_docs"] = f"""
     ORDER BY doc_id
 """
 LLM_QUERIES["dup_span_coverage_docs"] = dup_span_coverage_docs
+
+
+# ---------------- round-9 addition: product-quantization (PQ) index
+
+_PQ_CACHE: dict[str, tuple[list, str, tuple[int, int]]] = {}
+
+#: testdata embedding dim (TESTDATA.md); the ENGINE derives it from
+#: the data, the oracle needs it literal for the subspace slices — a
+#: dim change hash-mismatches immediately, which is the alarm we want
+_PQ_EMB_DIM = 64
+
+
+def _pq_index_for(spark: SparkSession, sf_dir: str) -> list:
+    """The loaded-or-trained PQ codebook for a corpus dir — same
+    content-addressed artifact flow as _ivf_artifact_for (fingerprint
+    first, fingerprint-keyed directory, load_or_train)."""
+    key = os.path.abspath(sf_dir)
+    if key not in _PQ_CACHE:
+        from tinyerp_etl_spark.operators.ivf_index import (
+            corpus_fingerprint,
+            embedding_content,
+        )
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        fp = corpus_fingerprint(emb, content=embedding_content())
+        path = os.path.join(_artifact_root(), "pq_index", _corpus_tag(sf_dir, fp))
+        book = PQX.load_or_train_pq_index(spark, emb, path, fingerprint=fp)
+        _PQ_CACHE[key] = (book, path, fp)
+    return _PQ_CACHE[key][0]
+
+
+def pq_codebook_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted PQ codebook as exploded scalar rows
+    (subspace, code_id, dim, tick) — M·KS·(d/M) rows.
+
+    The training-parity gate for product quantization: the oracle
+    re-trains every subspace codebook from scratch with the unrolled
+    k-means SQL, so this row proves loaded ≡ trained for the
+    artifact the ADC query scores through (the ivf_index_roundtrip
+    discipline applied to the quantizer)."""
+    book = _pq_index_for(spark, sf_dir)
+    rows = [
+        (int(s), int(cid), int(d), int(t))
+        for s, cid, ticks in book
+        for d, t in enumerate(ticks)
+    ]
+    return local_df(
+        spark, rows, "subspace int, code_id int, dim int, tick long"
+    ).orderBy("subspace", "code_id", "dim")
+
+
+def pq_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate cosine top-10 neighbors of vec_id=0 by ADC through
+    the persisted PQ codebook (operators/pq_index.pq_adc_topk): the
+    whole encode+score pass is one shuffle-free projection whose
+    lookup table rides as plan-time literals, TakeOrdered(10) on
+    top. The oracle re-trains the codebooks and re-derives the ADC
+    ranking in SQL, so this row proves the compressed-domain scores
+    end to end."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return PQX.pq_adc_topk(
+        emb, query_vec_id=0, k=10, codebook=_pq_index_for(spark, sf_dir)
+    )
+
+
+def _pq_oracle_ctes() -> str:
+    """One WITH body holding, per subspace s: the sliced source
+    (__pqvs), the unrolled k-means chain (tag p{s}), the full-corpus
+    nearest-codeword encoding (__pqes), and the per-vector
+    (query-dot, codeword-norm², query-norm²) contribution (__pqcs).
+    DuckDB prunes unreferenced CTEs, so the codebook oracle and the
+    ADC oracle share this text."""
+    w = _PQ_EMB_DIM // PQX.PQ_M
+    parts: list[str] = []
+    for s in range(1, PQX.PQ_M + 1):
+        lo, hi = (s - 1) * w + 1, s * w
+        parts.append(
+            f"__pqv{s} AS (SELECT vec_id, embedding[{lo}:{hi}] AS embedding "
+            f"FROM embeddings)"
+        )
+        ctes, final = _kmeans_ctes(
+            f"__pqv{s}", k=PQX.PQ_KS, iters=PQX.PQ_ITERS, tag=f"p{s}"
+        )
+        parts.append(ctes)
+        parts.append(f"""__pqe{s} AS (
+          SELECT vec_id, cticks FROM (
+            SELECT v.vec_id, c.cticks,
+                   row_number() OVER (PARTITION BY v.vec_id
+                     ORDER BY {_tcos_sql("v.ticks", "c.cticks")} DESC, c.centroid_id ASC) AS rn
+            FROM __ktp{s} v CROSS JOIN {final} c) WHERE rn = 1
+        )""")
+        parts.append(f"""__pqc{s} AS (
+          SELECT e.vec_id,
+                 CAST({_TDOT.format(a="e.cticks", b="q.qticks")} AS BIGINT) AS qdot,
+                 CAST({_TNORM2.format(a="e.cticks")} AS BIGINT) AS cn2,
+                 CAST({_TNORM2.format(a="q.qticks")} AS BIGINT) AS qn2
+          FROM __pqe{s} e,
+               (SELECT ticks AS qticks FROM __ktp{s} WHERE vec_id = 0) q
+        )""")
+    return ",\n".join(parts)
+
+
+_PQ_CTES = _pq_oracle_ctes()
+_PQ_UNION = " UNION ALL ".join(
+    f"SELECT * FROM __pqc{s}" for s in range(1, PQX.PQ_M + 1)
+)
+_PQ_BOOK_UNION = " UNION ALL ".join(
+    f"SELECT {s} AS subspace, centroid_id, cticks FROM __c{PQX.PQ_ITERS}p{s}"
+    for s in range(1, PQX.PQ_M + 1)
+)
+
+LLM_ORACLES["pq_codebook_embeddings"] = f"""
+    WITH {_PQ_CTES}
+    SELECT CAST(subspace AS INT) AS subspace,
+           CAST(centroid_id AS INT) AS code_id,
+           CAST(generate_subscripts(cticks, 1) - 1 AS INT) AS dim,
+           CAST(unnest(cticks) AS BIGINT) AS tick
+    FROM ({_PQ_BOOK_UNION})
+    ORDER BY subspace, code_id, dim
+"""
+LLM_QUERIES["pq_codebook_embeddings"] = pq_codebook_embeddings
+
+LLM_ORACLES["pq_topk_embeddings"] = f"""
+    WITH {_PQ_CTES},
+    __pqadc AS (
+      SELECT vec_id, sum(qdot) AS num, sum(cn2) AS xn2, sum(qn2) AS qn2
+      FROM ({_PQ_UNION})
+      GROUP BY vec_id
+    )
+    SELECT vec_id,
+           CAST(CAST(num AS DOUBLE)
+                / sqrt(CAST(xn2 AS DOUBLE) * CAST(qn2 AS DOUBLE)) AS DOUBLE)
+             AS score
+    FROM __pqadc
+    WHERE vec_id != 0
+    ORDER BY score DESC, vec_id ASC
+    LIMIT 10
+"""
+LLM_QUERIES["pq_topk_embeddings"] = pq_topk_embeddings
 
 
 # ------------------------------- round-7 addition: BPE merge training

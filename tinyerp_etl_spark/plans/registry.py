@@ -233,7 +233,14 @@ _RELATIONAL_NAMES = [
 #       signal) — enters at birth, displacing hll_distinct_users
 #       (r4-green on untouched code; the HLL engine path stays gated
 #       through the in-gate hll_union_rollup row),
-#   (b) 28 of the 48 r4-stale rows, prioritizing the LLM-pipeline /
+#   (0d) pq_codebook_embeddings + pq_topk_embeddings, also NEW in
+#       round 9 (persisted product-quantization codebook; training
+#       parity + ADC compressed-domain top-k) — enter at birth,
+#       displacing dedup_exact_count (its exact-dedup shape is
+#       r8-green via exact_dup_groups) and multimodal_frame_sample
+#       (its keyframe-sampling shape is r8-green via
+#       mp4_keyframe_parity), both r4-green on untouched code,
+#   (b) 26 of the 48 r4-stale rows, prioritizing the LLM-pipeline /
 #       persisted-artifact / round-trip operators whose shapes no
 #       fresher gate row covers (dedup+LSH family, curation manifests,
 #       multimodal, sketch rollups, z-order/bucketed/XML round-trips,
@@ -249,8 +256,10 @@ _RELATIONAL_NAMES = [
 # q18_large_volume_customers, q19_discount_revenue,
 # scalar_subquery_rich_idle_customers, setops_customer_nations,
 # topk_expensive_orders, window_latest_order_per_customer,
-# window_moving_avg_daily_revenue, plus q14_promo_revenue and
-# hll_distinct_users (each displaced by a round-9 newcomer).
+# window_moving_avg_daily_revenue, plus q14_promo_revenue,
+# hll_distinct_users, dedup_exact_count, and multimodal_frame_sample
+# (each displaced by a round-9 newcomer whose ledger entry above
+# names the fresher row covering its shape).
 # After round 9's gate runs green, every query's newest driver row is
 # r4+ with zero never-gated rows — the r3 rotation debt retires
 # completely for the first time.
@@ -263,6 +272,8 @@ _ROUND9_FRONT_50 = [
     "neardup_threshold_curve",
     "ngram_decontaminate_docs",
     "dup_span_coverage_docs",
+    "pq_codebook_embeddings",
+    "pq_topk_embeddings",
     # (a) the eighteen r3-stale deferrals
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -282,9 +293,8 @@ _ROUND9_FRONT_50 = [
     "copurchase_pagerank_3iter",
     "train_val_test_split_docs",
     "c4_quality_filter_stats",
-    # (b) twenty-nine r4-stale rows, LLM-pipeline and round-trip
+    # (b) twenty-six r4-stale rows, LLM-pipeline and round-trip
     # shapes no fresher gate row covers
-    "dedup_exact_count",
     "dedup_keep_canonical",
     "minhash_signatures",
     "minhash_lsh_neardup_pairs",
@@ -299,7 +309,6 @@ _ROUND9_FRONT_50 = [
     "unigram_surprisal_filter",
     "sql_ml_inference_score",
     "multimodal_manifest",
-    "multimodal_frame_sample",
     "key_skew_profile_events",
     "kmv_sketch_rollup",
     "hll_union_rollup",
