@@ -3117,6 +3117,8 @@ LLM_ORACLES["pq_topk_embeddings"] = f"""
 LLM_QUERIES["pq_topk_embeddings"] = pq_topk_embeddings
 
 
+
+
 # ------------------------------- round-7 addition: BPE merge training
 
 
@@ -3678,6 +3680,134 @@ LLM_ORACLES["ivf_recall_report"] = f"""
     {_overlap_final_sql("qs", "recall_p10k")}
 """
 LLM_QUERIES["ivf_recall_report"] = ivf_recall_report
+
+
+def pq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measure PQ compression loss: recall@k of the ADC ranking vs
+    the exhaustive exact ranking, per query vector.
+
+    Completes the ranking-measurement family (lsh_recall_report /
+    ivf_recall_report / int8_rank_fidelity): ground truth is the
+    exhaustive tick-cosine scan (_exhaustive_topk, audit-scale by
+    design); the probe side runs the PRODUCTION shape — the stored
+    (vec, subspace, code) table from the shuffle-free encode joined
+    to a broadcast 4·M·KS-row lookup table of per-query codeword
+    (dot, norm²) contributions, summed per (vec, qid). Any n_hit < k
+    isolates what the M×KS quantization grid (not scoring noise)
+    lost — the number that sizes KS at 100 TB. Shares the family's
+    single top-k rule and report shape."""
+    book = _pq_index_for(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id", S._q(F.col("embedding")).alias("__vt")
+    ).withColumn("__n2", S._ticks_norm2(F.col("__vt")))
+    qs = _recall_queries(base)
+    ftop = _exhaustive_topk(base, qs)
+
+    by = PQX._by_subspace(book)
+    qrows = sorted(
+        emb.filter(F.col("vec_id") < _RECALL_Q)
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: r["vec_id"],
+    )
+    dim = len(qrows[0]["embedding"])
+    bounds = PQX._sub_bounds(dim, len(by))
+    lut_rows = []
+    for r in qrows:
+        qticks = S.quantize_vector(r["embedding"])
+        for s, (lo, w) in zip(sorted(by), bounds):
+            qsub = qticks[lo - 1 : lo - 1 + w]
+            for cid, ticks in by[s]:
+                lut_rows.append(
+                    (
+                        int(r["vec_id"]),
+                        int(s),
+                        int(cid),
+                        int(sum(a * b for a, b in zip(ticks, qsub))),
+                        int(sum(t * t for t in ticks)),
+                        int(sum(t * t for t in qsub)),
+                    )
+                )
+    lut = local_df(
+        spark,
+        lut_rows,
+        "qid long, subspace int, code int, qdot long, cn2 long, qn2s long",
+    )
+    codes = PQX.pq_encode(emb, book)
+    itop = _topk_per_qid(
+        codes.join(F.broadcast(lut), ["subspace", "code"])
+        .groupBy("vec_id", "qid")
+        .agg(
+            F.sum("qdot").alias("__num"),
+            F.sum("cn2").alias("__xn2"),
+            F.sum("qn2s").alias("__qn2"),
+        )
+        .filter(F.col("vec_id") != F.col("qid"))
+        .withColumn(
+            "score",
+            (
+                F.col("__num").cast("double")
+                / F.sqrt(
+                    F.col("__xn2").cast("double") * F.col("__qn2").cast("double")
+                )
+            ).cast("double"),
+        )
+    )
+    return _overlap_report(qs.select("qid"), ftop, itop, "pq_recall_p10k")
+
+
+_PQ_RECALL_PARTS = []
+for _s in range(1, PQX.PQ_M + 1):
+    _PQ_RECALL_PARTS.append(
+        f"""__pqq{_s} AS (
+      SELECT vec_id AS qid, ticks AS qticks FROM __ktp{_s}
+      WHERE vec_id < {_RECALL_Q}
+    )"""
+    )
+    _PQ_RECALL_PARTS.append(
+        f"""__pqr{_s} AS (
+      SELECT e.vec_id, q.qid,
+             CAST({_TDOT.format(a="e.cticks", b="q.qticks")} AS BIGINT) AS qdot,
+             CAST({_TNORM2.format(a="e.cticks")} AS BIGINT) AS cn2,
+             CAST({_TNORM2.format(a="q.qticks")} AS BIGINT) AS qn2
+      FROM __pqe{_s} e CROSS JOIN __pqq{_s} q
+    )"""
+    )
+_PQ_RECALL_CTES = ",\n".join(_PQ_RECALL_PARTS)
+_PQ_RECALL_UNION = " UNION ALL ".join(
+    f"SELECT * FROM __pqr{s}" for s in range(1, PQX.PQ_M + 1)
+)
+
+LLM_ORACLES["pq_recall_report"] = f"""
+    WITH {_PQ_CTES},
+    {_PQ_RECALL_CTES},
+    __pqt AS (
+      SELECT vec_id, list_transform(embedding, x -> {_QD.format(x="x")}) AS ticks
+      FROM embeddings
+    ),
+    qs AS (SELECT vec_id AS qid, ticks AS qticks FROM __pqt
+           WHERE vec_id < {_RECALL_Q}),
+    ftop AS ({_rank_topk_sql("__pqt", "qs", "ticks", "qticks")}),
+    __pqadc2 AS (
+      SELECT vec_id, qid,
+             sum(qdot) AS num, sum(cn2) AS xn2, sum(qn2) AS qn2
+      FROM ({_PQ_RECALL_UNION})
+      GROUP BY vec_id, qid
+    ),
+    itop AS (
+      SELECT qid, vec_id FROM (
+        SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+          ORDER BY CAST(CAST(num AS DOUBLE)
+                   / sqrt(CAST(xn2 AS DOUBLE) * CAST(qn2 AS DOUBLE)) AS DOUBLE)
+                   DESC, vec_id ASC) AS rn
+        FROM __pqadc2 WHERE vec_id <> qid
+      ) WHERE rn <= {_RECALL_K}
+    ),
+    {_HITS_CTE}
+    {_overlap_final_sql("qs", "pq_recall_p10k")}
+"""
+LLM_QUERIES["pq_recall_report"] = pq_recall_report
 
 
 LLM_ORACLES["int8_rank_fidelity"] = f"""

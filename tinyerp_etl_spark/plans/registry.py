@@ -233,14 +233,17 @@ _RELATIONAL_NAMES = [
 #       signal) — enters at birth, displacing hll_distinct_users
 #       (r4-green on untouched code; the HLL engine path stays gated
 #       through the in-gate hll_union_rollup row),
-#   (0d) pq_codebook_embeddings + pq_topk_embeddings, also NEW in
-#       round 9 (persisted product-quantization codebook; training
-#       parity + ADC compressed-domain top-k) — enter at birth,
-#       displacing dedup_exact_count (its exact-dedup shape is
-#       r8-green via exact_dup_groups) and multimodal_frame_sample
-#       (its keyframe-sampling shape is r8-green via
-#       mp4_keyframe_parity), both r4-green on untouched code,
-#   (b) 26 of the 48 r4-stale rows, prioritizing the LLM-pipeline /
+#   (0d) pq_codebook_embeddings + pq_topk_embeddings +
+#       pq_recall_report, also NEW in round 9 (persisted
+#       product-quantization codebook; training parity + ADC
+#       compressed-domain top-k + the family recall audit) — enter at
+#       birth, displacing dedup_exact_count (its exact-dedup shape is
+#       r8-green via exact_dup_groups), multimodal_frame_sample (its
+#       keyframe-sampling shape is r8-green via mp4_keyframe_parity),
+#       and kmv_sketch_rollup (KMV is r8-green via kmv_distinct_users
+#       and the mergeable-rollup shape stays gated via the in-gate
+#       hll_union_rollup), all three r4-green on untouched code,
+#   (b) 25 of the 48 r4-stale rows, prioritizing the LLM-pipeline /
 #       persisted-artifact / round-trip operators whose shapes no
 #       fresher gate row covers (dedup+LSH family, curation manifests,
 #       multimodal, sketch rollups, z-order/bucketed/XML round-trips,
@@ -274,6 +277,7 @@ _ROUND9_FRONT_50 = [
     "dup_span_coverage_docs",
     "pq_codebook_embeddings",
     "pq_topk_embeddings",
+    "pq_recall_report",
     # (a) the eighteen r3-stale deferrals
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -293,7 +297,7 @@ _ROUND9_FRONT_50 = [
     "copurchase_pagerank_3iter",
     "train_val_test_split_docs",
     "c4_quality_filter_stats",
-    # (b) twenty-six r4-stale rows, LLM-pipeline and round-trip
+    # (b) twenty-five r4-stale rows, LLM-pipeline and round-trip
     # shapes no fresher gate row covers
     "dedup_keep_canonical",
     "minhash_signatures",
@@ -310,7 +314,6 @@ _ROUND9_FRONT_50 = [
     "sql_ml_inference_score",
     "multimodal_manifest",
     "key_skew_profile_events",
-    "kmv_sketch_rollup",
     "hll_union_rollup",
     "applyinpandas_group_ols",
     "approx_quantile_order_totals",
