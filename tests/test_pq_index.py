@@ -106,3 +106,50 @@ def test_pq_zero_query_raises(spark):
     book = P.train_pq(emb.filter("vec_id > 0"), m=2, ks=2, iters=1)
     with pytest.raises(ValueError, match="zero query vector"):
         P.pq_adc_topk(emb, 0, k=3, codebook=book)
+
+
+def test_pq_shared_sample_matches_per_subspace_capped(spark):
+    """The one-pass shared sample must train bit-identically to the
+    first-cut per-subspace capped training (sample membership and
+    seeding both derive from the same (md5-prefix, id) order)."""
+    from pyspark.sql import functions as F
+
+    emb = _tiny_embeddings(spark, n=10)
+    cap = 6
+    shared = P.train_pq(emb, m=2, ks=3, iters=2, sample_cap=cap)
+    per_sub = []
+    for s, (lo, w) in enumerate(P._sub_bounds(8, 2), start=1):
+        sliced = emb.select(
+            F.col("vec_id"), F.slice(F.col("embedding"), lo, w).alias("embedding")
+        )
+        from tinyerp_etl_spark.operators.similarity import train_kmeans
+
+        cents = train_kmeans(sliced, k=3, iters=2, sample_cap=cap)
+        per_sub.extend((s, cid, ticks) for cid, ticks in cents)
+    assert shared == sorted(per_sub, key=lambda r: (r[0], r[1]))
+
+
+def test_pq_empty_corpus_raises_clearly(spark):
+    emb = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="empty embeddings frame"):
+        P.train_pq(emb, m=2, ks=2, iters=1)
+
+
+def test_pq_zero_subvector_encodes_not_crashes(spark):
+    """A legitimate embedding whose one subspace slice quantizes to
+    all-zero ticks must ENCODE (to code 1, the deterministic all-tie
+    winner) rather than abort the job — the loud zero-norm contract
+    binds at train time, not per row in the query path."""
+    rows = [(i, [float(i + j + 1) for j in range(8)]) for i in range(1, 5)]
+    emb_train = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    book = P.train_pq(emb_train, m=2, ks=2, iters=1)
+    # second subspace slice is exactly zero
+    probe = spark.createDataFrame(
+        [(99, [1.0, 2.0, 3.0, 4.0, 0.0, 0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        (r["subspace"]): r["code"] for r in P.pq_encode(probe, book).collect()
+    }
+    assert got[2] == 1  # all-tie → lowest code id
+    assert 1 <= got[1] <= 2

@@ -14,12 +14,13 @@ query-time lookup table instead of the raw vector.
 This module is the IVF discipline (operators/ivf_index.py) applied to
 the quantizer itself, re-expressed Spark-first:
 
-- **Training** reuses ``train_kmeans`` verbatim once per subspace over
-  the SLICED corpus — same deterministic md5-prefix seeding, same
-  sample bound, same integer Lloyd's; slicing commutes with the tick
-  quantization because ``_q`` is elementwise, so the DuckDB oracle
-  models each subspace with the same unrolled k-means CTE the IVF
-  oracles use.
+- **Training** draws the deterministic capped sample ONCE (one
+  TakeOrdered corpus pass, materialized) and runs ``train_kmeans``
+  per subspace over slices of that tiny frame — same md5-prefix
+  seeding, same integer Lloyd's, bit-identical to per-subspace capped
+  training; slicing commutes with the tick quantization because
+  ``_q`` is elementwise, so the DuckDB oracle models each subspace
+  with the same unrolled k-means CTE the IVF oracles use.
 - **The codebook persists** as a versioned TableStore artifact
   (M·KS control-plane rows) carrying its hyperparameters and a corpus
   fingerprint — the load/verify/retrain contract is ivf_index's,
@@ -105,20 +106,42 @@ def train_pq(
     """Train the M per-subspace codebooks; returns
     [(subspace, code_id, ticks)] sorted by (subspace, code_id).
 
-    One ``train_kmeans`` run per subspace over the sliced corpus —
-    the seeding hash covers ``id_col`` only, so every subspace trains
-    on the SAME deterministic sample rows (the oracle reuses one
-    sample CTE per subspace with identical membership). Slicing
-    before quantization equals quantizing then slicing (``_q`` is
-    elementwise), which is what lets the DuckDB twin slice the raw
-    embedding array.
+    The seeding hash covers ``id_col`` only, so every subspace trains
+    on the SAME deterministic sample rows — which means the capped
+    sample is drawn ONCE (one TakeOrdered corpus pass, materialized)
+    and all M ``train_kmeans`` runs slice that tiny frame with
+    ``sample_cap=None`` (each run's seeding re-derives the identical
+    (hash, id) order over the already-sampled rows, so results are
+    bit-identical to per-subspace capped training — pinned by test).
+    The first cut sampled per subspace: M+1 corpus passes where one
+    suffices, a ~(M+1)× training-IO regression at the scale the cap
+    exists for. Slicing before quantization equals quantizing then
+    slicing (``_q`` is elementwise), which is what lets the DuckDB
+    twin slice the raw embedding array. The embedding dim probes from
+    the sample's first row — an empty corpus fails loudly here.
+
+    Training keeps the family's loud-failure contract: a zero-norm
+    subvector IN THE SAMPLE raises (train_kmeans → _assign_ticks), a
+    broken input surfacing at build time; the query-path encode is
+    softer (see ``_pq_sub_expr``).
     """
-    dim = embeddings.select(
-        F.array_size(F.col(vec_col)).alias("d")
-    ).first()["d"]
+    from tinyerp_etl_spark.functions.materialize import materialize
+    from tinyerp_etl_spark.operators.similarity import _seed_hash
+
+    if sample_cap is not None and ks > sample_cap:
+        raise ValueError(f"ks={ks} exceeds sample_cap={sample_cap}")
+    base = embeddings.select(
+        F.col(id_col), F.col(vec_col), _seed_hash(F.col(id_col)).alias("__h")
+    )
+    if sample_cap is not None:
+        base = materialize(base.orderBy("__h", id_col).limit(sample_cap))
+    base = base.drop("__h")
+    probe = base.select(F.array_size(F.col(vec_col)).alias("d")).first()
+    if probe is None or probe["d"] is None:
+        raise ValueError("train_pq: cannot train on an empty embeddings frame")
     out: Codebook = []
-    for s, (lo, w) in enumerate(_sub_bounds(int(dim), m), start=1):
-        sliced = embeddings.select(
+    for s, (lo, w) in enumerate(_sub_bounds(int(probe["d"]), m), start=1):
+        sliced = base.select(
             F.col(id_col), F.slice(F.col(vec_col), lo, w).alias(vec_col)
         )
         cents = train_kmeans(
@@ -127,7 +150,7 @@ def train_pq(
             iters=iters,
             id_col=id_col,
             vec_col=vec_col,
-            sample_cap=sample_cap,
+            sample_cap=None,  # base IS the shared sample already
         )
         out.extend((s, cid, ticks) for cid, ticks in cents)
     return sorted(out, key=lambda r: (r[0], r[1]))
@@ -180,7 +203,7 @@ def load_pq_index(
     the stored (m, ks, iters, sample_cap) / corpus fingerprint don't
     match the expectation — the caller then retrains."""
     store = pq_store(spark, path)
-    if not store.exists() or store.current_version() is None:
+    if store.current_version() is None:  # exists() is this same check
         return None
     rows = store.read().collect()
     if not rows:
@@ -327,11 +350,17 @@ def _pq_sub_expr(
             f"aggregate(zip_with(vt, {ct}, (x, y) -> x * y), "
             "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
         )
+        # a zero-norm SUBVECTOR of an otherwise-valid embedding scores
+        # 0.0 against every codeword, so the argmax tie-break assigns
+        # it to code 1 deterministically — the oracle's NaN candidates
+        # (0/0 in _tcos) all tie too and its centroid_id ASC rule picks
+        # the same code 1. Raising here (the full-vector convention)
+        # would abort a whole encode job on a legitimate input; the
+        # loud contract still holds at TRAIN time via _assign_ticks.
         score = (
             f"CAST(CASE WHEN n2 > CAST(0 AS DOUBLE) "
             f"THEN CAST({dot} AS DOUBLE) / sqrt(n2 * CAST({cn2} AS DOUBLE)) "
-            "ELSE CAST(raise_error('pq assignment: zero-norm subvector "
-            "has no cosine direction') AS DOUBLE) END AS DOUBLE)"
+            "ELSE CAST(0.0 AS DOUBLE) END AS DOUBLE)"
         )
         fields = [
             f"'s', {score}",
