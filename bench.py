@@ -105,6 +105,8 @@ HEADLINE_R9 = [
     "dup_span_coverage_docs",
     # PQ: codebook-training parity face + compressed-domain ADC top-k
     "pq_topk_embeddings",
+    # the FAISS-default composition of the two persisted artifacts
+    "ivfpq_topk_embeddings",
 ]
 HEADLINE = HEADLINE + HEADLINE_R4 + HEADLINE_R5 + HEADLINE_R7 + HEADLINE_R9
 

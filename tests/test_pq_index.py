@@ -153,3 +153,31 @@ def test_pq_zero_subvector_encodes_not_crashes(spark):
     }
     assert got[2] == 1  # all-tie → lowest code id
     assert 1 <= got[1] <= 2
+
+
+def test_ivfpq_all_lists_equals_plain_adc(spark):
+    """With nprobe = every list, IVF pruning removes nothing, so the
+    composed ranking must equal plain PQ ADC exactly — isolating the
+    coarse filter as the ONLY difference between the two paths."""
+    from tinyerp_etl_spark.operators.similarity import train_kmeans
+
+    emb = _tiny_embeddings(spark, n=8)
+    cents = train_kmeans(emb, k=3, iters=1)
+    book = P.train_pq(emb, m=2, ks=3, iters=1)
+    composed = [
+        (r["vec_id"], r["score"])
+        for r in P.ivfpq_topk(
+            emb, 0, k=8, nprobe=3, centroids=cents, codebook=book
+        ).collect()
+    ]
+    plain = [
+        (r["vec_id"], r["score"])
+        for r in P.pq_adc_topk(emb, 0, k=8, codebook=book).collect()
+    ]
+    assert composed == plain
+
+
+def test_ivfpq_requires_both_artifacts(spark):
+    emb = _tiny_embeddings(spark)
+    with pytest.raises(ValueError, match="both persisted artifacts"):
+        P.ivfpq_topk(emb, 0, centroids=None, codebook=None)

@@ -296,7 +296,7 @@ def test_ivf_assign_expr_rejects_zero_centroid_at_build(spark):
     from pyspark.sql import functions as F
 
     with pytest.raises(ValueError, match="zero ticks"):
-        ivf_assign_expr(F.col("embedding"), [(1, [0, 0]), (2, [0, 1])])
+        ivf_assign_expr("embedding", [(1, [0, 0]), (2, [0, 1])])
 
 
 def test_zero_norm_vector_fails_loudly_on_both_assignment_paths(spark):

@@ -466,3 +466,83 @@ def pq_adc_topk(
         .orderBy(F.col("score").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def ivfpq_topk(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    nprobe: int | None = None,
+    centroids: list[tuple[int, list[int]]] | None = None,
+    codebook: Codebook | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ approximate top-k: coarse-prune to the query's nprobe
+    IVF lists, ADC-score only those members through the PQ codebook —
+    the composition FAISS ships as its billion-scale default, here
+    built from the repo's two persisted artifacts.
+
+    Control plane: the IVF centroid index (probe-list choice via the
+    shared ``probe_lists`` rule), the PQ codebook, and the query row.
+    Data plane: ONE narrow projection — per-row IVF list assignment
+    (``ivf_assign_expr``), the nprobe membership filter (a literal IN
+    over ≤ nprobe ids; against the ``ivf_partitioned_scan`` layout
+    this is directory pruning, not a filter), and the per-subspace
+    ADC winner structs — then TakeOrdered(k). No join, no shuffle,
+    no state. At 100 TB the list_id and the M codes are ingest-time
+    columns, so the scan reads nprobe/k of the directories × M bytes
+    of codes per vector instead of the float matrix.
+    """
+    from tinyerp_etl_spark.operators.similarity import (
+        IVF_NPROBE,
+        ivf_assign_expr,
+        probe_lists,
+        quantize_vector,
+    )
+
+    if nprobe is None:
+        nprobe = IVF_NPROBE
+    if centroids is None or codebook is None:
+        raise ValueError(
+            "ivfpq_topk needs both persisted artifacts: pass centroids "
+            "(IVF index) and codebook (PQ index) — train-at-ingest, "
+            "never in the query path"
+        )
+    qrow = embeddings.filter(F.col(id_col) == query_vec_id).select(
+        F.col(vec_col)
+    ).first()
+    if qrow is None:
+        raise ValueError(f"ivfpq_topk: query vec_id {query_vec_id} not found")
+    qticks = quantize_vector(qrow[vec_col])
+    qn2 = sum(t * t for t in qticks)
+    if qn2 == 0:
+        raise ValueError("ivfpq_topk: zero query vector has no cosine direction")
+    probes = probe_lists(centroids, qticks, nprobe)
+    by = _by_subspace(codebook)
+    bounds = _sub_bounds(len(qticks), len(by))
+    winners = (
+        embeddings.filter(F.col(id_col) != query_vec_id)
+        .select(
+            F.col(id_col),
+            ivf_assign_expr(vec_col, centroids).alias("list_id"),
+            *[
+                _pq_sub_expr(
+                    vec_col, lo, w, by[s], qticks[lo - 1 : lo - 1 + w]
+                ).alias(f"__w{s}")
+                for s, (lo, w) in zip(sorted(by), bounds)
+            ],
+        )
+        .filter(F.col("list_id").isin([int(p) for p in probes]))
+    )
+    cols = [f"__w{s}" for s in sorted(by)]
+    num = sum((F.col(f"{c}.qdot") for c in cols[1:]), F.col(f"{cols[0]}.qdot"))
+    xn2 = sum((F.col(f"{c}.cn2") for c in cols[1:]), F.col(f"{cols[0]}.cn2"))
+    score = (
+        num.cast("double") / F.sqrt(xn2.cast("double") * F.lit(float(qn2)))
+    ).cast("double")
+    return (
+        winners.select(F.col(id_col), score.alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -463,9 +463,10 @@ def ivf_assign(
 
 
 def ivf_assign_expr(
-    vec_col: Column, centroids: list[tuple[int, list[int]]]
+    vec_col: str, centroids: list[tuple[int, list[int]]]
 ) -> Column:
-    """Per-ROW nearest-centroid list_id as a narrow column expression.
+    """Per-ROW nearest-centroid list_id as a narrow column expression
+    over the named vector column.
 
     ``_assign_ticks`` keeps the best centroid with a max_by
     AGGREGATION over a broadcast join — the right shape for a batch
@@ -476,43 +477,59 @@ def ivf_assign_expr(
     centroid ticks inlined as literals — reduced with array_max, whose
     lexicographic struct ordering IS max_by's (score, -id) tie rule:
     higher score wins, then the LOWER centroid_id. Same tick
-    arithmetic (_ticks_dot / integer norms widened to double before
-    one division), so assignments are bit-identical to _assign_ticks —
-    pinned by test and by the shared-oracle gate query.
+    arithmetic (_q/_ticks_dot/_ticks_norm2 shapes, integer norms
+    widened to double before one division), so assignments are
+    bit-identical to _assign_ticks — pinned by test and by the
+    shared-oracle gate query.
 
     No join, no shuffle, no state: usable in a streaming micro-batch
     projection (run_stream_to_ivf_corpus), a generated column, or any
     select — the assignment-at-ingest primitive at its narrowest.
+    Authored as ONE SQL string parsed JVM-side (the row ticks and
+    norm² lambda-bound so the k candidates share one evaluation):
+    composing it from per-tick ``F.lit`` Columns cost ~3 s of DRIVER
+    py4j time per build at k=8·d=64 — the py4j-chatter tax, measured
+    via the PQ twin (pq_index._pq_sub_expr).
     """
     cents = sorted(((int(c), [int(x) for x in t]) for c, t in centroids))
-    vt = _q(vec_col)
-    n2 = _ticks_norm2(vt).cast("double")
     # zero norms fail LOUDLY, matching _assign_ticks / probe_lists: a
     # zero centroid is a broken index artifact (raise at build time);
     # a zero row vector raises per-row instead of NaN-scoring
-    candidates = []
+    cands = []
     for cid, ticks in cents:
-        ct = F.array(*[F.lit(t).cast("long") for t in ticks])
-        cn2 = float(sum(t * t for t in ticks))
+        cn2 = sum(t * t for t in ticks)
         if cn2 == 0:
             raise ValueError(
                 f"ivf_assign_expr: centroid {cid} has zero ticks — broken index"
             )
-        score = F.when(
-            n2 > 0, (_ticks_dot(vt, ct) / F.sqrt(n2 * F.lit(cn2)))
-        ).otherwise(
-            F.raise_error(
-                F.lit("ivf assignment: zero-norm vector has no cosine direction")
-            ).cast("double")
-        ).cast("double")
-        candidates.append(
-            F.struct(
-                score.alias("s"),
-                F.lit(-cid).cast("int").alias("nid"),
-                F.lit(cid).cast("int").alias("id"),
-            )
+        ct = "array(" + ", ".join(f"{t}L" for t in ticks) + ")"
+        dot = (
+            f"aggregate(zip_with(vt, {ct}, (x, y) -> x * y), "
+            "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
         )
-    return F.array_max(F.array(*candidates))["id"].alias("list_id")
+        score = (
+            "CAST(CASE WHEN n2 > CAST(0 AS DOUBLE) "
+            f"THEN CAST({dot} AS DOUBLE) / sqrt(n2 * CAST({cn2} AS DOUBLE)) "
+            "ELSE CAST(raise_error('ivf assignment: zero-norm vector "
+            "has no cosine direction') AS DOUBLE) END AS DOUBLE)"
+        )
+        cands.append(
+            f"named_struct('s', {score}, 'nid', CAST({-cid} AS INT), "
+            f"'id', CAST({cid} AS INT))"
+        )
+    argmax = f"array_max(array({', '.join(cands)}))"
+    vt0 = (
+        f"transform(`{vec_col}`, "
+        f"x -> CAST(round(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT))"
+    )
+    n2 = (
+        "CAST(aggregate(transform(vt, x -> x * x), CAST(0 AS BIGINT), "
+        "(acc, x) -> acc + x) AS DOUBLE)"
+    )
+    inner = f"element_at(transform(array({n2}), n2 -> {argmax}), 1)"
+    return F.expr(
+        f"element_at(transform(array({vt0}), vt -> {inner}), 1).id"
+    ).alias("list_id")
 
 
 def ivf_assign_narrow(
@@ -532,7 +549,7 @@ def ivf_assign_narrow(
     return embeddings.select(
         F.col(id_col),
         F.col(vec_col),
-        ivf_assign_expr(F.col(vec_col), centroids),
+        ivf_assign_expr(vec_col, centroids),
     )
 
 

@@ -3117,6 +3117,28 @@ LLM_ORACLES["pq_topk_embeddings"] = f"""
 LLM_QUERIES["pq_topk_embeddings"] = pq_topk_embeddings
 
 
+def ivfpq_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ top-10 neighbors of vec_id=0: coarse-prune to nprobe=2
+    of the 8 persisted IVF lists, ADC-score only those members
+    through the persisted PQ codebook (operators/pq_index.ivfpq_topk)
+    — the FAISS-default composition, built from BOTH committed
+    artifacts. The oracle re-trains the IVF centroids AND the M
+    subspace codebooks from scratch in SQL and re-derives the pruned
+    ADC ranking, so one gate row proves the two artifacts compose
+    correctly end to end."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return PQX.ivfpq_topk(
+        emb,
+        query_vec_id=0,
+        k=10,
+        centroids=_ivf_index_for(spark, sf_dir),
+        codebook=_pq_index_for(spark, sf_dir),
+    )
+
+
+LLM_QUERIES["ivfpq_topk_embeddings"] = ivfpq_topk_embeddings
+
+
 
 
 # ------------------------------- round-7 addition: BPE merge training
@@ -3808,6 +3830,41 @@ LLM_ORACLES["pq_recall_report"] = f"""
     {_overlap_final_sql("qs", "pq_recall_p10k")}
 """
 LLM_QUERIES["pq_recall_report"] = pq_recall_report
+
+
+# IVF-PQ composition oracle: the IVF chain (untagged names) and the M
+# tagged PQ chains share one WITH clause collision-free; pruning uses
+# the IVF oracle's qranked/probe rule, scoring the PQ ADC sums.
+LLM_ORACLES["ivfpq_topk_embeddings"] = f"""
+    WITH {_KM_CTES_EMB},
+    {_IVF_LISTS_CTE},
+    q AS (SELECT ticks AS qticks FROM __kt WHERE vec_id = 0),
+    qranked AS (
+      SELECT centroid_id,
+             row_number() OVER (
+               ORDER BY {_tcos_sql("cticks", "qticks")} DESC, centroid_id ASC
+             ) AS rn
+      FROM {_KM_FINAL}, q
+    ),
+    probe AS (SELECT centroid_id AS list_id FROM qranked
+              WHERE rn <= {S.IVF_NPROBE}),
+    {_PQ_CTES},
+    __adc AS (
+      SELECT vec_id, sum(qdot) AS num, sum(cn2) AS xn2, sum(qn2) AS qn2
+      FROM ({_PQ_UNION})
+      GROUP BY vec_id
+    )
+    SELECT l.vec_id,
+           CAST(CAST(a.num AS DOUBLE)
+                / sqrt(CAST(a.xn2 AS DOUBLE) * CAST(a.qn2 AS DOUBLE)) AS DOUBLE)
+             AS score
+    FROM lists l
+    JOIN probe p ON l.list_id = p.list_id
+    JOIN __adc a ON a.vec_id = l.vec_id
+    WHERE l.vec_id != 0
+    ORDER BY score DESC, l.vec_id ASC
+    LIMIT 10
+"""
 
 
 LLM_ORACLES["int8_rank_fidelity"] = f"""

@@ -234,16 +234,20 @@ _RELATIONAL_NAMES = [
 #       (r4-green on untouched code; the HLL engine path stays gated
 #       through the in-gate hll_union_rollup row),
 #   (0d) pq_codebook_embeddings + pq_topk_embeddings +
-#       pq_recall_report, also NEW in round 9 (persisted
-#       product-quantization codebook; training parity + ADC
-#       compressed-domain top-k + the family recall audit) — enter at
-#       birth, displacing dedup_exact_count (its exact-dedup shape is
-#       r8-green via exact_dup_groups), multimodal_frame_sample (its
+#       pq_recall_report + ivfpq_topk_embeddings, also NEW in round 9
+#       (persisted product-quantization codebook: training parity +
+#       ADC compressed-domain top-k + the family recall audit + the
+#       IVF-PQ two-artifact composition) — enter at birth, displacing
+#       dedup_exact_count (its exact-dedup shape is r8-green via
+#       exact_dup_groups), multimodal_frame_sample (its
 #       keyframe-sampling shape is r8-green via mp4_keyframe_parity),
-#       and kmv_sketch_rollup (KMV is r8-green via kmv_distinct_users
-#       and the mergeable-rollup shape stays gated via the in-gate
-#       hll_union_rollup), all three r4-green on untouched code,
-#   (b) 25 of the 48 r4-stale rows, prioritizing the LLM-pipeline /
+#       kmv_sketch_rollup (KMV is r8-green via kmv_distinct_users and
+#       the mergeable-rollup shape stays gated via the in-gate
+#       hll_union_rollup), and minhash_signatures (its signature
+#       kernel is computed inside the in-gate
+#       minhash_lsh_neardup_pairs), all four r4-green on untouched
+#       code,
+#   (b) 24 of the 48 r4-stale rows, prioritizing the LLM-pipeline /
 #       persisted-artifact / round-trip operators whose shapes no
 #       fresher gate row covers (dedup+LSH family, curation manifests,
 #       multimodal, sketch rollups, z-order/bucketed/XML round-trips,
@@ -260,9 +264,10 @@ _RELATIONAL_NAMES = [
 # scalar_subquery_rich_idle_customers, setops_customer_nations,
 # topk_expensive_orders, window_latest_order_per_customer,
 # window_moving_avg_daily_revenue, plus q14_promo_revenue,
-# hll_distinct_users, dedup_exact_count, and multimodal_frame_sample
-# (each displaced by a round-9 newcomer whose ledger entry above
-# names the fresher row covering its shape).
+# hll_distinct_users, dedup_exact_count, multimodal_frame_sample,
+# kmv_sketch_rollup, and minhash_signatures (each displaced by a
+# round-9 newcomer whose ledger entry above names the fresher row
+# covering its shape).
 # After round 9's gate runs green, every query's newest driver row is
 # r4+ with zero never-gated rows — the r3 rotation debt retires
 # completely for the first time.
@@ -278,6 +283,7 @@ _ROUND9_FRONT_50 = [
     "pq_codebook_embeddings",
     "pq_topk_embeddings",
     "pq_recall_report",
+    "ivfpq_topk_embeddings",
     # (a) the eighteen r3-stale deferrals
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -297,10 +303,9 @@ _ROUND9_FRONT_50 = [
     "copurchase_pagerank_3iter",
     "train_val_test_split_docs",
     "c4_quality_filter_stats",
-    # (b) twenty-five r4-stale rows, LLM-pipeline and round-trip
+    # (b) twenty-four r4-stale rows, LLM-pipeline and round-trip
     # shapes no fresher gate row covers
     "dedup_keep_canonical",
-    "minhash_signatures",
     "minhash_lsh_neardup_pairs",
     "neardup_components",
     "incremental_dedup_new_docs",

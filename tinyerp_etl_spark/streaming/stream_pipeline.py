@@ -242,7 +242,7 @@ def run_stream_to_ivf_corpus(
     assigned = emb_stream.select(
         F.col(id_col),
         F.col(vec_col),
-        ivf_assign_expr(F.col(vec_col), centroids),
+        ivf_assign_expr(vec_col, centroids),
     )
     (
         assigned.writeStream.format("parquet")
