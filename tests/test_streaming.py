@@ -956,3 +956,101 @@ def test_stream_to_ivf_corpus_equals_batch_layout(spark, sf_dir, tmp_path):
     )
     run_stream_to_ivf_corpus(spark, rerun, corpus, ckpt, cents)
     assert spark.read.parquet(corpus).count() == len(want)
+
+
+def test_stream_to_pq_codes_reproduces_ivfpq_scores(spark, sf_dir, tmp_path):
+    """Streaming IVF-PQ ingest: draining an embedding stream through
+    run_stream_to_pq_codes must land the exact batch pq_encode_wide
+    rows in list_id= partitions, a replay from the same checkpoint
+    must add nothing, and — the point of the table — ADC scores
+    recomputed FROM THE STORED CODES (join to a codeword LUT, no
+    float vectors anywhere) must equal the in-plan ivfpq_topk ranking
+    double for double."""
+    import os as _os
+
+    from tinyerp_etl_spark.operators import pq_index as P
+    from tinyerp_etl_spark.operators.similarity import (
+        probe_lists,
+        quantize_vector,
+        train_kmeans,
+    )
+    from tinyerp_etl_spark.streaming.stream_pipeline import (
+        run_stream_to_pq_codes,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    cents = train_kmeans(emb, k=3, iters=1)
+    book = P.train_pq(emb, m=2, ks=3, iters=1)
+
+    src = str(tmp_path / "emb_stream")
+    _os.makedirs(src)
+    out = tmp_path / "part0"
+    emb.coalesce(1).write.parquet(str(out))
+    for f in _os.listdir(out):
+        if f.endswith(".parquet"):
+            _os.rename(out / f, _os.path.join(src, "b0.parquet"))
+
+    codes_dir = str(tmp_path / "pq_codes")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        stream = spark.readStream.schema(
+            "vec_id long, embedding array<float>"
+        ).parquet(src)
+        run_stream_to_pq_codes(spark, stream, codes_dir, ckpt, book, cents)
+
+    drain()
+    back = spark.read.parquet(codes_dir)
+    want = {
+        tuple(r) for r in P.pq_encode_wide(emb, book, cents).collect()
+    }
+    got = {
+        tuple(r)
+        for r in back.select(
+            "vec_id", "list_id", "code_1", "code_2"
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+    assert any(d.startswith("list_id=") for d in _os.listdir(codes_dir))
+    drain()  # replay: exactly-once file sink adds nothing
+    assert spark.read.parquet(codes_dir).count() == len(want)
+
+    # ADC from the STORED table only: probe-prune on list_id, map each
+    # code to its (query-dot, norm²) via a driver LUT, sum, rank —
+    # must equal the in-plan ivfpq ranking exactly
+    qticks = quantize_vector(
+        emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    )
+    qn2 = float(sum(t * t for t in qticks))
+    probes = [int(p) for p in probe_lists(cents, qticks, 2)]
+    by = P._by_subspace(book)
+    bounds = P._sub_bounds(len(qticks), len(by))
+    lut = {
+        (s, cid): (
+            sum(a * b for a, b in zip(ticks, qticks[lo - 1 : lo - 1 + w])),
+            sum(t * t for t in ticks),
+        )
+        for (s, (lo, w)) in zip(sorted(by), bounds)
+        for cid, ticks in by[s]
+    }
+    stored = []
+    for r in back.filter(
+        F.col("list_id").isin(probes) & (F.col("vec_id") != 0)
+    ).collect():
+        num = lut[(1, r["code_1"])][0] + lut[(2, r["code_2"])][0]
+        xn2 = lut[(1, r["code_1"])][1] + lut[(2, r["code_2"])][1]
+        stored.append(
+            (r["vec_id"], float(num) / (xn2 * qn2) ** 0.5)
+        )
+    stored.sort(key=lambda t: (-t[1], t[0]))
+    inplan = [
+        (r["vec_id"], r["score"])
+        for r in P.ivfpq_topk(
+            emb, 0, k=len(stored), nprobe=2, centroids=cents, codebook=book
+        ).collect()
+    ]
+    assert [v for v, _ in stored] == [v for v, _ in inplan]
+    for (_, a), (_, b) in zip(stored, inplan):
+        assert abs(a - b) < 1e-12

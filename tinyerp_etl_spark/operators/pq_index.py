@@ -33,8 +33,12 @@ the quantizer itself, re-expressed Spark-first:
   (dot-with-query, norm²) as literals. No join, no shuffle, no state:
   the entire approximate scoring pass is a projection Catalyst can
   pipeline into the scan, with TakeOrdered(k) on top. At 100 TB the
-  codes themselves would be written at ingest (the ``pq_encode``
-  face) and the scan would read M bytes per vector instead of 4·d.
+  codes are WRITTEN at ingest — ``pq_encode_wide`` emits the
+  (id, list_id, code_1..code_M) table and
+  streaming/stream_pipeline.run_stream_to_pq_codes drains a stream
+  into it hive-partitioned by list — so the scan reads M small ints
+  per vector from nprobe directories instead of the float matrix
+  (a test pins ADC-from-stored-codes ≡ the in-plan ranking).
 
 The reference has no vector path (it is a REST→PostgreSQL ETL, ref
 tiny_api_v2_cliente.py); this extends the engine's ANN family
@@ -546,3 +550,34 @@ def ivfpq_topk(
         .orderBy(F.col("score").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def pq_encode_wide(
+    embeddings: DataFrame,
+    codebook: Codebook,
+    centroids: list[tuple[int, list[int]]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The INGEST-TIME layout of IVF-PQ: one row per vector with its
+    coarse list and its M codes as columns —
+    (id, [list_id,] code_1..code_M) — via one shuffle-free projection.
+
+    This is the table a 100 TB deployment persists instead of the
+    float matrix: partitioned by ``list_id`` it is the corpus
+    ``ivfpq_topk`` reads — directory-pruned to nprobe lists, M small
+    ints per vector. ``centroids=None`` omits the list column (plain
+    PQ compression without the coarse index)."""
+    by = _by_subspace(codebook)
+    dim = sum(len(cents[0][1]) for cents in by.values())
+    bounds = _sub_bounds(dim, len(by))
+    cols = [F.col(id_col)]
+    if centroids is not None:
+        from tinyerp_etl_spark.operators.similarity import ivf_assign_expr
+
+        cols.append(ivf_assign_expr(vec_col, centroids).alias("list_id"))
+    cols.extend(
+        _pq_sub_expr(vec_col, lo, w, by[s], None)["code"].alias(f"code_{s}")
+        for s, (lo, w) in zip(sorted(by), bounds)
+    )
+    return embeddings.select(*cols)

@@ -255,6 +255,43 @@ def run_stream_to_ivf_corpus(
     )
 
 
+def run_stream_to_pq_codes(
+    spark: SparkSession,
+    emb_stream: DataFrame,
+    codes_dir: str,
+    checkpoint_dir: str,
+    codebook: list[tuple[int, int, list[int]]],
+    centroids: list[tuple[int, list[int]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Drain an embedding stream into the IVF-PQ ingest table
+    (operators/pq_index.pq_encode_wide): one row per vector —
+    (id, list_id, code_1..code_M) — hive-partitioned by ``list_id``.
+    The streaming half of the compressed-corpus story: at 100 TB this
+    table REPLACES the float matrix (M small ints per vector instead
+    of 4·d bytes) and ``ivfpq_topk``'s read becomes a directory-pruned
+    scan of nprobe partitions. Encode is the same shuffle-free
+    projection as the batch face (legal in append mode); the native
+    partitioned file sink gives exactly-once output under replay,
+    exactly as run_stream_to_ivf_corpus. Both artifacts must be
+    pre-trained (train-at-ingest, never in the stream)."""
+    from tinyerp_etl_spark.operators.pq_index import pq_encode_wide
+
+    (
+        pq_encode_wide(
+            emb_stream, codebook, centroids, id_col=id_col, vec_col=vec_col
+        )
+        .writeStream.format("parquet")
+        .partitionBy("list_id")
+        .option("path", codes_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
 def run_windowed_stream(
     spark: SparkSession,
     stream_df: DataFrame,
