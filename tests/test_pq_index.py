@@ -177,6 +177,43 @@ def test_ivfpq_all_lists_equals_plain_adc(spark):
     assert composed == plain
 
 
+def _corpus_with_zero_row(spark):
+    rows = [(i, [float(i + j + 1) for j in range(8)]) for i in range(4)]
+    rows.append((99, [0.0] * 8))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_pq_adc_zero_corpus_vector_raises(spark):
+    """A FULL-zero database vector must fail the ADC scan loudly, not
+    silently earn the phantom cosine of its code-1 reconstruction —
+    and it must fail on BOTH query paths (plain ADC and IVF-PQ), so
+    the composed ≡ plain invariant holds on broken corpora too."""
+    from tinyerp_etl_spark.operators.similarity import train_kmeans
+
+    emb = _corpus_with_zero_row(spark)
+    clean = emb.filter("vec_id < 99")
+    book = P.train_pq(clean, m=2, ks=2, iters=1)
+    with pytest.raises(Exception, match="zero-norm vector"):
+        P.pq_adc_topk(emb, 0, k=5, codebook=book).collect()
+    cents = train_kmeans(clean, k=2, iters=1)
+    with pytest.raises(Exception, match="zero-norm vector"):
+        P.ivfpq_topk(
+            emb, 0, k=5, nprobe=2, centroids=cents, codebook=book
+        ).collect()
+
+
+def test_pq_encode_zero_vector_raises(spark):
+    """The encode faces share the loud contract: a full-zero vector
+    must never reach the codes table (its stored codes would later
+    ADC-score as a phantom neighbor with no raw vector left to check)."""
+    emb = _corpus_with_zero_row(spark)
+    book = P.train_pq(emb.filter("vec_id < 99"), m=2, ks=2, iters=1)
+    with pytest.raises(Exception, match="zero-norm vector"):
+        P.pq_encode(emb, book).collect()
+    with pytest.raises(Exception, match="zero-norm vector"):
+        P.pq_encode_wide(emb, book).collect()
+
+
 def test_ivfpq_requires_both_artifacts(spark):
     emb = _tiny_embeddings(spark)
     with pytest.raises(ValueError, match="both persisted artifacts"):

@@ -61,6 +61,7 @@ from pyspark.sql.types import (
 from tinyerp_etl_spark.etl.table_store import TableStore
 from tinyerp_etl_spark.functions.localdf import local_df
 from tinyerp_etl_spark.operators.similarity import (
+    QUANT,
     TRAIN_SAMPLE_CAP,
     _q,
     train_kmeans,
@@ -340,7 +341,7 @@ def _pq_sub_expr(
     """
     vt0 = (
         f"transform(slice(`{vec_col}`, {lo}, {w}), "
-        "x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
+        f"x -> CAST(round(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT))"
     )
     cands = []
     for cid, ticks in cents:
@@ -360,7 +361,11 @@ def _pq_sub_expr(
         # (0/0 in _tcos) all tie too and its centroid_id ASC rule picks
         # the same code 1. Raising here (the full-vector convention)
         # would abort a whole encode job on a legitimate input; the
-        # loud contract still holds at TRAIN time via _assign_ticks.
+        # loud contract still holds at TRAIN time via _assign_ticks,
+        # and a FULL-zero embedding (every subspace zero) raises at
+        # encode (_nonzero_vec_guard) and at ADC assembly (_adc_topk's
+        # Σn2 guard) — without those, the all-subspaces-tie row would
+        # earn the phantom cosine of its code-1 reconstruction.
         score = (
             f"CAST(CASE WHEN n2 > CAST(0 AS DOUBLE) "
             f"THEN CAST({dot} AS DOUBLE) / sqrt(n2 * CAST({cn2} AS DOUBLE)) "
@@ -375,6 +380,11 @@ def _pq_sub_expr(
             qdot = sum(a * b for a, b in zip(ticks, qsub))
             fields.append(f"'qdot', CAST({int(qdot)} AS BIGINT)")
             fields.append(f"'cn2', CAST({int(cn2)} AS BIGINT)")
+            # the subvector's own norm² rides along so the ADC
+            # assembly can detect a FULL-zero embedding (Σn2 = 0) and
+            # fail loudly like ivf_assign_expr; exact as BIGINT (ticks
+            # are ~1e7, w·tick² ≪ 2^53)
+            fields.append("'n2', CAST(n2 AS BIGINT)")
         cands.append("named_struct(" + ", ".join(fields) + ")")
     argmax = f"array_max(array({', '.join(cands)}))"
     n2 = (
@@ -383,6 +393,64 @@ def _pq_sub_expr(
     )
     inner = f"element_at(transform(array({n2}), n2 -> {argmax}), 1)"
     return F.expr(f"element_at(transform(array({vt0}), vt -> {inner}), 1)")
+
+
+def _nonzero_vec_guard(vec_col: str) -> Column:
+    """Filter predicate that passes every row but RAISES on a
+    full-zero embedding — the encode faces' loud-failure contract.
+
+    A full-zero vector ties every subspace argmax to code 1, so its
+    stored codes would later ADC-score as the code-1 reconstruction's
+    cosine (a phantom neighbor). ``ivf_assign_expr`` already raises on
+    such rows; this extends the same contract to the plain-PQ encode
+    paths so the codes table can never contain a directionless vector
+    and ADC-from-stored-codes stays ≡ the in-plan ranking."""
+    n2 = (
+        f"aggregate(transform(`{vec_col}`, "
+        f"x -> CAST(round(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT)), "
+        "CAST(0 AS BIGINT), (acc, x) -> acc + x * x)"
+    )
+    return F.expr(
+        f"CASE WHEN {n2} > CAST(0 AS BIGINT) THEN true "
+        "ELSE CAST(raise_error('pq encode: zero-norm vector has no "
+        "cosine direction') AS BOOLEAN) END"
+    )
+
+
+def _adc_topk(
+    winners: DataFrame,
+    subspaces: list[int],
+    qn2: int,
+    id_col: str,
+    k: int,
+) -> DataFrame:
+    """The ADC score assembly shared by ``pq_adc_topk`` and
+    ``ivfpq_topk``: fold the per-subspace winner structs
+    (``__w{s}``: qdot, cn2, n2) into Σqdot / √(Σcn2 · |q|²), raise on
+    a full-zero database vector (Σn2 = 0 — matching
+    ``ivf_assign_expr``'s loud contract, so the two query paths agree
+    on broken corpora), then TakeOrdered(k) with ties to the lower id."""
+    cols = [f"__w{s}" for s in subspaces]
+    num = sum((F.col(f"{c}.qdot") for c in cols[1:]), F.col(f"{cols[0]}.qdot"))
+    xn2 = sum((F.col(f"{c}.cn2") for c in cols[1:]), F.col(f"{cols[0]}.cn2"))
+    rown2 = sum((F.col(f"{c}.n2") for c in cols[1:]), F.col(f"{cols[0]}.n2"))
+    score = (
+        F.when(
+            rown2 > F.lit(0),
+            num.cast("double") / F.sqrt(xn2.cast("double") * F.lit(float(qn2))),
+        )
+        .otherwise(
+            F.raise_error(
+                F.lit("pq adc: zero-norm vector has no cosine direction")
+            ).cast("double")
+        )
+        .cast("double")
+    )
+    return (
+        winners.select(F.col(id_col), score.alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
 
 
 def pq_encode(
@@ -404,7 +472,7 @@ def pq_encode(
         )
         for s, (lo, w) in zip(sorted(by), bounds)
     ]
-    return embeddings.select(
+    return embeddings.filter(_nonzero_vec_guard(vec_col)).select(
         F.col(id_col), F.explode(F.array(*structs)).alias("__sc")
     ).select(
         F.col(id_col),
@@ -455,21 +523,7 @@ def pq_adc_topk(
             for s, (lo, w) in zip(sorted(by), bounds)
         ],
     )
-    cols = [f"__w{s}" for s in sorted(by)]
-    num = sum(
-        (F.col(f"{c}.qdot") for c in cols[1:]), F.col(f"{cols[0]}.qdot")
-    )
-    xn2 = sum(
-        (F.col(f"{c}.cn2") for c in cols[1:]), F.col(f"{cols[0]}.cn2")
-    )
-    score = (
-        num.cast("double") / F.sqrt(xn2.cast("double") * F.lit(float(qn2)))
-    ).cast("double")
-    return (
-        winners.select(F.col(id_col), score.alias("score"))
-        .orderBy(F.col("score").desc(), F.col(id_col).asc())
-        .limit(k)
-    )
+    return _adc_topk(winners, sorted(by), qn2, id_col, k)
 
 
 def ivfpq_topk(
@@ -539,17 +593,7 @@ def ivfpq_topk(
         )
         .filter(F.col("list_id").isin([int(p) for p in probes]))
     )
-    cols = [f"__w{s}" for s in sorted(by)]
-    num = sum((F.col(f"{c}.qdot") for c in cols[1:]), F.col(f"{cols[0]}.qdot"))
-    xn2 = sum((F.col(f"{c}.cn2") for c in cols[1:]), F.col(f"{cols[0]}.cn2"))
-    score = (
-        num.cast("double") / F.sqrt(xn2.cast("double") * F.lit(float(qn2)))
-    ).cast("double")
-    return (
-        winners.select(F.col(id_col), score.alias("score"))
-        .orderBy(F.col("score").desc(), F.col(id_col).asc())
-        .limit(k)
-    )
+    return _adc_topk(winners, sorted(by), qn2, id_col, k)
 
 
 def pq_encode_wide(
@@ -580,4 +624,4 @@ def pq_encode_wide(
         _pq_sub_expr(vec_col, lo, w, by[s], None)["code"].alias(f"code_{s}")
         for s, (lo, w) in zip(sorted(by), bounds)
     )
-    return embeddings.select(*cols)
+    return embeddings.filter(_nonzero_vec_guard(vec_col)).select(*cols)
