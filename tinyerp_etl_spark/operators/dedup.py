@@ -459,29 +459,39 @@ def connected_components(
     detection is a driver-side emptiness check on changed labels —
     control flow, not data.
     """
-    # Pin the symmetric edge list: every iteration references it, and
-    # the fixed-point isEmpty() check materializes the plan each round
-    # — without the pin, an expensive upstream (e.g. the LSH verify
-    # pipeline) would recompute once per iteration (measured 9x on the
-    # 10x-docs probe). Edges are pair-scale, far below the input data.
-    # ContextCleaner frees the cache once the plan is garbage-collected.
-    sym = edges.select(
-        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
-    ).unionByName(
-        edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
-    ).persist()
+    # Snapshot the edges BEFORE symmetrizing: the union's two branches
+    # each embed the upstream plan, so building sym straight off e.g.
+    # the LSH verify pipeline evaluates that pipeline TWICE in the
+    # first action (persist() caches only after the double-priced
+    # evaluation — measured ~6 s extra on the sf0.01 gate corpus, ~9×
+    # on the 10x-docs probe pre-pin). Edges are pair-scale, far below
+    # the input data, so the snapshot is control-plane cheap; the swap
+    # projection over the snapshot is free.
+    e = materialize(
+        edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    )
+    sym = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
     comp = (
         sym.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
     )
-    for i in range(max_iterations):
+    for _ in range(max_iterations):
         neighbor_min = (
             sym.join(comp, sym.dst == comp.node)
             .groupBy("src")
             .agg(F.min("component").alias("nbr_component"))
         )
-        updated = (
+        # snapshot EVERY round: the fixed-point check and the next
+        # round's plan both read the node-scale snapshot, so each
+        # iteration's join+agg runs exactly once on a depth-1 lineage
+        # (unsnapshotted, round i+1 re-derives round i's work and the
+        # isEmpty() re-evaluation makes the total O(iterations²) —
+        # the standard iterative-graph caching discipline, GraphX-style;
+        # the materialize() seam keeps it cluster-durable on demand).
+        updated = materialize(
             comp.join(neighbor_min, comp.node == neighbor_min.src, "left")
             .select(
                 "node",
@@ -492,16 +502,9 @@ def connected_components(
                 (F.col("nbr_component") < F.col("component")).alias("__changed"),
             )
         )
-        if updated.filter(F.col("__changed")).isEmpty():
-            return updated.select("node", "component")
         comp = updated.select("node", "component")
-        if (i + 1) % 5 == 0:
-            # truncate lineage: comp deepens by one join per round, and
-            # the fixed-point isEmpty() re-evaluates the whole chain —
-            # O(iterations²) work on deep graphs (long chains) without
-            # this. materialize() snapshots the pair-scale label
-            # table and restarts the lineage from it.
-            comp = materialize(comp)
+        if updated.filter(F.col("__changed")).isEmpty():
+            break
     return comp
 
 
