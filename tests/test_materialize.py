@@ -73,6 +73,29 @@ def test_reliable_and_local_paths_identical(spark, tmp_path):
         spark.conf.unset(RELIABLE_CONF)
 
 
+def test_reliable_checkpoint_single_evaluation(spark, tmp_path):
+    """The reliable path must evaluate the plan ONCE, not once for the
+    action and again for the checkpoint write (the classic
+    persist-before-RDD-checkpoint tax — Spark 4's Dataset.checkpoint
+    doesn't pay it; this pins that, since per-iteration loops lean on
+    materialize() being single-evaluation)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt1x"))
+    acc = spark.sparkContext.accumulator(0)
+
+    def bump(x):
+        acc.add(1)
+        return x
+
+    u = F.udf(bump, LongType())
+    df = spark.range(0, 100, 1, 4).select(u(F.col("id")).alias("id"))
+    out = materialize(df, reliable=True)
+    assert out.count() == 100
+    assert acc.value == 100
+
+
 def test_explicit_override_beats_session_conf(spark, tmp_path):
     spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
     spark.conf.set(RELIABLE_CONF, "true")

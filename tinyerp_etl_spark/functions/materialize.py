@@ -114,4 +114,8 @@ def materialize(df: DataFrame, reliable: bool | None = None, eager: bool = True)
         # value instead of first-use-wins-silently
         sc.setCheckpointDir(target)
         _LAST_APPLIED[ctx] = (target, sc.getCheckpointDir())
+    # Classic RDD lore says persist-before-checkpoint or the write job
+    # recomputes the plan; Spark 4's Dataset.checkpoint does NOT pay
+    # that tax (accumulator-pinned by test_reliable_checkpoint_single_
+    # evaluation — n evaluations, not 2n), so no defensive persist here.
     return df.checkpoint(eager=eager)

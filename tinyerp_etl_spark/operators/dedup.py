@@ -459,17 +459,17 @@ def connected_components(
     detection is a driver-side emptiness check on changed labels —
     control flow, not data.
     """
-    # Snapshot the edges BEFORE symmetrizing: the union's two branches
-    # each embed the upstream plan, so building sym straight off e.g.
-    # the LSH verify pipeline evaluates that pipeline TWICE in the
-    # first action (persist() caches only after the double-priced
-    # evaluation — measured ~6 s extra on the sf0.01 gate corpus, ~9×
-    # on the 10x-docs probe pre-pin). Edges are pair-scale, far below
-    # the input data, so the snapshot is control-plane cheap; the swap
-    # projection over the snapshot is free.
-    e = materialize(
-        edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-    )
+    # Pin the edges BELOW the symmetrizing union: the union's two
+    # branches each embed the upstream plan, so pinning sym itself
+    # (the old shape) still evaluated e.g. the LSH verify pipeline
+    # TWICE in the first action (measured ~6 s extra on the sf0.01
+    # gate corpus). persist() — not a lineage-truncating snapshot —
+    # keeps recompute-from-lineage fault tolerance on a real cluster;
+    # cache block locks make both union branches share one evaluation.
+    # ContextCleaner frees the pin once the plan is garbage-collected.
+    e = edges.select(
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    ).persist()
     sym = e.unionByName(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
@@ -478,20 +478,23 @@ def connected_components(
         .distinct()
         .withColumn("component", F.col("node"))
     )
-    for _ in range(max_iterations):
+    prev: DataFrame | None = None
+    for i in range(max_iterations):
         neighbor_min = (
             sym.join(comp, sym.dst == comp.node)
             .groupBy("src")
             .agg(F.min("component").alias("nbr_component"))
         )
-        # snapshot EVERY round: the fixed-point check and the next
-        # round's plan both read the node-scale snapshot, so each
-        # iteration's join+agg runs exactly once on a depth-1 lineage
-        # (unsnapshotted, round i+1 re-derives round i's work and the
-        # isEmpty() re-evaluation makes the total O(iterations²) —
-        # the standard iterative-graph caching discipline, GraphX-style;
-        # the materialize() seam keeps it cluster-durable on demand).
-        updated = materialize(
+        # persist EVERY round and count the changed labels in one
+        # action: the count fully populates the cache, so the
+        # fixed-point test and the next round's plan both read it —
+        # each iteration's join+agg runs exactly once (unpinned, round
+        # i+1 re-derived round i's work and the fixed-point check
+        # re-evaluated the whole chain: O(iterations²) total — the
+        # standard iterative-graph caching discipline, GraphX-style).
+        # persist over a snapshot keeps lineage (cluster fault
+        # tolerance) and lets the superseded round be freed eagerly.
+        updated = (
             comp.join(neighbor_min, comp.node == neighbor_min.src, "left")
             .select(
                 "node",
@@ -501,10 +504,23 @@ def connected_components(
                 ).alias("component"),
                 (F.col("nbr_component") < F.col("component")).alias("__changed"),
             )
+            .persist()
         )
+        n_changed = updated.filter(F.col("__changed")).count()
+        if prev is not None:
+            prev.unpersist()
+        prev = updated
         comp = updated.select("node", "component")
-        if updated.filter(F.col("__changed")).isEmpty():
+        if n_changed == 0:
             break
+        if (i + 1) % 5 == 0:
+            # bound PLAN depth (analysis cost grows with the join
+            # chain even when execution reads caches): snapshot the
+            # node-scale label table — a cheap cache read — and
+            # restart lineage from it; the pin behind it can then go.
+            comp = materialize(comp)
+            prev.unpersist()
+            prev = None
     return comp
 
 
