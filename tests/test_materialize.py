@@ -78,7 +78,12 @@ def test_reliable_checkpoint_single_evaluation(spark, tmp_path):
     action and again for the checkpoint write (the classic
     persist-before-RDD-checkpoint tax — Spark 4's Dataset.checkpoint
     doesn't pay it; this pins that, since per-iteration loops lean on
-    materialize() being single-evaluation)."""
+    materialize() being single-evaluation).
+
+    The exact count is deterministic ONLY in this local[N] test
+    session (no task retries, no speculation); accumulator updates in
+    transformations over-count on re-executed tasks, so a retry would
+    fail this pin spuriously rather than indicate a real regression."""
     from pyspark.sql import functions as F
     from pyspark.sql.types import LongType
 

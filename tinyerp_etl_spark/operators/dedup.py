@@ -464,12 +464,16 @@ def connected_components(
     # (the old shape) still evaluated e.g. the LSH verify pipeline
     # TWICE in the first action (measured ~6 s extra on the sf0.01
     # gate corpus). persist() — not a lineage-truncating snapshot —
-    # keeps recompute-from-lineage fault tolerance on a real cluster;
-    # cache block locks make both union branches share one evaluation.
-    # ContextCleaner frees the pin once the plan is garbage-collected.
+    # keeps recompute-from-lineage fault tolerance on a real cluster.
+    # The count() makes the pin EAGER: block locks only serialize
+    # computation within one executor, so on a cluster a lazy pin
+    # first touched by a many-reference plan (sym appears 4× in round
+    # 0) can recompute the upstream once per executor; one cheap
+    # pair-scale action guarantees the single evaluation everywhere.
     e = edges.select(
         F.col(a_col).alias("src"), F.col(b_col).alias("dst")
     ).persist()
+    e.count()
     sym = e.unionByName(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
@@ -521,7 +525,18 @@ def connected_components(
             comp = materialize(comp)
             prev.unpersist()
             prev = None
-    return comp
+    # Hand back a SNAPSHOT and drop every pin: DataFrame.persist lives
+    # in the SQL CacheManager, which ContextCleaner never reclaims —
+    # returning the persisted plan would leak one edge cache + one
+    # label cache per call for the application lifetime (a gate run
+    # calls this dozens of times). The snapshot is a cheap cache read
+    # of the node-scale labels; its blocks are RDD-level and ARE
+    # GC-reclaimed, and the materialize() seam routes its durability.
+    out = materialize(comp)
+    if prev is not None:
+        prev.unpersist()
+    e.unpersist()
+    return out
 
 
 def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32) -> DataFrame:
