@@ -403,16 +403,26 @@ def lsh_neardup_verified(
     The composable primitives (minhash_signature / lsh_candidate_pairs
     / jaccard_pairs) each recompute the shingle arrays — the dominant
     cost (interpreted higher-order string expressions per doc). This
-    fused form computes shingles ONCE into a persisted (id, shingles)
-    table — exactly what a 100 TB run would materialize as its
-    signature/shingle table — and verifies candidates with
+    fused form computes shingles ONCE into a materialized (id,
+    shingles) table — exactly what a 100 TB run would materialize as
+    its signature/shingle table — and verifies candidates with
     array_intersect on the candidate pairs only: no shingle explode, no
     shingle shuffle, intersection cost proportional to |candidates|.
     Buckets over ``bucket_cap`` are dropped, not expanded (see
     ``_capped_bucket_pairs``): run ``dedup_exact`` first so exact-dup
     floods never reach this stage.
+
+    The feature table is pinned via ``materialize`` (eager, RDD-level
+    snapshot), not DataFrame.persist: the eager action guarantees the
+    mapInPandas pass runs exactly once cluster-wide (a lazy pin first
+    touched by the multi-reference plan below can recompute once per
+    executor — block locks are per-BlockManager), and RDD-level blocks
+    are reclaimed by ContextCleaner when the returned plan is
+    garbage-collected, where SQL-CacheManager persists leak for the
+    application lifetime unless explicitly unpersisted (a returned
+    lazy plan has no safe place to do that).
     """
-    base = minhash_features_pandas(docs, text_col, id_col).persist()
+    base = materialize(minhash_features_pandas(docs, text_col, id_col))
     bands = base.select(
         F.col(id_col), F.posexplode("band_keys").alias("band", "key")
     )

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StructField, StructType
 from pyspark.sql.window import Window
 from tinyerp_etl_spark.functions.localdf import local_df
+from tinyerp_etl_spark.functions.materialize import materialize
 
 HASH_SPACE = float(2**32)
 
@@ -285,23 +286,24 @@ def heavy_hitters(
     100 TB the difference is the shuffle volume: mostly-unique values
     (the long tail) never leave their partition.
 
-    Everything stays in ONE lazy plan — no driver-side collect of
-    candidate values, no eager side jobs: the candidate/count pass is
-    ``persist()``-ed (O(cap × partitions) rows — control-plane sized)
-    and feeds two tiny broadcast subtrees, the distinct candidate set
-    and the global row count; the exact threshold is evaluated in-plan
-    as ``n * den >= num * total`` (integer form of n >= ceil(num·total/
-    den)) using the DECIMAL rational of ``min_share``
-    (``Fraction(str(min_share))``) — the same arithmetic as the
-    candidate pass and the SQL oracle's DECIMAL ``ceil``. The cached
-    candidate summary is released by Spark's ContextCleaner when the
-    returned plan is garbage-collected (it is kilobytes, not data-
-    scale); ``df`` itself is scanned exactly twice per execution.
+    No driver-side collect of candidate values: the candidate/count
+    pass is snapshotted via ``materialize`` (O(cap × partitions) rows
+    — control-plane sized; the eager pin guarantees its df scan runs
+    exactly ONCE even though two broadcast subtrees read it — the
+    distinct candidate set and the global row count — each of which
+    would otherwise race to evaluate it on a cluster, and RDD-level
+    blocks ARE reclaimed by ContextCleaner on GC, unlike
+    SQL-CacheManager persists, which leak until unpersist). The exact
+    threshold is evaluated in-plan as ``n * den >= num * total``
+    (integer form of n >= ceil(num·total/den)) using the DECIMAL
+    rational of ``min_share`` (``Fraction(str(min_share))``) — the
+    same arithmetic as the candidate pass and the SQL oracle's DECIMAL
+    ``ceil``. ``df`` itself is scanned exactly twice per execution.
 
     Output: (value_col, n) — exact counts, partitioning-invariant.
     """
     cap = cap or max(64, int(math.ceil(8.0 / min_share)))
-    cc = _candidate_count_rows(df, value_col, min_share, cap).persist()
+    cc = materialize(_candidate_count_rows(df, value_col, min_share, cap))
     cands = cc.filter(F.col("part_rows").isNull()).select(value_col).distinct()
     total = cc.agg(F.sum("part_rows").alias("__total"))
     s_frac = Fraction(str(min_share))

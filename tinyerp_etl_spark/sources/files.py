@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StringType, StructField, StructType
 
+from tinyerp_etl_spark.functions.materialize import materialize
+
 #: lossless text form for TimestampType columns (UTC session tz)
 TIMESTAMP_FORMAT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
 
@@ -128,7 +130,7 @@ def read_csv_quarantine(
     with_corrupt = StructType(
         schema.fields + [StructField("_corrupt_record", StringType())]
     )
-    df = (
+    df = materialize(
         spark.read.schema(with_corrupt)
         .option("header", "true")
         .option("timestampFormat", TIMESTAMP_FORMAT)
@@ -136,8 +138,9 @@ def read_csv_quarantine(
         .option("columnNameOfCorruptRecord", "_corrupt_record")
         .csv(path)
         # Spark requires materializing before filtering on the corrupt
-        # column alone (SPARK-21610); cache keeps it one scan
-        .cache()
+        # column alone (SPARK-21610); the snapshot keeps it one scan,
+        # and unlike cache() its blocks are ContextCleaner-reclaimed
+        # on GC instead of leaking in the SQL CacheManager per call
     )
     bad = df.filter(df["_corrupt_record"].isNotNull()).select("_corrupt_record")
     good = df.filter(df["_corrupt_record"].isNull()).drop("_corrupt_record")
