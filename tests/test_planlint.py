@@ -91,6 +91,22 @@ def test_ngram_decontaminate_plan_is_join_shaped(spark, sf_dir):
     assert plan_findings(ngram_decontaminate_docs(spark, sf_dir)) == []
 
 
+def test_flags_sql_cache_scan(spark):
+    """A plan reading a persist()/cache() entry must be flagged: the
+    CacheManager never reclaims those pins (the round-9 leak class) —
+    the sanctioned pin is a materialize() snapshot, which must pass."""
+    from tinyerp_etl_spark.functions.materialize import materialize
+
+    pinned = _base(spark).groupBy("k").count().persist()
+    try:
+        findings = plan_findings(pinned.filter(F.col("count") > 0))
+        assert any("InMemoryTableScan" in f for f in findings)
+    finally:
+        pinned.unpersist()
+    snap = materialize(_base(spark).groupBy("k").count())
+    assert plan_findings(snap.filter(F.col("count") > 0)) == []
+
+
 def test_passes_partition_only_window(spark):
     # partitionBy with no orderBy shows as two bracket groups too —
     # must NOT be confused with an unpartitioned ordered window

@@ -14,6 +14,15 @@ multi-hour cluster job (a cheap `explain` walk, no execution):
 - **row-at-a-time Python UDF** — ``BatchEvalPython`` serializes row
   by row (10-100x slower than Arrow); the engine's policy is
   Arrow-only (``ArrowEvalPython`` / ``MapInPandas`` etc. pass).
+- **SQL-cache scan** — ``InMemoryTableScan`` means the plan reads a
+  ``DataFrame.persist()``/``cache()`` entry. Those live in the SQL
+  CacheManager, which ContextCleaner never reclaims: an operator that
+  pins and hands back a lazy plan leaks the cache for the application
+  lifetime, and min-of-N timings silently read the leak via
+  cached-plan substitution (both bitten in round 9). The engine's
+  sanctioned pin is ``functions/materialize.py`` (RDD-level snapshot,
+  GC-reclaimed, durability-routable) or a persist that is explicitly
+  unpersisted before the plan is returned.
 
 Broadcast-driven nested-loop joins and final presentation sorts are
 deliberately NOT flagged: both are bounded (dim-sized / result-sized)
@@ -63,6 +72,12 @@ def plan_findings(df: DataFrame) -> list[str]:
     if "BatchEvalPython" in plan:
         findings.append(
             "row-at-a-time Python UDF (BatchEvalPython) — use a pandas_udf"
+        )
+    if "InMemoryTableScan" in plan:
+        findings.append(
+            "SQL-cache scan (InMemoryTableScan): a persist()/cache() pin "
+            "leaks in the CacheManager unless explicitly unpersisted — "
+            "pin via functions/materialize.py instead"
         )
     return findings
 
