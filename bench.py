@@ -107,6 +107,9 @@ HEADLINE_R9 = [
     "pq_topk_embeddings",
     # the FAISS-default composition of the two persisted artifacts
     "ivfpq_topk_embeddings",
+    # batch-vs-store near-dup through the persisted MinHash feature
+    # index (featurize-at-ingest; the store never shuffles)
+    "minhash_store_neardup",
 ]
 HEADLINE = HEADLINE + HEADLINE_R4 + HEADLINE_R5 + HEADLINE_R7 + HEADLINE_R9
 

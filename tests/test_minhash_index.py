@@ -1,0 +1,191 @@
+"""Persisted MinHash feature index: fold ≡ rebuild, the replay
+contract, batch-vs-store correctness, cap enforcement, the streaming
+fold, and the store-shuffle-free plan shape."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tinyerp_etl_spark.operators import minhash_index as M
+from tinyerp_etl_spark.operators.dedup import DEFAULT_BUCKET_CAP
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _corpus(spark, n=12, offset=0):
+    rows = [
+        (
+            i + offset,
+            " ".join(f"w{(i * 7 + j) % 23}" for j in range(12)) + f" tail{i}",
+        )
+        for i in range(n)
+    ]
+    return _docs(spark, rows)
+
+
+def _rows(df):
+    return sorted(
+        (r["doc_id"], tuple(r["sh"]), tuple(r["sig"]), tuple(r["band_keys"]))
+        for r in df.collect()
+    )
+
+
+def test_save_load_roundtrip(spark, tmp_path):
+    docs = _corpus(spark)
+    path = str(tmp_path / "mh")
+    M.save_minhash_index(spark, path, docs)
+    stored = M.minhash_feature_store(spark, path).read()
+    assert _rows(stored) == _rows(M.build_minhash_features(docs))
+
+
+def test_fold_equals_rebuild(spark, tmp_path):
+    """Append half the corpus, fold the other half in — the store must
+    equal a fresh full build row for row (features are per-doc facts,
+    but the law pins the fold plumbing end to end)."""
+    docs = _corpus(spark, n=14)
+    path = str(tmp_path / "mh")
+    M.save_minhash_index(spark, path, docs.filter("doc_id % 2 = 0"))
+    v0 = M.minhash_feature_store(spark, path).current_version()
+    v = M.update_minhash_index(spark, path, docs.filter("doc_id % 2 = 1"))
+    assert v == v0 + 1  # one appended version, not a rewrite
+    stored = M.minhash_feature_store(spark, path).read()
+    assert _rows(stored) == _rows(M.build_minhash_features(docs))
+
+
+def test_overlap_raise_and_replay_noop(spark, tmp_path):
+    docs = _corpus(spark, n=8)
+    path = str(tmp_path / "mh")
+    M.save_minhash_index(spark, path, docs)
+    with pytest.raises(ValueError, match="already indexed"):
+        M.update_minhash_index(spark, path, docs.filter("doc_id < 3"))
+    # at-least-once replay folds to exactly-once: full replay is a
+    # version-preserving no-op
+    store = M.minhash_feature_store(spark, path)
+    before = store.current_version()
+    v = M.update_minhash_index(
+        spark, path, docs.filter("doc_id < 3"), on_overlap="skip_existing"
+    )
+    assert v == before
+    # partial replay folds only the new docs
+    mixed = docs.filter("doc_id < 2").unionByName(
+        _corpus(spark, n=2, offset=100)
+    )
+    v2 = M.update_minhash_index(spark, path, mixed, on_overlap="skip_existing")
+    assert v2 == before + 1
+    got = {r["doc_id"] for r in store.read().select("doc_id").collect()}
+    assert got == set(range(8)) | {100, 101}
+
+
+def test_short_doc_batch_is_noop(spark, tmp_path):
+    """Docs below SHINGLE_K tokens are not indexable (no shingles) —
+    a batch of only such docs must leave the version unchanged."""
+    docs = _corpus(spark, n=4)
+    path = str(tmp_path / "mh")
+    M.save_minhash_index(spark, path, docs)
+    before = M.minhash_feature_store(spark, path).current_version()
+    v = M.update_minhash_index(spark, path, _docs(spark, [(900, "one two")]))
+    assert v == before
+
+
+def test_neardup_against_store_exact_and_clean(spark, tmp_path):
+    """An exact copy in the batch scores jaccard 1.0 against its store
+    original; an unrelated doc produces no pair."""
+    store_docs = _corpus(spark, n=6)
+    path = str(tmp_path / "mh")
+    M.save_minhash_index(spark, path, store_docs)
+    copy_text = store_docs.filter("doc_id = 2").first()["text"]
+    batch = _docs(
+        spark,
+        [(500, copy_text), (501, "totally unrelated words nothing shared here at all")],
+    )
+    got = [
+        (r["store_doc"], r["batch_doc"], r["jaccard"])
+        for r in M.neardup_against_store(spark, path, batch, threshold=0.5)
+        .orderBy("store_doc", "batch_doc")
+        .collect()
+    ]
+    assert (2, 500, 1.0) in got
+    assert all(b != 501 for _, b, _ in got)
+
+
+def test_bucket_cap_quarantines_flooded_keys(spark, tmp_path):
+    """A band key shared by more store docs than the cap must emit NO
+    pairs (the executor-OOM shape _capped_bucket_pairs exists for)."""
+    flood_text = "alpha beta gamma delta epsilon zeta eta theta"
+    store_docs = _docs(spark, [(i, flood_text) for i in range(5)])
+    path = str(tmp_path / "mh")
+    M.save_minhash_index(spark, path, store_docs)
+    batch = _docs(spark, [(700, flood_text)])
+    assert (
+        M.neardup_against_store(spark, path, batch, bucket_cap=4).isEmpty()
+    )
+    # under a generous cap the same probe matches all five
+    got = M.neardup_against_store(
+        spark, path, batch, bucket_cap=DEFAULT_BUCKET_CAP
+    )
+    assert got.count() == 5
+
+
+def test_query_plan_is_store_shuffle_free(spark, tmp_path):
+    """The candidate join must broadcast the BATCH side and probe the
+    store scan — never sort-merge (which would shuffle the corpus) and
+    never a cartesian expansion."""
+    from tinyerp_etl_spark.operators.planlint import plan_findings
+
+    M.save_minhash_index(spark, str(tmp_path / "mh"), _corpus(spark, n=10))
+    out = M.neardup_against_store(
+        spark, str(tmp_path / "mh"), _corpus(spark, n=3, offset=50)
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan_findings(out) == []
+
+
+def test_stream_fold_equals_batch_build(spark, tmp_path):
+    """Two drained micro-batches must land the exact feature rows a
+    one-shot build over the union produces, and a replayed batch must
+    be absorbed (exactly-once index from at-least-once delivery)."""
+    import os
+
+    from tinyerp_etl_spark.streaming.stream_pipeline import (
+        run_stream_to_minhash_index,
+    )
+
+    docs = _corpus(spark, n=10)
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    docs.filter("doc_id < 5").write.mode("overwrite").parquet(src + "/b0")
+    path = str(tmp_path / "mh")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src + "/*")
+        )
+        run_stream_to_minhash_index(spark, stream, path, ckpt)
+
+    drain()
+    docs.filter("doc_id >= 5").write.mode("overwrite").parquet(src + "/b1")
+    drain()
+    stored = M.minhash_feature_store(spark, path).read()
+    assert _rows(stored) == _rows(M.build_minhash_features(docs))
+    # replay: drain from a FRESH checkpoint so every file re-delivers;
+    # skip_existing must fold it all to a no-op
+    before = M.minhash_feature_store(spark, path).current_version()
+    ckpt2 = str(tmp_path / "ckpt2")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*")
+    )
+    run_stream_to_minhash_index(spark, stream, path, ckpt2)
+    assert M.minhash_feature_store(spark, path).current_version() == before
+    assert _rows(M.minhash_feature_store(spark, path).read()) == _rows(
+        M.build_minhash_features(docs)
+    )

@@ -374,6 +374,13 @@ def minhash_features_pandas(
                 shs.append(sh)
                 sigs.append(sig.tolist())
                 bands.append(keys)
+            if not ids:
+                # an all-short batch yields NOTHING: an empty pandas
+                # frame defaults its columns to float64, which Arrow
+                # cannot convert to the declared list<string> types
+                # (ArrowNotImplementedError) — skipping the yield is
+                # the supported empty case for mapInPandas
+                continue
             yield pd.DataFrame(
                 {id_col: ids, "__sh": shs, "sig": sigs, "band_keys": bands}
             )

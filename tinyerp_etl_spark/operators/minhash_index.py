@@ -1,0 +1,227 @@
+"""Persisted MinHash feature index: shingle + sign ONCE at ingest,
+near-dup new batches against the store without re-featurizing it.
+
+The fused query-time pipeline (dedup.lsh_neardup_verified) computes
+the (shingles, signature, band keys) feature table per execution —
+fine for a one-off corpus sweep, wrong as the steady state: at 100 TB
+an ingest pipeline asks "which ALREADY-INGESTED docs does this batch
+near-duplicate?" per batch, and featurizing the corpus per batch is
+the dominant cost (the same argument that moved BM25 tokenization and
+the IVF/PQ training into persisted artifacts — this module completes
+that discipline for the near-dup family, its last query-time-built
+member).
+
+ONE TableStore artifact holds (doc_id, sh, sig, band_keys) — a row
+per indexable document, featurized exactly once ever. Near-dup needs
+no corpus-global statistics (unlike BM25's idf), so there is no
+second stats table and therefore NO two-commit crash window to
+defend: the fold is a plain append-only commit_append under
+optimistic concurrency, with doc_id-overlap replay detection.
+
+The batch-vs-store query keeps the store SHUFFLE-FREE:
+
+- one store scan reads (doc_id, sh, band_keys); band keys explode in
+  the projection (B small strings per doc — no shuffle);
+- the BATCH's exploded band keys broadcast; the candidate join is a
+  broadcast hash join probing the store scan — store bytes never
+  cross the network;
+- the bucket cap is enforced on the JOINED rows: if any batch doc
+  carries a key, ALL store docs holding that key surface in the join,
+  so counting store members per matched (band, key) over the joined
+  (batch-bucket-scale) frame equals the global store membership for
+  every key that matters — cap semantics identical to
+  dedup._capped_bucket_pairs without a corpus groupBy;
+- exact Jaccard verification reads the shingle arrays already carried
+  through the join (pair-scale rows only).
+
+The reference has no dedup surface (ref tiny_api_v2_cliente.py is a
+REST-to-PostgreSQL loader); this extends the engine's LLM-pipeline
+family per SURVEY §2's beyond-reference mandate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from tinyerp_etl_spark.etl.table_store import TableStore
+from tinyerp_etl_spark.functions.materialize import materialize
+from tinyerp_etl_spark.operators.dedup import (
+    DEFAULT_BUCKET_CAP,
+    minhash_features_pandas,
+)
+
+#: Files per featurize commit — small-files control, like the BM25
+#: postings' POSTINGS_FILES; a cluster sizes this to bytes/target.
+FEATURE_FILES = 8
+
+MINHASH_FEATURES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("sh", ArrayType(StringType())),
+        StructField("sig", ArrayType(LongType())),
+        StructField("band_keys", ArrayType(StringType())),
+    ]
+)
+
+
+def minhash_feature_store(spark: SparkSession, path: str) -> TableStore:
+    return TableStore(spark, path, MINHASH_FEATURES_SCHEMA)
+
+
+def build_minhash_features(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, sh, sig, band_keys) — one Arrow-batched pass
+    (dedup.minhash_features_pandas, bit-identical to the expression
+    twins). Documents with fewer than SHINGLE_K tokens have no
+    shingles and are NOT indexable — they drop here, exactly as the
+    fused pipeline's ``len(sh) > 0`` filter drops them; by the
+    shingle definition they can never near-duplicate anything."""
+    return minhash_features_pandas(docs, text_col, id_col).select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col("__sh").alias("sh"),
+        "sig",
+        "band_keys",
+    )
+
+
+def save_minhash_index(
+    spark: SparkSession,
+    path: str,
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> int:
+    """Featurize the corpus and persist it as the first/next version."""
+    feats = build_minhash_features(docs, text_col, id_col)
+    return minhash_feature_store(spark, path).commit(
+        feats, n_files=FEATURE_FILES
+    )
+
+
+def update_minhash_index(
+    spark: SparkSession,
+    path: str,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    on_overlap: str = "raise",
+) -> int:
+    """Fold a batch of NEW documents into the persisted feature table.
+
+    Only the batch featurizes AND only the batch's files are written
+    (TableStore.commit_append) — fold compute and IO are both ∝
+    increment. Features are per-document facts, so fold ≡ rebuild
+    holds trivially row-for-row (pinned by test regardless).
+
+    ``on_overlap`` is the replay contract of the BM25 fold:
+    ``"raise"`` treats an already-indexed doc_id as a caller bug;
+    ``"skip_existing"`` folds only the genuinely-new docs so an
+    at-least-once redelivery folds to an exactly-once index (a fully
+    replayed batch is a version-preserving no-op). The overlap probe
+    is a column-pruned doc_id read of the store. Both the probe and
+    the commit ride ``expected_version``: a concurrent fold raises
+    ConcurrentWriteError for the caller (or the streaming face's
+    retry loop) to recompute against the winner.
+
+    A batch whose documents are ALL too short to shingle contributes
+    nothing and returns the current version unchanged — matching the
+    build-path semantics (such docs are never indexable).
+    """
+    if on_overlap not in ("raise", "skip_existing"):
+        raise ValueError(
+            f"on_overlap must be 'raise' or 'skip_existing', got {on_overlap!r}"
+        )
+    store = minhash_feature_store(spark, path)
+    version = store.current_version()
+    if version is None:
+        return save_minhash_index(spark, path, new_docs, text_col, id_col)
+    feats = materialize(build_minhash_features(new_docs, text_col, id_col))
+    indexed = store.read().select("doc_id")
+    overlap = feats.select("doc_id").join(indexed, "doc_id", "left_semi")
+    if on_overlap == "raise":
+        n = overlap.count()
+        if n:
+            raise ValueError(
+                f"minhash index at {path}: {n} batch doc_ids are already "
+                "indexed — the fold is append-only; replay with "
+                "on_overlap='skip_existing' if this is an at-least-once "
+                "redelivery"
+            )
+        fresh = feats
+    else:
+        fresh = materialize(feats.join(indexed, "doc_id", "left_anti"))
+    if fresh.isEmpty():
+        return version
+    return store.commit_append(
+        fresh, n_files=FEATURE_FILES, expected_version=version
+    )
+
+
+def neardup_against_store(
+    spark: SparkSession,
+    path: str,
+    batch: DataFrame,
+    threshold: float = 0.5,
+    bucket_cap: int = DEFAULT_BUCKET_CAP,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(store_doc, batch_doc, jaccard) — verified near-dup pairs of an
+    incoming batch against the persisted store, store-shuffle-free.
+
+    The batch featurizes once (Arrow pass, materialized); its exploded
+    (band, key) rows broadcast into a hash join probing ONE store scan
+    whose projection explodes the stored band keys. Store membership
+    per matched key is counted over the joined frame (equal to the
+    global membership for every key a batch doc carries — see module
+    docstring), keys over ``bucket_cap`` are dropped like
+    ``_capped_bucket_pairs`` drops them, and surviving (store_doc,
+    batch_doc) pairs verify with exact shingle-set Jaccard from the
+    arrays already in hand. Cross pairs only: within-batch and
+    within-store duplication are the existing operators' jobs.
+    """
+    feats_store = minhash_feature_store(spark, path).read()
+    bf = materialize(build_minhash_features(batch, text_col, id_col))
+    sb = feats_store.select(
+        F.col("doc_id").alias("store_doc"),
+        F.col("sh").alias("sh_s"),
+        F.posexplode("band_keys").alias("band", "key"),
+    )
+    bb = bf.select(
+        F.col("doc_id").alias("batch_doc"),
+        F.col("sh").alias("sh_b"),
+        F.posexplode("band_keys").alias("band", "key"),
+    )
+    joined = sb.join(F.broadcast(bb), ["band", "key"])
+    # global store membership of every matched key, computed WITHOUT a
+    # corpus groupBy: the join already surfaced all members of any key
+    # a batch doc carries. Batch-bucket-scale frames from here down.
+    key_sizes = (
+        joined.select("band", "key", "store_doc")
+        .distinct()
+        .groupBy("band", "key")
+        .agg(F.count(F.lit(1)).alias("__bn"))
+        .filter(F.col("__bn") <= F.lit(int(bucket_cap)))
+        .select("band", "key")
+    )
+    capped = joined.join(F.broadcast(key_sizes), ["band", "key"], "left_semi")
+    pairs = capped.select("store_doc", "batch_doc", "sh_s", "sh_b").dropDuplicates(
+        ["store_doc", "batch_doc"]
+    )
+    n_inter = F.array_size(F.array_intersect("sh_s", "sh_b"))
+    jaccard = (
+        n_inter
+        / (F.array_size("sh_s") + F.array_size("sh_b") - n_inter)
+    ).cast("double")
+    return pairs.select(
+        "store_doc", "batch_doc", jaccard.alias("jaccard")
+    ).filter(F.col("jaccard") >= F.lit(float(threshold)))

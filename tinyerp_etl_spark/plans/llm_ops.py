@@ -4136,3 +4136,123 @@ LLM_ORACLES["neardup_threshold_curve"] = f"""
     ORDER BY lv.t_p10k
 """
 LLM_QUERIES["neardup_threshold_curve"] = neardup_threshold_curve
+
+
+# ---------------------------------------------------------------
+# persisted MinHash feature index: featurize-at-ingest near-dup
+# (operators/minhash_index.py)
+
+_MINHASH_STORE_CACHE: dict[str, str] = {}
+
+
+def _minhash_store_for(spark: SparkSession, sf_dir: str) -> str:
+    """Artifact path of the persisted MinHash feature index over the
+    STORE staging (the even docs) — featurized once per corpus
+    fingerprint (content-addressed dir, the _corpus_tag convention),
+    loaded thereafter. The shingle/signature pass thus runs at
+    ingest, never per query — the _ivf_index_for / _bm25_index_for
+    flow applied to the near-dup family."""
+    key = os.path.abspath(sf_dir)
+    if key not in _MINHASH_STORE_CACHE:
+        from tinyerp_etl_spark.operators import minhash_index as MH
+
+        store_docs = load_table(spark, sf_dir, "documents").filter(
+            F.col("doc_id") % 2 == 0
+        ).select("doc_id", "text")
+        fp = corpus_fingerprint_docs(store_docs)
+        path = os.path.join(
+            _artifact_root(), "minhash_index", _corpus_tag(sf_dir, fp)
+        )
+        if MH.minhash_feature_store(spark, path).current_version() is None:
+            MH.save_minhash_index(spark, path, store_docs)
+        _MINHASH_STORE_CACHE[key] = path
+    return _MINHASH_STORE_CACHE[key]
+
+
+def minhash_store_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-vs-store near-dup through the persisted MinHash feature
+    index (operators/minhash_index.neardup_against_store): the store
+    (even docs) is featurized ONCE into a TableStore artifact; the
+    incoming batch (odd docs ∪ prefix-mutated copies of every 20th
+    even doc, +300000) featurizes only itself, broadcasts its band
+    keys into a hash join probing one store scan, caps buckets, and
+    verifies candidates with exact shingle Jaccard — the store never
+    shuffles and never re-featurizes. The mutated copies land as
+    (original, copy) pairs above the 0.5 threshold; the plain odd
+    docs mostly match nothing. The oracle re-derives both sides'
+    features in SQL and applies the same cap + exact verify, so
+    index-read ≡ recompute is hash-proven.
+    """
+    from tinyerp_etl_spark.operators import minhash_index as MH
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    batch = docs.filter(F.col("doc_id") % 2 == 1).unionByName(
+        docs.filter(F.col("doc_id") % 20 == 0).select(
+            (F.col("doc_id") + 300000).alias("doc_id"),
+            F.concat(F.lit("zzz qqq "), F.col("text")).alias("text"),
+        )
+    )
+    path = _minhash_store_for(spark, sf_dir)
+    return MH.neardup_against_store(spark, path, batch, threshold=0.5).orderBy(
+        "store_doc", "batch_doc"
+    )
+
+
+_MH_STORE_SQL = "SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0"
+_MH_BATCH_SQL = """SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+          UNION ALL
+          SELECT doc_id + 300000, 'zzz qqq ' || text
+          FROM documents WHERE doc_id % 20 = 0"""
+
+
+def _mh_feature_ctes(side: str, staged_sql: str) -> str:
+    """shingle → signature → band-key CTEs for one side (suffix
+    ``side``) — the literal SQL mirror of build_minhash_features."""
+    return f"""t_{side} AS (SELECT doc_id, {_TOKS} AS toks
+                   FROM ({staged_sql})),
+        sh0_{side} AS (SELECT doc_id, {_SHINGLES} AS sh FROM t_{side}
+                   WHERE len(toks) >= 3),
+        sig_{side} AS (SELECT doc_id, sh, {_minhash_sig_sql()} AS sig
+                   FROM sh0_{side} WHERE len(sh) > 0),
+        bands0_{side} AS (SELECT doc_id, unnest([{_band_keys_sql()}]) AS bk
+                   FROM sig_{side}),
+        bands_{side} AS (SELECT doc_id, bk.band AS band, bk.key AS key
+                   FROM bands0_{side})"""
+
+
+LLM_ORACLES["minhash_store_neardup"] = f"""
+    WITH {_mh_feature_ctes("s", _MH_STORE_SQL)},
+    {_mh_feature_ctes("b", _MH_BATCH_SQL)},
+    store_key_sizes AS (
+      SELECT band, key, count(*) AS bn FROM bands_s GROUP BY band, key
+    ),
+    cands AS (
+      SELECT DISTINCT s.doc_id AS store_doc, b.doc_id AS batch_doc
+      FROM bands_s s
+      JOIN bands_b b ON s.band = b.band AND s.key = b.key
+      JOIN store_key_sizes ks
+        ON ks.band = s.band AND ks.key = s.key
+       AND ks.bn <= {D.DEFAULT_BUCKET_CAP}
+    ),
+    ex_s AS (SELECT doc_id, unnest(sh) AS shingle FROM sig_s),
+    ex_b AS (SELECT doc_id, unnest(sh) AS shingle FROM sig_b),
+    sz_s AS (SELECT doc_id, count(*) AS n FROM ex_s GROUP BY doc_id),
+    sz_b AS (SELECT doc_id, count(*) AS n FROM ex_b GROUP BY doc_id),
+    inter AS (
+      SELECT c.store_doc, c.batch_doc, count(*) AS n_inter
+      FROM ex_s a
+      JOIN ex_b b ON a.shingle = b.shingle
+      JOIN cands c ON c.store_doc = a.doc_id AND c.batch_doc = b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT i.store_doc, i.batch_doc,
+           CAST(CAST(i.n_inter AS DOUBLE)
+                / (ss.n + sb.n - i.n_inter) AS DOUBLE) AS jaccard
+    FROM inter i
+    JOIN sz_s ss ON ss.doc_id = i.store_doc
+    JOIN sz_b sb ON sb.doc_id = i.batch_doc
+    WHERE CAST(CAST(i.n_inter AS DOUBLE)
+               / (ss.n + sb.n - i.n_inter) AS DOUBLE) >= 0.5
+    ORDER BY i.store_doc, i.batch_doc
+"""
+LLM_QUERIES["minhash_store_neardup"] = minhash_store_neardup

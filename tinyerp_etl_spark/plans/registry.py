@@ -265,7 +265,9 @@ _RELATIONAL_NAMES = [
 # topk_expensive_orders, window_latest_order_per_customer,
 # window_moving_avg_daily_revenue, plus q14_promo_revenue,
 # hll_distinct_users, dedup_exact_count, multimodal_frame_sample,
-# kmv_sketch_rollup, and minhash_signatures (each displaced by a
+# kmv_sketch_rollup, minhash_signatures, and (displaced mid-round by
+# the ninth newcomer minhash_store_neardup, see (0e) below)
+# decontaminate_docs (each displaced by a
 # round-9 newcomer whose ledger entry above names the fresher row
 # covering its shape).
 # After round 9's gate runs green, every query's newest driver row is
@@ -284,6 +286,15 @@ _ROUND9_FRONT_50 = [
     "pq_topk_embeddings",
     "pq_recall_report",
     "ivfpq_topk_embeddings",
+    # (0e) minhash_store_neardup, the NINTH round-9 newcomer (persisted
+    # MinHash feature index: featurize-at-ingest batch-vs-store
+    # near-dup, operators/minhash_index.py) — enters at birth,
+    # displacing decontaminate_docs (r4-green on untouched code; its
+    # broadcast-membership-probe engine path is r8-green via
+    # bloom_decontaminate_docs and its join-regime twin
+    # ngram_decontaminate_docs is in-gate above; it heads the round-10
+    # deferral list)
+    "minhash_store_neardup",
     # (a) the eighteen r3-stale deferrals
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -309,7 +320,6 @@ _ROUND9_FRONT_50 = [
     "minhash_lsh_neardup_pairs",
     "neardup_components",
     "incremental_dedup_new_docs",
-    "decontaminate_docs",
     "embedding_knn_join",
     "curation_pipeline_manifest",
     "domain_mixture_resample",

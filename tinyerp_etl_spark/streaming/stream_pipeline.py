@@ -207,6 +207,52 @@ def run_stream_to_bm25_index(
     )
 
 
+def run_stream_to_minhash_index(
+    spark: SparkSession,
+    docs_stream: DataFrame,
+    index_path: str,
+    checkpoint_dir: str,
+    occ_retries: int = 3,
+) -> None:
+    """Drain a document stream into the persisted MinHash feature
+    index (availableNow) — near-dup-at-ingest: each micro-batch
+    featurizes ONLY itself and folds in via
+    operators/minhash_index.update_minhash_index, so
+    ``neardup_against_store`` always probes features current to the
+    last drained batch and the shingle/signature pass never runs over
+    the corpus at query time.
+
+    Same replay and concurrency contract as the BM25/Bloom siblings:
+    ``on_overlap="skip_existing"`` absorbs at-least-once redelivery
+    (already-indexed doc_ids anti-join away; a fully replayed batch
+    is a version-preserving no-op), and ConcurrentWriteError from a
+    racing fold is retried against the winner — safe because the
+    skip-existing filter re-derives what is new. The single-artifact
+    design means there is no multi-commit crash window to heal.
+    """
+    from tinyerp_etl_spark.etl.table_store import ConcurrentWriteError
+    from tinyerp_etl_spark.operators.minhash_index import update_minhash_index
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        for attempt in range(occ_retries + 1):
+            try:
+                update_minhash_index(
+                    spark, index_path, batch_df, on_overlap="skip_existing"
+                )
+                return
+            except ConcurrentWriteError:
+                if attempt == occ_retries:
+                    raise
+
+    (
+        docs_stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
 def run_stream_to_ivf_corpus(
     spark: SparkSession,
     emb_stream: DataFrame,
