@@ -132,7 +132,10 @@ def test_bucket_cap_quarantines_flooded_keys(spark, tmp_path):
 def test_query_plan_is_store_shuffle_free(spark, tmp_path):
     """The candidate join must broadcast the BATCH side and probe the
     store scan — never sort-merge (which would shuffle the corpus) and
-    never a cartesian expansion."""
+    never a cartesian expansion — and the store parquet must be read
+    at most twice (the narrow key-size pass + the wide verify pass;
+    the first cut re-derived the wide join for the cap count, paying
+    the heavy shingle scan double)."""
     from tinyerp_etl_spark.operators.planlint import plan_findings
 
     M.save_minhash_index(spark, str(tmp_path / "mh"), _corpus(spark, n=10))
@@ -142,7 +145,40 @@ def test_query_plan_is_store_shuffle_free(spark, tmp_path):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+    assert plan.count("Scan parquet") <= 2
     assert plan_findings(out) == []
+
+
+def test_bootstrap_rides_occ(spark, tmp_path):
+    """Two writers racing to CREATE the index must not last-writer-win
+    (the second v1 would silently shadow the first batch's rows): the
+    bootstrap commit carries expected_version=0, so a store that
+    advanced between the look and the commit raises for retry."""
+    from tinyerp_etl_spark.etl.table_store import ConcurrentWriteError
+
+    path = str(tmp_path / "mh")
+    a = _corpus(spark, n=4)
+    b = _corpus(spark, n=4, offset=50)
+    # writer A looked at the empty store... then writer B committed
+    M.save_minhash_index(spark, path, b)
+    # ...A's bootstrap commit must now refuse, not shadow B
+    store = M.minhash_feature_store(spark, path)
+    feats_a = M.build_minhash_features(a)
+    with pytest.raises(ConcurrentWriteError):
+        store.commit(feats_a, n_files=M.FEATURE_FILES, expected_version=0)
+    # the streaming-contract path retries through update(): folds fine
+    v = M.update_minhash_index(spark, path, a, on_overlap="skip_existing")
+    assert v == 2
+    got = {r["doc_id"] for r in store.read().select("doc_id").collect()}
+    assert got == set(range(4)) | set(range(50, 54))
+
+
+def test_empty_bootstrap_creates_nothing(spark, tmp_path):
+    """An all-short first batch must NOT create a spurious empty v1."""
+    path = str(tmp_path / "mh")
+    v = M.update_minhash_index(spark, path, _docs(spark, [(1, "hi there")]))
+    assert v == 0
+    assert M.minhash_feature_store(spark, path).current_version() is None
 
 
 def test_stream_fold_equals_batch_build(spark, tmp_path):

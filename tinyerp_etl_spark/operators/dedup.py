@@ -398,6 +398,18 @@ def minhash_features_pandas(
     )
 
 
+def shingle_jaccard(a_col: str, b_col: str) -> Column:
+    """Exact Jaccard of two DISTINCT-shingle array columns, as a
+    double — THE engine-side spelling of the set formula
+    |a∩b| / (|a|+|b|−|a∩b|), shared by the fused verify pipeline and
+    the persisted-index verify (operators/minhash_index.py) so the
+    formula the oracles pin cannot drift between call sites."""
+    n_inter = F.array_size(F.array_intersect(a_col, b_col))
+    return (
+        n_inter / (F.array_size(a_col) + F.array_size(b_col) - n_inter)
+    ).cast("double")
+
+
 def lsh_neardup_verified(
     docs: DataFrame,
     threshold: float = 0.5,
@@ -444,17 +456,13 @@ def lsh_neardup_verified(
     b = base.select(F.col(id_col).alias("doc_b"), F.col("__sh").alias("__sh_b")).hint(
         "shuffle_hash"
     )
-    n_inter = F.array_size(F.array_intersect("__sh_a", "__sh_b"))
     return (
         pairs.join(a, "doc_a")
         .join(b, "doc_b")
         .select(
             "doc_a",
             "doc_b",
-            (
-                n_inter
-                / (F.array_size("__sh_a") + F.array_size("__sh_b") - n_inter)
-            ).cast("double").alias("jaccard"),
+            shingle_jaccard("__sh_a", "__sh_b").alias("jaccard"),
         )
         .filter(F.col("jaccard") >= F.lit(threshold))
     )

@@ -20,17 +20,16 @@ optimistic concurrency, with doc_id-overlap replay detection.
 
 The batch-vs-store query keeps the store SHUFFLE-FREE:
 
-- one store scan reads (doc_id, sh, band_keys); band keys explode in
-  the projection (B small strings per doc — no shuffle);
-- the BATCH's exploded band keys broadcast; the candidate join is a
-  broadcast hash join probing the store scan — store bytes never
-  cross the network;
-- the bucket cap is enforced on the JOINED rows: if any batch doc
-  carries a key, ALL store docs holding that key surface in the join,
-  so counting store members per matched (band, key) over the joined
-  (batch-bucket-scale) frame equals the global store membership for
-  every key that matters — cap semantics identical to
-  dedup._capped_bucket_pairs without a corpus groupBy;
+- a NARROW store pass reads only ``band_keys`` (a sliver of the
+  bytes; the shingle arrays are the heavy column),
+  broadcast-semi-joined to the batch's key set, to count global
+  store membership per matched (band, key) and drop flooded keys —
+  cap semantics identical to dedup._capped_bucket_pairs without a
+  corpus groupBy and without any per-key buffer;
+- the WIDE store pass reads (doc_id, sh, band_keys), explodes the
+  band keys in the projection (B small strings per doc — no
+  shuffle), and is probed by a broadcast hash join on the batch's
+  surviving exploded keys — store bytes never cross the network;
 - exact Jaccard verification reads the shingle arrays already carried
   through the join (pair-scale rows only).
 
@@ -56,6 +55,7 @@ from tinyerp_etl_spark.functions.materialize import materialize
 from tinyerp_etl_spark.operators.dedup import (
     DEFAULT_BUCKET_CAP,
     minhash_features_pandas,
+    shingle_jaccard,
 )
 
 #: Files per featurize commit — small-files control, like the BM25
@@ -133,8 +133,18 @@ def update_minhash_index(
     retry loop) to recompute against the winner.
 
     A batch whose documents are ALL too short to shingle contributes
-    nothing and returns the current version unchanged — matching the
-    build-path semantics (such docs are never indexable).
+    nothing and leaves the store untouched — matching the build-path
+    semantics (such docs are never indexable); on a still-absent store
+    that no-op returns 0 (the "empty" version number) without creating
+    a spurious empty artifact.
+
+    The BOOTSTRAP commit also rides optimistic concurrency
+    (``expected_version=0`` — "the store was empty when I looked"):
+    two writers racing to create the same index raise
+    ConcurrentWriteError for the loser instead of the second v1
+    silently shadowing the first writer's rows under
+    last-writer-wins, so the streaming face's retry loop covers the
+    very first micro-batch too.
     """
     if on_overlap not in ("raise", "skip_existing"):
         raise ValueError(
@@ -142,9 +152,11 @@ def update_minhash_index(
         )
     store = minhash_feature_store(spark, path)
     version = store.current_version()
-    if version is None:
-        return save_minhash_index(spark, path, new_docs, text_col, id_col)
     feats = materialize(build_minhash_features(new_docs, text_col, id_col))
+    if version is None:
+        if feats.isEmpty():
+            return 0
+        return store.commit(feats, n_files=FEATURE_FILES, expected_version=0)
     indexed = store.read().select("doc_id")
     overlap = feats.select("doc_id").join(indexed, "doc_id", "left_semi")
     if on_overlap == "raise":
@@ -178,50 +190,54 @@ def neardup_against_store(
     """(store_doc, batch_doc, jaccard) — verified near-dup pairs of an
     incoming batch against the persisted store, store-shuffle-free.
 
-    The batch featurizes once (Arrow pass, materialized); its exploded
-    (band, key) rows broadcast into a hash join probing ONE store scan
-    whose projection explodes the stored band keys. Store membership
-    per matched key is counted over the joined frame (equal to the
-    global membership for every key a batch doc carries — see module
-    docstring), keys over ``bucket_cap`` are dropped like
-    ``_capped_bucket_pairs`` drops them, and surviving (store_doc,
-    batch_doc) pairs verify with exact shingle-set Jaccard from the
-    arrays already in hand. Cross pairs only: within-batch and
-    within-store duplication are the existing operators' jobs.
+    The batch featurizes once (Arrow pass, materialized). The store is
+    read in TWO column-pruned passes, neither of which shuffles it:
+
+    1. a NARROW pass reads only ``band_keys`` (B hashes per doc — a
+       sliver of the bytes; ``sh`` is the heavy column), broadcast-
+       semi-joined to the batch's key set, to count global store
+       membership per matched key and drop keys over ``bucket_cap``
+       WITHOUT ever holding a per-key buffer (the groupBy count is
+       flood-safe where a window collect_set on the wide join would
+       re-create the executor-OOM shape the cap exists to prevent);
+    2. the WIDE pass reads (doc_id, sh, band_keys), explodes the band
+       keys in the projection, and broadcast-hash-joins the batch's
+       surviving (band, key) rows — candidate (store_doc, batch_doc)
+       pairs verify with exact shingle Jaccard from the arrays
+       already in hand (``dedup.shingle_jaccard``).
+
+    Cross pairs only: within-batch and within-store duplication are
+    the existing operators' jobs.
     """
-    feats_store = minhash_feature_store(spark, path).read()
+    store = minhash_feature_store(spark, path)
     bf = materialize(build_minhash_features(batch, text_col, id_col))
-    sb = feats_store.select(
-        F.col("doc_id").alias("store_doc"),
-        F.col("sh").alias("sh_s"),
-        F.posexplode("band_keys").alias("band", "key"),
-    )
     bb = bf.select(
         F.col("doc_id").alias("batch_doc"),
         F.col("sh").alias("sh_b"),
         F.posexplode("band_keys").alias("band", "key"),
     )
-    joined = sb.join(F.broadcast(bb), ["band", "key"])
-    # global store membership of every matched key, computed WITHOUT a
-    # corpus groupBy: the join already surfaced all members of any key
-    # a batch doc carries. Batch-bucket-scale frames from here down.
-    key_sizes = (
-        joined.select("band", "key", "store_doc")
-        .distinct()
+    batch_keys = bb.select("band", "key").distinct()
+    narrow = store.read().select(F.posexplode("band_keys").alias("band", "key"))
+    ok_keys = (
+        narrow.join(F.broadcast(batch_keys), ["band", "key"], "left_semi")
         .groupBy("band", "key")
         .agg(F.count(F.lit(1)).alias("__bn"))
         .filter(F.col("__bn") <= F.lit(int(bucket_cap)))
         .select("band", "key")
     )
-    capped = joined.join(F.broadcast(key_sizes), ["band", "key"], "left_semi")
-    pairs = capped.select("store_doc", "batch_doc", "sh_s", "sh_b").dropDuplicates(
-        ["store_doc", "batch_doc"]
+    bb_ok = bb.join(F.broadcast(ok_keys), ["band", "key"], "left_semi")
+    sb = store.read().select(
+        F.col("doc_id").alias("store_doc"),
+        F.col("sh").alias("sh_s"),
+        F.posexplode("band_keys").alias("band", "key"),
     )
-    n_inter = F.array_size(F.array_intersect("sh_s", "sh_b"))
-    jaccard = (
-        n_inter
-        / (F.array_size("sh_s") + F.array_size("sh_b") - n_inter)
-    ).cast("double")
+    pairs = (
+        sb.join(F.broadcast(bb_ok), ["band", "key"])
+        .select("store_doc", "batch_doc", "sh_s", "sh_b")
+        .dropDuplicates(["store_doc", "batch_doc"])
+    )
     return pairs.select(
-        "store_doc", "batch_doc", jaccard.alias("jaccard")
+        "store_doc",
+        "batch_doc",
+        shingle_jaccard("sh_s", "sh_b").alias("jaccard"),
     ).filter(F.col("jaccard") >= F.lit(float(threshold)))
