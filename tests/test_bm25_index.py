@@ -474,6 +474,37 @@ def test_concurrent_fold_raises_not_lost(spark, tmp_path):
     update_bm25_index(spark, path, batch)
 
 
+def test_bootstrap_rides_occ(spark, tmp_path):
+    """Two writers racing to CREATE the index must not last-writer-win
+    (the second bootstrap's v1 would silently shadow the first batch's
+    rows): update's bootstrap passes expected_version=0 through to
+    both commits, so the loser raises for retry."""
+    import pytest
+
+    from tinyerp_etl_spark.etl.table_store import ConcurrentWriteError
+
+    path = str(tmp_path / "bm25")
+    # writer B creates the index first...
+    save_bm25_index(spark, path, _docs(spark, 4))
+    # ...writer A, who looked when the store was empty, must refuse
+    with pytest.raises(ConcurrentWriteError):
+        save_bm25_index(
+            spark,
+            path,
+            _docs(spark, 2),
+            expected_postings_version=0,
+            expected_stats_version=0,
+        )
+    # the streaming-contract retry path (a fresh update call) folds
+    new = spark.createDataFrame(
+        [(901, "spark dup window")], "doc_id long, text string"
+    )
+    update_bm25_index_version = __import__(
+        "tinyerp_etl_spark.operators.bm25_index", fromlist=["x"]
+    ).update_bm25_index(spark, path, new, on_overlap="skip_existing")
+    assert update_bm25_index_version >= 2
+
+
 def test_rrf_ranks_ties_break_to_lower_id(spark):
     """_rrf_ranks must equal row_number under the total (score DESC,
     id ASC) order — score ties rank the lower id first, no duplicate

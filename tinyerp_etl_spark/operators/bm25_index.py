@@ -202,6 +202,8 @@ def save_bm25_index(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    expected_postings_version: int | None = None,
+    expected_stats_version: int | None = None,
 ) -> int:
     """Build and persist the index; returns the postings version.
 
@@ -217,14 +219,28 @@ def save_bm25_index(
     postings with NO stats at all; update_bm25_index detects that
     torn bootstrap instead of silently re-bootstrapping from its own
     batch.)
+
+    The ``expected_*_version`` knobs pass through to the two commits
+    for callers that need the save itself under optimistic
+    concurrency — the update path's bootstrap passes (0, 0) so two
+    writers racing to CREATE the index raise for retry instead of the
+    second v1 silently shadowing the first writer's rows under
+    last-writer-wins; its torn-bootstrap repair pins the current
+    postings version the same way. A bare save (the explicit
+    full-rebuild entry) keeps the documented last-writer semantics.
     """
     postings, _ = build_bm25_index(docs, text_col, id_col)
     n_docs, total_len, hsum = _stats_and_fp(docs, text_col, id_col)
     version = TableStore(spark, f"{path}/postings", BM25_POSTINGS_SCHEMA).commit(
-        postings, n_files=POSTINGS_FILES, cluster_by=["token"]
+        postings,
+        n_files=POSTINGS_FILES,
+        cluster_by=["token"],
+        expected_version=expected_postings_version,
     )
     TableStore(spark, f"{path}/stats", BM25_STATS_SCHEMA).commit(
-        _stats_row(spark, n_docs, total_len, n_docs, hsum), n_files=1
+        _stats_row(spark, n_docs, total_len, n_docs, hsum),
+        n_files=1,
+        expected_version=expected_stats_version,
     )
     return version
 
@@ -309,7 +325,19 @@ def update_bm25_index(
     postings_version = postings_store.current_version()
     stats_version = stats_store.current_version()
     if postings_version is None and stats_version is None:
-        return save_bm25_index(spark, path, new_docs, text_col, id_col)
+        # bootstrap under OCC: "both stores were empty when I looked" —
+        # a racing creator makes the loser raise instead of its v1
+        # silently shadowing the winner's rows (the streaming face
+        # retries through this same path)
+        return save_bm25_index(
+            spark,
+            path,
+            new_docs,
+            text_col,
+            id_col,
+            expected_postings_version=0,
+            expected_stats_version=0,
+        )
     if stats_version is None or postings_version is None:
         # torn index: exactly one artifact committed (a crash inside a
         # bootstrap save, or a vacuumed store). Rebuilding from the
@@ -327,7 +355,15 @@ def update_bm25_index(
             ).distinct()
             uncovered = indexed.join(batch_ids, "doc_id", "left_anti")
             if uncovered.isEmpty():
-                return save_bm25_index(spark, path, new_docs, text_col, id_col)
+                return save_bm25_index(
+                    spark,
+                    path,
+                    new_docs,
+                    text_col,
+                    id_col,
+                    expected_postings_version=postings_version,
+                    expected_stats_version=stats_version or 0,
+                )
         raise RuntimeError(
             f"bm25 index at {path} is torn: "
             f"postings v{postings_version} / stats v{stats_version} — a "
