@@ -5,6 +5,7 @@ fold, and the store-shuffle-free plan shape."""
 from __future__ import annotations
 
 import pytest
+from hypothesis import given, settings, strategies as st
 from pyspark.sql import functions as F
 
 from tinyerp_etl_spark.operators import minhash_index as M
@@ -171,6 +172,56 @@ def test_bootstrap_rides_occ(spark, tmp_path):
     assert v == 2
     got = {r["doc_id"] for r in store.read().select("doc_id").collect()}
     assert got == set(range(4)) | set(range(50, 54))
+
+
+_WORDS = [f"w{i}" for i in range(12)]
+_DOC_TEXT = st.lists(
+    st.sampled_from(_WORDS), min_size=0, max_size=10
+).map(" ".join)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(_DOC_TEXT, min_size=1, max_size=14),
+    st.lists(st.integers(min_value=0, max_value=2), min_size=14, max_size=14),
+)
+def test_fold_sequence_equals_one_shot_build(spark, texts, assign):
+    """The fold law, property form: ANY partition of a corpus into
+    sequential batches (short docs, empty batches, immediate replays
+    included) must land exactly the feature rows of a one-shot build
+    over the union — and every replay must preserve the version."""
+    import shutil
+    import tempfile
+
+    docs = [(i, t) for i, t in enumerate(texts)]
+    batches = [
+        [d for d, a in zip(docs, assign) if a == b] for b in range(3)
+    ]
+    root = tempfile.mkdtemp(prefix="mh_prop_")
+    try:
+        path = root + "/mh"
+        store = M.minhash_feature_store(spark, path)
+        for b in batches:
+            bdf = _docs(spark, b) if b else spark.createDataFrame(
+                [], "doc_id long, text string"
+            )
+            v = M.update_minhash_index(
+                spark, path, bdf, on_overlap="skip_existing"
+            )
+            # immediate full replay: version-preserving no-op
+            assert (
+                M.update_minhash_index(
+                    spark, path, bdf, on_overlap="skip_existing"
+                )
+                == v
+            )
+        expected = _rows(M.build_minhash_features(_docs(spark, docs)))
+        if store.current_version() is None:
+            assert expected == []  # nothing was ever indexable
+        else:
+            assert _rows(store.read()) == expected
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 def test_empty_bootstrap_creates_nothing(spark, tmp_path):
