@@ -110,6 +110,8 @@ HEADLINE_R9 = [
     # batch-vs-store near-dup through the persisted MinHash feature
     # index (featurize-at-ingest; the store never shuffles)
     "minhash_store_neardup",
+    # its embedding-space modality twin through the IVF layout
+    "embedding_neardup_store",
 ]
 HEADLINE = HEADLINE + HEADLINE_R4 + HEADLINE_R5 + HEADLINE_R7 + HEADLINE_R9
 

@@ -1,0 +1,109 @@
+"""Batch-vs-store embedding near-dup through the IVF layout: probe
+expression parity with the driver-side rule, exact-copy detection,
+recall honesty, and the store-shuffle-free plan shape."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tinyerp_etl_spark.operators import similarity as S
+
+
+def _emb(spark, n=12, dim=8, offset=0):
+    rows = [
+        (
+            i + offset,
+            [float((i * 5 + j * 3) % 11 + 1) + 0.01 * j for j in range(dim)],
+        )
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_probe_expr_matches_probe_lists(spark):
+    """The per-row probe array must be BIT-identical to the driver-side
+    probe_lists rule (same cosine, same (score DESC, id ASC) order) —
+    the probe set is part of the oracle-checked contract."""
+    emb = _emb(spark, n=20)
+    cents = S.train_kmeans(emb, k=4, iters=2)
+    rows = emb.select(
+        "vec_id",
+        "embedding",
+        S.ivf_probe_expr("embedding", cents, 3).alias("probes"),
+    ).collect()
+    for r in rows:
+        assert [int(p) for p in r["probes"]] == S.probe_lists(
+            cents, S.quantize_vector(r["embedding"]), 3
+        )
+
+
+def test_probe_expr_rejects_bad_nprobe_and_zero_rows(spark):
+    emb = _emb(spark, n=6)
+    cents = S.train_kmeans(emb, k=2, iters=1)
+    with pytest.raises(ValueError, match="nprobe"):
+        S.ivf_probe_expr("embedding", cents, 0)
+    zero = spark.createDataFrame(
+        [(99, [0.0] * 8)], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(Exception, match="zero-norm vector"):
+        zero.select(S.ivf_probe_expr("embedding", cents, 1)).collect()
+
+
+def test_exact_copy_found_at_cos_one(spark):
+    """A batch vector that is an exact copy of a store vector shares
+    its assignment, so nprobe >= 1 always surfaces the pair — at
+    cos = 1.0 EXACTLY (identical integer ticks)."""
+    emb = _emb(spark, n=10)
+    cents = S.train_kmeans(emb, k=3, iters=2)
+    store = S.ivf_assign(emb, centroids=cents)
+    copy_vec = emb.filter("vec_id = 4").first()["embedding"]
+    batch = spark.createDataFrame(
+        [(700, copy_vec)], "vec_id long, embedding array<float>"
+    )
+    got = [
+        (r["store_vec"], r["batch_vec"], r["cos"])
+        for r in S.embedding_neardup_against_store(
+            store, batch, cents, threshold=0.999
+        ).collect()
+    ]
+    assert (4, 700, 1.0) in got
+
+
+def test_pairs_only_from_probed_lists(spark):
+    """Candidates must come from the batch vector's nprobe lists ONLY
+    (the IVF recall trade, mirrored by the oracle): every emitted
+    store_vec's list is in its batch_vec's probe set."""
+    emb = _emb(spark, n=16)
+    cents = S.train_kmeans(emb, k=4, iters=2)
+    store = S.ivf_assign(emb, centroids=cents)
+    batch = _emb(spark, n=4, offset=200)
+    pairs = S.embedding_neardup_against_store(
+        store, batch, cents, nprobe=2, threshold=0.0
+    )
+    lists = {r["vec_id"]: r["list_id"] for r in store.collect()}
+    probes = {
+        r["vec_id"]: [int(p) for p in r["probes"]]
+        for r in batch.select(
+            "vec_id", S.ivf_probe_expr("embedding", cents, 2).alias("probes")
+        ).collect()
+    }
+    for r in pairs.collect():
+        assert lists[r["store_vec"]] in probes[r["batch_vec"]]
+
+
+def test_plan_is_store_shuffle_free(spark):
+    """The candidate join must broadcast the BATCH probes and stream
+    the store — never sort-merge (a corpus shuffle), never cartesian."""
+    from tinyerp_etl_spark.operators.planlint import plan_findings
+
+    emb = _emb(spark, n=10)
+    cents = S.train_kmeans(emb, k=3, iters=1)
+    store = S.ivf_assign(emb, centroids=cents)
+    out = S.embedding_neardup_against_store(
+        store, _emb(spark, n=3, offset=100), cents
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan_findings(out) == []

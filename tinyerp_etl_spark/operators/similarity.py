@@ -491,6 +491,19 @@ def ivf_assign_expr(
     py4j time per build at k=8·d=64 — the py4j-chatter tax, measured
     via the PQ twin (pq_index._pq_sub_expr).
     """
+    body = f"array_max({_ivf_cands_sql(centroids, 'ivf_assign_expr')}).id"
+    return F.expr(_ivf_row_wrap(vec_col, body)).alias("list_id")
+
+
+def _ivf_cands_sql(
+    centroids: list[tuple[int, list[int]]], caller: str
+) -> str:
+    """The candidate-struct array SQL shared by ``ivf_assign_expr``
+    (argmax → one list) and ``ivf_probe_expr`` (sort-desc → nprobe
+    lists): one (s, nid, id) struct per centroid with the exact tick
+    cosine, lambda-bound row ticks (``vt``) and norm² (``n2``), zero
+    norms raising loudly. One definition so the two expressions can
+    never rank centroids differently."""
     cents = sorted(((int(c), [int(x) for x in t]) for c, t in centroids))
     # zero norms fail LOUDLY, matching _assign_ticks / probe_lists: a
     # zero centroid is a broken index artifact (raise at build time);
@@ -500,7 +513,7 @@ def ivf_assign_expr(
         cn2 = sum(t * t for t in ticks)
         if cn2 == 0:
             raise ValueError(
-                f"ivf_assign_expr: centroid {cid} has zero ticks — broken index"
+                f"{caller}: centroid {cid} has zero ticks — broken index"
             )
         ct = "array(" + ", ".join(f"{t}L" for t in ticks) + ")"
         dot = (
@@ -517,7 +530,14 @@ def ivf_assign_expr(
             f"named_struct('s', {score}, 'nid', CAST({-cid} AS INT), "
             f"'id', CAST({cid} AS INT))"
         )
-    argmax = f"array_max(array({', '.join(cands)}))"
+    return f"array({', '.join(cands)})"
+
+
+def _ivf_row_wrap(vec_col: str, body: str) -> str:
+    """Bind the row's quantized ticks as ``vt`` and their norm² as
+    ``n2`` around ``body`` — the shared one-evaluation HOF scaffold
+    (Catalyst does not CSE through higher-order functions, so the
+    candidates must share one evaluation of each via lambda binding)."""
     vt0 = (
         f"transform(`{vec_col}`, "
         f"x -> CAST(round(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT))"
@@ -526,10 +546,31 @@ def ivf_assign_expr(
         "CAST(aggregate(transform(vt, x -> x * x), CAST(0 AS BIGINT), "
         "(acc, x) -> acc + x) AS DOUBLE)"
     )
-    inner = f"element_at(transform(array({n2}), n2 -> {argmax}), 1)"
-    return F.expr(
-        f"element_at(transform(array({vt0}), vt -> {inner}), 1).id"
-    ).alias("list_id")
+    inner = f"element_at(transform(array({n2}), n2 -> {body}), 1)"
+    return f"element_at(transform(array({vt0}), vt -> {inner}), 1)"
+
+
+def ivf_probe_expr(
+    vec_col: str, centroids: list[tuple[int, list[int]]], nprobe: int
+) -> Column:
+    """Per-ROW nprobe probe set as an array<int> column expression —
+    the distributed face of ``probe_lists`` (which ranks ONE query
+    vector driver-side): same exact tick cosine, same (score DESC,
+    centroid_id ASC) order, realized as reverse(array_sort) over the
+    shared candidate structs — ascending struct order is (s, nid), so
+    the reverse is (s DESC, nid DESC) = (s DESC, id ASC), bit-identical
+    to probe_lists' sort key. Lets a whole BATCH of query vectors
+    compute its probe lists in one narrow projection (the
+    batch-vs-store embedding near-dup join key), no driver loop, no
+    shuffle. Zero-norm rows raise like every assignment path."""
+    if nprobe < 1:
+        raise ValueError(f"ivf_probe_expr: nprobe must be >= 1, got {nprobe}")
+    cands = _ivf_cands_sql(centroids, "ivf_probe_expr")
+    body = (
+        f"transform(slice(reverse(array_sort({cands})), 1, {int(nprobe)}), "
+        "c -> c.id)"
+    )
+    return F.expr(_ivf_row_wrap(vec_col, body))
 
 
 def ivf_assign_narrow(
@@ -788,6 +829,60 @@ def neardup_pairs(
     # where an id spans MANY frame-hash buckets (some ok, some
     # over-cap) and the anti-join is load-bearing.
     return pairs, quarantined
+
+
+def embedding_neardup_against_store(
+    store_assigned: DataFrame,
+    batch: DataFrame,
+    centroids: list[tuple[int, list[int]]],
+    nprobe: int = IVF_NPROBE,
+    threshold: float = 0.99,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(store_vec, batch_vec, cos) — which ALREADY-INGESTED embeddings
+    does this batch near-duplicate? The embedding-space twin of
+    minhash_index.neardup_against_store, answered through the IVF
+    assignment-at-ingest layout with the store never shuffling.
+
+    ``store_assigned`` is the (id, vector, list_id) corpus the ingest
+    paths write (ivf_assign / run_stream_to_ivf_corpus) — at scale the
+    list_id-hive-partitioned table, so the join's list_id equality
+    against the batch's broadcast probe rows reaches the scan as
+    partition pruning (only the batch's probed directories open; the
+    ivf_partitioned_scan tests pin that layout's PartitionFilters).
+    The batch computes its nprobe probe lists in ONE narrow projection
+    (``ivf_probe_expr`` — bit-identical to the driver-side
+    ``probe_lists`` rule), explodes to (batch_vec, list_id) rows, and
+    broadcasts; candidates are store rows in probed lists; the verify
+    is the exact integer-tick cosine (same ``_q``/dot/norm² arithmetic
+    as every ranking here). Candidate count is Σ_probed |list| × |batch
+    probes of that list| — the bounded IVF blowup, never all-pairs.
+
+    Near-dup recall is the IVF recall story: a true near-dup outside
+    the batch vector's nprobe lists is missed, measured (not asserted)
+    by ivf_recall_report / ivf_nprobe_recall_curve. Cross pairs only.
+    """
+    probes = batch.select(
+        F.col(id_col).alias("batch_vec"),
+        _q(F.col(vec_col)).alias("__qt"),
+        F.explode(ivf_probe_expr(vec_col, centroids, nprobe)).alias("list_id"),
+    )
+    cand = store_assigned.select(
+        F.col(id_col).alias("store_vec"),
+        _q(F.col(vec_col)).alias("__st"),
+        F.col("list_id"),
+    ).join(F.broadcast(probes), "list_id")
+    num = _ticks_dot(F.col("__st"), F.col("__qt")).cast("double")
+    den = F.sqrt(
+        _ticks_norm2(F.col("__st")).cast("double")
+        * _ticks_norm2(F.col("__qt")).cast("double")
+    )
+    cos = (num / den).cast("double")
+    return (
+        cand.select("store_vec", "batch_vec", cos.alias("cos"))
+        .filter(F.col("cos") >= F.lit(float(threshold)))
+    )
 
 
 def semantic_dedup(

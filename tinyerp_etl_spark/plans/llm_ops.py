@@ -4256,3 +4256,65 @@ LLM_ORACLES["minhash_store_neardup"] = f"""
     ORDER BY i.store_doc, i.batch_doc
 """
 LLM_QUERIES["minhash_store_neardup"] = minhash_store_neardup
+
+
+def embedding_neardup_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-vs-store near-dup in EMBEDDING space through the IVF
+    assignment-at-ingest layout
+    (operators/similarity.embedding_neardup_against_store) — the
+    modality twin of minhash_store_neardup. Store: the even vectors,
+    assigned to lists with the PERSISTED index (train-at-ingest).
+    Batch: the odd vectors ∪ exact copies of every 10th even vector
+    (+500000) — the copies surface as (original, copy) pairs at
+    cos = 1.0 exactly (identical ticks). The batch's probe lists come
+    from the per-row ivf_probe_expr (bit-identical to probe_lists);
+    candidates are store rows in probed lists only (at scale:
+    directory pruning); the verify is the exact tick cosine. The
+    oracle re-derives the index (unrolled k-means), both assignments,
+    and the probe rule in SQL — layout-read ≡ recompute, hash-proven.
+    """
+    cents = _ivf_index_for(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    store_assigned = S.ivf_assign(
+        emb.filter(F.col("vec_id") % 2 == 0), centroids=cents
+    )
+    batch = emb.filter(F.col("vec_id") % 2 == 1).unionByName(
+        emb.filter(F.col("vec_id") % 10 == 0).select(
+            (F.col("vec_id") + 500000).alias("vec_id"), "embedding"
+        )
+    )
+    return S.embedding_neardup_against_store(
+        store_assigned, batch, cents, threshold=0.99
+    ).orderBy("store_vec", "batch_vec")
+
+
+LLM_ORACLES["embedding_neardup_store"] = f"""
+    WITH {_KM_CTES_EMB},
+    {_IVF_LISTS_CTE},
+    store_l AS (
+      SELECT vec_id AS store_vec, ticks, list_id FROM lists
+      WHERE vec_id % 2 = 0
+    ),
+    qs AS (
+      SELECT vec_id AS batch_vec, ticks AS qticks FROM __kt
+      WHERE vec_id % 2 = 1
+      UNION ALL
+      SELECT vec_id + 500000, ticks FROM __kt WHERE vec_id % 10 = 0
+    ),
+    bprobe AS (
+      SELECT batch_vec, centroid_id AS list_id FROM (
+        SELECT q.batch_vec, c.centroid_id,
+               row_number() OVER (PARTITION BY q.batch_vec
+                 ORDER BY {_tcos_sql("c.cticks", "q.qticks")} DESC,
+                          c.centroid_id ASC) AS rn
+        FROM {_KM_FINAL} c CROSS JOIN qs q) WHERE rn <= {S.IVF_NPROBE}
+    )
+    SELECT s.store_vec, q.batch_vec,
+           {_tcos_sql("s.ticks", "q.qticks")} AS cos
+    FROM store_l s
+    JOIN bprobe p ON p.list_id = s.list_id
+    JOIN qs q ON q.batch_vec = p.batch_vec
+    WHERE {_tcos_sql("s.ticks", "q.qticks")} >= 0.99
+    ORDER BY s.store_vec, q.batch_vec
+"""
+LLM_QUERIES["embedding_neardup_store"] = embedding_neardup_store

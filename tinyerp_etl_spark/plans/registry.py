@@ -266,8 +266,8 @@ _RELATIONAL_NAMES = [
 # window_moving_avg_daily_revenue, plus q14_promo_revenue,
 # hll_distinct_users, dedup_exact_count, multimodal_frame_sample,
 # kmv_sketch_rollup, minhash_signatures, and (displaced mid-round by
-# the ninth newcomer minhash_store_neardup, see (0e) below)
-# decontaminate_docs (each displaced by a
+# the round-9 newcomers, see (0e)/(0f) below) decontaminate_docs and
+# embedding_knn_join (each displaced by a
 # round-9 newcomer whose ledger entry above names the fresher row
 # covering its shape).
 # After round 9's gate runs green, every query's newest driver row is
@@ -295,6 +295,16 @@ _ROUND9_FRONT_50 = [
     # ngram_decontaminate_docs is in-gate above; it heads the round-10
     # deferral list)
     "minhash_store_neardup",
+    # (0f) embedding_neardup_store, the TENTH round-9 newcomer (the
+    # modality twin of (0e): batch-vs-store near-dup in embedding
+    # space through the IVF assignment-at-ingest layout,
+    # similarity.embedding_neardup_against_store + ivf_probe_expr) —
+    # enters at birth, displacing embedding_knn_join (r4-green on
+    # untouched code; its brute cross-join kernel is the r8-green
+    # embedding_topk_bruteforce path, and the probe-pruned embedding
+    # JOIN shape is now covered by this fresher row; it joins the
+    # round-10 deferral list)
+    "embedding_neardup_store",
     # (a) the eighteen r3-stale deferrals
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -320,7 +330,6 @@ _ROUND9_FRONT_50 = [
     "minhash_lsh_neardup_pairs",
     "neardup_components",
     "incremental_dedup_new_docs",
-    "embedding_knn_join",
     "curation_pipeline_manifest",
     "domain_mixture_resample",
     "sequence_packing_manifest",
