@@ -533,14 +533,22 @@ def _ivf_cands_sql(
     return f"array({', '.join(cands)})"
 
 
-def _ivf_row_wrap(vec_col: str, body: str) -> str:
+def _ivf_row_wrap(vec_col: str, body: str, pre_quantized: bool = False) -> str:
     """Bind the row's quantized ticks as ``vt`` and their norm² as
     ``n2`` around ``body`` — the shared one-evaluation HOF scaffold
     (Catalyst does not CSE through higher-order functions, so the
-    candidates must share one evaluation of each via lambda binding)."""
+    candidates must share one evaluation of each via lambda binding).
+    ``pre_quantized`` binds the named column as the ticks directly
+    (array<long> already through ``_q``) instead of quantizing — for
+    callers that also need the ticks elsewhere in the same projection
+    and would otherwise pay the round(x·QUANT) transform twice."""
     vt0 = (
-        f"transform(`{vec_col}`, "
-        f"x -> CAST(round(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT))"
+        f"`{vec_col}`"
+        if pre_quantized
+        else (
+            f"transform(`{vec_col}`, "
+            f"x -> CAST(round(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT))"
+        )
     )
     n2 = (
         "CAST(aggregate(transform(vt, x -> x * x), CAST(0 AS BIGINT), "
@@ -551,7 +559,10 @@ def _ivf_row_wrap(vec_col: str, body: str) -> str:
 
 
 def ivf_probe_expr(
-    vec_col: str, centroids: list[tuple[int, list[int]]], nprobe: int
+    vec_col: str,
+    centroids: list[tuple[int, list[int]]],
+    nprobe: int,
+    pre_quantized: bool = False,
 ) -> Column:
     """Per-ROW nprobe probe set as an array<int> column expression —
     the distributed face of ``probe_lists`` (which ranks ONE query
@@ -570,7 +581,7 @@ def ivf_probe_expr(
         f"transform(slice(reverse(array_sort({cands})), 1, {int(nprobe)}), "
         "c -> c.id)"
     )
-    return F.expr(_ivf_row_wrap(vec_col, body))
+    return F.expr(_ivf_row_wrap(vec_col, body, pre_quantized=pre_quantized))
 
 
 def ivf_assign_narrow(
@@ -863,10 +874,17 @@ def embedding_neardup_against_store(
     the batch vector's nprobe lists is missed, measured (not asserted)
     by ivf_recall_report / ivf_nprobe_recall_curve. Cross pairs only.
     """
+    # quantize ONCE: the probe expression reuses the bound ticks
+    # (pre_quantized) instead of re-running the round(x·QUANT)
+    # transform inside its own scaffold
     probes = batch.select(
-        F.col(id_col).alias("batch_vec"),
-        _q(F.col(vec_col)).alias("__qt"),
-        F.explode(ivf_probe_expr(vec_col, centroids, nprobe)).alias("list_id"),
+        F.col(id_col).alias("batch_vec"), _q(F.col(vec_col)).alias("__qt")
+    ).select(
+        "batch_vec",
+        "__qt",
+        F.explode(
+            ivf_probe_expr("__qt", centroids, nprobe, pre_quantized=True)
+        ).alias("list_id"),
     )
     cand = store_assigned.select(
         F.col(id_col).alias("store_vec"),

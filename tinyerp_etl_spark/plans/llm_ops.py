@@ -653,7 +653,7 @@ def ivf_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cents = _ivf_index_for(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
-    assigned = S.ivf_assign(emb, centroids=cents)
+    assigned = S.ivf_assign_narrow(emb, centroids=cents)
 
     # control plane: the SAME shared quantize + probe-selection rule
     # ivf_topk uses (similarity.quantize_vector / probe_lists) — the
@@ -3559,7 +3559,7 @@ def ivf_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     qs = _recall_queries(base)
     ftop = _exhaustive_topk(base, qs)
 
-    assigned = S.ivf_assign(emb, centroids=cents)
+    assigned = S.ivf_assign_narrow(emb, centroids=cents)
     abase = assigned.select(
         "vec_id", "list_id", S._q(F.col("embedding")).alias("__vt")
     ).withColumn("__n2", S._ticks_norm2(F.col("__vt")))
@@ -3916,7 +3916,7 @@ def ivf_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     qs = _recall_queries(base)
     ftop = _exhaustive_topk(base, qs)
 
-    assigned = S.ivf_assign(emb, centroids=cents)
+    assigned = S.ivf_assign_narrow(emb, centroids=cents)
     abase = assigned.select(
         "vec_id", "list_id", S._q(F.col("embedding")).alias("__vt")
     ).withColumn("__n2", S._ticks_norm2(F.col("__vt")))
@@ -4275,7 +4275,7 @@ def embedding_neardup_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     cents = _ivf_index_for(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    store_assigned = S.ivf_assign(
+    store_assigned = S.ivf_assign_narrow(
         emb.filter(F.col("vec_id") % 2 == 0), centroids=cents
     )
     batch = emb.filter(F.col("vec_id") % 2 == 1).unionByName(
