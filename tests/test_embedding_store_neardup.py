@@ -92,6 +92,20 @@ def test_pairs_only_from_probed_lists(spark):
         assert lists[r["store_vec"]] in probes[r["batch_vec"]]
 
 
+def test_gate_query_prunes_store_partitions_dynamically(spark, sf_dir):
+    """The gate query reads the PERSISTED list_id-partitioned store
+    corpus, and the candidate join's list_id equality must reach that
+    layout as DYNAMIC partition pruning (the batch's probe lists are
+    runtime values): the plan carries a dynamicpruning subquery on the
+    store scan — the 100 TB directory-pruning claim, pinned."""
+    from tinyerp_etl_spark.plans.llm_ops import embedding_neardup_store
+
+    df = embedding_neardup_store(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_plan_is_store_shuffle_free(spark):
     """The candidate join must broadcast the BATCH probes and stream
     the store — never sort-merge (a corpus shuffle), never cartesian."""

@@ -4258,26 +4258,84 @@ LLM_ORACLES["minhash_store_neardup"] = f"""
 LLM_QUERIES["minhash_store_neardup"] = minhash_store_neardup
 
 
+_IVF_CORPUS_CACHE: dict[str, str] = {}
+
+
+def _ivf_store_corpus_for(spark: SparkSession, sf_dir: str) -> str:
+    """Artifact path of the persisted IVF-ASSIGNED store corpus (the
+    even vectors), hive-partitioned by list_id — the
+    assignment-at-ingest layout MATERIALIZED once per corpus
+    fingerprint, so store-probing queries read directory-pruned
+    partitions instead of re-assigning the corpus per run (the
+    run_stream_to_ivf_corpus layout, batch-built)."""
+    from pyspark.sql.types import StructType
+
+    from tinyerp_etl_spark.etl.table_store import TableStore
+    from tinyerp_etl_spark.operators.ivf_index import (
+        corpus_fingerprint,
+        embedding_content,
+    )
+
+    key = os.path.abspath(sf_dir)
+    if key not in _IVF_CORPUS_CACHE:
+        cents = _ivf_index_for(spark, sf_dir)
+        emb = (
+            load_table(spark, sf_dir, "embeddings")
+            .filter(F.col("vec_id") % 2 == 0)
+            .select("vec_id", "embedding")
+        )
+        fp = corpus_fingerprint(emb, "vec_id", embedding_content())
+        path = os.path.join(
+            _artifact_root(), "ivf_corpus", _corpus_tag(sf_dir, fp)
+        )
+        store = TableStore(
+            spark,
+            path,
+            StructType.fromDDL(
+                "vec_id long, embedding array<float>, list_id int"
+            ),
+            partition_by=["list_id"],
+        )
+        if store.current_version() is None:
+            store.commit(
+                S.ivf_assign_narrow(emb, centroids=cents).select(
+                    "vec_id", "embedding", "list_id"
+                )
+            )
+        _IVF_CORPUS_CACHE[key] = path
+    return _IVF_CORPUS_CACHE[key]
+
+
 def embedding_neardup_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch-vs-store near-dup in EMBEDDING space through the IVF
     assignment-at-ingest layout
     (operators/similarity.embedding_neardup_against_store) — the
     modality twin of minhash_store_neardup. Store: the even vectors,
-    assigned to lists with the PERSISTED index (train-at-ingest).
-    Batch: the odd vectors ∪ exact copies of every 10th even vector
-    (+500000) — the copies surface as (original, copy) pairs at
-    cos = 1.0 exactly (identical ticks). The batch's probe lists come
-    from the per-row ivf_probe_expr (bit-identical to probe_lists);
-    candidates are store rows in probed lists only (at scale:
-    directory pruning); the verify is the exact tick cosine. The
-    oracle re-derives the index (unrolled k-means), both assignments,
-    and the probe rule in SQL — layout-read ≡ recompute, hash-proven.
+    assigned with the PERSISTED index and MATERIALIZED as a
+    list_id-hive-partitioned TableStore artifact (_ivf_store_corpus_for
+    — assignment never runs in the query path); the candidate join's
+    list_id equality against the broadcast batch probes reaches that
+    layout as partition pruning. Batch: the odd vectors ∪ exact copies
+    of every 10th even vector (+500000) — the copies surface as
+    (original, copy) pairs at cos = 1.0 exactly (identical ticks). The
+    batch's probe lists come from the per-row ivf_probe_expr
+    (bit-identical to probe_lists); the verify is the exact tick
+    cosine. The oracle re-derives the index (unrolled k-means), both
+    assignments, and the probe rule in SQL — layout-read ≡ recompute,
+    hash-proven.
     """
+    from pyspark.sql.types import StructType
+
+    from tinyerp_etl_spark.etl.table_store import TableStore
+
     cents = _ivf_index_for(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    store_assigned = S.ivf_assign_narrow(
-        emb.filter(F.col("vec_id") % 2 == 0), centroids=cents
-    )
+    store_assigned = TableStore(
+        spark,
+        _ivf_store_corpus_for(spark, sf_dir),
+        StructType.fromDDL("vec_id long, embedding array<float>, list_id int"),
+        partition_by=["list_id"],
+    ).read()
     batch = emb.filter(F.col("vec_id") % 2 == 1).unionByName(
         emb.filter(F.col("vec_id") % 10 == 0).select(
             (F.col("vec_id") + 500000).alias("vec_id"), "embedding"
