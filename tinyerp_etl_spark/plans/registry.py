@@ -273,6 +273,19 @@ _RELATIONAL_NAMES = [
 # After round 9's gate runs green, every query's newest driver row is
 # r4+ with zero never-gated rows — the r3 rotation debt retires
 # completely for the first time.
+#
+# PRE-STAGED ROUND-10 ROTATION PLAN (compose _ROUND10_FRONT_50 from
+# this at round start; evidence ages assume the r9 gate ran green):
+#   (0) any round-10 newcomers, gated at birth per convention;
+#   (a) the 24 documented round-10 deferrals listed above (the ONLY
+#       rows whose newest green predates r6 — all r4) — they must ALL
+#       enter, retiring the r4 debt the way r9 retired r3's;
+#   (b) fill to 50 with the most-starved remaining rows, prioritizing
+#       (b1) the r9-displaced decontaminate_docs + embedding_knn_join,
+#       (b2) rows whose newest green is r6 (the round-5 list ran in
+#       rounds 5 AND 6; see _ROUND5_FRONT_50), never rows the r9 gate
+#       just refreshed. Update this ledger and the deferral list when
+#       composing, as every rotation has.
 _ROUND9_FRONT_50 = [
     # (0) never gated / new this round (dup_span_coverage_docs is the
     # second round-9 newcomer — gated at birth per convention; it
