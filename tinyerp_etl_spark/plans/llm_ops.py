@@ -4261,49 +4261,48 @@ LLM_QUERIES["minhash_store_neardup"] = minhash_store_neardup
 _IVF_CORPUS_CACHE: dict[str, str] = {}
 
 
-def _ivf_store_corpus_for(spark: SparkSession, sf_dir: str) -> str:
-    """Artifact path of the persisted IVF-ASSIGNED store corpus (the
-    even vectors), hive-partitioned by list_id — the
-    assignment-at-ingest layout MATERIALIZED once per corpus
-    fingerprint, so store-probing queries read directory-pruned
-    partitions instead of re-assigning the corpus per run (the
-    run_stream_to_ivf_corpus layout, batch-built)."""
+def _ivf_store_corpus_for(spark: SparkSession, sf_dir: str):
+    """TableStore of the persisted IVF-ASSIGNED store corpus (the even
+    vectors), hive-partitioned by list_id — the assignment-at-ingest
+    layout MATERIALIZED once, so store-probing queries read
+    directory-pruned partitions instead of re-assigning the corpus per
+    run (the run_stream_to_ivf_corpus layout, batch-built).
+
+    Keyed by the FULL-table fingerprint _ivf_artifact_for already
+    computed (not an even-subset one): the stored assignments are a
+    function of the even vectors AND the centroids, and the centroids
+    are a function of the full table — an even-only key would let an
+    odd-half corpus change retrain the index while this artifact
+    silently kept assignments from the OLD centroids (wrong-partition
+    rows → silently dropped pairs). One key covers both inputs, and
+    reusing the cached fingerprint spares a second aggregate scan.
+    Returning the store (not a bare path) keeps the schema and
+    partition layout declared exactly once."""
     from pyspark.sql.types import StructType
 
     from tinyerp_etl_spark.etl.table_store import TableStore
-    from tinyerp_etl_spark.operators.ivf_index import (
-        corpus_fingerprint,
-        embedding_content,
-    )
 
     key = os.path.abspath(sf_dir)
     if key not in _IVF_CORPUS_CACHE:
+        cents, _, fp = _ivf_artifact_for(spark, sf_dir)
+        _IVF_CORPUS_CACHE[key] = os.path.join(
+            _artifact_root(), "ivf_corpus", _corpus_tag(sf_dir, fp)
+        )
+    store = TableStore(
+        spark,
+        _IVF_CORPUS_CACHE[key],
+        StructType.fromDDL("vec_id long, embedding array<float>, list_id int"),
+        partition_by=["list_id"],
+    )
+    if store.current_version() is None:
         cents = _ivf_index_for(spark, sf_dir)
         emb = (
             load_table(spark, sf_dir, "embeddings")
             .filter(F.col("vec_id") % 2 == 0)
             .select("vec_id", "embedding")
         )
-        fp = corpus_fingerprint(emb, "vec_id", embedding_content())
-        path = os.path.join(
-            _artifact_root(), "ivf_corpus", _corpus_tag(sf_dir, fp)
-        )
-        store = TableStore(
-            spark,
-            path,
-            StructType.fromDDL(
-                "vec_id long, embedding array<float>, list_id int"
-            ),
-            partition_by=["list_id"],
-        )
-        if store.current_version() is None:
-            store.commit(
-                S.ivf_assign_narrow(emb, centroids=cents).select(
-                    "vec_id", "embedding", "list_id"
-                )
-            )
-        _IVF_CORPUS_CACHE[key] = path
-    return _IVF_CORPUS_CACHE[key]
+        store.commit(S.ivf_assign_narrow(emb, centroids=cents))
+    return store
 
 
 def embedding_neardup_store(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4324,18 +4323,9 @@ def embedding_neardup_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignments, and the probe rule in SQL — layout-read ≡ recompute,
     hash-proven.
     """
-    from pyspark.sql.types import StructType
-
-    from tinyerp_etl_spark.etl.table_store import TableStore
-
     cents = _ivf_index_for(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    store_assigned = TableStore(
-        spark,
-        _ivf_store_corpus_for(spark, sf_dir),
-        StructType.fromDDL("vec_id long, embedding array<float>, list_id int"),
-        partition_by=["list_id"],
-    ).read()
+    store_assigned = _ivf_store_corpus_for(spark, sf_dir).read()
     batch = emb.filter(F.col("vec_id") % 2 == 1).unionByName(
         emb.filter(F.col("vec_id") % 10 == 0).select(
             (F.col("vec_id") + 500000).alias("vec_id"), "embedding"
