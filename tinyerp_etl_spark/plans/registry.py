@@ -6,12 +6,12 @@ rows-only check from the driver.
 
 Ordering note: the driver's correctness gate covers the first 50
 registry entries, so insertion order is the rotation schedule.
-ACTIVE: _ROUND9_FRONT_50 (see its inline comments for composition and
-the cumulative ledger — after round 9's gate runs green, every
-query's newest driver row is r4+ and zero rows are never-gated; the
-r3 rotation debt retires completely). Prior gates below for the
-ledger; note round 8 ran _ROUND7_FRONT_50 unchanged, so the r7 list's
-rows carry r8-fresh evidence.
+ACTIVE: _ROUND10_FRONT_50 (see its inline comments for composition
+and the cumulative ledger — after round 10's gate runs green, every
+query's newest driver row is r6+; the r4 debt retires the way r9
+retired r3's). Prior gates below for the ledger; note round 8 ran
+_ROUND7_FRONT_50 unchanged, so the r7 list's rows carry r8-fresh
+evidence.
 Round 5's front 50 (ran in rounds 5 AND 6; see _ROUND5_FRONT_50's
 inline comments for the per-group rationale) =
   (0) the five queries NEW in round 5 (video_neardup_parity,
@@ -274,8 +274,110 @@ _RELATIONAL_NAMES = [
 # r4+ with zero never-gated rows — the r3 rotation debt retires
 # completely for the first time.
 #
-# PRE-STAGED ROUND-10 ROTATION PLAN (compose _ROUND10_FRONT_50 from
-# this at round start; evidence ages assume the r9 gate ran green):
+# Round 10 gate (ACTIVE). Composed from the pre-staged plan below
+# (r9 gate confirmed 50/50 green — CORRECTNESS_r09.json):
+#   (0) the six rows whose ENGINE CODE this round changes — the
+#       auto-routed embedding_knn_join (large query batches now route
+#       through the persisted-IVF broadcast-probe kernel instead of
+#       the brute cross join; VERDICT r9 next #2), the PQ-ADC
+#       compressed-domain prescreen inside embedding_neardup_store's
+#       verify (VERDICT r9 next #3), and the four persisted-index
+#       folds rebased onto the shared fold harness (minhash_store_
+#       neardup, bm25i_incremental_index, paragraph_dedup_docs,
+#       bloom_decontaminate_docs; VERDICT r9 next #5) — changed
+#       engine outranks fresh evidence, the r7 semantic_dedup
+#       precedent. embedding_knn_join doubles as deferral (a)(b1).
+#   (a) ALL 25 remaining r4-stale deferrals named in the round-9
+#       ledger above (decontaminate_docs through
+#       window_moving_avg_daily_revenue) — retiring the r4 debt the
+#       way r9 retired r3's. After this gate runs green, no
+#       registered query's newest driver row predates r6.
+#   (b) fill to 50 with 19 of the 49 r6-stale rows (newest green r6:
+#       the round-5 list ran in rounds 5 AND 6, untouched since),
+#       prioritizing LLM-pipeline / multimodal / persisted-artifact /
+#       round-trip shapes no fresher row covers (fingerprint family
+#       simhash/winnow, embedding pairs, the five perceptual/codec
+#       parities, BM25 retrieval, text-analysis family, PII, the
+#       Arrow-UDAF and UDTF surfaces, the two TableStore round-trips).
+# Deferred to round 11 (30 rows, ALL r6-green on untouched code —
+# after round 10 these are the only rows whose newest green predates
+# r7; every shape is covered by a fresher or in-gate row): the six
+# static showcases (scalar/array/null/coercion/datetime/window-nav),
+# setops_bag_semantics, unpivot_nation_balances,
+# groupwise_min_cheapest_parts, quantiles_order_value_by_status,
+# deterministic_sample_orders, stratified_sample_orders,
+# conditional_agg_returnflag, subquery_small_quantity_revenue,
+# audit_counts, window_rank_price_in_status, q10_returned_items,
+# exists_returned_orders, join_semi_customers_with_orders,
+# agg_rollup, grouping_sets_revenue, incremental_rollup_orders,
+# replace_order_items, q4_priority_late_ship, q9_product_type_profit,
+# q11_important_parts, q12_priority_by_linestatus,
+# q16_supplier_diversity, q20_heavy_part_suppliers,
+# q21_sole_late_shippers — the stable relational/TPC-H backbone and
+# showcases (their scan/agg/join kernels are exercised by dozens of
+# in-gate rows). Guard-only edits this round (fail-fast isinstance
+# checks in similarity.ivf_assign_expr/ivf_probe_expr, the
+# pq_adc_topk codebook=None refusal, connected_components
+# try/finally unpersist) do not alter any gated path's semantics and
+# do not consume slots; the affected rows' newest greens are r9.
+_ROUND10_FRONT_50 = [
+    # (0) engine code changed this round
+    "embedding_knn_join",
+    "embedding_neardup_store",
+    "minhash_store_neardup",
+    "bm25i_incremental_index",
+    "paragraph_dedup_docs",
+    "bloom_decontaminate_docs",
+    # (a) the 25 remaining r4-stale deferrals
+    "decontaminate_docs",
+    "agg_cube",
+    "agg_distinct_count",
+    "anomaly_zscore_daily_revenue",
+    "data_profile_orders",
+    "hierarchy_subtree_rollup",
+    "join_anti_orphan_audit",
+    "join_full_outer_balance",
+    "join_left_enrich",
+    "pivot_status_by_priority",
+    "q13_order_distribution",
+    "q15_top_supplier",
+    "q18_large_volume_customers",
+    "q19_discount_revenue",
+    "scalar_subquery_rich_idle_customers",
+    "setops_customer_nations",
+    "topk_expensive_orders",
+    "window_latest_order_per_customer",
+    "window_moving_avg_daily_revenue",
+    "q14_promo_revenue",
+    "hll_distinct_users",
+    "dedup_exact_count",
+    "multimodal_frame_sample",
+    "kmv_sketch_rollup",
+    "minhash_signatures",
+    # (b) nineteen r6-stale rows, shape-starved first
+    "simhash_docs",
+    "winnow_fingerprint_docs",
+    "embedding_neardup_pairs",
+    "image_dhash_parity",
+    "audio_fingerprint_parity",
+    "video_neardup_parity",
+    "perceptual_checker_parity",
+    "mp4_container_parity",
+    "bm25i_retrieval_docs",
+    "lang_id_docs",
+    "text_profile_docs",
+    "tfidf_top_terms",
+    "repetition_profile_docs",
+    "chunk_documents_stats",
+    "pii_redact_docs",
+    "pandas_udaf_weighted_price",
+    "udtf_word_positions",
+    "time_travel_orders_versions",
+    "snapshot_diff_orders",
+]
+
+# PRE-STAGED ROUND-10 ROTATION PLAN (executed above at round-10
+# start, exactly as written; kept for the ledger):
 #   (0) any round-10 newcomers, gated at birth per convention;
 #   (a) the 24 documented round-10 deferrals listed above (the ONLY
 #       rows whose newest green predates r6 — all r4) — they must ALL
@@ -674,7 +776,7 @@ def all_queries() -> dict[str, QueryFn]:
     for name in _RELATIONAL_NAMES:
         pool[name] = getattr(relational, name)
 
-    queries: dict[str, QueryFn] = {n: pool[n] for n in _ROUND9_FRONT_50}
+    queries: dict[str, QueryFn] = {n: pool[n] for n in _ROUND10_FRONT_50}
     for name, fn in pool.items():
         queries.setdefault(name, fn)
     assert len(queries) == len(pool), "front-50 must be a subset of the pool"
