@@ -276,3 +276,20 @@ def test_stream_fold_equals_batch_build(spark, tmp_path):
     assert _rows(M.minhash_feature_store(spark, path).read()) == _rows(
         M.build_minhash_features(docs)
     )
+
+
+def test_bucket_cap_counts_batch_side_too(spark, tmp_path):
+    """The cap bounds TOTAL bucket membership (store + batch), the
+    _capped_bucket_pairs contract: a batch-side flooded key must not
+    bypass a cap the store side alone would clear — the candidate
+    join otherwise blows up as store_matches × batch_matches."""
+    flood_text = "alpha beta gamma delta epsilon zeta eta theta"
+    path = str(tmp_path / "mh")
+    M.save_minhash_index(spark, path, _docs(spark, [(0, flood_text), (1, flood_text)]))
+    batch = _docs(spark, [(700 + i, flood_text) for i in range(4)])
+    # store-side count (2) clears cap=5; total (2+4=6) must not
+    assert M.neardup_against_store(spark, path, batch, bucket_cap=5).isEmpty()
+    got = M.neardup_against_store(
+        spark, path, batch, bucket_cap=DEFAULT_BUCKET_CAP
+    )
+    assert got.count() == 8  # 2 store × 4 batch exact copies

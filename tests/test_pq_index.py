@@ -218,3 +218,12 @@ def test_ivfpq_requires_both_artifacts(spark):
     emb = _tiny_embeddings(spark)
     with pytest.raises(ValueError, match="both persisted artifacts"):
         P.ivfpq_topk(emb, 0, centroids=None, codebook=None)
+
+
+def test_pq_adc_topk_requires_codebook(spark):
+    """codebook=None must refuse loudly (training is an ingest-time
+    corpus pass) instead of silently shipping a per-query training
+    job — the same contract ivfpq_topk enforces for its centroids."""
+    emb = _tiny_embeddings(spark)
+    with pytest.raises(ValueError, match="codebook is required"):
+        P.pq_adc_topk(emb, 0, k=3, codebook=None)

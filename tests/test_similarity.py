@@ -318,3 +318,22 @@ def test_zero_norm_vector_fails_loudly_on_both_assignment_paths(spark):
         ivf_assign_narrow(emb, centroids=cents).collect()
     with pytest.raises(SparkRuntimeException, match="zero-norm"):
         ivf_assign(emb, centroids=cents).collect()
+
+
+def test_ivf_exprs_reject_column_vec_col(spark):
+    """The SQL-authored expressions take the column NAME; a stale
+    caller passing a Column must get a TypeError at the call site,
+    not an obscure JVM parse error from f-string interpolation."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from tinyerp_etl_spark.operators import pq_index as P
+    from tinyerp_etl_spark.operators import similarity as S
+
+    cents = [(0, [10] * 4), (1, [-10] * 4)]
+    with pytest.raises(TypeError, match="NAME"):
+        S.ivf_assign_expr(F.col("embedding"), cents)
+    with pytest.raises(TypeError, match="NAME"):
+        S.ivf_probe_expr(F.col("embedding"), cents, nprobe=1)
+    with pytest.raises(TypeError, match="NAME"):
+        P._pq_sub_expr(F.col("embedding"), 1, 4, cents, None)

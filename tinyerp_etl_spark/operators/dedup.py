@@ -498,70 +498,78 @@ def connected_components(
     e = edges.select(
         F.col(a_col).alias("src"), F.col(b_col).alias("dst")
     ).persist()
-    e.count()
-    sym = e.unionByName(
-        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
-    comp = (
-        sym.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("component", F.col("node"))
-    )
+    # Every pin releases in the finally: DataFrame.persist lives in
+    # the SQL CacheManager, which ContextCleaner never reclaims, so a
+    # mid-loop throw (executor loss, bad edge data) would otherwise
+    # leak one edge cache + one label cache per call for the
+    # application lifetime — and a gate run calls this dozens of
+    # times. `prev` always owns the newest live label pin (ownership
+    # transfers BEFORE the action that could throw).
     prev: DataFrame | None = None
-    for i in range(max_iterations):
-        neighbor_min = (
-            sym.join(comp, sym.dst == comp.node)
-            .groupBy("src")
-            .agg(F.min("component").alias("nbr_component"))
+    try:
+        e.count()
+        sym = e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
-        # persist EVERY round and count the changed labels in one
-        # action: the count fully populates the cache, so the
-        # fixed-point test and the next round's plan both read it —
-        # each iteration's join+agg runs exactly once (unpinned, round
-        # i+1 re-derived round i's work and the fixed-point check
-        # re-evaluated the whole chain: O(iterations²) total — the
-        # standard iterative-graph caching discipline, GraphX-style).
-        # persist over a snapshot keeps lineage (cluster fault
-        # tolerance) and lets the superseded round be freed eagerly.
-        updated = (
-            comp.join(neighbor_min, comp.node == neighbor_min.src, "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("component"),
-                    F.coalesce(F.col("nbr_component"), F.col("component")),
-                ).alias("component"),
-                (F.col("nbr_component") < F.col("component")).alias("__changed"),
+        comp = (
+            sym.select(F.col("src").alias("node"))
+            .distinct()
+            .withColumn("component", F.col("node"))
+        )
+        for i in range(max_iterations):
+            neighbor_min = (
+                sym.join(comp, sym.dst == comp.node)
+                .groupBy("src")
+                .agg(F.min("component").alias("nbr_component"))
             )
-            .persist()
-        )
-        n_changed = updated.filter(F.col("__changed")).count()
+            # persist EVERY round and count the changed labels in one
+            # action: the count fully populates the cache, so the
+            # fixed-point test and the next round's plan both read it —
+            # each iteration's join+agg runs exactly once (unpinned,
+            # round i+1 re-derived round i's work and the fixed-point
+            # check re-evaluated the whole chain: O(iterations²) total
+            # — the standard iterative-graph caching discipline,
+            # GraphX-style). persist over a snapshot keeps lineage
+            # (cluster fault tolerance) and lets the superseded round
+            # be freed eagerly.
+            updated = (
+                comp.join(neighbor_min, comp.node == neighbor_min.src, "left")
+                .select(
+                    "node",
+                    F.least(
+                        F.col("component"),
+                        F.coalesce(F.col("nbr_component"), F.col("component")),
+                    ).alias("component"),
+                    (F.col("nbr_component") < F.col("component")).alias(
+                        "__changed"
+                    ),
+                )
+                .persist()
+            )
+            superseded, prev = prev, updated
+            n_changed = updated.filter(F.col("__changed")).count()
+            if superseded is not None:
+                superseded.unpersist()
+            comp = updated.select("node", "component")
+            if n_changed == 0:
+                break
+            if (i + 1) % 5 == 0:
+                # bound PLAN depth (analysis cost grows with the join
+                # chain even when execution reads caches): snapshot the
+                # node-scale label table — a cheap cache read — and
+                # restart lineage from it; the pin behind it can then go.
+                comp = materialize(comp)
+                prev.unpersist()
+                prev = None
+        # Hand back a SNAPSHOT so no pin outlives the call: the
+        # snapshot is a cheap cache read of the node-scale labels; its
+        # blocks are RDD-level and ARE GC-reclaimed, and the
+        # materialize() seam routes its durability.
+        return materialize(comp)
+    finally:
         if prev is not None:
             prev.unpersist()
-        prev = updated
-        comp = updated.select("node", "component")
-        if n_changed == 0:
-            break
-        if (i + 1) % 5 == 0:
-            # bound PLAN depth (analysis cost grows with the join
-            # chain even when execution reads caches): snapshot the
-            # node-scale label table — a cheap cache read — and
-            # restart lineage from it; the pin behind it can then go.
-            comp = materialize(comp)
-            prev.unpersist()
-            prev = None
-    # Hand back a SNAPSHOT and drop every pin: DataFrame.persist lives
-    # in the SQL CacheManager, which ContextCleaner never reclaims —
-    # returning the persisted plan would leak one edge cache + one
-    # label cache per call for the application lifetime (a gate run
-    # calls this dozens of times). The snapshot is a cheap cache read
-    # of the node-scale labels; its blocks are RDD-level and ARE
-    # GC-reclaimed, and the materialize() seam routes its durability.
-    out = materialize(comp)
-    if prev is not None:
-        prev.unpersist()
-    e.unpersist()
-    return out
+        e.unpersist()
 
 
 def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32) -> DataFrame:

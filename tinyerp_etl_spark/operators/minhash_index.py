@@ -190,43 +190,62 @@ def neardup_against_store(
     """(store_doc, batch_doc, jaccard) — verified near-dup pairs of an
     incoming batch against the persisted store, store-shuffle-free.
 
-    The batch featurizes once (Arrow pass, materialized). The store is
-    read in TWO column-pruned passes, neither of which shuffles it:
+    The batch featurizes once (Arrow pass, materialized). The store
+    version is pinned ONCE up front (``read_version``) and both passes
+    read that same immutable snapshot — a concurrent fold landing
+    between the passes cannot make the cap count and the candidate
+    join see different corpora (the concurrency the streaming fold
+    explicitly supports). The pinned version is read in TWO
+    column-pruned passes, neither of which shuffles it:
 
     1. a NARROW pass reads only ``band_keys`` (B hashes per doc — a
        sliver of the bytes; ``sh`` is the heavy column), broadcast-
        semi-joined to the batch's key set, to count global store
-       membership per matched key and drop keys over ``bucket_cap``
-       WITHOUT ever holding a per-key buffer (the groupBy count is
-       flood-safe where a window collect_set on the wide join would
-       re-create the executor-OOM shape the cap exists to prevent);
+       membership per matched key WITHOUT ever holding a per-key
+       buffer (the groupBy count is flood-safe where a window
+       collect_set on the wide join would re-create the executor-OOM
+       shape the cap exists to prevent);
     2. the WIDE pass reads (doc_id, sh, band_keys), explodes the band
        keys in the projection, and broadcast-hash-joins the batch's
        surviving (band, key) rows — candidate (store_doc, batch_doc)
        pairs verify with exact shingle Jaccard from the arrays
        already in hand (``dedup.shingle_jaccard``).
 
-    Cross pairs only: within-batch and within-store duplication are
-    the existing operators' jobs.
+    ``bucket_cap`` bounds TOTAL bucket membership per (band, key) —
+    store count plus batch count — the same contract as
+    ``dedup._capped_bucket_pairs``, so a flooded key on EITHER side
+    (a hot store key, or a batch whose docs all share a band) drops
+    the key instead of blowing up the candidate join as
+    store_matches × batch_matches. Cross pairs only: within-batch and
+    within-store duplication are the existing operators' jobs.
     """
     store = minhash_feature_store(spark, path)
+    version = store.current_version()
+    stored = store.read() if version is None else store.read_version(version)
     bf = materialize(build_minhash_features(batch, text_col, id_col))
     bb = bf.select(
         F.col("doc_id").alias("batch_doc"),
         F.col("sh").alias("sh_b"),
         F.posexplode("band_keys").alias("band", "key"),
     )
-    batch_keys = bb.select("band", "key").distinct()
-    narrow = store.read().select(F.posexplode("band_keys").alias("band", "key"))
+    batch_counts = bb.groupBy("band", "key").agg(
+        F.count(F.lit(1)).alias("__qn")
+    )
+    narrow = stored.select(F.posexplode("band_keys").alias("band", "key"))
     ok_keys = (
-        narrow.join(F.broadcast(batch_keys), ["band", "key"], "left_semi")
+        narrow.join(
+            F.broadcast(batch_counts.select("band", "key")),
+            ["band", "key"],
+            "left_semi",
+        )
         .groupBy("band", "key")
         .agg(F.count(F.lit(1)).alias("__bn"))
-        .filter(F.col("__bn") <= F.lit(int(bucket_cap)))
+        .join(F.broadcast(batch_counts), ["band", "key"])
+        .filter(F.col("__bn") + F.col("__qn") <= F.lit(int(bucket_cap)))
         .select("band", "key")
     )
     bb_ok = bb.join(F.broadcast(ok_keys), ["band", "key"], "left_semi")
-    sb = store.read().select(
+    sb = stored.select(
         F.col("doc_id").alias("store_doc"),
         F.col("sh").alias("sh_s"),
         F.posexplode("band_keys").alias("band", "key"),

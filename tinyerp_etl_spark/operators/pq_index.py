@@ -339,6 +339,13 @@ def _pq_sub_expr(
     arithmetic mirrors similarity._q/_ticks_dot/_ticks_norm2 exactly
     (same round/cast/aggregate shapes), which oracle parity pins.
     """
+    if not isinstance(vec_col, str):
+        # interpolating a Column into SQL fails with an obscure JVM
+        # parse error far from the call site — fail fast instead
+        raise TypeError(
+            "pq expressions take the vector column NAME (str), not "
+            f"{type(vec_col).__name__}"
+        )
     vt0 = (
         f"transform(slice(`{vec_col}`, {lo}, {w}), "
         f"x -> CAST(round(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT))"
@@ -498,9 +505,19 @@ def pq_adc_topk(
     Σ_m qdot / sqrt(Σ_m cn2 · |q|²) — query exact, database vector
     approximated, the standard asymmetric scheme. TakeOrdered(k) on
     top; ties break to the lower id like every ranking here.
+
+    The codebook is REQUIRED: training is an ingest-time corpus pass
+    (``train_pq`` + the persisted store), never a query-time one — an
+    accidental ``None`` must not silently ship a per-query training
+    job, the same contract ``ivfpq_topk`` enforces for its centroids.
     """
     if codebook is None:
-        codebook = train_pq(embeddings, id_col=id_col, vec_col=vec_col)
+        raise ValueError(
+            "pq_adc_topk: codebook is required — train once at ingest "
+            "(train_pq / the persisted PQ store) and pass it in; "
+            "training inside the query path would rescan the corpus "
+            "per query"
+        )
     by = _by_subspace(codebook)
     qrow = embeddings.filter(F.col(id_col) == query_vec_id).select(
         _q(F.col(vec_col)).alias("__qt")

@@ -542,6 +542,14 @@ def _ivf_row_wrap(vec_col: str, body: str, pre_quantized: bool = False) -> str:
     (array<long> already through ``_q``) instead of quantizing — for
     callers that also need the ticks elsewhere in the same projection
     and would otherwise pay the round(x·QUANT) transform twice."""
+    if not isinstance(vec_col, str):
+        # the 2024-era signature took a Column; interpolating one into
+        # SQL fails with an obscure JVM parse error far from the call
+        raise TypeError(
+            "ivf_assign_expr/ivf_probe_expr take the vector column "
+            f"NAME (str), not {type(vec_col).__name__} — pass "
+            '"embedding", not F.col("embedding")'
+        )
     vt0 = (
         f"`{vec_col}`"
         if pre_quantized

@@ -4175,7 +4175,8 @@ def minhash_store_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (even docs) is featurized ONCE into a TableStore artifact; the
     incoming batch (odd docs ∪ prefix-mutated copies of every 20th
     even doc, +300000) featurizes only itself, broadcasts its band
-    keys into a hash join probing one store scan, caps buckets, and
+    keys into a hash join probing one store scan, caps TOTAL bucket
+    membership (store + batch, the _capped_bucket_pairs contract), and
     verifies candidates with exact shingle Jaccard — the store never
     shuffles and never re-featurizes. The mutated copies land as
     (original, copy) pairs above the 0.5 threshold; the plain odd
@@ -4226,13 +4227,18 @@ LLM_ORACLES["minhash_store_neardup"] = f"""
     store_key_sizes AS (
       SELECT band, key, count(*) AS bn FROM bands_s GROUP BY band, key
     ),
+    batch_key_sizes AS (
+      SELECT band, key, count(*) AS qn FROM bands_b GROUP BY band, key
+    ),
     cands AS (
       SELECT DISTINCT s.doc_id AS store_doc, b.doc_id AS batch_doc
       FROM bands_s s
       JOIN bands_b b ON s.band = b.band AND s.key = b.key
       JOIN store_key_sizes ks
         ON ks.band = s.band AND ks.key = s.key
-       AND ks.bn <= {D.DEFAULT_BUCKET_CAP}
+      JOIN batch_key_sizes kb
+        ON kb.band = s.band AND kb.key = s.key
+       AND ks.bn + kb.qn <= {D.DEFAULT_BUCKET_CAP}
     ),
     ex_s AS (SELECT doc_id, unnest(sh) AS shingle FROM sig_s),
     ex_b AS (SELECT doc_id, unnest(sh) AS shingle FROM sig_b),
