@@ -10,15 +10,44 @@ def _vecs(spark, n):
     return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
 
 
-def test_knn_join_rejects_oversized_query_batch(spark):
-    # the query set broadcasts — a corpus-sized "batch" must fail fast
-    # with a clear error instead of OOMing the driver mid-broadcast
-    from tinyerp_etl_spark.operators.similarity import knn_join
+def test_knn_join_autoroutes_oversized_query_batch(spark):
+    """A batch over max_query_batch must ROUTE to the IVF-pruned
+    kernel (never the quadratic cross product): the routed plan
+    broadcast-hash-joins the probe rows — no nested-loop/cartesian —
+    and at full probe depth (nprobe = nlist) the routed result equals
+    the exact brute result row for row, scores bit-identical."""
+    from tinyerp_etl_spark.operators.similarity import knn_join, train_kmeans
 
     corpus = _vecs(spark, 20)
-    queries = _vecs(spark, 5)
-    with pytest.raises(ValueError, match="max_query_batch"):
-        knn_join(corpus, queries, k=2, max_query_batch=4)
+    queries = _vecs(spark, 6)
+    cents = train_kmeans(corpus)
+    routed = knn_join(
+        corpus, queries, k=2, max_query_batch=4,
+        centroids=cents, nprobe=len(cents),
+    )
+    plan = routed._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    exact = knn_join(corpus, queries, k=2, max_query_batch=1000)
+    key = lambda r: (r["query_id"], r["rn"])
+    got = {key(r): (r["vec_id"], r["score"]) for r in routed.collect()}
+    want = {key(r): (r["vec_id"], r["score"]) for r in exact.collect()}
+    assert got == want
+
+
+def test_knn_join_store_assigned_requires_centroids(spark):
+    from tinyerp_etl_spark.operators.similarity import (
+        ivf_assign_narrow,
+        knn_join,
+        train_kmeans,
+    )
+
+    corpus = _vecs(spark, 20)
+    assigned = ivf_assign_narrow(corpus, centroids=train_kmeans(corpus))
+    with pytest.raises(ValueError, match="centroids"):
+        knn_join(corpus, _vecs(spark, 6), k=2, max_query_batch=4,
+                 store_assigned=assigned)
 
 
 def test_knn_join_within_batch_bound_runs(spark):

@@ -1009,10 +1009,91 @@ def semantic_dedup(
     return result.join(quarantined, id_col, "left_anti"), quarantined
 
 
-#: Largest query batch knn_join will broadcast. Beyond this, the
-#: broadcast (corpus-rows × batch) score fan-out stops being "a batch
-#: against the corpus" and the bucketed paths are the right tool.
+#: Largest query batch knn_join scores EXACTLY against the full
+#: corpus. Beyond this, the (corpus-rows × batch) score fan-out is
+#: quadratic work and knn_join AUTO-ROUTES to the IVF-pruned kernel.
 MAX_KNN_QUERY_BATCH = 10_000
+
+
+def _knn_join_ivf(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    centroids: list[tuple[int, list[int]]] | None,
+    store_assigned: DataFrame | None,
+    nprobe: int,
+) -> DataFrame:
+    """The large-batch k-NN kernel: IVF list-pruned candidates instead
+    of the full cross product — the same broadcast-probe shape as
+    ``embedding_neardup_against_store``, with a per-query top-k window
+    on the bounded candidate set.
+
+    Work is Σ_query Σ_probed-list |list| instead of |corpus|×|batch|:
+    with nlist≈√N sizing (SCALE.md) that is ~nprobe·√N per query.
+    Against a hive-partitioned ``store_assigned`` corpus the list_id
+    equality reaches the scan as partition pruning. RECALL contract:
+    a true neighbor outside the query's nprobe lists is missed —
+    measured, not asserted, by ivf_recall_report /
+    ivf_nprobe_recall_curve; scores for every pair the route DOES
+    consider are bit-identical to the exact path (same tick
+    arithmetic).
+    """
+    from pyspark.sql.window import Window
+
+    if centroids is None:
+        if store_assigned is not None:
+            raise ValueError(
+                "knn_join: store_assigned requires the centroids it was "
+                "assigned with (the persisted IVF index pins them)"
+            )
+        # sample-bounded (train_kmeans caps its input), not a full
+        # corpus pass — acceptable in the query path; ingest-time
+        # centroids via the persisted index skip it entirely
+        centroids = train_kmeans(embeddings, id_col=id_col, vec_col=vec_col)
+    corpus = (
+        ivf_assign_narrow(embeddings, id_col, vec_col, centroids=centroids)
+        if store_assigned is None
+        else store_assigned
+    )
+    # quantize + norm ONCE per query row (before the nprobe explode)
+    # and once per corpus row (before the join) — embedded in the
+    # score they would re-run the interpreted O(dim) aggregate per
+    # candidate pair
+    probes = queries.select(
+        F.col(id_col).alias("query_id"), _q(F.col(vec_col)).alias("__qt")
+    ).select(
+        "query_id",
+        "__qt",
+        _ticks_norm2(F.col("__qt")).alias("__qn2"),
+        F.explode(
+            ivf_probe_expr("__qt", centroids, nprobe, pre_quantized=True)
+        ).alias("list_id"),
+    )
+    cand = (
+        corpus.select(
+            F.col(id_col),
+            _q(F.col(vec_col)).alias("__st"),
+            _ticks_norm2(_q(F.col(vec_col))).alias("__sn2"),
+            F.col("list_id"),
+        )
+        .join(F.broadcast(probes), "list_id")
+        .filter(F.col(id_col) != F.col("query_id"))
+    )
+    score = (
+        _ticks_dot(F.col("__st"), F.col("__qt")).cast("double")
+        / F.sqrt(F.col("__sn2").cast("double") * F.col("__qn2").cast("double"))
+    ).cast("double")
+    scored = cand.select("query_id", F.col(id_col), score.alias("score"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= k)
+        .orderBy("query_id", "rn")
+    )
 
 
 def knn_join(
@@ -1022,20 +1103,29 @@ def knn_join(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_query_batch: int = MAX_KNN_QUERY_BATCH,
+    centroids: list[tuple[int, list[int]]] | None = None,
+    store_assigned: DataFrame | None = None,
+    nprobe: int = IVF_NPROBE,
 ) -> DataFrame:
-    """Batch exact top-k: every query vector against the full corpus
-    (the k-NN join), one corpus scan total.
+    """Batch top-k: every query vector against the corpus (the k-NN
+    join), one corpus scan total — EXACT for small batches, AUTO-
+    ROUTED through IVF list-pruning for large ones.
 
-    The query set broadcasts (small by contract — a query BATCH, not a
-    second corpus); each corpus row scores against all queries in one
-    pass of JVM higher-order expressions, and a window partitioned by
-    query id keeps the top k. At 100 TB this is the right shape until
-    the query batch itself is large — then IVF list-pruning
-    (``ivf_topk``) or LSH buckets bound the candidate set per query
-    instead of the full cross product. The contract is ENFORCED: a
-    batch over ``max_query_batch`` rows raises up front (one bounded
-    limit+count probe, not a full scan) instead of OOMing the driver
-    mid-broadcast.
+    Small batch (≤ ``max_query_batch``, one bounded limit+count probe
+    decides): the query set broadcasts, each corpus row scores against
+    all queries in one pass of JVM higher-order expressions, and a
+    window partitioned by query id keeps the top k — exact by
+    construction. Large batch: the same brute kernel is |corpus| ×
+    |batch| work (measured 9.7× wall at 10×corpus/10×batch = 100×
+    work), so the call routes to ``_knn_join_ivf`` — IVF-pruned
+    candidates via the broadcast-probe kernel, near-linear in batch
+    size, approximate with the IVF recall contract (a neighbor outside
+    the query's ``nprobe`` lists is missed; ivf_recall_report measures
+    the rate). Scores on considered pairs are bit-identical across the
+    two routes. Pass ``centroids`` (+ optionally the persisted
+    ``store_assigned`` (id, vec, list_id) corpus, which then prunes by
+    partition instead of re-assigning) to keep training at ingest; a
+    routed call without them trains sample-bounded centroids inline.
 
     Output: (query_id, vec_id, score, rn) with rn 1..k per query.
     """
@@ -1043,9 +1133,15 @@ def knn_join(
 
     n_probe = queries.limit(max_query_batch + 1).count()
     if n_probe > max_query_batch:
-        raise ValueError(
-            f"knn_join query batch exceeds max_query_batch={max_query_batch}; "
-            "use ivf_topk or the LSH-bucketed path for corpus-scale query sets"
+        return _knn_join_ivf(
+            embeddings,
+            queries,
+            k,
+            id_col,
+            vec_col,
+            centroids,
+            store_assigned,
+            nprobe,
         )
     q = queries.select(
         F.col(id_col).alias("query_id"),

@@ -883,6 +883,10 @@ def embedding_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch ANN: top-5 neighbors for EVERY query in a broadcast batch
     (vec_id ≡ 0 mod 100) in one corpus scan — the k-NN join shape a
     feature-store backfill uses, vs the single-query ``topk`` variants.
+    This batch is under ``max_query_batch`` so the call takes the
+    EXACT brute kernel (oracle-exact); batches over the threshold
+    auto-route through the IVF broadcast-probe kernel
+    (similarity._knn_join_ivf, SCALE.md's routed 10×/10× row).
     """
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 100 == 0)
