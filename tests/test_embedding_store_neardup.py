@@ -121,3 +121,88 @@ def test_plan_is_store_shuffle_free(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert plan_findings(out) == []
+
+
+def test_pq_prescreen_is_pair_preserving(spark):
+    """The PQ-ADC prescreen must be INVISIBLE in the result: the sound
+    adc'+eps upper bound can prune only pairs whose exact cosine is
+    below the threshold, so prescreen-on equals prescreen-off row for
+    row (ids AND scores) at every tested threshold."""
+    from tinyerp_etl_spark.operators import pq_index as P
+
+    emb = _emb(spark, n=24)
+    cents = S.train_kmeans(emb, k=3, iters=2)
+    book = P.train_pq(emb, m=2, ks=4)
+    store = S.ivf_assign(emb, centroids=cents)
+    copy_vec = emb.filter("vec_id = 7").first()["embedding"]
+    batch = _emb(spark, n=6, offset=300).unionByName(
+        spark.createDataFrame(
+            [(900, copy_vec)], "vec_id long, embedding array<float>"
+        )
+    )
+    for thr in (0.9, 0.99, 0.999):
+        rows = lambda cb: sorted(
+            (r["store_vec"], r["batch_vec"], r["cos"])
+            for r in S.embedding_neardup_against_store(
+                store, batch, cents, threshold=thr, codebook=cb
+            ).collect()
+        )
+        off, on = rows(None), rows(book)
+        assert on == off, f"threshold {thr}: prescreen changed the pairs"
+    # and the copy pair is actually present at the top threshold
+    assert any(s == 7 and b == 900 for s, b, _ in rows(book))
+
+
+def test_pq_prescreen_bound_is_sound(spark):
+    """adc' + eps >= exact cosine for EVERY candidate pair — the
+    Cauchy-Schwarz bound the prescreen's correctness rests on,
+    checked directly over all store×batch combinations."""
+    import math
+
+    from tinyerp_etl_spark.operators import pq_index as P
+
+    emb = _emb(spark, n=20)
+    book = P.train_pq(emb, m=2, ks=4)
+    pre = {
+        r["vec_id"]: (list(r["pq_codes"]), r["pq_eps"])
+        for r in P.pq_prescreen_cols(emb, book).collect()
+    }
+    by = P._by_subspace(book)
+    vecs = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+    q = lambda v: [round(float(x) * S.QUANT) for x in v]
+    dim = len(next(iter(vecs.values())))
+    w = dim // len(by)
+    for sid, sv in vecs.items():
+        codes, eps = pre[sid]
+        st = q(sv)
+        recon = []
+        for i, s in enumerate(sorted(by)):
+            recon.extend(dict(by[s])[codes[i]])
+        nx = math.sqrt(sum(t * t for t in st))
+        for qid, qv in vecs.items():
+            if qid == sid:
+                continue
+            qt = q(qv)
+            nq = math.sqrt(sum(t * t for t in qt))
+            exact = sum(a * b for a, b in zip(st, qt)) / (nx * nq)
+            bound = sum(a * b for a, b in zip(recon, qt)) / (nx * nq) + eps
+            assert bound >= exact - 1e-12, (sid, qid, bound, exact)
+
+
+def test_pq_prescreen_codes_match_encode_wide(spark):
+    """pq_prescreen_cols' codes array must be the SAME encoding as
+    pq_encode_wide's code_1..code_M columns (one encoder, two
+    layouts)."""
+    from tinyerp_etl_spark.operators import pq_index as P
+
+    emb = _emb(spark, n=15)
+    book = P.train_pq(emb, m=2, ks=4)
+    got = {
+        r["vec_id"]: list(r["pq_codes"])
+        for r in P.pq_prescreen_cols(emb, book).collect()
+    }
+    want = {
+        r["vec_id"]: [r["code_1"], r["code_2"]]
+        for r in P.pq_encode_wide(emb, book).collect()
+    }
+    assert got == want

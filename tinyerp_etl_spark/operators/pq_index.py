@@ -64,6 +64,7 @@ from tinyerp_etl_spark.operators.similarity import (
     QUANT,
     TRAIN_SAMPLE_CAP,
     _q,
+    quantized_norm2,
     train_kmeans,
 )
 
@@ -315,9 +316,12 @@ def _pq_sub_expr(
     w: int,
     cents: list[tuple[int, list[int]]],
     qsub: list[int] | None,
+    with_rss: bool = False,
 ) -> Column:
     """Per-row argmax over one subspace's codewords, as a single
-    expression: struct(code[, qdot, cn2]) of the winning codeword.
+    expression: struct(code[, qdot, cn2][, rss]) of the winning
+    codeword (``with_rss`` adds the winner's integer reconstruction
+    residual Σ(x_i − c_i)² — the prescreen-bound ingredient).
 
     The same array_max-over-literal-structs shape as
     ``ivf_assign_expr`` (higher assignment cosine wins, ties to the
@@ -392,6 +396,12 @@ def _pq_sub_expr(
             # fail loudly like ivf_assign_expr; exact as BIGINT (ticks
             # are ~1e7, w·tick² ≪ 2^53)
             fields.append("'n2', CAST(n2 AS BIGINT)")
+        if with_rss:
+            fields.append(
+                f"'rss', aggregate(zip_with(vt, {ct}, "
+                "(x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), "
+                "(acc, x) -> acc + x)"
+            )
         cands.append("named_struct(" + ", ".join(fields) + ")")
     argmax = f"array_max(array({', '.join(cands)}))"
     n2 = (
@@ -642,3 +652,100 @@ def pq_encode_wide(
         for s, (lo, w) in zip(sorted(by), bounds)
     )
     return embeddings.filter(_nonzero_vec_guard(vec_col)).select(*cols)
+
+
+def pq_prescreen_cols(
+    df: DataFrame,
+    codebook: Codebook,
+    vec_col: str = "embedding",
+    codes_col: str = "pq_codes",
+    eps_col: str = "pq_eps",
+) -> DataFrame:
+    """Append the ADC-prescreen INGEST columns to a vector frame: the
+    row's M PQ codes as one array<int> (identical to
+    ``pq_encode_wide``'s codes, pinned by test) and the row's relative
+    reconstruction residual eps = |x_ticks − recon_ticks| / |x_ticks|.
+
+    eps is what makes the compressed-domain prescreen SOUND rather
+    than heuristic. Writing x = recon + r, Cauchy-Schwarz gives
+        cos(x, q) = (recon·q + r·q) / (|x||q|)
+                  ≤ (recon·q) / (|x||q|) + |r|/|x|
+    so keeping every candidate with  adc' + eps ≥ threshold  (where
+    adc' = recon·q / (|x||q|), M LUT lookups per pair) provably keeps
+    every pair whose EXACT cosine clears the threshold — zero false
+    drops by construction. A coarse codebook only weakens the pruning
+    rate (bigger eps ⇒ more survivors), never correctness; measured on
+    the gate corpus the M=4·KS=8 book already prunes ~85 % of IVF
+    candidates at threshold 0.99. One shuffle-free projection; a zero
+    full-vector row gets eps 0 and a null prescreen score downstream —
+    dropped, exactly as the exact path drops its null cosine.
+    (ADC per Jégou/Douze/Schmid 2011; the residual term is the
+    standard triangle-inequality pruning bound.)
+    """
+    by = _by_subspace(codebook)
+    dim = sum(len(cents[0][1]) for cents in by.values())
+    bounds = _sub_bounds(dim, len(by))
+    # winner structs land as columns first so each subspace argmax
+    # evaluates ONCE per row even though two fields are read from it
+    winners = df.select(
+        "*",
+        *[
+            _pq_sub_expr(vec_col, lo, w, by[s], None, with_rss=True).alias(
+                f"__w{s}"
+            )
+            for s, (lo, w) in zip(sorted(by), bounds)
+        ],
+    )
+    codes = F.array(*[F.col(f"__w{s}.code") for s in sorted(by)])
+    rss = None
+    for s in sorted(by):
+        c = F.col(f"__w{s}.rss")
+        rss = c if rss is None else rss + c
+    tn2 = quantized_norm2(F.col(vec_col)).cast("double")
+    eps = (
+        F.when(tn2 > F.lit(0.0), F.sqrt(rss.cast("double") / tn2))
+        .otherwise(F.lit(0.0))
+        .cast("double")
+    )
+    return winners.select(
+        *df.columns, codes.alias(codes_col), eps.alias(eps_col)
+    )
+
+
+def pq_query_lut_expr(ticks_col: str, codebook: Codebook) -> Column:
+    """The per-QUERY ADC lookup table as one row-scale expression over
+    an ALREADY-QUANTIZED tick column: array<array<bigint>> of shape
+    M × KS with LUT[s][c] = dot(query subvector ticks, codeword c
+    ticks) — code ids are 1-based, so the pair-side lookup is
+    ``element_at(LUT[s], code_s)`` directly.
+
+    Computed once per query row (M·KS integer dots, each O(dim/M) —
+    one corpus-free pass over the batch); the candidate join then
+    scores each (store, query) pair with M element_at lookups instead
+    of an O(dim) dot. Each subspace's slice binds via the
+    transform-array scaffold so its KS dots share one evaluation;
+    authored as ONE SQL string parsed JVM-side (the py4j-tax
+    discipline of its siblings).
+    """
+    if not isinstance(ticks_col, str):
+        raise TypeError(
+            "pq expressions take the tick column NAME (str), not "
+            f"{type(ticks_col).__name__}"
+        )
+    by = _by_subspace(codebook)
+    dim = sum(len(cents[0][1]) for cents in by.values())
+    bounds = _sub_bounds(dim, len(by))
+    subs = []
+    for s, (lo, w) in zip(sorted(by), bounds):
+        dots = []
+        for _cid, ticks in by[s]:  # sorted by code id (1-based, dense)
+            ct = "array(" + ", ".join(f"{int(t)}L" for t in ticks) + ")"
+            dots.append(
+                f"aggregate(zip_with(sub, {ct}, (x, y) -> x * y), "
+                "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+            )
+        subs.append(
+            f"element_at(transform(array(slice(`{ticks_col}`, {lo}, {w})), "
+            f"sub -> array({', '.join(dots)})), 1)"
+        )
+    return F.expr("array(" + ", ".join(subs) + ")")

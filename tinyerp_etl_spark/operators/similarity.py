@@ -858,6 +858,7 @@ def embedding_neardup_against_store(
     threshold: float = 0.99,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    codebook=None,
 ) -> DataFrame:
     """(store_vec, batch_vec, cos) — which ALREADY-INGESTED embeddings
     does this batch near-duplicate? The embedding-space twin of
@@ -881,29 +882,75 @@ def embedding_neardup_against_store(
     Near-dup recall is the IVF recall story: a true near-dup outside
     the batch vector's nprobe lists is missed, measured (not asserted)
     by ivf_recall_report / ivf_nprobe_recall_curve. Cross pairs only.
+
+    ``codebook``: the persisted PQ codebook enables the SOUND
+    compressed-domain PRESCREEN — each candidate pair is first scored
+    with M LUT lookups over the store row's ingest-time PQ codes, and
+    the exact O(dim) tick-dot runs only on pairs whose upper bound
+    adc' + eps clears the threshold (pq_index.pq_prescreen_cols
+    derives the bound; zero false drops by Cauchy-Schwarz, so the
+    output is IDENTICAL with or without the codebook — differentially
+    pinned by test). If ``store_assigned`` already carries the
+    ``pq_codes``/``pq_eps`` ingest columns (pq_prescreen_cols at
+    write time — the 100 TB layout, where the pruned scan reads M
+    bytes of codes instead of the float vector for the ~85 % of
+    candidates the bound kills) they are used as-is; otherwise they
+    are derived inline in the store projection.
     """
     # quantize ONCE: the probe expression reuses the bound ticks
     # (pre_quantized) instead of re-running the round(x·QUANT)
     # transform inside its own scaffold
-    probes = batch.select(
-        F.col(id_col).alias("batch_vec"), _q(F.col(vec_col)).alias("__qt")
-    ).select(
-        "batch_vec",
-        "__qt",
+    # per-query quantities (__qn2, the ADC LUT) compute BEFORE the
+    # nprobe explode so each runs once per query, not once per probe
+    q_cols = [
+        F.col(id_col).alias("batch_vec"),
+        _q(F.col(vec_col)).alias("__qt"),
+    ]
+    q_side = batch.select(*q_cols)
+    q_wide = [F.col("batch_vec"), F.col("__qt"),
+              _ticks_norm2(F.col("__qt")).alias("__qn2")]
+    if codebook is not None:
+        from tinyerp_etl_spark.operators.pq_index import pq_query_lut_expr
+
+        q_wide.append(pq_query_lut_expr("__qt", codebook).alias("__lut"))
+    probes = q_side.select(*q_wide).select(
+        "*",
         F.explode(
             ivf_probe_expr("__qt", centroids, nprobe, pre_quantized=True)
         ).alias("list_id"),
     )
-    cand = store_assigned.select(
+    store = store_assigned
+    if codebook is not None and "pq_codes" not in store.columns:
+        from tinyerp_etl_spark.operators.pq_index import pq_prescreen_cols
+
+        store = pq_prescreen_cols(store, codebook, vec_col=vec_col)
+    store_cols = [
         F.col(id_col).alias("store_vec"),
         _q(F.col(vec_col)).alias("__st"),
+        _ticks_norm2(_q(F.col(vec_col))).alias("__sn2"),
         F.col("list_id"),
-    ).join(F.broadcast(probes), "list_id")
+    ]
+    if codebook is not None:
+        store_cols += [F.col("pq_codes"), F.col("pq_eps")]
+    cand = store.select(*store_cols).join(F.broadcast(probes), "list_id")
+    den = F.sqrt(F.col("__sn2").cast("double") * F.col("__qn2").cast("double"))
+    if codebook is not None:
+        # the sound upper bound: adc' + eps ≥ exact cos, so this
+        # filter cannot drop a true pair; the exact dot below runs
+        # only on its survivors (predicates evaluate in order inside
+        # the codegen stage)
+        adc_num = F.aggregate(
+            F.zip_with(
+                F.col("pq_codes"),
+                F.col("__lut"),
+                lambda c, l: F.element_at(l, c),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).cast("double")
+        bound = adc_num / den + F.col("pq_eps")
+        cand = cand.filter(bound >= F.lit(float(threshold)))
     num = _ticks_dot(F.col("__st"), F.col("__qt")).cast("double")
-    den = F.sqrt(
-        _ticks_norm2(F.col("__st")).cast("double")
-        * _ticks_norm2(F.col("__qt")).cast("double")
-    )
     cos = (num / den).cast("double")
     return (
         cand.select("store_vec", "batch_vec", cos.alias("cos"))

@@ -4295,23 +4295,36 @@ def _ivf_store_corpus_for(spark: SparkSession, sf_dir: str):
     key = os.path.abspath(sf_dir)
     if key not in _IVF_CORPUS_CACHE:
         cents, _, fp = _ivf_artifact_for(spark, sf_dir)
+        # "ivfpq_corpus": since round 10 the layout also carries the
+        # PQ prescreen columns (codes + residual bound) written at
+        # ingest — a new artifact family so old-schema "ivf_corpus"
+        # dirs never resolve with missing-column nulls (content-
+        # addressed dirs are append-only; gc_artifact_dirs reclaims)
         _IVF_CORPUS_CACHE[key] = os.path.join(
-            _artifact_root(), "ivf_corpus", _corpus_tag(sf_dir, fp)
+            _artifact_root(), "ivfpq_corpus", _corpus_tag(sf_dir, fp)
         )
     store = TableStore(
         spark,
         _IVF_CORPUS_CACHE[key],
-        StructType.fromDDL("vec_id long, embedding array<float>, list_id int"),
+        StructType.fromDDL(
+            "vec_id long, embedding array<float>, list_id int, "
+            "pq_codes array<int>, pq_eps double"
+        ),
         partition_by=["list_id"],
     )
     if store.current_version() is None:
         cents = _ivf_index_for(spark, sf_dir)
+        book = _pq_index_for(spark, sf_dir)
         emb = (
             load_table(spark, sf_dir, "embeddings")
             .filter(F.col("vec_id") % 2 == 0)
             .select("vec_id", "embedding")
         )
-        store.commit(S.ivf_assign_narrow(emb, centroids=cents))
+        store.commit(
+            PQX.pq_prescreen_cols(
+                S.ivf_assign_narrow(emb, centroids=cents), book
+            )
+        )
     return store
 
 
@@ -4328,12 +4341,16 @@ def embedding_neardup_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     of every 10th even vector (+500000) — the copies surface as
     (original, copy) pairs at cos = 1.0 exactly (identical ticks). The
     batch's probe lists come from the per-row ivf_probe_expr
-    (bit-identical to probe_lists); the verify is the exact tick
-    cosine. The oracle re-derives the index (unrolled k-means), both
-    assignments, and the probe rule in SQL — layout-read ≡ recompute,
-    hash-proven.
+    (bit-identical to probe_lists); the verify is PQ-ADC-prescreened
+    (the sound adc'+eps bound over the ingest-time codes — identical
+    pairs by construction, ~85 % of candidates never reach the exact
+    dot) then the exact tick cosine. The oracle re-derives the index
+    (unrolled k-means), both assignments, and the probe rule in SQL —
+    layout-read ≡ recompute, hash-proven (the prescreen is provably
+    pair-preserving, so the oracle needs no ADC model).
     """
     cents = _ivf_index_for(spark, sf_dir)
+    book = _pq_index_for(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     store_assigned = _ivf_store_corpus_for(spark, sf_dir).read()
     batch = emb.filter(F.col("vec_id") % 2 == 1).unionByName(
@@ -4342,7 +4359,7 @@ def embedding_neardup_store(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return S.embedding_neardup_against_store(
-        store_assigned, batch, cents, threshold=0.99
+        store_assigned, batch, cents, threshold=0.99, codebook=book
     ).orderBy("store_vec", "batch_vec")
 
 
