@@ -202,23 +202,14 @@ def run_stream_to_bloom_bitmap(
     the backlog and stops (the test/backfill trigger; a production
     stream would run continuous).
     """
-    from tinyerp_etl_spark.etl.table_store import ConcurrentWriteError
+    from tinyerp_etl_spark.etl.fold import drain_available_now, occ_fold
 
     def fold(batch_df: DataFrame, _batch_id: int) -> None:
-        for attempt in range(occ_retries + 1):
-            try:
-                update_bloom_bitmap(
-                    spark, path, batch_df, key_col=key_col, m_bits=m_bits, k=k
-                )
-                return
-            except ConcurrentWriteError:
-                if attempt == occ_retries:
-                    raise
+        occ_fold(
+            lambda: update_bloom_bitmap(
+                spark, path, batch_df, key_col=key_col, m_bits=m_bits, k=k
+            ),
+            occ_retries,
+        )
 
-    (
-        keys_stream.writeStream.foreachBatch(fold)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
+    drain_available_now(keys_stream, fold, checkpoint_dir)

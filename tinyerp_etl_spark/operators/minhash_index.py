@@ -50,6 +50,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from tinyerp_etl_spark.etl.fold import fold_append
 from tinyerp_etl_spark.etl.table_store import TableStore
 from tinyerp_etl_spark.functions.materialize import materialize
 from tinyerp_etl_spark.operators.dedup import (
@@ -127,7 +128,11 @@ def update_minhash_index(
     ``"skip_existing"`` folds only the genuinely-new docs so an
     at-least-once redelivery folds to an exactly-once index (a fully
     replayed batch is a version-preserving no-op). The overlap probe
-    is a column-pruned doc_id read of the store. Both the probe and
+    is a column-pruned doc_id read of the store, PINNED to the claimed
+    version by the shared harness (etl/fold.fold_append — the claim →
+    bootstrap-OCC → pinned-read → fresh-filter → commit_append
+    skeleton lives there; only the anti-join/raise semantics live
+    here). Both the probe and
     the commit ride ``expected_version``: a concurrent fold raises
     ConcurrentWriteError for the caller (or the streaming face's
     retry loop) to recompute against the winner.
@@ -150,31 +155,28 @@ def update_minhash_index(
         raise ValueError(
             f"on_overlap must be 'raise' or 'skip_existing', got {on_overlap!r}"
         )
-    store = minhash_feature_store(spark, path)
-    version = store.current_version()
     feats = materialize(build_minhash_features(new_docs, text_col, id_col))
-    if version is None:
-        if feats.isEmpty():
-            return 0
-        return store.commit(feats, n_files=FEATURE_FILES, expected_version=0)
-    indexed = store.read().select("doc_id")
-    overlap = feats.select("doc_id").join(indexed, "doc_id", "left_semi")
-    if on_overlap == "raise":
-        n = overlap.count()
-        if n:
-            raise ValueError(
-                f"minhash index at {path}: {n} batch doc_ids are already "
-                "indexed — the fold is append-only; replay with "
-                "on_overlap='skip_existing' if this is an at-least-once "
-                "redelivery"
-            )
-        fresh = feats
-    else:
-        fresh = materialize(feats.join(indexed, "doc_id", "left_anti"))
-    if fresh.isEmpty():
-        return version
-    return store.commit_append(
-        fresh, n_files=FEATURE_FILES, expected_version=version
+
+    def fresh_rows(stored: DataFrame, batch: DataFrame) -> DataFrame:
+        indexed = stored.select("doc_id")
+        if on_overlap == "raise":
+            n = batch.select("doc_id").join(indexed, "doc_id", "left_semi").count()
+            if n:
+                raise ValueError(
+                    f"minhash index at {path}: {n} batch doc_ids are already "
+                    "indexed — the fold is append-only; replay with "
+                    "on_overlap='skip_existing' if this is an at-least-once "
+                    "redelivery"
+                )
+            return batch
+        return batch.join(indexed, "doc_id", "left_anti")
+
+    return fold_append(
+        minhash_feature_store(spark, path),
+        feats,
+        fresh_rows,
+        n_files=FEATURE_FILES,
+        skip_empty_bootstrap_result=0,
     )
 
 

@@ -101,30 +101,23 @@ def fold_batch_into_paragraph_index(
     occurrence rows are immutable by the order guard, so append-only
     is sound; per-version file count grows until ``compact()``.
     """
+    from tinyerp_etl_spark.etl.fold import fold_append
     from tinyerp_etl_spark.functions.materialize import materialize
     from tinyerp_etl_spark.operators.dedup import paragraph_fresh_rows
 
-    store = para_store(spark, path)
-    read_version = store.current_version()
-    if read_version is None:
-        return store.commit(
-            build_paragraph_index(batch, text_col, id_col).select(
-                "para", "first_doc", "first_pos"
-            ),
-            n_files=4,
-            cluster_by=["para"],
-            expected_version=0,
+    batch_firsts = materialize(
+        build_paragraph_index(batch, text_col, id_col).select(
+            "para", "first_doc", "first_pos"
         )
-    stored = store.read_version(read_version)
-    batch_firsts = materialize(build_paragraph_index(batch, text_col, id_col))
-    fresh = materialize(paragraph_fresh_rows(stored, batch_firsts))
-    if fresh.limit(1).isEmpty():
-        return read_version
-    return store.commit_append(
-        fresh.select("para", "first_doc", "first_pos"),
+    )
+    return fold_append(
+        para_store(spark, path),
+        batch_firsts,
+        lambda stored, firsts: paragraph_fresh_rows(stored, firsts).select(
+            "para", "first_doc", "first_pos"
+        ),
         n_files=4,
         cluster_by=["para"],
-        expected_version=read_version,
     )
 
 
@@ -140,19 +133,21 @@ def run_stream_to_paragraph_index(
 
     Each micro-batch folds through `fold_batch_into_paragraph_index`;
     a fully-replayed batch appends nothing and preserves the version,
-    so at-least-once delivery needs no extra bookkeeping. availableNow
-    drains the backlog and stops (test/backfill trigger).
+    so at-least-once delivery needs no extra bookkeeping. Folds retry
+    under optimistic concurrency like every streaming fold
+    (etl/fold.occ_fold — previously this was the one streaming face
+    WITHOUT the retry, so a racing fold surfaced as a stream failure
+    instead of a recompute; safe because paragraph_fresh_rows
+    re-derives what is new against the winner). availableNow drains
+    the backlog and stops (test/backfill trigger).
     """
+    from tinyerp_etl_spark.etl.fold import drain_available_now, occ_fold
 
     def fold(batch_df: DataFrame, _batch_id: int) -> None:
-        fold_batch_into_paragraph_index(
-            spark, path, batch_df, text_col=text_col, id_col=id_col
+        occ_fold(
+            lambda: fold_batch_into_paragraph_index(
+                spark, path, batch_df, text_col=text_col, id_col=id_col
+            )
         )
 
-    (
-        docs_stream.writeStream.foreachBatch(fold)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
+    drain_available_now(docs_stream, fold, checkpoint_dir)

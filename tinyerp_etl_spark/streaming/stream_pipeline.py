@@ -125,31 +125,23 @@ def run_stream_to_merge_sink(
     concurrent writer the expected_version check always passes and
     behavior is unchanged.
     """
-    from tinyerp_etl_spark.etl.table_store import ConcurrentWriteError
+    from tinyerp_etl_spark.etl.fold import drain_available_now, occ_fold
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         df = transform(batch_df) if transform is not None else batch_df
-        for attempt in range(occ_retries + 1):
+
+        def fold() -> None:
             # `or 0`: a fresh store reads version None, and commit()
             # treats expected_version=None as "no check" — 0 means
             # "expected empty", which keeps OCC armed for the FIRST
             # batch into a new table too
             base = store.current_version() or 0
             merged = merge_upsert(store.read(), df, keys)
-            try:
-                store.commit(merged, expected_version=base)
-                return
-            except ConcurrentWriteError:
-                if attempt == occ_retries:
-                    raise
+            store.commit(merged, expected_version=base)
 
-    (
-        stream_df.writeStream.foreachBatch(sink)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
+        occ_fold(fold, occ_retries)
+
+    drain_available_now(stream_df, sink, checkpoint_dir)
 
 
 def run_stream_to_bm25_index(
@@ -184,27 +176,18 @@ def run_stream_to_bm25_index(
     update_bm25_index, and the fold is recomputed against the new
     version (safe — the skip-existing filter re-derives what is new).
     """
-    from tinyerp_etl_spark.etl.table_store import ConcurrentWriteError
+    from tinyerp_etl_spark.etl.fold import drain_available_now, occ_fold
     from tinyerp_etl_spark.operators.bm25_index import update_bm25_index
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        for attempt in range(occ_retries + 1):
-            try:
-                update_bm25_index(
-                    spark, index_path, batch_df, on_overlap="skip_existing"
-                )
-                return
-            except ConcurrentWriteError:
-                if attempt == occ_retries:
-                    raise
+        occ_fold(
+            lambda: update_bm25_index(
+                spark, index_path, batch_df, on_overlap="skip_existing"
+            ),
+            occ_retries,
+        )
 
-    (
-        docs_stream.writeStream.foreachBatch(sink)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
+    drain_available_now(docs_stream, sink, checkpoint_dir)
 
 
 def run_stream_to_minhash_index(
@@ -230,27 +213,18 @@ def run_stream_to_minhash_index(
     skip-existing filter re-derives what is new. The single-artifact
     design means there is no multi-commit crash window to heal.
     """
-    from tinyerp_etl_spark.etl.table_store import ConcurrentWriteError
+    from tinyerp_etl_spark.etl.fold import drain_available_now, occ_fold
     from tinyerp_etl_spark.operators.minhash_index import update_minhash_index
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        for attempt in range(occ_retries + 1):
-            try:
-                update_minhash_index(
-                    spark, index_path, batch_df, on_overlap="skip_existing"
-                )
-                return
-            except ConcurrentWriteError:
-                if attempt == occ_retries:
-                    raise
+        occ_fold(
+            lambda: update_minhash_index(
+                spark, index_path, batch_df, on_overlap="skip_existing"
+            ),
+            occ_retries,
+        )
 
-    (
-        docs_stream.writeStream.foreachBatch(sink)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
+    drain_available_now(docs_stream, sink, checkpoint_dir)
 
 
 def run_stream_to_ivf_corpus(
@@ -353,31 +327,21 @@ def run_windowed_stream(
     under the same optimistic-concurrency retry as the merge sink
     (idempotent MERGE makes the re-read + retry safe).
     """
-    from tinyerp_etl_spark.etl.table_store import ConcurrentWriteError
+    from tinyerp_etl_spark.etl.fold import drain_available_now, occ_fold
 
     agg = tumbling_counts(stream_df, window_len, lateness)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        for attempt in range(4):
+        def fold() -> None:
             base = store.current_version() or 0
             merged = merge_upsert(
                 store.read(), batch_df, ["window_start", "event_type"]
             )
-            try:
-                store.commit(merged, expected_version=base)
-                return
-            except ConcurrentWriteError:
-                if attempt == 3:
-                    raise
+            store.commit(merged, expected_version=base)
 
-    (
-        agg.writeStream.foreachBatch(sink)
-        .outputMode("update")
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
+        occ_fold(fold)
+
+    drain_available_now(agg, sink, checkpoint_dir, output_mode="update")
 
 
 def dedup_events_stream(
