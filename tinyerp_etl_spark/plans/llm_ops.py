@@ -893,6 +893,31 @@ def embedding_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.knn_join(emb, queries, k=5)
 
 
+def embedding_knn_join_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME k-NN join forced through the round-10 AUTO-ROUTED IVF
+    kernel (similarity._knn_join_ivf): ``max_query_batch=1`` makes
+    every batch "large", and FULL probe depth (nprobe = nlist over the
+    persisted index) makes the routed result EXACT — candidates come
+    from every list and scores are bit-identical to the brute kernel —
+    so the brute oracle hash-proves the routed join/window machinery
+    itself, not just its small-batch twin. At production depth the
+    same kernel runs with nprobe ≪ nlist and the IVF recall contract
+    (SCALE.md's routed 10×/10× row: 8.1 s vs 19.2 s brute, recall@5
+    1.000 at nprobe=2).
+    """
+    cents = _ivf_index_for(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return S.knn_join(
+        emb,
+        queries,
+        k=5,
+        max_query_batch=1,
+        centroids=cents,
+        nprobe=len(cents),
+    ).orderBy("query_id", "rn")
+
+
 # --------------------------------------------------- corpus curation ops
 
 
@@ -2122,9 +2147,14 @@ LLM_ORACLES["embedding_knn_join"] = f"""
     ORDER BY query_id, rn
 """
 
+# the routed kernel at FULL probe depth is exact, so the brute oracle
+# applies verbatim — one oracle, two kernels, hash-proven equal
+LLM_ORACLES["embedding_knn_join_routed"] = LLM_ORACLES["embedding_knn_join"]
+
 LLM_QUERIES.update(
     {
         "embedding_knn_join": embedding_knn_join,
+        "embedding_knn_join_routed": embedding_knn_join_routed,
         "kmeans_centroids_embeddings": kmeans_centroids_embeddings,
         "ivf_index_roundtrip": ivf_index_roundtrip,
         "semantic_dedup_embeddings": semantic_dedup_embeddings,

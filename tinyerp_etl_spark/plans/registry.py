@@ -313,7 +313,10 @@ _RELATIONAL_NAMES = [
 # replace_order_items, q4_priority_late_ship, q9_product_type_profit,
 # q11_important_parts, q12_priority_by_linestatus,
 # q16_supplier_diversity, q20_heavy_part_suppliers,
-# q21_sole_late_shippers — the stable relational/TPC-H backbone and
+# q21_sole_late_shippers, and snapshot_diff_orders (displaced
+# mid-round by the embedding_knn_join_routed newcomer; its versioned-
+# read round-trip shape stays gated via time_travel_orders_versions)
+# — the stable relational/TPC-H backbone and
 # showcases (their scan/agg/join kernels are exercised by dozens of
 # in-gate rows). Guard-only edits this round (fail-fast isinstance
 # checks in similarity.ivf_assign_expr/ivf_probe_expr, the
@@ -321,7 +324,15 @@ _RELATIONAL_NAMES = [
 # try/finally unpersist) do not alter any gated path's semantics and
 # do not consume slots; the affected rows' newest greens are r9.
 _ROUND10_FRONT_50 = [
-    # (0) engine code changed this round
+    # (0) engine code changed this round, plus the round-10 newcomer
+    # embedding_knn_join_routed (gated at birth per convention: the
+    # auto-routed IVF kernel forced via max_query_batch=1 at FULL
+    # probe depth, where it is exact — the brute oracle hash-proves
+    # the routed kernel itself). It displaces snapshot_diff_orders
+    # (r6-green on untouched code; its TableStore versioned-read
+    # round-trip shape stays gated via the in-gate
+    # time_travel_orders_versions)
+    "embedding_knn_join_routed",
     "embedding_knn_join",
     "embedding_neardup_store",
     "minhash_store_neardup",
@@ -373,7 +384,6 @@ _ROUND10_FRONT_50 = [
     "pandas_udaf_weighted_price",
     "udtf_word_positions",
     "time_travel_orders_versions",
-    "snapshot_diff_orders",
 ]
 
 # PRE-STAGED ROUND-10 ROTATION PLAN (executed above at round-10
