@@ -113,7 +113,15 @@ HEADLINE_R9 = [
     # its embedding-space modality twin through the IVF layout
     "embedding_neardup_store",
 ]
-HEADLINE = HEADLINE + HEADLINE_R4 + HEADLINE_R5 + HEADLINE_R7 + HEADLINE_R9
+# Added round 10: the auto-routed k-NN kernel at full probe depth
+# (exact; the brute face embedding_knn_join was never benched, so this
+# row is the kernel's first bench presence).
+HEADLINE_R10 = [
+    "embedding_knn_join_routed",
+]
+HEADLINE = (
+    HEADLINE + HEADLINE_R4 + HEADLINE_R5 + HEADLINE_R7 + HEADLINE_R9 + HEADLINE_R10
+)
 
 
 def _calibrate_host(spark) -> dict[str, float]:

@@ -927,18 +927,29 @@ def embedding_neardup_against_store(
     store_cols = [
         F.col(id_col).alias("store_vec"),
         _q(F.col(vec_col)).alias("__st"),
-        _ticks_norm2(_q(F.col(vec_col))).alias("__sn2"),
         F.col("list_id"),
     ]
     if codebook is not None:
         store_cols += [F.col("pq_codes"), F.col("pq_eps")]
-    cand = store.select(*store_cols).join(F.broadcast(probes), "list_id")
+    # __sn2 derives from the BOUND tick column in a second select —
+    # _ticks_norm2(_q(vec)) inline would re-run the O(dim) quantize
+    # transform per row (no CSE through HOFs; CollapseProject keeps
+    # the multi-referenced alias un-inlined)
+    cand = (
+        store.select(*store_cols)
+        .select("*", _ticks_norm2(F.col("__st")).alias("__sn2"))
+        .join(F.broadcast(probes), "list_id")
+    )
     den = F.sqrt(F.col("__sn2").cast("double") * F.col("__qn2").cast("double"))
     if codebook is not None:
         # the sound upper bound: adc' + eps ≥ exact cos, so this
         # filter cannot drop a true pair; the exact dot below runs
         # only on its survivors (predicates evaluate in order inside
-        # the codegen stage)
+        # the codegen stage). The 1e-9 slack covers the handful of
+        # double roundings in the bound itself (den sqrt, eps sqrt):
+        # a pair whose exact cosine sits within float error of the
+        # threshold must not be droppable ONLY when the prescreen is
+        # on — slack only ADMITS candidates, so soundness holds.
         adc_num = F.aggregate(
             F.zip_with(
                 F.col("pq_codes"),
@@ -949,7 +960,7 @@ def embedding_neardup_against_store(
             lambda acc, x: acc + x,
         ).cast("double")
         bound = adc_num / den + F.col("pq_eps")
-        cand = cand.filter(bound >= F.lit(float(threshold)))
+        cand = cand.filter(bound >= F.lit(float(threshold) - 1e-9))
     num = _ticks_dot(F.col("__st"), F.col("__qt")).cast("double")
     cos = (num / den).cast("double")
     return (
@@ -1062,6 +1073,13 @@ def semantic_dedup(
 MAX_KNN_QUERY_BATCH = 10_000
 
 
+#: Largest routed query batch whose probe rows ride a BROADCAST
+#: (|batch|·nprobe rows × ~dim·8 B of ticks ≈ 100-200 MB at the cap).
+#: Beyond it the candidate join shuffle-hashes on list_id instead —
+#: identical results, unbounded batch size, no driver broadcast.
+MAX_KNN_PROBE_BROADCAST = 100_000
+
+
 def _knn_join_ivf(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -1107,7 +1125,10 @@ def _knn_join_ivf(
     # quantize + norm ONCE per query row (before the nprobe explode)
     # and once per corpus row (before the join) — embedded in the
     # score they would re-run the interpreted O(dim) aggregate per
-    # candidate pair
+    # candidate pair. The norm derives from the BOUND tick column in a
+    # second select (never _q(vec) twice — Catalyst does not CSE
+    # through higher-order functions, and CollapseProject keeps the
+    # multi-referenced alias un-inlined).
     probes = queries.select(
         F.col(id_col).alias("query_id"), _q(F.col(vec_col)).alias("__qt")
     ).select(
@@ -1118,14 +1139,23 @@ def _knn_join_ivf(
             ivf_probe_expr("__qt", centroids, nprobe, pre_quantized=True)
         ).alias("list_id"),
     )
+    # bound the driver broadcast: a corpus-scale query set (the OOM
+    # the old fail-fast guard existed for) shuffle-hashes on list_id
+    # instead — same rows out, no broadcast anywhere
+    n_bcast = queries.limit(MAX_KNN_PROBE_BROADCAST + 1).count()
+    probe_side = (
+        F.broadcast(probes)
+        if n_bcast <= MAX_KNN_PROBE_BROADCAST
+        else probes.hint("shuffle_hash")
+    )
     cand = (
         corpus.select(
             F.col(id_col),
             _q(F.col(vec_col)).alias("__st"),
-            _ticks_norm2(_q(F.col(vec_col))).alias("__sn2"),
             F.col("list_id"),
         )
-        .join(F.broadcast(probes), "list_id")
+        .select("*", _ticks_norm2(F.col("__st")).alias("__sn2"))
+        .join(probe_side, "list_id")
         .filter(F.col(id_col) != F.col("query_id"))
     )
     score = (
@@ -1153,6 +1183,7 @@ def knn_join(
     centroids: list[tuple[int, list[int]]] | None = None,
     store_assigned: DataFrame | None = None,
     nprobe: int = IVF_NPROBE,
+    route: str = "auto",
 ) -> DataFrame:
     """Batch top-k: every query vector against the corpus (the k-NN
     join), one corpus scan total — EXACT for small batches, AUTO-
@@ -1165,21 +1196,49 @@ def knn_join(
     construction. Large batch: the same brute kernel is |corpus| ×
     |batch| work (measured 9.7× wall at 10×corpus/10×batch = 100×
     work), so the call routes to ``_knn_join_ivf`` — IVF-pruned
-    candidates via the broadcast-probe kernel, near-linear in batch
-    size, approximate with the IVF recall contract (a neighbor outside
-    the query's ``nprobe`` lists is missed; ivf_recall_report measures
-    the rate). Scores on considered pairs are bit-identical across the
-    two routes. Pass ``centroids`` (+ optionally the persisted
-    ``store_assigned`` (id, vec, list_id) corpus, which then prunes by
-    partition instead of re-assigning) to keep training at ingest; a
-    routed call without them trains sample-bounded centroids inline.
+    candidates, near-linear in batch size (probe rows broadcast up to
+    MAX_KNN_PROBE_BROADCAST queries, shuffle-hash beyond — no
+    unbounded driver broadcast on either route), approximate with the
+    IVF recall contract (a neighbor outside the query's ``nprobe``
+    lists is missed; ivf_recall_report measures the rate). Scores on
+    considered pairs are bit-identical across the two routes. Pass
+    ``centroids`` (+ optionally the persisted ``store_assigned``
+    (id, vec, list_id) corpus, which then prunes by partition instead
+    of re-assigning) to keep training at ingest; a routed call without
+    them trains sample-bounded centroids inline.
+
+    ``route`` makes the exact→approximate transition a CHOICE, never a
+    surprise: ``"auto"`` (default) routes large batches and emits a
+    UserWarning naming the recall contract when it does — a batch that
+    drifts past the threshold degrades loudly, not silently;
+    ``"exact"`` restores the old contract exactly (brute or a loud
+    ValueError over ``max_query_batch`` — for callers whose results
+    feed something that cannot tolerate approximation); ``"ivf"``
+    forces the routed kernel at any batch size (no warning — the
+    caller asked for it).
 
     Output: (query_id, vec_id, score, rn) with rn 1..k per query.
     """
+    import warnings
+
     from pyspark.sql.window import Window
 
-    n_probe = queries.limit(max_query_batch + 1).count()
-    if n_probe > max_query_batch:
+    if route not in ("auto", "exact", "ivf"):
+        raise ValueError(f"route must be 'auto', 'exact' or 'ivf', got {route!r}")
+    if route != "ivf":
+        n_probe = queries.limit(max_query_batch + 1).count()
+    if route == "ivf" or (route == "auto" and n_probe > max_query_batch):
+        if route == "auto":
+            warnings.warn(
+                f"knn_join: query batch exceeds max_query_batch="
+                f"{max_query_batch}; routing through the IVF-pruned "
+                f"kernel (approximate: neighbors outside each query's "
+                f"nprobe={nprobe} lists are missed — ivf_recall_report "
+                "measures the rate). Pass route='exact' to refuse, or "
+                "route='ivf' to silence this.",
+                UserWarning,
+                stacklevel=2,
+            )
         return _knn_join_ivf(
             embeddings,
             queries,
@@ -1189,6 +1248,13 @@ def knn_join(
             centroids,
             store_assigned,
             nprobe,
+        )
+    if route == "exact" and n_probe > max_query_batch:
+        raise ValueError(
+            f"knn_join(route='exact'): query batch exceeds "
+            f"max_query_batch={max_query_batch} — the brute kernel is "
+            "|corpus|×|batch| work and the query broadcast is unbounded; "
+            "raise max_query_batch deliberately or use route='auto'/'ivf'"
         )
     q = queries.select(
         F.col(id_col).alias("query_id"),

@@ -912,7 +912,7 @@ def embedding_knn_join_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb,
         queries,
         k=5,
-        max_query_batch=1,
+        route="ivf",
         centroids=cents,
         nprobe=len(cents),
     ).orderBy("query_id", "rn")
@@ -4324,14 +4324,28 @@ def _ivf_store_corpus_for(spark: SparkSession, sf_dir: str):
 
     key = os.path.abspath(sf_dir)
     if key not in _IVF_CORPUS_CACHE:
+        import hashlib
+
         cents, _, fp = _ivf_artifact_for(spark, sf_dir)
+        book = _pq_index_for(spark, sf_dir)
         # "ivfpq_corpus": since round 10 the layout also carries the
         # PQ prescreen columns (codes + residual bound) written at
         # ingest — a new artifact family so old-schema "ivf_corpus"
         # dirs never resolve with missing-column nulls (content-
-        # addressed dirs are append-only; gc_artifact_dirs reclaims)
+        # addressed dirs are append-only; gc_artifact_dirs reclaims).
+        # The tag is keyed by ALL content the rows derive from: the
+        # corpus fingerprint AND a digest of the centroids + codebook
+        # — retrained artifacts (changed k-means/PQ params or code on
+        # the same corpus) resolve a FRESH dir instead of serving
+        # list_ids/codes/eps from the old training, which would make
+        # the prescreen bound silently unsound (codes looked up in a
+        # different book's LUT) — the same staleness class the family
+        # rename dodged for the schema.
+        ident = hashlib.sha256(repr((cents, book)).encode()).hexdigest()[:8]
         _IVF_CORPUS_CACHE[key] = os.path.join(
-            _artifact_root(), "ivfpq_corpus", _corpus_tag(sf_dir, fp)
+            _artifact_root(),
+            "ivfpq_corpus",
+            f"{_corpus_tag(sf_dir, fp)}-{ident}",
         )
     store = TableStore(
         spark,

@@ -292,8 +292,10 @@ _RELATIONAL_NAMES = [
 #       window_moving_avg_daily_revenue) — retiring the r4 debt the
 #       way r9 retired r3's. After this gate runs green, no
 #       registered query's newest driver row predates r6.
-#   (b) fill to 50 with 19 of the 49 r6-stale rows (newest green r6:
-#       the round-5 list ran in rounds 5 AND 6, untouched since),
+#   (b) fill to 50 with r6-stale rows (newest green r6: the round-5
+#       list ran in rounds 5 AND 6, untouched since) — 19 at rotation
+#       time, 18 after the embedding_knn_join_routed newcomer
+#       displaced snapshot_diff_orders mid-round,
 #       prioritizing LLM-pipeline / multimodal / persisted-artifact /
 #       round-trip shapes no fresher row covers (fingerprint family
 #       simhash/winnow, embedding pairs, the five perceptual/codec
@@ -365,7 +367,9 @@ _ROUND10_FRONT_50 = [
     "multimodal_frame_sample",
     "kmv_sketch_rollup",
     "minhash_signatures",
-    # (b) nineteen r6-stale rows, shape-starved first
+    # (b) eighteen r6-stale rows (nineteen at rotation time;
+    # snapshot_diff_orders displaced mid-round by the newcomer above),
+    # shape-starved first
     "simhash_docs",
     "winnow_fingerprint_docs",
     "embedding_neardup_pairs",
