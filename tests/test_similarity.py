@@ -366,3 +366,53 @@ def test_ivf_exprs_reject_column_vec_col(spark):
         S.ivf_probe_expr(F.col("embedding"), cents, nprobe=1)
     with pytest.raises(TypeError, match="NAME"):
         P._pq_sub_expr(F.col("embedding"), 1, 4, cents, None)
+
+
+def test_knn_join_route_contract(spark):
+    """route='exact' restores the loud refusal; route='auto' warns
+    (once, naming the recall contract) when it degrades to the IVF
+    kernel; route='ivf' is silent — the transition is a choice."""
+    import warnings
+
+    from tinyerp_etl_spark.operators.similarity import knn_join, train_kmeans
+
+    corpus = _vecs(spark, 20)
+    queries = _vecs(spark, 6)
+    cents = train_kmeans(corpus)
+    with pytest.raises(ValueError, match="route='exact'"):
+        knn_join(corpus, queries, k=2, max_query_batch=4, route="exact")
+    with pytest.raises(ValueError, match="route must be"):
+        knn_join(corpus, queries, k=2, route="fastest")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        knn_join(corpus, queries, k=2, max_query_batch=4,
+                 centroids=cents).collect()
+        routed_warnings = [x for x in w if "IVF-pruned" in str(x.message)]
+        assert len(routed_warnings) == 1
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        knn_join(corpus, queries, k=2, route="ivf", centroids=cents,
+                 nprobe=len(cents)).collect()
+        assert not [x for x in w if "IVF-pruned" in str(x.message)]
+
+
+def test_knn_join_routed_shuffle_hash_beyond_broadcast_cap(spark, monkeypatch):
+    """Beyond MAX_KNN_PROBE_BROADCAST the probe side must ride a
+    shuffle-hash join (no driver broadcast of a corpus-scale query
+    set) with identical results."""
+    from tinyerp_etl_spark.operators import similarity as S
+
+    corpus = _vecs(spark, 20)
+    queries = _vecs(spark, 6)
+    cents = S.train_kmeans(corpus)
+    kw = dict(k=2, route="ivf", centroids=cents, nprobe=len(cents))
+    small = S.knn_join(corpus, queries, **kw)
+    monkeypatch.setattr(S, "MAX_KNN_PROBE_BROADCAST", 2)
+    big = S.knn_join(corpus, queries, **kw)
+    plan = big._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+    key = lambda r: (r["query_id"], r["rn"])
+    assert {key(r): (r["vec_id"], r["score"]) for r in big.collect()} == {
+        key(r): (r["vec_id"], r["score"]) for r in small.collect()
+    }
