@@ -118,6 +118,9 @@ HEADLINE_R9 = [
 # row is the kernel's first bench presence).
 HEADLINE_R10 = [
     "embedding_knn_join_routed",
+    # ExactSubstr cleanup: keep-one-canonical span deletion with the
+    # rebuilt clean_text under the hash gate
+    "dedup_span_removal_docs",
 ]
 HEADLINE = (
     HEADLINE + HEADLINE_R4 + HEADLINE_R5 + HEADLINE_R7 + HEADLINE_R9 + HEADLINE_R10

@@ -498,3 +498,54 @@ def test_dup_span_hash_mode_matches_exact(spark):
     hashed = _span_cov_rows(dup_span_coverage(docs, join_on_hash=True))
     assert exact == hashed
     assert exact[1][1] == 8 and exact[2][1] == 8 and exact[3][1] == 0
+
+
+def test_remove_dup_spans_keep_one_canonical(spark):
+    """The cleanup contract: the canonical (min doc_id, min pos)
+    occurrence of a duplicated span survives whole; every other
+    occurrence is deleted; clean docs pass through untouched; hash
+    join-key mode is bit-identical to exact-string mode."""
+    from tinyerp_etl_spark.operators import dedup as D
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [
+            (1, f"one two {shared} three four"),
+            (2, f"{shared} five six"),
+            (3, "totally unique text with nothing shared here at all ok"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in D.remove_dup_spans(docs).collect()}
+    assert out[1]["n_removed_tokens"] == 0  # canonical keeps its copy
+    assert out[1]["clean_text"].count("alpha") == 1
+    assert out[2]["n_removed_tokens"] == 8
+    assert out[2]["clean_text"] == "five six"
+    assert out[3]["n_removed_tokens"] == 0
+    hashed = {r["doc_id"]: r for r in
+              D.remove_dup_spans(docs, join_on_hash=True).collect()}
+    assert {k: tuple(v) for k, v in hashed.items()} == {
+        k: tuple(v) for k, v in out.items()
+    }
+
+
+def test_remove_dup_spans_overlap_protection(spark):
+    """A position covered by BOTH a canonical span and an overlapping
+    non-canonical duplicated gram stays protected — canonical text
+    comes back whole, never punched full of holes by its neighbors."""
+    from tinyerp_etl_spark.operators import dedup as D
+
+    # doc 1 holds the canonical occurrence of ALL grams of the long
+    # run (it is the min doc_id); doc 2 repeats the run shifted, so
+    # doc 1's positions are covered by non-canonical grams of doc 2's
+    # occurrence set as well — they must remain kept in doc 1.
+    run = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    docs = spark.createDataFrame(
+        [(1, f"{run} tail1"), (2, f"head2 {run}")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in D.remove_dup_spans(docs).collect()}
+    assert out[1]["n_removed_tokens"] == 0
+    assert out[1]["clean_text"] == f"{run} tail1"
+    assert out[2]["clean_text"] == "head2"
+    assert out[2]["n_removed_tokens"] == 10

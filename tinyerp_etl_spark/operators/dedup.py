@@ -1142,3 +1142,98 @@ def dup_span_coverage(
             .cast("long"),
         )
     )
+
+
+def remove_dup_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = SPAN_K,
+    join_on_hash: bool = False,
+) -> DataFrame:
+    """The CLEANUP half of ExactSubstr dedup (Lee et al. 2021 §4:
+    remove every duplicated substring occurrence but one):
+    (id, n_tokens, n_removed_tokens, clean_text) for EVERY doc, where
+    ``clean_text`` is the document's tokens with duplicated-span
+    positions deleted — the operator that actually PRODUCES the
+    deduplicated training corpus ``dup_span_coverage`` only measures.
+
+    KEEP-ONE-CANONICAL contract (deterministic, oracle-expressible):
+    for each k-gram occurring in ≥ 2 distinct documents, its CANONICAL
+    occurrence is the (min doc_id, then min pos) one. A token position
+    is removed iff it lies inside at least one duplicated-gram
+    occurrence AND inside no canonical occurrence — so exactly one
+    copy of every duplicated passage survives, whole and in place
+    (positions under a canonical span are protected even where a
+    non-canonical overlapping gram also covers them), and clean docs
+    pass through untouched. ``clean_text`` is the kept tokens joined
+    with single spaces in original order — tokenizer-normalized
+    output, the form a training pipeline feeds to the tokenizer
+    anyway (case/punctuation follow the ``tokens`` normalization).
+
+    Topology = ``dup_span_coverage`` plus one gram-keyed min aggregate
+    and one position anti-join: positional grams materialize ONCE and
+    feed the dup-gram count, the canonical argmin, and the covered
+    explode; the final reassembly is a posexplode of the tokenize-once
+    array, an anti-join against removed positions (shuffle ∝ removed
+    occurrences, which IS the duplicated subset), and a sort_array
+    over (pos, token) structs — no window, no Python.
+    ``join_on_hash`` mirrors dup_span_coverage's at-scale shape: both
+    gram-keyed exchanges carry xxhash64(gram) instead of the ~k-word
+    string (same collision trade, documented there).
+    """
+    pg = materialize(positional_ngram_rows(docs, text_col, id_col, k))
+    key = F.xxhash64("gram") if join_on_hash else F.col("gram")
+    occ = pg.select(F.col(id_col), "pos", key.alias("__k"))
+    dup = (
+        occ.groupBy("__k")
+        .agg(F.count_distinct(id_col).alias("__nd"))
+        .filter(F.col("__nd") >= 2)
+        .select("__k")
+    )
+    dup_occ = occ.join(dup, "__k")
+    canon = dup_occ.groupBy("__k").agg(
+        F.min(F.struct(F.col(id_col).alias("cid"), F.col("pos").alias("cpos"))).alias(
+            "__c"
+        )
+    )
+    span = F.explode(F.sequence(F.col("pos"), F.col("pos") + (k - 1))).alias(
+        "__tok"
+    )
+    covered = dup_occ.select(F.col(id_col), span)
+    protected = canon.select(
+        F.col("__c.cid").alias(id_col),
+        F.explode(
+            F.sequence(F.col("__c.cpos"), F.col("__c.cpos") + (k - 1))
+        ).alias("__tok"),
+    )
+    removed = covered.join(
+        protected, [id_col, "__tok"], "left_anti"
+    ).distinct()
+    toks = docs.select(
+        F.col(id_col), F.posexplode(tokens(text_col)).alias("pos0", "__t")
+    ).select(F.col(id_col), (F.col("pos0") + 1).alias("__tok"), "__t")
+    kept = toks.join(removed, [id_col, "__tok"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("__tok"), F.col("__t")))
+                ),
+                lambda s: s["__t"],
+            ),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).cast("long").alias("__n_kept"),
+    )
+    base = docs.select(
+        F.col(id_col), token_count(text_col).cast("long").alias("n_tokens")
+    )
+    return base.join(rebuilt, id_col, "left").select(
+        F.col(id_col),
+        "n_tokens",
+        (F.col("n_tokens") - F.coalesce(F.col("__n_kept"), F.lit(0)))
+        .cast("long")
+        .alias("n_removed_tokens"),
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+    )

@@ -3012,6 +3012,81 @@ LLM_ORACLES["dup_span_coverage_docs"] = f"""
 LLM_QUERIES["dup_span_coverage_docs"] = dup_span_coverage_docs
 
 
+def dedup_span_removal_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cleanup half of ExactSubstr dedup — the operator that
+    PRODUCES the deduplicated corpus dup_span_coverage only measures
+    (operators/dedup.remove_dup_spans, Lee et al. 2021 §4): per doc,
+    tokens inside duplicated k-gram spans are deleted EXCEPT the
+    canonical (min doc_id, min pos) occurrence of each gram, so
+    exactly one copy of every duplicated passage survives whole and
+    in place. Output carries the cleaned text itself plus exact
+    integer token accounting, so the hash compare proves the
+    reassembled strings byte-for-byte."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return D.remove_dup_spans(docs).orderBy("doc_id")
+
+
+# DuckDB twin: same positional grams, same ≥2-distinct-doc rule, the
+# canonical occurrence via row_number over (doc_id, pos), removed =
+# covered-positions EXCEPT canonical-protected-positions, and the
+# rebuild as string_agg of kept tokens ordered by position.
+LLM_ORACLES["dedup_span_removal_docs"] = f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    pg AS (
+      SELECT doc_id, i AS pos,
+             array_to_string(toks[i:i+{D.SPAN_K - 1}], ' ') AS gram
+      FROM t, UNNEST(range(1, len(toks) - {D.SPAN_K - 2})) AS u(i)
+      WHERE len(toks) >= {D.SPAN_K}
+    ),
+    dup AS (
+      SELECT gram FROM pg GROUP BY gram
+      HAVING count(DISTINCT doc_id) >= 2
+    ),
+    docc AS (SELECT pg.* FROM pg JOIN dup USING (gram)),
+    canon AS (
+      SELECT gram, doc_id AS cid, pos AS cpos FROM (
+        SELECT gram, doc_id, pos,
+               row_number() OVER (PARTITION BY gram
+                                  ORDER BY doc_id, pos) AS rn
+        FROM docc) WHERE rn = 1
+    ),
+    covered AS (
+      SELECT d.doc_id, d.pos + j AS tok
+      FROM docc d, UNNEST(range(0, {D.SPAN_K})) AS g(j)
+    ),
+    protected AS (
+      SELECT c.cid AS doc_id, c.cpos + j AS tok
+      FROM canon c, UNNEST(range(0, {D.SPAN_K})) AS g(j)
+    ),
+    removed AS (
+      SELECT doc_id, tok FROM covered
+      EXCEPT
+      SELECT doc_id, tok FROM protected
+    ),
+    kept AS (
+      SELECT t.doc_id, u.i AS pos, t.toks[u.i] AS tok
+      FROM t, UNNEST(range(1, len(t.toks) + 1)) AS u(i)
+      WHERE NOT EXISTS (
+        SELECT 1 FROM removed r
+        WHERE r.doc_id = t.doc_id AND r.tok = u.i
+      )
+    ),
+    rebuilt AS (
+      SELECT doc_id, count(*) AS n_kept,
+             string_agg(tok, ' ' ORDER BY pos) AS clean_text
+      FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.toks) AS BIGINT) AS n_tokens,
+           CAST(len(t.toks) - coalesce(rb.n_kept, 0) AS BIGINT)
+             AS n_removed_tokens,
+           coalesce(rb.clean_text, '') AS clean_text
+    FROM t LEFT JOIN rebuilt rb USING (doc_id)
+    ORDER BY t.doc_id
+"""
+LLM_QUERIES["dedup_span_removal_docs"] = dedup_span_removal_docs
+
+
 # ---------------- round-9 addition: product-quantization (PQ) index
 
 _PQ_CACHE: dict[str, tuple[list, str, tuple[int, int]]] = {}

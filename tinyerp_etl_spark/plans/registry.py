@@ -294,8 +294,9 @@ _RELATIONAL_NAMES = [
 #       registered query's newest driver row predates r6.
 #   (b) fill to 50 with r6-stale rows (newest green r6: the round-5
 #       list ran in rounds 5 AND 6, untouched since) — 19 at rotation
-#       time, 18 after the embedding_knn_join_routed newcomer
-#       displaced snapshot_diff_orders mid-round,
+#       time, 17 after the two mid-round newcomers displaced
+#       snapshot_diff_orders (embedding_knn_join_routed) and
+#       tfidf_top_terms (dedup_span_removal_docs),
 #       prioritizing LLM-pipeline / multimodal / persisted-artifact /
 #       round-trip shapes no fresher row covers (fingerprint family
 #       simhash/winnow, embedding pairs, the five perceptual/codec
@@ -315,9 +316,12 @@ _RELATIONAL_NAMES = [
 # replace_order_items, q4_priority_late_ship, q9_product_type_profit,
 # q11_important_parts, q12_priority_by_linestatus,
 # q16_supplier_diversity, q20_heavy_part_suppliers,
-# q21_sole_late_shippers, and snapshot_diff_orders (displaced
-# mid-round by the embedding_knn_join_routed newcomer; its versioned-
-# read round-trip shape stays gated via time_travel_orders_versions)
+# q21_sole_late_shippers, snapshot_diff_orders (displaced mid-round
+# by the embedding_knn_join_routed newcomer; its versioned-read
+# round-trip shape stays gated via time_travel_orders_versions), and
+# tfidf_top_terms (displaced mid-round by the dedup_span_removal_docs
+# newcomer; its df/idf ranking kernel stays gated via
+# bm25i_retrieval_docs)
 # — the stable relational/TPC-H backbone and
 # showcases (their scan/agg/join kernels are exercised by dozens of
 # in-gate rows). Guard-only edits this round (fail-fast isinstance
@@ -335,6 +339,15 @@ _ROUND10_FRONT_50 = [
     # round-trip shape stays gated via the in-gate
     # time_travel_orders_versions)
     "embedding_knn_join_routed",
+    # dedup_span_removal_docs — the SECOND round-10 newcomer, gated at
+    # birth (operators/dedup.remove_dup_spans: the ExactSubstr CLEANUP
+    # half — keep-one-canonical span deletion producing the cleaned
+    # corpus; the oracle hash-proves the rebuilt strings byte-for-
+    # byte). It displaces tfidf_top_terms (r6-green on untouched code;
+    # its tokenize + document-frequency + idf-ranking kernel stays
+    # gated via the in-gate bm25i_retrieval_docs, which computes the
+    # same df/idf family end to end)
+    "dedup_span_removal_docs",
     "embedding_knn_join",
     "embedding_neardup_store",
     "minhash_store_neardup",
@@ -367,9 +380,9 @@ _ROUND10_FRONT_50 = [
     "multimodal_frame_sample",
     "kmv_sketch_rollup",
     "minhash_signatures",
-    # (b) eighteen r6-stale rows (nineteen at rotation time;
-    # snapshot_diff_orders displaced mid-round by the newcomer above),
-    # shape-starved first
+    # (b) seventeen r6-stale rows (nineteen at rotation time;
+    # snapshot_diff_orders and tfidf_top_terms displaced mid-round by
+    # the two newcomers above), shape-starved first
     "simhash_docs",
     "winnow_fingerprint_docs",
     "embedding_neardup_pairs",
@@ -381,7 +394,6 @@ _ROUND10_FRONT_50 = [
     "bm25i_retrieval_docs",
     "lang_id_docs",
     "text_profile_docs",
-    "tfidf_top_terms",
     "repetition_profile_docs",
     "chunk_documents_stats",
     "pii_redact_docs",
