@@ -549,3 +549,57 @@ def test_remove_dup_spans_overlap_protection(spark):
     assert out[1]["clean_text"] == f"{run} tail1"
     assert out[2]["clean_text"] == "head2"
     assert out[2]["n_removed_tokens"] == 10
+
+
+def test_remove_dup_spans_matches_exact_model(spark):
+    """Property: remove_dup_spans ≡ a brute-force Python model of the
+    keep-one-canonical contract on randomized small corpora (short
+    docs, empty docs, self-repeats, three-way duplication included)."""
+    import re as _re
+
+    from hypothesis import given, settings, strategies as st
+
+    from tinyerp_etl_spark.operators import dedup as D
+
+    words = [f"t{i}" for i in range(6)]
+    doc = st.lists(st.sampled_from(words), min_size=0, max_size=8).map(" ".join)
+
+    def model(texts, k):
+        toks = {i: _re.findall(r"\w+", t.lower()) for i, t in enumerate(texts)}
+        occ = [
+            (i, p + 1, " ".join(ts[p : p + k]))
+            for i, ts in toks.items()
+            for p in range(len(ts) - k + 1)
+        ]
+        by_gram = {}
+        for i, p, g in occ:
+            by_gram.setdefault(g, []).append((i, p))
+        dup = {g for g, os_ in by_gram.items()
+               if len({i for i, _ in os_}) >= 2}
+        covered, protected = set(), set()
+        for g in dup:
+            ci, cp = min(by_gram[g])
+            protected.update((ci, cp + j) for j in range(k))
+            for i, p in by_gram[g]:
+                covered.update((i, p + j) for j in range(k))
+        removed = covered - protected
+        out = {}
+        for i, ts in toks.items():
+            kept = [t for p, t in enumerate(ts, 1) if (i, p) not in removed]
+            out[i] = (len(ts), len(ts) - len(kept), " ".join(kept))
+        return out
+
+    @settings(max_examples=8, deadline=None)
+    @given(st.lists(doc, min_size=1, max_size=6))
+    def run(texts):
+        k = 3  # narrow spans so tiny docs actually collide
+        df = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string"
+        )
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["n_removed_tokens"], r["clean_text"])
+            for r in D.remove_dup_spans(df, k=k).collect()
+        }
+        assert got == model(texts, k)
+
+    run()
