@@ -121,6 +121,9 @@ HEADLINE_R10 = [
     # ExactSubstr cleanup: keep-one-canonical span deletion with the
     # rebuilt clean_text under the hash gate
     "dedup_span_removal_docs",
+    # its incremental face: batch cleaned against the persisted
+    # span-gram index (history never rescans)
+    "incremental_span_removal_docs",
 ]
 HEADLINE = (
     HEADLINE + HEADLINE_R4 + HEADLINE_R5 + HEADLINE_R7 + HEADLINE_R9 + HEADLINE_R10

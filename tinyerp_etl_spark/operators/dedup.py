@@ -1210,6 +1210,22 @@ def remove_dup_spans(
     removed = covered.join(
         protected, [id_col, "__tok"], "left_anti"
     ).distinct()
+    return rebuild_without_positions(docs, removed, text_col, id_col)
+
+
+def rebuild_without_positions(
+    docs: DataFrame,
+    removed: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, n_tokens, n_removed_tokens, clean_text): each doc's tokens
+    minus the (id, __tok) 1-based positions in ``removed``, rejoined
+    with single spaces in original order — the reassembly tail shared
+    by ``remove_dup_spans`` (one-shot) and the persisted-index batch
+    clean (operators/span_index). posexplode + anti-join (shuffle ∝
+    removed positions) + sort_array over (pos, token) structs — no
+    window, no Python; a doc losing every token comes back as ''."""
     toks = docs.select(
         F.col(id_col), F.posexplode(tokens(text_col)).alias("pos0", "__t")
     ).select(F.col(id_col), (F.col("pos0") + 1).alias("__tok"), "__t")

@@ -1,0 +1,255 @@
+"""Persisted span-gram index: the INCREMENTAL face of ExactSubstr
+span removal.
+
+``dedup.remove_dup_spans`` is the one-shot form — it needs the whole
+corpus in one frame. A training-data ingest never has that: batches
+arrive forever, and each new batch must be cleaned against EVERYTHING
+already ingested without rescanning it. This store is the
+"persist the expensive face" discipline applied to span grams (the
+same shape as the BM25 postings / MinHash feature / paragraph
+first-occurrence stores): at ingest each batch registers one row per
+(gram, doc) — (gram_key, doc_id, pos of the doc's first occurrence) —
+through the shared fold harness (etl/fold.fold_append: claim →
+bootstrap-OCC → pinned-read → doc-novelty filter → commit_append, IO
+∝ batch); at clean time the batch's gram keys broadcast into a
+semi-join probing ONE column-pruned store scan, so the historical
+corpus never shuffles and never re-tokenizes.
+
+SEQUENTIAL ≡ ONE-SHOT law (pinned by test): with doc_ids increasing
+across batches — the ingest-order contract, and exactly the condition
+under which ``remove_dup_spans``'s keep-one-canonical rule always
+keeps the FIRST-ingested copy — cleaning each batch against the store
+then folding it in produces, doc for doc, byte for byte, the output
+of one-shot ``remove_dup_spans`` over the concatenated corpus. The
+store registers the batch's ORIGINAL grams (not the cleaned text's):
+duplicated-span determination must see every occurrence ever
+ingested, or a passage deleted from batch 2 could be re-admitted
+verbatim in batch 3 (the ExactSubstr convention — dedup against
+everything SEEN, not everything KEPT).
+
+Gram keys are xxhash64 of the k-token gram (the at-scale exchange
+shape ``dup_span_coverage``/``remove_dup_spans`` expose as
+``join_on_hash``): ~2^32 distinct grams before a collision is likely,
+and a collision costs one falsely-removed span — the trade every
+production span-dedup run makes (documented at dup_span_coverage).
+
+ref tiny_api_v2_cliente.py:79-134 (the reference's incremental
+per-page ingest loop) is the lineage; the span semantics follow Lee
+et al. 2021 ("Deduplicating Training Data Makes Language Models
+Better"), §4's remove-all-but-one.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
+
+from tinyerp_etl_spark.etl.fold import drain_available_now, fold_append, occ_fold
+from tinyerp_etl_spark.etl.table_store import TableStore
+from tinyerp_etl_spark.functions.materialize import materialize
+from tinyerp_etl_spark.operators.dedup import (
+    SPAN_K,
+    positional_ngram_rows,
+    rebuild_without_positions,
+)
+
+#: Files per fold commit — small-files control (the POSTINGS_FILES /
+#: FEATURE_FILES convention); a cluster sizes this to bytes/target.
+SPAN_FILES = 8
+
+SPAN_INDEX_SCHEMA = StructType(
+    [
+        StructField("gram_key", LongType()),
+        StructField("doc_id", LongType()),
+        StructField("pos", LongType()),
+    ]
+)
+
+
+def span_gram_store(spark: SparkSession, path: str) -> TableStore:
+    return TableStore(spark, path, SPAN_INDEX_SCHEMA)
+
+
+def build_span_gram_rows(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = SPAN_K,
+) -> DataFrame:
+    """(gram_key, doc_id, pos) — one row per (gram, doc), pos = the
+    doc's FIRST occurrence of that gram (1-based token position).
+
+    Per-doc first occurrence is all the downstream math needs: the
+    duplicated rule counts DISTINCT docs per gram, and the canonical
+    occurrence is min (doc_id, pos) — which the per-doc min preserves
+    exactly. One tokenize-once gram pass + one groupBy; docs with < k
+    tokens emit nothing (they hold no k-gram and can never duplicate
+    a span)."""
+    pg = positional_ngram_rows(docs, text_col, id_col, k)
+    return pg.select(
+        F.xxhash64("gram").alias("gram_key"),
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col("pos").cast("long").alias("pos"),
+    ).groupBy("gram_key", "doc_id").agg(F.min("pos").alias("pos"))
+
+
+def update_span_index(
+    spark: SparkSession,
+    path: str,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    on_overlap: str = "raise",
+) -> int:
+    """Fold a batch's ORIGINAL grams into the persisted index.
+
+    Only the batch tokenizes AND only the batch's rows are written
+    (the shared harness's ``commit_append``) — fold compute and IO
+    are both ∝ batch. Replay contract identical to the MinHash fold:
+    ``"raise"`` treats an already-indexed doc_id as a caller bug,
+    ``"skip_existing"`` anti-joins replayed docs away so at-least-once
+    delivery folds to an exactly-once index (a replayed doc re-adding
+    its gram rows would double-count it toward the ≥2-distinct-docs
+    rule and falsely mark its self-repeats as duplicated). A batch of
+    only sub-k docs is a version-preserving no-op (returns 0 on an
+    absent store, never creating an empty artifact)."""
+    if on_overlap not in ("raise", "skip_existing"):
+        raise ValueError(
+            f"on_overlap must be 'raise' or 'skip_existing', got {on_overlap!r}"
+        )
+    rows = materialize(build_span_gram_rows(new_docs, text_col, id_col))
+
+    def fresh_rows(stored: DataFrame, batch: DataFrame) -> DataFrame:
+        indexed = stored.select("doc_id").distinct()
+        if on_overlap == "raise":
+            n = (
+                batch.select("doc_id")
+                .distinct()
+                .join(indexed, "doc_id", "left_semi")
+                .count()
+            )
+            if n:
+                raise ValueError(
+                    f"span index at {path}: {n} batch doc_ids are already "
+                    "indexed — the fold is append-only; replay with "
+                    "on_overlap='skip_existing' if this is an "
+                    "at-least-once redelivery"
+                )
+            return batch
+        return batch.join(indexed, "doc_id", "left_anti")
+
+    return fold_append(
+        span_gram_store(spark, path),
+        rows,
+        fresh_rows,
+        n_files=SPAN_FILES,
+        skip_empty_bootstrap_result=0,
+    )
+
+
+def clean_batch_against_store(
+    spark: SparkSession,
+    path: str,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = SPAN_K,
+) -> DataFrame:
+    """(id, n_tokens, n_removed_tokens, clean_text) for every BATCH
+    doc, with duplicated spans removed against store ∪ batch — the
+    steady-state ingest form of ``remove_dup_spans``.
+
+    A batch gram is DUPLICATED iff it exists in the store (every store
+    doc predates every batch doc under the ingest-order contract, so
+    the historical copy is canonical and no batch occurrence is
+    protected) or it occurs in ≥ 2 distinct batch docs (the batch-min
+    (doc_id, pos) occurrence is canonical and stays protected — the
+    one-shot rule applied within the batch). The store version is
+    pinned ONCE (``read_version``) and read in one column-pruned pass
+    (gram_key only — a third of the narrow schema's bytes),
+    semi-joined to the batch's broadcast key set: the store never
+    shuffles, never re-tokenizes, and contributes nothing but the
+    membership bit the math needs. Output rows cover the batch only —
+    store docs are already written and are never rewritten.
+    """
+    store = span_gram_store(spark, path)
+    version = store.current_version()
+    stored = (
+        store.read() if version is None else store.read_version(version)
+    )
+    pg = materialize(
+        positional_ngram_rows(batch, text_col, id_col, k).select(
+            F.col(id_col),
+            "pos",
+            F.xxhash64("gram").alias("gram_key"),
+        )
+    )
+    batch_keys = pg.select("gram_key").distinct()
+    store_hit = (
+        stored.select("gram_key")
+        .join(F.broadcast(batch_keys), "gram_key", "left_semi")
+        .distinct()
+    )
+    batch_stats = pg.groupBy("gram_key").agg(
+        F.count_distinct(id_col).alias("__bn"),
+        F.min(F.struct(F.col(id_col).alias("cid"), F.col("pos").alias("cpos"))).alias(
+            "__c"
+        ),
+    )
+    in_store = batch_stats.join(store_hit, "gram_key", "left_semi")
+    batch_only_dup = batch_stats.join(
+        store_hit, "gram_key", "left_anti"
+    ).filter(F.col("__bn") >= 2)
+    dup_keys = in_store.select("gram_key").unionByName(
+        batch_only_dup.select("gram_key")
+    )
+    span = F.explode(F.sequence(F.col("pos"), F.col("pos") + (k - 1))).alias(
+        "__tok"
+    )
+    # dup_keys ⊆ the batch's distinct grams — the same batch-bounded
+    # frame already broadcast into the store probe, so broadcast here
+    # too (a sort-merge would shuffle the gram rows for no reason)
+    covered = pg.join(F.broadcast(dup_keys), "gram_key").select(
+        F.col(id_col), span
+    )
+    # protection exists only for grams whose canonical lives in the
+    # batch — i.e. grams absent from the store
+    protected = batch_only_dup.select(
+        F.col("__c.cid").alias(id_col),
+        F.explode(
+            F.sequence(F.col("__c.cpos"), F.col("__c.cpos") + (k - 1))
+        ).alias("__tok"),
+    )
+    removed = covered.join(
+        protected, [id_col, "__tok"], "left_anti"
+    ).distinct()
+    return rebuild_without_positions(batch, removed, text_col, id_col)
+
+
+def run_stream_to_span_index(
+    spark: SparkSession,
+    docs_stream: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+    occ_retries: int = 3,
+) -> None:
+    """Maintain the span-gram index from a document stream
+    (availableNow) — register-at-ingest: each micro-batch folds its
+    own grams via ``update_span_index``, so ``clean_batch_against_
+    store`` always sees grams current to the last drained batch.
+    Same replay and concurrency contract as every streaming fold:
+    ``skip_existing`` absorbs at-least-once redelivery, and
+    ConcurrentWriteError retries through the shared harness
+    (etl/fold.occ_fold — safe, the doc-novelty filter re-derives
+    what is new against the winner)."""
+
+    def sink(batch_df: DataFrame, _batch_id: int) -> None:
+        occ_fold(
+            lambda: update_span_index(
+                spark, path, batch_df, on_overlap="skip_existing"
+            ),
+            occ_retries,
+        )
+
+    drain_available_now(docs_stream, sink, checkpoint_dir)

@@ -3087,6 +3087,72 @@ LLM_ORACLES["dedup_span_removal_docs"] = f"""
 LLM_QUERIES["dedup_span_removal_docs"] = dedup_span_removal_docs
 
 
+_SPAN_STORE_CACHE: dict[str, tuple[str, int]] = {}
+
+
+def _span_store_for(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
+    """(artifact path, doc_id split threshold) of the persisted
+    span-gram index over the FIRST-HALF staging (doc_id ≤ max/2) —
+    registered once per corpus fingerprint (content-addressed dir,
+    the _corpus_tag convention), loaded thereafter. The tokenize+gram
+    pass over history thus runs at ingest, never per query."""
+    key = os.path.abspath(sf_dir)
+    if key not in _SPAN_STORE_CACHE:
+        from tinyerp_etl_spark.operators import span_index as SI
+
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        thr = int(docs.agg(F.max("doc_id")).first()[0]) // 2
+        first = docs.filter(F.col("doc_id") <= thr)
+        fp = corpus_fingerprint_docs(first)
+        path = os.path.join(
+            _artifact_root(), "span_index", _corpus_tag(sf_dir, fp)
+        )
+        if SI.span_gram_store(spark, path).current_version() is None:
+            SI.update_span_index(spark, path, first)
+        _SPAN_STORE_CACHE[key] = (path, thr)
+    return _SPAN_STORE_CACHE[key]
+
+
+def incremental_span_removal_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-vs-store span removal through the persisted gram index
+    (operators/span_index.clean_batch_against_store): history (doc_id
+    ≤ max/2) registered its grams ONCE into a TableStore artifact via
+    the shared fold harness; the incoming batch (doc_id > max/2)
+    tokenizes only itself, broadcasts its gram keys into a semi-join
+    probing one column-pruned store scan, and deletes every span
+    duplicated against store ∪ batch — history never shuffles or
+    re-tokenizes. The oracle is the ONE-SHOT removal SQL over the
+    full corpus restricted to the batch docs: the sequential ≡
+    one-shot law (ingest-ordered doc_ids ⇒ identical output,
+    operators/span_index module docstring; also property-pinned by
+    test) is what makes the incremental path hash-checkable against
+    the batch-free formulation. Store keys are xxhash64(gram) — the
+    at-scale exchange shape; the oracle's exact strings match modulo
+    64-bit collisions (~2^32 distinct grams before one is likely)."""
+    from tinyerp_etl_spark.operators import span_index as SI
+
+    path, thr = _span_store_for(spark, sf_dir)
+    batch = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") > thr)
+    )
+    return SI.clean_batch_against_store(spark, path, batch).orderBy("doc_id")
+
+
+# DuckDB twin: the dedup_span_removal_docs one-shot SQL verbatim,
+# restricted to the batch half — the sequential ≡ one-shot law IS the
+# oracle strategy (recompute-from-scratch vs index-read).
+LLM_ORACLES["incremental_span_removal_docs"] = (
+    LLM_ORACLES["dedup_span_removal_docs"].replace(
+        "FROM t LEFT JOIN rebuilt rb USING (doc_id)",
+        "FROM t LEFT JOIN rebuilt rb USING (doc_id)\n"
+        "    WHERE t.doc_id > (SELECT max(doc_id) // 2 FROM documents)",
+    )
+)
+LLM_QUERIES["incremental_span_removal_docs"] = incremental_span_removal_docs
+
+
 # ---------------- round-9 addition: product-quantization (PQ) index
 
 _PQ_CACHE: dict[str, tuple[list, str, tuple[int, int]]] = {}

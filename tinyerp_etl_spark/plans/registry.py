@@ -294,9 +294,10 @@ _RELATIONAL_NAMES = [
 #       registered query's newest driver row predates r6.
 #   (b) fill to 50 with r6-stale rows (newest green r6: the round-5
 #       list ran in rounds 5 AND 6, untouched since) — 19 at rotation
-#       time, 17 after the two mid-round newcomers displaced
-#       snapshot_diff_orders (embedding_knn_join_routed) and
-#       tfidf_top_terms (dedup_span_removal_docs),
+#       time, 16 after the three mid-round newcomers displaced
+#       snapshot_diff_orders (embedding_knn_join_routed),
+#       tfidf_top_terms (dedup_span_removal_docs), and
+#       embedding_neardup_pairs (incremental_span_removal_docs),
 #       prioritizing LLM-pipeline / multimodal / persisted-artifact /
 #       round-trip shapes no fresher row covers (fingerprint family
 #       simhash/winnow, embedding pairs, the five perceptual/codec
@@ -321,7 +322,9 @@ _RELATIONAL_NAMES = [
 # round-trip shape stays gated via time_travel_orders_versions), and
 # tfidf_top_terms (displaced mid-round by the dedup_span_removal_docs
 # newcomer; its df/idf ranking kernel stays gated via
-# bm25i_retrieval_docs)
+# bm25i_retrieval_docs), and embedding_neardup_pairs (displaced
+# mid-round by the incremental_span_removal_docs newcomer; its shape
+# stays gated via embedding_neardup_store)
 # — the stable relational/TPC-H backbone and
 # showcases (their scan/agg/join kernels are exercised by dozens of
 # in-gate rows). Guard-only edits this round (fail-fast isinstance
@@ -348,6 +351,16 @@ _ROUND10_FRONT_50 = [
     # gated via the in-gate bm25i_retrieval_docs, which computes the
     # same df/idf family end to end)
     "dedup_span_removal_docs",
+    # incremental_span_removal_docs — the THIRD round-10 newcomer,
+    # gated at birth (operators/span_index: the persisted gram index
+    # — the shared fold harness's sixth store — cleaning each batch
+    # against history without rescanning it; the oracle is the
+    # one-shot SQL via the sequential ≡ one-shot law). It displaces
+    # embedding_neardup_pairs (r6-green on untouched code; its
+    # embedding near-dup candidate+verify shape stays gated via the
+    # fresher in-gate embedding_neardup_store and the r9-green
+    # neardup_threshold_curve)
+    "incremental_span_removal_docs",
     "embedding_knn_join",
     "embedding_neardup_store",
     "minhash_store_neardup",
@@ -380,12 +393,12 @@ _ROUND10_FRONT_50 = [
     "multimodal_frame_sample",
     "kmv_sketch_rollup",
     "minhash_signatures",
-    # (b) seventeen r6-stale rows (nineteen at rotation time;
-    # snapshot_diff_orders and tfidf_top_terms displaced mid-round by
-    # the two newcomers above), shape-starved first
+    # (b) sixteen r6-stale rows (nineteen at rotation time;
+    # snapshot_diff_orders, tfidf_top_terms, and
+    # embedding_neardup_pairs displaced mid-round by the three
+    # newcomers above), shape-starved first
     "simhash_docs",
     "winnow_fingerprint_docs",
-    "embedding_neardup_pairs",
     "image_dhash_parity",
     "audio_fingerprint_parity",
     "video_neardup_parity",
