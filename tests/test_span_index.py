@@ -18,29 +18,56 @@ _SHARED = "alpha beta gamma delta epsilon zeta eta theta"
 
 
 def test_sequential_equals_one_shot_law(spark, tmp_path):
-    """With ingest-ordered doc_ids, clean-then-fold per batch must
-    reproduce one-shot remove_dup_spans over the union, byte for
-    byte — including cross-batch duplication, within-batch
-    duplication, and a passage deleted in batch 2 re-arriving in
-    batch 3 (dedup against everything SEEN, not everything KEPT)."""
+    """The law AT ITS TRUE SCOPE: each batch's cleaned output equals
+    one-shot remove_dup_spans over the PREFIX corpus (batches up to
+    and including it) restricted to that batch's docs — including
+    cross-batch duplication, within-batch duplication, a passage
+    deleted in batch 2 re-arriving in batch 3 (dedup against
+    everything SEEN, not everything KEPT), and a doc SELF-REPEATING a
+    gram a later batch duplicates. The test also pins the documented
+    boundary: for that last case the one-shot over the FINAL corpus
+    diverges on the HISTORY doc (it would delete the non-canonical
+    self-occurrence; the incremental path never rewrites emitted
+    docs), so the full-union equality the first cut asserted is
+    deliberately NOT the contract."""
     b1 = _docs(spark, [(1, f"one two {_SHARED} three"),
-                       (2, "totally unique text here nothing shared at all ok")])
+                       (2, "totally unique text here nothing shared at all ok"),
+                       # self-repeats its gram run; batch 3 will
+                       # duplicate it cross-doc
+                       (3, "s1 s2 s3 s4 s5 s6 s7 s8 s1 s2 s3 s4 s5 s6 s7 s8")])
     b2 = _docs(spark, [(10, f"{_SHARED} five six"),
                        (11, f"head {_SHARED} tail"),
                        (12, "w1 w2 w3 w4 w5 w6 w7 w8 mid"),
                        (13, "pre w1 w2 w3 w4 w5 w6 w7 w8")])
     b3 = _docs(spark, [(20, f"{_SHARED} again"),        # seen in b1/b2
-                       (21, "w1 w2 w3 w4 w5 w6 w7 w8")])  # deleted from 13, re-arrives
+                       (21, "w1 w2 w3 w4 w5 w6 w7 w8"),  # deleted from 13, re-arrives
+                       (22, "s1 s2 s3 s4 s5 s6 s7 s8 end")])  # duplicates 3's self-repeat
     path = str(tmp_path / "span")
     got = {}
+    prefix = None
     for b in (b1, b2, b3):
-        for r in SI.clean_batch_against_store(spark, path, b).collect():
-            got[r["doc_id"]] = tuple(r)[1:]
+        batch_ids = {r["doc_id"] for r in b.select("doc_id").collect()}
+        cleaned = {r["doc_id"]: tuple(r)[1:]
+                   for r in SI.clean_batch_against_store(spark, path, b).collect()}
+        got.update(cleaned)
         SI.update_span_index(spark, path, b)
-    union = b1.unionByName(b2).unionByName(b3)
-    want = {r["doc_id"]: tuple(r)[1:]
-            for r in D.remove_dup_spans(union).collect()}
-    assert got == want
+        prefix = b if prefix is None else prefix.unionByName(b)
+        want_now = {r["doc_id"]: tuple(r)[1:]
+                    for r in D.remove_dup_spans(prefix).collect()
+                    if r["doc_id"] in batch_ids}
+        assert cleaned == want_now, f"prefix law broke at batch {sorted(batch_ids)}"
+    # the pinned boundary: doc 3 kept its self-repeat (sole owner at
+    # ingest time) and is immutable; one-shot over the FINAL corpus
+    # would have cut it
+    final = {r["doc_id"]: tuple(r)[1:]
+             for r in D.remove_dup_spans(prefix).collect()}
+    assert got[3][1] == 0 and "s8 s1" in got[3][2]
+    assert final[3][1] == 8  # the one-shot deletes the second copy
+    # everything WITHOUT the self-repeat boundary agrees with the
+    # final one-shot too
+    assert {k: v for k, v in got.items() if k != 3} == {
+        k: v for k, v in final.items() if k != 3
+    }
 
 
 def test_replay_contract(spark, tmp_path):
@@ -110,3 +137,39 @@ def test_streaming_fold_matches_batch(spark, tmp_path, sf_dir):
     rerun = spark.readStream.schema("doc_id long, text string").parquet(src)
     SI.run_stream_to_span_index(spark, rerun, path, str(tmp_path / "ckpt2"))
     assert SI.span_gram_store(spark, path).current_version() == v
+
+
+def test_k_mismatch_raises_on_fold_and_clean(spark, tmp_path):
+    """k is a store property: probing or folding a k=8 store at k=50
+    would hash different grams and silently match no history — both
+    faces must refuse instead."""
+    path = str(tmp_path / "span")
+    SI.update_span_index(spark, path, _docs(spark, [(1, f"a {_SHARED} b")]), k=8)
+    with pytest.raises(ValueError, match="built at k=8"):
+        SI.update_span_index(
+            spark, path, _docs(spark, [(5, f"c {_SHARED} d")]), k=5
+        )
+    with pytest.raises(ValueError, match="built at k=8"):
+        SI.clean_batch_against_store(
+            spark, path, _docs(spark, [(10, f"{_SHARED} e")]), k=5
+        )
+
+
+def test_out_of_order_doc_id_raises(spark, tmp_path):
+    """The ingest-order contract is enforced, not assumed: a
+    genuinely-new doc_id at or below the indexed max raises in BOTH
+    overlap modes (a silent fold would let the store copy win
+    canonicality the one-shot rule assigns to the newcomer)."""
+    path = str(tmp_path / "span")
+    SI.update_span_index(spark, path, _docs(spark, [(10, f"a {_SHARED} b")]))
+    late = _docs(spark, [(5, f"c {_SHARED} d")])
+    with pytest.raises(ValueError, match="postdate"):
+        SI.update_span_index(spark, path, late)
+    with pytest.raises(ValueError, match="postdate"):
+        SI.update_span_index(spark, path, late, on_overlap="skip_existing")
+    # a replay of the indexed doc itself still absorbs cleanly
+    v = SI.span_gram_store(spark, path).current_version()
+    assert SI.update_span_index(
+        spark, path, _docs(spark, [(10, f"a {_SHARED} b")]),
+        on_overlap="skip_existing",
+    ) == v

@@ -15,17 +15,30 @@ bootstrap-OCC → pinned-read → doc-novelty filter → commit_append, IO
 semi-join probing ONE column-pruned store scan, so the historical
 corpus never shuffles and never re-tokenizes.
 
-SEQUENTIAL ≡ ONE-SHOT law (pinned by test): with doc_ids increasing
-across batches — the ingest-order contract, and exactly the condition
-under which ``remove_dup_spans``'s keep-one-canonical rule always
-keeps the FIRST-ingested copy — cleaning each batch against the store
-then folding it in produces, doc for doc, byte for byte, the output
-of one-shot ``remove_dup_spans`` over the concatenated corpus. The
-store registers the batch's ORIGINAL grams (not the cleaned text's):
-duplicated-span determination must see every occurrence ever
-ingested, or a passage deleted from batch 2 could be re-admitted
-verbatim in batch 3 (the ExactSubstr convention — dedup against
-everything SEEN, not everything KEPT).
+SEQUENTIAL ≡ ONE-SHOT law (pinned by test, including its boundary):
+with doc_ids increasing across batches — the ingest-order contract,
+ENFORCED by the fold (a late-arriving lower doc_id raises; the
+keep-one-canonical rule is only first-ingested-wins under it) — each
+batch's cleaned output equals, doc for doc, byte for byte, one-shot
+``remove_dup_spans`` over the PREFIX corpus (every batch up to and
+including this one) restricted to this batch's docs. The law is
+deliberately NOT stated over the final corpus for HISTORY docs:
+written data is immutable, so when a later batch duplicates a gram an
+earlier doc self-repeated, the one-shot over the final corpus would
+also delete the earlier doc's non-canonical self-occurrences — the
+incremental path never rewrites emitted docs (the test pins this
+divergence explicitly so it cannot pass silently for the wrong
+reason). For each batch AT ITS OWN INGEST TIME the two forms are
+exactly equal, which is also what makes the gate row hash-checkable:
+its batch is the corpus suffix, so its prefix IS the full corpus.
+The store registers the batch's ORIGINAL grams (not the cleaned
+text's): duplicated-span determination must see every occurrence
+ever ingested, or a passage deleted from batch 2 could be
+re-admitted verbatim in batch 3 (the ExactSubstr convention — dedup
+against everything SEEN, not everything KEPT). The span width ``k``
+is a STORE property (recorded in every row, validated on every fold
+and clean): probing a k=8 store with k=50 grams would silently match
+nothing and wave every cross-history duplicate through.
 
 Gram keys are xxhash64 of the k-token gram (the at-scale exchange
 shape ``dup_span_coverage``/``remove_dup_spans`` expose as
@@ -63,8 +76,28 @@ SPAN_INDEX_SCHEMA = StructType(
         StructField("gram_key", LongType()),
         StructField("doc_id", LongType()),
         StructField("pos", LongType()),
+        # the span width the keys were built at — constant per store
+        # (RLE-compresses to nothing in parquet), validated on every
+        # fold and clean so a k-mismatched probe fails loudly instead
+        # of silently matching no history
+        StructField("k", LongType()),
     ]
 )
+
+
+def _stored_k(stored: DataFrame) -> int | None:
+    """The store's span width — one control-plane row; None if empty."""
+    row = stored.select("k").first()
+    return None if row is None else int(row["k"])
+
+
+def _check_k(stored_k: int | None, k: int, path: str, what: str) -> None:
+    if stored_k is not None and stored_k != k:
+        raise ValueError(
+            f"span index at {path} was built at k={stored_k}; {what} "
+            f"with k={k} would hash different grams and silently match "
+            "no history — build a separate store per span width"
+        )
 
 
 def span_gram_store(spark: SparkSession, path: str) -> TableStore:
@@ -87,11 +120,16 @@ def build_span_gram_rows(
     tokens emit nothing (they hold no k-gram and can never duplicate
     a span)."""
     pg = positional_ngram_rows(docs, text_col, id_col, k)
-    return pg.select(
-        F.xxhash64("gram").alias("gram_key"),
-        F.col(id_col).cast("long").alias("doc_id"),
-        F.col("pos").cast("long").alias("pos"),
-    ).groupBy("gram_key", "doc_id").agg(F.min("pos").alias("pos"))
+    return (
+        pg.select(
+            F.xxhash64("gram").alias("gram_key"),
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.col("pos").cast("long").alias("pos"),
+        )
+        .groupBy("gram_key", "doc_id")
+        .agg(F.min("pos").alias("pos"))
+        .withColumn("k", F.lit(int(k)).cast("long"))
+    )
 
 
 def update_span_index(
@@ -101,6 +139,7 @@ def update_span_index(
     text_col: str = "text",
     id_col: str = "doc_id",
     on_overlap: str = "raise",
+    k: int = SPAN_K,
 ) -> int:
     """Fold a batch's ORIGINAL grams into the persisted index.
 
@@ -111,16 +150,24 @@ def update_span_index(
     ``"skip_existing"`` anti-joins replayed docs away so at-least-once
     delivery folds to an exactly-once index (a replayed doc re-adding
     its gram rows would double-count it toward the ≥2-distinct-docs
-    rule and falsely mark its self-repeats as duplicated). A batch of
+    rule and falsely mark its self-repeats as duplicated). Two
+    contracts the module's correctness rests on are ENFORCED, not
+    assumed: a store built at a different ``k`` raises (its keys hash
+    different grams), and the INGEST-ORDER contract raises on any
+    genuinely-new doc_id at or below the store's max — a late
+    out-of-order arrival would make the store copy canonical where
+    the one-shot rule says the newcomer is, silently breaking the
+    sequential ≡ one-shot law the oracle strategy assumes. A batch of
     only sub-k docs is a version-preserving no-op (returns 0 on an
     absent store, never creating an empty artifact)."""
     if on_overlap not in ("raise", "skip_existing"):
         raise ValueError(
             f"on_overlap must be 'raise' or 'skip_existing', got {on_overlap!r}"
         )
-    rows = materialize(build_span_gram_rows(new_docs, text_col, id_col))
+    rows = materialize(build_span_gram_rows(new_docs, text_col, id_col, k))
 
     def fresh_rows(stored: DataFrame, batch: DataFrame) -> DataFrame:
+        _check_k(_stored_k(stored), k, path, "folding")
         indexed = stored.select("doc_id").distinct()
         if on_overlap == "raise":
             n = (
@@ -136,8 +183,27 @@ def update_span_index(
                     "on_overlap='skip_existing' if this is an "
                     "at-least-once redelivery"
                 )
-            return batch
-        return batch.join(indexed, "doc_id", "left_anti")
+            fresh = batch
+        else:
+            fresh = batch.join(indexed, "doc_id", "left_anti")
+        # ingest-order guard: every genuinely-new doc must postdate
+        # everything indexed (one column-pruned agg per side, the
+        # overlap probe's cost class)
+        probe = fresh.agg(
+            F.min("doc_id").alias("lo"), F.count(F.lit(1)).alias("n")
+        ).first()
+        if int(probe["n"]):
+            hi_row = stored.agg(F.max("doc_id").alias("hi")).first()
+            hi = hi_row["hi"]
+            if hi is not None and int(probe["lo"]) <= int(hi):
+                raise ValueError(
+                    f"span index at {path}: batch doc_id {int(probe['lo'])} "
+                    f"does not postdate the indexed max {int(hi)} — the "
+                    "ingest-order contract (sequential ≡ one-shot law) "
+                    "admits only increasing doc_ids; re-id the late "
+                    "arrival or rebuild over the full corpus"
+                )
+        return fresh
 
     return fold_append(
         span_gram_store(spark, path),
@@ -171,13 +237,18 @@ def clean_batch_against_store(
     semi-joined to the batch's broadcast key set: the store never
     shuffles, never re-tokenizes, and contributes nothing but the
     membership bit the math needs. Output rows cover the batch only —
-    store docs are already written and are never rewritten.
+    store docs are already written and are NEVER rewritten, which is
+    exactly the law's scope (module docstring): this batch's output ≡
+    one-shot over the prefix corpus restricted to this batch; a later
+    batch duplicating a gram a HISTORY doc self-repeated does not
+    reach back into that doc.
     """
     store = span_gram_store(spark, path)
     version = store.current_version()
     stored = (
         store.read() if version is None else store.read_version(version)
     )
+    _check_k(_stored_k(stored), k, path, "cleaning")
     pg = materialize(
         positional_ngram_rows(batch, text_col, id_col, k).select(
             F.col(id_col),
@@ -197,13 +268,12 @@ def clean_batch_against_store(
             "__c"
         ),
     )
-    in_store = batch_stats.join(store_hit, "gram_key", "left_semi")
     batch_only_dup = batch_stats.join(
         store_hit, "gram_key", "left_anti"
     ).filter(F.col("__bn") >= 2)
-    dup_keys = in_store.select("gram_key").unionByName(
-        batch_only_dup.select("gram_key")
-    )
+    # store_hit ⊆ the batch's key set already, so it IS the in-store
+    # half of the duplicated keys — no re-derivation join needed
+    dup_keys = store_hit.unionByName(batch_only_dup.select("gram_key"))
     span = F.explode(F.sequence(F.col("pos"), F.col("pos") + (k - 1))).alias(
         "__tok"
     )
