@@ -173,3 +173,32 @@ def test_out_of_order_doc_id_raises(spark, tmp_path):
         spark, path, _docs(spark, [(10, f"a {_SHARED} b")]),
         on_overlap="skip_existing",
     ) == v
+
+
+def test_bootstrap_rides_occ(spark, tmp_path):
+    """Two writers racing to CREATE the index must not last-writer-win
+    (the second v1 would silently shadow the first batch's grams): the
+    bootstrap commit carries expected_version=0 through the shared
+    harness, so a store that advanced between the look and the commit
+    raises for retry — and the retry folds cleanly."""
+    from tinyerp_etl_spark.etl.table_store import ConcurrentWriteError
+
+    path = str(tmp_path / "span")
+    a = _docs(spark, [(1, f"a {_SHARED} b")])
+    b = _docs(spark, [(2, f"c {_SHARED} d")])
+    # writer A looked at the empty store... then writer B committed
+    SI.update_span_index(spark, path, b)
+    store = SI.span_gram_store(spark, path)
+    rows_a = SI.build_span_gram_rows(a)
+    with pytest.raises(ConcurrentWriteError):
+        store.commit(rows_a, n_files=SI.SPAN_FILES, expected_version=0)
+    # ...but doc 1 predates indexed doc 2: the ingest-order guard must
+    # refuse the retry too (the loser's batch is genuinely late now)
+    with pytest.raises(ValueError, match="postdate"):
+        SI.update_span_index(spark, path, a, on_overlap="skip_existing")
+    # a properly re-id'd late batch folds fine
+    v = SI.update_span_index(
+        spark, path, _docs(spark, [(9, f"a {_SHARED} b")]),
+        on_overlap="skip_existing",
+    )
+    assert v == 2
