@@ -202,3 +202,65 @@ def test_bootstrap_rides_occ(spark, tmp_path):
         on_overlap="skip_existing",
     )
     assert v == 2
+
+
+def test_prefix_law_property(spark):
+    """The prefix law under randomized corpora: partition random docs
+    (with deliberately colliding k=3 grams, empty docs, self-repeats)
+    into ingest-ordered batches — each batch's clean output must equal
+    one-shot remove_dup_spans over the prefix restricted to it."""
+    import shutil
+    import tempfile
+
+    from hypothesis import given, settings, strategies as st
+
+    words = [f"t{i}" for i in range(5)]
+    doc = st.lists(st.sampled_from(words), min_size=0, max_size=9).map(" ".join)
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        st.lists(doc, min_size=2, max_size=10),
+        st.lists(st.integers(min_value=0, max_value=2), min_size=10, max_size=10),
+    )
+    def run(texts, cut):
+        k = 3
+        docs = list(enumerate(texts))
+        batches = [
+            [d for d, c in zip(docs, cut) if c == b] for b in range(3)
+        ]
+        # ingest order: re-id so batch b's ids follow batch b-1's
+        seq, nid = [], 0
+        for b in batches:
+            out = []
+            for _, t in b:
+                out.append((nid, t))
+                nid += 1
+            seq.append(out)
+        root = tempfile.mkdtemp(prefix="span_prop_")
+        try:
+            path = root + "/idx"
+            prefix_rows = []
+            for rows in seq:
+                if not rows:
+                    continue
+                b = _docs(spark, rows)
+                got = {
+                    r["doc_id"]: tuple(r)[1:]
+                    for r in SI.clean_batch_against_store(
+                        spark, path, b, k=k
+                    ).collect()
+                }
+                SI.update_span_index(spark, path, b, k=k)
+                prefix_rows.extend(rows)
+                want = {
+                    r["doc_id"]: tuple(r)[1:]
+                    for r in D.remove_dup_spans(
+                        _docs(spark, prefix_rows), k=k
+                    ).collect()
+                    if r["doc_id"] in got
+                }
+                assert got == want
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+
+    run()
