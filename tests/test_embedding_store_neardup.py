@@ -153,6 +153,45 @@ def test_pq_prescreen_is_pair_preserving(spark):
     assert any(s == 7 and b == 900 for s, b, _ in rows(book))
 
 
+def test_prescreen_codes_validated_against_book(spark):
+    """Ingest-time pq_codes are trusted ONLY under the book that wrote
+    them (the span store's k-mismatch refusal applied to PQ): a store
+    stamped with a different book's digest raises, a codes-but-no-
+    digest legacy layout raises, and the matching digest passes with
+    the same pairs as deriving the columns inline."""
+    from tinyerp_etl_spark.operators import pq_index as P
+
+    emb = _emb(spark, n=20)
+    cents = S.train_kmeans(emb, k=2, iters=1)
+    book = P.train_pq(emb, m=2, ks=4)
+    store = P.pq_prescreen_cols(
+        S.ivf_assign_narrow(emb.filter(F.col("vec_id") % 2 == 0), centroids=cents),
+        book,
+    )
+    batch = emb.filter(F.col("vec_id") % 2 == 1)
+    pairs = lambda st, cb: sorted(
+        (r["store_vec"], r["batch_vec"])
+        for r in S.embedding_neardup_against_store(
+            st, batch, cents, threshold=0.9, codebook=cb
+        ).collect()
+    )
+    assert pairs(store, book) == pairs(store.drop("pq_codes", "pq_eps", "pq_book"), book)
+    other = P.train_pq(emb, m=2, ks=2)
+    assert P.codebook_digest(other) != P.codebook_digest(book)
+    with pytest.raises(ValueError, match="encoded under codebook"):
+        S.embedding_neardup_against_store(
+            store, batch, cents, threshold=0.9, codebook=other
+        )
+    with pytest.raises(ValueError, match="no pq_book digest"):
+        S.embedding_neardup_against_store(
+            store.drop("pq_book"), batch, cents, threshold=0.9, codebook=book
+        )
+    # the digest is content-addressed, not object-addressed: a
+    # re-ordered copy of the same book validates
+    shuffled = list(reversed(book))
+    assert P.codebook_digest(shuffled) == P.codebook_digest(book)
+
+
 def test_pq_prescreen_bound_is_sound(spark):
     """adc' + eps >= exact cosine for EVERY candidate pair — the
     Cauchy-Schwarz bound the prescreen's correctness rests on,

@@ -72,6 +72,50 @@ def test_fold_append_skeleton_contracts(spark, tmp_path):
     assert got == [(1, "a"), (2, "b"), (3, "c")]
 
 
+def test_prematerialized_skips_harness_materialize(spark, tmp_path, monkeypatch):
+    """A fresh_rows callback that must run an action on its result
+    (the span fold's ingest-order probe) materializes it INSIDE the
+    callback via prematerialized(); the harness must trust the marker
+    instead of paying a second materialization — on an unmaterialized
+    plan that second pass re-runs the whole batch-vs-store anti-join.
+    An unmarked result still goes through the harness's materialize."""
+    from tinyerp_etl_spark.etl import fold as fold_mod
+
+    calls = []
+    real = fold_mod.materialize
+
+    def counting(df, *a, **kw):
+        calls.append(1)
+        return real(df, *a, **kw)
+
+    monkeypatch.setattr(fold_mod, "materialize", counting)
+    store = _store(spark, tmp_path)
+    rows = lambda *pairs: spark.createDataFrame(list(pairs), "k long, v string")
+    fold_append(store, rows((1, "a")), lambda s, b: b)
+
+    def premarked(stored, batch):
+        fresh = fold_mod.prematerialized(
+            batch.join(stored.select("k"), "k", "left_anti")
+        )
+        assert fresh.count() == 1  # the callback's own action
+        return fresh
+
+    calls.clear()
+    v = fold_append(store, rows((1, "a"), (2, "b")), premarked)
+    assert v == 2
+    assert len(calls) == 1  # prematerialized's own, none by the harness
+    calls.clear()
+    v = fold_append(
+        store,
+        rows((3, "c")),
+        lambda s, b: b.join(s.select("k"), "k", "left_anti"),
+    )
+    assert v == 3
+    assert len(calls) == 1  # unmarked result: the harness materializes
+    got = sorted((r["k"], r["v"]) for r in store.read().collect())
+    assert got == [(1, "a"), (2, "b"), (3, "c")]
+
+
 def test_fold_append_fresh_rows_exceptions_propagate(spark, tmp_path):
     store = _store(spark, tmp_path)
     df = spark.createDataFrame([(1, "a")], "k long, v string")

@@ -36,6 +36,52 @@ def test_knn_join_autoroutes_oversized_query_batch(spark):
     assert got == want
 
 
+def test_knn_join_inline_centroids_memoized_per_corpus(spark, monkeypatch):
+    """A routed knn_join without centroids trains sample-bounded
+    k-means inline — ONCE per corpus frame, not once per call: a
+    caller looping query batches over the same corpus must not pay
+    training per batch. A different corpus plan retrains, and the memo
+    can never serve wrong centroids (plan equality is confirmed via
+    sameSemantics, not just the hash). Results are identical to
+    passing the trained centroids explicitly."""
+    import warnings
+
+    from tinyerp_etl_spark.operators import similarity as S
+
+    monkeypatch.setattr(S, "_INLINE_CENTROID_MEMO", {})
+    calls = []
+    real = S.train_kmeans
+
+    def counting(*a, **kw):
+        calls.append(1)
+        return real(*a, **kw)
+
+    monkeypatch.setattr(S, "train_kmeans", counting)
+    corpus = _vecs(spark, 20)
+    run = lambda q: sorted(
+        (r["query_id"], r["rn"], r["vec_id"])
+        for r in S.knn_join(
+            corpus, q, k=2, max_query_batch=2, route="ivf"
+        ).collect()
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        first = run(_vecs(spark, 6))
+        run(_vecs(spark, 4))
+        assert len(calls) == 1  # second batch served from the memo
+        other = _vecs(spark, 30)
+        S.knn_join(other, _vecs(spark, 4), k=2, route="ivf").collect()
+        assert len(calls) == 2  # different corpus plan retrains
+        explicit = sorted(
+            (r["query_id"], r["rn"], r["vec_id"])
+            for r in S.knn_join(
+                corpus, _vecs(spark, 6), k=2, max_query_batch=2,
+                route="ivf", centroids=real(corpus),
+            ).collect()
+        )
+    assert first == explicit
+
+
 def test_knn_join_store_assigned_requires_centroids(spark):
     from tinyerp_etl_spark.operators.similarity import (
         ivf_assign_narrow,

@@ -175,6 +175,66 @@ def test_out_of_order_doc_id_raises(spark, tmp_path):
     ) == v
 
 
+def test_clean_rejects_out_of_order_batch(spark, tmp_path):
+    """The clean path enforces the ingest-order contract the fold
+    does: cleaning a not-yet-folded batch whose gram-holding doc_ids
+    don't postdate the store max would silently crown the store copy
+    canonical where the one-shot rule crowns the lower-id batch doc.
+    Sub-k docs hold no grams, cannot be mis-cleaned, and pass."""
+    path = str(tmp_path / "span")
+    SI.update_span_index(spark, path, _docs(spark, [(10, f"a {_SHARED} b")]))
+    with pytest.raises(ValueError, match="postdate"):
+        SI.clean_batch_against_store(
+            spark, path, _docs(spark, [(5, f"c {_SHARED} d")])
+        )
+    out = SI.clean_batch_against_store(
+        spark, path, _docs(spark, [(5, "too short")])
+    ).collect()
+    assert [(r["doc_id"], r["clean_text"]) for r in out] == [(5, "too short")]
+
+
+def test_clean_rejects_already_folded_batch(spark, tmp_path):
+    """Fold-then-clean misuse fails loudly: every batch gram would
+    self-hit the store, no canonical protection would apply, and every
+    >= k-token doc would silently come back as clean_text='' — total
+    data loss. The guard names the misuse instead."""
+    path = str(tmp_path / "span")
+    b = _docs(spark, [(1, f"a {_SHARED} b"), (2, f"{_SHARED} tail")])
+    SI.update_span_index(spark, path, b)
+    with pytest.raises(ValueError, match="already indexed"):
+        SI.clean_batch_against_store(spark, path, b)
+
+
+def test_store_files_are_gram_key_clustered(spark, tmp_path):
+    """Each fold commit range-partitions + sorts its files by gram_key
+    (cluster_by through the shared harness — the BM25 token-layout
+    precedent), so the clean-time store probe prunes row groups via
+    parquet min/max stats instead of scanning O(history). Pinned by
+    the layout's observable invariant: within one commit, per-file
+    gram_key ranges are pairwise disjoint and rows are sorted in-file."""
+    path = str(tmp_path / "span")
+    docs = _docs(
+        spark,
+        [(i, " ".join(f"w{i}_{j}" for j in range(24))) for i in range(64)],
+    )
+    SI.update_span_index(spark, path, docs)
+    rows = (
+        SI.span_gram_store(spark, path)
+        .read()
+        .select("gram_key", F.input_file_name().alias("f"))
+        .collect()
+    )
+    by_file: dict[str, list[int]] = {}
+    for r in rows:
+        by_file.setdefault(r["f"], []).append(r["gram_key"])
+    assert len(by_file) > 1  # the probe needs >1 file to mean anything
+    for keys in by_file.values():
+        assert keys == sorted(keys)  # sortWithinPartitions held
+    spans = sorted((min(v), max(v)) for v in by_file.values())
+    for (_, hi), (lo, _) in zip(spans, spans[1:]):
+        assert hi <= lo  # repartitionByRange: disjoint file ranges
+
+
 def test_bootstrap_rides_occ(spark, tmp_path):
     """Two writers racing to CREATE the index must not last-writer-win
     (the second v1 would silently shadow the first batch's grams): the

@@ -41,6 +41,29 @@ from tinyerp_etl_spark.functions.materialize import materialize
 
 T = TypeVar("T")
 
+#: Attribute ``prematerialized`` stamps on the frames it returns so
+#: ``fold_append`` can trust them without a second block copy.
+_PREMATERIALIZED_ATTR = "_graft_prematerialized"
+
+
+def prematerialized(df: DataFrame) -> DataFrame:
+    """Materialize a fresh-rows result INSIDE the callback and mark it
+    so ``fold_append`` skips its own materialization.
+
+    For when the per-store ``fresh_rows`` semantics need an ACTION on
+    the filtered frame before returning it (the span fold's
+    ingest-order probe aggregates over the anti-joined survivors):
+    without the marker the harness would re-materialize the returned
+    frame — on an unmaterialized plan that re-runs the whole
+    batch-vs-store anti-join a second time. The marker rides the
+    DataFrame object itself, so only the exact frame the callback
+    materialized is trusted; any derived frame goes through the
+    harness's own materialize as before.
+    """
+    out = materialize(df)
+    setattr(out, _PREMATERIALIZED_ATTR, True)
+    return out
+
 
 def occ_fold(fold: Callable[[], T], occ_retries: int = 3) -> T:
     """Run one read-modify-write fold under optimistic concurrency.
@@ -135,7 +158,9 @@ def fold_append(
         )
     stored = store.read_version(version)
     fresh = fresh_rows(stored, batch_rows)
-    if fresh is not batch_rows:
+    if fresh is not batch_rows and not getattr(
+        fresh, _PREMATERIALIZED_ATTR, False
+    ):
         fresh = materialize(fresh)
     if fresh.limit(1).isEmpty():
         return version

@@ -547,9 +547,16 @@ def connected_components(
                 .persist()
             )
             superseded, prev = prev, updated
-            n_changed = updated.filter(F.col("__changed")).count()
-            if superseded is not None:
-                superseded.unpersist()
+            # release the superseded pin even when the count action
+            # throws (executor loss, bad edge data): at that point the
+            # outer finally only knows about prev (= updated), so
+            # without this inner finally the superseded round's
+            # populated cache would leak for the application lifetime
+            try:
+                n_changed = updated.filter(F.col("__changed")).count()
+            finally:
+                if superseded is not None:
+                    superseded.unpersist()
             comp = updated.select("node", "component")
             if n_changed == 0:
                 break

@@ -654,17 +654,38 @@ def pq_encode_wide(
     return embeddings.filter(_nonzero_vec_guard(vec_col)).select(*cols)
 
 
+def codebook_digest(codebook: Codebook) -> str:
+    """Content digest of a codebook (16 hex chars), order-insensitive
+    over its (subspace, code_id, ticks) rows — two books digest equal
+    iff they decode every code to the same ticks. This is the value
+    ``pq_prescreen_cols`` stamps next to the codes it writes and the
+    consumers validate against the book they were handed: codes looked
+    up in a DIFFERENT book's LUT would make the "provably sound"
+    prescreen bound silently unsound (the Cauchy-Schwarz derivation
+    assumes recon comes from the same codewords the LUT scores)."""
+    import hashlib
+
+    canon = sorted(
+        (int(s), int(c), tuple(int(t) for t in ticks))
+        for s, c, ticks in codebook
+    )
+    return hashlib.sha256(repr(canon).encode()).hexdigest()[:16]
+
+
 def pq_prescreen_cols(
     df: DataFrame,
     codebook: Codebook,
     vec_col: str = "embedding",
     codes_col: str = "pq_codes",
     eps_col: str = "pq_eps",
+    book_col: str = "pq_book",
 ) -> DataFrame:
     """Append the ADC-prescreen INGEST columns to a vector frame: the
     row's M PQ codes as one array<int> (identical to
-    ``pq_encode_wide``'s codes, pinned by test) and the row's relative
-    reconstruction residual eps = |x_ticks − recon_ticks| / |x_ticks|.
+    ``pq_encode_wide``'s codes, pinned by test), the row's relative
+    reconstruction residual eps = |x_ticks − recon_ticks| / |x_ticks|,
+    and the encoding book's ``codebook_digest`` (constant per write —
+    what lets a reader refuse codes from a different book).
 
     eps is what makes the compressed-domain prescreen SOUND rather
     than heuristic. Writing x = recon + r, Cauchy-Schwarz gives
@@ -708,7 +729,15 @@ def pq_prescreen_cols(
         .cast("double")
     )
     return winners.select(
-        *df.columns, codes.alias(codes_col), eps.alias(eps_col)
+        *df.columns,
+        codes.alias(codes_col),
+        eps.alias(eps_col),
+        # the encoding book's content digest rides every row (constant
+        # — RLE-compresses to row-group stats, so a matching consumer
+        # probe prunes EVERY row group): a retrained/mismatched book
+        # at read time is a loud refusal, never a silently-unsound
+        # bound (the span store's k-mismatch discipline)
+        F.lit(codebook_digest(codebook)).alias(book_col),
     )
 
 

@@ -924,6 +924,44 @@ def embedding_neardup_against_store(
         from tinyerp_etl_spark.operators.pq_index import pq_prescreen_cols
 
         store = pq_prescreen_cols(store, codebook, vec_col=vec_col)
+    elif codebook is not None:
+        # ingest-time codes are trusted ONLY under the book that wrote
+        # them: validate the stamped digest against the passed book
+        # (the span store's k-mismatch refusal applied to PQ — codes
+        # looked up in a different book's LUT would make the "sound"
+        # bound silently drop true pairs). The probe is one
+        # column-pruned scan of a constant RLE column whose row-group
+        # stats prune EVERYTHING when the digest matches — near-free;
+        # a layout carrying codes but no digest predates the stamp and
+        # cannot be validated, so it is refused the same way.
+        from tinyerp_etl_spark.operators.pq_index import codebook_digest
+
+        if "pq_book" not in store.columns:
+            raise ValueError(
+                "store_assigned carries pq_codes but no pq_book digest "
+                "column — the codes cannot be validated against the "
+                "passed codebook; re-ingest with pq_prescreen_cols "
+                "(which stamps the digest) or drop the prescreen "
+                "columns to derive them inline"
+            )
+        digest = codebook_digest(codebook)
+        bad = (
+            store.filter(
+                F.col("pq_book").isNull()
+                | (F.col("pq_book") != F.lit(digest))
+            )
+            .select("pq_book")
+            .first()
+        )
+        if bad is not None:
+            raise ValueError(
+                f"store_assigned's pq_codes were encoded under codebook "
+                f"{bad['pq_book']!r} but the passed codebook digests to "
+                f"{digest!r} — scoring them against this book's LUT "
+                "would make the prescreen bound unsound (silent true-"
+                "pair drops); re-encode the store or pass the book it "
+                "was encoded with"
+            )
     store_cols = [
         F.col(id_col).alias("store_vec"),
         _q(F.col(vec_col)).alias("__st"),
@@ -1079,6 +1117,46 @@ MAX_KNN_QUERY_BATCH = 10_000
 #: identical results, unbounded batch size, no driver broadcast.
 MAX_KNN_PROBE_BROADCAST = 100_000
 
+#: Memo of inline-trained routed-knn centroids, keyed by the corpus
+#: frame's ANALYZED PLAN (applicationId + semanticHash, confirmed via
+#: sameSemantics so a hash collision can never serve wrong centroids)
+#: plus the column names. Bounded FIFO — each entry holds one
+#: DataFrame reference (for the confirmation) and k tiny tick lists.
+_INLINE_CENTROID_MEMO: dict = {}
+_INLINE_CENTROID_MEMO_MAX = 8
+
+
+def _inline_centroids_for(
+    embeddings: DataFrame, id_col: str, vec_col: str
+) -> list[tuple[int, list[int]]]:
+    """Sample-bounded k-means, memoized per corpus PLAN — a caller
+    looping routed ``knn_join`` batches over the same corpus frame
+    pays training once, not once per call (the ingest-time persisted
+    index remains the production contract; this spares the repeated-
+    inline-call foot-gun). Keying by plan means a mutated-in-place
+    source served from the memo trains on the OLD bytes — which only
+    shifts IVF list boundaries (recall), never the exactness of scores
+    on considered pairs, the same staleness class as any cached index.
+    """
+    try:
+        key = (
+            embeddings.sparkSession.sparkContext.applicationId,
+            embeddings.semanticHash(),
+            id_col,
+            vec_col,
+        )
+    except Exception:
+        # a frame whose plan can't be analyzed/hashed just trains
+        return train_kmeans(embeddings, id_col=id_col, vec_col=vec_col)
+    hit = _INLINE_CENTROID_MEMO.get(key)
+    if hit is not None and hit[0].sameSemantics(embeddings):
+        return hit[1]
+    cents = train_kmeans(embeddings, id_col=id_col, vec_col=vec_col)
+    if len(_INLINE_CENTROID_MEMO) >= _INLINE_CENTROID_MEMO_MAX:
+        _INLINE_CENTROID_MEMO.pop(next(iter(_INLINE_CENTROID_MEMO)))
+    _INLINE_CENTROID_MEMO[key] = (embeddings, cents)
+    return cents
+
 
 def _knn_join_ivf(
     embeddings: DataFrame,
@@ -1115,8 +1193,10 @@ def _knn_join_ivf(
             )
         # sample-bounded (train_kmeans caps its input), not a full
         # corpus pass — acceptable in the query path; ingest-time
-        # centroids via the persisted index skip it entirely
-        centroids = train_kmeans(embeddings, id_col=id_col, vec_col=vec_col)
+        # centroids via the persisted index skip it entirely, and the
+        # memo spares a caller looping batches over one corpus frame
+        # from retraining per call
+        centroids = _inline_centroids_for(embeddings, id_col, vec_col)
     corpus = (
         ivf_assign_narrow(embeddings, id_col, vec_col, centroids=centroids)
         if store_assigned is None

@@ -58,7 +58,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StructField, StructType
 
-from tinyerp_etl_spark.etl.fold import drain_available_now, fold_append, occ_fold
+from tinyerp_etl_spark.etl.fold import (
+    drain_available_now,
+    fold_append,
+    occ_fold,
+    prematerialized,
+)
 from tinyerp_etl_spark.etl.table_store import TableStore
 from tinyerp_etl_spark.functions.materialize import materialize
 from tinyerp_etl_spark.operators.dedup import (
@@ -185,7 +190,12 @@ def update_span_index(
                 )
             fresh = batch
         else:
-            fresh = batch.join(indexed, "doc_id", "left_anti")
+            # materialized HERE (and marked for the harness) because
+            # the ingest-order probe below is an action over the
+            # survivors — unmaterialized, the batch-vs-store anti-join
+            # would run once for the probe and again when fold_append
+            # writes the rows
+            fresh = prematerialized(batch.join(indexed, "doc_id", "left_anti"))
         # ingest-order guard: every genuinely-new doc must postdate
         # everything indexed (one column-pruned agg per side, the
         # overlap probe's cost class)
@@ -210,6 +220,13 @@ def update_span_index(
         rows,
         fresh_rows,
         n_files=SPAN_FILES,
+        # range-partitioned + sorted by gram_key (the bm25 token /
+        # para layout): parquet row-group min/max stats on the key
+        # column let the clean-time store probe SKIP row groups whose
+        # key range misses the batch — without it the clean scans the
+        # whole history's gram_key column per batch, O(history) at
+        # 100 TB where this layout is O(matching row groups)
+        cluster_by=["gram_key"],
         skip_empty_bootstrap_result=0,
     )
 
@@ -242,6 +259,13 @@ def clean_batch_against_store(
     one-shot over the prefix corpus restricted to this batch; a later
     batch duplicating a gram a HISTORY doc self-repeated does not
     reach back into that doc.
+
+    Both law preconditions are ENFORCED here (mirroring the fold, same
+    probe cost class): a batch whose gram-holding docs are already
+    indexed raises (fold-then-clean misuse — every gram would self-hit
+    and every >= k-token doc would silently come back empty), and a
+    gram-holding doc_id at or below the store max raises (out-of-order
+    — canonicality would silently land on the store copy).
     """
     store = span_gram_store(spark, path)
     version = store.current_version()
@@ -256,6 +280,50 @@ def clean_batch_against_store(
             F.xxhash64("gram").alias("gram_key"),
         )
     )
+    # The law's preconditions are ENFORCED here exactly as the fold
+    # enforces them — clean is the misuse-prone half (fold-then-clean
+    # instead of clean-then-fold would make every batch gram self-hit
+    # the store, apply no canonical protection, and silently emit
+    # every >= k-token doc as clean_text='' — total data loss with no
+    # error; an out-of-order batch would silently crown the store copy
+    # canonical where the one-shot rule crowns the lower-id batch
+    # doc). Probe over the materialized gram rows, mirroring the
+    # fold's scope: a sub-k doc holds no grams, cannot be mis-cleaned
+    # (its output is its input), and is invisible to the fold's guard
+    # too. Cost: one block-read agg + one column-pruned store agg —
+    # the fold's probe cost class; the overlap semi-join runs only on
+    # the already-failing path to pick the right error.
+    probe = pg.agg(
+        F.min(F.col(id_col).cast("long")).alias("lo"),
+        F.count(F.lit(1)).alias("n"),
+    ).first()
+    if int(probe["n"]):
+        hi_row = stored.agg(F.max("doc_id").alias("hi")).first()
+        hi = hi_row["hi"]
+        if hi is not None and int(probe["lo"]) <= int(hi):
+            n_indexed = (
+                pg.select(F.col(id_col).cast("long").alias("doc_id"))
+                .distinct()
+                .join(stored.select("doc_id"), "doc_id", "left_semi")
+                .count()
+            )
+            if n_indexed:
+                raise ValueError(
+                    f"span index at {path}: {n_indexed} batch doc_ids are "
+                    "already indexed — clean BEFORE folding (fold-then-"
+                    "clean makes every batch gram self-hit the store and "
+                    "deletes the batch's entire text); clean against the "
+                    "store version that predates this batch's fold"
+                )
+            raise ValueError(
+                f"span index at {path}: batch doc_id {int(probe['lo'])} "
+                f"does not postdate the indexed max {int(hi)} — the "
+                "ingest-order contract (sequential ≡ one-shot law) admits "
+                "only increasing doc_ids; cleaning this batch would treat "
+                "the store copy as canonical where the one-shot rule "
+                "crowns the lower-id batch doc. Re-id the late arrival or "
+                "rebuild over the full corpus"
+            )
     batch_keys = pg.select("gram_key").distinct()
     store_hit = (
         stored.select("gram_key")

@@ -4482,7 +4482,13 @@ def _ivf_store_corpus_for(spark: SparkSession, sf_dir: str):
         # the prescreen bound silently unsound (codes looked up in a
         # different book's LUT) — the same staleness class the family
         # rename dodged for the schema.
-        ident = hashlib.sha256(repr((cents, book)).encode()).hexdigest()[:8]
+        # "prescreen-v2": round 11 added the pq_book digest column the
+        # readers validate — the rev keys a FRESH dir so the r10
+        # layout (codes but no digest) is never read with the new
+        # schema (same append-only/gc story as the family rename)
+        ident = hashlib.sha256(
+            repr((cents, book, "prescreen-v2")).encode()
+        ).hexdigest()[:8]
         _IVF_CORPUS_CACHE[key] = os.path.join(
             _artifact_root(),
             "ivfpq_corpus",
@@ -4493,7 +4499,7 @@ def _ivf_store_corpus_for(spark: SparkSession, sf_dir: str):
         _IVF_CORPUS_CACHE[key],
         StructType.fromDDL(
             "vec_id long, embedding array<float>, list_id int, "
-            "pq_codes array<int>, pq_eps double"
+            "pq_codes array<int>, pq_eps double, pq_book string"
         ),
         partition_by=["list_id"],
     )
