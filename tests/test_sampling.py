@@ -37,3 +37,35 @@ def test_sample_is_partitioning_invariant(spark):
     assert a == b
     # a hash predicate at rate r keeps ~r of rows, not exactly r
     assert 150 < len(a) < 350
+
+
+def test_cap_per_key_bounds_and_determinism(spark):
+    from tinyerp_etl_spark.operators.sampling import cap_per_key
+
+    df = spark.createDataFrame(
+        [(i, f"s{i % 3}") for i in range(90)], "k int, s string"
+    )
+    rows = lambda d: sorted((r["s"], r["k"]) for r in d.collect())
+    out = cap_per_key(df, "s", 5, "k")
+    per = {}
+    for s, _ in rows(out):
+        per[s] = per.get(s, 0) + 1
+    assert per == {"s0": 5, "s1": 5, "s2": 5}
+    # deterministic under repartitioning (content-hash order, no RNG)
+    assert rows(out) == rows(cap_per_key(df.repartition(13), "s", 5, "k"))
+    # a cap above the key size keeps everything
+    assert len(rows(cap_per_key(df, "s", 100, "k"))) == 90
+    # with_rank exposes a total 1..cap rank per key
+    ranked = cap_per_key(df, "s", 5, "k", with_rank=True)
+    got = sorted((r["s"], r["rk"]) for r in ranked.collect())
+    assert got == sorted((f"s{i}", rk) for i in range(3) for rk in range(1, 6))
+
+
+def test_cap_per_key_rejects_nonpositive_cap(spark):
+    import pytest
+
+    from tinyerp_etl_spark.operators.sampling import cap_per_key
+
+    df = spark.createDataFrame([(1, "a")], "k int, s string")
+    with pytest.raises(ValueError, match="cap"):
+        cap_per_key(df, "s", 0, "k")

@@ -603,3 +603,40 @@ def test_remove_dup_spans_matches_exact_model(spark):
         assert got == model(texts, k)
 
     run()
+
+
+def test_remove_contaminated_spans_surgical(spark):
+    """The leaked passage goes, the wrapper stays, NO canonical
+    protection applies (a benchmark span has no legitimate training
+    copy — contrast remove_dup_spans), sub-k bench docs contribute
+    nothing, and hash mode ≡ exact mode."""
+    from tinyerp_etl_spark.operators import dedup as D
+
+    leak = "b1 b2 b3 b4 b5 b6 b7 b8"
+    bench = spark.createDataFrame(
+        [(100, leak), (101, "tiny")], "doc_id long, text string"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, f"intro words {leak} outro words"),  # interior leak
+            (2, leak),                               # whole-doc leak
+            (3, "clean text with nothing shared from any benchmark doc"),
+            (4, "tiny"),                             # sub-k bench text: no gram
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_removed_tokens"], r["clean_text"])
+        for r in D.remove_contaminated_spans(docs, bench).collect()
+    }
+    assert got[1] == (8, "intro words outro words")
+    assert got[2] == (8, "")  # even the FIRST copy goes — no protection
+    assert got[3][0] == 0
+    assert got[4] == (0, "tiny")
+    hashed = {
+        r["doc_id"]: (r["n_removed_tokens"], r["clean_text"])
+        for r in D.remove_contaminated_spans(
+            docs, bench, join_on_hash=True
+        ).collect()
+    }
+    assert hashed == got

@@ -1220,6 +1220,61 @@ def remove_dup_spans(
     return rebuild_without_positions(docs, removed, text_col, id_col)
 
 
+def remove_contaminated_spans(
+    docs: DataFrame,
+    bench: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = SPAN_K,
+    join_on_hash: bool = False,
+) -> DataFrame:
+    """SURGICAL eval-set decontamination: delete every k-token span of
+    a training doc that appears verbatim in the benchmark set, keeping
+    the rest of the document — the span machinery of ``remove_dup_
+    spans`` pointed at contamination (``contamination_hits`` /
+    ``ngram_decontaminate`` only FLAG the doc; dropping a whole
+    100-page doc for one leaked question wastes the other 99 pages,
+    so production pipelines cut the passage, not the document).
+
+    (id, n_tokens, n_removed_tokens, clean_text) for EVERY training
+    doc. No canonical protection applies — a benchmark passage has no
+    legitimate copy in training data, so every covering position goes
+    (contrast the dedup form, where exactly one occurrence survives).
+    Topology: the training side's positional grams semi-join the
+    benchmark's broadcast DISTINCT gram set (eval sets are small by
+    definition — the decontaminate_docs broadcast regime; a
+    corpus-scale reference side should use the hash-keyed equi-join
+    shape instead, ``join_on_hash`` + no broadcast), the covered
+    positions explode ∝ contaminated occurrences only, and the
+    reassembly is the shared ``rebuild_without_positions`` tail.
+    ``join_on_hash`` carries xxhash64(gram) through the probe instead
+    of the ~k-word string (same collision trade documented at
+    dup_span_coverage). Spans per Lee et al. 2021; the
+    remove-not-drop discipline follows the open-data decontamination
+    practice (e.g. GPT-3 appendix C's surgical n-gram removal).
+    """
+    pg = positional_ngram_rows(docs, text_col, id_col, k)
+    bg = positional_ngram_rows(bench, text_col, id_col, k).select(
+        "gram"
+    ).distinct()
+    if join_on_hash:
+        pg = pg.select(
+            F.col(id_col), "pos", F.xxhash64("gram").alias("gram")
+        )
+        bg = bg.select(F.xxhash64("gram").alias("gram")).distinct()
+    removed = (
+        pg.join(F.broadcast(bg), "gram", "left_semi")
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + (k - 1))
+            ).alias("__tok"),
+        )
+        .distinct()
+    )
+    return rebuild_without_positions(docs, removed, text_col, id_col)
+
+
 def rebuild_without_positions(
     docs: DataFrame,
     removed: DataFrame,

@@ -48,6 +48,42 @@ def stratified_sample(
     return df.filter(hash_bucket(key_col) < bar.otherwise(F.lit(0)))
 
 
+def cap_per_key(
+    df: DataFrame,
+    key_col: str,
+    cap: int,
+    id_col: str,
+    with_rank: bool = False,
+) -> DataFrame:
+    """At most ``cap`` rows per key, chosen deterministically — the
+    crawl-balancing primitive ("no more than N documents per domain")
+    that keeps a single mega-site from dominating a training mix where
+    a RATE-based sampler cannot (a 10% rate of a 100M-page domain is
+    still 10M pages; a cap is an absolute ceiling).
+
+    Selection order within a key is (md5(id), id): content-hashed so
+    the kept subset is an unbiased, reproducible draw (ingest order
+    and partitioning never leak into it), id tie-broken so the rank is
+    total. One partitioned window per key — the per-key row sets
+    shuffle once on ``key_col``; no key ever needs more than its own
+    rows in memory beyond the window sort, and a skewed mega-key sorts
+    ∝ its own size, the exact data this operator exists to cut.
+    ``with_rank=True`` keeps the 1-based selection rank (``rk``) for
+    auditability.
+    """
+    if cap < 1:
+        raise ValueError(f"cap must be >= 1, got {cap}")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(key_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    out = df.withColumn("rk", F.row_number().over(w).cast("long")).filter(
+        F.col("rk") <= cap
+    )
+    return out if with_rank else out.drop("rk")
+
+
 def mixture_thresholds(
     df: DataFrame, domain_col: str, weights_10k: dict[str, int]
 ) -> DataFrame:

@@ -4584,3 +4584,236 @@ LLM_ORACLES["embedding_neardup_store"] = f"""
     ORDER BY s.store_vec, q.batch_vec
 """
 LLM_QUERIES["embedding_neardup_store"] = embedding_neardup_store
+
+
+# ------------------------------------------- round-11 curation additions
+
+
+def decontaminate_span_removal_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURGICAL decontamination: cut the leaked passage, keep the doc
+    (operators/dedup.remove_contaminated_spans). Benchmark = every
+    23rd doc; training = the rest ∪ staged leaks (benchmark texts
+    wrapped in fresh prose, ids +600000) so the positive path removes
+    an interior span and keeps the wrapper. Unlike decontaminate_docs
+    / ngram_decontaminate_docs — which FLAG the whole doc — the output
+    is the cleaned corpus itself: every 8-token span appearing
+    verbatim in the benchmark set is deleted with no canonical
+    protection (a benchmark passage has no legitimate training copy),
+    and the rebuilt clean_text hash-proves the surgery byte-for-byte.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 23 == 0)
+    training = docs.filter(F.col("doc_id") % 23 != 0).unionByName(
+        bench.select(
+            (F.col("doc_id") + 600000).alias("doc_id"),
+            F.concat(
+                F.lit("fresh intro words "), F.col("text"), F.lit(" fresh outro")
+            ).alias("text"),
+        )
+    )
+    return D.remove_contaminated_spans(training, bench).orderBy("doc_id")
+
+
+# DuckDB twin: benchmark grams (distinct) hit training positions, all
+# covering positions removed (no canonical CTE — contrast the dedup
+# form), rebuild as string_agg of kept tokens.
+LLM_ORACLES["decontaminate_span_removal_docs"] = f"""
+    WITH training_raw AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 23 <> 0
+      UNION ALL
+      SELECT doc_id + 600000,
+             'fresh intro words ' || text || ' fresh outro'
+      FROM documents WHERE doc_id % 23 = 0
+    ),
+    t AS (SELECT doc_id, {_TOKS} AS toks FROM training_raw),
+    bt AS (SELECT doc_id, {_TOKS} AS toks FROM documents
+           WHERE doc_id % 23 = 0),
+    bg AS (
+      SELECT DISTINCT array_to_string(toks[i:i+{D.SPAN_K - 1}], ' ') AS gram
+      FROM bt, UNNEST(range(1, len(toks) - {D.SPAN_K - 2})) AS u(i)
+      WHERE len(toks) >= {D.SPAN_K}
+    ),
+    pg AS (
+      SELECT doc_id, i AS pos,
+             array_to_string(toks[i:i+{D.SPAN_K - 1}], ' ') AS gram
+      FROM t, UNNEST(range(1, len(toks) - {D.SPAN_K - 2})) AS u(i)
+      WHERE len(toks) >= {D.SPAN_K}
+    ),
+    removed AS (
+      SELECT DISTINCT pg.doc_id, pg.pos + j AS tok
+      FROM pg JOIN bg USING (gram),
+           UNNEST(range(0, {D.SPAN_K})) AS g(j)
+    ),
+    kept AS (
+      SELECT t.doc_id, u.i AS pos, t.toks[u.i] AS tok
+      FROM t, UNNEST(range(1, len(t.toks) + 1)) AS u(i)
+      WHERE NOT EXISTS (
+        SELECT 1 FROM removed r
+        WHERE r.doc_id = t.doc_id AND r.tok = u.i
+      )
+    ),
+    rebuilt AS (
+      SELECT doc_id, count(*) AS n_kept,
+             string_agg(tok, ' ' ORDER BY pos) AS clean_text
+      FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.toks) AS BIGINT) AS n_tokens,
+           CAST(len(t.toks) - coalesce(rb.n_kept, 0) AS BIGINT)
+             AS n_removed_tokens,
+           coalesce(rb.clean_text, '') AS clean_text
+    FROM t LEFT JOIN rebuilt rb USING (doc_id)
+    ORDER BY t.doc_id
+"""
+LLM_QUERIES["decontaminate_span_removal_docs"] = decontaminate_span_removal_docs
+
+
+def per_source_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl balancing: at most 7 documents per source, chosen by the
+    deterministic content-hash order (operators/sampling.cap_per_key)
+    — the absolute per-domain ceiling a rate-based sampler cannot
+    express (10 % of a mega-domain is still mega). Returns the kept
+    rows with their 1-based selection rank for auditability; the
+    oracle re-derives the same (md5(id), id) ranking, so the kept SET
+    and its order are both hash-proven."""
+    from tinyerp_etl_spark.operators.sampling import cap_per_key
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return cap_per_key(docs, "source", 7, "doc_id", with_rank=True).orderBy(
+        "source", "rk"
+    )
+
+
+LLM_ORACLES["per_source_cap_sample"] = """
+    SELECT doc_id, source, rk FROM (
+      SELECT doc_id, source,
+             CAST(row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS BIGINT) AS rk
+      FROM documents)
+    WHERE rk <= 7
+    ORDER BY source, rk
+"""
+LLM_QUERIES["per_source_cap_sample"] = per_source_cap_sample
+
+
+def quality_percentile_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain calibrated quality ranking: each doc's type-token
+    ratio as an exact integer ppm, ranked WITHIN its source and placed
+    on a 0..1000000 percentile scale — the input to "keep the top X %
+    per domain" filtering, which beats one global threshold because
+    domains have different quality baselines (a mid-tier forum post
+    and a mid-tier arXiv page should both survive their own strata).
+    All integer arithmetic (ppm divisions, rank windows keyed by
+    (quality, doc_id)) so both engines agree bit-for-bit; one shuffle
+    on source feeds both window functions."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    feats = X.quality_features("text")
+    base = docs.select(
+        "doc_id",
+        "source",
+        feats["n_tokens"].cast("long").alias("__nt"),
+        feats["n_distinct_tokens"].cast("long").alias("__nd"),
+    )
+    # `div` is integral long division — bit-identical to the oracle's //
+    q = base.select(
+        "doc_id",
+        "source",
+        F.when(F.col("__nt") > 0, F.expr("(__nd * 1000000) div __nt"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("quality_ppm"),
+    )
+    w = Window.partitionBy("source").orderBy("quality_ppm", "doc_id")
+    cw = Window.partitionBy("source")
+    return (
+        q.select(
+            "doc_id",
+            "source",
+            "quality_ppm",
+            F.row_number().over(w).alias("__rn"),
+            F.count(F.lit(1)).over(cw).alias("__n"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "quality_ppm",
+            F.when(
+                F.col("__n") > 1,
+                F.expr("((__rn - 1) * 1000000) div (__n - 1)"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("pctl_ppm"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+LLM_ORACLES["quality_percentile_by_source"] = f"""
+    WITH t AS (SELECT doc_id, source, {_TOKS} AS toks FROM documents),
+    q AS (
+      SELECT doc_id, source,
+             CAST(CASE WHEN len(toks) > 0
+                  THEN (len(list_distinct(toks)) * 1000000) // len(toks)
+                  ELSE 0 END AS BIGINT) AS quality_ppm
+      FROM t),
+    r AS (
+      SELECT doc_id, source, quality_ppm,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY quality_ppm, doc_id) AS rn,
+             count(*) OVER (PARTITION BY source) AS n
+      FROM q)
+    SELECT doc_id, source, quality_ppm,
+           CAST(CASE WHEN n > 1 THEN ((rn - 1) * 1000000) // (n - 1)
+                ELSE 0 END AS BIGINT) AS pctl_ppm
+    FROM r ORDER BY doc_id
+"""
+LLM_QUERIES["quality_percentile_by_source"] = quality_percentile_by_source
+
+
+def embedding_knn_join_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The routed k-NN kernel with NO caller-supplied centroids — the
+    path that trains sample-bounded k-means inline and, since round
+    11, memoizes it per corpus plan (similarity._inline_centroids_for)
+    so a caller looping batches pays training once. Forced routing
+    (route='ivf') at FULL probe depth (nprobe = KMEANS_K = the inline
+    nlist) makes the routed result EXACT, so the brute oracle
+    hash-proves the inline-train + memo + route pipeline end to end —
+    the gate twin of embedding_knn_join_routed, which covers the
+    persisted-centroids path."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries = emb.filter(F.col("vec_id") % 100 == 50)
+    return S.knn_join(
+        emb, queries, k=5, route="ivf", nprobe=S.KMEANS_K
+    ).orderBy("query_id", "rn")
+
+
+LLM_ORACLES["embedding_knn_join_inline"] = f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+      WHERE vec_id % 100 = 50
+    ),
+    s AS (
+      SELECT q.query_id, e.vec_id,
+             {_cosine_sql("e.embedding", "qvec")} AS score
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> q.query_id
+    ),
+    r AS (
+      SELECT query_id, vec_id, score,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY score DESC, vec_id ASC
+             ) AS rn
+      FROM s
+    )
+    SELECT query_id, vec_id, score, CAST(rn AS INT) AS rn
+    FROM r WHERE rn <= 5
+    ORDER BY query_id, rn
+"""
+LLM_QUERIES["embedding_knn_join_inline"] = embedding_knn_join_inline

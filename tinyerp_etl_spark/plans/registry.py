@@ -6,11 +6,11 @@ rows-only check from the driver.
 
 Ordering note: the driver's correctness gate covers the first 50
 registry entries, so insertion order is the rotation schedule.
-ACTIVE: _ROUND10_FRONT_50 (see its inline comments for composition
-and the cumulative ledger — after round 10's gate runs green, every
-query's newest driver row is r6+; the r4 debt retires the way r9
-retired r3's). Prior gates below for the ledger; note round 8 ran
-_ROUND7_FRONT_50 unchanged, so the r7 list's rows carry r8-fresh
+ACTIVE: _ROUND11_FRONT_50 (see its inline comments — after round 11's
+gate runs green, EVERY registered query's newest driver row is r7+:
+the r6 evidence debt retires completely, the first rotation with zero
+structural deferrals). Prior gates below for the ledger; note round 8
+ran _ROUND7_FRONT_50 unchanged, so the r7 list's rows carry r8-fresh
 evidence.
 Round 5's front 50 (ran in rounds 5 AND 6; see _ROUND5_FRONT_50's
 inline comments for the per-group rationale) =
@@ -332,6 +332,123 @@ _RELATIONAL_NAMES = [
 # pq_adc_topk codebook=None refusal, connected_components
 # try/finally unpersist) do not alter any gated path's semantics and
 # do not consume slots; the affected rows' newest greens are r9.
+# Round 11 gate (ACTIVE). Composed from the pre-staged plan in the
+# round-10 ledger (r10 gate confirmed 50/50 green —
+# CORRECTNESS_r10.json; the r10 verdict's independent replay confirmed
+# the remaining evidence-debt set is EXACTLY the 33 rows below):
+#   (0) the four round-11 newcomers, gated at birth per convention:
+#       decontaminate_span_removal_docs (operators/dedup.remove_
+#       contaminated_spans — SURGICAL eval-set decontamination: cut
+#       the leaked span, keep the doc; the flag-only forms
+#       decontaminate_docs/ngram_decontaminate_docs stay gated via
+#       their r10/r9 rows), per_source_cap_sample (operators/
+#       sampling.cap_per_key — the absolute per-domain ceiling a
+#       rate-based sampler cannot express), quality_percentile_by_
+#       source (per-domain calibrated quality ranking, integer ppm end
+#       to end), and embedding_knn_join_inline (the routed kernel's
+#       inline-train + memoized-centroids path at full probe depth,
+#       where the brute oracle proves it exact — the persisted-
+#       centroids path stays covered by embedding_knn_join_routed).
+#   (0b) the two rows whose ENGINE CODE this round changes — changed
+#       engine outranks fresh evidence (the r7 semantic_dedup
+#       precedent): incremental_span_removal_docs (the span-gram
+#       store now folds cluster_by=["gram_key"] and the CLEAN path
+#       enforces both law preconditions — already-folded and
+#       out-of-order batches refuse loudly; fold probe runs its
+#       anti-join once via the prematerialized seam) and
+#       embedding_neardup_store (pq_prescreen_cols stamps the
+#       codebook digest, the consumer validates it, and the
+#       ivfpq_corpus artifact re-keys for the new layout).
+#       Guard-only edits that do not consume slots (the standing
+#       convention): connected_components' superseded-pin release on
+#       the count-throw path, and the routed-knn centroid memo when
+#       centroids ARE passed (the gated routed row pins centroids
+#       explicitly; the memo path itself is gated by the NEW
+#       embedding_knn_join_inline above, not grandfathered).
+#   (a) ALL 33 remaining r6-stale rows named in the round-10 ledger
+#       (the 30 pre-staged deferrals + the 3 mid-round displacements
+#       snapshot_diff_orders / tfidf_top_terms /
+#       embedding_neardup_pairs) — retiring the r6 debt the way r10
+#       retired r4's and r9 retired r3's. After this gate runs green,
+#       NO registered query's newest driver row predates r7 and the
+#       deferral ledger is EMPTY for the first time.
+#   (b) fill to 50 with 11 r8-stale rows (the oldest remaining
+#       evidence once the r6 set retires — the r7 list ran unchanged
+#       in round 8), shape-starved first: semantic_dedup_embeddings
+#       (SemDeDup — no fresher row covers cluster-then-prune),
+#       watermark_resolution_matrix (the §17/§21-25 watermark
+#       machine), scd2_user_event_history (§14e), incremental_
+#       pipeline_events (§28-29 per-page commit orchestration),
+#       csv_quarantine_split (§6c bad-records path),
+#       mp4_keyframe_parity (codec parity family's r8-stale member),
+#       hybrid_rrf_retrieval (rank fusion), ivf_recall_report (the
+#       recall-honesty contract every ANN claim leans on),
+#       range_join_event_bursts (non-equi interval join),
+#       skew_salted_event_totals (the skew-salting lever), and
+#       fuzzy_match_customers (edit-distance blocking).
+# Deferred to round 12: NOTHING structurally — every registered
+# query's newest green is r7+ once this gate runs. The natural
+# round-12 candidates are the remaining r8-stale rows (the r7 list's
+# other 36 members, e.g. the embedding_topk family, exact_dup_groups,
+# the events windowing family, attribution/asof/cohort, json/xml
+# round-trips), oldest evidence first, per the standing convention.
+_ROUND11_FRONT_50 = [
+    # (0) round-11 newcomers, gated at birth
+    "decontaminate_span_removal_docs",
+    "per_source_cap_sample",
+    "quality_percentile_by_source",
+    "embedding_knn_join_inline",
+    # (0b) engine code changed this round
+    "incremental_span_removal_docs",
+    "embedding_neardup_store",
+    # (a) the 33 r6-stale rows — the entire remaining evidence debt
+    "scalar_functions_showcase",
+    "array_functions_showcase",
+    "null_handling_showcase",
+    "coercion_showcase",
+    "datetime_functions_showcase",
+    "window_navigation_showcase",
+    "setops_bag_semantics",
+    "unpivot_nation_balances",
+    "groupwise_min_cheapest_parts",
+    "quantiles_order_value_by_status",
+    "deterministic_sample_orders",
+    "stratified_sample_orders",
+    "conditional_agg_returnflag",
+    "subquery_small_quantity_revenue",
+    "audit_counts",
+    "window_rank_price_in_status",
+    "q10_returned_items",
+    "exists_returned_orders",
+    "join_semi_customers_with_orders",
+    "agg_rollup",
+    "grouping_sets_revenue",
+    "incremental_rollup_orders",
+    "replace_order_items",
+    "q4_priority_late_ship",
+    "q9_product_type_profit",
+    "q11_important_parts",
+    "q12_priority_by_linestatus",
+    "q16_supplier_diversity",
+    "q20_heavy_part_suppliers",
+    "q21_sole_late_shippers",
+    "snapshot_diff_orders",
+    "tfidf_top_terms",
+    "embedding_neardup_pairs",
+    # (b) eleven r8-stale fills, shape-starved first
+    "semantic_dedup_embeddings",
+    "watermark_resolution_matrix",
+    "scd2_user_event_history",
+    "incremental_pipeline_events",
+    "csv_quarantine_split",
+    "mp4_keyframe_parity",
+    "hybrid_rrf_retrieval",
+    "ivf_recall_report",
+    "range_join_event_bursts",
+    "skew_salted_event_totals",
+    "fuzzy_match_customers",
+]
+
 _ROUND10_FRONT_50 = [
     # (0) engine code changed this round, plus the round-10 newcomer
     # embedding_knn_join_routed (gated at birth per convention: the
@@ -815,7 +932,7 @@ def all_queries() -> dict[str, QueryFn]:
     for name in _RELATIONAL_NAMES:
         pool[name] = getattr(relational, name)
 
-    queries: dict[str, QueryFn] = {n: pool[n] for n in _ROUND10_FRONT_50}
+    queries: dict[str, QueryFn] = {n: pool[n] for n in _ROUND11_FRONT_50}
     for name, fn in pool.items():
         queries.setdefault(name, fn)
     assert len(queries) == len(pool), "front-50 must be a subset of the pool"
