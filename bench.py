@@ -125,8 +125,25 @@ HEADLINE_R10 = [
     # span-gram index (history never rescans)
     "incremental_span_removal_docs",
 ]
+# Added round 11: the curation newcomers (each gated at birth).
+HEADLINE_R11 = [
+    # surgical eval-set decontamination (cut the span, keep the doc)
+    "decontaminate_span_removal_docs",
+    # deterministic per-domain document cap (crawl balancing)
+    "per_source_cap_sample",
+    # per-domain calibrated quality percentile (integer ppm)
+    "quality_percentile_by_source",
+    # the routed knn kernel's inline-train + memoized-centroids path
+    "embedding_knn_join_inline",
+]
 HEADLINE = (
-    HEADLINE + HEADLINE_R4 + HEADLINE_R5 + HEADLINE_R7 + HEADLINE_R9 + HEADLINE_R10
+    HEADLINE
+    + HEADLINE_R4
+    + HEADLINE_R5
+    + HEADLINE_R7
+    + HEADLINE_R9
+    + HEADLINE_R10
+    + HEADLINE_R11
 )
 
 

@@ -235,6 +235,45 @@ def test_store_files_are_gram_key_clustered(spark, tmp_path):
         assert hi <= lo  # repartitionByRange: disjoint file ranges
 
 
+def test_small_probe_pushdown_reaches_scan_and_is_result_invariant(
+    spark, tmp_path, monkeypatch
+):
+    """A batch under SPAN_PROBE_PUSHDOWN_CAP against a large-enough
+    store pushes its key set into the store scan (PushedFilters:
+    In(gram_key, ...)) where the clustered layout prunes row groups;
+    the pushdown must never change the answer (semi-join stays the
+    correctness path); and the scale gate skips the driver collect
+    when the store is too small for stats units to be key-free."""
+    path = str(tmp_path / "span")
+    hist = _docs(
+        spark,
+        [(i, " ".join(f"h{i}_{j}" for j in range(16))) for i in range(50)]
+        + [(90, f"x {_SHARED} y")],
+    )
+    SI.update_span_index(spark, path, hist)
+    batch = _docs(spark, [(100, f"{_SHARED} tail here")])
+    # a test-scale store can't have key-free stats units: the scale
+    # gate must SKIP the pushdown (no In filter in the plan)
+    skipped = SI.clean_batch_against_store(spark, path, batch)
+    assert "In(gram_key" not in skipped._jdf.queryExecution().executedPlan().toString()
+    # force the pushdown (as a 100 TB-history store would) and pin
+    # that it reaches the scan and never changes the answer
+    monkeypatch.setattr(SI, "SPAN_PUSHDOWN_MIN_STORE_ROWS_PER_KEY", 0)
+    out = SI.clean_batch_against_store(spark, path, batch)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "In(gram_key" in plan, plan[:2000]
+    got = sorted(tuple(r) for r in out.collect())
+    # duplicated-against-history span removed even though pushed
+    assert got[0][3] == "tail here"
+    assert got == sorted(tuple(r) for r in skipped.collect())
+    monkeypatch.setattr(SI, "SPAN_PROBE_PUSHDOWN_CAP", 0)
+    unpushed = sorted(
+        tuple(r)
+        for r in SI.clean_batch_against_store(spark, path, batch).collect()
+    )
+    assert unpushed == got
+
+
 def test_bootstrap_rides_occ(spark, tmp_path):
     """Two writers racing to CREATE the index must not last-writer-win
     (the second v1 would silently shadow the first batch's grams): the
