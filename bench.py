@@ -135,6 +135,11 @@ HEADLINE_R11 = [
     "quality_percentile_by_source",
     # the routed knn kernel's inline-train + memoized-centroids path
     "embedding_knn_join_inline",
+    # distinct-gram novelty vs the persisted span-gram store
+    "gram_novelty_docs",
+    # the composed production ingest loop (clean -> append -> fold,
+    # three sequential batches; builds its scratch stores in-query)
+    "span_clean_and_fold_docs",
 ]
 HEADLINE = (
     HEADLINE

@@ -363,3 +363,116 @@ def test_prefix_law_property(spark):
             shutil.rmtree(root, ignore_errors=True)
 
     run()
+
+
+def test_gram_novelty_counts(spark, tmp_path):
+    """Exact distinct-gram novelty vs HISTORY: overlapping docs score
+    partial ppm, unseen docs 1000000, already-folded docs 0 (a
+    meaningful answer — no ingest-order guard on this read-only
+    probe), sub-k docs (0, 0, 0), and a k mismatch refuses."""
+    path = str(tmp_path / "span")
+    hist = _docs(spark, [(1, f"a {_SHARED} b")])  # grams of a..b window
+    SI.update_span_index(spark, path, hist)
+    batch = _docs(
+        spark,
+        [
+            (1, f"a {_SHARED} b"),      # already folded: novelty 0
+            (10, f"a {_SHARED} b"),     # exact re-render: novelty 0
+            (11, "n1 n2 n3 n4 n5 n6 n7 n8 n9"),  # fully novel
+            (12, "tiny"),               # sub-k
+        ],
+    )
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_novel_grams"], r["novelty_ppm"])
+        for r in SI.gram_novelty_against_store(spark, path, batch).collect()
+    }
+    assert got[1] == got[10]
+    assert got[1][1] == 0 and got[1][2] == 0 and got[1][0] == 3
+    assert got[11] == (2, 2, 1000000)
+    assert got[12] == (0, 0, 0)
+    with pytest.raises(ValueError, match="built at k="):
+        SI.gram_novelty_against_store(spark, path, batch, k=5)
+
+
+def test_clean_and_fold_sequential_law_and_stores(spark, tmp_path):
+    """The composed ingest step obeys the same prefix law the halves
+    do, and maintains BOTH stores: after each step the cleaned store
+    holds every batch's prefix-law output and the gram store holds
+    every original gram."""
+    b1 = _docs(spark, [(1, f"one two {_SHARED} three"),
+                       (2, "totally unique text here nothing shared at all ok")])
+    b2 = _docs(spark, [(10, f"{_SHARED} five six"),
+                       (11, f"head {_SHARED} tail")])
+    idx = str(tmp_path / "idx")
+    out = str(tmp_path / "clean")
+    prefix, want = None, {}
+    for b in (b1, b2):
+        batch_ids = {r["doc_id"] for r in b.select("doc_id").collect()}
+        cleaned = SI.clean_and_fold_batch(spark, idx, b, out)
+        got = {r["doc_id"]: tuple(r)[1:] for r in cleaned.collect()}
+        prefix = b if prefix is None else prefix.unionByName(b)
+        exp = {r["doc_id"]: tuple(r)[1:]
+               for r in D.remove_dup_spans(prefix).collect()
+               if r["doc_id"] in batch_ids}
+        assert got == exp
+        want.update(exp)
+    stored = {r["doc_id"]: tuple(r)[1:]
+              for r in SI.cleaned_docs_store_read(spark, out).collect()}
+    assert stored == want
+
+
+def test_clean_and_fold_replay_and_torn_state(spark, tmp_path):
+    """Replay-to-exactly-once across the composition: a full replay
+    no-ops both stores; a torn state (cleaned rows written, gram fold
+    missed) heals on replay without duplicating cleaned rows."""
+    from tinyerp_etl_spark.etl.table_store import TableStore
+
+    idx = str(tmp_path / "idx")
+    out = str(tmp_path / "clean")
+    b1 = _docs(spark, [(1, f"one two {_SHARED} three")])
+    b2 = _docs(spark, [(10, f"{_SHARED} five six"), (11, "u1 u2 u3 u4 u5 u6 u7 u8")])
+    SI.clean_and_fold_batch(spark, idx, b1, out)
+    gram_v = SI.span_gram_store(spark, idx).current_version()
+    out_v = TableStore(spark, out, SI.cleaned_docs_schema()).current_version()
+    # full replay: both stores keep their versions, nothing duplicates
+    replay = SI.clean_and_fold_batch(spark, idx, b1, out)
+    assert replay.count() == 0
+    assert SI.span_gram_store(spark, idx).current_version() == gram_v
+    assert TableStore(spark, out, SI.cleaned_docs_schema()).current_version() == out_v
+    # torn state: b2's CLEANED rows land but the gram fold "crashed"
+    cleaned_b2 = SI.clean_batch_against_store(spark, idx, b2)
+    out_store = TableStore(spark, out, SI.cleaned_docs_schema())
+    out_store.commit_append(cleaned_b2, expected_version=out_v)
+    # the replayed step re-cleans (gram store unchanged => same rows),
+    # the cleaned fold drops the duplicates, the gram fold completes
+    SI.clean_and_fold_batch(spark, idx, b2, out)
+    rows = SI.cleaned_docs_store_read(spark, out).collect()
+    ids = sorted(r["doc_id"] for r in rows)
+    assert ids == [1, 10, 11]  # no duplicate cleaned rows
+    gram_ids = {r["doc_id"] for r in SI.span_gram_store(spark, idx)
+                .read().select("doc_id").distinct().collect()}
+    assert gram_ids == {1, 10, 11}
+
+
+def test_stream_clean_and_fold_matches_batch(spark, tmp_path, sf_dir):
+    """Draining the composed sink over a stream equals the batch-mode
+    sequential run, and a second drain of the same source no-ops."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    ).limit(40)
+    src = str(tmp_path / "src")
+    docs.coalesce(2).write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    idx, out = str(tmp_path / "idx"), str(tmp_path / "clean")
+    SI.run_stream_clean_and_fold(spark, stream, idx, out, str(tmp_path / "ck"))
+    got = sorted(tuple(r) for r in SI.cleaned_docs_store_read(spark, out).collect())
+    # batch mode over the same docs in one step (availableNow drained
+    # the backlog as one micro-batch)
+    idx2, out2 = str(tmp_path / "idx2"), str(tmp_path / "clean2")
+    SI.clean_and_fold_batch(spark, idx2, docs, out2)
+    want = sorted(tuple(r) for r in SI.cleaned_docs_store_read(spark, out2).collect())
+    assert got == want
+    v = SI.span_gram_store(spark, idx).current_version()
+    rerun = spark.readStream.schema("doc_id long, text string").parquet(src)
+    SI.run_stream_clean_and_fold(spark, rerun, idx, out, str(tmp_path / "ck2"))
+    assert SI.span_gram_store(spark, idx).current_version() == v

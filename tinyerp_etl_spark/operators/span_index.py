@@ -56,7 +56,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType, StructField, StructType
+from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 from tinyerp_etl_spark.etl.fold import (
     drain_available_now,
@@ -405,6 +405,211 @@ def clean_batch_against_store(
         protected, [id_col, "__tok"], "left_anti"
     ).distinct()
     return rebuild_without_positions(batch, removed, text_col, id_col)
+
+
+def gram_novelty_against_store(
+    spark: SparkSession,
+    path: str,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = SPAN_K,
+) -> DataFrame:
+    """(id, n_grams, n_novel_grams, novelty_ppm) per batch doc — the
+    freshness / memorization-risk signal: how much of a document's
+    k-gram vocabulary is UNSEEN in the ingested history. A doc whose
+    grams are mostly already-indexed adds little new signal (and, for
+    eval candidates, is at risk of being memorized verbatim); mixture
+    builders weight by exactly this quantity.
+
+    DISTINCT grams per doc (the standard vocabulary form — occurrence
+    counts are ``dup_span_coverage``'s business); novelty is measured
+    against HISTORY only, never batch-mates (batch-internal repetition
+    belongs to the dedup ops). Read-only and order-insensitive —
+    membership against the store is well-defined for ANY batch,
+    including already-folded docs (novelty 0, a meaningful answer), so
+    unlike clean/fold no ingest-order guard applies; the k contract
+    still does. Integer ppm end to end. Plan shape = the clean probe:
+    the batch's distinct keys broadcast into one column-pruned,
+    version-pinned store scan; sub-k docs report (0, 0, 0).
+    """
+    store = span_gram_store(spark, path)
+    version = store.current_version()
+    stored = (
+        store.read() if version is None else store.read_version(version)
+    )
+    _check_k(_stored_k(stored), k, path, "probing")
+    pg = (
+        positional_ngram_rows(batch, text_col, id_col, k)
+        .select(F.col(id_col), F.xxhash64("gram").alias("gram_key"))
+        .distinct()
+    )
+    batch_keys = pg.select("gram_key").distinct()
+    store_hit = (
+        stored.select("gram_key")
+        .join(F.broadcast(batch_keys), "gram_key", "left_semi")
+        .distinct()
+    )
+    seen = pg.join(F.broadcast(store_hit), "gram_key", "left_semi")
+    per_doc = (
+        pg.groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_grams"))
+        .join(
+            seen.groupBy(id_col).agg(
+                F.count(F.lit(1)).cast("long").alias("__seen")
+            ),
+            id_col,
+            "left",
+        )
+        .select(
+            F.col(id_col),
+            "n_grams",
+            (F.col("n_grams") - F.coalesce(F.col("__seen"), F.lit(0)))
+            .cast("long")
+            .alias("n_novel_grams"),
+        )
+    )
+    return (
+        batch.select(F.col(id_col))
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_grams"), F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce(F.col("n_novel_grams"), F.lit(0))
+            .cast("long")
+            .alias("n_novel_grams"),
+        )
+        .withColumn(
+            "novelty_ppm",
+            F.when(
+                F.col("n_grams") > 0,
+                F.expr("(n_novel_grams * 1000000) div n_grams"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long"),
+        )
+    )
+
+
+def cleaned_docs_schema(id_col: str = "doc_id") -> StructType:
+    """Schema of the cleaned-output store ``clean_and_fold_batch``
+    maintains (matches ``rebuild_without_positions``'s output)."""
+    return StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("n_tokens", LongType()),
+            StructField("n_removed_tokens", LongType()),
+            StructField("clean_text", StringType()),
+        ]
+    )
+
+
+def cleaned_docs_store_read(
+    spark: SparkSession, path: str, id_col: str = "doc_id"
+) -> DataFrame:
+    """Current contents of a cleaned-output store
+    (``clean_and_fold_batch``'s second artifact)."""
+    return TableStore(spark, path, cleaned_docs_schema(id_col)).read()
+
+
+def clean_and_fold_batch(
+    spark: SparkSession,
+    index_path: str,
+    batch: DataFrame,
+    cleaned_path: str | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = SPAN_K,
+) -> DataFrame:
+    """ONE step of the production ExactSubstr ingest loop — the
+    composition the two halves exist for: pre-filter replays → CLEAN
+    the batch against history → idempotently append the cleaned rows
+    (when ``cleaned_path`` is given) → FOLD the batch's ORIGINAL grams.
+    Returns the batch's cleaned rows (genuinely-new docs only),
+    materialized.
+
+    Crash-consistency, step by step (each sub-store is itself an
+    idempotent fold, so the composition replays to exactly-once):
+
+    - replay pre-filter: docs already in the GRAM store anti-join away
+      (they were fully processed — the gram fold is the LAST step, so
+      its membership implies the cleaned row was already written);
+      this is also what feeds the clean path a batch that always
+      satisfies its already-indexed guard.
+    - crash after the cleaned append, before the gram fold: the replay
+      re-cleans the same docs against the UNCHANGED store (same
+      output, the law), and the cleaned store's doc-novelty fold
+      drops the duplicate rows; the gram fold then proceeds.
+    - crash after the gram fold, before the stream checkpoint: the
+      replayed batch pre-filters to empty — every step no-ops.
+
+    Concurrency contract: single logical writer per store pair (the
+    sibling folds' contract); racing writers are absorbed by
+    ``occ_fold`` around the whole step (ConcurrentWriteError recomputes
+    against the winner), and interleaved doc_id ranges from two
+    writers fail the ingest-order guard by design. The batch
+    tokenizes twice (once for clean's positional grams, once for the
+    fold's) — both ∝ batch; history tokenizes never.
+    """
+    store = span_gram_store(spark, index_path)
+    version = store.current_version()
+    if version is None:
+        fresh = batch
+    else:
+        indexed = (
+            store.read_version(version)
+            .select(F.col("doc_id").alias(id_col))
+            .distinct()
+        )
+        fresh = materialize(batch.join(indexed, id_col, "left_anti"))
+    cleaned = materialize(
+        clean_batch_against_store(
+            spark, index_path, fresh, text_col, id_col, k
+        )
+    )
+    if cleaned_path is not None:
+        out_store = TableStore(spark, cleaned_path, cleaned_docs_schema(id_col))
+        fold_append(
+            out_store,
+            cleaned,
+            lambda stored, rows: rows.join(
+                stored.select(id_col), id_col, "left_anti"
+            ),
+            n_files=SPAN_FILES,
+            skip_empty_bootstrap_result=0,
+        )
+    update_span_index(
+        spark, index_path, fresh, text_col, id_col,
+        on_overlap="skip_existing", k=k,
+    )
+    return cleaned
+
+
+def run_stream_clean_and_fold(
+    spark: SparkSession,
+    docs_stream: DataFrame,
+    index_path: str,
+    cleaned_path: str,
+    checkpoint_dir: str,
+    occ_retries: int = 3,
+) -> None:
+    """The streaming face of the production ingest loop: drain a
+    document stream through ``clean_and_fold_batch`` (availableNow),
+    maintaining BOTH stores — the cleaned corpus and the gram index —
+    with the composition's replay-to-exactly-once contract (see
+    clean_and_fold_batch). The retry recomputes the whole step against
+    the winner, which is safe for the same reason every fold here is:
+    each sub-store's fresh-filter re-derives what is new."""
+
+    def sink(batch_df: DataFrame, _batch_id: int) -> None:
+        occ_fold(
+            lambda: clean_and_fold_batch(
+                spark, index_path, batch_df, cleaned_path
+            ),
+            occ_retries,
+        )
+
+    drain_available_now(docs_stream, sink, checkpoint_dir)
 
 
 def run_stream_to_span_index(

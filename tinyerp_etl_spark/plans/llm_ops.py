@@ -4817,3 +4817,191 @@ LLM_ORACLES["embedding_knn_join_inline"] = f"""
     ORDER BY query_id, rn
 """
 LLM_QUERIES["embedding_knn_join_inline"] = embedding_knn_join_inline
+
+
+def gram_novelty_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document k-gram novelty against the ingested history
+    (operators/span_index.gram_novelty_against_store): history =
+    doc_id <= max/2 registered ONCE in the persisted span-gram index
+    (the same cached artifact incremental_span_removal_docs probes —
+    one store, many faces); batch = the rest, scored for the fraction
+    of their DISTINCT 8-gram vocabulary unseen in history — the
+    freshness / memorization-risk signal a mixture builder weights by.
+    Integer ppm end to end; one column-pruned store probe, history
+    never re-tokenizes."""
+    from tinyerp_etl_spark.operators import span_index as SI
+
+    path, thr = _span_store_for(spark, sf_dir)
+    batch = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") > thr)
+    )
+    return SI.gram_novelty_against_store(spark, path, batch).orderBy("doc_id")
+
+
+LLM_ORACLES["gram_novelty_docs"] = f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    hg AS (
+      SELECT DISTINCT array_to_string(toks[i:i+{D.SPAN_K - 1}], ' ') AS gram
+      FROM t, UNNEST(range(1, len(toks) - {D.SPAN_K - 2})) AS u(i)
+      WHERE len(toks) >= {D.SPAN_K}
+        AND doc_id <= (SELECT max(doc_id) // 2 FROM documents)
+    ),
+    bg AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(toks[i:i+{D.SPAN_K - 1}], ' ') AS gram
+      FROM t, UNNEST(range(1, len(toks) - {D.SPAN_K - 2})) AS u(i)
+      WHERE len(toks) >= {D.SPAN_K}
+        AND doc_id > (SELECT max(doc_id) // 2 FROM documents)
+    ),
+    cnt AS (
+      SELECT doc_id, count(*) AS n_grams,
+             count(*) FILTER (
+               WHERE gram NOT IN (SELECT gram FROM hg)
+             ) AS n_novel
+      FROM bg GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(coalesce(c.n_grams, 0) AS BIGINT) AS n_grams,
+           CAST(coalesce(c.n_novel, 0) AS BIGINT) AS n_novel_grams,
+           CAST(CASE WHEN coalesce(c.n_grams, 0) > 0
+                THEN (c.n_novel * 1000000) // c.n_grams
+                ELSE 0 END AS BIGINT) AS novelty_ppm
+    FROM t LEFT JOIN cnt c USING (doc_id)
+    WHERE t.doc_id > (SELECT max(doc_id) // 2 FROM documents)
+    ORDER BY t.doc_id
+"""
+LLM_QUERIES["gram_novelty_docs"] = gram_novelty_docs
+
+
+def _span_oneshot_block(s: str, prefix_cond: str, batch_cond: str) -> str:
+    """One prefix-law block of the sequential clean-and-fold oracle:
+    the dedup_span_removal one-shot SQL computed over the PREFIX
+    corpus, output restricted to the BATCH docs — CTE names suffixed
+    so three blocks coexist in one statement."""
+    k = D.SPAN_K
+    return f"""
+    t{s} AS (SELECT doc_id, {_TOKS} AS toks FROM documents
+             WHERE {prefix_cond}),
+    pg{s} AS (
+      SELECT doc_id, i AS pos,
+             array_to_string(toks[i:i+{k - 1}], ' ') AS gram
+      FROM t{s}, UNNEST(range(1, len(toks) - {k - 2})) AS u(i)
+      WHERE len(toks) >= {k}
+    ),
+    dup{s} AS (
+      SELECT gram FROM pg{s} GROUP BY gram
+      HAVING count(DISTINCT doc_id) >= 2
+    ),
+    docc{s} AS (SELECT pg{s}.* FROM pg{s} JOIN dup{s} USING (gram)),
+    canon{s} AS (
+      SELECT gram, doc_id AS cid, pos AS cpos FROM (
+        SELECT gram, doc_id, pos,
+               row_number() OVER (PARTITION BY gram
+                                  ORDER BY doc_id, pos) AS rn
+        FROM docc{s}) WHERE rn = 1
+    ),
+    covered{s} AS (
+      SELECT d.doc_id, d.pos + j AS tok
+      FROM docc{s} d, UNNEST(range(0, {k})) AS g(j)
+    ),
+    protected{s} AS (
+      SELECT c.cid AS doc_id, c.cpos + j AS tok
+      FROM canon{s} c, UNNEST(range(0, {k})) AS g(j)
+    ),
+    removed{s} AS (
+      SELECT doc_id, tok FROM covered{s}
+      EXCEPT
+      SELECT doc_id, tok FROM protected{s}
+    ),
+    kept{s} AS (
+      SELECT t{s}.doc_id, u.i AS pos, t{s}.toks[u.i] AS tok
+      FROM t{s}, UNNEST(range(1, len(t{s}.toks) + 1)) AS u(i)
+      WHERE NOT EXISTS (
+        SELECT 1 FROM removed{s} r
+        WHERE r.doc_id = t{s}.doc_id AND r.tok = u.i
+      )
+    ),
+    rebuilt{s} AS (
+      SELECT doc_id, count(*) AS n_kept,
+             string_agg(tok, ' ' ORDER BY pos) AS clean_text
+      FROM kept{s} GROUP BY doc_id
+    ),
+    out{s} AS (
+      SELECT t{s}.doc_id,
+             CAST(len(t{s}.toks) AS BIGINT) AS n_tokens,
+             CAST(len(t{s}.toks) - coalesce(rb.n_kept, 0) AS BIGINT)
+               AS n_removed_tokens,
+             coalesce(rb.clean_text, '') AS clean_text
+      FROM t{s} LEFT JOIN rebuilt{s} rb USING (doc_id)
+      WHERE {batch_cond}
+    )"""
+
+
+def span_clean_and_fold_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production ExactSubstr ingest LOOP, run for three
+    sequential doc_id-range batches (operators/span_index.
+    clean_and_fold_batch: pre-filter replays → clean against history →
+    idempotent cleaned append → fold original grams): the union of the
+    three batches' cleaned outputs. The oracle is three one-shot
+    prefix-law blocks (each batch ≡ one-shot remove_dup_spans over its
+    PREFIX corpus restricted to the batch) — the sequential ≡ one-shot
+    law proven THROUGH the composed loop, not just the clean half.
+    Cleaned rows are batch-scale and collected per step (the bm25
+    incremental pattern); the scratch stores are built and discarded
+    in-query because the loop itself — not a cached artifact — is what
+    this row gates."""
+    import shutil
+    import tempfile
+
+    from tinyerp_etl_spark.operators import span_index as SI
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    m = int(docs.agg(F.max("doc_id")).first()[0])
+    t1, t2 = m // 3, (2 * m) // 3
+    splits = [
+        docs.filter(F.col("doc_id") <= t1),
+        docs.filter((F.col("doc_id") > t1) & (F.col("doc_id") <= t2)),
+        docs.filter(F.col("doc_id") > t2),
+    ]
+    scratch = tempfile.mkdtemp(prefix="span_caf_")
+    rows: list[tuple] = []
+    try:
+        idx = os.path.join(scratch, "idx")
+        out = os.path.join(scratch, "clean")
+        for b in splits:
+            rows.extend(
+                tuple(r)
+                for r in SI.clean_and_fold_batch(spark, idx, b, out).collect()
+            )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    return local_df(
+        spark,
+        rows,
+        "doc_id long, n_tokens long, n_removed_tokens long, clean_text string",
+    ).orderBy("doc_id")
+
+
+_T1 = "(SELECT max(doc_id) // 3 FROM documents)"
+_T2 = "(SELECT (2 * max(doc_id)) // 3 FROM documents)"
+LLM_ORACLES["span_clean_and_fold_docs"] = (
+    "WITH "
+    + ",".join(
+        [
+            _span_oneshot_block("1", f"doc_id <= {_T1}", f"doc_id <= {_T1}"),
+            _span_oneshot_block(
+                "2", f"doc_id <= {_T2}", f"doc_id > {_T1}"
+            ),
+            _span_oneshot_block("3", "TRUE", f"doc_id > {_T2}"),
+        ]
+    )
+    + """
+    SELECT * FROM out1
+    UNION ALL SELECT * FROM out2
+    UNION ALL SELECT * FROM out3
+    ORDER BY doc_id
+"""
+)
+LLM_QUERIES["span_clean_and_fold_docs"] = span_clean_and_fold_docs

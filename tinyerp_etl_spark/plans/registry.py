@@ -372,20 +372,36 @@ _RELATIONAL_NAMES = [
 #       retired r4's and r9 retired r3's. After this gate runs green,
 #       NO registered query's newest driver row predates r7 and the
 #       deferral ledger is EMPTY for the first time.
-#   (b) fill to 50 with 11 r8-stale rows (the oldest remaining
-#       evidence once the r6 set retires — the r7 list ran unchanged
-#       in round 8), shape-starved first: semantic_dedup_embeddings
-#       (SemDeDup — no fresher row covers cluster-then-prune),
+#   (b) fill to 50 with r8-stale rows (the oldest remaining evidence
+#       once the r6 set retires — the r7 list ran unchanged in round
+#       8), shape-starved first: semantic_dedup_embeddings (SemDeDup —
+#       no fresher row covers cluster-then-prune),
 #       watermark_resolution_matrix (the §17/§21-25 watermark
 #       machine), scd2_user_event_history (§14e), incremental_
 #       pipeline_events (§28-29 per-page commit orchestration),
-#       csv_quarantine_split (§6c bad-records path),
-#       mp4_keyframe_parity (codec parity family's r8-stale member),
-#       hybrid_rrf_retrieval (rank fusion), ivf_recall_report (the
-#       recall-honesty contract every ANN claim leans on),
+#       csv_quarantine_split (§6c bad-records path), ivf_recall_report
+#       (the recall-honesty contract every ANN claim leans on),
 #       range_join_event_bursts (non-equi interval join),
 #       skew_salted_event_totals (the skew-salting lever), and
-#       fuzzy_match_customers (edit-distance blocking).
+#       fuzzy_match_customers (edit-distance blocking). Eleven at
+#       rotation time; two displaced mid-round by the fifth and sixth
+#       newcomers (the standing displacement convention):
+#       mp4_keyframe_parity (its codec-parity family carries FIVE
+#       r10-green siblings — image_dhash/audio/video/perceptual/
+#       mp4_container — covering the shape) displaced by
+#       span_clean_and_fold_docs (operators/span_index.clean_and_fold_
+#       batch — the COMPOSED production ingest loop: pre-filter
+#       replays → clean → idempotent cleaned append → gram fold,
+#       oracled as three one-shot prefix-law blocks, so the
+#       sequential ≡ one-shot law is proven THROUGH the loop), and
+#       hybrid_rrf_retrieval (its retrieval kernels are covered by
+#       r10-green bm25i_retrieval_docs and the embedding-ranking rows;
+#       the fusion row itself stays registered and r8-green) displaced
+#       by gram_novelty_docs
+#       (span_index.gram_novelty_against_store — distinct-gram
+#       novelty vs history through the SAME persisted store the
+#       incremental row probes; the freshness/memorization-risk
+#       signal).
 # Deferred to round 12: NOTHING structurally — every registered
 # query's newest green is r7+ once this gate runs. The natural
 # round-12 candidates are the remaining r8-stale rows (the r7 list's
@@ -441,8 +457,8 @@ _ROUND11_FRONT_50 = [
     "scd2_user_event_history",
     "incremental_pipeline_events",
     "csv_quarantine_split",
-    "mp4_keyframe_parity",
-    "hybrid_rrf_retrieval",
+    "span_clean_and_fold_docs",
+    "gram_novelty_docs",
     "ivf_recall_report",
     "range_join_event_bursts",
     "skew_salted_event_totals",
@@ -677,7 +693,7 @@ _ROUND7_FRONT_50 = [
     "ivf_index_roundtrip",
     "bm25i_index_retrieval",
     "attribution_lambda_parity",
-    "mp4_keyframe_parity",
+    "span_clean_and_fold_docs",
     "copurchase_triangles",
     "attribution_interval_join",
     "embedding_topk_bruteforce",
