@@ -220,6 +220,7 @@ def main() -> None:
         and k not in HEADLINE_R7
         and k not in HEADLINE_R9
         and k not in HEADLINE_R10
+        and k not in HEADLINE_R11
     )
     # the set benched in rounds 5-6: total minus later additions,
     # so r6 -> r7+ compares directly without re-deriving the exclusion
@@ -229,16 +230,25 @@ def main() -> None:
         if k not in HEADLINE_R7
         and k not in HEADLINE_R9
         and k not in HEADLINE_R10
+        and k not in HEADLINE_R11
     )
     # the set benched in rounds 7-8 (the r8 verdict's common-52)
     comparable_r8 = sum(
         v
         for k, v in timings.items()
-        if k not in HEADLINE_R9 and k not in HEADLINE_R10
+        if k not in HEADLINE_R9
+        and k not in HEADLINE_R10
+        and k not in HEADLINE_R11
     )
     # the set benched in round 9 (for the r9 -> r10 comparison)
     comparable_r9 = sum(
-        v for k, v in timings.items() if k not in HEADLINE_R10
+        v
+        for k, v in timings.items()
+        if k not in HEADLINE_R10 and k not in HEADLINE_R11
+    )
+    # the set benched in round 10 (for the r10 -> r11 comparison)
+    comparable_r10 = sum(
+        v for k, v in timings.items() if k not in HEADLINE_R11
     )
 
     print(
@@ -253,6 +263,7 @@ def main() -> None:
                 "comparable_r6_total": round(comparable_r6, 4),
                 "comparable_r8_total": round(comparable_r8, 4),
                 "comparable_r9_total": round(comparable_r9, 4),
+                "comparable_r10_total": round(comparable_r10, 4),
                 "host_calibration": _calibrate_host(spark),
                 "host_calibration_start": cal_start,
             }

@@ -1240,16 +1240,17 @@ def remove_contaminated_spans(
     doc. No canonical protection applies — a benchmark passage has no
     legitimate copy in training data, so every covering position goes
     (contrast the dedup form, where exactly one occurrence survives).
-    Topology: the training side's positional grams semi-join the
-    benchmark's broadcast DISTINCT gram set (eval sets are small by
-    definition — the decontaminate_docs broadcast regime; a
-    corpus-scale reference side should use the hash-keyed equi-join
-    shape instead, ``join_on_hash`` + no broadcast), the covered
-    positions explode ∝ contaminated occurrences only, and the
-    reassembly is the shared ``rebuild_without_positions`` tail.
-    ``join_on_hash`` carries xxhash64(gram) through the probe instead
-    of the ~k-word string (same collision trade documented at
-    dup_span_coverage). Spans per Lee et al. 2021; the
+    Topology: exact-string default (``join_on_hash=False``) is the
+    small-eval-set regime — the training side's positional grams
+    semi-join the benchmark's BROADCAST distinct gram set (the
+    decontaminate_docs shape), the covered positions explode ∝
+    contaminated occurrences only, and the reassembly is the shared
+    ``rebuild_without_positions`` tail. ``join_on_hash=True`` is the
+    at-scale shape for a reference side too large to broadcast: both
+    sides key on xxhash64(gram) and meet in a hash-partitioned
+    equi-join — an 8-byte exchange key and NO broadcast anywhere
+    (the ngram_decontaminate contract; same 64-bit collision trade
+    documented at dup_span_coverage). Spans per Lee et al. 2021; the
     remove-not-drop discipline follows the open-data decontamination
     practice (e.g. GPT-3 appendix C's surgical n-gram removal).
     """
@@ -1261,9 +1262,14 @@ def remove_contaminated_spans(
         pg = pg.select(
             F.col(id_col), "pos", F.xxhash64("gram").alias("gram")
         )
-        bg = bg.select(F.xxhash64("gram").alias("gram")).distinct()
+        # no broadcast: the hash regime exists precisely for reference
+        # sides over the broadcast limit — let the 8-byte keys meet in
+        # a shuffled equi-join
+        probe = bg.select(F.xxhash64("gram").alias("gram")).distinct()
+    else:
+        probe = F.broadcast(bg)
     removed = (
-        pg.join(F.broadcast(bg), "gram", "left_semi")
+        pg.join(probe, "gram", "left_semi")
         .select(
             F.col(id_col),
             F.explode(

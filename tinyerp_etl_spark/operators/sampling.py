@@ -73,15 +73,24 @@ def cap_per_key(
     """
     if cap < 1:
         raise ValueError(f"cap must be >= 1, got {cap}")
+    if with_rank and "rk" in df.columns:
+        raise ValueError(
+            "cap_per_key(with_rank=True) emits its rank as 'rk' but the "
+            "input already has that column — rename one of the two"
+        )
     from pyspark.sql.window import Window
 
     w = Window.partitionBy(key_col).orderBy(
         F.md5(F.col(id_col).cast("string")), F.col(id_col)
     )
-    out = df.withColumn("rk", F.row_number().over(w).cast("long")).filter(
-        F.col("rk") <= cap
-    )
-    return out if with_rank else out.drop("rk")
+    # internal name so an existing caller column is never overwritten
+    # (and never silently dropped on the with_rank=False path)
+    out = df.withColumn(
+        "__cap_rk", F.row_number().over(w).cast("long")
+    ).filter(F.col("__cap_rk") <= cap)
+    if with_rank:
+        return out.withColumnRenamed("__cap_rk", "rk")
+    return out.drop("__cap_rk")
 
 
 def mixture_thresholds(

@@ -1118,10 +1118,13 @@ MAX_KNN_QUERY_BATCH = 10_000
 MAX_KNN_PROBE_BROADCAST = 100_000
 
 #: Memo of inline-trained routed-knn centroids, keyed by the corpus
-#: frame's ANALYZED PLAN (applicationId + semanticHash, confirmed via
-#: sameSemantics so a hash collision can never serve wrong centroids)
-#: plus the column names. Bounded FIFO — each entry holds one
-#: DataFrame reference (for the confirmation) and k tiny tick lists.
+#: frame's ANALYZED PLAN (applicationId + semanticHash + the
+#: CANONICALIZED plan string, so a hash collision can never serve
+#: wrong centroids) plus the column names. Bounded FIFO — each entry
+#: holds two strings and k tiny tick lists, never a DataFrame: a
+#: pinned frame reference would keep its localCheckpoint blocks alive
+#: past the caller's lifetime (the ContextCleaner only reclaims
+#: unreferenced plans).
 _INLINE_CENTROID_MEMO: dict = {}
 _INLINE_CENTROID_MEMO_MAX = 8
 
@@ -1145,16 +1148,20 @@ def _inline_centroids_for(
             id_col,
             vec_col,
         )
+        canon = (
+            embeddings._jdf.queryExecution().analyzed().canonicalized()
+            .toString()
+        )
     except Exception:
         # a frame whose plan can't be analyzed/hashed just trains
         return train_kmeans(embeddings, id_col=id_col, vec_col=vec_col)
     hit = _INLINE_CENTROID_MEMO.get(key)
-    if hit is not None and hit[0].sameSemantics(embeddings):
+    if hit is not None and hit[0] == canon:
         return hit[1]
     cents = train_kmeans(embeddings, id_col=id_col, vec_col=vec_col)
     if len(_INLINE_CENTROID_MEMO) >= _INLINE_CENTROID_MEMO_MAX:
         _INLINE_CENTROID_MEMO.pop(next(iter(_INLINE_CENTROID_MEMO)))
-    _INLINE_CENTROID_MEMO[key] = (embeddings, cents)
+    _INLINE_CENTROID_MEMO[key] = (canon, cents)
     return cents
 
 

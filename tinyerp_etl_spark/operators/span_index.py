@@ -77,27 +77,34 @@ from tinyerp_etl_spark.operators.dedup import (
 SPAN_FILES = 8
 
 #: Largest batch gram-key set the clean path collects driver-side and
-#: PUSHES into the store scan as an In() filter (8 B × cap ≈ 32 KB —
+#: PUSHES into the store scan as an In() filter (8 B × cap ≈ 8 KB —
 #: control-plane). With the store cluster_by=["gram_key"] layout,
 #: parquet row-group/page min/max stats then SKIP every unit
-#: containing none of the probed keys. Honest expectation for
-#: xxhash64 keys (uniform over int64): a stats unit of R rows
-#: survives with probability ≈ 1 − e^(−K·R/N) for K probed keys over
-#: N stored rows, so pruning bites exactly when K ≪ N/R = the store's
-#: stats-unit count — small trickle batches and point audits against
-#: a LARGE history (measured on the layout: 5 spread keys over 4 M
-#: sorted rows read 100 k rows, 40×; 50 spread keys read everything).
-#: Batches over the cap skip the collect entirely and rely on the
-#: broadcast semi-join alone, whose scan is already column-pruned to
-#: the 8-byte key.
-SPAN_PROBE_PUSHDOWN_CAP = 4096
+#: containing none of the probed keys. TWO measured hard edges size
+#: this cap (see SCALE.md round-11): (a) parquet only evaluates In()
+#: per-value up to the session's inFilterThreshold — past it the
+#: filter silently degrades to min..max, useless over a uniform hash
+#: domain — so session.py raises that conf in lockstep and the
+#: operator re-checks the live value; (b) Spark 4.1's per-value
+#: filter builds a recursive OR chain that OVERFLOWS THE JVM STACK
+#: somewhere between 1 200 and 1 500 values — 1 000 keeps a margin.
+#: Honest pruning expectation for xxhash64 keys (uniform over int64):
+#: a stats unit of R rows survives key-free with probability
+#: e^(−K·R/N) for K probed keys over N stored rows, so pruning bites
+#: exactly when K ≪ N/R = the store's stats-unit count — trickle
+#: batches and point audits against a LARGE history (measured on the
+#: layout at N = 4 M, units ≈ 200: 11 spread keys → 200×, 100 → 2×,
+#: 500+ → nothing). Batches over the cap skip the collect entirely
+#: and rely on the broadcast semi-join alone, whose scan is already
+#: column-pruned to the 8-byte key.
+SPAN_PROBE_PUSHDOWN_CAP = 1000
 
 #: The pushdown's scale gate: push only when the store holds at least
 #: this many rows PER probed key (≈ the ~20 k-row parquet page stats
 #: granularity) — below it no unit can be key-free (the e^(−K·R/N)
-#: law above) and the collect + In()-build driver cost (~0.3 s
-#: measured at 2.8 k keys) buys nothing. One metadata-count job
-#: decides; at a 100 TB history the condition is always true.
+#: law above) and the collect + In()-build driver cost buys nothing.
+#: Decided by the guard probe's fused store agg; at a 100 TB history
+#: the condition is always true.
 SPAN_PUSHDOWN_MIN_STORE_ROWS_PER_KEY = 16_384
 
 SPAN_INDEX_SCHEMA = StructType(
@@ -296,7 +303,6 @@ def clean_batch_against_store(
     stored = (
         store.read() if version is None else store.read_version(version)
     )
-    _check_k(_stored_k(stored), k, path, "cleaning")
     pg = materialize(
         positional_ngram_rows(batch, text_col, id_col, k).select(
             F.col(id_col),
@@ -321,9 +327,24 @@ def clean_batch_against_store(
         F.min(F.col(id_col).cast("long")).alias("lo"),
         F.count(F.lit(1)).alias("n"),
     ).first()
+    store_rows = 0
     if int(probe["n"]):
-        hi_row = stored.agg(F.max("doc_id").alias("hi")).first()
+        # ONE store pass serves all three control-plane needs: the k
+        # contract (`first` over the constant column — any row), the
+        # guard's max(doc_id), and the pushdown gate's row count. A
+        # gram-free batch skips it entirely: it cannot be mis-cleaned
+        # at any k and every downstream set is empty.
+        hi_row = stored.agg(
+            F.max("doc_id").alias("hi"),
+            F.count(F.lit(1)).alias("n"),
+            F.first("k").alias("k"),
+        ).first()
+        _check_k(
+            None if hi_row["k"] is None else int(hi_row["k"]),
+            k, path, "cleaning",
+        )
         hi = hi_row["hi"]
+        store_rows = int(hi_row["n"])
         if hi is not None and int(probe["lo"]) <= int(hi):
             n_indexed = (
                 pg.select(F.col(id_col).cast("long").alias("doc_id"))
@@ -350,22 +371,31 @@ def clean_batch_against_store(
             )
     batch_keys = pg.select("gram_key").distinct()
     store_scan = stored.select("gram_key")
-    # small-probe pushdown: a batch whose distinct key set fits the
-    # cap — AND whose store is large enough that min/max stats can
-    # actually skip units (the e^(−K·R/N) law at the constants above)
-    # — collects it (bounded: limit+count probe first, the knn route
-    # discipline) and pushes an In() filter to the scan, where the
+    # small-probe pushdown: a batch whose key set fits the cap — AND
+    # whose store is large enough that min/max stats can actually skip
+    # units (the e^(−K·R/N) law at the constants above) — collects it
+    # and pushes an In() filter to the scan, where the
     # cluster_by=["gram_key"] layout turns it into row-group/page
-    # skipping. The semi-join below stays — it is the correctness
-    # path and the only path for over-cap batches; the pushdown can
-    # only shrink what the scan feeds it.
-    n_keys = batch_keys.limit(SPAN_PROBE_PUSHDOWN_CAP + 1).count()
-    if 0 < n_keys <= SPAN_PROBE_PUSHDOWN_CAP:
-        # metadata-only count (parquet footers) — decides whether the
-        # ~constant collect + In()-build driver cost can pay
-        store_rows = stored.count()
-        if store_rows >= n_keys * SPAN_PUSHDOWN_MIN_STORE_ROWS_PER_KEY:
-            keys = [r["gram_key"] for r in batch_keys.collect()]
+    # skipping. The gate is the guard probe's ALREADY-COMPUTED gram-
+    # row count (distinct keys ≤ rows, so the cap holds a fortiori —
+    # no extra job) and the one fused store agg above. Parquet only
+    # translates In() per-value up to the session's inFilterThreshold
+    # — past it the filter silently degrades to a useless min..max
+    # range over the hash domain — so the live conf caps what this
+    # path will push (session.py raises it to the cap; a session that
+    # lowers it just declines the optimization). The semi-join below
+    # stays — it is the correctness path and the only path for
+    # over-cap batches; the pushdown can only shrink what it reads.
+    n_rows = int(probe["n"])
+    if (
+        0 < n_rows <= SPAN_PROBE_PUSHDOWN_CAP
+        and store_rows >= n_rows * SPAN_PUSHDOWN_MIN_STORE_ROWS_PER_KEY
+    ):
+        keys = [r["gram_key"] for r in batch_keys.collect()]
+        threshold = int(
+            spark.conf.get("spark.sql.parquet.pushdown.inFilterThreshold")
+        )
+        if 0 < len(keys) <= threshold:
             store_scan = store_scan.filter(F.col("gram_key").isin(keys))
     store_hit = (
         store_scan
@@ -439,7 +469,12 @@ def gram_novelty_against_store(
         store.read() if version is None else store.read_version(version)
     )
     _check_k(_stored_k(stored), k, path, "probing")
-    pg = (
+    # materialized because the distinct-gram frame feeds THREE
+    # independent subtrees below (the broadcast store probe, the seen
+    # semi-join, and the per-doc counts) — unmaterialized, Spark
+    # re-tokenizes the batch once per subtree (no CSE across joins;
+    # the clean path materializes its pg for the same reason)
+    pg = materialize(
         positional_ngram_rows(batch, text_col, id_col, k)
         .select(F.col(id_col), F.xxhash64("gram").alias("gram_key"))
         .distinct()

@@ -693,7 +693,7 @@ _ROUND7_FRONT_50 = [
     "ivf_index_roundtrip",
     "bm25i_index_retrieval",
     "attribution_lambda_parity",
-    "span_clean_and_fold_docs",
+    "mp4_keyframe_parity",
     "copurchase_triangles",
     "attribution_interval_join",
     "embedding_topk_bruteforce",

@@ -50,6 +50,22 @@ def get_spark(app_name: str = "tinyerp-etl-spark") -> SparkSession:
         # the value-identity contract goes unverified. Fail loud.
         # (arrow.pyspark.enabled itself is set above)
         .config("spark.sql.execution.arrow.pyspark.fallback.enabled", "false")
+        # Parquet translates a pushed In() to per-value row-group/page
+        # filters only up to this many values — BEYOND it the filter
+        # silently degrades to min(values)..max(values), which for
+        # uniform hash keys spans ~the whole int64 domain and prunes
+        # nothing (measured under the default 10: 11 spread keys over
+        # 4 M sorted rows read everything; at 1000 the same store
+        # prunes 200x for concentrated key sets). 1000 matches
+        # operators/span_index.SPAN_PROBE_PUSHDOWN_CAP and stays well
+        # under the per-value OR-chain's JVM stack-overflow edge
+        # (measured between 1200 and 1500 values on Spark 4.1). The
+        # span operator re-checks the live conf and declines to push
+        # past it, so a session that lowers this only loses the
+        # optimization, never correctness.
+        .config(
+            "spark.sql.parquet.pushdown.inFilterThreshold", str(1000)
+        )
         # Guarded fallback for TIMESTAMP(NANOS) testdata generations
         # (round 1 shipped ns; current files are us). The catalog sniffs
         # the parquet footer and only uses the nanos long-read path when
