@@ -476,3 +476,20 @@ def test_stream_clean_and_fold_matches_batch(spark, tmp_path, sf_dir):
     rerun = spark.readStream.schema("doc_id long, text string").parquet(src)
     SI.run_stream_clean_and_fold(spark, rerun, idx, out, str(tmp_path / "ck2"))
     assert SI.span_gram_store(spark, idx).current_version() == v
+
+
+def test_novelty_plan_is_store_shuffle_free(spark, tmp_path):
+    """The novelty probe touches the store the way clean does: one
+    column-pruned scan met by broadcast gram_key joins — never a
+    sort-merge that would shuffle history — and no lint findings."""
+    from tinyerp_etl_spark.operators.planlint import plan_findings
+
+    path = str(tmp_path / "span")
+    SI.update_span_index(spark, path, _docs(spark, [(1, f"a {_SHARED} b")]))
+    out = SI.gram_novelty_against_store(
+        spark, path, _docs(spark, [(10, f"{_SHARED} c")])
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin [gram_key" not in plan
+    assert "BroadcastHashJoin [gram_key" in plan
+    assert plan_findings(out) == []

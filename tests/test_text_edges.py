@@ -640,3 +640,56 @@ def test_remove_contaminated_spans_surgical(spark):
         ).collect()
     }
     assert hashed == got
+
+
+def test_remove_contaminated_spans_property(spark):
+    """Randomized corpora vs an exact Python model: every position of
+    a training doc covered by a k-gram present in the benchmark set is
+    removed, nothing else is, and the rebuild joins kept tokens with
+    single spaces in order — under colliding small-vocab texts, empty
+    docs, sub-k docs, and bench/training overlap."""
+    from hypothesis import given, settings, strategies as st
+
+    from tinyerp_etl_spark.operators import dedup as D
+
+    words = [f"w{i}" for i in range(4)]
+    doc = st.lists(st.sampled_from(words), min_size=0, max_size=10).map(" ".join)
+    k = 3
+
+    def model(train_texts, bench_texts):
+        bgrams = set()
+        for t in bench_texts:
+            toks = t.split()
+            for i in range(len(toks) - k + 1):
+                bgrams.add(" ".join(toks[i : i + k]))
+        out = {}
+        for did, t in enumerate(train_texts):
+            toks = [w for w in t.split() if w]
+            removed = set()
+            for i in range(len(toks) - k + 1):
+                if " ".join(toks[i : i + k]) in bgrams:
+                    removed.update(range(i, i + k))
+            kept = [w for j, w in enumerate(toks) if j not in removed]
+            out[did] = (len(toks), len(removed), " ".join(kept))
+        return out
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        st.lists(doc, min_size=1, max_size=6),
+        st.lists(doc, min_size=0, max_size=3),
+    )
+    def run(train_texts, bench_texts):
+        train = spark.createDataFrame(
+            list(enumerate(train_texts)), "doc_id long, text string"
+        )
+        bench = spark.createDataFrame(
+            [(100 + i, t) for i, t in enumerate(bench_texts)] or [(100, "")],
+            "doc_id long, text string",
+        )
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["n_removed_tokens"], r["clean_text"])
+            for r in D.remove_contaminated_spans(train, bench, k=k).collect()
+        }
+        assert got == model(train_texts, bench_texts if bench_texts else [""])
+
+    run()
