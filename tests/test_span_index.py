@@ -493,3 +493,35 @@ def test_novelty_plan_is_store_shuffle_free(spark, tmp_path):
     assert "SortMergeJoin [gram_key" not in plan
     assert "BroadcastHashJoin [gram_key" in plan
     assert plan_findings(out) == []
+
+
+def test_clean_and_fold_under_reliable_materialize(spark, tmp_path):
+    """The composed loop's materialize seams (the replay pre-filter,
+    clean's gram frame, the cleaned rows, the fold's prematerialized
+    survivors) all route through the reliable checkpoint strategy on
+    a cluster — flipping the switch must change durability only,
+    never rows (the materialize contract, pinned end-to-end through
+    the loop's multi-store composition)."""
+    from tinyerp_etl_spark.functions.materialize import RELIABLE_CONF
+
+    b1 = _docs(spark, [(1, f"one two {_SHARED} three")])
+    b2 = _docs(spark, [(10, f"{_SHARED} five six"), (11, "u1 u2 u3 u4 u5 u6 u7 u8")])
+    run_rows = []
+    for mode in ("local", "reliable"):
+        idx = str(tmp_path / f"idx_{mode}")
+        out = str(tmp_path / f"clean_{mode}")
+        if mode == "reliable":
+            spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+            spark.conf.set(RELIABLE_CONF, "true")
+        try:
+            for b in (b1, b2):
+                SI.clean_and_fold_batch(spark, idx, b, out)
+            run_rows.append(sorted(
+                tuple(r)
+                for r in SI.cleaned_docs_store_read(spark, out).collect()
+            ))
+        finally:
+            if mode == "reliable":
+                spark.conf.unset(RELIABLE_CONF)
+    assert run_rows[0] == run_rows[1]
+    assert len(run_rows[0]) == 3

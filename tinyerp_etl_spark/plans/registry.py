@@ -403,11 +403,38 @@ _RELATIONAL_NAMES = [
 #       incremental row probes; the freshness/memorization-risk
 #       signal).
 # Deferred to round 12: NOTHING structurally — every registered
-# query's newest green is r7+ once this gate runs. The natural
-# round-12 candidates are the remaining r8-stale rows (the r7 list's
-# other 36 members, e.g. the embedding_topk family, exact_dup_groups,
-# the events windowing family, attribution/asof/cohort, json/xml
-# round-trips), oldest evidence first, per the standing convention.
+# query's newest green is r7+ once this gate runs.
+#
+# PRE-STAGED ROUND-12 ROTATION PLAN (compose at round-12 start,
+# exactly as every rotation has):
+#   (0) any round-12 newcomers, gated at birth, displacing fills
+#       whose shapes fresher rows cover (document each);
+#   (0b) rows whose engine code round 12 changes — changed engine
+#       outranks fresh evidence;
+#   (a) ALL 38 rows whose newest green will then be r8 (the r7 list
+#       ran unchanged in round 8; after the r11 gate these are the
+#       oldest evidence): asof_purchase_to_view,
+#       attribution_interval_join, attribution_lambda_parity,
+#       bm25i_index_retrieval, bpe_segment_stats, bpe_train_merges,
+#       cohort_retention_daily, copurchase_part_pairs,
+#       copurchase_triangles, embedding_quantize_int8,
+#       embedding_topk_bruteforce, embedding_topk_ivf,
+#       embedding_topk_lsh, events_session_windows,
+#       events_sliding_windows, events_time_grain_rollup,
+#       events_tumbling_hourly, exact_dup_groups,
+#       file_format_roundtrip_orders, funnel_view_click_purchase,
+#       hybrid_rrf_retrieval, int8_rank_fidelity,
+#       ivf_assign_narrow_parity, ivf_index_roundtrip,
+#       ivf_partitioned_scan, json_props_rollup,
+#       keep_latest_event_per_user, kmeans_centroids_embeddings,
+#       kmv_distinct_users, longest_active_streaks, lsh_recall_report,
+#       merge_upsert_events, mp4_keyframe_parity,
+#       nested_flatten_roundtrip, pandas_udf_mask_names,
+#       sessionize_user_events, token_count_by_source,
+#       variant_props_extract — 38 rows, leaving 12 slots, so the r8
+#       debt can retire in ONE gate exactly as r9/r10/r11 retired
+#       r3/r4/r6;
+#   (b) fill remaining slots with r9-stale rows, shape-starved first.
 _ROUND11_FRONT_50 = [
     # (0) round-11 newcomers, gated at birth
     "decontaminate_span_removal_docs",
