@@ -69,3 +69,26 @@ def test_cap_per_key_rejects_nonpositive_cap(spark):
     df = spark.createDataFrame([(1, "a")], "k int, s string")
     with pytest.raises(ValueError, match="cap"):
         cap_per_key(df, "s", 0, "k")
+
+
+def test_cap_per_key_salted_equals_unsalted(spark):
+    """The two-phase salted plan is EXACT (phase 1 can never drop a
+    true top-cap member), so salted and unsalted outputs must be
+    identical row for row — across bucket counts coarser and finer
+    than the cap, caps above the key size, and with_rank."""
+    from tinyerp_etl_spark.operators.sampling import cap_per_key
+
+    df = spark.createDataFrame(
+        [(i, f"s{i % 3}") for i in range(300)], "k int, s string"
+    )
+    rows = lambda d: sorted(tuple(r) for r in d.collect())
+    for cap in (1, 5, 40, 500):
+        want = rows(cap_per_key(df, "s", cap, "k", with_rank=True))
+        for b in (1, 2, 7, 64):
+            got = rows(cap_per_key(df, "s", cap, "k", with_rank=True,
+                                   salt_buckets=b))
+            assert got == want, (cap, b)
+    import pytest
+
+    with pytest.raises(ValueError, match="salt_buckets"):
+        cap_per_key(df, "s", 5, "k", salt_buckets=0)

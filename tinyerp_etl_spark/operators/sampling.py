@@ -54,6 +54,7 @@ def cap_per_key(
     cap: int,
     id_col: str,
     with_rank: bool = False,
+    salt_buckets: int | None = None,
 ) -> DataFrame:
     """At most ``cap`` rows per key, chosen deterministically — the
     crawl-balancing primitive ("no more than N documents per domain")
@@ -64,10 +65,18 @@ def cap_per_key(
     Selection order within a key is (md5(id), id): content-hashed so
     the kept subset is an unbiased, reproducible draw (ingest order
     and partitioning never leak into it), id tie-broken so the rank is
-    total. One partitioned window per key — the per-key row sets
-    shuffle once on ``key_col``; no key ever needs more than its own
-    rows in memory beyond the window sort, and a skewed mega-key sorts
-    ∝ its own size, the exact data this operator exists to cut.
+    total. Default plan: one partitioned window per key — the per-key
+    row sets shuffle once on ``key_col``, and a skewed mega-key sorts
+    ∝ its own size in ONE task. At 100 TB that single task is the
+    skew hazard this operator's OWN input is guaranteed to have (a
+    capped mega-domain IS a mega-key), so ``salt_buckets=B`` switches
+    to the two-phase top-N: phase 1 ranks within (key, id-hash bucket)
+    — each task sorts ≤ keysize/B rows — and keeps each bucket's local
+    top-``cap``; phase 2 ranks the ≤ cap·B survivors per key exactly.
+    EXACT by construction, not approximate: every row of the true
+    per-key top-``cap`` has fewer than ``cap`` predecessors globally,
+    hence fewer in its own bucket, so phase 1 can never drop it. Same
+    output as the default plan row for row (pinned by test).
     ``with_rank=True`` keeps the 1-based selection rank (``rk``) for
     auditability.
     """
@@ -80,12 +89,22 @@ def cap_per_key(
         )
     from pyspark.sql.window import Window
 
-    w = Window.partitionBy(key_col).orderBy(
-        F.md5(F.col(id_col).cast("string")), F.col(id_col)
-    )
+    order = [F.md5(F.col(id_col).cast("string")), F.col(id_col)]
+    src = df
+    if salt_buckets is not None:
+        if salt_buckets < 1:
+            raise ValueError(f"salt_buckets must be >= 1, got {salt_buckets}")
+        w1 = Window.partitionBy(key_col, "__cap_b").orderBy(*order)
+        src = (
+            df.withColumn("__cap_b", hash_bucket(id_col, salt_buckets))
+            .withColumn("__cap_lr", F.row_number().over(w1))
+            .filter(F.col("__cap_lr") <= cap)
+            .drop("__cap_b", "__cap_lr")
+        )
+    w = Window.partitionBy(key_col).orderBy(*order)
     # internal name so an existing caller column is never overwritten
     # (and never silently dropped on the with_rank=False path)
-    out = df.withColumn(
+    out = src.withColumn(
         "__cap_rk", F.row_number().over(w).cast("long")
     ).filter(F.col("__cap_rk") <= cap)
     if with_rank:

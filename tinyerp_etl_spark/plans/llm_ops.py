@@ -4672,16 +4672,18 @@ def per_source_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl balancing: at most 7 documents per source, chosen by the
     deterministic content-hash order (operators/sampling.cap_per_key)
     — the absolute per-domain ceiling a rate-based sampler cannot
-    express (10 % of a mega-domain is still mega). Returns the kept
-    rows with their 1-based selection rank for auditability; the
-    oracle re-derives the same (md5(id), id) ranking, so the kept SET
-    and its order are both hash-proven."""
+    express (10 % of a mega-domain is still mega). Runs the SALTED
+    two-phase plan (the 100 TB shape: a capped mega-domain IS a
+    mega-key, so phase 1 bounds every sort task at keysize/buckets) —
+    exact by construction, so the single-window oracle hash-proves
+    the two-phase kernel itself. Returns the kept rows with their
+    1-based selection rank for auditability."""
     from tinyerp_etl_spark.operators.sampling import cap_per_key
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
-    return cap_per_key(docs, "source", 7, "doc_id", with_rank=True).orderBy(
-        "source", "rk"
-    )
+    return cap_per_key(
+        docs, "source", 7, "doc_id", with_rank=True, salt_buckets=4
+    ).orderBy("source", "rk")
 
 
 LLM_ORACLES["per_source_cap_sample"] = """
