@@ -4702,14 +4702,21 @@ LLM_QUERIES["per_source_cap_sample"] = per_source_cap_sample
 
 def quality_percentile_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain calibrated quality ranking: each doc's type-token
-    ratio as an exact integer ppm, ranked WITHIN its source and placed
-    on a 0..1000000 percentile scale — the input to "keep the top X %
-    per domain" filtering, which beats one global threshold because
-    domains have different quality baselines (a mid-tier forum post
-    and a mid-tier arXiv page should both survive their own strata).
-    All integer arithmetic (ppm divisions, rank windows keyed by
-    (quality, doc_id)) so both engines agree bit-for-bit; one shuffle
-    on source feeds both window functions."""
+    ratio as an exact integer ppm, placed on a 0..1000000 PERCENT-RANK
+    scale within its source (ties share a percentile — the SQL
+    percent_rank semantics, and the right ones: two equal-quality docs
+    must not be split by an arbitrary id tie-break) — the input to
+    "keep the top X % per domain" filtering, which beats one global
+    threshold because domains have different quality baselines.
+
+    The 100 TB plan deliberately avoids a per-source row window (a
+    mega-source would sort in ONE task): ranks derive from per-
+    (source, quality_ppm) COUNTS — one map-side-combinable aggregation
+    — with the cumulative window running over the aggregated frame,
+    whose per-source size is bounded by the ppm DOMAIN (≤ 1e6+1
+    distinct values) regardless of corpus size, then an equi-join back
+    to rows. The oracle is the naive per-row rank window — layout ≡
+    recompute, hash-proven. All integer arithmetic end to end."""
     from pyspark.sql.window import Window
 
     docs = load_table(spark, sf_dir, "documents").select(
@@ -4731,23 +4738,28 @@ def quality_percentile_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("quality_ppm"),
     )
-    w = Window.partitionBy("source").orderBy("quality_ppm", "doc_id")
+    counts = q.groupBy("source", "quality_ppm").agg(
+        F.count(F.lit(1)).cast("long").alias("__c")
+    )
+    vw = Window.partitionBy("source").orderBy("quality_ppm")
     cw = Window.partitionBy("source")
+    dim = counts.select(
+        "source",
+        "quality_ppm",
+        (F.coalesce(F.sum("__c").over(vw), F.lit(0)) - F.col("__c"))
+        .cast("long")
+        .alias("__below"),
+        F.sum("__c").over(cw).cast("long").alias("__n"),
+    )
     return (
-        q.select(
-            "doc_id",
-            "source",
-            "quality_ppm",
-            F.row_number().over(w).alias("__rn"),
-            F.count(F.lit(1)).over(cw).alias("__n"),
-        )
+        q.join(dim, ["source", "quality_ppm"])
         .select(
             "doc_id",
             "source",
             "quality_ppm",
             F.when(
                 F.col("__n") > 1,
-                F.expr("((__rn - 1) * 1000000) div (__n - 1)"),
+                F.expr("(__below * 1000000) div (__n - 1)"),
             )
             .otherwise(F.lit(0))
             .cast("long")
@@ -4767,12 +4779,12 @@ LLM_ORACLES["quality_percentile_by_source"] = f"""
       FROM t),
     r AS (
       SELECT doc_id, source, quality_ppm,
-             row_number() OVER (PARTITION BY source
-                                ORDER BY quality_ppm, doc_id) AS rn,
+             rank() OVER (PARTITION BY source
+                          ORDER BY quality_ppm) AS rnk,
              count(*) OVER (PARTITION BY source) AS n
       FROM q)
     SELECT doc_id, source, quality_ppm,
-           CAST(CASE WHEN n > 1 THEN ((rn - 1) * 1000000) // (n - 1)
+           CAST(CASE WHEN n > 1 THEN ((rnk - 1) * 1000000) // (n - 1)
                 ELSE 0 END AS BIGINT) AS pctl_ppm
     FROM r ORDER BY doc_id
 """
