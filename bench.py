@@ -140,6 +140,8 @@ HEADLINE_R11 = [
     # the composed production ingest loop (clean -> append -> fold,
     # three sequential batches; builds its scratch stores in-query)
     "span_clean_and_fold_docs",
+    # DSIR importance resampling (hashed-ngram LLR data selection)
+    "dsir_importance_sample",
 ]
 HEADLINE = (
     HEADLINE

@@ -92,3 +92,93 @@ def test_cap_per_key_salted_equals_unsalted(spark):
 
     with pytest.raises(ValueError, match="salt_buckets"):
         cap_per_key(df, "s", 5, "k", salt_buckets=0)
+
+
+# ------------------------------------------------------------- DSIR
+def _dsir_toy(spark):
+    """Target = fruit prose; raw = 4 fruit-like docs, 4 metal docs,
+    1 empty doc. The fruit-like raw docs must outscore the metal
+    ones (they share the target's hashed-ngram mass)."""
+    target = spark.createDataFrame(
+        [
+            (100, "apple banana cherry apple banana"),
+            (101, "banana cherry apple fruit salad"),
+            (102, "cherry apple banana fruit bowl"),
+        ],
+        "doc_id long, text string",
+    )
+    raw = spark.createDataFrame(
+        [
+            (1, "apple banana cherry snack"),
+            (2, "banana cherry apple tart"),
+            (3, "fruit salad apple banana"),
+            (4, "cherry banana fruit bowl"),
+            (5, "iron copper zinc smelter"),
+            (6, "copper zinc iron ingot"),
+            (7, "zinc iron copper alloy"),
+            (8, "tungsten cobalt nickel ore"),
+            (9, ""),
+        ],
+        "doc_id long, text string",
+    )
+    return raw, target
+
+
+def test_dsir_scores_rank_target_like_docs_higher(spark):
+    from tinyerp_etl_spark.operators.sampling import dsir_scores
+
+    raw, target = _dsir_toy(spark)
+    got = {r["doc_id"]: r for r in dsir_scores(raw, target).collect()}
+    # the zero-gram doc carries no evidence and is absent
+    assert set(got) == {1, 2, 3, 4, 5, 6, 7, 8}
+    fruit = min(got[i]["score_mbits"] for i in (1, 2, 3, 4))
+    metal = max(got[i]["score_mbits"] for i in (5, 6, 7, 8))
+    assert fruit > metal
+    # n_grams = unigrams + bigrams = 2*len - 1 for these 4-5 token docs
+    assert got[1]["n_grams"] == 7 and got[3]["n_grams"] == 7
+
+
+def test_dsir_scores_partitioning_invariant(spark):
+    from tinyerp_etl_spark.operators.sampling import dsir_scores
+
+    raw, target = _dsir_toy(spark)
+    rows = lambda d: sorted(map(tuple, d.collect()))
+    assert rows(dsir_scores(raw.repartition(7), target.coalesce(1))) == rows(
+        dsir_scores(raw.coalesce(1), target.repartition(5))
+    )
+
+
+def test_dsir_sample_keeps_whole_tie_groups_within_budget(spark):
+    from tinyerp_etl_spark.operators.sampling import dsir_sample
+
+    raw, target = _dsir_toy(spark)
+    # 8 scored docs, 50% budget = 4: the four fruit docs clear it
+    out = {r["doc_id"]: r["keep"] for r in
+           dsir_sample(raw, target, keep_ppm=500_000).collect()}
+    assert [i for i in sorted(out) if out[i]] == [1, 2, 3, 4]
+    # budget 0 keeps nothing (NULL threshold coalesces to False)
+    none = dsir_sample(raw, target, keep_ppm=0)
+    assert not any(r["keep"] for r in none.collect())
+    # full budget keeps every scored doc
+    full = dsir_sample(raw, target, keep_ppm=1_000_000)
+    assert all(r["keep"] for r in full.collect())
+
+
+def test_dsir_keep_ppm_validated(spark):
+    import pytest
+
+    from tinyerp_etl_spark.operators.sampling import (
+        dsir_keep_threshold,
+        dsir_scores,
+    )
+
+    raw, target = _dsir_toy(spark)
+    with pytest.raises(ValueError, match="keep_ppm"):
+        dsir_keep_threshold(dsir_scores(raw, target), 2_000_000)
+
+
+def test_dsir_gate_plan_is_lint_clean(spark, sf_dir):
+    from tinyerp_etl_spark.operators.planlint import plan_findings
+    from tinyerp_etl_spark.plans.llm_ops import dsir_importance_sample
+
+    assert plan_findings(dsir_importance_sample(spark, sf_dir)) == []

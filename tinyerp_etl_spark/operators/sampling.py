@@ -190,3 +190,226 @@ def mixture_resample(
         .filter(hash_bucket(key_col) < F.col("threshold_10k"))
         .drop("n_total", "threshold_10k")
     )
+
+
+# --------------------------------------------------------------- DSIR
+# Data Selection via Importance Resampling (Xie et al., NeurIPS 2023):
+# featurize documents as hashed n-gram counts, fit bag-of-hashed-ngrams
+# models on a TARGET sample (the domain you want more of) and on the
+# RAW pool, and weight every raw document by its log-likelihood ratio
+# log p_target(x) - log q_raw(x). High-ratio docs "look like" the
+# target; resampling by the ratio shifts the corpus toward the target
+# distribution. Float-free variant of the paper's estimator: bucket
+# log-probs are integer BITS via bit_length (the unigram_surprisal
+# trick, operators/text.py), add-one smoothed, so both engines derive
+# bit-identical scores with no transcendental function.
+
+#: hashed-ngram feature space (the paper uses 10k at web scale; tests
+#: run smaller so every bucket is populated at tiny SFs)
+DSIR_BUCKETS = 128
+#: per-gram score scale: mean llr is reported in milli-bits per gram
+DSIR_SCORE_SCALE = 1000
+
+
+def dsir_grams(col: Column | str) -> Column:
+    """Unigram + bigram feature grams of a document (the paper's
+    featurization). Pure array expressions; <2-token docs contribute
+    their unigrams only, empty docs an empty array."""
+    from tinyerp_etl_spark.operators.text import tokens
+
+    toks = tokens(col)
+    nbi = F.array_size(toks) - 1
+    bi = F.when(
+        nbi >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(nbi, F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.concat(toks, bi)
+
+
+def dsir_gram_buckets(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """Per-doc hashed-gram bucket counts ``(id, bucket, cnt)``.
+
+    One explode + one keyed aggregation (map-side combinable — the
+    shuffle carries at most n_buckets rows per doc, not gram
+    occurrences). The bucket hash is the engine-wide portable
+    md5-prefix hash, so the oracle reproduces it exactly.
+    """
+    g = docs.select(
+        F.col(id_col), F.explode(dsir_grams(text_col)).alias("gram")
+    )
+    return (
+        g.withColumn("bucket", hash_bucket(F.col("gram"), n_buckets))
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def dsir_bucket_bits(
+    feats: DataFrame, n_buckets: int = DSIR_BUCKETS
+) -> DataFrame:
+    """Bag-of-hashed-ngrams model as integer rarity bits per bucket.
+
+    ``bits[b] = bit_length((total + B) // (count_b + 1))`` — add-one
+    smoothing so empty buckets are finite, bit_length ≈ -log2 p. The
+    model is COMPLETE (all B rows, absent buckets at count 0) so
+    downstream joins never need an outer side; B rows is broadcast
+    size by construction.
+    """
+    spark = feats.sparkSession
+    buckets = spark.range(n_buckets).select(
+        F.col("id").cast("long").alias("bucket")
+    )
+    counts = feats.groupBy("bucket").agg(
+        F.sum("cnt").cast("long").alias("bcnt")
+    )
+    total = feats.agg(
+        F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("btotal")
+    )
+    return (
+        buckets.join(counts, "bucket", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "bucket",
+            F.length(
+                F.bin(
+                    F.expr(
+                        f"(btotal + {n_buckets}L) div "
+                        "(coalesce(bcnt, 0L) + 1L)"
+                    )
+                )
+            )
+            .cast("long")
+            .alias("bits"),
+        )
+    )
+
+
+def dsir_scores(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """Per-raw-doc DSIR importance score.
+
+    ``llr_bits = Σ_b cnt_b · (bits_raw[b] − bits_target[b])`` — the
+    integer-bits log-likelihood ratio log p_target − log q_raw (raw
+    rarity minus target rarity: positive = target-like).
+    ``score_mbits`` is the length-normalized form (milli-bits per
+    gram) so a long document cannot outrank a short one on bulk
+    alone; `div` truncates identically in Spark and DuckDB, including
+    the negative scores a typical raw doc earns.
+
+    Plan: two feature aggregations (raw + target), two B-row models
+    broadcast onto the raw features, one per-doc aggregation. Only
+    the raw corpus's bucket rows shuffle; docs with zero grams carry
+    no evidence and are absent (documented, the surprisal contract).
+    """
+    from tinyerp_etl_spark.functions.materialize import materialize
+
+    # the raw featurization (tokenize + explode + md5 bucket hash) is
+    # the expensive pass and feeds BOTH the raw model and the per-doc
+    # join — pin it once so it never runs twice (the target side is
+    # read once, no pin needed)
+    fr = materialize(dsir_gram_buckets(raw, text_col, id_col, n_buckets))
+    ft = dsir_gram_buckets(target, text_col, id_col, n_buckets)
+    mp = dsir_bucket_bits(ft, n_buckets).withColumnRenamed("bits", "bits_p")
+    mq = dsir_bucket_bits(fr, n_buckets).withColumnRenamed("bits", "bits_q")
+    per = (
+        fr.join(F.broadcast(mp), "bucket")
+        .join(F.broadcast(mq), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.sum("cnt").cast("long").alias("n_grams"),
+            F.sum(F.col("cnt") * (F.col("bits_q") - F.col("bits_p")))
+            .cast("long")
+            .alias("llr_bits"),
+        )
+    )
+    return per.withColumn(
+        "score_mbits",
+        F.expr(f"(llr_bits * {DSIR_SCORE_SCALE}L) div n_grams"),
+    )
+
+
+def dsir_keep_threshold(scores: DataFrame, keep_ppm: int) -> DataFrame:
+    """Score threshold that keeps ~keep_ppm of the scored docs.
+
+    Deterministic whole-tie-group semantics: keep every score value v
+    whose ≥-cumulative count fits the budget N = (n·keep_ppm) div 1e6
+    — never split a tie by id (two identically-scored docs share a
+    fate), never exceed N. Derived WITHOUT a global row sort: one
+    value-count aggregation, then the ≥-cumulative via a non-equi
+    self-join of the aggregated frame (value-domain sized — the
+    score is mean milli-bits per gram, bounded by the 64-bit rarity
+    range, so the frame is broadcast class regardless of corpus
+    size). Returns one row ``(threshold_mbits)``; NULL when even the
+    top tie-group exceeds the budget (keep nothing).
+    """
+    if not (0 <= keep_ppm <= 1_000_000):
+        raise ValueError(f"keep_ppm must be in [0, 1e6], got {keep_ppm}")
+    vc = scores.groupBy("score_mbits").agg(
+        F.count(F.lit(1)).cast("long").alias("vcnt")
+    )
+    n = scores.agg(F.count(F.lit(1)).cast("long").alias("n_raw"))
+    cum = (
+        vc.alias("a")
+        .join(
+            F.broadcast(vc.select(F.col("score_mbits").alias("v2"),
+                                  F.col("vcnt").alias("vcnt2"))),
+            F.col("v2") >= F.col("score_mbits"),
+        )
+        .groupBy("score_mbits")
+        .agg(F.sum("vcnt2").cast("long").alias("cum_ge"))
+    )
+    return (
+        cum.crossJoin(F.broadcast(n))
+        .filter(
+            F.col("cum_ge") * F.lit(1_000_000)
+            <= F.col("n_raw") * F.lit(keep_ppm)
+        )
+        .agg(F.min("score_mbits").alias("threshold_mbits"))
+    )
+
+
+def dsir_sample(
+    raw: DataFrame,
+    target: DataFrame,
+    keep_ppm: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """Score + select in one call: every scored raw doc with its
+    ``keep`` verdict (audit manifest form, like the curation
+    pipeline's — filter on ``keep`` for the selected subset).
+
+    The scored frame is materialized once (functions/materialize —
+    durability-routable, GC-reclaimed): the threshold derivation and
+    the final select both read it, and without the pin each would
+    re-run the full featurize+model DAG from the source scan.
+    """
+    from tinyerp_etl_spark.functions.materialize import materialize
+
+    scores = materialize(
+        dsir_scores(raw, target, text_col, id_col, n_buckets)
+    )
+    thr = dsir_keep_threshold(scores, keep_ppm)
+    return scores.crossJoin(F.broadcast(thr)).select(
+        id_col,
+        "n_grams",
+        "llr_bits",
+        "score_mbits",
+        F.coalesce(
+            F.col("score_mbits") >= F.col("threshold_mbits"), F.lit(False)
+        ).alias("keep"),
+    )

@@ -5026,3 +5026,114 @@ LLM_ORACLES["span_clean_and_fold_docs"] = (
 """
 )
 LLM_QUERIES["span_clean_and_fold_docs"] = span_clean_and_fold_docs
+
+
+# ------------------- round-11 addition: DSIR importance resampling
+def dsir_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al., NeurIPS 2023): shift the raw
+    pool toward a target domain by hashed-ngram importance weights.
+
+    Target = the English src13 documents (the "curated domain" whose
+    distribution we want more of); raw = everything else. Every raw
+    doc is scored by the integer-bits log-likelihood ratio
+    log p_target − log q_raw over 128 hashed unigram+bigram buckets
+    (operators/sampling.dsir_scores — bit_length rarity, add-one
+    smoothing, no floats), length-normalized to milli-bits per gram,
+    and the top ~25 % is selected by a deterministic whole-tie-group
+    threshold derived from value counts — no global row sort, no RNG
+    (the paper resamples with Gumbel noise; at audit time a
+    deterministic quantile of the same weights is the reproducible
+    choice, and the manifest keeps every doc's score either way).
+
+    Plan shape at 100 TB: the corpus shuffles once (doc×bucket
+    partial-agg rows, ≤128 per doc); both models and the threshold
+    are broadcast-class (128 rows / value-domain rows / 1 row); the
+    selection is a pushable predicate on the scored frame.
+    """
+    from tinyerp_etl_spark.operators.sampling import dsir_sample
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    is_tgt = (F.col("lang") == "en") & (F.col("source") == "src13")
+    tgt = docs.filter(is_tgt).select("doc_id", "text")
+    raw = docs.filter(~is_tgt).select("doc_id", "text")
+    return dsir_sample(raw, tgt, keep_ppm=250_000).orderBy("doc_id")
+
+
+# unigram + bigram feature grams (mirrors sampling.dsir_grams: DuckDB
+# slices are 1-based inclusive, so toks[i:i+1] is the bigram at i)
+_DSIR_GRAMS = """list_concat(toks,
+    CASE WHEN len(toks) >= 2
+         THEN list_transform(range(1, len(toks)),
+              i -> array_to_string(toks[i:i+1], ' '))
+         ELSE [] END)"""
+_DSIR_B = 128
+
+LLM_ORACLES["dsir_importance_sample"] = f"""
+    WITH base AS (
+      SELECT doc_id, text, (lang = 'en' AND source = 'src13') AS is_tgt
+      FROM documents
+    ),
+    tk AS (SELECT doc_id, is_tgt, {_TOKS} AS toks FROM base),
+    g AS (
+      SELECT doc_id, is_tgt, unnest({_DSIR_GRAMS}) AS gram FROM tk
+    ),
+    f AS (
+      SELECT doc_id, is_tgt,
+             {_XHASH.format(v='gram')} % {_DSIR_B} AS bucket,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM g GROUP BY 1, 2, 3
+    ),
+    qm AS (
+      SELECT t.bucket,
+             CAST(length(bin((tot.s + {_DSIR_B})
+                             // (coalesce(c.bcnt, 0) + 1)))
+                  AS BIGINT) AS bits_q
+      FROM range(0, {_DSIR_B}) t(bucket)
+      LEFT JOIN (SELECT bucket, sum(cnt) AS bcnt FROM f
+                 WHERE NOT is_tgt GROUP BY 1) c USING (bucket)
+      CROSS JOIN (SELECT coalesce(sum(cnt), 0) AS s FROM f
+                  WHERE NOT is_tgt) tot
+    ),
+    pm AS (
+      SELECT t.bucket,
+             CAST(length(bin((tot.s + {_DSIR_B})
+                             // (coalesce(c.bcnt, 0) + 1)))
+                  AS BIGINT) AS bits_p
+      FROM range(0, {_DSIR_B}) t(bucket)
+      LEFT JOIN (SELECT bucket, sum(cnt) AS bcnt FROM f
+                 WHERE is_tgt GROUP BY 1) c USING (bucket)
+      CROSS JOIN (SELECT coalesce(sum(cnt), 0) AS s FROM f
+                  WHERE is_tgt) tot
+    ),
+    sc AS (
+      SELECT doc_id,
+             CAST(sum(cnt) AS BIGINT) AS n_grams,
+             CAST(sum(cnt * (bits_q - bits_p)) AS BIGINT) AS llr_bits
+      FROM f JOIN qm USING (bucket) JOIN pm USING (bucket)
+      WHERE NOT is_tgt GROUP BY doc_id
+    ),
+    s2 AS (
+      SELECT doc_id, n_grams, llr_bits,
+             CAST((llr_bits * 1000) // n_grams AS BIGINT) AS score_mbits
+      FROM sc
+    ),
+    vc AS (
+      SELECT score_mbits, CAST(count(*) AS BIGINT) AS vcnt
+      FROM s2 GROUP BY 1
+    ),
+    cum AS (
+      SELECT a.score_mbits, sum(b.vcnt) AS cum_ge
+      FROM vc a JOIN vc b ON b.score_mbits >= a.score_mbits GROUP BY 1
+    ),
+    nn AS (SELECT count(*) AS n_raw FROM s2),
+    thr AS (
+      SELECT min(score_mbits) AS t FROM cum, nn
+      WHERE cum_ge * 1000000 <= n_raw * 250000
+    )
+    SELECT doc_id, n_grams, llr_bits, score_mbits,
+           coalesce(score_mbits >= (SELECT t FROM thr), FALSE) AS keep
+    FROM s2 ORDER BY doc_id
+"""
+LLM_QUERIES["dsir_importance_sample"] = dsir_importance_sample

@@ -401,7 +401,18 @@ _RELATIONAL_NAMES = [
 #       (span_index.gram_novelty_against_store — distinct-gram
 #       novelty vs history through the SAME persisted store the
 #       incremental row probes; the freshness/memorization-risk
-#       signal).
+#       signal). A SEVENTH mid-round newcomer,
+#       dsir_importance_sample (operators/sampling.dsir_* — DSIR
+#       importance resampling, Xie et al. NeurIPS 2023: hashed
+#       unigram+bigram models in integer bits, per-doc target-vs-raw
+#       log-likelihood-ratio scores, whole-tie-group quantile
+#       selection with no global row sort), displaces
+#       ivf_recall_report: its recall-report kernel is carried by the
+#       r9-green ivf_nprobe_recall_curve (the same overlap-vs-exact
+#       measurement, swept over nprobe), and the in-gate
+#       embedding_knn_join_inline/_routed rows hash-prove the IVF
+#       read path at full probe depth; the row stays registered and
+#       r8-green.
 # Deferred to round 12: NOTHING structurally — every registered
 # query's newest green is r7+ once this gate runs.
 #
@@ -431,7 +442,9 @@ _RELATIONAL_NAMES = [
 #       merge_upsert_events, mp4_keyframe_parity,
 #       nested_flatten_roundtrip, pandas_udf_mask_names,
 #       sessionize_user_events, token_count_by_source,
-#       variant_props_extract — 38 rows, leaving 12 slots, so the r8
+#       variant_props_extract — 38 rows, plus ivf_recall_report
+#       (displaced mid-round-11 by dsir_importance_sample, so its
+#       newest green stays r8) = 39 rows, leaving 11 slots, so the r8
 #       debt can retire in ONE gate exactly as r9/r10/r11 retired
 #       r3/r4/r6;
 #   (b) fill remaining slots with r9-stale rows, shape-starved first.
@@ -441,6 +454,7 @@ _ROUND11_FRONT_50 = [
     "per_source_cap_sample",
     "quality_percentile_by_source",
     "embedding_knn_join_inline",
+    "dsir_importance_sample",
     # (0b) engine code changed this round
     "incremental_span_removal_docs",
     "embedding_neardup_store",
@@ -486,7 +500,6 @@ _ROUND11_FRONT_50 = [
     "csv_quarantine_split",
     "span_clean_and_fold_docs",
     "gram_novelty_docs",
-    "ivf_recall_report",
     "range_join_event_bursts",
     "skew_salted_event_totals",
     "fuzzy_match_customers",
