@@ -142,6 +142,8 @@ HEADLINE_R11 = [
     "span_clean_and_fold_docs",
     # DSIR importance resampling (hashed-ngram LLR data selection)
     "dsir_importance_sample",
+    # diversity-preserving per-cluster embedding cap (salted top-N)
+    "cluster_balanced_sample",
 ]
 HEADLINE = (
     HEADLINE

@@ -182,3 +182,20 @@ def test_dsir_gate_plan_is_lint_clean(spark, sf_dir):
     from tinyerp_etl_spark.plans.llm_ops import dsir_importance_sample
 
     assert plan_findings(dsir_importance_sample(spark, sf_dir)) == []
+
+
+def test_cluster_balanced_sample_lint_and_cap(spark, sf_dir):
+    from tinyerp_etl_spark.operators.planlint import plan_findings
+    from tinyerp_etl_spark.plans.llm_ops import cluster_balanced_sample
+
+    df = cluster_balanced_sample(spark, sf_dir)
+    assert plan_findings(df) == []
+    rows = df.collect()
+    per = {}
+    for r in rows:
+        per[r["list_id"]] = per.get(r["list_id"], 0) + 1
+    assert per and all(c <= 25 for c in per.values())
+    # ranks are total 1..cap within each cluster
+    got = sorted((r["list_id"], r["rk"]) for r in rows)
+    want = sorted((l, i + 1) for l, c in per.items() for i in range(c))
+    assert got == want

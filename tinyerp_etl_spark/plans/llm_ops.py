@@ -5137,3 +5137,67 @@ LLM_ORACLES["dsir_importance_sample"] = f"""
     FROM s2 ORDER BY doc_id
 """
 LLM_QUERIES["dsir_importance_sample"] = dsir_importance_sample
+
+
+# ------------- round-11 addition: cluster-balanced embedding sample
+def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-preserving subsampling of an embedding corpus: at
+    most 25 vectors per k-means cluster, chosen by the deterministic
+    content-hash order.
+
+    The embedding-space twin of per-domain crawl balancing
+    (per_source_cap_sample): a rate-based sampler keeps dense regions
+    dense — 10 % of a mega-cluster is still mega — while a per-cluster
+    CAP yields a subset spread across the space (the
+    cluster-then-bound step SemDeDup-style curation applies before
+    training). Assignment is `ivf_assign_narrow` over the PERSISTED
+    ingest-time index (_ivf_index_for — a pure projection, zero
+    shuffles); the cap is the salted two-phase top-N (cap_per_key,
+    exact by construction), so at 100 TB the plan is one corpus scan
+    + one bounded keyed shuffle, and a mega-cluster sorts in
+    keysize/buckets tasks, never one. The oracle replicates training
+    + assignment + the single-window cap in SQL, hash-proving the
+    salted kernel AND the persisted index freshness.
+    """
+    from tinyerp_etl_spark.operators.sampling import cap_per_key
+
+    cents = _ivf_index_for(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    assigned = S.ivf_assign_narrow(emb, centroids=cents).select(
+        "vec_id", "list_id"
+    )
+    return cap_per_key(
+        assigned, "list_id", 25, "vec_id", with_rank=True, salt_buckets=4
+    ).orderBy("list_id", "rk")
+
+
+LLM_ORACLES["cluster_balanced_sample"] = f"""
+    WITH {_KM_CTES_EMB},
+    __st AS (
+      SELECT vec_id,
+             list_transform(embeddings.embedding, x -> {_QD.format(x="x")})
+               AS ticks
+      FROM embeddings
+    ),
+    lists AS (
+      SELECT vec_id, centroid_id AS list_id FROM (
+        SELECT v.vec_id, c.centroid_id,
+               row_number() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY {_tcos_sql("v.ticks", "c.cticks")} DESC,
+                          c.centroid_id ASC
+               ) AS rn
+        FROM __st v CROSS JOIN {_KM_FINAL} c) WHERE rn = 1
+    )
+    SELECT vec_id, list_id, rk FROM (
+      SELECT vec_id, list_id,
+             CAST(row_number() OVER (
+               PARTITION BY list_id
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+             ) AS BIGINT) AS rk
+      FROM lists) WHERE rk <= 25
+    ORDER BY list_id, rk
+"""
+LLM_QUERIES["cluster_balanced_sample"] = cluster_balanced_sample

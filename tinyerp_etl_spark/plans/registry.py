@@ -412,7 +412,16 @@ _RELATIONAL_NAMES = [
 #       measurement, swept over nprobe), and the in-gate
 #       embedding_knn_join_inline/_routed rows hash-prove the IVF
 #       read path at full probe depth; the row stays registered and
-#       r8-green.
+#       r8-green. An EIGHTH mid-round newcomer,
+#       cluster_balanced_sample (plans/llm_ops — diversity-preserving
+#       embedding subsampling: ivf_assign_narrow over the persisted
+#       index, then the salted two-phase per-cluster cap; the oracle
+#       replicates train + assign + single-window cap), displaces
+#       skew_salted_event_totals: the skew-salting lever is
+#       hash-proven in-gate by TWO salted two-phase rows
+#       (per_source_cap_sample and cluster_balanced_sample run the
+#       salted kernel against single-window oracles), and the row
+#       stays registered and r8-green.
 # Deferred to round 12: NOTHING structurally — every registered
 # query's newest green is r7+ once this gate runs.
 #
@@ -442,9 +451,10 @@ _RELATIONAL_NAMES = [
 #       merge_upsert_events, mp4_keyframe_parity,
 #       nested_flatten_roundtrip, pandas_udf_mask_names,
 #       sessionize_user_events, token_count_by_source,
-#       variant_props_extract — 38 rows, plus ivf_recall_report
-#       (displaced mid-round-11 by dsir_importance_sample, so its
-#       newest green stays r8) = 39 rows, leaving 11 slots, so the r8
+#       variant_props_extract — 38 rows, plus ivf_recall_report and
+#       skew_salted_event_totals (displaced mid-round-11 by
+#       dsir_importance_sample and cluster_balanced_sample, so their
+#       newest greens stay r8) = 40 rows, leaving 10 slots, so the r8
 #       debt can retire in ONE gate exactly as r9/r10/r11 retired
 #       r3/r4/r6;
 #   (b) fill remaining slots with r9-stale rows, shape-starved first.
@@ -455,6 +465,7 @@ _ROUND11_FRONT_50 = [
     "quality_percentile_by_source",
     "embedding_knn_join_inline",
     "dsir_importance_sample",
+    "cluster_balanced_sample",
     # (0b) engine code changed this round
     "incremental_span_removal_docs",
     "embedding_neardup_store",
@@ -501,7 +512,6 @@ _ROUND11_FRONT_50 = [
     "span_clean_and_fold_docs",
     "gram_novelty_docs",
     "range_join_event_bursts",
-    "skew_salted_event_totals",
     "fuzzy_match_customers",
 ]
 
