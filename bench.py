@@ -144,6 +144,8 @@ HEADLINE_R11 = [
     "dsir_importance_sample",
     # diversity-preserving per-cluster embedding cap (salted top-N)
     "cluster_balanced_sample",
+    # DSIR scoring through the persisted raw-model store
+    "incremental_dsir_sample",
 ]
 HEADLINE = (
     HEADLINE

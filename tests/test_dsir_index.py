@@ -1,0 +1,106 @@
+"""Persisted DSIR model store: fold law + replay/ordering contracts.
+
+The gate row (incremental_dsir_sample) hash-proves folded ≡ one-shot
+against the one-shot SQL oracle; these pin the store's guard rails —
+the watermark replay filter, the feature-space check, and the no-op
+edges — the oracle cannot reach.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tinyerp_etl_spark.operators.dsir_index import (
+    build_dsir_model_rows,
+    dsir_model_store,
+    dsir_scores_against_store,
+    read_dsir_model,
+    update_dsir_model,
+)
+from tinyerp_etl_spark.operators.sampling import dsir_scores
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+_POOL = [
+    (1, "apple banana cherry snack"),
+    (2, "banana cherry apple tart"),
+    (3, "fruit salad apple banana"),
+    (4, "iron copper zinc smelter"),
+    (5, "copper zinc iron ingot"),
+    (6, "tungsten cobalt nickel ore"),
+]
+_TARGET = [
+    (100, "apple banana cherry apple banana"),
+    (101, "banana cherry apple fruit salad"),
+]
+
+
+def test_folded_model_scores_equal_one_shot(spark, tmp_path):
+    path = str(tmp_path / "m1")
+    pool, target = _docs(spark, _POOL), _docs(spark, _TARGET)
+    update_dsir_model(spark, path, pool.filter(F.col("doc_id") <= 3))
+    update_dsir_model(spark, path, pool.filter(F.col("doc_id") > 3))
+    got = sorted(
+        map(tuple, dsir_scores_against_store(spark, path, pool, target).collect())
+    )
+    want = sorted(map(tuple, dsir_scores(pool, target).collect()))
+    assert got == want
+
+
+def test_replay_raises_and_skip_folds_exactly_once(spark, tmp_path):
+    path = str(tmp_path / "m2")
+    pool = _docs(spark, _POOL)
+    b1 = pool.filter(F.col("doc_id") <= 3)
+    v1 = update_dsir_model(spark, path, b1)
+    with pytest.raises(ValueError, match="does not postdate"):
+        update_dsir_model(spark, path, b1)
+    # full replay under skip_existing is a version-preserving no-op
+    assert update_dsir_model(spark, path, b1, on_overlap="skip_existing") == v1
+    model_before = sorted(map(tuple, read_dsir_model(spark, path).collect()))
+    # a torn redelivery (doc 3 again + the new suffix) folds only the
+    # suffix: the final model equals the clean two-batch fold
+    torn = pool.filter(F.col("doc_id") >= 3)
+    update_dsir_model(spark, path, torn, on_overlap="skip_existing")
+    got = sorted(map(tuple, read_dsir_model(spark, path).collect()))
+    clean = str(tmp_path / "m2clean")
+    update_dsir_model(spark, clean, _docs(spark, _POOL))
+    want = sorted(map(tuple, read_dsir_model(spark, clean).collect()))
+    assert got == want
+    assert got != model_before  # the suffix genuinely folded
+
+
+def test_bucket_mismatch_refused(spark, tmp_path):
+    path = str(tmp_path / "m3")
+    pool = _docs(spark, _POOL)
+    update_dsir_model(spark, path, pool, n_buckets=64)
+    with pytest.raises(ValueError, match="n_buckets=64"):
+        read_dsir_model(spark, path, n_buckets=128)
+    with pytest.raises(ValueError, match="n_buckets=64"):
+        update_dsir_model(
+            spark, path, _docs(spark, [(99, "new doc text")]), n_buckets=128
+        )
+
+
+def test_sub_gram_batches_are_noops(spark, tmp_path):
+    path = str(tmp_path / "m4")
+    empty = _docs(spark, [(1, ""), (2, "")])
+    # absent store: no spurious empty artifact
+    assert update_dsir_model(spark, path, empty) == 0
+    assert dsir_model_store(spark, path).current_version() is None
+    v = update_dsir_model(spark, path, _docs(spark, _POOL))
+    # existing store: version preserved (doc_ids 1,2 predate the max,
+    # but hold no grams — invisible to the model, not an order breach)
+    assert update_dsir_model(spark, path, empty) == v
+
+
+def test_model_rows_carry_gram_holding_span_only(spark):
+    rows = build_dsir_model_rows(
+        _docs(spark, [(7, ""), (8, "alpha beta"), (9, "")])
+    ).collect()
+    assert rows and all(
+        r["lo_doc_id"] == 8 and r["hi_doc_id"] == 8 for r in rows
+    )

@@ -1,11 +1,13 @@
 """Shared fold harness for the persisted-index stores.
 
-Five stores maintain themselves by folding batches into a versioned
+Seven stores maintain themselves by folding batches into a versioned
 TableStore artifact (BM25 postings, MinHash features, the paragraph
-first-occurrence index, the Bloom bitmap, the IVF/PQ corpus layouts).
-Each grew its own copy of the same three pieces of plumbing, and a
-sixth store would have had to re-implement them — the exact surface a
-crash window re-enters through. This module is the single copy:
+first-occurrence index, the Bloom bitmap, the IVF/PQ corpus layouts,
+the span-gram index, the DSIR raw-model counts). Each of the first
+five grew its own copy of the same three pieces of plumbing, and
+every next store would have had to re-implement them — the exact
+surface a crash window re-enters through. This module is the single
+copy (the sixth and seventh stores are pure instances):
 
 - ``fold_append``: the claim-version → bootstrap-under-OCC →
   pinned-read → fresh-rows filter → no-op probe → incremental

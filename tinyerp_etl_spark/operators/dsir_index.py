@@ -1,0 +1,230 @@
+"""Persisted DSIR raw-pool model: the INCREMENTAL face of importance
+resampling.
+
+``sampling.dsir_scores`` is the one-shot form — it refits the raw
+bag-of-hashed-ngrams model from the whole pool every call. A
+production ingest never has the pool in one frame: batches arrive
+forever, and each batch's gram mass must join the raw model q WITHOUT
+re-featurizing history. Bucket counts are purely ADDITIVE, so the
+model folds exactly: this store keeps one (bucket, cnt) row per
+(fold, bucket) — at most ``n_buckets`` tiny rows per batch — through
+the shared fold harness (etl/fold.fold_append: claim → bootstrap-OCC
+→ pinned-read → replay filter → commit_append), and reading the model
+is one sum over a broadcast-class table (≤ n_buckets × folds rows;
+``TableStore.compact`` squashes a long fold history whenever wanted —
+the counts re-aggregate identically either way).
+
+SEQUENTIAL ≡ ONE-SHOT law (exact, no approximation — addition
+commutes): folding batches B1..Bn then scoring any docs against the
+store model equals one-shot ``dsir_scores`` with the concatenated
+pool as ``raw``. The gate row's oracle IS the one-shot SQL (the
+bm25i_incremental_index convention: one oracle serves both faces,
+which is the incremental ≡ full-refit proof). The replay/ordering
+contract mirrors the span store: every fold records the batch's
+[lo, hi] doc_id span (over its GRAM-HOLDING docs — sub-gram docs
+contribute no counts and are invisible to the model); a genuinely-new
+batch must postdate the stored max (``on_overlap='raise'``), or
+``'skip_existing'`` drops not-postdating docs so at-least-once
+delivery folds to an exactly-once model (a replayed batch would
+otherwise double its gram mass INTO q and silently skew every later
+score). ``n_buckets`` is a store property validated on every fold
+and read — probing a 128-bucket model with 10k-bucket features would
+silently mis-bin every gram.
+
+ref tiny_api_v2_cliente.py:79-134 (the reference's incremental
+per-page ingest loop) is the lineage; the estimator follows Xie et
+al. 2023 (DSIR), integer-bits variant per operators/sampling.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
+
+from tinyerp_etl_spark.etl.fold import fold_append, occ_fold
+from tinyerp_etl_spark.etl.table_store import TableStore
+from tinyerp_etl_spark.functions.materialize import materialize
+from tinyerp_etl_spark.operators.sampling import (
+    DSIR_BUCKETS,
+    dsir_gram_buckets,
+    dsir_llr_scores,
+)
+
+#: Files per fold commit (rows per fold ≤ n_buckets — one file is
+#: plenty; the constant exists for symmetry with the sibling stores).
+DSIR_MODEL_FILES = 1
+
+DSIR_MODEL_SCHEMA = StructType(
+    [
+        StructField("bucket", LongType()),
+        StructField("cnt", LongType()),
+        # store properties, constant per store / per fold (RLE):
+        # validated so mismatched probes fail loudly
+        StructField("n_buckets", LongType()),
+        # the fold's gram-holding doc_id span — the replay/ordering
+        # contract's watermark
+        StructField("lo_doc_id", LongType()),
+        StructField("hi_doc_id", LongType()),
+    ]
+)
+
+
+def dsir_model_store(spark: SparkSession, path: str) -> TableStore:
+    return TableStore(spark, path, DSIR_MODEL_SCHEMA)
+
+
+def _stored_buckets(stored: DataFrame) -> int | None:
+    row = stored.select("n_buckets").first()
+    return None if row is None else int(row["n_buckets"])
+
+
+def _check_buckets(
+    stored_b: int | None, n_buckets: int, path: str, what: str
+) -> None:
+    if stored_b is not None and stored_b != n_buckets:
+        raise ValueError(
+            f"DSIR model at {path} was built with n_buckets={stored_b}; "
+            f"{what} with n_buckets={n_buckets} would bin grams "
+            "differently and silently corrupt every score — build a "
+            "separate store per feature space"
+        )
+
+
+def build_dsir_model_rows(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """One fold's model rows: per-bucket gram counts of the batch plus
+    the batch's gram-holding doc_id span (empty frame for an all-sub-
+    gram batch — it adds no mass and no watermark)."""
+    feats = dsir_gram_buckets(docs, text_col, id_col, n_buckets)
+    counts = feats.groupBy("bucket").agg(
+        F.sum("cnt").cast("long").alias("cnt")
+    )
+    span = feats.agg(
+        F.min(id_col).cast("long").alias("lo_doc_id"),
+        F.max(id_col).cast("long").alias("hi_doc_id"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(span))
+        .filter(F.col("lo_doc_id").isNotNull())
+        .select(
+            "bucket",
+            "cnt",
+            F.lit(int(n_buckets)).cast("long").alias("n_buckets"),
+            "lo_doc_id",
+            "hi_doc_id",
+        )
+    )
+
+
+def update_dsir_model(
+    spark: SparkSession,
+    path: str,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    on_overlap: str = "raise",
+    n_buckets: int = DSIR_BUCKETS,
+) -> int:
+    """Fold a batch's gram mass into the persisted raw model.
+
+    Only the batch featurizes and only ≤ ``n_buckets`` rows are
+    written (``commit_append`` — fold compute and IO ∝ batch).
+    ``'raise'`` treats a batch that does not postdate the stored
+    watermark as a caller bug; ``'skip_existing'`` drops the
+    not-postdating docs (id ≤ stored hi) before featurizing, so an
+    at-least-once redelivery folds to an exactly-once model. Unlike
+    the row-addressed sibling stores there is no per-doc anti-join to
+    fall back on — counts are anonymous once summed — so the
+    watermark IS the replay filter, which is exactly why both modes
+    enforce it."""
+    if on_overlap not in ("raise", "skip_existing"):
+        raise ValueError(
+            f"on_overlap must be 'raise' or 'skip_existing', got {on_overlap!r}"
+        )
+    rows = materialize(
+        build_dsir_model_rows(new_docs, text_col, id_col, n_buckets)
+    )
+
+    def fresh_rows(stored: DataFrame, batch: DataFrame) -> DataFrame:
+        _check_buckets(_stored_buckets(stored), n_buckets, path, "folding")
+        probe = batch.agg(
+            F.min("lo_doc_id").alias("lo"), F.count(F.lit(1)).alias("n")
+        ).first()
+        if not int(probe["n"]):
+            return batch  # all-sub-gram batch: version-preserving no-op
+        hi_row = stored.agg(F.max("hi_doc_id").alias("hi")).first()
+        hi = hi_row["hi"]
+        if hi is None or int(probe["lo"]) > int(hi):
+            return batch
+        if on_overlap == "raise":
+            raise ValueError(
+                f"DSIR model at {path}: batch doc_id {int(probe['lo'])} "
+                f"does not postdate the folded max {int(hi)} — counts "
+                "are anonymous once summed, so a replayed or "
+                "out-of-order doc would double its gram mass; refold "
+                "with on_overlap='skip_existing' if this is an "
+                "at-least-once redelivery"
+            )
+        # rebuild over the genuinely-new suffix only — the replayed
+        # prefix's mass is already in the store
+        return build_dsir_model_rows(
+            new_docs.filter(F.col(id_col) > int(hi)),
+            text_col,
+            id_col,
+            n_buckets,
+        )
+
+    def fold() -> int:
+        v = fold_append(
+            dsir_model_store(spark, path),
+            rows,
+            fresh_rows,
+            n_files=DSIR_MODEL_FILES,
+            skip_empty_bootstrap_result=0,
+        )
+        return 0 if v is None else v
+
+    return occ_fold(fold)
+
+
+def read_dsir_model(
+    spark: SparkSession, path: str, n_buckets: int = DSIR_BUCKETS
+) -> DataFrame:
+    """The folded raw model as (bucket, cnt) — one sum over the
+    broadcast-class store; validates the feature space."""
+    stored = dsir_model_store(spark, path).read()
+    _check_buckets(_stored_buckets(stored), n_buckets, path, "reading")
+    return stored.groupBy("bucket").agg(
+        F.sum("cnt").cast("long").alias("cnt")
+    )
+
+
+def dsir_scores_against_store(
+    spark: SparkSession,
+    path: str,
+    batch: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """Score a batch under the PERSISTED raw model (q = the folded
+    history; p = the target sample, refit per call — target samples
+    are small by construction). Featurizes batch + target only; the
+    historical pool contributes through ≤ n_buckets summed rows.
+    Identical to one-shot ``dsir_scores`` with the folded corpus as
+    ``raw`` whenever the batch's docs are exactly the folded pool
+    (the sequential ≡ one-shot law; the gate row's oracle) — and the
+    PRODUCTION shape (score an unseen batch against history) is the
+    same call with the batch not yet folded."""
+    fb = materialize(
+        dsir_gram_buckets(batch, text_col, id_col, n_buckets)
+    )
+    q = read_dsir_model(spark, path, n_buckets)
+    p = dsir_gram_buckets(target, text_col, id_col, n_buckets)
+    return dsir_llr_scores(fb, q, p, id_col, n_buckets)

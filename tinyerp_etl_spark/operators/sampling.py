@@ -322,10 +322,30 @@ def dsir_scores(
     # read once, no pin needed)
     fr = materialize(dsir_gram_buckets(raw, text_col, id_col, n_buckets))
     ft = dsir_gram_buckets(target, text_col, id_col, n_buckets)
-    mp = dsir_bucket_bits(ft, n_buckets).withColumnRenamed("bits", "bits_p")
-    mq = dsir_bucket_bits(fr, n_buckets).withColumnRenamed("bits", "bits_q")
+    return dsir_llr_scores(fr, fr, ft, id_col, n_buckets)
+
+
+def dsir_llr_scores(
+    feats: DataFrame,
+    q_counts: DataFrame,
+    p_counts: DataFrame,
+    id_col: str = "doc_id",
+    n_buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """The scoring tail shared by the one-shot and store-backed paths:
+    score the per-doc features ``feats`` (id, bucket, cnt) under the
+    raw model derived from ``q_counts`` and the target model from
+    ``p_counts`` (each any frame with (bucket, cnt) — per-doc features
+    OR an already-aggregated persisted model; ``dsir_bucket_bits``
+    aggregates either identically)."""
+    mp = dsir_bucket_bits(p_counts, n_buckets).withColumnRenamed(
+        "bits", "bits_p"
+    )
+    mq = dsir_bucket_bits(q_counts, n_buckets).withColumnRenamed(
+        "bits", "bits_q"
+    )
     per = (
-        fr.join(F.broadcast(mp), "bucket")
+        feats.join(F.broadcast(mp), "bucket")
         .join(F.broadcast(mq), "bucket")
         .groupBy(id_col)
         .agg(
@@ -398,11 +418,23 @@ def dsir_sample(
     the final select both read it, and without the pin each would
     re-run the full featurize+model DAG from the source scan.
     """
+    return dsir_select(
+        dsir_scores(raw, target, text_col, id_col, n_buckets),
+        keep_ppm,
+        id_col,
+    )
+
+
+def dsir_select(
+    scores: DataFrame, keep_ppm: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Threshold-select an already-scored frame (the tail shared by
+    the one-shot and store-backed paths); materializes ``scores`` so
+    the threshold derivation and the final select never re-run its
+    upstream DAG."""
     from tinyerp_etl_spark.functions.materialize import materialize
 
-    scores = materialize(
-        dsir_scores(raw, target, text_col, id_col, n_buckets)
-    )
+    scores = materialize(scores)
     thr = dsir_keep_threshold(scores, keep_ppm)
     return scores.crossJoin(F.broadcast(thr)).select(
         id_col,

@@ -5201,3 +5201,73 @@ LLM_ORACLES["cluster_balanced_sample"] = f"""
     ORDER BY list_id, rk
 """
 LLM_QUERIES["cluster_balanced_sample"] = cluster_balanced_sample
+
+
+# ---------- round-11 addition: incremental DSIR via the model store
+_DSIR_STORE_CACHE: dict[str, str] = {}
+
+
+def _dsir_store_for(spark: SparkSession, sf_dir: str) -> str:
+    """Artifact path of the persisted DSIR raw model for a corpus —
+    the RAW pool (everything but the en/src13 target) folded in TWO
+    ingest-ordered batches split at the median doc_id, registered
+    once per corpus fingerprint (the _corpus_tag convention), loaded
+    thereafter. History featurizes at ingest, never per query."""
+    key = os.path.abspath(sf_dir)
+    if key not in _DSIR_STORE_CACHE:
+        from tinyerp_etl_spark.operators import dsir_index as DI
+
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text", "lang", "source"
+        )
+        raw = docs.filter(
+            ~((F.col("lang") == "en") & (F.col("source") == "src13"))
+        ).select("doc_id", "text")
+        fp = corpus_fingerprint_docs(raw)
+        path = os.path.join(
+            _artifact_root(), "dsir_model", _corpus_tag(sf_dir, fp)
+        )
+        if DI.dsir_model_store(spark, path).current_version() is None:
+            thr = int(raw.agg(F.max("doc_id")).first()[0]) // 2
+            DI.update_dsir_model(
+                spark, path, raw.filter(F.col("doc_id") <= thr)
+            )
+            DI.update_dsir_model(
+                spark, path, raw.filter(F.col("doc_id") > thr)
+            )
+        _DSIR_STORE_CACHE[key] = path
+    return _DSIR_STORE_CACHE[key]
+
+
+def incremental_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR selection with the raw model read from the PERSISTED
+    store (operators/dsir_index): the raw pool's bucket counts were
+    folded in two ingest-ordered batches through the shared fold
+    harness — bucket counts are additive, so the folded model equals
+    the one-shot refit EXACTLY, and this row's oracle IS the one-shot
+    SQL (the bm25i_incremental_index convention: one oracle proves
+    incremental ≡ full refit). Scoring featurizes the batch and the
+    (small) target sample only; history contributes through ≤128
+    summed store rows. The scored batch here is the full folded pool
+    so the law's scope matches the one-shot form; production scores
+    UNSEEN batches against the same store with the same call."""
+    from tinyerp_etl_spark.operators import dsir_index as DI
+    from tinyerp_etl_spark.operators.sampling import dsir_select
+
+    path = _dsir_store_for(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    is_tgt = (F.col("lang") == "en") & (F.col("source") == "src13")
+    tgt = docs.filter(is_tgt).select("doc_id", "text")
+    raw = docs.filter(~is_tgt).select("doc_id", "text")
+    scores = DI.dsir_scores_against_store(spark, path, raw, tgt)
+    return dsir_select(scores, keep_ppm=250_000).orderBy("doc_id")
+
+
+# folded model ≡ one-shot refit (counts are additive) — one oracle
+# serves both faces, which IS the incremental ≡ full-refit proof
+LLM_ORACLES["incremental_dsir_sample"] = LLM_ORACLES[
+    "dsir_importance_sample"
+]
+LLM_QUERIES["incremental_dsir_sample"] = incremental_dsir_sample

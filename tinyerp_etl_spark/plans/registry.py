@@ -421,6 +421,19 @@ _RELATIONAL_NAMES = [
 #       hash-proven in-gate by TWO salted two-phase rows
 #       (per_source_cap_sample and cluster_balanced_sample run the
 #       salted kernel against single-window oracles), and the row
+#       stays registered and r8-green. A NINTH mid-round newcomer,
+#       incremental_dsir_sample (operators/dsir_index — the persisted
+#       DSIR raw-model store, the fold harness's SEVENTH instance:
+#       bucket counts are additive so folded ≡ one-shot refit
+#       EXACTLY, and the row shares the one-shot oracle, the
+#       bm25i_incremental_index convention; watermark replay filter,
+#       n_buckets refusal, and no-op edges pinned by
+#       tests/test_dsir_index.py), displaces
+#       semantic_dedup_embeddings: its cluster-then-prune kernel is
+#       carried in-gate by embedding_neardup_store (the same IVF
+#       assignment + within-list pair scoring, re-proven this round
+#       under the digest-validated prescreen) with
+#       cluster_balanced_sample covering the assignment face; the row
 #       stays registered and r8-green.
 # Deferred to round 12: NOTHING structurally — every registered
 # query's newest green is r7+ once this gate runs.
@@ -451,12 +464,13 @@ _RELATIONAL_NAMES = [
 #       merge_upsert_events, mp4_keyframe_parity,
 #       nested_flatten_roundtrip, pandas_udf_mask_names,
 #       sessionize_user_events, token_count_by_source,
-#       variant_props_extract — 38 rows, plus ivf_recall_report and
-#       skew_salted_event_totals (displaced mid-round-11 by
-#       dsir_importance_sample and cluster_balanced_sample, so their
-#       newest greens stay r8) = 40 rows, leaving 10 slots, so the r8
-#       debt can retire in ONE gate exactly as r9/r10/r11 retired
-#       r3/r4/r6;
+#       variant_props_extract — 38 rows, plus ivf_recall_report,
+#       skew_salted_event_totals, and semantic_dedup_embeddings
+#       (displaced mid-round-11 by dsir_importance_sample,
+#       cluster_balanced_sample, and incremental_dsir_sample, so
+#       their newest greens stay r8) = 41 rows, leaving 9 slots, so
+#       the r8 debt can retire in ONE gate exactly as r9/r10/r11
+#       retired r3/r4/r6;
 #   (b) fill remaining slots with r9-stale rows, shape-starved first.
 _ROUND11_FRONT_50 = [
     # (0) round-11 newcomers, gated at birth
@@ -466,6 +480,7 @@ _ROUND11_FRONT_50 = [
     "embedding_knn_join_inline",
     "dsir_importance_sample",
     "cluster_balanced_sample",
+    "incremental_dsir_sample",
     # (0b) engine code changed this round
     "incremental_span_removal_docs",
     "embedding_neardup_store",
@@ -503,8 +518,7 @@ _ROUND11_FRONT_50 = [
     "snapshot_diff_orders",
     "tfidf_top_terms",
     "embedding_neardup_pairs",
-    # (b) eleven r8-stale fills, shape-starved first
-    "semantic_dedup_embeddings",
+    # (b) eleven r8-stale fills at rotation time, shape-starved first
     "watermark_resolution_matrix",
     "scd2_user_event_history",
     "incremental_pipeline_events",
