@@ -104,3 +104,32 @@ def test_model_rows_carry_gram_holding_span_only(spark):
     assert rows and all(
         r["lo_doc_id"] == 8 and r["hi_doc_id"] == 8 for r in rows
     )
+
+
+def test_streaming_fold_matches_batch(spark, tmp_path, sf_dir):
+    """Drain the documents table as a stream into the model; the
+    folded counts must equal a one-shot batch fold, and a replayed
+    drain must be a version-preserving no-op (the watermark absorbs
+    the at-least-once redelivery)."""
+    from tinyerp_etl_spark.operators.dsir_index import (
+        run_stream_to_dsir_model,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    src = str(tmp_path / "src")
+    docs.limit(40).coalesce(2).write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    path = str(tmp_path / "model")
+    run_stream_to_dsir_model(spark, stream, path, str(tmp_path / "ckpt"))
+    batch_path = str(tmp_path / "model_batch")
+    update_dsir_model(spark, batch_path, docs.limit(40))
+    model = lambda p: sorted(
+        map(tuple, read_dsir_model(spark, p).collect())
+    )
+    assert model(path) == model(batch_path)
+    v = dsir_model_store(spark, path).current_version()
+    rerun = spark.readStream.schema("doc_id long, text string").parquet(src)
+    run_stream_to_dsir_model(spark, rerun, path, str(tmp_path / "ckpt2"))
+    assert dsir_model_store(spark, path).current_version() == v

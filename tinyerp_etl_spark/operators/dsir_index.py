@@ -228,3 +228,42 @@ def dsir_scores_against_store(
     q = read_dsir_model(spark, path, n_buckets)
     p = dsir_gram_buckets(target, text_col, id_col, n_buckets)
     return dsir_llr_scores(fb, q, p, id_col, n_buckets)
+
+
+def run_stream_to_dsir_model(
+    spark: SparkSession,
+    docs_stream: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+    occ_retries: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = DSIR_BUCKETS,
+) -> None:
+    """Maintain the raw model from a document stream (availableNow) —
+    the model-at-ingest face: each micro-batch folds its gram mass via
+    ``update_dsir_model``, so ``dsir_scores_against_store`` always
+    scores under a model current to the last drained batch. Same
+    replay and concurrency contract as every streaming fold:
+    ``skip_existing`` absorbs at-least-once redelivery (the watermark
+    drops the replayed prefix), and ConcurrentWriteError retries
+    through the shared harness (etl/fold.occ_fold — safe, the
+    watermark filter re-derives the fresh suffix against the
+    winner)."""
+    from tinyerp_etl_spark.etl.fold import drain_available_now
+
+    def sink(batch_df: DataFrame, _batch_id: int) -> None:
+        occ_fold(
+            lambda: update_dsir_model(
+                spark,
+                path,
+                batch_df,
+                text_col,
+                id_col,
+                on_overlap="skip_existing",
+                n_buckets=n_buckets,
+            ),
+            occ_retries,
+        )
+
+    drain_available_now(docs_stream, sink, checkpoint_dir)
