@@ -146,6 +146,8 @@ HEADLINE_R11 = [
     "cluster_balanced_sample",
     # DSIR scoring through the persisted raw-model store
     "incremental_dsir_sample",
+    # class-based TF-IDF labeling (per-source distinctive terms)
+    "ctfidf_source_terms",
 ]
 HEADLINE = (
     HEADLINE

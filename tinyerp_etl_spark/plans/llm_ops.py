@@ -5271,3 +5271,105 @@ LLM_ORACLES["incremental_dsir_sample"] = LLM_ORACLES[
     "dsir_importance_sample"
 ]
 LLM_QUERIES["incremental_dsir_sample"] = incremental_dsir_sample
+
+
+# --------- round-11 addition: class-based TF-IDF (c-TF-IDF) labeling
+def ctfidf_source_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 DISTINCTIVE terms per source — class-based TF-IDF
+    (c-TF-IDF, Grootendorst 2022 "BERTopic", §2.3), the standard way
+    to LABEL the groups a curation pipeline creates (domains,
+    clusters, dedup components): each class is one pseudo-document,
+    and a term scores by its in-class mass times how rare it is
+    across classes.
+
+    Float-free estimator in the repo idiom:
+    ``score = tf(t, c) · bit_length(1 + A // f(t))`` with tf the
+    class term count, f(t) the corpus term count, and A the average
+    class token mass (integer division) — bit_length ≈ log2 of
+    BERTopic's ``log(1 + A/f)``, so stopword-like terms shared by
+    every class score in low bits while class-specific vocabulary
+    keeps its full mass. All integer; ties break on token so the
+    top-5 is total.
+
+    Plan at 100 TB: ONE tokenize+explode pass into a (source, token)
+    partial aggregation (map-side combinable — the shuffle carries
+    distinct pairs, not occurrences); corpus term totals derive from
+    the CLASS counts (never a second corpus pass); A is a broadcast
+    1-row aggregate of the class-mass dimension; the top-5 window
+    partitions by source over the aggregated frame (bounded by
+    vocabulary, never corpus size).
+    """
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    sc = (
+        docs.select("source", F.explode(X.tokens("text")).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    from tinyerp_etl_spark.functions.materialize import materialize
+
+    # one pass feeds the term totals, the class masses, AND the score
+    # join — pin it so the tokenize+explode never re-runs
+    sc = materialize(sc)
+    ft = sc.groupBy("token").agg(F.sum("tf").cast("long").alias("f_corpus"))
+    mass = sc.groupBy("source").agg(
+        F.sum("tf").cast("long").alias("class_mass")
+    )
+    avg = mass.agg(
+        F.expr("sum(class_mass) div count(*)").cast("long").alias("a_mass")
+    )
+    scored = (
+        sc.join(ft, "token")
+        .crossJoin(F.broadcast(avg))
+        .select(
+            "source",
+            "token",
+            "tf",
+            "f_corpus",
+            (
+                F.col("tf")
+                * F.length(F.bin(F.expr("1L + a_mass div f_corpus"))).cast(
+                    "long"
+                )
+            ).alias("ctfidf"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("ctfidf").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= 5)
+        .orderBy("source", "rn")
+    )
+
+
+LLM_ORACLES["ctfidf_source_terms"] = f"""
+    WITH sc AS (
+      SELECT source, token, CAST(count(*) AS BIGINT) AS tf
+      FROM (SELECT source, unnest({_TOKS}) AS token FROM documents)
+      GROUP BY source, token
+    ),
+    ft AS (
+      SELECT token, CAST(sum(tf) AS BIGINT) AS f_corpus
+      FROM sc GROUP BY token
+    ),
+    avg AS (
+      SELECT CAST(sum(class_mass) // count(*) AS BIGINT) AS a_mass
+      FROM (SELECT source, sum(tf) AS class_mass FROM sc GROUP BY source)
+    ),
+    scored AS (
+      SELECT sc.source, sc.token, sc.tf, ft.f_corpus,
+             sc.tf * CAST(length(bin(1 + a_mass // f_corpus)) AS BIGINT)
+               AS ctfidf
+      FROM sc JOIN ft USING (token) CROSS JOIN avg
+    )
+    SELECT source, token, tf, f_corpus, ctfidf, rn FROM (
+      SELECT *, CAST(row_number() OVER (
+        PARTITION BY source ORDER BY ctfidf DESC, token ASC
+      ) AS INT) AS rn FROM scored)
+    WHERE rn <= 5
+    ORDER BY source, rn
+"""
+LLM_QUERIES["ctfidf_source_terms"] = ctfidf_source_terms
