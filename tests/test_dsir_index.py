@@ -51,26 +51,33 @@ def test_folded_model_scores_equal_one_shot(spark, tmp_path):
     assert got == want
 
 
-def test_replay_raises_and_skip_folds_exactly_once(spark, tmp_path):
+def test_replay_raises_and_skip_absorbs_exact_redelivery(spark, tmp_path):
     path = str(tmp_path / "m2")
     pool = _docs(spark, _POOL)
     b1 = pool.filter(F.col("doc_id") <= 3)
     v1 = update_dsir_model(spark, path, b1)
-    with pytest.raises(ValueError, match="does not postdate"):
+    with pytest.raises(ValueError, match="overlaps the folded history"):
         update_dsir_model(spark, path, b1)
-    # full replay under skip_existing is a version-preserving no-op
+    # EXACT redelivery under skip_existing is a version-preserving
+    # no-op (same span, same bucket vector)
     assert update_dsir_model(spark, path, b1, on_overlap="skip_existing") == v1
-    model_before = sorted(map(tuple, read_dsir_model(spark, path).collect()))
-    # a torn redelivery (doc 3 again + the new suffix) folds only the
-    # suffix: the final model equals the clean two-batch fold
+    assert dsir_model_store(spark, path).current_version() == v1
+    # anything overlapping history that is NOT an exact redelivery
+    # raises in BOTH modes: counts cannot separate out-of-order new
+    # mass from a partial replay (silently dropping doc 4-6 here, or
+    # double-counting doc 3, would each corrupt the model)
     torn = pool.filter(F.col("doc_id") >= 3)
-    update_dsir_model(spark, path, torn, on_overlap="skip_existing")
-    got = sorted(map(tuple, read_dsir_model(spark, path).collect()))
+    with pytest.raises(ValueError, match="not an exact redelivery"):
+        update_dsir_model(spark, path, torn, on_overlap="skip_existing")
+    with pytest.raises(ValueError, match="overlaps the folded history"):
+        update_dsir_model(spark, path, torn)
+    # the genuinely-new suffix, properly re-identified, folds fine
+    update_dsir_model(spark, path, pool.filter(F.col("doc_id") > 3))
     clean = str(tmp_path / "m2clean")
     update_dsir_model(spark, clean, _docs(spark, _POOL))
+    got = sorted(map(tuple, read_dsir_model(spark, path).collect()))
     want = sorted(map(tuple, read_dsir_model(spark, clean).collect()))
     assert got == want
-    assert got != model_before  # the suffix genuinely folded
 
 
 def test_bucket_mismatch_refused(spark, tmp_path):
@@ -124,7 +131,9 @@ def test_streaming_fold_matches_batch(spark, tmp_path, sf_dir):
     path = str(tmp_path / "model")
     run_stream_to_dsir_model(spark, stream, path, str(tmp_path / "ckpt"))
     batch_path = str(tmp_path / "model_batch")
-    update_dsir_model(spark, batch_path, docs.limit(40))
+    # fold what was actually WRITTEN (a re-evaluated limit(40) is not
+    # guaranteed to pick the same rows)
+    update_dsir_model(spark, batch_path, spark.read.parquet(src))
     model = lambda p: sorted(
         map(tuple, read_dsir_model(spark, p).collect())
     )

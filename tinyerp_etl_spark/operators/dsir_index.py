@@ -20,16 +20,23 @@ store model equals one-shot ``dsir_scores`` with the concatenated
 pool as ``raw``. The gate row's oracle IS the one-shot SQL (the
 bm25i_incremental_index convention: one oracle serves both faces,
 which is the incremental ≡ full-refit proof). The replay/ordering
-contract mirrors the span store: every fold records the batch's
-[lo, hi] doc_id span (over its GRAM-HOLDING docs — sub-gram docs
-contribute no counts and are invisible to the model); a genuinely-new
-batch must postdate the stored max (``on_overlap='raise'``), or
-``'skip_existing'`` drops not-postdating docs so at-least-once
-delivery folds to an exactly-once model (a replayed batch would
-otherwise double its gram mass INTO q and silently skew every later
-score). ``n_buckets`` is a store property validated on every fold
-and read — probing a 128-bucket model with 10k-bucket features would
-silently mis-bin every gram.
+contract is STRICTER than the row-addressed span store's, because
+counts are anonymous once summed — there is no per-doc anti-join to
+separate a replay from out-of-order new mass. Every fold records the
+batch's [lo, hi] doc_id span (over its GRAM-HOLDING docs — sub-gram
+docs contribute no counts and are invisible to the model); a
+genuinely-new batch must postdate the stored max
+(``on_overlap='raise'``), and ``'skip_existing'`` absorbs EXACT
+redelivery only: a batch whose span matches a recorded fold's and
+whose bucket vector equals that fold's row-for-row is a no-op (the
+checkpointed-stream redelivery case — micro-batch composition is
+stable across retries, so a redelivered batch is byte-identical);
+any OTHER overlap raises loudly instead of silently dropping or
+double-counting mass (a watermark-only filter would silently LOSE
+every genuinely-new doc a non-id-ordered source delivers late).
+``n_buckets`` is a store property validated on every fold and read —
+probing a 128-bucket model with 10k-bucket features would silently
+mis-bin every gram.
 
 ref tiny_api_v2_cliente.py:79-134 (the reference's incremental
 per-page ingest loop) is the lineage; the estimator follows Xie et
@@ -134,14 +141,19 @@ def update_dsir_model(
 
     Only the batch featurizes and only ≤ ``n_buckets`` rows are
     written (``commit_append`` — fold compute and IO ∝ batch).
-    ``'raise'`` treats a batch that does not postdate the stored
-    watermark as a caller bug; ``'skip_existing'`` drops the
-    not-postdating docs (id ≤ stored hi) before featurizing, so an
-    at-least-once redelivery folds to an exactly-once model. Unlike
-    the row-addressed sibling stores there is no per-doc anti-join to
-    fall back on — counts are anonymous once summed — so the
-    watermark IS the replay filter, which is exactly why both modes
-    enforce it."""
+    ``'raise'`` treats ANY batch that does not postdate the stored
+    watermark as a caller bug; ``'skip_existing'`` additionally
+    absorbs an EXACT redelivery (same gram-holding doc_id span, same
+    bucket vector as a recorded fold — the comparison is ≤ n_buckets
+    rows, control-plane) as a version-preserving no-op, so
+    at-least-once delivery of checkpointed micro-batches folds to an
+    exactly-once model. A batch that overlaps history WITHOUT being
+    an exact redelivery raises in BOTH modes: counts are anonymous
+    once summed, so the store cannot separate out-of-order new mass
+    from a partial replay — silently dropping it would lose data,
+    silently folding it could double-count. Raises ConcurrentWrite-
+    Error on a lost OCC race (retry at the call site — the streaming
+    sink wraps this in ``occ_fold``)."""
     if on_overlap not in ("raise", "skip_existing"):
         raise ValueError(
             f"on_overlap must be 'raise' or 'skip_existing', got {on_overlap!r}"
@@ -153,7 +165,9 @@ def update_dsir_model(
     def fresh_rows(stored: DataFrame, batch: DataFrame) -> DataFrame:
         _check_buckets(_stored_buckets(stored), n_buckets, path, "folding")
         probe = batch.agg(
-            F.min("lo_doc_id").alias("lo"), F.count(F.lit(1)).alias("n")
+            F.min("lo_doc_id").alias("lo"),
+            F.max("hi_doc_id").alias("hi"),
+            F.count(F.lit(1)).alias("n"),
         ).first()
         if not int(probe["n"]):
             return batch  # all-sub-gram batch: version-preserving no-op
@@ -161,35 +175,36 @@ def update_dsir_model(
         hi = hi_row["hi"]
         if hi is None or int(probe["lo"]) > int(hi):
             return batch
-        if on_overlap == "raise":
-            raise ValueError(
-                f"DSIR model at {path}: batch doc_id {int(probe['lo'])} "
-                f"does not postdate the folded max {int(hi)} — counts "
-                "are anonymous once summed, so a replayed or "
-                "out-of-order doc would double its gram mass; refold "
-                "with on_overlap='skip_existing' if this is an "
-                "at-least-once redelivery"
-            )
-        # rebuild over the genuinely-new suffix only — the replayed
-        # prefix's mass is already in the store
-        return build_dsir_model_rows(
-            new_docs.filter(F.col(id_col) > int(hi)),
-            text_col,
-            id_col,
-            n_buckets,
+        lo_b, hi_b = int(probe["lo"]), int(probe["hi"])
+        if on_overlap == "skip_existing":
+            # absorb an EXACT redelivery: the recorded fold with this
+            # span must hold the identical bucket vector (≤ n_buckets
+            # rows per side — a control-plane comparison)
+            prior = stored.filter(
+                (F.col("lo_doc_id") == lo_b) & (F.col("hi_doc_id") == hi_b)
+            ).select("bucket", "cnt")
+            mine = batch.select("bucket", "cnt")
+            diff = mine.exceptAll(prior).unionAll(prior.exceptAll(mine))
+            if not prior.limit(1).isEmpty() and diff.limit(1).isEmpty():
+                return batch.limit(0)  # no-op: version preserved
+        raise ValueError(
+            f"DSIR model at {path}: batch span [{lo_b}, {hi_b}] overlaps "
+            f"the folded history (max doc_id {int(hi)}) and is not an "
+            "exact redelivery of a recorded fold — counts are anonymous "
+            "once summed, so the store cannot separate out-of-order new "
+            "mass from a partial replay (dropping would silently LOSE "
+            "data, folding could double-count); re-id the late arrival "
+            "or rebuild over the full corpus"
         )
 
-    def fold() -> int:
-        v = fold_append(
-            dsir_model_store(spark, path),
-            rows,
-            fresh_rows,
-            n_files=DSIR_MODEL_FILES,
-            skip_empty_bootstrap_result=0,
-        )
-        return 0 if v is None else v
-
-    return occ_fold(fold)
+    v = fold_append(
+        dsir_model_store(spark, path),
+        rows,
+        fresh_rows,
+        n_files=DSIR_MODEL_FILES,
+        skip_empty_bootstrap_result=0,
+    )
+    return 0 if v is None else v
 
 
 def read_dsir_model(
@@ -222,9 +237,11 @@ def dsir_scores_against_store(
     (the sequential ≡ one-shot law; the gate row's oracle) — and the
     PRODUCTION shape (score an unseen batch against history) is the
     same call with the batch not yet folded."""
-    fb = materialize(
-        dsir_gram_buckets(batch, text_col, id_col, n_buckets)
-    )
+    # NOT pinned: unlike the one-shot path (where the raw features
+    # feed both the model and the join), fb here feeds ONLY the
+    # scoring join — q comes from the store — so a materialize would
+    # be a pure extra compute+write+read pass of the largest frame
+    fb = dsir_gram_buckets(batch, text_col, id_col, n_buckets)
     q = read_dsir_model(spark, path, n_buckets)
     p = dsir_gram_buckets(target, text_col, id_col, n_buckets)
     return dsir_llr_scores(fb, q, p, id_col, n_buckets)

@@ -214,19 +214,17 @@ DSIR_SCORE_SCALE = 1000
 def dsir_grams(col: Column | str) -> Column:
     """Unigram + bigram feature grams of a document (the paper's
     featurization). Pure array expressions; <2-token docs contribute
-    their unigrams only, empty docs an empty array."""
+    their unigrams only, empty docs an empty array. Tokenizer bound
+    once per row (dedup._bind_once — Catalyst does not CSE through
+    higher-order functions, so an unbound ``tokens(col)`` would re-run
+    the regex at every bigram position) and the guarded k-gram builder
+    reused rather than re-spelled."""
+    from tinyerp_etl_spark.operators.dedup import _bind_once, _ngrams_of
     from tinyerp_etl_spark.operators.text import tokens
 
-    toks = tokens(col)
-    nbi = F.array_size(toks) - 1
-    bi = F.when(
-        nbi >= 1,
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(nbi, F.lit(1))),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return F.concat(toks, bi)
+    return _bind_once(
+        tokens(col), lambda toks: F.concat(toks, _ngrams_of(toks, 2))
+    )
 
 
 def dsir_gram_buckets(
@@ -262,16 +260,24 @@ def dsir_bucket_bits(
     model is COMPLETE (all B rows, absent buckets at count 0) so
     downstream joins never need an outer side; B rows is broadcast
     size by construction.
+
+    The ≤B-row bucket aggregation is pinned (materialize) and the
+    total derived FROM it — without the pin, the total would be a
+    second full scan of ``feats``' upstream DAG (for an unpinned
+    featurization plan that means tokenizing the corpus twice per
+    model fit).
     """
+    from tinyerp_etl_spark.functions.materialize import materialize
+
     spark = feats.sparkSession
     buckets = spark.range(n_buckets).select(
         F.col("id").cast("long").alias("bucket")
     )
-    counts = feats.groupBy("bucket").agg(
-        F.sum("cnt").cast("long").alias("bcnt")
+    counts = materialize(
+        feats.groupBy("bucket").agg(F.sum("cnt").cast("long").alias("bcnt"))
     )
-    total = feats.agg(
-        F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("btotal")
+    total = counts.agg(
+        F.coalesce(F.sum("bcnt"), F.lit(0)).cast("long").alias("btotal")
     )
     return (
         buckets.join(counts, "bucket", "left")

@@ -5227,14 +5227,32 @@ def _dsir_store_for(spark: SparkSession, sf_dir: str) -> str:
         path = os.path.join(
             _artifact_root(), "dsir_model", _corpus_tag(sf_dir, fp)
         )
-        if DI.dsir_model_store(spark, path).current_version() is None:
+        store = DI.dsir_model_store(spark, path)
+        if store.current_version() is None:
+            from tinyerp_etl_spark.etl.table_store import (
+                ConcurrentWriteError,
+            )
+
+            from tinyerp_etl_spark.etl.fold import occ_fold
+
             thr = int(raw.agg(F.max("doc_id")).first()[0]) // 2
-            DI.update_dsir_model(
-                spark, path, raw.filter(F.col("doc_id") <= thr)
-            )
-            DI.update_dsir_model(
-                spark, path, raw.filter(F.col("doc_id") > thr)
-            )
+            b1 = raw.filter(F.col("doc_id") <= thr)
+            b2 = raw.filter(F.col("doc_id") > thr)
+            try:
+                DI.update_dsir_model(spark, path, b1)
+                DI.update_dsir_model(spark, path, b2)
+            except (ConcurrentWriteError, ValueError):
+                # a concurrent builder raced the identical two-fold
+                # init; exact-redelivery absorption makes a
+                # skip_existing retry idempotent — each fold either
+                # no-ops (the winner already landed the identical
+                # content) or lands the half the winner hasn't yet
+                for b in (b1, b2):
+                    occ_fold(
+                        lambda b=b: DI.update_dsir_model(
+                            spark, path, b, on_overlap="skip_existing"
+                        )
+                    )
         _DSIR_STORE_CACHE[key] = path
     return _DSIR_STORE_CACHE[key]
 
