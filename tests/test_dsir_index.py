@@ -116,8 +116,8 @@ def test_model_rows_carry_gram_holding_span_only(spark):
 def test_streaming_fold_matches_batch(spark, tmp_path, sf_dir):
     """Drain the documents table as a stream into the model; the
     folded counts must equal a one-shot batch fold, and a replayed
-    drain must be a version-preserving no-op (the watermark absorbs
-    the at-least-once redelivery)."""
+    drain must be a version-preserving no-op (exact-redelivery
+    absorption — the redelivered micro-batch is byte-identical)."""
     from tinyerp_etl_spark.operators.dsir_index import (
         run_stream_to_dsir_model,
     )
@@ -142,3 +142,68 @@ def test_streaming_fold_matches_batch(spark, tmp_path, sf_dir):
     rerun = spark.readStream.schema("doc_id long, text string").parquet(src)
     run_stream_to_dsir_model(spark, rerun, path, str(tmp_path / "ckpt2"))
     assert dsir_model_store(spark, path).current_version() == v
+
+
+def test_fold_law_property(spark):
+    """Folded ≡ one-shot under randomized corpora: partition random
+    docs (colliding vocab, empty docs, sub-bigram docs) into
+    ingest-ordered batches, fold them sequentially, and the scored
+    output against the store model must equal one-shot dsir_scores
+    over the whole pool — the additive-counts law the gate row proves
+    at one split, checked here across random splits."""
+    import shutil
+    import tempfile
+
+    from hypothesis import given, settings, strategies as st
+
+    words = [f"w{i}" for i in range(6)]
+    doc = st.lists(st.sampled_from(words), min_size=0, max_size=8).map(
+        " ".join
+    )
+
+    @settings(max_examples=5, deadline=None)
+    @given(
+        st.lists(doc, min_size=2, max_size=10),
+        st.lists(
+            st.integers(min_value=0, max_value=2), min_size=10, max_size=10
+        ),
+    )
+    def run(texts, cut):
+        target = _docs(spark, _TARGET)
+        docs = [(i, t) for i, t in enumerate(texts)]
+        batches = [
+            [d for d, c in zip(docs, cut) if c == b] for b in range(3)
+        ]
+        # re-id so batch b's ids follow batch b-1's (the ingest-order
+        # contract); the pool is the same multiset of texts either way
+        seq, nid, reid_pool = [], 0, []
+        for b in batches:
+            out = []
+            for _, t in b:
+                out.append((nid, t))
+                nid += 1
+            seq.append(out)
+            reid_pool.extend(out)
+        if not any(len(t.split()) >= 1 for _, t in reid_pool):
+            return  # all-empty pool: nothing to score either way
+        root = tempfile.mkdtemp(prefix="dsir_prop_")
+        try:
+            path = root + "/model"
+            for rows in seq:
+                if rows:
+                    update_dsir_model(spark, path, _docs(spark, rows))
+            pool = _docs(spark, reid_pool)
+            got = sorted(
+                map(
+                    tuple,
+                    dsir_scores_against_store(
+                        spark, path, pool, target
+                    ).collect(),
+                )
+            )
+            want = sorted(map(tuple, dsir_scores(pool, target).collect()))
+            assert got == want
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+
+    run()
