@@ -148,6 +148,8 @@ HEADLINE_R11 = [
     "incremental_dsir_sample",
     # class-based TF-IDF labeling (per-source distinctive terms)
     "ctfidf_source_terms",
+    # HTML -> text extraction over staged full pages (codegen regex)
+    "html_extract_docs",
 ]
 HEADLINE = (
     HEADLINE

@@ -593,3 +593,68 @@ def bpe_train(
         seqs = {w: s.replace(pat, rep) for w, s in seqs.items()}
         merges.append((it, left, right, left + right, cnt))
     return merges
+
+
+# ---------------------------------------------------- HTML extraction
+#: Regexes restricted to the Java/RE2-identical subset (inline (?s)/
+#: (?i) flags, non-greedy, character classes — no backreferences, no
+#: lookarounds): script/style blocks and comments drop WITH their
+#: content; structural closers become hard breaks; every remaining
+#: tag strips to a space.
+HTML_HEAD_RE = r"(?is)<head[^>]*>.*?</head>"
+HTML_SCRIPT_RE = r"(?is)<script[^>]*>.*?</script>"
+HTML_STYLE_RE = r"(?is)<style[^>]*>.*?</style>"
+HTML_COMMENT_RE = r"(?s)<!--.*?-->"
+HTML_BREAK_RE = r"(?i)</(?:p|div|li|tr|h[1-6])>|<br[^>]*>"
+HTML_TAG_RE = r"(?s)<[^>]*>"
+HTML_TITLE_RE = r"(?is)<title>(.*?)</title>"
+HTML_HREF_RE = "href=\"([^\"]+)\""
+
+#: Entity decode pairs, applied AFTER tag stripping (decoding first
+#: would turn &lt;script&gt; into live markup); &amp; decodes LAST so
+#: double-encoded entities cannot cascade.
+HTML_ENTITIES = [
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+]
+
+
+def html_to_text(col: Column | str) -> Column:
+    """Visible text of an HTML payload — the FIRST step of every
+    web-corpus pipeline (the trafilatura/jusText role, restricted to
+    the deterministic tag-level subset both engines compute
+    identically; statistical boilerplate removal is the downstream
+    paragraph/boilerplate operators' job). Drop script/style/comments
+    with their content, break on structural closers, strip remaining
+    tags, decode the common entities, collapse whitespace. The whole
+    <head> drops with its content first (title/meta are metadata —
+    ``html_title`` reads them separately — and body text must not
+    inherit them); body-level script/style/comments drop next. Pure
+    JVM-side regexp_replace chain — whole-stage codegen, no UDF."""
+    c = F.col(col) if isinstance(col, str) else col
+    for pat in (HTML_HEAD_RE, HTML_SCRIPT_RE, HTML_STYLE_RE, HTML_COMMENT_RE):
+        c = F.regexp_replace(c, pat, " ")
+    c = F.regexp_replace(c, HTML_BREAK_RE, "\n")
+    c = F.regexp_replace(c, HTML_TAG_RE, " ")
+    for ent, ch in HTML_ENTITIES:
+        c = F.replace(c, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
+def html_title(col: Column | str) -> Column:
+    """<title> text ('' when absent), whitespace-normalized."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(
+        F.regexp_replace(F.regexp_extract(c, HTML_TITLE_RE, 1), r"\s+", " ")
+    )
+
+
+def html_links(col: Column | str) -> Column:
+    """href targets as an array (the outlink column a crawl-graph or
+    URL-filter stage consumes)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(c, F.lit(HTML_HREF_RE), 1)

@@ -5391,3 +5391,107 @@ LLM_ORACLES["ctfidf_source_terms"] = f"""
     ORDER BY source, rn
 """
 LLM_QUERIES["ctfidf_source_terms"] = ctfidf_source_terms
+
+
+# ------------------- round-11 addition: HTML text extraction
+def html_extract_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML → text extraction, the first step of every web-corpus
+    pipeline (operators/text.py html_to_text/html_title/html_links —
+    tag-level deterministic extraction; statistical boilerplate
+    removal stays the downstream paragraph/boilerplate operators'
+    job). Every document is staged as a full synthetic page — title,
+    style and script blocks whose CONTENT must drop (the script body
+    deliberately contains live-looking markup), an HTML comment, a
+    nav with two links, the document text in the main div, and an
+    entity-encoded footer — then extracted back. ``body_recovered``
+    pins the semantic claim (the whitespace-normalized original text
+    survives extraction verbatim); the oracle replays the exact
+    regexp chain, so engine/oracle drift in any pattern or the
+    entity-decode order hash-mismatches. Pure codegen regexp chain,
+    no UDF; one scan, no shuffle before the presentation sort.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sid = F.col("doc_id").cast("string")
+    page = F.concat(
+        F.lit("<html><head><title>Doc "), sid,
+        F.lit("</title><style>body { margin: 0; }</style>"
+              '<script type="text/javascript">var t = "<p>not text</p>";'
+              "</script></head><body><!-- build "), sid,
+        F.lit(' --><nav><a href="https://ex.org/home">Home</a> | '
+              '<a href="https://ex.org/d/'), sid,
+        F.lit('">Self</a></nav><div class="main"><p>'), F.col("text"),
+        F.lit("</p></div><footer>Terms &amp; Conditions &lt;v2&gt;"
+              "</footer></body></html>"),
+    )
+    staged = docs.select("doc_id", "text", page.alias("page"))
+    norm_text = F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))
+    return staged.select(
+        "doc_id",
+        X.html_title("page").alias("title"),
+        F.array_size(X.html_links("page")).cast("int").alias("n_links"),
+        X.html_to_text("page").alias("clean_text"),
+        F.contains(X.html_to_text("page"), norm_text).alias(
+            "body_recovered"
+        ),
+    ).orderBy("doc_id")
+
+
+_HTML_STAGE_SQL = """
+      SELECT doc_id, text,
+             '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+             || '</title><style>body { margin: 0; }</style>'
+             || '<script type="text/javascript">var t = "<p>not text</p>";'
+             || '</script></head><body><!-- build '
+             || CAST(doc_id AS VARCHAR)
+             || ' --><nav><a href="https://ex.org/home">Home</a> | '
+             || '<a href="https://ex.org/d/' || CAST(doc_id AS VARCHAR)
+             || '">Self</a></nav><div class="main"><p>' || text
+             || '</p></div><footer>Terms &amp; Conditions &lt;v2&gt;'
+             || '</footer></body></html>' AS page
+      FROM documents
+"""
+
+LLM_ORACLES["html_extract_docs"] = r"""
+    WITH staged AS (""" + _HTML_STAGE_SQL + r"""),
+    s1 AS (
+      SELECT doc_id, text, page,
+             regexp_replace(regexp_replace(regexp_replace(
+               regexp_replace(page,
+               '(?is)<head[^>]*>.*?</head>', ' ', 'g'),
+               '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+               '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+               '(?s)<!--.*?-->', ' ', 'g') AS p
+      FROM staged
+    ),
+    s2 AS (
+      SELECT doc_id, text, page,
+             regexp_replace(regexp_replace(p,
+               '(?i)</(?:p|div|li|tr|h[1-6])>|<br[^>]*>', chr(10), 'g'),
+               '(?s)<[^>]*>', ' ', 'g') AS p
+      FROM s1
+    ),
+    s3 AS (
+      SELECT doc_id, text, page,
+             replace(replace(replace(replace(replace(replace(p,
+               '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+               '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&') AS p
+      FROM s2
+    ),
+    out AS (
+      SELECT doc_id,
+             trim(regexp_replace(
+               regexp_replace(regexp_extract(page,
+                 '(?is)<title>(.*?)</title>', 1), '\s+', ' ', 'g'),
+               '^ | $', '', 'g')) AS title,
+             CAST(len(regexp_extract_all(page, 'href="([^"]+)"', 1))
+                  AS INT) AS n_links,
+             trim(regexp_replace(p, '\s+', ' ', 'g')) AS clean_text,
+             contains(trim(regexp_replace(p, '\s+', ' ', 'g')),
+                      trim(regexp_replace(text, '\s+', ' ', 'g')))
+               AS body_recovered
+      FROM s3
+    )
+    SELECT doc_id, title, n_links, clean_text, body_recovered
+    FROM out ORDER BY doc_id
+"""
+LLM_QUERIES["html_extract_docs"] = html_extract_docs
