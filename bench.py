@@ -150,6 +150,8 @@ HEADLINE_R11 = [
     "ctfidf_source_terms",
     # HTML -> text extraction over staged full pages (codegen regex)
     "html_extract_docs",
+    # canonical-URL dedup (the cheapest pre-content dedup pass)
+    "url_normalize_dedup",
 ]
 HEADLINE = (
     HEADLINE

@@ -33,3 +33,25 @@ def test_html_extraction_edges(spark):
     # href extraction is case-sensitive by design (lowercase html);
     # the uppercase variant is not matched
     assert got[5]["links"] == ["u1"]
+
+
+def test_normalize_url_edges(spark):
+    from tinyerp_etl_spark.operators.text import normalize_url
+
+    rows = [
+        (1, "HTTPS://WWW.Ex.COM:443/a/b/#x"),
+        (2, "https://ex.com:443/a/b"),
+        (3, "http://ex.com:443/a"),          # non-default port kept
+        (4, "http://ex.com/?ref=abc&z=1&gclid=g"),
+        (5, "not a url at all  "),
+        (6, "ftp://Ex.com/File"),            # scheme-generic, case kept in path
+    ]
+    df = spark.createDataFrame(rows, "id long, u string").select(
+        "id", normalize_url("u").alias("c")
+    )
+    got = {r["id"]: r["c"] for r in df.collect()}
+    assert got[1] == got[2] == "https://ex.com/a/b"
+    assert got[3] == "http://ex.com:443/a"
+    assert got[4] == "http://ex.com?z=1"
+    assert got[5] == "not a url at all"
+    assert got[6] == "ftp://ex.com/File"

@@ -658,3 +658,64 @@ def html_links(col: Column | str) -> Column:
     URL-filter stage consumes)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.regexp_extract_all(c, F.lit(HTML_HREF_RE), 1)
+
+
+# --------------------------------------------------- URL normalization
+#: tracking params dropped during normalization (the CCNet/FineWeb
+#: URL-dedup convention: these vary per click, never per page)
+URL_TRACKING_PREFIXES = ("utm_", "fbclid", "gclid", "ref=")
+
+_URL_SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
+_URL_HOST_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
+_URL_PATH_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)"
+_URL_QUERY_RE = r"\?([^#]*)"
+
+
+def normalize_url(col: Column | str) -> Column:
+    """Canonical form of a URL — the key URL-level dedup joins on
+    (one crawl of a page arrives under many spellings; CCNet/FineWeb
+    dedupe by normalized URL before any content pass). Deterministic,
+    engine-portable steps: drop the fragment; lowercase scheme and
+    host; strip a leading ``www.`` and the scheme's default port;
+    strip trailing slashes from the path; drop tracking params
+    (``URL_TRACKING_PREFIXES``) and empty params, SORT the rest (the
+    order a browser sends is not part of page identity). Strings
+    without a ``scheme://`` pass through trimmed — callers dedupe
+    relative links at their own risk. Pure codegen expressions."""
+    u0 = F.trim(F.col(col) if isinstance(col, str) else col)
+    u = F.regexp_replace(u0, r"#.*$", "")
+    scheme = F.lower(F.regexp_extract(u, _URL_SCHEME_RE, 1))
+    host0 = F.lower(F.regexp_extract(u, _URL_HOST_RE, 1))
+    host1 = F.regexp_replace(host0, r"^www\.", "")
+    host = F.when(
+        (scheme == "http") & host1.endswith(":80"),
+        F.regexp_replace(host1, r":80$", ""),
+    ).when(
+        (scheme == "https") & host1.endswith(":443"),
+        F.regexp_replace(host1, r":443$", ""),
+    ).otherwise(host1)
+    path = F.regexp_replace(
+        F.regexp_extract(u, _URL_PATH_RE, 1), r"/+$", ""
+    )
+    qs = F.regexp_extract(u, _URL_QUERY_RE, 1)
+    keep = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.split(qs, "&"),
+                lambda x: (x != "")
+                & ~x.startswith("utm_")
+                & ~x.startswith("fbclid")
+                & ~x.startswith("gclid")
+                & ~x.startswith("ref="),
+            )
+        ),
+        "&",
+    )
+    canon = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(keep != "", F.concat(F.lit("?"), keep)).otherwise(F.lit("")),
+    )
+    return F.when(scheme != "", canon).otherwise(u0)

@@ -5495,3 +5495,115 @@ LLM_ORACLES["html_extract_docs"] = r"""
     FROM out ORDER BY doc_id
 """
 LLM_QUERIES["html_extract_docs"] = html_extract_docs
+
+
+# ------------------- round-11 addition: URL normalization + dedup
+def url_normalize_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level dedup on canonical forms (operators/text.py
+    normalize_url) — the cheapest dedup pass a web pipeline runs
+    BEFORE any content pass (CCNet/FineWeb convention: one page
+    arrives under many spellings). Each document stages three
+    spellings: a noisy one (uppercase scheme/host, www, default
+    port, trailing slash, tracking param, unsorted query, fragment)
+    and a clean one that must normalize IDENTICALLY, plus an https
+    variant that must stay distinct. Grouping by the canonical form
+    is the dedup; the oracle replays every normalization step, so
+    any drift in the regex chain, the port/www rules, or the
+    param-sort hash-mismatches. Pure codegen expressions; one
+    aggregation on the canonical key."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    sid = F.col("doc_id").cast("string")
+    v0 = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("HTTP://WWW.Example.COM:80/d/"), sid,
+            F.lit("/?utm_source=x&b=2&a=1#frag"),
+        ).alias("url"),
+    )
+    v1 = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("http://example.com/d/"), sid, F.lit("?a=1&b=2")
+        ).alias("url"),
+    )
+    v2 = docs.select(
+        "doc_id",
+        F.concat(F.lit("https://example.com/d/"), sid).alias("url"),
+    )
+    staged = v0.unionByName(v1).unionByName(v2)
+    return (
+        staged.select(
+            "doc_id", X.normalize_url("url").alias("canonical_url")
+        )
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_variants"),
+            F.min("doc_id").cast("long").alias("first_doc_id"),
+        )
+        .orderBy("canonical_url")
+    )
+
+
+LLM_ORACLES["url_normalize_dedup"] = r"""
+    WITH raw AS (
+      SELECT doc_id,
+             'HTTP://WWW.Example.COM:80/d/' || CAST(doc_id AS VARCHAR)
+               || '/?utm_source=x&b=2&a=1#frag' AS url
+      FROM documents
+      UNION ALL
+      SELECT doc_id,
+             'http://example.com/d/' || CAST(doc_id AS VARCHAR)
+               || '?a=1&b=2'
+      FROM documents
+      UNION ALL
+      SELECT doc_id, 'https://example.com/d/' || CAST(doc_id AS VARCHAR)
+      FROM documents
+    ),
+    u1 AS (
+      SELECT doc_id, trim(url) AS u0,
+             regexp_replace(trim(url), '#.*$', '') AS u
+      FROM raw
+    ),
+    parts AS (
+      SELECT doc_id, u0,
+             lower(regexp_extract(u,
+               '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+             regexp_replace(lower(regexp_extract(u,
+               '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
+               '^www\.', '') AS host1,
+             regexp_replace(regexp_extract(u,
+               '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+               '/+$', '') AS path,
+             regexp_extract(u, '\?([^#]*)', 1) AS qs
+      FROM u1
+    ),
+    parts2 AS (
+      SELECT *,
+             CASE WHEN scheme = 'http' AND ends_with(host1, ':80')
+                  THEN regexp_replace(host1, ':80$', '')
+                  WHEN scheme = 'https' AND ends_with(host1, ':443')
+                  THEN regexp_replace(host1, ':443$', '')
+                  ELSE host1 END AS host,
+             array_to_string(list_sort(list_filter(
+               string_split(qs, '&'),
+               x -> x <> '' AND NOT starts_with(x, 'utm_')
+                    AND NOT starts_with(x, 'fbclid')
+                    AND NOT starts_with(x, 'gclid')
+                    AND NOT starts_with(x, 'ref='))), '&') AS keep
+      FROM parts
+    ),
+    canon AS (
+      SELECT doc_id,
+             CASE WHEN scheme <> ''
+                  THEN scheme || '://' || host || path
+                       || CASE WHEN keep <> '' THEN '?' || keep
+                          ELSE '' END
+                  ELSE u0 END AS canonical_url
+      FROM parts2
+    )
+    SELECT canonical_url,
+           CAST(count(*) AS BIGINT) AS n_variants,
+           CAST(min(doc_id) AS BIGINT) AS first_doc_id
+    FROM canon GROUP BY canonical_url ORDER BY canonical_url
+"""
+LLM_QUERIES["url_normalize_dedup"] = url_normalize_dedup

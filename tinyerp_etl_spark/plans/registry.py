@@ -441,13 +441,15 @@ _RELATIONAL_NAMES = [
 # PRE-STAGED ROUND-12 ROTATION PLAN (compose at round-12 start,
 # exactly as every rotation has):
 #   (0) any round-12 newcomers, gated at birth, displacing fills
-#       whose shapes fresher rows cover (document each). TWO are
+#       whose shapes fresher rows cover (document each). THREE are
 #       already named: ctfidf_source_terms (late-round-11 addition —
-#       class-based TF-IDF labeling) and html_extract_docs
+#       class-based TF-IDF labeling), html_extract_docs
 #       (late-round-11 addition — HTML → text extraction with staged
-#       full pages, the web-corpus front door); both oracle-parity
-#       verified at sf0.001+sf0.01 at add time and swept by pytest,
-#       but the round-11 gate's remaining fills were all
+#       full pages, the web-corpus front door), and
+#       url_normalize_dedup (late-round-11 addition — canonical-URL
+#       dedup: the cheapest pre-content dedup pass); all oracle-
+#       parity verified at sf0.001+sf0.01 at add time and swept by
+#       pytest, but the round-11 gate's remaining fills were all
 #       shape-starved, so their driver rows land here in the 9 free
 #       slots;
 #   (0b) rows whose engine code round 12 changes — changed engine
