@@ -152,6 +152,8 @@ HEADLINE_R11 = [
     "html_extract_docs",
     # canonical-URL dedup (the cheapest pre-content dedup pass)
     "url_normalize_dedup",
+    # END-TO-END web manifest: extract -> URL dedup -> C4 -> DSIR
+    "web_curation_pipeline_manifest",
 ]
 HEADLINE = (
     HEADLINE

@@ -243,7 +243,14 @@ def dsir_scores_against_store(
     # be a pure extra compute+write+read pass of the largest frame
     fb = dsir_gram_buckets(batch, text_col, id_col, n_buckets)
     q = read_dsir_model(spark, path, n_buckets)
-    p = dsir_gram_buckets(target, text_col, id_col, n_buckets)
+    # target feeds only the bucket model — id-agnostic (constant id),
+    # mirroring sampling.dsir_scores
+    p = dsir_gram_buckets(
+        target.select(F.lit(0).cast("long").alias(id_col), F.col(text_col)),
+        text_col,
+        id_col,
+        n_buckets,
+    )
     return dsir_llr_scores(fb, q, p, id_col, n_buckets)
 
 

@@ -327,7 +327,15 @@ def dsir_scores(
     # join — pin it once so it never runs twice (the target side is
     # read once, no pin needed)
     fr = materialize(dsir_gram_buckets(raw, text_col, id_col, n_buckets))
-    ft = dsir_gram_buckets(target, text_col, id_col, n_buckets)
+    # the target side feeds ONLY the bucket model, so its id column is
+    # irrelevant (and need not exist): featurize under a constant id —
+    # per-bucket sums are identical, per-doc identity never used
+    ft = dsir_gram_buckets(
+        target.select(F.lit(0).cast("long").alias(id_col), F.col(text_col)),
+        text_col,
+        id_col,
+        n_buckets,
+    )
     return dsir_llr_scores(fr, fr, ft, id_col, n_buckets)
 
 

@@ -5394,6 +5394,25 @@ LLM_QUERIES["ctfidf_source_terms"] = ctfidf_source_terms
 
 
 # ------------------- round-11 addition: HTML text extraction
+def _synthetic_page() -> F.Column:
+    """The staged full-page builder shared by html_extract_docs and
+    the web curation pipeline (columns ``doc_id``/``text`` in scope):
+    title, style + script whose content must drop, a comment, a nav
+    with two links, the document text, an entity-encoded footer."""
+    sid = F.col("doc_id").cast("string")
+    return F.concat(
+        F.lit("<html><head><title>Doc "), sid,
+        F.lit("</title><style>body { margin: 0; }</style>"
+              '<script type="text/javascript">var t = "<p>not text</p>";'
+              "</script></head><body><!-- build "), sid,
+        F.lit(' --><nav><a href="https://ex.org/home">Home</a> | '
+              '<a href="https://ex.org/d/'), sid,
+        F.lit('">Self</a></nav><div class="main"><p>'), F.col("text"),
+        F.lit("</p></div><footer>Terms &amp; Conditions &lt;v2&gt;"
+              "</footer></body></html>"),
+    )
+
+
 def html_extract_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HTML → text extraction, the first step of every web-corpus
     pipeline (operators/text.py html_to_text/html_title/html_links —
@@ -5411,19 +5430,7 @@ def html_extract_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     no UDF; one scan, no shuffle before the presentation sort.
     """
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    sid = F.col("doc_id").cast("string")
-    page = F.concat(
-        F.lit("<html><head><title>Doc "), sid,
-        F.lit("</title><style>body { margin: 0; }</style>"
-              '<script type="text/javascript">var t = "<p>not text</p>";'
-              "</script></head><body><!-- build "), sid,
-        F.lit(' --><nav><a href="https://ex.org/home">Home</a> | '
-              '<a href="https://ex.org/d/'), sid,
-        F.lit('">Self</a></nav><div class="main"><p>'), F.col("text"),
-        F.lit("</p></div><footer>Terms &amp; Conditions &lt;v2&gt;"
-              "</footer></body></html>"),
-    )
-    staged = docs.select("doc_id", "text", page.alias("page"))
+    staged = docs.select("doc_id", "text", _synthetic_page().alias("page"))
     norm_text = F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))
     return staged.select(
         "doc_id",
@@ -5436,9 +5443,9 @@ def html_extract_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-_HTML_STAGE_SQL = """
-      SELECT doc_id, text,
-             '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+#: the page-builder SQL expression (doc_id/text in scope) — the
+#: literal mirror of _synthetic_page, shared by both staged oracles
+_PAGE_SQL = """'<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
              || '</title><style>body { margin: 0; }</style>'
              || '<script type="text/javascript">var t = "<p>not text</p>";'
              || '</script></head><body><!-- build '
@@ -5447,7 +5454,27 @@ _HTML_STAGE_SQL = """
              || '<a href="https://ex.org/d/' || CAST(doc_id AS VARCHAR)
              || '">Self</a></nav><div class="main"><p>' || text
              || '</p></div><footer>Terms &amp; Conditions &lt;v2&gt;'
-             || '</footer></body></html>' AS page
+             || '</footer></body></html>'"""
+
+#: the HTML → clean-text SQL chain as ONE expression over ``page``
+#: (the literal mirror of operators/text.html_to_text)
+_HTML_CLEAN_SQL = r"""trim(regexp_replace(
+      replace(replace(replace(replace(replace(replace(
+        regexp_replace(regexp_replace(
+          regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+            page,
+            '(?is)<head[^>]*>.*?</head>', ' ', 'g'),
+            '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+            '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+            '(?s)<!--.*?-->', ' ', 'g'),
+          '(?i)</(?:p|div|li|tr|h[1-6])>|<br[^>]*>', chr(10), 'g'),
+          '(?s)<[^>]*>', ' ', 'g'),
+        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+      '\s+', ' ', 'g'))"""
+
+_HTML_STAGE_SQL = f"""
+      SELECT doc_id, text, {_PAGE_SQL} AS page
       FROM documents
 """
 
@@ -5607,3 +5634,276 @@ LLM_ORACLES["url_normalize_dedup"] = r"""
     FROM canon GROUP BY canonical_url ORDER BY canonical_url
 """
 LLM_QUERIES["url_normalize_dedup"] = url_normalize_dedup
+
+
+# ---------- round-11 addition: END-TO-END web curation pipeline
+def web_curation_pipeline_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WEB flavor of the end-to-end curation manifest: every crawl
+    record's fate in one row, through the round's new front-door
+    operators composed with the DSIR selector — extract (html_to_text
+    over staged full pages) → URL-level dedup (normalize_url, keep
+    the first crawl per canonical) → C4 quality cascade on the
+    EXTRACTED text → DSIR importance selection toward the en/src13
+    target (keep the top ~50 % of quality survivors). Each document
+    stages TWO crawl records (a noisy URL spelling and a clean one,
+    same page), so the url_dup branch is exercised on every doc; the
+    disposition is the FIRST failing stage (url_dup / too_short /
+    too_much_punct / low_stopword / dsir_drop / keep), the curation
+    manifest convention. One materialized annotated frame feeds the
+    dedup, quality, and selection stages; the oracle replays every
+    stage, so drift anywhere in the chain hash-mismatches.
+    """
+    from tinyerp_etl_spark.functions.materialize import materialize
+    from tinyerp_etl_spark.operators.sampling import (
+        dsir_scores,
+        dsir_select,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    # every 40th doc gets a punctuation tail so the too_much_punct
+    # branch is exercised too (the c4 gate row's staging trick) —
+    # ALL six dispositions are non-vacuous in one manifest
+    staged_docs = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 40 == 0,
+            F.concat(F.col("text"), F.lit(" "), F.expr("repeat('!?', 40)")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+        "lang",
+        "source",
+    )
+    base = staged_docs.select(
+        "doc_id", "text", _synthetic_page().alias("page")
+    )
+    sid = F.col("doc_id").cast("string")
+    noisy = base.select(
+        (F.col("doc_id") * 2).alias("crawl_id"),
+        "doc_id",
+        F.concat(
+            F.lit("HTTP://WWW.Example.COM:80/d/"), sid,
+            F.lit("/?utm_source=x&b=2&a=1#frag"),
+        ).alias("url"),
+        "page",
+    )
+    clean = base.select(
+        (F.col("doc_id") * 2 + 1).alias("crawl_id"),
+        "doc_id",
+        F.concat(
+            F.lit("http://example.com/d/"), sid, F.lit("?a=1&b=2")
+        ).alias("url"),
+        "page",
+    )
+    crawls = noisy.unionByName(clean)
+    ann = materialize(
+        crawls.select(
+            "crawl_id",
+            "doc_id",
+            X.normalize_url("url").alias("canonical_url"),
+            X.html_to_text("page").alias("clean_text"),
+        )
+    )
+    first = ann.groupBy("canonical_url").agg(
+        F.min("crawl_id").alias("keeper")
+    )
+    ann2 = ann.join(first, "canonical_url").withColumn(
+        "verdict", X.c4_verdict("clean_text")
+    )
+    surv = ann2.filter(
+        (F.col("crawl_id") == F.col("keeper"))
+        & (F.col("verdict") == "keep")
+    ).select("crawl_id", F.col("clean_text").alias("text"))
+    tgt = staged_docs.filter(
+        (F.col("lang") == "en") & (F.col("source") == "src13")
+    ).select("doc_id", "text")
+    sel = dsir_select(
+        dsir_scores(surv, tgt, id_col="crawl_id"),
+        keep_ppm=500_000,
+        id_col="crawl_id",
+    ).select("crawl_id", F.col("keep").alias("dsir_keep"))
+    out = ann2.join(sel, "crawl_id", "left")
+    disposition = (
+        F.when(F.col("crawl_id") != F.col("keeper"), F.lit("url_dup"))
+        .when(F.col("verdict") != "keep", F.col("verdict"))
+        .when(F.coalesce(F.col("dsir_keep"), F.lit(False)), F.lit("keep"))
+        .otherwise(F.lit("dsir_drop"))
+    )
+    return out.select(
+        "crawl_id",
+        "doc_id",
+        "canonical_url",
+        disposition.alias("disposition"),
+    ).orderBy("crawl_id")
+
+
+_TOKS_OF = "regexp_extract_all(lower({c}), '(\\w+)', 1)"
+_WEB_SW = ", ".join(f"'{w}'" for w in X.STOPWORDS)
+
+LLM_ORACLES["web_curation_pipeline_manifest"] = f"""
+    WITH docs0 AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 40 = 0
+                  THEN text || ' ' || repeat('!?', 40)
+                  ELSE text END AS text,
+             lang, source
+      FROM documents
+    ),
+    crawls AS (
+      SELECT doc_id * 2 AS crawl_id, doc_id,
+             'HTTP://WWW.Example.COM:80/d/' || CAST(doc_id AS VARCHAR)
+               || '/?utm_source=x&b=2&a=1#frag' AS url,
+             {_PAGE_SQL} AS page
+      FROM docs0
+      UNION ALL
+      SELECT doc_id * 2 + 1, doc_id,
+             'http://example.com/d/' || CAST(doc_id AS VARCHAR)
+               || '?a=1&b=2',
+             {_PAGE_SQL}
+      FROM docs0
+    ),
+    ext AS (
+      SELECT crawl_id, doc_id, url, {_HTML_CLEAN_SQL} AS clean_text
+      FROM crawls
+    ),
+    u1 AS (
+      SELECT crawl_id, doc_id, clean_text, trim(url) AS u0,
+             regexp_replace(trim(url), '#.*$', '') AS u
+      FROM ext
+    ),
+    parts AS (
+      SELECT crawl_id, doc_id, clean_text, u0,
+             lower(regexp_extract(u,
+               '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+             regexp_replace(lower(regexp_extract(u,
+               '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
+               '^www\\.', '') AS host1,
+             regexp_replace(regexp_extract(u,
+               '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+               '/+$', '') AS path,
+             regexp_extract(u, '\\?([^#]*)', 1) AS qs
+      FROM u1
+    ),
+    parts2 AS (
+      SELECT *,
+             CASE WHEN scheme = 'http' AND ends_with(host1, ':80')
+                  THEN regexp_replace(host1, ':80$', '')
+                  WHEN scheme = 'https' AND ends_with(host1, ':443')
+                  THEN regexp_replace(host1, ':443$', '')
+                  ELSE host1 END AS host,
+             array_to_string(list_sort(list_filter(
+               string_split(qs, '&'),
+               x -> x <> '' AND NOT starts_with(x, 'utm_')
+                    AND NOT starts_with(x, 'fbclid')
+                    AND NOT starts_with(x, 'gclid')
+                    AND NOT starts_with(x, 'ref='))), '&') AS keep
+      FROM parts
+    ),
+    ann AS (
+      SELECT crawl_id, doc_id, clean_text,
+             CASE WHEN scheme <> ''
+                  THEN scheme || '://' || host || path
+                       || CASE WHEN keep <> '' THEN '?' || keep
+                          ELSE '' END
+                  ELSE u0 END AS canonical_url
+      FROM parts2
+    ),
+    fst AS (
+      SELECT canonical_url, min(crawl_id) AS keeper
+      FROM ann GROUP BY canonical_url
+    ),
+    q AS (
+      SELECT a.*, f.keeper,
+             CASE WHEN len({_TOKS_OF.format(c="clean_text")}) < 25
+                    THEN 'too_short'
+                  WHEN length(regexp_replace(clean_text,
+                         '[\\w\\s]', '', 'g')) * 10
+                       > length(clean_text) THEN 'too_much_punct'
+                  WHEN COALESCE(list_sum(list_transform(
+                         {_TOKS_OF.format(c="clean_text")}, t ->
+                         CASE WHEN list_contains([{_WEB_SW}], t)
+                              THEN 1 ELSE 0 END)), 0) * 10
+                       < len({_TOKS_OF.format(c="clean_text")})
+                    THEN 'low_stopword'
+                  ELSE 'keep' END AS verdict
+      FROM ann a JOIN fst f USING (canonical_url)
+    ),
+    rawp AS (
+      SELECT crawl_id, clean_text AS text FROM q
+      WHERE crawl_id = keeper AND verdict = 'keep'
+    ),
+    tgtp AS (
+      SELECT doc_id, text FROM docs0
+      WHERE lang = 'en' AND source = 'src13'
+    ),
+    tk_r AS (SELECT crawl_id, {_TOKS} AS toks FROM rawp),
+    g_r AS (SELECT crawl_id, unnest({_DSIR_GRAMS}) AS gram FROM tk_r),
+    f_r AS (
+      SELECT crawl_id, {_XHASH.format(v='gram')} % {_DSIR_B} AS bucket,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM g_r GROUP BY 1, 2
+    ),
+    tk_t AS (SELECT doc_id, {_TOKS} AS toks FROM tgtp),
+    g_t AS (SELECT doc_id, unnest({_DSIR_GRAMS}) AS gram FROM tk_t),
+    f_t AS (
+      SELECT {_XHASH.format(v='gram')} % {_DSIR_B} AS bucket,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM g_t GROUP BY 1
+    ),
+    qm AS (
+      SELECT t.bucket,
+             CAST(length(bin((tot.s + {_DSIR_B})
+                             // (coalesce(c.bcnt, 0) + 1)))
+                  AS BIGINT) AS bits_q
+      FROM range(0, {_DSIR_B}) t(bucket)
+      LEFT JOIN (SELECT bucket, sum(cnt) AS bcnt FROM f_r
+                 GROUP BY 1) c USING (bucket)
+      CROSS JOIN (SELECT coalesce(sum(cnt), 0) AS s FROM f_r) tot
+    ),
+    pm AS (
+      SELECT t.bucket,
+             CAST(length(bin((tot.s + {_DSIR_B})
+                             // (coalesce(c.bcnt, 0) + 1)))
+                  AS BIGINT) AS bits_p
+      FROM range(0, {_DSIR_B}) t(bucket)
+      LEFT JOIN (SELECT bucket, sum(cnt) AS bcnt FROM f_t
+                 GROUP BY 1) c USING (bucket)
+      CROSS JOIN (SELECT coalesce(sum(cnt), 0) AS s FROM f_t) tot
+    ),
+    sc AS (
+      SELECT crawl_id,
+             CAST(sum(cnt) AS BIGINT) AS n_grams,
+             CAST(sum(cnt * (bits_q - bits_p)) AS BIGINT) AS llr_bits
+      FROM f_r JOIN qm USING (bucket) JOIN pm USING (bucket)
+      GROUP BY crawl_id
+    ),
+    s2 AS (
+      SELECT crawl_id,
+             CAST((llr_bits * 1000) // n_grams AS BIGINT) AS score_mbits
+      FROM sc
+    ),
+    vc AS (
+      SELECT score_mbits, CAST(count(*) AS BIGINT) AS vcnt
+      FROM s2 GROUP BY 1
+    ),
+    cum AS (
+      SELECT a.score_mbits, sum(b.vcnt) AS cum_ge
+      FROM vc a JOIN vc b ON b.score_mbits >= a.score_mbits GROUP BY 1
+    ),
+    nn AS (SELECT count(*) AS n_raw FROM s2),
+    thr AS (
+      SELECT min(score_mbits) AS t FROM cum, nn
+      WHERE cum_ge * 1000000 <= n_raw * 500000
+    )
+    SELECT q.crawl_id, q.doc_id, q.canonical_url,
+           CASE WHEN q.crawl_id <> q.keeper THEN 'url_dup'
+                WHEN q.verdict <> 'keep' THEN q.verdict
+                WHEN COALESCE(s2.score_mbits >= (SELECT t FROM thr),
+                              FALSE) THEN 'keep'
+                ELSE 'dsir_drop' END AS disposition
+    FROM q LEFT JOIN s2 USING (crawl_id)
+    ORDER BY q.crawl_id
+"""
+LLM_QUERIES["web_curation_pipeline_manifest"] = web_curation_pipeline_manifest

@@ -447,11 +447,14 @@ _RELATIONAL_NAMES = [
 #       (late-round-11 addition — HTML → text extraction with staged
 #       full pages, the web-corpus front door), and
 #       url_normalize_dedup (late-round-11 addition — canonical-URL
-#       dedup: the cheapest pre-content dedup pass); all oracle-
-#       parity verified at sf0.001+sf0.01 at add time and swept by
-#       pytest, but the round-11 gate's remaining fills were all
-#       shape-starved, so their driver rows land here in the 9 free
-#       slots;
+#       dedup: the cheapest pre-content dedup pass), plus
+#       web_curation_pipeline_manifest (late-round-11 addition — the
+#       END-TO-END web manifest composing all three with the DSIR
+#       selector: extract → URL dedup → C4 quality → DSIR keep, all
+#       six dispositions non-vacuous); all oracle-parity verified at
+#       sf0.001+sf0.01 at add time and swept by pytest, but the
+#       round-11 gate's remaining fills were all shape-starved, so
+#       their driver rows land here in the 9 free slots;
 #   (0b) rows whose engine code round 12 changes — changed engine
 #       outranks fresh evidence;
 #   (a) ALL 38 rows whose newest green will then be r8 (the r7 list
