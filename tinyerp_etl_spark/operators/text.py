@@ -598,9 +598,14 @@ def bpe_train(
 # ---------------------------------------------------- HTML extraction
 #: Regexes restricted to the Java/RE2-identical subset (inline (?s)/
 #: (?i) flags, non-greedy, character classes — no backreferences, no
-#: lookarounds): script/style blocks and comments drop WITH their
-#: content; structural closers become hard breaks; every remaining
-#: tag strips to a space.
+#: lookarounds, and NO bare \s or $: Java's \s includes \x0B where
+#: RE2's does not, and Java's $ matches before a final newline where
+#: RE2's matches end-of-text only, so whitespace is the explicit
+#: Java-\s class and trailing anchors are \z / (?s).* — both spelled
+#: identically in both engines): script/style blocks and comments
+#: drop WITH their content; structural closers become hard breaks;
+#: every remaining tag strips to a space.
+WS_RE = r"[ \t\n\x0B\f\r]+"
 HTML_HEAD_RE = r"(?is)<head[^>]*>.*?</head>"
 HTML_SCRIPT_RE = r"(?is)<script[^>]*>.*?</script>"
 HTML_STYLE_RE = r"(?is)<style[^>]*>.*?</style>"
@@ -642,14 +647,14 @@ def html_to_text(col: Column | str) -> Column:
     c = F.regexp_replace(c, HTML_TAG_RE, " ")
     for ent, ch in HTML_ENTITIES:
         c = F.replace(c, F.lit(ent), F.lit(ch))
-    return F.trim(F.regexp_replace(c, r"\s+", " "))
+    return F.trim(F.regexp_replace(c, WS_RE, " "))
 
 
 def html_title(col: Column | str) -> Column:
     """<title> text ('' when absent), whitespace-normalized."""
     c = F.col(col) if isinstance(col, str) else col
     return F.trim(
-        F.regexp_replace(F.regexp_extract(c, HTML_TITLE_RE, 1), r"\s+", " ")
+        F.regexp_replace(F.regexp_extract(c, HTML_TITLE_RE, 1), WS_RE, " ")
     )
 
 
@@ -682,34 +687,36 @@ def normalize_url(col: Column | str) -> Column:
     order a browser sends is not part of page identity). Strings
     without a ``scheme://`` pass through trimmed — callers dedupe
     relative links at their own risk. Pure codegen expressions."""
-    u0 = F.trim(F.col(col) if isinstance(col, str) else col)
-    u = F.regexp_replace(u0, r"#.*$", "")
+    c0 = F.col(col) if isinstance(col, str) else col
+    # trim() strips spaces only: strip the full (Java-\s) whitespace
+    # class from both ends so a trailing newline/tab cannot leak into
+    # the canonical form (same spelling in the oracle)
+    u0 = F.regexp_replace(
+        c0, r"^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+\z", ""
+    )
+    u = F.regexp_replace(u0, r"(?s)#.*", "")
     scheme = F.lower(F.regexp_extract(u, _URL_SCHEME_RE, 1))
     host0 = F.lower(F.regexp_extract(u, _URL_HOST_RE, 1))
     host1 = F.regexp_replace(host0, r"^www\.", "")
     host = F.when(
         (scheme == "http") & host1.endswith(":80"),
-        F.regexp_replace(host1, r":80$", ""),
+        F.regexp_replace(host1, r":80\z", ""),
     ).when(
         (scheme == "https") & host1.endswith(":443"),
-        F.regexp_replace(host1, r":443$", ""),
+        F.regexp_replace(host1, r":443\z", ""),
     ).otherwise(host1)
     path = F.regexp_replace(
-        F.regexp_extract(u, _URL_PATH_RE, 1), r"/+$", ""
+        F.regexp_extract(u, _URL_PATH_RE, 1), r"/+\z", ""
     )
     qs = F.regexp_extract(u, _URL_QUERY_RE, 1)
+    def _keep_param(x):
+        cond = x != ""
+        for pref in URL_TRACKING_PREFIXES:
+            cond = cond & ~x.startswith(pref)
+        return cond
+
     keep = F.array_join(
-        F.array_sort(
-            F.filter(
-                F.split(qs, "&"),
-                lambda x: (x != "")
-                & ~x.startswith("utm_")
-                & ~x.startswith("fbclid")
-                & ~x.startswith("gclid")
-                & ~x.startswith("ref="),
-            )
-        ),
-        "&",
+        F.array_sort(F.filter(F.split(qs, "&"), _keep_param)), "&"
     )
     canon = F.concat(
         scheme,

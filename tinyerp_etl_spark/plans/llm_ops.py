@@ -5070,6 +5070,119 @@ _DSIR_GRAMS = """list_concat(toks,
          ELSE [] END)"""
 _DSIR_B = 128
 
+
+def _dsir_tail_sql(f_raw: str, f_tgt: str, idc: str, keep_ppm: int) -> str:
+    """The DSIR scoring-tail CTE text (qm/pm/sc/s2/vc/cum/nn/thr) —
+    ONE spelling shared by every oracle that scores a raw pool
+    against a target model: ``f_raw`` must expose (idc, bucket, cnt),
+    ``f_tgt`` (bucket, cnt). The caller writes its own final SELECT
+    over s2/thr. Any tweak to the smoothing, the normalization, or
+    the threshold rule lands in every mirror at once."""
+    return f"""qm AS (
+      SELECT t.bucket,
+             CAST(length(bin((tot.s + {_DSIR_B})
+                             // (coalesce(c.bcnt, 0) + 1)))
+                  AS BIGINT) AS bits_q
+      FROM range(0, {_DSIR_B}) t(bucket)
+      LEFT JOIN (SELECT bucket, sum(cnt) AS bcnt FROM {f_raw}
+                 GROUP BY 1) c USING (bucket)
+      CROSS JOIN (SELECT coalesce(sum(cnt), 0) AS s FROM {f_raw}) tot
+    ),
+    pm AS (
+      SELECT t.bucket,
+             CAST(length(bin((tot.s + {_DSIR_B})
+                             // (coalesce(c.bcnt, 0) + 1)))
+                  AS BIGINT) AS bits_p
+      FROM range(0, {_DSIR_B}) t(bucket)
+      LEFT JOIN (SELECT bucket, sum(cnt) AS bcnt FROM {f_tgt}
+                 GROUP BY 1) c USING (bucket)
+      CROSS JOIN (SELECT coalesce(sum(cnt), 0) AS s FROM {f_tgt}) tot
+    ),
+    sc AS (
+      SELECT {idc},
+             CAST(sum(cnt) AS BIGINT) AS n_grams,
+             CAST(sum(cnt * (bits_q - bits_p)) AS BIGINT) AS llr_bits
+      FROM {f_raw} JOIN qm USING (bucket) JOIN pm USING (bucket)
+      GROUP BY {idc}
+    ),
+    s2 AS (
+      SELECT {idc}, n_grams, llr_bits,
+             CAST((llr_bits * 1000) // n_grams AS BIGINT) AS score_mbits
+      FROM sc
+    ),
+    vc AS (
+      SELECT score_mbits, CAST(count(*) AS BIGINT) AS vcnt
+      FROM s2 GROUP BY 1
+    ),
+    cum AS (
+      SELECT a.score_mbits, sum(b.vcnt) AS cum_ge
+      FROM vc a JOIN vc b ON b.score_mbits >= a.score_mbits GROUP BY 1
+    ),
+    nn AS (SELECT count(*) AS n_raw FROM s2),
+    thr AS (
+      SELECT min(score_mbits) AS t FROM cum, nn
+      WHERE cum_ge * 1000000 <= n_raw * {keep_ppm}
+    )"""
+
+
+_JWS = "[ \\t\\n\\x0B\\f\\r]"
+
+
+def _url_canon_ctes(src: str, carry: list[str]) -> str:
+    """The canonical-URL CTE chain (u1/parts/parts2/canon) — ONE
+    spelling of the normalize_url mirror shared by every oracle that
+    canonicalizes a ``url`` column of ``src``; ``carry`` columns pass
+    through to the final ``canon`` CTE alongside ``canonical_url``.
+    Any tweak to the port/www/param rules lands in every mirror at
+    once (and must land in operators/text.normalize_url too)."""
+    cols = ", ".join(carry)
+    return f"""u1 AS (
+      SELECT {cols},
+             regexp_replace(url,
+               '^{_JWS}+|{_JWS}+\\z', '', 'g') AS u0,
+             regexp_replace(regexp_replace(url,
+               '^{_JWS}+|{_JWS}+\\z', '', 'g'),
+               '(?s)#.*', '') AS u
+      FROM {src}
+    ),
+    parts AS (
+      SELECT {cols}, u0,
+             lower(regexp_extract(u,
+               '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+             regexp_replace(lower(regexp_extract(u,
+               '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
+               '^www\\.', '') AS host1,
+             regexp_replace(regexp_extract(u,
+               '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+               '/+\\z', '') AS path,
+             regexp_extract(u, '\\?([^#]*)', 1) AS qs
+      FROM u1
+    ),
+    parts2 AS (
+      SELECT *,
+             CASE WHEN scheme = 'http' AND ends_with(host1, ':80')
+                  THEN regexp_replace(host1, ':80\\z', '')
+                  WHEN scheme = 'https' AND ends_with(host1, ':443')
+                  THEN regexp_replace(host1, ':443\\z', '')
+                  ELSE host1 END AS host,
+             array_to_string(list_sort(list_filter(
+               string_split(qs, '&'),
+               x -> x <> '' AND NOT starts_with(x, 'utm_')
+                    AND NOT starts_with(x, 'fbclid')
+                    AND NOT starts_with(x, 'gclid')
+                    AND NOT starts_with(x, 'ref='))), '&') AS keep
+      FROM parts
+    ),
+    canon AS (
+      SELECT {cols},
+             CASE WHEN scheme <> ''
+                  THEN scheme || '://' || host || path
+                       || CASE WHEN keep <> '' THEN '?' || keep
+                          ELSE '' END
+                  ELSE u0 END AS canonical_url
+      FROM parts2
+    )"""
+
 LLM_ORACLES["dsir_importance_sample"] = f"""
     WITH base AS (
       SELECT doc_id, text, (lang = 'en' AND source = 'src13') AS is_tgt
@@ -5085,53 +5198,9 @@ LLM_ORACLES["dsir_importance_sample"] = f"""
              CAST(count(*) AS BIGINT) AS cnt
       FROM g GROUP BY 1, 2, 3
     ),
-    qm AS (
-      SELECT t.bucket,
-             CAST(length(bin((tot.s + {_DSIR_B})
-                             // (coalesce(c.bcnt, 0) + 1)))
-                  AS BIGINT) AS bits_q
-      FROM range(0, {_DSIR_B}) t(bucket)
-      LEFT JOIN (SELECT bucket, sum(cnt) AS bcnt FROM f
-                 WHERE NOT is_tgt GROUP BY 1) c USING (bucket)
-      CROSS JOIN (SELECT coalesce(sum(cnt), 0) AS s FROM f
-                  WHERE NOT is_tgt) tot
-    ),
-    pm AS (
-      SELECT t.bucket,
-             CAST(length(bin((tot.s + {_DSIR_B})
-                             // (coalesce(c.bcnt, 0) + 1)))
-                  AS BIGINT) AS bits_p
-      FROM range(0, {_DSIR_B}) t(bucket)
-      LEFT JOIN (SELECT bucket, sum(cnt) AS bcnt FROM f
-                 WHERE is_tgt GROUP BY 1) c USING (bucket)
-      CROSS JOIN (SELECT coalesce(sum(cnt), 0) AS s FROM f
-                  WHERE is_tgt) tot
-    ),
-    sc AS (
-      SELECT doc_id,
-             CAST(sum(cnt) AS BIGINT) AS n_grams,
-             CAST(sum(cnt * (bits_q - bits_p)) AS BIGINT) AS llr_bits
-      FROM f JOIN qm USING (bucket) JOIN pm USING (bucket)
-      WHERE NOT is_tgt GROUP BY doc_id
-    ),
-    s2 AS (
-      SELECT doc_id, n_grams, llr_bits,
-             CAST((llr_bits * 1000) // n_grams AS BIGINT) AS score_mbits
-      FROM sc
-    ),
-    vc AS (
-      SELECT score_mbits, CAST(count(*) AS BIGINT) AS vcnt
-      FROM s2 GROUP BY 1
-    ),
-    cum AS (
-      SELECT a.score_mbits, sum(b.vcnt) AS cum_ge
-      FROM vc a JOIN vc b ON b.score_mbits >= a.score_mbits GROUP BY 1
-    ),
-    nn AS (SELECT count(*) AS n_raw FROM s2),
-    thr AS (
-      SELECT min(score_mbits) AS t FROM cum, nn
-      WHERE cum_ge * 1000000 <= n_raw * 250000
-    )
+    f_r AS (SELECT doc_id, bucket, cnt FROM f WHERE NOT is_tgt),
+    f_t AS (SELECT bucket, cnt FROM f WHERE is_tgt),
+    {_dsir_tail_sql('f_r', 'f_t', 'doc_id', 250_000)}
     SELECT doc_id, n_grams, llr_bits, score_mbits,
            coalesce(score_mbits >= (SELECT t FROM thr), FALSE) AS keep
     FROM s2 ORDER BY doc_id
@@ -5471,7 +5540,7 @@ _HTML_CLEAN_SQL = r"""trim(regexp_replace(
           '(?s)<[^>]*>', ' ', 'g'),
         '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
         '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
-      '\s+', ' ', 'g'))"""
+      '[ \t\n\x0B\f\r]+', ' ', 'g'))"""
 
 _HTML_STAGE_SQL = f"""
       SELECT doc_id, text, {_PAGE_SQL} AS page
@@ -5506,15 +5575,14 @@ LLM_ORACLES["html_extract_docs"] = r"""
     ),
     out AS (
       SELECT doc_id,
-             trim(regexp_replace(
-               regexp_replace(regexp_extract(page,
-                 '(?is)<title>(.*?)</title>', 1), '\s+', ' ', 'g'),
-               '^ | $', '', 'g')) AS title,
+             trim(regexp_replace(regexp_extract(page,
+                 '(?is)<title>(.*?)</title>', 1),
+               '[ \t\n\x0B\f\r]+', ' ', 'g')) AS title,
              CAST(len(regexp_extract_all(page, 'href="([^"]+)"', 1))
                   AS INT) AS n_links,
-             trim(regexp_replace(p, '\s+', ' ', 'g')) AS clean_text,
-             contains(trim(regexp_replace(p, '\s+', ' ', 'g')),
-                      trim(regexp_replace(text, '\s+', ' ', 'g')))
+             trim(regexp_replace(p, '[ \t\n\x0B\f\r]+', ' ', 'g')) AS clean_text,
+             contains(trim(regexp_replace(p, '[ \t\n\x0B\f\r]+', ' ', 'g')),
+                      trim(regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g')))
                AS body_recovered
       FROM s3
     )
@@ -5571,7 +5639,7 @@ def url_normalize_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-LLM_ORACLES["url_normalize_dedup"] = r"""
+LLM_ORACLES["url_normalize_dedup"] = f"""
     WITH raw AS (
       SELECT doc_id,
              'HTTP://WWW.Example.COM:80/d/' || CAST(doc_id AS VARCHAR)
@@ -5586,48 +5654,7 @@ LLM_ORACLES["url_normalize_dedup"] = r"""
       SELECT doc_id, 'https://example.com/d/' || CAST(doc_id AS VARCHAR)
       FROM documents
     ),
-    u1 AS (
-      SELECT doc_id, trim(url) AS u0,
-             regexp_replace(trim(url), '#.*$', '') AS u
-      FROM raw
-    ),
-    parts AS (
-      SELECT doc_id, u0,
-             lower(regexp_extract(u,
-               '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
-             regexp_replace(lower(regexp_extract(u,
-               '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
-               '^www\.', '') AS host1,
-             regexp_replace(regexp_extract(u,
-               '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
-               '/+$', '') AS path,
-             regexp_extract(u, '\?([^#]*)', 1) AS qs
-      FROM u1
-    ),
-    parts2 AS (
-      SELECT *,
-             CASE WHEN scheme = 'http' AND ends_with(host1, ':80')
-                  THEN regexp_replace(host1, ':80$', '')
-                  WHEN scheme = 'https' AND ends_with(host1, ':443')
-                  THEN regexp_replace(host1, ':443$', '')
-                  ELSE host1 END AS host,
-             array_to_string(list_sort(list_filter(
-               string_split(qs, '&'),
-               x -> x <> '' AND NOT starts_with(x, 'utm_')
-                    AND NOT starts_with(x, 'fbclid')
-                    AND NOT starts_with(x, 'gclid')
-                    AND NOT starts_with(x, 'ref='))), '&') AS keep
-      FROM parts
-    ),
-    canon AS (
-      SELECT doc_id,
-             CASE WHEN scheme <> ''
-                  THEN scheme || '://' || host || path
-                       || CASE WHEN keep <> '' THEN '?' || keep
-                          ELSE '' END
-                  ELSE u0 END AS canonical_url
-      FROM parts2
-    )
+    {_url_canon_ctes('raw', ['doc_id'])}
     SELECT canonical_url,
            CAST(count(*) AS BIGINT) AS n_variants,
            CAST(min(doc_id) AS BIGINT) AS first_doc_id
@@ -5768,51 +5795,10 @@ LLM_ORACLES["web_curation_pipeline_manifest"] = f"""
       SELECT crawl_id, doc_id, url, {_HTML_CLEAN_SQL} AS clean_text
       FROM crawls
     ),
-    u1 AS (
-      SELECT crawl_id, doc_id, clean_text, trim(url) AS u0,
-             regexp_replace(trim(url), '#.*$', '') AS u
-      FROM ext
-    ),
-    parts AS (
-      SELECT crawl_id, doc_id, clean_text, u0,
-             lower(regexp_extract(u,
-               '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
-             regexp_replace(lower(regexp_extract(u,
-               '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
-               '^www\\.', '') AS host1,
-             regexp_replace(regexp_extract(u,
-               '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
-               '/+$', '') AS path,
-             regexp_extract(u, '\\?([^#]*)', 1) AS qs
-      FROM u1
-    ),
-    parts2 AS (
-      SELECT *,
-             CASE WHEN scheme = 'http' AND ends_with(host1, ':80')
-                  THEN regexp_replace(host1, ':80$', '')
-                  WHEN scheme = 'https' AND ends_with(host1, ':443')
-                  THEN regexp_replace(host1, ':443$', '')
-                  ELSE host1 END AS host,
-             array_to_string(list_sort(list_filter(
-               string_split(qs, '&'),
-               x -> x <> '' AND NOT starts_with(x, 'utm_')
-                    AND NOT starts_with(x, 'fbclid')
-                    AND NOT starts_with(x, 'gclid')
-                    AND NOT starts_with(x, 'ref='))), '&') AS keep
-      FROM parts
-    ),
-    ann AS (
-      SELECT crawl_id, doc_id, clean_text,
-             CASE WHEN scheme <> ''
-                  THEN scheme || '://' || host || path
-                       || CASE WHEN keep <> '' THEN '?' || keep
-                          ELSE '' END
-                  ELSE u0 END AS canonical_url
-      FROM parts2
-    ),
+    {_url_canon_ctes('ext', ['crawl_id', 'doc_id', 'clean_text'])},
     fst AS (
       SELECT canonical_url, min(crawl_id) AS keeper
-      FROM ann GROUP BY canonical_url
+      FROM canon GROUP BY canonical_url
     ),
     q AS (
       SELECT a.*, f.keeper,
@@ -5828,7 +5814,7 @@ LLM_ORACLES["web_curation_pipeline_manifest"] = f"""
                        < len({_TOKS_OF.format(c="clean_text")})
                     THEN 'low_stopword'
                   ELSE 'keep' END AS verdict
-      FROM ann a JOIN fst f USING (canonical_url)
+      FROM canon a JOIN fst f USING (canonical_url)
     ),
     rawp AS (
       SELECT crawl_id, clean_text AS text FROM q
@@ -5852,51 +5838,7 @@ LLM_ORACLES["web_curation_pipeline_manifest"] = f"""
              CAST(count(*) AS BIGINT) AS cnt
       FROM g_t GROUP BY 1
     ),
-    qm AS (
-      SELECT t.bucket,
-             CAST(length(bin((tot.s + {_DSIR_B})
-                             // (coalesce(c.bcnt, 0) + 1)))
-                  AS BIGINT) AS bits_q
-      FROM range(0, {_DSIR_B}) t(bucket)
-      LEFT JOIN (SELECT bucket, sum(cnt) AS bcnt FROM f_r
-                 GROUP BY 1) c USING (bucket)
-      CROSS JOIN (SELECT coalesce(sum(cnt), 0) AS s FROM f_r) tot
-    ),
-    pm AS (
-      SELECT t.bucket,
-             CAST(length(bin((tot.s + {_DSIR_B})
-                             // (coalesce(c.bcnt, 0) + 1)))
-                  AS BIGINT) AS bits_p
-      FROM range(0, {_DSIR_B}) t(bucket)
-      LEFT JOIN (SELECT bucket, sum(cnt) AS bcnt FROM f_t
-                 GROUP BY 1) c USING (bucket)
-      CROSS JOIN (SELECT coalesce(sum(cnt), 0) AS s FROM f_t) tot
-    ),
-    sc AS (
-      SELECT crawl_id,
-             CAST(sum(cnt) AS BIGINT) AS n_grams,
-             CAST(sum(cnt * (bits_q - bits_p)) AS BIGINT) AS llr_bits
-      FROM f_r JOIN qm USING (bucket) JOIN pm USING (bucket)
-      GROUP BY crawl_id
-    ),
-    s2 AS (
-      SELECT crawl_id,
-             CAST((llr_bits * 1000) // n_grams AS BIGINT) AS score_mbits
-      FROM sc
-    ),
-    vc AS (
-      SELECT score_mbits, CAST(count(*) AS BIGINT) AS vcnt
-      FROM s2 GROUP BY 1
-    ),
-    cum AS (
-      SELECT a.score_mbits, sum(b.vcnt) AS cum_ge
-      FROM vc a JOIN vc b ON b.score_mbits >= a.score_mbits GROUP BY 1
-    ),
-    nn AS (SELECT count(*) AS n_raw FROM s2),
-    thr AS (
-      SELECT min(score_mbits) AS t FROM cum, nn
-      WHERE cum_ge * 1000000 <= n_raw * 500000
-    )
+    {_dsir_tail_sql('f_r', 'f_t', 'crawl_id', 500_000)}
     SELECT q.crawl_id, q.doc_id, q.canonical_url,
            CASE WHEN q.crawl_id <> q.keeper THEN 'url_dup'
                 WHEN q.verdict <> 'keep' THEN q.verdict
