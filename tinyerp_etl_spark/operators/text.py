@@ -68,9 +68,12 @@ def char_count(col: Column | str) -> Column:
 
 
 def punct_count(col: Column | str) -> Column:
-    """Number of non-word, non-space characters."""
+    """Number of non-word, non-whitespace characters (whitespace as
+    the explicit Java-\s class — Java's \s includes \x0B where
+    RE2's does not, so a bare [\\w\\s] would count \x0B as punct in
+    the oracle but not the engine)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.length(F.regexp_replace(c, r"[\w\s]", ""))
+    return F.length(F.regexp_replace(c, r"[\w \t\n\x0B\f\r]", ""))
 
 
 def distinct_token_count(col: Column | str) -> Column:

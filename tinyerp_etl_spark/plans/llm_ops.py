@@ -1501,12 +1501,12 @@ LLM_ORACLES: dict[str, str] = {
         SELECT
           doc_id,
           CAST(len(toks) AS INT) AS n_tokens,
-          CAST(length(regexp_replace(text, '[\\w\\s]', '', 'g')) AS INT) AS n_punct,
+          CAST(length(regexp_replace(text, '[\\w \\t\\n\\x0B\\f\\r]', '', 'g')) AS INT) AS n_punct,
           CAST(len(list_distinct(toks)) AS INT) AS n_distinct_tokens,
           CAST(CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
                / len(toks) AS DOUBLE) AS avg_token_len,
           CAST(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS DOUBLE) AS ttr,
-          CAST(CAST(length(regexp_replace(text, '[\\w\\s]', '', 'g')) AS DOUBLE)
+          CAST(CAST(length(regexp_replace(text, '[\\w \\t\\n\\x0B\\f\\r]', '', 'g')) AS DOUBLE)
                / length(text) AS DOUBLE) AS punct_ratio,
           CAST(CAST(list_sum(list_transform(toks, t ->
                  CASE WHEN list_contains([{", ".join(f"'{w}'" for w in X.STOPWORDS)}], t)
@@ -2020,7 +2020,7 @@ LLM_ORACLES.update(
           SELECT source,
                  len({_TOKS}) AS n_tok,
                  length(text) AS n_chr,
-                 length(regexp_replace(text, '[\\w\\s]', '', 'g')) AS n_punct,
+                 length(regexp_replace(text, '[\\w \\t\\n\\x0B\\f\\r]', '', 'g')) AS n_punct,
                  COALESCE(list_sum(list_transform({_TOKS}, t ->
                      CASE WHEN list_contains([{{sw}}], t)
                           THEN 1 ELSE 0 END)), 0) AS n_sw
@@ -2520,7 +2520,7 @@ LLM_ORACLES["curation_pipeline_manifest"] = f"""
       SELECT doc_id, lang,
              CAST(len({{toks}}) AS BIGINT) AS n_tokens,
              length(text) AS n_chr,
-             length(regexp_replace(text, '[\\w\\s]', '', 'g')) AS n_punct,
+             length(regexp_replace(text, '[\\w \\t\\n\\x0B\\f\\r]', '', 'g')) AS n_punct,
              md5(array_to_string({{toks}}, ' ')) AS fp,
              COALESCE(list_sum(list_transform({{toks}}, tk ->
                  CASE WHEN list_contains([{{sw}}], tk)
@@ -5805,7 +5805,7 @@ LLM_ORACLES["web_curation_pipeline_manifest"] = f"""
              CASE WHEN len({_TOKS_OF.format(c="clean_text")}) < 25
                     THEN 'too_short'
                   WHEN length(regexp_replace(clean_text,
-                         '[\\w\\s]', '', 'g')) * 10
+                         '[\\w \\t\\n\\x0B\\f\\r]', '', 'g')) * 10
                        > length(clean_text) THEN 'too_much_punct'
                   WHEN COALESCE(list_sum(list_transform(
                          {_TOKS_OF.format(c="clean_text")}, t ->
