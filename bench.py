@@ -154,6 +154,8 @@ HEADLINE_R11 = [
     "url_normalize_dedup",
     # END-TO-END web manifest: extract -> URL dedup -> C4 -> DSIR
     "web_curation_pipeline_manifest",
+    # exact-dup cluster-size distribution (the standard dedup report)
+    "dup_cluster_histogram",
 ]
 HEADLINE = (
     HEADLINE

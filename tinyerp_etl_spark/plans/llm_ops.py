@@ -5849,3 +5849,86 @@ LLM_ORACLES["web_curation_pipeline_manifest"] = f"""
     ORDER BY q.crawl_id
 """
 LLM_QUERIES["web_curation_pipeline_manifest"] = web_curation_pipeline_manifest
+
+
+# -------- round-11 addition: duplicate-cluster size distribution
+def dup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup summary every corpus report publishes: how much of
+    the corpus sits in exact-duplicate clusters of each size. Staged
+    with VARIED cluster sizes (one extra copy of every 10th doc, two
+    more of every 30th — so sizes 1, 2 and 4 all occur by
+    construction, robust at any scale factor), fingerprinted by the
+    engine-wide token fingerprint, then two keyed aggregations:
+    fingerprint → cluster size, size → (clusters, docs, corpus share
+    in exact ppm). Both aggregations are map-side combinable and the
+    second runs over the cluster dimension (≤ distinct sizes), so at
+    100 TB this is one corpus scan + one keyed shuffle."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    staged = (
+        docs.unionByName(
+            docs.filter(F.col("doc_id") % 10 == 0).select(
+                (F.col("doc_id") + 100000).alias("doc_id"), "text"
+            )
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 30 == 0).select(
+                (F.col("doc_id") + 300000).alias("doc_id"), "text"
+            )
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 30 == 0).select(
+                (F.col("doc_id") + 400000).alias("doc_id"), "text"
+            )
+        )
+    )
+    clusters = staged.select(
+        X.fingerprint("text").alias("fingerprint")
+    ).groupBy("fingerprint").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    total = staged.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    return (
+        clusters.groupBy("cluster_size")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_clusters"),
+            (F.count(F.lit(1)) * F.col("cluster_size"))
+            .cast("long")
+            .alias("n_docs"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            "n_docs",
+            F.expr("(n_docs * 1000000) div n_total").alias("share_ppm"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
+LLM_ORACLES["dup_cluster_histogram"] = f"""
+    WITH staged AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0
+      UNION ALL
+      SELECT doc_id + 300000, text FROM documents WHERE doc_id % 30 = 0
+      UNION ALL
+      SELECT doc_id + 400000, text FROM documents WHERE doc_id % 30 = 0
+    ),
+    clusters AS (
+      SELECT md5(array_to_string({_TOKS}, ' ')) AS fingerprint,
+             CAST(count(*) AS BIGINT) AS cluster_size
+      FROM staged GROUP BY 1
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM staged)
+    SELECT cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(count(*) * cluster_size AS BIGINT) AS n_docs,
+           CAST((count(*) * cluster_size * 1000000) // n_total AS BIGINT)
+             AS share_ppm
+    FROM clusters CROSS JOIN tot
+    GROUP BY cluster_size, n_total
+    ORDER BY cluster_size
+"""
+LLM_QUERIES["dup_cluster_histogram"] = dup_cluster_histogram
