@@ -156,6 +156,8 @@ HEADLINE_R11 = [
     "web_curation_pipeline_manifest",
     # exact-dup cluster-size distribution (the standard dedup report)
     "dup_cluster_histogram",
+    # language-ID confusion matrix (the pre-filter audit)
+    "lang_id_confusion",
 ]
 HEADLINE = (
     HEADLINE

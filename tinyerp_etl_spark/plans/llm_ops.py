@@ -5932,3 +5932,62 @@ LLM_ORACLES["dup_cluster_histogram"] = f"""
     ORDER BY cluster_size
 """
 LLM_QUERIES["dup_cluster_histogram"] = dup_cluster_histogram
+
+
+# ------- round-11 addition: language-ID confusion matrix audit
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the marker-based language guesser against
+    the labeled ``lang`` column — the audit a pipeline runs BEFORE
+    trusting a language filter to route documents (per-label accuracy
+    and the specific confusions, not one global rate). Per (label,
+    guess): document count and the within-label share in exact ppm —
+    the share derives from per-label totals joined back onto the
+    bounded (label × guess) dimension, so no row-level window exists
+    anywhere. One tokenize pass, two map-side-combinable
+    aggregations over label-bounded frames."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang", X.lang_id("text").alias("lang_guess")
+    )
+    cm = docs.groupBy("lang", "lang_guess").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    totals = cm.groupBy("lang").agg(
+        F.sum("n_docs").cast("long").alias("n_label")
+    )
+    return (
+        cm.join(F.broadcast(totals), "lang")
+        .select(
+            "lang",
+            "lang_guess",
+            "n_docs",
+            F.expr("(n_docs * 1000000) div n_label").alias(
+                "within_label_ppm"
+            ),
+        )
+        .orderBy("lang", "lang_guess")
+    )
+
+
+LLM_ORACLES["lang_id_confusion"] = f"""
+    WITH t AS (SELECT lang, {_TOKS} AS toks FROM documents),
+    s AS (
+      SELECT lang,
+             {", ".join(f"{_lang_score_sql(lang)} AS s_{lang}" for lang in sorted(X.LANG_MARKERS))}
+      FROM t
+    ),
+    g AS (SELECT lang, {_lang_id_sql()} AS lang_guess FROM s),
+    cm AS (
+      SELECT lang, lang_guess, CAST(count(*) AS BIGINT) AS n_docs
+      FROM g GROUP BY lang, lang_guess
+    ),
+    tot AS (
+      SELECT lang, CAST(sum(n_docs) AS BIGINT) AS n_label
+      FROM cm GROUP BY lang
+    )
+    SELECT cm.lang, cm.lang_guess, cm.n_docs,
+           CAST((cm.n_docs * 1000000) // t.n_label AS BIGINT)
+             AS within_label_ppm
+    FROM cm JOIN tot t USING (lang)
+    ORDER BY cm.lang, cm.lang_guess
+"""
+LLM_QUERIES["lang_id_confusion"] = lang_id_confusion

@@ -441,7 +441,7 @@ _RELATIONAL_NAMES = [
 # PRE-STAGED ROUND-12 ROTATION PLAN (compose at round-12 start,
 # exactly as every rotation has):
 #   (0) any round-12 newcomers, gated at birth, displacing fills
-#       whose shapes fresher rows cover (document each). FIVE are
+#       whose shapes fresher rows cover (document each). SIX are
 #       already named: ctfidf_source_terms (late-round-11 addition —
 #       class-based TF-IDF labeling), html_extract_docs
 #       (late-round-11 addition — HTML → text extraction with staged
@@ -454,13 +454,16 @@ _RELATIONAL_NAMES = [
 #       six dispositions non-vacuous), and dup_cluster_histogram
 #       (late-round-11 addition — exact-duplicate cluster-size
 #       distribution with corpus shares in exact ppm, the standard
-#       dedup report, staged at sizes 1/2/4); all oracle-parity
+#       dedup report, staged at sizes 1/2/4), and lang_id_confusion
+#       (late-round-11 addition — the guesser-vs-label confusion
+#       matrix with within-label ppm shares, the audit run before
+#       trusting a language filter); all oracle-parity
 #       verified at sf0.001+sf0.01 at add time and swept by pytest,
 #       but the round-11 gate's remaining fills were all
 #       shape-starved, so their driver rows land here. Slot
 #       arithmetic: the (a) list below is 38 + 3 mid-round-11
-#       displacements = 41 rows, plus these 5 pre-staged newcomers =
-#       46 of 50 — 4 slots free for genuine round-12 newcomers and
+#       displacements = 41 rows, plus these 6 pre-staged newcomers =
+#       47 of 50 — 3 slots free for genuine round-12 newcomers and
 #       changed-engine rows;
 #   (0b) rows whose engine code round 12 changes — changed engine
 #       outranks fresh evidence;
