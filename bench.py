@@ -158,6 +158,8 @@ HEADLINE_R11 = [
     "dup_cluster_histogram",
     # language-ID confusion matrix (the pre-filter audit)
     "lang_id_confusion",
+    # SimHash Hamming-ball near-dup pairs (guaranteed-recall banding)
+    "simhash_neardup_docs",
 ]
 HEADLINE = (
     HEADLINE

@@ -1,0 +1,39 @@
+
+
+def test_simhash_neardup_band_completeness_and_cap(spark):
+    """The banding law: ANY pair within Hamming radius < SIMHASH_BANDS
+    shares a band, so banded pairing equals brute-force popcount
+    filtering (checked exhaustively on a toy corpus); buckets over
+    the cap drop their members from candidate generation; radii >=
+    the band count refuse."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from tinyerp_etl_spark.operators.dedup import (
+        simhash,
+        simhash_neardup_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range(i % 7, i % 7 + 6)))
+         for i in range(24)],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in simhash_neardup_pairs(docs, hamming_max=3).collect()
+    )
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    ids = sorted(sigs)
+    want = sorted(
+        (a, b, bin(sigs[a] ^ sigs[b]).count("1"))
+        for i, a in enumerate(ids)
+        for b in ids[i + 1:]
+        if bin(sigs[a] ^ sigs[b]).count("1") <= 3
+    )
+    assert got == want and want  # non-vacuous
+    # cap 1: every bucket with >1 member drops — far fewer pairs
+    capped = simhash_neardup_pairs(docs, hamming_max=3, bucket_cap=1)
+    assert capped.count() < len(want)
+    with pytest.raises(ValueError, match="hamming_max"):
+        simhash_neardup_pairs(docs, hamming_max=4)

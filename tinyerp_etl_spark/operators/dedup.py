@@ -1321,3 +1321,85 @@ def rebuild_without_positions(
         .alias("n_removed_tokens"),
         F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
     )
+
+
+#: disjoint 8-bit bands over the 32-bit SimHash fingerprint — any
+#: pair within Hamming radius < SIMHASH_BANDS shares at least one
+#: exact band (pigeonhole), so banded candidate generation is
+#: COMPLETE at the default radius, never approximate
+SIMHASH_BANDS = 4
+
+
+def simhash_neardup_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hamming_max: int = 3,
+    bucket_cap: int = 256,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance — the Manku/Jain/
+    Sarma 2007 (WWW) web-dedup construction: fingerprints within
+    Hamming radius ``hamming_max`` are candidates iff they agree on
+    one of the ``SIMHASH_BANDS`` disjoint 8-bit bands, which is
+    GUARANTEED for radius < bands (k flipped bits touch at most k
+    bands), so banding is candidate-complete — never all-pairs, and
+    unlike MinHash banding, no probabilistic recall caveat at the
+    default radius. Buckets over ``bucket_cap`` are excluded from
+    candidate generation (a degenerate band value pairs
+    quadratically; members stay conservatively unpaired — the LSH
+    bucket-cap convention, same trade, documented not silent).
+
+    Plan: one fingerprint pass (materialized — it feeds both sides of
+    the band self-join), a band explode (4 rows/doc), a keyed
+    self-join on (band, key) with the cap filter, and the exact
+    popcount(xor) verify as a codegen expression. At 100 TB the only
+    shuffle is the (band, key) join of 4×corpus narrow rows.
+    """
+    if not (0 <= hamming_max < SIMHASH_BANDS):
+        raise ValueError(
+            f"hamming_max must be in [0, {SIMHASH_BANDS}) for banded "
+            f"candidate generation to be complete, got {hamming_max} — "
+            "raise SIMHASH_BANDS (narrower bands) for a larger radius"
+        )
+    from tinyerp_etl_spark.functions.materialize import materialize
+
+    sh = materialize(simhash(docs, text_col, id_col))
+    bands = sh.select(
+        F.col(id_col),
+        "simhash",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(SIMHASH_BANDS - 1))
+        ).alias("b"),
+    ).withColumn(
+        "key",
+        F.expr("(simhash div cast(power(2, b * 8) as bigint)) % 256"),
+    )
+    sizes = bands.groupBy("b", "key").agg(F.count(F.lit(1)).alias("__n"))
+    ok = (
+        bands.join(sizes, ["b", "key"])
+        .filter(F.col("__n") <= bucket_cap)
+        .drop("__n")
+    )
+    a = ok.select(
+        F.col(id_col).alias("doc_a"),
+        F.col("simhash").alias("sim_a"),
+        "b",
+        "key",
+    )
+    b2 = ok.select(
+        F.col(id_col).alias("doc_b"),
+        F.col("simhash").alias("sim_b"),
+        "b",
+        "key",
+    )
+    cand = (
+        a.join(b2, ["b", "key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sim_a", "sim_b")
+        .distinct()
+    )
+    return cand.select(
+        "doc_a",
+        "doc_b",
+        F.expr("bit_count(sim_a ^ sim_b)").cast("int").alias("hamming"),
+    ).filter(F.col("hamming") <= hamming_max)

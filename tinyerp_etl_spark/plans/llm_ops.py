@@ -5991,3 +5991,77 @@ LLM_ORACLES["lang_id_confusion"] = f"""
     ORDER BY cm.lang, cm.lang_guess
 """
 LLM_QUERIES["lang_id_confusion"] = lang_id_confusion
+
+
+# ------- round-11 addition: SimHash Hamming-ball near-dup pairs
+def simhash_neardup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairing (operators/dedup.simhash_neardup_pairs
+    — Manku/Jain/Sarma 2007): pairs within Hamming radius 3 of the
+    32-bit fingerprint, found by the 4×8-bit band join whose recall
+    at that radius is GUARANTEED (pigeonhole over disjoint bands —
+    the construction's distinguishing property vs MinHash banding's
+    probabilistic recall). Every 15th doc stages a one-token-appended
+    copy: a single added token flips ≈3.7 bits in expectation on
+    these ~45-distinct-token docs, so the staged cohort deliberately
+    STRADDLES the radius-3 boundary (some captured, most outside —
+    the ball's edge is exercised in both directions), while the
+    vocabulary-dense synthetic corpus supplies natural pairs at every
+    radius 0-3, so no branch is vacuous. The oracle replays
+    fingerprints, banding, cap, and the popcount verify exactly."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    near = docs.filter(F.col("doc_id") % 15 == 0).select(
+        (F.col("doc_id") + 500000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zq")).alias("text"),
+    )
+    staged = docs.unionByName(near)
+    return D.simhash_neardup_pairs(staged).orderBy("doc_a", "doc_b")
+
+
+LLM_ORACLES["simhash_neardup_docs"] = f"""
+    WITH staged AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 500000, text || ' zq'
+      FROM documents WHERE doc_id % 15 = 0
+    ),
+    t AS (
+      SELECT doc_id, unnest(list_distinct({_TOKS})) AS tok FROM staged
+    ),
+    h_t AS (SELECT doc_id, {_XHASH.format(v="tok")} AS h FROM t),
+    hj AS (SELECT doc_id, h, unnest(range(0, 32)) AS j FROM h_t),
+    bits AS (
+      SELECT doc_id, j,
+             ((h // CAST(power(2, j) AS BIGINT)) % 2) * 2 - 1 AS contrib
+      FROM hj
+    ),
+    sums AS (
+      SELECT doc_id, j, sum(contrib) AS s FROM bits GROUP BY doc_id, j
+    ),
+    sig AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN s > 0 THEN CAST(power(2, j) AS BIGINT)
+                      ELSE 0 END) AS BIGINT) AS simhash
+      FROM sums GROUP BY doc_id
+    ),
+    k AS (
+      SELECT doc_id, simhash, b,
+             (simhash // CAST(power(2, b * 8) AS BIGINT)) % 256 AS key
+      FROM (SELECT doc_id, simhash, unnest(range(0, 4)) AS b FROM sig)
+    ),
+    sizes AS (SELECT b, key, count(*) AS n FROM k GROUP BY b, key),
+    ok AS (
+      SELECT k.doc_id, k.simhash, k.b, k.key
+      FROM k JOIN sizes USING (b, key) WHERE n <= 256
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+             a.simhash AS sa, b2.simhash AS sb
+      FROM ok a JOIN ok b2 USING (b, key)
+      WHERE a.doc_id < b2.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+    FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+    ORDER BY doc_a, doc_b
+"""
+LLM_QUERIES["simhash_neardup_docs"] = simhash_neardup_docs

@@ -441,7 +441,7 @@ _RELATIONAL_NAMES = [
 # PRE-STAGED ROUND-12 ROTATION PLAN (compose at round-12 start,
 # exactly as every rotation has):
 #   (0) any round-12 newcomers, gated at birth, displacing fills
-#       whose shapes fresher rows cover (document each). SIX are
+#       whose shapes fresher rows cover (document each). SEVEN are
 #       already named: ctfidf_source_terms (late-round-11 addition —
 #       class-based TF-IDF labeling), html_extract_docs
 #       (late-round-11 addition — HTML → text extraction with staged
@@ -457,14 +457,20 @@ _RELATIONAL_NAMES = [
 #       dedup report, staged at sizes 1/2/4), and lang_id_confusion
 #       (late-round-11 addition — the guesser-vs-label confusion
 #       matrix with within-label ppm shares, the audit run before
-#       trusting a language filter); all oracle-parity
+#       trusting a language filter), and simhash_neardup_docs
+#       (late-round-11 addition — Manku/Jain/Sarma Hamming-ball
+#       near-dup pairs: 4×8-bit banding with GUARANTEED recall at
+#       radius ≤3, the deterministic-recall counterpart to MinHash
+#       banding; band-completeness law pinned exhaustively by test);
+#       all oracle-parity
 #       verified at sf0.001+sf0.01 at add time and swept by pytest,
 #       but the round-11 gate's remaining fills were all
 #       shape-starved, so their driver rows land here. Slot
 #       arithmetic: the (a) list below is 38 + 3 mid-round-11
-#       displacements = 41 rows, plus these 6 pre-staged newcomers =
-#       47 of 50 — 3 slots free for genuine round-12 newcomers and
-#       changed-engine rows;
+#       displacements = 41 rows, plus these 7 pre-staged newcomers =
+#       48 of 50 — 2 slots free for genuine round-12 newcomers and
+#       changed-engine rows (more newcomers displace covered fills,
+#       the standing convention);
 #   (0b) rows whose engine code round 12 changes — changed engine
 #       outranks fresh evidence;
 #   (a) ALL 38 rows whose newest green will then be r8 (the r7 list
