@@ -1349,11 +1349,14 @@ def simhash_neardup_pairs(
     quadratically; members stay conservatively unpaired — the LSH
     bucket-cap convention, same trade, documented not silent).
 
-    Plan: one fingerprint pass (materialized — it feeds both sides of
-    the band self-join), a band explode (4 rows/doc), a keyed
-    self-join on (band, key) with the cap filter, and the exact
-    popcount(xor) verify as a codegen expression. At 100 TB the only
-    shuffle is the (band, key) join of 4×corpus narrow rows.
+    Plan: one fingerprint pass (materialized — it feeds the band
+    frame and both sides of the sim lookup), a band explode (4 narrow
+    rows/doc), then the SHARED capped-bucket pair kernel
+    (_capped_bucket_pairs — one (band, key) shuffle: the cap count is
+    a window over the same partitioning, measured cheaper than a
+    count-aggregate + self-join), two id-joins back to the pinned
+    fingerprints, and the exact popcount(xor) verify as a codegen
+    expression.
     """
     if not (0 <= hamming_max < SIMHASH_BANDS):
         raise ValueError(
@@ -1366,40 +1369,31 @@ def simhash_neardup_pairs(
     sh = materialize(simhash(docs, text_col, id_col))
     bands = sh.select(
         F.col(id_col),
-        "simhash",
         F.explode(
             F.sequence(F.lit(0), F.lit(SIMHASH_BANDS - 1))
-        ).alias("b"),
-    ).withColumn(
-        "key",
-        F.expr("(simhash div cast(power(2, b * 8) as bigint)) % 256"),
+        ).alias("band"),
+        "simhash",
+    ).select(
+        id_col,
+        "band",
+        F.expr(
+            "(simhash div cast(power(2, band * 8) as bigint)) % 256"
+        ).alias("key"),
     )
-    sizes = bands.groupBy("b", "key").agg(F.count(F.lit(1)).alias("__n"))
-    ok = (
-        bands.join(sizes, ["b", "key"])
-        .filter(F.col("__n") <= bucket_cap)
-        .drop("__n")
+    pairs, _quarantined = _capped_bucket_pairs(bands, id_col, bucket_cap)
+    sa = sh.select(
+        F.col(id_col).alias("doc_a"), F.col("simhash").alias("sim_a")
     )
-    a = ok.select(
-        F.col(id_col).alias("doc_a"),
-        F.col("simhash").alias("sim_a"),
-        "b",
-        "key",
+    sb = sh.select(
+        F.col(id_col).alias("doc_b"), F.col("simhash").alias("sim_b")
     )
-    b2 = ok.select(
-        F.col(id_col).alias("doc_b"),
-        F.col("simhash").alias("sim_b"),
-        "b",
-        "key",
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr("bit_count(sim_a ^ sim_b)").cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= hamming_max)
     )
-    cand = (
-        a.join(b2, ["b", "key"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sim_a", "sim_b")
-        .distinct()
-    )
-    return cand.select(
-        "doc_a",
-        "doc_b",
-        F.expr("bit_count(sim_a ^ sim_b)").cast("int").alias("hamming"),
-    ).filter(F.col("hamming") <= hamming_max)

@@ -68,7 +68,7 @@ def char_count(col: Column | str) -> Column:
 
 
 def punct_count(col: Column | str) -> Column:
-    """Number of non-word, non-whitespace characters (whitespace as
+    r"""Number of non-word, non-whitespace characters (whitespace as
     the explicit Java-\s class — Java's \s includes \x0B where
     RE2's does not, so a bare [\\w\\s] would count \x0B as punct in
     the oracle but not the engine)."""

@@ -5881,21 +5881,28 @@ def dup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+    from tinyerp_etl_spark.functions.materialize import materialize
+
     clusters = staged.select(
         X.fingerprint("text").alias("fingerprint")
     ).groupBy("fingerprint").agg(
         F.count(F.lit(1)).cast("long").alias("cluster_size")
     )
-    total = staged.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
-    return (
-        clusters.groupBy("cluster_size")
-        .agg(
+    # the ≤distinct-sizes histogram is pinned, and the corpus total
+    # derives FROM it (sum of n_docs) — a separate staged.count()
+    # would be a second full corpus scan for a number the tiny frame
+    # already holds
+    hist = materialize(
+        clusters.groupBy("cluster_size").agg(
             F.count(F.lit(1)).cast("long").alias("n_clusters"),
             (F.count(F.lit(1)) * F.col("cluster_size"))
             .cast("long")
             .alias("n_docs"),
         )
-        .crossJoin(F.broadcast(total))
+    )
+    total = hist.agg(F.sum("n_docs").cast("long").alias("n_total"))
+    return (
+        hist.crossJoin(F.broadcast(total))
         .select(
             "cluster_size",
             "n_clusters",
