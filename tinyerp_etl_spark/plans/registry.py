@@ -472,7 +472,11 @@ _RELATIONAL_NAMES = [
 #       changed-engine rows (more newcomers displace covered fills,
 #       the standing convention);
 #   (0b) rows whose engine code round 12 changes — changed engine
-#       outranks fresh evidence;
+#       outranks fresh evidence. ONE is already owed from late round
+#       11: lang_id_docs (r10-green, but operators/text.lang_id was
+#       rewritten to bind the tokenizer once per row — results
+#       identical, parity re-proven at add time, yet the standing
+#       convention re-gates changed engine code);
 #   (a) ALL 38 rows whose newest green will then be r8 (the r7 list
 #       ran unchanged in round 8; after the r11 gate these are the
 #       oldest evidence): asof_purchase_to_view,
