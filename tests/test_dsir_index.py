@@ -12,6 +12,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from tinyerp_etl_spark.operators.dsir_index import (
+    DsirOverlapError,
     build_dsir_model_rows,
     dsir_model_store,
     dsir_scores_against_store,
@@ -78,6 +79,28 @@ def test_replay_raises_and_skip_absorbs_exact_redelivery(spark, tmp_path):
     got = sorted(map(tuple, read_dsir_model(spark, path).collect()))
     want = sorted(map(tuple, read_dsir_model(spark, clean).collect()))
     assert got == want
+
+
+def test_overlap_exception_type_contract(spark, tmp_path):
+    """The overlap raise is the DEDICATED DsirOverlapError (a
+    ValueError subclass — the historical contract holds) while a
+    feature-space contract error is a plain ValueError: the two-fold
+    init-race retry (_dsir_store_for) catches only the former, so a
+    genuine contract bug surfaces directly instead of through a
+    confusing second failure from a pointless skip_existing retry."""
+    path = str(tmp_path / "m5")
+    pool = _docs(spark, _POOL)
+    update_dsir_model(spark, path, pool)
+    with pytest.raises(DsirOverlapError):
+        update_dsir_model(spark, path, pool.filter(F.col("doc_id") <= 3))
+    try:
+        update_dsir_model(
+            spark, path, _docs(spark, [(99, "new doc text")]), n_buckets=64
+        )
+    except ValueError as e:
+        assert not isinstance(e, DsirOverlapError)
+    else:  # pragma: no cover - the mismatch must raise
+        raise AssertionError("n_buckets mismatch did not raise")
 
 
 def test_bucket_mismatch_refused(spark, tmp_path):

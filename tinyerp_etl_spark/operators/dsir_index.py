@@ -77,6 +77,16 @@ DSIR_MODEL_SCHEMA = StructType(
 )
 
 
+class DsirOverlapError(ValueError):
+    """A fold batch overlaps the stored watermark without being an
+    exact redelivery. Subclasses ValueError (the historical contract)
+    but lets callers that retry through the skip_existing path after a
+    lost init race catch ONLY this plus ConcurrentWriteError — a
+    non-race contract error (e.g. an n_buckets mismatch, also a
+    ValueError) must surface directly, not via a confusing second
+    failure from a pointless retry."""
+
+
 def dsir_model_store(spark: SparkSession, path: str) -> TableStore:
     return TableStore(spark, path, DSIR_MODEL_SCHEMA)
 
@@ -106,8 +116,15 @@ def build_dsir_model_rows(
 ) -> DataFrame:
     """One fold's model rows: per-bucket gram counts of the batch plus
     the batch's gram-holding doc_id span (empty frame for an all-sub-
-    gram batch — it adds no mass and no watermark)."""
-    feats = dsir_gram_buckets(docs, text_col, id_col, n_buckets)
+    gram batch — it adds no mass and no watermark).
+
+    The featurization (tokenize + explode + md5 bucket hash) is the
+    fold's expensive pass and feeds BOTH the counts aggregation and
+    the span probe — pin it once (the dsir_scores/dsir_select
+    convention) so each fold tokenizes and hashes the batch exactly
+    once; the pinned frame is per-doc bucket counts, already far
+    smaller than the gram explosion it truncates."""
+    feats = materialize(dsir_gram_buckets(docs, text_col, id_col, n_buckets))
     counts = feats.groupBy("bucket").agg(
         F.sum("cnt").cast("long").alias("cnt")
     )
@@ -187,7 +204,7 @@ def update_dsir_model(
             diff = mine.exceptAll(prior).unionAll(prior.exceptAll(mine))
             if not prior.limit(1).isEmpty() and diff.limit(1).isEmpty():
                 return batch.limit(0)  # no-op: version preserved
-        raise ValueError(
+        raise DsirOverlapError(
             f"DSIR model at {path}: batch span [{lo_b}, {hi_b}] overlaps "
             f"the folded history (max doc_id {int(hi)}) and is not an "
             "exact redelivery of a recorded fold — counts are anonymous "

@@ -5310,12 +5310,16 @@ def _dsir_store_for(spark: SparkSession, sf_dir: str) -> str:
             try:
                 DI.update_dsir_model(spark, path, b1)
                 DI.update_dsir_model(spark, path, b2)
-            except (ConcurrentWriteError, ValueError):
+            except (ConcurrentWriteError, DI.DsirOverlapError):
                 # a concurrent builder raced the identical two-fold
-                # init; exact-redelivery absorption makes a
-                # skip_existing retry idempotent — each fold either
-                # no-ops (the winner already landed the identical
-                # content) or lands the half the winner hasn't yet
+                # init (lost OCC race, or the winner's fold makes our
+                # replay look like an overlap); exact-redelivery
+                # absorption makes a skip_existing retry idempotent —
+                # each fold either no-ops (the winner already landed
+                # the identical content) or lands the half the winner
+                # hasn't yet. ONLY those two exceptions retry: a
+                # non-race contract error (n_buckets mismatch, bad
+                # mode) surfaces directly
                 for b in (b1, b2):
                     occ_fold(
                         lambda b=b: DI.update_dsir_model(
@@ -6013,22 +6017,32 @@ def simhash_neardup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     STRADDLES the radius-3 boundary (some captured, most outside —
     the ball's edge is exercised in both directions), while the
     vocabulary-dense synthetic corpus supplies natural pairs at every
-    radius 0-3, so no branch is vacuous. The oracle replays
-    fingerprints, banding, cap, and the popcount verify exactly."""
+    radius 0-3, so no branch is vacuous. Staged ids offset by
+    max(doc_id)+1 (broadcast one-row frame), so they are disjoint
+    from real ids AT ANY scale factor — a fixed offset would collide
+    once real doc_ids reach it and silently corrupt pair identities.
+    The oracle replays the offset, fingerprints, banding, cap, and
+    the popcount verify exactly."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    near = docs.filter(F.col("doc_id") % 15 == 0).select(
-        (F.col("doc_id") + 500000).alias("doc_id"),
-        F.concat(F.col("text"), F.lit(" zq")).alias("text"),
+    off = docs.agg((F.max("doc_id") + 1).cast("long").alias("off"))
+    near = (
+        docs.filter(F.col("doc_id") % 15 == 0)
+        .crossJoin(F.broadcast(off))
+        .select(
+            (F.col("doc_id") + F.col("off")).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" zq")).alias("text"),
+        )
     )
     staged = docs.unionByName(near)
     return D.simhash_neardup_pairs(staged).orderBy("doc_a", "doc_b")
 
 
 LLM_ORACLES["simhash_neardup_docs"] = f"""
-    WITH staged AS (
+    WITH off AS (SELECT max(doc_id) + 1 AS o FROM documents),
+    staged AS (
       SELECT doc_id, text FROM documents
       UNION ALL
-      SELECT doc_id + 500000, text || ' zq'
+      SELECT doc_id + (SELECT o FROM off), text || ' zq'
       FROM documents WHERE doc_id % 15 = 0
     ),
     t AS (
