@@ -634,7 +634,19 @@ HTML_COMMENT_RE = r"(?s)<!--.*?-->"
 HTML_BREAK_RE = r"(?i)</(?:p|div|li|tr|h[1-6])>|<br[^>]*>"
 HTML_TAG_RE = r"(?s)<[^>]*>"
 HTML_TITLE_RE = r"(?is)<title>(.*?)</title>"
-HTML_HREF_RE = "href=\"([^\"]+)\""
+#: href value in any of the three HTML spellings — double-quoted,
+#: single-quoted, or unquoted (common in real crawls; the unquoted
+#: form ends at whitespace/quote/=/</>/backtick per the HTML spec).
+#: Group 1 captures the value WITH its quotes (neither engine supports
+#: branch-reset groups, so one group per alternative can't share an
+#: index); ``html_links`` strips the surrounding quote pair after
+#: extraction. Lowercase ``href=`` only, by design (the tag-level
+#: subset is lowercase-HTML; case-insensitivity is the caller's
+#: pre-lowering choice, pinned by test).
+HTML_HREF_RE = (
+    "href[ \\t\\n\\x0B\\f\\r]*=[ \\t\\n\\x0B\\f\\r]*"
+    "('[^']+'|\"[^\"]+\"|[^ \\t\\n\\x0B\\f\\r\"'=<>`]+)"
+)
 
 #: Entity decode pairs, applied AFTER tag stripping (decoding first
 #: would turn &lt;script&gt; into live markup); &amp; decodes LAST so
@@ -681,9 +693,16 @@ def html_title(col: Column | str) -> Column:
 
 def html_links(col: Column | str) -> Column:
     """href targets as an array (the outlink column a crawl-graph or
-    URL-filter stage consumes)."""
+    URL-filter stage consumes). Double-quoted, single-quoted, and
+    unquoted attribute spellings all match (HTML_HREF_RE); a quoted
+    match carries its quote pair out of the single capture group, so
+    the pair is stripped here — an unquoted value cannot contain a
+    quote, so the anchored strip never eats value bytes."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.regexp_extract_all(c, F.lit(HTML_HREF_RE), 1)
+    raw = F.regexp_extract_all(c, F.lit(HTML_HREF_RE), 1)
+    return F.transform(
+        raw, lambda x: F.regexp_replace(x, "^[\"']|[\"']\\z", "")
+    )
 
 
 # --------------------------------------------------- URL normalization
@@ -703,11 +722,17 @@ def normalize_url(col: Column | str) -> Column:
     dedupe by normalized URL before any content pass). Deterministic,
     engine-portable steps: drop the fragment; lowercase scheme and
     host; strip a leading ``www.`` and the scheme's default port;
-    strip trailing slashes from the path; drop tracking params
-    (``URL_TRACKING_PREFIXES``) and empty params, SORT the rest (the
-    order a browser sends is not part of page identity). Strings
-    without a ``scheme://`` pass through trimmed — callers dedupe
-    relative links at their own risk. Pure codegen expressions."""
+    strip trailing slashes from the path; drop a userinfo segment
+    (``user:pw@`` — credentials are not page identity, and leaving it
+    would also lowercase it into a host that never matches its bare
+    twin); drop tracking params (``URL_TRACKING_PREFIXES``) and empty
+    params, SORT the rest (the order a browser sends is not part of
+    page identity). Percent-encoding case (``%2F`` vs ``%2f``) is OUT
+    OF SCOPE: both spellings pass through as-is, so a pair differing
+    only there stays distinct — decoding safely needs a reserved-set
+    table, not a case fold. Strings without a ``scheme://`` pass
+    through trimmed — callers dedupe relative links at their own
+    risk. Pure codegen expressions."""
     c0 = F.col(col) if isinstance(col, str) else col
     # trim() strips spaces only: strip the full (Java-\s) whitespace
     # class from both ends so a trailing newline/tab cannot leak into
@@ -718,7 +743,12 @@ def normalize_url(col: Column | str) -> Column:
     u = F.regexp_replace(u0, r"(?s)#.*", "")
     scheme = F.lower(F.regexp_extract(u, _URL_SCHEME_RE, 1))
     host0 = F.lower(F.regexp_extract(u, _URL_HOST_RE, 1))
-    host1 = F.regexp_replace(host0, r"^www\.", "")
+    # the authority component is userinfo@host:port — drop userinfo
+    # BEFORE the www/port rules so they see the real host ([^@/]* is
+    # the advice-spelled guard; the extract already excludes '/')
+    host1 = F.regexp_replace(
+        F.regexp_replace(host0, "^[^@/]*@", ""), r"^www\.", ""
+    )
     host = F.when(
         (scheme == "http") & host1.endswith(":80"),
         F.regexp_replace(host1, r":80\z", ""),
