@@ -5276,6 +5276,44 @@ LLM_QUERIES["cluster_balanced_sample"] = cluster_balanced_sample
 _DSIR_STORE_CACHE: dict[str, str] = {}
 
 
+def _dsir_two_fold_init(
+    spark: SparkSession, path: str, raw: DataFrame, id_col: str = "doc_id"
+) -> None:
+    """Bootstrap a DSIR model store from ``raw`` in TWO ingest-ordered
+    batches split at the median id — the gate's stand-in for a real
+    ingest history, shared by every memoized store builder. No-op if
+    the store already has a version."""
+    from tinyerp_etl_spark.operators import dsir_index as DI
+
+    if DI.dsir_model_store(spark, path).current_version() is not None:
+        return
+    from tinyerp_etl_spark.etl.fold import occ_fold
+    from tinyerp_etl_spark.etl.table_store import ConcurrentWriteError
+
+    thr = int(raw.agg(F.max(id_col)).first()[0]) // 2
+    b1 = raw.filter(F.col(id_col) <= thr)
+    b2 = raw.filter(F.col(id_col) > thr)
+    try:
+        DI.update_dsir_model(spark, path, b1, id_col=id_col)
+        DI.update_dsir_model(spark, path, b2, id_col=id_col)
+    except (ConcurrentWriteError, DI.DsirOverlapError):
+        # a concurrent builder raced the identical two-fold init
+        # (lost OCC race, or the winner's fold makes our replay look
+        # like an overlap); exact-redelivery absorption makes a
+        # skip_existing retry idempotent — each fold either no-ops
+        # (the winner already landed the identical content) or lands
+        # the half the winner hasn't yet. ONLY those two exceptions
+        # retry: a non-race contract error (n_buckets mismatch, bad
+        # mode) surfaces directly
+        for b in (b1, b2):
+            occ_fold(
+                lambda b=b: DI.update_dsir_model(
+                    spark, path, b, id_col=id_col,
+                    on_overlap="skip_existing",
+                )
+            )
+
+
 def _dsir_store_for(spark: SparkSession, sf_dir: str) -> str:
     """Artifact path of the persisted DSIR raw model for a corpus —
     the RAW pool (everything but the en/src13 target) folded in TWO
@@ -5284,8 +5322,6 @@ def _dsir_store_for(spark: SparkSession, sf_dir: str) -> str:
     thereafter. History featurizes at ingest, never per query."""
     key = os.path.abspath(sf_dir)
     if key not in _DSIR_STORE_CACHE:
-        from tinyerp_etl_spark.operators import dsir_index as DI
-
         docs = load_table(spark, sf_dir, "documents").select(
             "doc_id", "text", "lang", "source"
         )
@@ -5296,36 +5332,7 @@ def _dsir_store_for(spark: SparkSession, sf_dir: str) -> str:
         path = os.path.join(
             _artifact_root(), "dsir_model", _corpus_tag(sf_dir, fp)
         )
-        store = DI.dsir_model_store(spark, path)
-        if store.current_version() is None:
-            from tinyerp_etl_spark.etl.table_store import (
-                ConcurrentWriteError,
-            )
-
-            from tinyerp_etl_spark.etl.fold import occ_fold
-
-            thr = int(raw.agg(F.max("doc_id")).first()[0]) // 2
-            b1 = raw.filter(F.col("doc_id") <= thr)
-            b2 = raw.filter(F.col("doc_id") > thr)
-            try:
-                DI.update_dsir_model(spark, path, b1)
-                DI.update_dsir_model(spark, path, b2)
-            except (ConcurrentWriteError, DI.DsirOverlapError):
-                # a concurrent builder raced the identical two-fold
-                # init (lost OCC race, or the winner's fold makes our
-                # replay look like an overlap); exact-redelivery
-                # absorption makes a skip_existing retry idempotent —
-                # each fold either no-ops (the winner already landed
-                # the identical content) or lands the half the winner
-                # hasn't yet. ONLY those two exceptions retry: a
-                # non-race contract error (n_buckets mismatch, bad
-                # mode) surfaces directly
-                for b in (b1, b2):
-                    occ_fold(
-                        lambda b=b: DI.update_dsir_model(
-                            spark, path, b, on_overlap="skip_existing"
-                        )
-                    )
+        _dsir_two_fold_init(spark, path, raw)
         _DSIR_STORE_CACHE[key] = path
     return _DSIR_STORE_CACHE[key]
 
@@ -5689,27 +5696,16 @@ LLM_QUERIES["url_normalize_dedup"] = url_normalize_dedup
 
 
 # ---------- round-11 addition: END-TO-END web curation pipeline
-def web_curation_pipeline_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The WEB flavor of the end-to-end curation manifest: every crawl
-    record's fate in one row, through the round's new front-door
-    operators composed with the DSIR selector — extract (html_to_text
-    over staged full pages) → URL-level dedup (normalize_url, keep
-    the first crawl per canonical) → C4 quality cascade on the
-    EXTRACTED text → DSIR importance selection toward the en/src13
-    target (keep the top ~50 % of quality survivors). Each document
-    stages TWO crawl records (a noisy URL spelling and a clean one,
-    same page), so the url_dup branch is exercised on every doc; the
-    disposition is the FIRST failing stage (url_dup / too_short /
-    too_much_punct / low_stopword / dsir_drop / keep), the curation
-    manifest convention. One materialized annotated frame feeds the
-    dedup, quality, and selection stages; the oracle replays every
-    stage, so drift anywhere in the chain hash-mismatches.
-    """
+def _web_manifest_annotated(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The web manifest's shared front half — staging, extraction,
+    URL dedup, C4 quality verdict: one materialized annotated frame
+    (with keeper + verdict), the DSIR raw pool (the quality
+    survivors), and the target sample. The in-query manifest and the
+    store-scored manifest differ ONLY in where the raw model's
+    bucket counts come from, so both read this one chain."""
     from tinyerp_etl_spark.functions.materialize import materialize
-    from tinyerp_etl_spark.operators.sampling import (
-        dsir_scores,
-        dsir_select,
-    )
 
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", "lang", "source"
@@ -5771,11 +5767,14 @@ def web_curation_pipeline_manifest(spark: SparkSession, sf_dir: str) -> DataFram
     tgt = staged_docs.filter(
         (F.col("lang") == "en") & (F.col("source") == "src13")
     ).select("doc_id", "text")
-    sel = dsir_select(
-        dsir_scores(surv, tgt, id_col="crawl_id"),
-        keep_ppm=500_000,
-        id_col="crawl_id",
-    ).select("crawl_id", F.col("keep").alias("dsir_keep"))
+    return ann2, surv, tgt
+
+
+def _web_manifest_out(ann2: DataFrame, sel: DataFrame) -> DataFrame:
+    """Fold the DSIR verdicts back onto the annotated frame and emit
+    the manifest: disposition = the FIRST failing stage (url_dup /
+    too_short / too_much_punct / low_stopword / dsir_drop / keep),
+    the curation manifest convention."""
     out = ann2.join(sel, "crawl_id", "left")
     disposition = (
         F.when(F.col("crawl_id") != F.col("keeper"), F.lit("url_dup"))
@@ -5789,6 +5788,36 @@ def web_curation_pipeline_manifest(spark: SparkSession, sf_dir: str) -> DataFram
         "canonical_url",
         disposition.alias("disposition"),
     ).orderBy("crawl_id")
+
+
+def web_curation_pipeline_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WEB flavor of the end-to-end curation manifest: every crawl
+    record's fate in one row, through the round's new front-door
+    operators composed with the DSIR selector — extract (html_to_text
+    over staged full pages) → URL-level dedup (normalize_url, keep
+    the first crawl per canonical) → C4 quality cascade on the
+    EXTRACTED text → DSIR importance selection toward the en/src13
+    target (keep the top ~50 % of quality survivors), scored with
+    IN-QUERY models (``web_manifest_store_scored`` is the same
+    manifest scored against the persisted dsir_index store). Each
+    document stages TWO crawl records (a noisy URL spelling and a
+    clean one, same page), so the url_dup branch is exercised on
+    every doc. One materialized annotated frame feeds the dedup,
+    quality, and selection stages; the oracle replays every stage,
+    so drift anywhere in the chain hash-mismatches.
+    """
+    from tinyerp_etl_spark.operators.sampling import (
+        dsir_scores,
+        dsir_select,
+    )
+
+    ann2, surv, tgt = _web_manifest_annotated(spark, sf_dir)
+    sel = dsir_select(
+        dsir_scores(surv, tgt, id_col="crawl_id"),
+        keep_ppm=500_000,
+        id_col="crawl_id",
+    ).select("crawl_id", F.col("keep").alias("dsir_keep"))
+    return _web_manifest_out(ann2, sel)
 
 
 _TOKS_OF = "regexp_extract_all(lower({c}), '(\\w+)', 1)"
@@ -5874,6 +5903,77 @@ LLM_ORACLES["web_curation_pipeline_manifest"] = f"""
     ORDER BY q.crawl_id
 """
 LLM_QUERIES["web_curation_pipeline_manifest"] = web_curation_pipeline_manifest
+
+
+# ---- round-12 addition: the manifest scored against the PERSISTED
+# DSIR store (the production composition — history featurizes at
+# ingest, selection scores batches against folded history)
+_WEB_DSIR_STORE_CACHE: dict[str, str] = {}
+
+
+def _web_dsir_store_for(
+    spark: SparkSession, sf_dir: str, surv: DataFrame
+) -> str:
+    """Artifact path of the persisted DSIR raw model over the web
+    manifest's quality-survivor pool, keyed by the survivors' content
+    fingerprint — any change to the extract/dedup/quality chain
+    changes the fingerprint and retires the store rather than
+    silently serving stale counts. Two-fold initialised through the
+    shared bootstrap like every sibling store."""
+    key = os.path.abspath(sf_dir)
+    if key not in _WEB_DSIR_STORE_CACHE:
+        from tinyerp_etl_spark.operators.ivf_index import (
+            corpus_fingerprint,
+        )
+
+        fp = corpus_fingerprint(surv, "crawl_id", "text")
+        path = os.path.join(
+            _artifact_root(), "dsir_model_web", _corpus_tag(sf_dir, fp)
+        )
+        _dsir_two_fold_init(spark, path, surv, id_col="crawl_id")
+        _WEB_DSIR_STORE_CACHE[key] = path
+    return _WEB_DSIR_STORE_CACHE[key]
+
+
+def web_manifest_store_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The web curation manifest with its DSIR stage scored against
+    the PERSISTED dsir_index model store instead of in-query models —
+    the production composition: crawl batches fold their gram mass
+    into the store at ingest (two ingest-ordered folds here, the
+    sibling-store convention), and selection scores each batch
+    against the folded history without re-featurizing the pool.
+    Bucket counts are additive, so the folded model ≡ the one-shot
+    refit EXACTLY and this row's oracle IS the in-query manifest's
+    SQL (the incremental_dsir_sample convention) — green here
+    hash-proves store-backed scoring ≡ in-query scoring over the
+    same corpus end to end through the extract → URL-dedup →
+    quality → select chain; production scores UNSEEN crawl batches
+    against the same store with the same call. The survivor frame is
+    pinned once (materialize): it feeds the fingerprint probe, both
+    folds, and the scoring batch."""
+    from tinyerp_etl_spark.functions.materialize import materialize
+    from tinyerp_etl_spark.operators import dsir_index as DI
+    from tinyerp_etl_spark.operators.sampling import dsir_select
+
+    ann2, surv, tgt = _web_manifest_annotated(spark, sf_dir)
+    surv = materialize(surv)
+    path = _web_dsir_store_for(spark, sf_dir, surv)
+    scores = DI.dsir_scores_against_store(
+        spark, path, surv, tgt, id_col="crawl_id"
+    )
+    sel = dsir_select(scores, keep_ppm=500_000, id_col="crawl_id").select(
+        "crawl_id", F.col("keep").alias("dsir_keep")
+    )
+    return _web_manifest_out(ann2, sel)
+
+
+# folded survivor model ≡ one-shot refit (counts are additive) — the
+# in-query manifest's oracle serves both faces, which IS the
+# store-backed ≡ in-query scoring proof
+LLM_ORACLES["web_manifest_store_scored"] = LLM_ORACLES[
+    "web_curation_pipeline_manifest"
+]
+LLM_QUERIES["web_manifest_store_scored"] = web_manifest_store_scored
 
 
 # -------- round-11 addition: duplicate-cluster size distribution
