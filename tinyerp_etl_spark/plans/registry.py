@@ -6,12 +6,12 @@ rows-only check from the driver.
 
 Ordering note: the driver's correctness gate covers the first 50
 registry entries, so insertion order is the rotation schedule.
-ACTIVE: _ROUND11_FRONT_50 (see its inline comments — after round 11's
-gate runs green, EVERY registered query's newest driver row is r7+:
-the r6 evidence debt retires completely, the first rotation with zero
-structural deferrals). Prior gates below for the ledger; note round 8
-ran _ROUND7_FRONT_50 unchanged, so the r7 list's rows carry r8-fresh
-evidence.
+ACTIVE: _ROUND12_FRONT_50 (see its inline comments — after round 12's
+gate runs green, EVERY registered query's newest driver row is r9+,
+the r8 evidence debt retires completely, and ZERO registered queries
+lack driver evidence for the first time since round 7). Prior gates
+below for the ledger; note round 8 ran _ROUND7_FRONT_50 unchanged, so
+the r7 list's rows carry r8-fresh evidence.
 Round 5's front 50 (ran in rounds 5 AND 6; see _ROUND5_FRONT_50's
 inline comments for the per-group rationale) =
   (0) the five queries NEW in round 5 (video_neardup_parity,
@@ -505,6 +505,134 @@ _RELATIONAL_NAMES = [
 #       the r8 debt can retire in ONE gate exactly as r9/r10/r11
 #       retired r3/r4/r6;
 #   (b) fill remaining slots with r9-stale rows, shape-starved first.
+# ROUND-12 ROTATION — executes the pre-staged plan above verbatim.
+# Slot arithmetic: 7 pre-staged late-round-11 newcomers + 1 genuine
+# round-12 newcomer (web_manifest_store_scored, gated at birth) +
+# the owed changed-engine row (lang_id_docs) + ALL 41 r8-stale rows
+# (the 38 named + the 3 mid-round-11 displacements) = 50/50. After
+# this gate runs green, every registered query's newest driver row
+# is r9+ and ZERO registered queries lack driver evidence — the r8
+# debt retires in one gate exactly as r9/r10/r11 retired r3/r4/r6.
+# The 41-row r8-stale set was re-derived from the eleven CORRECTNESS
+# files at rotation time and equals the pre-staged list set-for-set.
+#
+# Changed-engine accounting for round 12 (changed engine outranks
+# fresh evidence; every changed kernel is driven IN-GATE):
+#   - operators/text.py normalize_url (userinfo drop) and html_links
+#     (single-quoted/unquoted hrefs): owned by url_normalize_dedup
+#     and html_extract_docs — both in-gate, both staging the new
+#     branches non-vacuously.
+#   - plans/llm_ops simhash staging offset (max(doc_id)+1): owned by
+#     simhash_neardup_docs — in-gate.
+#   - operators/text.py lang_id (tokenizer bound once per row, late
+#     round 11): lang_id_docs — in-gate, the owed (0b) row.
+#   - operators/dsir_index (build_dsir_model_rows pins its
+#     featurization; the overlap raise is now DsirOverlapError) and
+#     the shared two-fold bootstrap (_dsir_two_fold_init): driven
+#     in-gate by web_manifest_store_scored, which folds a store
+#     through update_dsir_model → build_dsir_model_rows via the SAME
+#     shared bootstrap and hash-proves the store read + scoring tail
+#     against the in-query oracle; incremental_dsir_sample (r11-
+#     green, identical code path) stays registered with the freshest
+#     possible prior evidence, and the exception-type contract is
+#     control-plane, pinned by test_dsir_index.py.
+#   - plans/llm_ops web manifest refactor (shared front half):
+#     web_curation_pipeline_manifest — in-gate.
+#
+# PRE-STAGED ROUND-13 ROTATION PLAN (compose at round-13 start):
+#   (0) any round-13 newcomers, gated at birth, displacing fills
+#       whose shapes fresher rows cover (document each);
+#   (0b) rows whose engine code round 13 changes;
+#   (a) the 48 rows whose newest green will then be r9 (re-derive
+#       from the CORRECTNESS files at rotation time; today's set):
+#       applyinpandas_group_ols, approx_quantile_order_totals,
+#       boilerplate_ngram_stats, bucketed_join_revenue,
+#       c4_quality_filter_stats, collocations_top_pmi,
+#       copurchase_pagerank_3iter, curation_pipeline_manifest,
+#       dedup_keep_canonical, domain_mixture_resample,
+#       dup_span_coverage_docs, embedding_label_centroids,
+#       gapfill_daily_revenue, heavy_hitter_tokens,
+#       hierarchy_closure_part, hll_union_rollup,
+#       incremental_dedup_new_docs, ivf_nprobe_recall_curve,
+#       ivfpq_topk_embeddings, key_skew_profile_events,
+#       minhash_lsh_neardup_pairs, monthly_revenue_trend,
+#       multimodal_manifest, neardup_components,
+#       neardup_threshold_curve, ngram_decontaminate_docs,
+#       pq_codebook_embeddings, pq_recall_report, pq_topk_embeddings,
+#       promo_revenue_ratio, q17_small_quantity_revenue,
+#       q1_pricing_summary, q22_dormant_customers,
+#       q2_min_cost_supplier, q3_shipping_priority,
+#       q5_local_supplier_volume, q7_volume_shipping, q8_market_share,
+#       sequence_packing_manifest, set_null_missing_region,
+#       sql_ml_inference_score, sql_q6_forecast_revenue,
+#       train_val_test_split_docs, training_shard_manifest,
+#       unigram_surprisal_filter, window_running_total,
+#       xml_roundtrip_orders, zorder_clustered_scan — 48 rows,
+#       leaving 2 slots for genuine round-13 newcomers and
+#       changed-engine rows (more newcomers displace covered fills,
+#       the standing convention);
+#   (b) fill any remaining slots with r10-stale rows, shape-starved
+#       first.
+_ROUND12_FRONT_50 = [
+    # (0) the 7 pre-staged late-round-11 newcomers, gated at birth
+    "ctfidf_source_terms",
+    "html_extract_docs",
+    "url_normalize_dedup",
+    "web_curation_pipeline_manifest",
+    "dup_cluster_histogram",
+    "lang_id_confusion",
+    "simhash_neardup_docs",
+    # ... plus the ONE genuine round-12 newcomer: the web manifest
+    # scored against the persisted DSIR model store (folded ≡
+    # one-shot law; oracle = the in-query manifest's SQL)
+    "web_manifest_store_scored",
+    # (0b) the owed changed-engine row from late round 11
+    "lang_id_docs",
+    # (a) ALL 41 rows whose newest green is r8 — the entire
+    # remaining evidence debt, retired in one gate
+    "asof_purchase_to_view",
+    "attribution_interval_join",
+    "attribution_lambda_parity",
+    "bm25i_index_retrieval",
+    "bpe_segment_stats",
+    "bpe_train_merges",
+    "cohort_retention_daily",
+    "copurchase_part_pairs",
+    "copurchase_triangles",
+    "embedding_quantize_int8",
+    "embedding_topk_bruteforce",
+    "embedding_topk_ivf",
+    "embedding_topk_lsh",
+    "events_session_windows",
+    "events_sliding_windows",
+    "events_time_grain_rollup",
+    "events_tumbling_hourly",
+    "exact_dup_groups",
+    "file_format_roundtrip_orders",
+    "funnel_view_click_purchase",
+    "hybrid_rrf_retrieval",
+    "int8_rank_fidelity",
+    "ivf_assign_narrow_parity",
+    "ivf_index_roundtrip",
+    "ivf_partitioned_scan",
+    "ivf_recall_report",
+    "json_props_rollup",
+    "keep_latest_event_per_user",
+    "kmeans_centroids_embeddings",
+    "kmv_distinct_users",
+    "longest_active_streaks",
+    "lsh_recall_report",
+    "merge_upsert_events",
+    "mp4_keyframe_parity",
+    "nested_flatten_roundtrip",
+    "pandas_udf_mask_names",
+    "semantic_dedup_embeddings",
+    "sessionize_user_events",
+    "skew_salted_event_totals",
+    "token_count_by_source",
+    "variant_props_extract",
+]
+
 _ROUND11_FRONT_50 = [
     # (0) round-11 newcomers, gated at birth
     "decontaminate_span_removal_docs",
@@ -1045,7 +1173,7 @@ def all_queries() -> dict[str, QueryFn]:
     for name in _RELATIONAL_NAMES:
         pool[name] = getattr(relational, name)
 
-    queries: dict[str, QueryFn] = {n: pool[n] for n in _ROUND11_FRONT_50}
+    queries: dict[str, QueryFn] = {n: pool[n] for n in _ROUND12_FRONT_50}
     for name, fn in pool.items():
         queries.setdefault(name, fn)
     assert len(queries) == len(pool), "front-50 must be a subset of the pool"
