@@ -161,6 +161,15 @@ HEADLINE_R11 = [
     # SimHash Hamming-ball near-dup pairs (guaranteed-recall banding)
     "simhash_neardup_docs",
 ]
+# Added round 12: the web manifest scored against the persisted DSIR
+# model store (the production composition; folded ≡ one-shot law),
+# plus the Gopher quality-rule filter and the CCNet-style
+# cross-document boilerplate-line removal.
+HEADLINE_R12 = [
+    "web_manifest_store_scored",
+    "gopher_quality_docs",
+    "line_dedup_docs",
+]
 HEADLINE = (
     HEADLINE
     + HEADLINE_R4
@@ -169,6 +178,7 @@ HEADLINE = (
     + HEADLINE_R9
     + HEADLINE_R10
     + HEADLINE_R11
+    + HEADLINE_R12
 )
 
 

@@ -37,3 +37,23 @@ def test_simhash_neardup_band_completeness_and_cap(spark):
     assert capped.count() < len(want)
     with pytest.raises(ValueError, match="hamming_max"):
         simhash_neardup_pairs(docs, hamming_max=4)
+
+
+def test_line_dedup_removes_cross_doc_lines_only(spark):
+    """Boilerplate semantics: a line in >=2 DISTINCT docs drops from
+    every doc (no canonical first copy); an intra-doc repeat stays;
+    a fully-boilerplate doc reassembles to ''."""
+    from tinyerp_etl_spark.operators.dedup import line_dedup_summary
+
+    rows = [
+        (1, "same header\nunique one\nrepeat\nrepeat"),
+        (2, "same header\nunique two"),
+        (3, "same header"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in line_dedup_summary(docs).collect()}
+    assert got[1]["n_lines"] == 4 and got[1]["n_removed"] == 1
+    # the intra-doc 'repeat' pair survives in original order
+    assert got[1]["clean_text"] == "unique one\nrepeat\nrepeat"
+    assert got[2]["clean_text"] == "unique two"
+    assert got[3]["n_removed"] == 1 and got[3]["clean_text"] == ""

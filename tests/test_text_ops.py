@@ -102,3 +102,40 @@ def test_html_and_url_ops_portable_on_java_only_whitespace(spark):
         ["<p>a\x0bb</p>"],
     ).fetchone()[0]
     assert dd == got[1]
+
+
+def test_gopher_verdict_rule_cascade(spark):
+    """Each Gopher rule fires on a crafted row, in paper order (first
+    failing rule wins); the keep row passes every rule."""
+    from tinyerp_etl_spark.operators import text as X
+
+    sw = "the be to of and that have "  # covers the required set
+    base = (sw + "alpha bravo charlie delta echo ") * 5  # 60 words, keep
+    rows = [
+        (1, ""),                                   # 0 words
+        (2, "tiny doc # # # # #"),                 # word count BEFORE symbols
+        (3, ("a b c " * 40).strip()),              # mean len 1 < 3
+        (4, ("pneumonoultramicroscopic " * 60).strip()),  # mean 24 > 10
+        (5, base + "# " * 10),                     # 10 hashes vs ~70 words
+        (6, "- " + base + "\n- x\n- y"),           # 3/3 bullet lines
+        (7, base + "\nends with dots..."),         # 1/2 ellipsis lines > 30%
+        (8, base + "1 2 3 4 5 6 7 8 9 10 11 12 13 14 15 16 17"),
+        (9, ("lorem ipsum dolor sit amet " * 12).strip()),  # no required words
+        (10, base.strip()),
+    ]
+    got = {
+        r["id"]: r["v"]
+        for r in spark.createDataFrame(rows, "id long, text string")
+        .select("id", X.gopher_verdict("text").alias("v"))
+        .collect()
+    }
+    assert got[1] == "too_few_words"
+    assert got[2] == "too_few_words"
+    assert got[3] == "low_mean_word_len"
+    assert got[4] == "high_mean_word_len"
+    assert got[5] == "high_symbol_ratio"
+    assert got[6] == "too_many_bullets"
+    assert got[7] == "too_many_ellipses"
+    assert got[8] == "low_alpha_ratio"
+    assert got[9] == "low_stopword"
+    assert got[10] == "keep"

@@ -941,6 +941,68 @@ def paragraph_dedup_summary(
     )
 
 
+def line_dedup_summary(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    r"""Per-doc outcome of cross-document duplicated-LINE removal —
+    the CCNet/C4-style boilerplate pass: any line occurring in ≥ 2
+    DISTINCT documents is dropped from EVERY document, including the
+    first occurrence (boilerplate — nav text, footers, cookie
+    banners — has no canonical owner, unlike a duplicated paragraph
+    whose first copy is content; that keep-one rule is
+    paragraph_dedup_summary's). A line repeated only WITHIN one
+    document stays: intra-doc repetition is the repetition profile's
+    signal, not boilerplate. Output (id, n_lines, n_removed,
+    clean_text) with clean_text the surviving lines rejoined by \n
+    in original order ('' when everything dropped).
+
+    Plan shape for 100 TB: one split+posexplode (materialized — it
+    feeds the distinct-doc count, the join-back, and the per-doc
+    totals; without the pin each consumer re-splits the corpus), one
+    map-side-combinable count-distinct groupBy over the line string,
+    one shuffle anti-join back on the line key, one per-doc
+    reassembly aggregation bounded by the doc's own line count. No
+    window, no driver collect; the groupBy key hashes uniformly and
+    its cardinality is the corpus's distinct-line count.
+    """
+    lines = materialize(
+        docs.select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(text_col), "\n")).alias(
+                "pos", "line"
+            ),
+        )
+    )
+    boiler = (
+        lines.groupBy("line")
+        .agg(F.count_distinct(id_col).alias("__nd"))
+        .filter(F.col("__nd") >= 2)
+        .select("line")
+    )
+    kept = lines.join(boiler, "line", "left_anti")
+    total = lines.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines")
+    )
+    out = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("__n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("clean_text"),
+    )
+    return total.join(out, id_col, "left").select(
+        id_col,
+        "n_lines",
+        (F.col("n_lines") - F.coalesce(F.col("__n_kept"), F.lit(0)))
+        .cast("long")
+        .alias("n_removed"),
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+    )
+
+
 def build_paragraph_index(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

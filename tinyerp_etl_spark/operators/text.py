@@ -147,6 +147,89 @@ def c4_verdict(col: Column | str) -> Column:
     )
 
 
+#: Gopher quality-rule constants (Rae et al. 2021, "Scaling Language
+#: Models: Methods, Analysis & Insights from Training Gopher",
+#: Appendix A1.1) — the OTHER standard rule family next to C4's:
+#: where C4 gates on punctuation/stopword density, Gopher gates on
+#: word-count bounds, mean word length, symbol density, list/ellipsis
+#: line structure, alphabetic-word share, and the presence of common
+#: English words. Integer thresholds, cross-multiplied — no float
+#: ever decides a keep/drop.
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_REQUIRED_WORDS = [
+    "the", "be", "to", "of", "and", "that", "have", "with",
+]
+
+
+def gopher_verdict(col: Column | str) -> Column:
+    r"""Gopher-style quality verdict: FIRST failing rule, else
+    ``keep`` (the c4_verdict convention — one source of truth for the
+    cascade, shared by the standalone filter query and any pipeline
+    that composes it).
+
+    Rules, in paper order (Rae et al. 2021 A1.1), all exact-integer:
+    word count in [50, 100 000]; mean word length in [3, 10] chars;
+    symbol-to-word ratio ('#' chars + '...' runs) ≤ 0.1; ≤ 90 % of
+    lines starting with a bullet ('-'/'*' after indent); ≤ 30 % of
+    lines ending with '...'; ≥ 80 % of words containing an [a-z]
+    letter; ≥ 2 distinct words of GOPHER_REQUIRED_WORDS present.
+    The tokenizer and the line split are each bound ONCE per row
+    (dedup._bind_once — Catalyst does not CSE through higher-order
+    functions). Pure codegen expressions, no UDF, engine-portable
+    (the oracle replays every rule in SQL).
+    """
+    from tinyerp_etl_spark.operators.dedup import _bind_once
+
+    c = F.col(col) if isinstance(col, str) else col
+    n_ell = F.array_size(F.regexp_extract_all(c, F.lit(r"\.\.\."), 0))
+    n_hash = F.length(c) - F.length(F.replace(c, F.lit("#"), F.lit("")))
+    req = F.array(*[F.lit(w) for w in GOPHER_REQUIRED_WORDS])
+
+    def _with_lines(lines: Column) -> Column:
+        n_lines = F.array_size(lines)
+        n_bullet = F.array_size(
+            F.filter(lines, lambda l: l.rlike(r"^[ \t]*[-*]"))
+        )
+        n_ell_lines = F.array_size(
+            F.filter(lines, lambda l: F.rtrim(l).endswith("..."))
+        )
+        return F.when(
+            n_bullet * 10 > 9 * n_lines, F.lit("too_many_bullets")
+        ).when(
+            n_ell_lines * 10 > 3 * n_lines, F.lit("too_many_ellipses")
+        )
+
+    def _scored(toks: Column) -> Column:
+        n_words = F.array_size(toks)
+        tot_len = F.aggregate(
+            toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+        )
+        n_alpha = F.array_size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+        n_req = F.array_size(F.array_intersect(F.array_distinct(toks), req))
+        # coalesce keeps the paper's rule order while evaluating the
+        # bound line expression exactly once: word-count/length/symbol
+        # rules, then the line-structure rules, then the word-share
+        # rules — each leg NULL when none of its rules fire
+        pre = (
+            F.when(n_words < GOPHER_MIN_WORDS, F.lit("too_few_words"))
+            .when(n_words > GOPHER_MAX_WORDS, F.lit("too_many_words"))
+            .when(tot_len < 3 * n_words, F.lit("low_mean_word_len"))
+            .when(tot_len > 10 * n_words, F.lit("high_mean_word_len"))
+            .when(
+                (n_hash + n_ell) * 10 > n_words, F.lit("high_symbol_ratio")
+            )
+        )
+        post = (
+            F.when(n_alpha * 10 < 8 * n_words, F.lit("low_alpha_ratio"))
+            .when(n_req < 2, F.lit("low_stopword"))
+            .otherwise(F.lit("keep"))
+        )
+        return F.coalesce(pre, _bind_once(F.split(c, "\n"), _with_lines), post)
+
+    return _bind_once(tokens(col), _scored)
+
+
 def lang_marker_score(col: Column | str, lang: str) -> Column:
     """How many marker-word occurrences of ``lang`` the text contains."""
     toks = tokens(col)

@@ -6207,3 +6207,196 @@ LLM_ORACLES["simhash_neardup_docs"] = f"""
     ORDER BY doc_a, doc_b
 """
 LLM_QUERIES["simhash_neardup_docs"] = simhash_neardup_docs
+
+
+# ------------- round-12 addition: Gopher quality-rule filter
+def gopher_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc Gopher quality verdict (operators/text.gopher_verdict —
+    Rae et al. 2021 A1.1), the OTHER standard rule family next to the
+    C4 cascade: word-count bounds, mean word length, symbol density,
+    bullet/ellipsis line structure, alphabetic-word share, required
+    common English words. Staging makes every rule non-vacuous at any
+    scale factor (first matching modulus wins; the oracle replays the
+    CASE): %115 → a 100 001-word doc (too_many_words), %95 → 60
+    24-char words (high_mean_word_len), %85 → 120 1-char words
+    (low_mean_word_len), %75 → a 2-word doc (too_few_words), %65 →
+    60 content words with no required stopword (low_stopword), %55 →
+    40 appended digit words (low_alpha_ratio), %45 → 15 appended '#'
+    (high_symbol_ratio), %35 → a '...' tail (too_many_ellipses),
+    %25 → three bullet lines (too_many_bullets). One scan, pure
+    codegen expressions (tokenizer and line split each bound once per
+    row), no shuffle before the presentation sort."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    staged = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 115 == 0, F.expr("repeat('word ', 100001)"))
+        .when(
+            F.col("doc_id") % 95 == 0,
+            F.expr("repeat('pneumonoultramicroscopic ', 60)"),
+        )
+        .when(F.col("doc_id") % 85 == 0, F.expr("repeat('a b c ', 40)"))
+        .when(F.col("doc_id") % 75 == 0, F.lit("tiny doc"))
+        .when(
+            F.col("doc_id") % 65 == 0,
+            F.expr("repeat('lorem ipsum dolor sit amet ', 12)"),
+        )
+        .when(
+            F.col("doc_id") % 55 == 0,
+            F.concat(F.col("text"), F.expr("repeat(' 12345', 40)")),
+        )
+        .when(
+            F.col("doc_id") % 45 == 0,
+            F.concat(F.col("text"), F.expr("repeat(' #', 15)")),
+        )
+        .when(F.col("doc_id") % 35 == 0, F.concat(F.col("text"), F.lit("...")))
+        .when(
+            F.col("doc_id") % 25 == 0,
+            F.concat(
+                F.lit("- "), F.col("text"),
+                F.lit("\n- item one\n- item two"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return staged.select(
+        "doc_id",
+        X.token_count("text").cast("int").alias("n_words"),
+        X.gopher_verdict("text").alias("verdict"),
+    ).orderBy("doc_id")
+
+
+_GOPHER_REQ_SQL = ", ".join(f"'{w}'" for w in X.GOPHER_REQUIRED_WORDS)
+
+LLM_ORACLES["gopher_quality_docs"] = f"""
+    WITH staged AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 115 = 0 THEN repeat('word ', 100001)
+                  WHEN doc_id % 95 = 0
+                    THEN repeat('pneumonoultramicroscopic ', 60)
+                  WHEN doc_id % 85 = 0 THEN repeat('a b c ', 40)
+                  WHEN doc_id % 75 = 0 THEN 'tiny doc'
+                  WHEN doc_id % 65 = 0
+                    THEN repeat('lorem ipsum dolor sit amet ', 12)
+                  WHEN doc_id % 55 = 0 THEN text || repeat(' 12345', 40)
+                  WHEN doc_id % 45 = 0 THEN text || repeat(' #', 15)
+                  WHEN doc_id % 35 = 0 THEN text || '...'
+                  WHEN doc_id % 25 = 0
+                    THEN '- ' || text || chr(10) || '- item one'
+                         || chr(10) || '- item two'
+                  ELSE text END AS text
+      FROM documents
+    ),
+    f AS (
+      SELECT doc_id, {_TOKS} AS toks,
+             string_split(text, chr(10)) AS lines,
+             len(regexp_extract_all(text, '\\.\\.\\.', 0)) AS n_ell,
+             length(text) - length(replace(text, '#', '')) AS n_hash
+      FROM staged
+    ),
+    g AS (
+      SELECT doc_id, len(toks) AS n_words,
+             COALESCE(list_sum(list_transform(toks, t -> length(t))), 0)
+               AS tot_len,
+             len(list_filter(toks, t -> regexp_matches(t, '[a-z]')))
+               AS n_alpha,
+             len(list_filter(list_distinct(toks),
+                 t -> list_contains([{_GOPHER_REQ_SQL}], t))) AS n_req,
+             len(lines) AS n_lines,
+             len(list_filter(lines,
+                 l -> regexp_matches(l, '^[ \t]*[-*]'))) AS n_bullet,
+             len(list_filter(lines, l -> ends_with(rtrim(l), '...')))
+               AS n_ell_lines,
+             n_ell, n_hash
+      FROM f
+    )
+    SELECT doc_id, CAST(n_words AS INT) AS n_words,
+           CASE WHEN n_words < {X.GOPHER_MIN_WORDS} THEN 'too_few_words'
+                WHEN n_words > {X.GOPHER_MAX_WORDS} THEN 'too_many_words'
+                WHEN tot_len < 3 * n_words THEN 'low_mean_word_len'
+                WHEN tot_len > 10 * n_words THEN 'high_mean_word_len'
+                WHEN (n_hash + n_ell) * 10 > n_words
+                  THEN 'high_symbol_ratio'
+                WHEN n_bullet * 10 > 9 * n_lines THEN 'too_many_bullets'
+                WHEN n_ell_lines * 10 > 3 * n_lines
+                  THEN 'too_many_ellipses'
+                WHEN n_alpha * 10 < 8 * n_words THEN 'low_alpha_ratio'
+                WHEN n_req < 2 THEN 'low_stopword'
+                ELSE 'keep' END AS verdict
+    FROM g ORDER BY doc_id
+"""
+LLM_QUERIES["gopher_quality_docs"] = gopher_quality_docs
+
+
+# ------- round-12 addition: cross-doc duplicated-line removal
+def line_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level boilerplate-line removal (operators/dedup.
+    line_dedup_summary — the CCNet/C4 line-dedup pass): every line
+    occurring in ≥ 2 distinct docs drops from every doc. Staging
+    gives each document four lines — a corpus-wide header (drops
+    everywhere), the document text (unique per doc, survives), a
+    per-source share line (drops — every source has many docs), and
+    on every 2nd doc a footer (drops) — so removal fires at both
+    corpus and group granularity while the content line proves
+    survival + reassembly. The oracle replays the staging, the
+    distinct-doc count, and the ordered reassembly; clean_text is
+    hash-compared byte-for-byte."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    staged = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("Subscribe to our newsletter\n"),
+            F.col("text"),
+            F.lit("\nshare: "),
+            F.col("source"),
+            F.when(
+                F.col("doc_id") % 2 == 0, F.lit("\nAll rights reserved")
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return D.line_dedup_summary(staged).orderBy("doc_id")
+
+
+LLM_ORACLES["line_dedup_docs"] = """
+    WITH staged AS (
+      SELECT doc_id,
+             'Subscribe to our newsletter' || chr(10) || text || chr(10)
+               || 'share: ' || source
+               || CASE WHEN doc_id % 2 = 0
+                       THEN chr(10) || 'All rights reserved'
+                       ELSE '' END AS text
+      FROM documents
+    ),
+    ex AS (
+      SELECT doc_id,
+             unnest(string_split(text, chr(10))) AS line,
+             generate_subscripts(string_split(text, chr(10)), 1) AS pos
+      FROM staged
+    ),
+    boiler AS (
+      SELECT line FROM ex GROUP BY line
+      HAVING count(DISTINCT doc_id) >= 2
+    ),
+    kept AS (
+      SELECT e.doc_id, e.pos, e.line
+      FROM ex e LEFT JOIN boiler b USING (line)
+      WHERE b.line IS NULL
+    ),
+    tot AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines
+      FROM ex GROUP BY doc_id
+    ),
+    agg AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+             string_agg(line, chr(10) ORDER BY pos) AS clean_text
+      FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id, t.n_lines,
+           CAST(t.n_lines - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed,
+           COALESCE(a.clean_text, '') AS clean_text
+    FROM tot t LEFT JOIN agg a USING (doc_id)
+    ORDER BY t.doc_id
+"""
+LLM_QUERIES["line_dedup_docs"] = line_dedup_docs

@@ -541,7 +541,19 @@ _RELATIONAL_NAMES = [
 #
 # PRE-STAGED ROUND-13 ROTATION PLAN (compose at round-13 start):
 #   (0) any round-13 newcomers, gated at birth, displacing fills
-#       whose shapes fresher rows cover (document each);
+#       whose shapes fresher rows cover (document each). TWO are
+#       already named: gopher_quality_docs (late-round-12 addition —
+#       the Gopher rule family, Rae et al. 2021 A1.1: word-count/
+#       mean-word-length bounds, symbol density, bullet/ellipsis line
+#       structure, alpha-word share, required English words; every
+#       rule staged non-vacuous) and line_dedup_docs (late-round-12
+#       addition — CCNet-style cross-document boilerplate-line
+#       removal: lines in ≥2 distinct docs drop everywhere including
+#       the first occurrence, byte-exact reassembly hash-compared);
+#       both oracle-parity verified at sf0.001+sf0.01 at add time
+#       with 10× SCALE probes recorded, but the round-12 gate's 50
+#       slots were committed to retiring the r8 debt, so their
+#       driver rows land here;
 #   (0b) rows whose engine code round 13 changes;
 #   (a) the 48 rows whose newest green will then be r9 (re-derive
 #       from the CORRECTNESS files at rotation time; today's set):
