@@ -49,6 +49,10 @@ def test_line_dedup_removes_cross_doc_lines_only(spark):
         (1, "same header\nunique one\nrepeat\nrepeat"),
         (2, "same header\nunique two"),
         (3, "same header"),
+        # blank lines are paragraph separators, NEVER boilerplate —
+        # two docs sharing '' must not strip structure corpus-wide
+        (4, "intro four\n\nbody four"),
+        (5, "intro five\n\nbody five"),
     ]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r["doc_id"]: r for r in line_dedup_summary(docs).collect()}
@@ -57,3 +61,5 @@ def test_line_dedup_removes_cross_doc_lines_only(spark):
     assert got[1]["clean_text"] == "unique one\nrepeat\nrepeat"
     assert got[2]["clean_text"] == "unique two"
     assert got[3]["n_removed"] == 1 and got[3]["clean_text"] == ""
+    assert got[4]["clean_text"] == "intro four\n\nbody four"
+    assert got[5]["n_removed"] == 0

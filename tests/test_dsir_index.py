@@ -230,3 +230,24 @@ def test_fold_law_property(spark):
             shutil.rmtree(root, ignore_errors=True)
 
     run()
+
+
+def test_two_fold_init_completes_half_initialized_store(spark, tmp_path):
+    """A builder that crashed between fold 1 and fold 2 leaves a
+    versioned-but-half store; the shared bootstrap must detect it by
+    WATERMARK (not version presence), complete the missing half
+    idempotently, and no-op on an already-complete store."""
+    from tinyerp_etl_spark.plans.llm_ops import _dsir_two_fold_init
+
+    path = str(tmp_path / "m6")
+    pool = _docs(spark, _POOL)  # ids 1..6 -> thr = 3, same split
+    update_dsir_model(spark, path, pool.filter(F.col("doc_id") <= 3))
+    _dsir_two_fold_init(spark, path, pool)  # must land the 4..6 half
+    clean = str(tmp_path / "m6c")
+    update_dsir_model(spark, clean, pool)
+    got = sorted(map(tuple, read_dsir_model(spark, path).collect()))
+    want = sorted(map(tuple, read_dsir_model(spark, clean).collect()))
+    assert got == want
+    v = dsir_model_store(spark, path).current_version()
+    _dsir_two_fold_init(spark, path, pool)  # complete store: no-op
+    assert dsir_model_store(spark, path).current_version() == v

@@ -952,9 +952,13 @@ def line_dedup_summary(
     whose first copy is content; that keep-one rule is
     paragraph_dedup_summary's). A line repeated only WITHIN one
     document stays: intra-doc repetition is the repetition profile's
-    signal, not boilerplate. Output (id, n_lines, n_removed,
-    clean_text) with clean_text the surviving lines rejoined by \n
-    in original order ('' when everything dropped).
+    signal, not boilerplate. BLANK lines (empty after space-trim) are
+    never boilerplate — they are paragraph separators, and two docs
+    sharing any blank line would otherwise delete every separator
+    corpus-wide (the CCNet practice: hash content lines only).
+    Output (id, n_lines, n_removed, clean_text) with clean_text the
+    surviving lines rejoined by \n in original order ('' when
+    everything dropped).
 
     Plan shape for 100 TB: one split+posexplode (materialized — it
     feeds the distinct-doc count, the join-back, and the per-doc
@@ -974,7 +978,8 @@ def line_dedup_summary(
         )
     )
     boiler = (
-        lines.groupBy("line")
+        lines.filter(F.trim(F.col("line")) != "")
+        .groupBy("line")
         .agg(F.count_distinct(id_col).alias("__nd"))
         .filter(F.col("__nd") >= 2)
         .select("line")

@@ -170,10 +170,11 @@ def gopher_verdict(col: Column | str) -> Column:
 
     Rules, in paper order (Rae et al. 2021 A1.1), all exact-integer:
     word count in [50, 100 000]; mean word length in [3, 10] chars;
-    symbol-to-word ratio ('#' chars + '...' runs) ≤ 0.1; ≤ 90 % of
-    lines starting with a bullet ('-'/'*' after indent); ≤ 30 % of
-    lines ending with '...'; ≥ 80 % of words containing an [a-z]
-    letter; ≥ 2 distinct words of GOPHER_REQUIRED_WORDS present.
+    symbol-to-word ratio ≤ 0.1 for EACH of '#' chars and '...' runs
+    (the paper gates the two symbols individually, not their sum); ≤
+    90 % of lines starting with a bullet ('-'/'*' after indent); ≤
+    30 % of lines ending with '...'; ≥ 80 % of words containing an
+    [a-z] letter; ≥ 2 distinct words of GOPHER_REQUIRED_WORDS present.
     The tokenizer and the line split are each bound ONCE per row
     (dedup._bind_once — Catalyst does not CSE through higher-order
     functions). Pure codegen expressions, no UDF, engine-portable
@@ -217,7 +218,8 @@ def gopher_verdict(col: Column | str) -> Column:
             .when(tot_len < 3 * n_words, F.lit("low_mean_word_len"))
             .when(tot_len > 10 * n_words, F.lit("high_mean_word_len"))
             .when(
-                (n_hash + n_ell) * 10 > n_words, F.lit("high_symbol_ratio")
+                (n_hash * 10 > n_words) | (n_ell * 10 > n_words),
+                F.lit("high_symbol_ratio"),
             )
         )
         post = (
@@ -827,10 +829,12 @@ def normalize_url(col: Column | str) -> Column:
     scheme = F.lower(F.regexp_extract(u, _URL_SCHEME_RE, 1))
     host0 = F.lower(F.regexp_extract(u, _URL_HOST_RE, 1))
     # the authority component is userinfo@host:port — drop userinfo
-    # BEFORE the www/port rules so they see the real host ([^@/]* is
-    # the advice-spelled guard; the extract already excludes '/')
+    # BEFORE the www/port rules so they see the real host. WHATWG URL
+    # parsing splits the authority at the LAST '@' (a raw '@' inside
+    # a password is common in dirty crawl data), and host0 cannot
+    # contain '/', so the greedy ^[^/]*@ strips exactly to the last @
     host1 = F.regexp_replace(
-        F.regexp_replace(host0, "^[^@/]*@", ""), r"^www\.", ""
+        F.regexp_replace(host0, "^[^/]*@", ""), r"^www\.", ""
     )
     host = F.when(
         (scheme == "http") & host1.endswith(":80"),

@@ -5151,7 +5151,7 @@ def _url_canon_ctes(src: str, carry: list[str]) -> str:
                '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
              regexp_replace(regexp_replace(lower(regexp_extract(u,
                '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
-               '^[^@/]*@', ''), '^www\\.', '') AS host1,
+               '^[^/]*@', ''), '^www\\.', '') AS host1,
              regexp_replace(regexp_extract(u,
                '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
                '/+\\z', '') AS path,
@@ -5281,30 +5281,31 @@ def _dsir_two_fold_init(
 ) -> None:
     """Bootstrap a DSIR model store from ``raw`` in TWO ingest-ordered
     batches split at the median id — the gate's stand-in for a real
-    ingest history, shared by every memoized store builder. No-op if
-    the store already has a version."""
-    from tinyerp_etl_spark.operators import dsir_index as DI
+    ingest history, shared by every memoized store builder.
 
-    if DI.dsir_model_store(spark, path).current_version() is not None:
-        return
+    Complete-state detection is by WATERMARK, not version presence: a
+    builder that crashed between fold 1 and fold 2 leaves a store
+    whose max hi_doc_id sits at the first half's span — serving that
+    would silently score against half the pool's mass. Any store
+    whose watermark does not cover the second batch's span resumes
+    through the idempotent ``skip_existing`` path (fold 1 absorbs as
+    an exact redelivery, fold 2 lands). The watermark can sit below
+    max(raw id) on a COMPLETE store only when the max-id docs are
+    sub-gram (they hold no grams and no mass); the resume pass then
+    no-ops both folds — two control-plane jobs, version preserved."""
     from tinyerp_etl_spark.etl.fold import occ_fold
     from tinyerp_etl_spark.etl.table_store import ConcurrentWriteError
+    from tinyerp_etl_spark.operators import dsir_index as DI
 
-    thr = int(raw.agg(F.max(id_col)).first()[0]) // 2
+    mx = int(raw.agg(F.max(id_col)).first()[0])
+    thr = mx // 2
     b1 = raw.filter(F.col(id_col) <= thr)
     b2 = raw.filter(F.col(id_col) > thr)
-    try:
-        DI.update_dsir_model(spark, path, b1, id_col=id_col)
-        DI.update_dsir_model(spark, path, b2, id_col=id_col)
-    except (ConcurrentWriteError, DI.DsirOverlapError):
-        # a concurrent builder raced the identical two-fold init
-        # (lost OCC race, or the winner's fold makes our replay look
-        # like an overlap); exact-redelivery absorption makes a
-        # skip_existing retry idempotent — each fold either no-ops
-        # (the winner already landed the identical content) or lands
-        # the half the winner hasn't yet. ONLY those two exceptions
-        # retry: a non-race contract error (n_buckets mismatch, bad
-        # mode) surfaces directly
+    store = DI.dsir_model_store(spark, path)
+
+    def _resume() -> None:
+        # idempotent completion: each fold either no-ops (an exact
+        # redelivery of recorded content) or lands the missing half
         for b in (b1, b2):
             occ_fold(
                 lambda b=b: DI.update_dsir_model(
@@ -5312,6 +5313,23 @@ def _dsir_two_fold_init(
                     on_overlap="skip_existing",
                 )
             )
+
+    if store.current_version() is not None:
+        hi = store.read().agg(F.max("hi_doc_id")).first()[0]
+        if hi is not None and int(hi) > thr:
+            return  # both folds' gram mass is in
+        _resume()  # half-initialized (crashed builder): complete it
+        return
+    try:
+        DI.update_dsir_model(spark, path, b1, id_col=id_col)
+        DI.update_dsir_model(spark, path, b2, id_col=id_col)
+    except (ConcurrentWriteError, DI.DsirOverlapError):
+        # a concurrent builder raced the identical two-fold init
+        # (lost OCC race, or the winner's fold makes our replay look
+        # like an overlap). ONLY those two exceptions retry: a
+        # non-race contract error (n_buckets mismatch, bad mode)
+        # surfaces directly
+        _resume()
 
 
 def _dsir_store_for(spark: SparkSession, sf_dir: str) -> str:
@@ -6315,7 +6333,7 @@ LLM_ORACLES["gopher_quality_docs"] = f"""
                 WHEN n_words > {X.GOPHER_MAX_WORDS} THEN 'too_many_words'
                 WHEN tot_len < 3 * n_words THEN 'low_mean_word_len'
                 WHEN tot_len > 10 * n_words THEN 'high_mean_word_len'
-                WHEN (n_hash + n_ell) * 10 > n_words
+                WHEN n_hash * 10 > n_words OR n_ell * 10 > n_words
                   THEN 'high_symbol_ratio'
                 WHEN n_bullet * 10 > 9 * n_lines THEN 'too_many_bullets'
                 WHEN n_ell_lines * 10 > 3 * n_lines
@@ -6376,7 +6394,7 @@ LLM_ORACLES["line_dedup_docs"] = """
       FROM staged
     ),
     boiler AS (
-      SELECT line FROM ex GROUP BY line
+      SELECT line FROM ex WHERE trim(line) <> '' GROUP BY line
       HAVING count(DISTINCT doc_id) >= 2
     ),
     kept AS (
