@@ -236,11 +236,35 @@ def main() -> None:
             if name not in queries:
                 continue
             t0 = time.perf_counter()
-            # count() forces full execution of every operator in the plan
+            # count() forces every JOIN and AGGREGATION in the plan —
+            # the round-over-round comparable number since round 1.
+            # CAVEAT (found in round 12): on a MAP-ONLY query (pure
+            # select + orderBy, e.g. html_extract_docs /
+            # gopher_quality_docs) Catalyst's column pruning removes
+            # the unused projection under count(1), so this measures
+            # the scan, not the expressions; `queries_forced` below is
+            # the honest number for those rows
             queries[name](spark, sf_dir).count()
             dt = time.perf_counter() - t0
             if name not in timings or dt < timings[name]:
                 timings[name] = round(dt, 4)
+
+    # forced-compute track (round 12+): a noop-sink write materializes
+    # EVERY output column, so map-only projections and final
+    # presentation sorts are measured too. Kept as a separate dict so
+    # `queries` stays methodology-comparable with rounds 1-11.
+    forced: dict[str, float] = {}
+    for _pass in range(3):
+        for name in HEADLINE:
+            if name not in queries:
+                continue
+            t0 = time.perf_counter()
+            queries[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            dt = time.perf_counter() - t0
+            if name not in forced or dt < forced[name]:
+                forced[name] = round(dt, 4)
     total = sum(timings.values())
     comparable = sum(
         v
@@ -288,6 +312,8 @@ def main() -> None:
                 "value": round(total, 4),
                 "unit": "sec",
                 "queries": timings,
+                "queries_forced": forced,
+                "forced_total": round(sum(forced.values()), 4),
                 "sf": sf,
                 "comparable_r3_total": round(comparable, 4),
                 "comparable_r6_total": round(comparable_r6, 4),
