@@ -112,20 +112,23 @@ def brute_force_topk(
     one scan, no vector shuffle, TakeOrdered(k) on top.
     """
     query = embeddings.filter(F.col(id_col) == query_vec_id).select(
-        F.col(vec_col).alias("__qvec"),
-        quantized_norm2(F.col(vec_col)).alias("__qn2"),
+        _q(F.col(vec_col)).alias("__qt"),
+    ).withColumn("__qn2", _ticks_norm2(F.col("__qt")))
+    # query ticks + norm ride in the broadcast row, row ticks are a
+    # pre-join projection — embedded in the score, the interpreted
+    # quantize would re-run per scanned row for dot AND norm
+    base = embeddings.select(
+        F.col(id_col), _q(F.col(vec_col)).alias("__vt")
     )
-    # query norm rides in the broadcast row — without it, the (inter-
-    # preted) norm of the same query vector is recomputed per scanned row
     score = (
-        quantized_dot(F.col(vec_col), F.col("__qvec"))
+        _ticks_dot(F.col("__vt"), F.col("__qt"))
         / F.sqrt(
-            quantized_norm2(F.col(vec_col)).cast("double")
+            _ticks_norm2(F.col("__vt")).cast("double")
             * F.col("__qn2").cast("double")
         )
     ).cast("double")
     return (
-        embeddings.crossJoin(F.broadcast(query))
+        base.crossJoin(F.broadcast(query))
         .filter(F.col(id_col) != query_vec_id)
         .select(F.col(id_col), score.alias("score"))
         .orderBy(F.col("score").desc(), F.col(id_col).asc())
@@ -145,16 +148,20 @@ def lsh_topk(
     At 100 TB the bucket predicate prunes partitions before any read;
     recall is traded for a ~2^dims scan reduction.
     """
-    with_bucket = embeddings.withColumn("__bucket", sign_bucket(F.col(vec_col)))
+    with_bucket = embeddings.select(
+        F.col(id_col),
+        _q(F.col(vec_col)).alias("__vt"),
+        sign_bucket(F.col(vec_col)).alias("__bucket"),
+    )
     query = with_bucket.filter(F.col(id_col) == query_vec_id).select(
-        F.col(vec_col).alias("__qvec"),
+        F.col("__vt").alias("__qt"),
         F.col("__bucket").alias("__qbucket"),
-        quantized_norm2(F.col(vec_col)).alias("__qn2"),
+        _ticks_norm2(F.col("__vt")).alias("__qn2"),
     )
     score = (
-        quantized_dot(F.col(vec_col), F.col("__qvec"))
+        _ticks_dot(F.col("__vt"), F.col("__qt"))
         / F.sqrt(
-            quantized_norm2(F.col(vec_col)).cast("double")
+            _ticks_norm2(F.col("__vt")).cast("double")
             * F.col("__qn2").cast("double")
         )
     ).cast("double")
@@ -792,16 +799,16 @@ def neardup_pairs(
             "scale",
             stacklevel=2,
         )
-    # norms are computed once per VECTOR before the join — higher-order
-    # array expressions are interpreted (not codegen'd), so recomputing
-    # both norms inside every pair's cosine would triple the dominant
-    # cost of bucket scoring
+    # ticks and norms are computed once per VECTOR before the join —
+    # higher-order array expressions are interpreted (not codegen'd),
+    # so re-quantizing both float arrays inside every pair's cosine
+    # would multiply the dominant cost of bucket scoring by the
+    # per-pair fan-out (the semantic_dedup lesson: 4.3× measured)
     b = embeddings.select(
         F.col(id_col),
-        F.col(vec_col),
+        _q(F.col(vec_col)).alias("__vt"),
         sign_bucket(F.col(vec_col)).alias("__bucket"),
-        quantized_norm2(F.col(vec_col)).alias("__n2"),
-    )
+    ).withColumn("__n2", _ticks_norm2(F.col("__vt")))
     if bucket_cap is not None:
         wb = Window.partitionBy("__bucket")
         tagged = b.withColumn("__n", F.count(F.lit(1)).over(wb))
@@ -816,18 +823,18 @@ def neardup_pairs(
         quarantined = b.select(F.col(id_col)).limit(0)
     left = ok.select(
         F.col(id_col).alias("id_a"),
-        F.col(vec_col).alias("vec_a"),
+        F.col("__vt").alias("__ta"),
         "__bucket",
         F.col("__n2").alias("__n2_a"),
     )
     right = ok.select(
         F.col(id_col).alias("id_b"),
-        F.col(vec_col).alias("vec_b"),
+        F.col("__vt").alias("__tb"),
         "__bucket",
         F.col("__n2").alias("__n2_b"),
     )
     score = (
-        quantized_dot(F.col("vec_a"), F.col("vec_b"))
+        _ticks_dot(F.col("__ta"), F.col("__tb"))
         / F.sqrt(F.col("__n2_a").cast("double") * F.col("__n2_b").cast("double"))
     ).cast("double")
     # both sides carry the full vector column (data-scale): never let
@@ -1064,21 +1071,32 @@ def semantic_dedup(
     quarantined = (
         tagged.filter(F.col("__n") > cluster_cap).select(F.col(id_col)).distinct()
     )
-    base = ok.withColumn("__n2", quantized_norm2(F.col(vec_col)))
+    # quantize ONCE per vector BEFORE the pair join: the join fans out
+    # to ~cluster_size/2 pairs per row, and the original per-pair
+    # quantized_dot re-ran _q (two transforms with per-element
+    # round+cast) on BOTH float arrays for every pair — measured 4.3×
+    # slower at sf0.1 (16.4 s → 3.8 s forced) than carrying the tick
+    # arrays through the shuffle and scoring with _ticks_dot. The
+    # ticks double the per-row shuffle bytes (long vs float), but
+    # pairs ≫ rows, so per-pair compute dominates at every scale.
+    # Results are bit-identical: same _q expression, same integers.
+    base = ok.withColumn("__vt", _q(F.col(vec_col))).withColumn(
+        "__n2", _ticks_norm2(F.col("__vt"))
+    )
     left = base.select(
         F.col(id_col).alias("__id_a"),
-        F.col(vec_col).alias("__vec_a"),
+        F.col("__vt").alias("__ta"),
         "list_id",
         F.col("__n2").alias("__n2_a"),
     )
     right = base.select(
         F.col(id_col).alias("__id_b"),
-        F.col(vec_col).alias("__vec_b"),
+        F.col("__vt").alias("__tb"),
         "list_id",
         F.col("__n2").alias("__n2_b"),
     )
     score = (
-        quantized_dot(F.col("__vec_a"), F.col("__vec_b"))
+        _ticks_dot(F.col("__ta"), F.col("__tb"))
         / F.sqrt(F.col("__n2_a").cast("double") * F.col("__n2_b").cast("double"))
     ).cast("double")
     # full vectors on both sides: force the shuffle build, same OOM
@@ -1345,19 +1363,18 @@ def knn_join(
         )
     q = queries.select(
         F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("__qvec"),
-        quantized_norm2(F.col(vec_col)).alias("__qn2"),
-    )
-    # corpus norms computed ONCE per row before the join — embedded in
-    # the score expression they would re-run the interpreted O(dim)
-    # aggregate once per (row × query) pair
+        _q(F.col(vec_col)).alias("__qt"),
+    ).withColumn("__qn2", _ticks_norm2(F.col("__qt")))
+    # ticks and norms computed ONCE per row/query before the join —
+    # embedded in the score expression, the interpreted O(dim)
+    # quantize+aggregate would re-run once per (row × query) pair
+    # (the semantic_dedup lesson: 4.3× measured on the pair join)
     corpus = embeddings.select(
         F.col(id_col),
-        F.col(vec_col),
-        quantized_norm2(F.col(vec_col)).alias("__n2"),
-    )
+        _q(F.col(vec_col)).alias("__vt"),
+    ).withColumn("__n2", _ticks_norm2(F.col("__vt")))
     score = (
-        quantized_dot(F.col(vec_col), F.col("__qvec"))
+        _ticks_dot(F.col("__vt"), F.col("__qt"))
         / F.sqrt(F.col("__n2").cast("double") * F.col("__qn2").cast("double"))
     ).cast("double")
     scored = (

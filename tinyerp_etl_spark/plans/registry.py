@@ -554,7 +554,21 @@ _RELATIONAL_NAMES = [
 #       with 10× SCALE probes recorded, but the round-12 gate's 50
 #       slots were committed to retiring the r8 debt, so their
 #       driver rows land here;
-#   (0b) rows whose engine code round 13 changes;
+#   (0b) rows whose engine code round 13 changes. THREE are already
+#       owed from late round 12 (the tick-hoist optimization pass:
+#       similarity.semantic_dedup / neardup_pairs / knn_join-brute /
+#       brute_force_topk / lsh_topk now quantize each vector ONCE
+#       before their pair/scan fan-out instead of re-quantizing per
+#       pair — results bit-identical, 4.3× measured on semantic_dedup,
+#       parity re-proven at sf0.001 + sf0.01 at change time): most
+#       owner rows sit in the round-12 gate (semantic_dedup_embeddings,
+#       embedding_neardup_pairs, embedding_topk_bruteforce,
+#       embedding_topk_lsh) and two are in the (a) list below
+#       (neardup_threshold_curve, neardup_components), but
+#       embedding_knn_join (brute kernel, r10-green) plus
+#       embedding_knn_join_inline / embedding_knn_join_routed
+#       (r11-green; they route through the same scoring tail) could
+#       not fit round 12's committed 50 — gate them here;
 #   (a) the 48 rows whose newest green will then be r9 (re-derive
 #       from the CORRECTNESS files at rotation time; today's set):
 #       applyinpandas_group_ols, approx_quantile_order_totals,
