@@ -163,10 +163,21 @@ GOPHER_REQUIRED_WORDS = [
 
 
 def gopher_verdict(col: Column | str) -> Column:
-    r"""Gopher-style quality verdict: FIRST failing rule, else
-    ``keep`` (the c4_verdict convention — one source of truth for the
-    cascade, shared by the standalone filter query and any pipeline
-    that composes it).
+    """Gopher verdict alone — see ``gopher_stats`` (the struct face
+    whose one bound tokenizer pass serves both the verdict and the
+    word count; reading one field costs the same pass)."""
+    return gopher_stats(col).getField("verdict")
+
+
+def gopher_stats(col: Column | str) -> Column:
+    r"""``struct<n_words int, verdict string>`` — Gopher-style quality
+    verdict: FIRST failing rule, else ``keep`` (the c4_verdict
+    convention — one source of truth for the cascade, shared by the
+    standalone filter query and any pipeline that composes it). The
+    word count rides in the same struct because two independent
+    output expressions would EACH re-run the tokenizer regex over the
+    full text (higher-order expressions are never CSE'd); consumers
+    select the struct in one projection and its fields in a second.
 
     Rules, in paper order (Rae et al. 2021 A1.1), all exact-integer:
     word count in [50, 100 000]; mean word length in [3, 10] chars;
@@ -227,7 +238,13 @@ def gopher_verdict(col: Column | str) -> Column:
             .when(n_req < 2, F.lit("low_stopword"))
             .otherwise(F.lit("keep"))
         )
-        return F.coalesce(pre, _bind_once(F.split(c, "\n"), _with_lines), post)
+        verdict = F.coalesce(
+            pre, _bind_once(F.split(c, "\n"), _with_lines), post
+        )
+        return F.struct(
+            n_words.cast("int").alias("n_words"),
+            verdict.alias("verdict"),
+        )
 
     return _bind_once(tokens(col), _scored)
 

@@ -6277,11 +6277,20 @@ def gopher_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("text"))
         .alias("text"),
     )
-    return staged.select(
-        "doc_id",
-        X.token_count("text").cast("int").alias("n_words"),
-        X.gopher_verdict("text").alias("verdict"),
-    ).orderBy("doc_id")
+    # the struct face: ONE bound tokenizer pass serves both output
+    # columns (token_count + gopher_verdict as independent expressions
+    # each re-ran the regex over the full text — 2× the map cost);
+    # fields are read in a SECOND projection so the non-cheap struct
+    # is never inlined twice by CollapseProject
+    return (
+        staged.select("doc_id", X.gopher_stats("text").alias("__g"))
+        .select(
+            "doc_id",
+            F.col("__g.n_words").alias("n_words"),
+            F.col("__g.verdict").alias("verdict"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 _GOPHER_REQ_SQL = ", ".join(f"'{w}'" for w in X.GOPHER_REQUIRED_WORDS)
