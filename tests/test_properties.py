@@ -733,3 +733,125 @@ def test_dup_span_coverage_matches_python_model(spark, token_lists):
         for r in dup_span_coverage(docs, k=3).collect()
     }
     assert got == model_dup_span_coverage(texts, k=3)
+
+
+# ---------------- round-12 newcomers: Gopher rules + line dedup
+
+_GOPHER_WORDS = [
+    "the", "be", "to", "of", "and", "that", "have", "with",
+    "alpha", "beta", "gamma", "x", "123", "45678",
+    "pneumonoultramicroscopicsilico",
+]
+_GOPHER_TOKENS = st.one_of(
+    st.sampled_from(_GOPHER_WORDS),
+    st.just("#"),
+    st.just("..."),
+    st.just("- bullet"),
+)
+_GOPHER_LINE = st.lists(_GOPHER_TOKENS, min_size=0, max_size=20).map(
+    " ".join
+)
+_GOPHER_DOC = st.lists(_GOPHER_LINE, min_size=1, max_size=4).map(
+    "\n".join
+)
+
+
+def ref_gopher(text: str) -> tuple[int, str]:
+    """Exact Python model of operators/text.gopher_verdict (Rae et al.
+    2021 A1.1, the engine's exact-integer spelling)."""
+    import re
+
+    toks = re.findall(r"\w+", text.lower())
+    n = len(toks)
+    tot = sum(len(t) for t in toks)
+    n_hash = text.count("#")
+    n_ell = len(re.findall(r"\.\.\.", text))
+    lines = text.split("\n")
+    n_lines = len(lines)
+    n_bullet = sum(1 for l in lines if re.search(r"^[ \t]*[-*]", l))
+    n_ell_lines = sum(1 for l in lines if l.rstrip(" ").endswith("..."))
+    n_alpha = sum(1 for t in toks if re.search("[a-z]", t))
+    req = {"the", "be", "to", "of", "and", "that", "have", "with"}
+    n_req = len(set(toks) & req)
+    if n < 50:
+        v = "too_few_words"
+    elif n > 100_000:
+        v = "too_many_words"
+    elif tot < 3 * n:
+        v = "low_mean_word_len"
+    elif tot > 10 * n:
+        v = "high_mean_word_len"
+    elif n_hash * 10 > n or n_ell * 10 > n:
+        v = "high_symbol_ratio"
+    elif n_bullet * 10 > 9 * n_lines:
+        v = "too_many_bullets"
+    elif n_ell_lines * 10 > 3 * n_lines:
+        v = "too_many_ellipses"
+    elif n_alpha * 10 < 8 * n:
+        v = "low_alpha_ratio"
+    elif n_req < 2:
+        v = "low_stopword"
+    else:
+        v = "keep"
+    return n, v
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(_GOPHER_DOC, min_size=1, max_size=25))
+def test_gopher_verdict_matches_python_model(spark, docs):
+    from tinyerp_etl_spark.operators.text import gopher_stats
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "i int, text string"
+    )
+    got = {
+        r["i"]: (r["g"]["n_words"], r["g"]["verdict"])
+        for r in df.select("i", gopher_stats("text").alias("g")).collect()
+    }
+    for i, t in enumerate(docs):
+        assert got[i] == ref_gopher(t), f"doc {t!r}: {got[i]} != {ref_gopher(t)}"
+
+
+_LINE_VOCAB = st.sampled_from(
+    ["same header", "footer", "unique %d", "", " ", "body text", "x y"]
+)
+_LINE_DOC = st.lists(_LINE_VOCAB, min_size=1, max_size=5)
+
+
+def ref_line_dedup(docs: list[list[str]]) -> dict[int, tuple[int, int, str]]:
+    """Exact Python model of operators/dedup.line_dedup_summary:
+    non-blank (space-trim) lines in >=2 DISTINCT docs drop from every
+    doc; blanks always survive; ordered reassembly."""
+    owners: dict[str, set[int]] = {}
+    for i, lines in enumerate(docs):
+        for l in lines:
+            if l.strip(" ") != "":
+                owners.setdefault(l, set()).add(i)
+    boiler = {l for l, o in owners.items() if len(o) >= 2}
+    out = {}
+    for i, lines in enumerate(docs):
+        kept = [l for l in lines if l not in boiler]
+        out[i] = (len(lines), len(lines) - len(kept), "\n".join(kept))
+    return out
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(_LINE_DOC, min_size=1, max_size=12))
+def test_line_dedup_matches_python_model(spark, raw_docs):
+    from tinyerp_etl_spark.operators.dedup import line_dedup_summary
+
+    # make the 'unique %d' template per-doc unique so generated corpora
+    # hold both shared and owned lines
+    docs = [
+        [l % i if "%d" in l else l for l in lines]
+        for i, lines in enumerate(raw_docs)
+    ]
+    df = spark.createDataFrame(
+        [(i, "\n".join(lines)) for i, lines in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_lines"], r["n_removed"], r["clean_text"])
+        for r in line_dedup_summary(df).collect()
+    }
+    assert got == ref_line_dedup(docs)
