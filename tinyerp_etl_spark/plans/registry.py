@@ -599,6 +599,18 @@ _RELATIONAL_NAMES = [
 #       the standing convention);
 #   (b) fill any remaining slots with r10-stale rows, shape-starved
 #       first.
+# SLOT ARITHMETIC NOTE: (0)+(0b)+(a) as pre-staged = 2 + 3 + 48 = 53
+# named rows for 50 slots. Resolve at composition time exactly as
+# prior rotations did: the 5 (0)/(0b) rows are fixed (zero-evidence
+# newcomers and changed engine outrank stale-but-proven), so defer
+# the 3 r9-stale fills whose shapes fresher or in-gate rows best
+# cover (document each; candidates: pq_topk_embeddings — its ADC
+# kernel is carried by ivfpq_topk_embeddings + pq_recall_report in
+# the same list; ivf_nprobe_recall_curve — its recall-measurement
+# kernel is carried by pq_recall_report and the r12-green
+# embedding_knn_join rows... choose from the list against r13's
+# actual newcomer set) to round 14's front, which the then-emptied
+# backlog easily absorbs.
 _ROUND12_FRONT_50 = [
     # (0) the 7 pre-staged late-round-11 newcomers, gated at birth
     "ctfidf_source_terms",
