@@ -252,21 +252,25 @@ def main() -> None:
     # forced-compute track (round 12+): a noop-sink write materializes
     # EVERY output column, so map-only projections and final
     # presentation sorts are measured too. Kept as a separate dict so
-    # `queries` stays methodology-comparable with rounds 1-11. ONE
-    # warm pass (inputs already hot from the count() passes): the
-    # track is diagnostic — it exists to expose count()-pruned compute
-    # — while the min-of-3 count() track remains the round-over-round
-    # comparable, and a single pass keeps the driver's bench wall
-    # close to its historical budget.
+    # `queries` stays methodology-comparable with rounds 1-11. MIN OF
+    # TWO passes: the first noop execution of a heavy expression tree
+    # pays its codegen compile (measured +4.7 s on the nine-rule
+    # gopher cascade), so a single pass conflates compile with run;
+    # two passes bound the driver's bench wall while the min reports
+    # the warm number. The min-of-3 count() track remains the
+    # round-over-round comparable.
     forced: dict[str, float] = {}
-    for name in HEADLINE:
-        if name not in queries:
-            continue
-        t0 = time.perf_counter()
-        queries[name](spark, sf_dir).write.format("noop").mode(
-            "overwrite"
-        ).save()
-        forced[name] = round(time.perf_counter() - t0, 4)
+    for _pass in range(2):
+        for name in HEADLINE:
+            if name not in queries:
+                continue
+            t0 = time.perf_counter()
+            queries[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            dt = time.perf_counter() - t0
+            if name not in forced or dt < forced[name]:
+                forced[name] = round(dt, 4)
     total = sum(timings.values())
     comparable = sum(
         v
