@@ -281,6 +281,7 @@ def main() -> None:
         and k not in HEADLINE_R9
         and k not in HEADLINE_R10
         and k not in HEADLINE_R11
+        and k not in HEADLINE_R12
     )
     # the set benched in rounds 5-6: total minus later additions,
     # so r6 -> r7+ compares directly without re-deriving the exclusion
@@ -291,6 +292,7 @@ def main() -> None:
         and k not in HEADLINE_R9
         and k not in HEADLINE_R10
         and k not in HEADLINE_R11
+        and k not in HEADLINE_R12
     )
     # the set benched in rounds 7-8 (the r8 verdict's common-52)
     comparable_r8 = sum(
@@ -299,16 +301,27 @@ def main() -> None:
         if k not in HEADLINE_R9
         and k not in HEADLINE_R10
         and k not in HEADLINE_R11
+        and k not in HEADLINE_R12
     )
     # the set benched in round 9 (for the r9 -> r10 comparison)
     comparable_r9 = sum(
         v
         for k, v in timings.items()
-        if k not in HEADLINE_R10 and k not in HEADLINE_R11
+        if (
+            k not in HEADLINE_R10
+            and k not in HEADLINE_R11
+            and k not in HEADLINE_R12
+        )
     )
     # the set benched in round 10 (for the r10 -> r11 comparison)
     comparable_r10 = sum(
-        v for k, v in timings.items() if k not in HEADLINE_R11
+        v
+        for k, v in timings.items()
+        if k not in HEADLINE_R11 and k not in HEADLINE_R12
+    )
+    # the set benched in round 11 (for the r11 -> r12 comparison)
+    comparable_r11 = sum(
+        v for k, v in timings.items() if k not in HEADLINE_R12
     )
 
     # Key ORDER matters: the driver records only the LAST ~2000 bytes
@@ -329,6 +342,7 @@ def main() -> None:
         "comparable_r8_total": round(comparable_r8, 4),
         "comparable_r9_total": round(comparable_r9, 4),
         "comparable_r10_total": round(comparable_r10, 4),
+        "comparable_r11_total": round(comparable_r11, 4),
         "forced_total": round(sum(forced.values()), 4),
         "sf": sf,
         "queries": timings,
