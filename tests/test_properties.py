@@ -758,7 +758,15 @@ _GOPHER_DOC = st.lists(_GOPHER_LINE, min_size=1, max_size=4).map(
 
 def ref_gopher(text: str) -> tuple[int, str]:
     """Exact Python model of operators/text.gopher_verdict (Rae et al.
-    2021 A1.1, the engine's exact-integer spelling)."""
+    2021 A1.1, the engine's exact-integer spelling).
+
+    Domain note: the strategy vocabulary is ASCII-ONLY by design —
+    Python's \\w is Unicode while the engine's Java \\w is ASCII, so a
+    non-ASCII token would diverge here while the engine stays
+    consistent with its RE2 DuckDB oracle (the pair that actually
+    must agree). The too_many_words (>100 000) branch is likewise
+    unreachable at strategy sizes; it is pinned by the staged %115
+    docs in the gated query instead."""
     import re
 
     toks = re.findall(r"\w+", text.lower())

@@ -83,20 +83,32 @@ def quantize_int8(col: Column) -> Column:
     return F.struct(scale.alias("scale"), q.alias("q"))
 
 
+def _ticks_sign_bucket(ticks: Column, dims: int = SIGN_BUCKET_DIMS) -> Column:
+    """``sign_bucket`` over an ALREADY-QUANTIZED tick array — callers
+    that carry ticks (the hoisted pair kernels) read them directly
+    instead of re-quantizing. Bit-identical: sign(_q(a)[j]) ==
+    sign(ticks[j]) because _q preserves sign per element."""
+    bucket = F.lit(0).cast("long")
+    for j in range(dims):
+        bucket = bucket + F.when(
+            F.element_at(ticks, j + 1) > 0, F.lit(2**j).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return bucket
+
+
 def sign_bucket(a: Column, dims: int = SIGN_BUCKET_DIMS) -> Column:
     """Hyperplane-LSH bucket: sign bits of the leading ``dims`` dims.
 
     Axis-aligned hyperplanes keep the expression portable (and the
     bucket is a pure projection — computable at write time and usable
-    as a partition key).
+    as a partition key). The quantized array is BOUND once per row
+    (dedup._bind_once): referencing ``_q(a)`` from each of the
+    ``dims`` element_at reads would re-run the interpreted quantize
+    dims times — no CSE through higher-order expressions.
     """
-    q = _q(a)
-    bucket = F.lit(0).cast("long")
-    for j in range(dims):
-        bucket = bucket + F.when(
-            F.element_at(q, j + 1) > 0, F.lit(2**j).cast("long")
-        ).otherwise(F.lit(0).cast("long"))
-    return bucket
+    from tinyerp_etl_spark.operators.dedup import _bind_once
+
+    return _bind_once(_q(a), lambda q: _ticks_sign_bucket(q, dims))
 
 
 def brute_force_topk(
@@ -151,7 +163,10 @@ def lsh_topk(
     with_bucket = embeddings.select(
         F.col(id_col),
         _q(F.col(vec_col)).alias("__vt"),
-        sign_bucket(F.col(vec_col)).alias("__bucket"),
+    ).select(
+        F.col(id_col),
+        F.col("__vt"),
+        _ticks_sign_bucket(F.col("__vt")).alias("__bucket"),
     )
     query = with_bucket.filter(F.col(id_col) == query_vec_id).select(
         F.col("__vt").alias("__qt"),
@@ -804,11 +819,21 @@ def neardup_pairs(
     # so re-quantizing both float arrays inside every pair's cosine
     # would multiply the dominant cost of bucket scoring by the
     # per-pair fan-out (the semantic_dedup lesson: 4.3× measured)
-    b = embeddings.select(
-        F.col(id_col),
-        _q(F.col(vec_col)).alias("__vt"),
-        sign_bucket(F.col(vec_col)).alias("__bucket"),
-    ).withColumn("__n2", _ticks_norm2(F.col("__vt")))
+    b = (
+        embeddings.select(
+            F.col(id_col),
+            _q(F.col(vec_col)).alias("__vt"),
+        )
+        # bucket + norm derive from the tick ATTRIBUTE in a second
+        # projection — deriving them from vec_col alongside __vt would
+        # quantize the row again (the /code-review catch on this pass)
+        .select(
+            F.col(id_col),
+            F.col("__vt"),
+            _ticks_sign_bucket(F.col("__vt")).alias("__bucket"),
+            _ticks_norm2(F.col("__vt")).alias("__n2"),
+        )
+    )
     if bucket_cap is not None:
         wb = Window.partitionBy("__bucket")
         tagged = b.withColumn("__n", F.count(F.lit(1)).over(wb))
@@ -837,9 +862,10 @@ def neardup_pairs(
         _ticks_dot(F.col("__ta"), F.col("__tb"))
         / F.sqrt(F.col("__n2_a").cast("double") * F.col("__n2_b").cast("double"))
     ).cast("double")
-    # both sides carry the full vector column (data-scale): never let
-    # the size-estimate pick a broadcast build — same OOM class as the
-    # shingle-table verify join (see dedup.lsh_neardup_verified)
+    # both sides carry full-width TICK arrays (long[dim] — 2× the
+    # float vector's bytes, data-scale): never let the size-estimate
+    # pick a broadcast build — same OOM class as the shingle-table
+    # verify join (see dedup.lsh_neardup_verified)
     pairs = (
         left.hint("shuffle_hash").join(right.hint("shuffle_hash"), "__bucket")
         .filter(F.col("id_a") < F.col("id_b"))
@@ -1099,8 +1125,8 @@ def semantic_dedup(
         _ticks_dot(F.col("__ta"), F.col("__tb"))
         / F.sqrt(F.col("__n2_a").cast("double") * F.col("__n2_b").cast("double"))
     ).cast("double")
-    # full vectors on both sides: force the shuffle build, same OOM
-    # rationale as neardup_pairs
+    # full-width tick arrays on both sides (long[dim]): force the
+    # shuffle build, same OOM rationale as neardup_pairs
     dropped = (
         left.hint("shuffle_hash")
         .join(right.hint("shuffle_hash"), "list_id")
