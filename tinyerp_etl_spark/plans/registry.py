@@ -6,12 +6,12 @@ rows-only check from the driver.
 
 Ordering note: the driver's correctness gate covers the first 50
 registry entries, so insertion order is the rotation schedule.
-ACTIVE: _ROUND12_FRONT_50 (see its inline comments — after round 12's
-gate runs green, EVERY registered query's newest driver row is r9+,
-the r8 evidence debt retires completely, and ZERO registered queries
-lack driver evidence for the first time since round 7). Prior gates
-below for the ledger; note round 8 ran _ROUND7_FRONT_50 unchanged, so
-the r7 list's rows carry r8-fresh evidence.
+ACTIVE: _ROUND13_FRONT_50 (see its inline comments — after round 13's
+gate runs green, EVERY registered query's newest driver row is r10+
+except the three documented deferrals, and the two late-round-12
+newcomers get their first driver rows). Prior gates below for the
+ledger; note round 8 ran _ROUND7_FRONT_50 unchanged, so the r7 list's
+rows carry r8-fresh evidence.
 Round 5's front 50 (ran in rounds 5 AND 6; see _ROUND5_FRONT_50's
 inline comments for the per-group rationale) =
   (0) the five queries NEW in round 5 (video_neardup_parity,
@@ -611,6 +611,105 @@ _RELATIONAL_NAMES = [
 # embedding_knn_join rows... choose from the list against r13's
 # actual newcomer set) to round 14's front, which the then-emptied
 # backlog easily absorbs.
+# ROUND-13 ROTATION (composed at round-13 start, exactly as round 12
+# pre-staged it; slot arithmetic 2+3+48 = 53 named rows for 50 slots
+# resolved by the documented rule — the 5 (0)/(0b) rows are fixed,
+# defer the 3 r9-stale fills whose shapes fresher or in-gate rows
+# best cover):
+#   (0) the 2 late-round-12 newcomers, never driver-gated (the only
+#       registered queries with zero driver evidence):
+#       gopher_quality_docs + line_dedup_docs — both oracle-parity
+#       green at sf0.001+sf0.01 at add time with 10x SCALE rows
+#       already recorded (SCALE.md "Round 12 probes");
+#   (0b) the 3 owed tick-hoist changed-engine rows: the late-round-12
+#       optimization pass rewrote the shared quantized-scoring tail
+#       (similarity.py: vectors quantized ONCE before pair/scan
+#       fan-out, bit-identical, 4.3x measured) and embedding_knn_join
+#       (brute kernel, newest green r10) plus embedding_knn_join_inline
+#       / embedding_knn_join_routed (newest green r11) route through
+#       it but could not fit round 12's committed 50;
+#   (a) 45 of the 48 rows whose newest green is r9 (set re-derived
+#       programmatically from CORRECTNESS_r01..r12 at composition
+#       time; matched the pre-staged list name-for-name). DEFERRED to
+#       round 14's front (each shape carried by fresher rows IN THIS
+#       GATE or r12-green):
+#       - pq_topk_embeddings: its ADC scoring kernel is carried
+#         in-gate by ivfpq_topk_embeddings + pq_recall_report;
+#       - ivf_nprobe_recall_curve: its recall-measurement kernel is
+#         carried in-gate by pq_recall_report and by the r12-green
+#         ivf_recall_report; its list-pruned scan shape by the
+#         r12-green ivf_partitioned_scan;
+#       - dedup_keep_canonical: its exact-fingerprint keep-one kernel
+#         is carried by the r12-green exact_dup_groups and in-gate by
+#         incremental_dedup_new_docs (keep-one against history
+#         through the same fingerprint kernel).
+# PRE-STAGED ROUND-14 ROTATION PLAN (compose at round-14 start):
+#   (0) any round-14 newcomers, gated at birth, displacing fills
+#       whose shapes fresher rows cover (document each);
+#   (0b) rows whose engine code round 14 changes;
+#   (a) the 3 round-13 deferrals above (pq_topk_embeddings,
+#       ivf_nprobe_recall_curve, dedup_keep_canonical) — zero rounds
+#       of extra staleness allowed beyond the one documented here —
+#       plus the 47 rows whose newest green will then be r10
+#       (re-derive from the CORRECTNESS files at rotation time);
+#       3 + 47 = 50 exact, so any round-14 newcomer displaces an
+#       r10 fill under the standing shape-coverage rule.
+_ROUND13_FRONT_50 = [
+    # (0) the 2 late-round-12 newcomers — first driver evidence
+    "gopher_quality_docs",
+    "line_dedup_docs",
+    # (0b) the 3 owed tick-hoist changed-engine re-gates
+    "embedding_knn_join",
+    "embedding_knn_join_inline",
+    "embedding_knn_join_routed",
+    # (a) 45 of the 48 r9-stale rows (3 deferred, documented above)
+    "applyinpandas_group_ols",
+    "approx_quantile_order_totals",
+    "boilerplate_ngram_stats",
+    "bucketed_join_revenue",
+    "c4_quality_filter_stats",
+    "collocations_top_pmi",
+    "copurchase_pagerank_3iter",
+    "curation_pipeline_manifest",
+    "domain_mixture_resample",
+    "dup_span_coverage_docs",
+    "embedding_label_centroids",
+    "gapfill_daily_revenue",
+    "heavy_hitter_tokens",
+    "hierarchy_closure_part",
+    "hll_union_rollup",
+    "incremental_dedup_new_docs",
+    "ivfpq_topk_embeddings",
+    "key_skew_profile_events",
+    "minhash_lsh_neardup_pairs",
+    "monthly_revenue_trend",
+    "multimodal_manifest",
+    "neardup_components",
+    "neardup_threshold_curve",
+    "ngram_decontaminate_docs",
+    "pq_codebook_embeddings",
+    "pq_recall_report",
+    "promo_revenue_ratio",
+    "q17_small_quantity_revenue",
+    "q1_pricing_summary",
+    "q22_dormant_customers",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "sequence_packing_manifest",
+    "set_null_missing_region",
+    "sql_ml_inference_score",
+    "sql_q6_forecast_revenue",
+    "train_val_test_split_docs",
+    "training_shard_manifest",
+    "unigram_surprisal_filter",
+    "window_running_total",
+    "xml_roundtrip_orders",
+    "zorder_clustered_scan",
+]
+
 _ROUND12_FRONT_50 = [
     # (0) the 7 pre-staged late-round-11 newcomers, gated at birth
     "ctfidf_source_terms",
@@ -1211,7 +1310,7 @@ def all_queries() -> dict[str, QueryFn]:
     for name in _RELATIONAL_NAMES:
         pool[name] = getattr(relational, name)
 
-    queries: dict[str, QueryFn] = {n: pool[n] for n in _ROUND12_FRONT_50}
+    queries: dict[str, QueryFn] = {n: pool[n] for n in _ROUND13_FRONT_50}
     for name, fn in pool.items():
         queries.setdefault(name, fn)
     assert len(queries) == len(pool), "front-50 must be a subset of the pool"
