@@ -53,9 +53,14 @@ def test_line_dedup_removes_cross_doc_lines_only(spark):
         # two docs sharing '' must not strip structure corpus-wide
         (4, "intro four\n\nbody four"),
         (5, "intro five\n\nbody five"),
+        # NULL text must not vanish from the summary: it coalesces to
+        # '' and reports like an empty-string doc (one blank line)
+        (6, None),
     ]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r["doc_id"]: r for r in line_dedup_summary(docs).collect()}
+    assert got[6]["n_lines"] == 1 and got[6]["n_removed"] == 0
+    assert got[6]["clean_text"] == ""
     assert got[1]["n_lines"] == 4 and got[1]["n_removed"] == 1
     # the intra-doc 'repeat' pair survives in original order
     assert got[1]["clean_text"] == "unique one\nrepeat\nrepeat"

@@ -958,7 +958,10 @@ def line_dedup_summary(
     corpus-wide (the CCNet practice: hash content lines only).
     Output (id, n_lines, n_removed, clean_text) with clean_text the
     surviving lines rejoined by \n in original order ('' when
-    everything dropped).
+    everything dropped). NULL text coalesces to '' before the split,
+    so every input doc gets an output row — a NULL-text doc reports
+    the same (n_lines=1, n_removed=0, clean_text='') as an
+    empty-string doc instead of vanishing from the summary.
 
     Plan shape for 100 TB: one split+posexplode (materialized — it
     feeds the distinct-doc count, the join-back, and the per-doc
@@ -972,9 +975,9 @@ def line_dedup_summary(
     lines = materialize(
         docs.select(
             F.col(id_col),
-            F.posexplode(F.split(F.col(text_col), "\n")).alias(
-                "pos", "line"
-            ),
+            F.posexplode(
+                F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+            ).alias("pos", "line"),
         )
     )
     boiler = (

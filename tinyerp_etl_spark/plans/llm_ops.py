@@ -6388,12 +6388,14 @@ def line_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 LLM_ORACLES["line_dedup_docs"] = """
     WITH staged AS (
+      -- COALESCE mirrors line_dedup_summary's NULL->'' convention
+      -- (every input doc gets an output row); testdata has no NULLs
       SELECT doc_id,
-             'Subscribe to our newsletter' || chr(10) || text || chr(10)
-               || 'share: ' || source
+             COALESCE('Subscribe to our newsletter' || chr(10) || text
+               || chr(10) || 'share: ' || source
                || CASE WHEN doc_id % 2 = 0
                        THEN chr(10) || 'All rights reserved'
-                       ELSE '' END AS text
+                       ELSE '' END, '') AS text
       FROM documents
     ),
     ex AS (
