@@ -170,6 +170,10 @@ HEADLINE_R12 = [
     "gopher_quality_docs",
     "line_dedup_docs",
 ]
+# Added round 13 (queries added to the headline set THIS round; the
+# forced-track overlap total below excludes them so the r12 forced
+# numbers compare apples-to-apples).
+HEADLINE_R13: list[str] = []
 HEADLINE = (
     HEADLINE
     + HEADLINE_R4
@@ -179,6 +183,7 @@ HEADLINE = (
     + HEADLINE_R10
     + HEADLINE_R11
     + HEADLINE_R12
+    + HEADLINE_R13
 )
 
 
@@ -321,7 +326,20 @@ def main() -> None:
     )
     # the set benched in round 11 (for the r11 -> r12 comparison)
     comparable_r11 = sum(
-        v for k, v in timings.items() if k not in HEADLINE_R12
+        v
+        for k, v in timings.items()
+        if k not in HEADLINE_R12 and k not in HEADLINE_R13
+    )
+    # the count-track set benched in round 12 (r12 -> r13 comparison)
+    comparable_r12 = sum(
+        v for k, v in timings.items() if k not in HEADLINE_R13
+    )
+    # the FORCED-track overlap total (round 12 was the track's first
+    # datapoint, so this is its first round-over-round comparable:
+    # regressions in expensive OUTPUT COLUMNS can't hide in the
+    # count() track — VERDICT r12 Next #3)
+    comparable_forced_r12 = sum(
+        v for k, v in forced.items() if k not in HEADLINE_R13
     )
 
     # Key ORDER matters: the driver records only the LAST ~2000 bytes
@@ -343,6 +361,8 @@ def main() -> None:
         "comparable_r9_total": round(comparable_r9, 4),
         "comparable_r10_total": round(comparable_r10, 4),
         "comparable_r11_total": round(comparable_r11, 4),
+        "comparable_r12_total": round(comparable_r12, 4),
+        "comparable_forced_r12_total": round(comparable_forced_r12, 4),
         "forced_total": round(sum(forced.values()), 4),
         "sf": sf,
         "queries": timings,

@@ -115,6 +115,8 @@ def fold_append(
     n_files: int | None = None,
     cluster_by: list[str] | None = None,
     skip_empty_bootstrap_result: int | None = None,
+    compact_max_files: int | None = None,
+    compact_n_files: int | None = None,
 ) -> int | None:
     """The append-only fold skeleton shared by the single-artifact
     feature stores.
@@ -144,6 +146,25 @@ def fold_append(
        immutable files and writes only the fresh rows' files — fold
        IO ∝ batch — carrying ``expected_version`` so a concurrent
        writer raises for ``occ_fold`` to retry.
+    7. MAINTENANCE (opt-in via ``compact_max_files``): after the
+       append lands, a threshold-gated ``maybe_compact`` rewrites the
+       store into ``compact_n_files`` globally-clustered files when
+       the file count exceeds the threshold. Appends keep
+       ``cluster_by`` only WITHIN each batch's files — every fold
+       re-tiles the full key domain, so row-group min/max stats prune
+       NOTHING against a key probe at any fold count (measured:
+       SCALE.md round-12 "Span key-set pushdown", 0 % as-folded vs
+       97.2 % compacted) — and periodic compaction into one global
+       tiling is the lever that makes stats-level skipping real. The
+       compaction runs under the same optimistic concurrency as the
+       fold; LOSING the race is swallowed (the fold itself already
+       landed — the racing winner's own fold re-checks the threshold,
+       so compaction is delayed one fold, never lost). Pick
+       ``compact_max_files`` ≥ ``compact_n_files`` + several folds'
+       worth of ``n_files`` or the post-compaction count re-triggers
+       an O(table) rewrite every fold. Returns the compacted version
+       when compaction ran, else the appended version — callers get
+       "the current version containing my fold" either way.
     """
     version = store.current_version()
     if version is None:
@@ -166,9 +187,29 @@ def fold_append(
         fresh = materialize(fresh)
     if fresh.limit(1).isEmpty():
         return version
-    return store.commit_append(
+    appended = store.commit_append(
         fresh,
         n_files=n_files,
         cluster_by=cluster_by,
         expected_version=version,
     )
+    if compact_max_files is not None:
+        try:
+            compacted = store.maybe_compact(
+                max_files=compact_max_files,
+                n_files=(
+                    compact_n_files
+                    if compact_n_files is not None
+                    else (n_files or 1)
+                ),
+                cluster_by=cluster_by,
+            )
+        except ConcurrentWriteError:
+            # a racing fold claimed the version between our append and
+            # the rewrite — the fold LANDED, only maintenance lost;
+            # the winner's fold re-checks the (still exceeded)
+            # threshold, so compaction is delayed one fold, never lost
+            compacted = None
+        if compacted is not None:
+            return compacted
+    return appended

@@ -37,7 +37,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from tinyerp_etl_spark.etl.table_store import TableStore
+from tinyerp_etl_spark.etl.table_store import ConcurrentWriteError, TableStore
 from tinyerp_etl_spark.operators.text import (
     BM25I_NORM_SCALE,
     BM25I_TF_CAP,
@@ -50,6 +50,18 @@ from tinyerp_etl_spark.operators.text import (
 #: a few thousand rows each at test scale is pure overhead). A
 #: cluster run sizes this to corpus_bytes / target_file_size.
 POSTINGS_FILES = 8
+
+#: Threshold-gated compaction for the postings store — the same
+#: maintenance lever as the span store's (span_index.py): appends are
+#: token-clustered only WITHIN each batch's files, so retrieval-time
+#: token-range row-group skipping degrades as folds accumulate (every
+#: fold's files straddle the full token range; the span-store measure
+#: of the same effect is SCALE.md round-12 "Span key-set pushdown",
+#: 0 % as-folded vs 97.2 % compacted). Past the threshold the fold
+#: pays one O(table) rewrite into a single GLOBAL token tiling; with
+#: POSTINGS_FILES=8 per fold this triggers every (64-16)/8 = 6 folds.
+POSTINGS_COMPACT_MAX_FILES = 64
+POSTINGS_COMPACT_FILES = 16
 
 BM25_POSTINGS_SCHEMA = StructType(
     [
@@ -521,7 +533,21 @@ def update_bm25_index(
         expected_version=postings_version,
     )
     stats_store.commit(merged_stats, n_files=1, expected_version=stats_version)
-    return version
+    # threshold-gated OPTIMIZE (after BOTH artifacts land, so the
+    # torn-state window is unchanged; compaction rewrites the same
+    # rows, so the stats fingerprint still agrees and the repair
+    # path's version-diff logic sees a content-identical snapshot).
+    # Losing the race to a concurrent fold is swallowed: the fold
+    # landed, and the winner re-checks the still-exceeded threshold.
+    try:
+        compacted = postings_store.maybe_compact(
+            max_files=POSTINGS_COMPACT_MAX_FILES,
+            n_files=POSTINGS_COMPACT_FILES,
+            cluster_by=["token"],
+        )
+    except ConcurrentWriteError:
+        compacted = None
+    return compacted if compacted is not None else version
 
 
 def load_bm25_index(

@@ -38,6 +38,15 @@ from tinyerp_etl_spark.operators.dedup import (
     update_paragraph_index,
 )
 
+#: Threshold-gated compaction (same lever as the span/BM25 stores —
+#: see span_index.SPAN_COMPACT_MAX_FILES): appends keep cluster_by=
+#: ["para"] only per-file, so the first-occurrence probe's row-group
+#: skipping degrades as folds accumulate; past the threshold the fold
+#: pays one O(table) rewrite restoring the global para tiling. With
+#: 4 files per fold this triggers every (32-8)/4 = 6 folds.
+PARA_COMPACT_MAX_FILES = 32
+PARA_COMPACT_FILES = 8
+
 PARA_INDEX_SCHEMA = StructType(
     [
         StructField("para", StringType()),
@@ -99,7 +108,8 @@ def fold_batch_into_paragraph_index(
     is what the module docstring's 100 TB note demands (previously the
     whole index was re-shuffled and re-written per fold). First-
     occurrence rows are immutable by the order guard, so append-only
-    is sound; per-version file count grows until ``compact()``.
+    is sound; per-version file count grows until the threshold-gated
+    compaction below rewrites one globally-clustered layout.
     """
     from tinyerp_etl_spark.etl.fold import fold_append
     from tinyerp_etl_spark.functions.materialize import materialize
@@ -118,6 +128,8 @@ def fold_batch_into_paragraph_index(
         ),
         n_files=4,
         cluster_by=["para"],
+        compact_max_files=PARA_COMPACT_MAX_FILES,
+        compact_n_files=PARA_COMPACT_FILES,
     )
 
 

@@ -107,6 +107,24 @@ SPAN_PROBE_PUSHDOWN_CAP = 1000
 #: the condition is always true.
 SPAN_PUSHDOWN_MIN_STORE_ROWS_PER_KEY = 16_384
 
+#: Threshold-gated compaction for the gram store (the production
+#: caller of TableStore.maybe_compact). Folds commit cluster_by=
+#: ["gram_key"] but only WITHIN each batch's SPAN_FILES files — every
+#: fold re-tiles the full xxhash64 domain, so the key-set pushdown's
+#: row-group stats prune 0 % against the as-folded layout at ANY fold
+#: count, vs 97.2 % after one global tiling (both measured: SCALE.md
+#: round-12 "Span key-set pushdown"). When an append pushes the file
+#: count past SPAN_COMPACT_MAX_FILES, the fold pays one O(table)
+#: clustered rewrite into SPAN_COMPACT_FILES files restoring that
+#: global tiling: with SPAN_FILES=8 per fold this triggers every
+#: (64-16)/8 = 6 folds, amortizing the rewrite to ~1/6 of the table
+#: per fold. A cluster retunes both to its bytes/file target (the
+#: stats-unit granularity at production sizes comes from 128 MB row
+#: groups WITHIN files, so SPAN_COMPACT_FILES needs only to bound
+#: file-open overhead, not to supply units).
+SPAN_COMPACT_MAX_FILES = 64
+SPAN_COMPACT_FILES = 16
+
 SPAN_INDEX_SCHEMA = StructType(
     [
         StructField("gram_key", LongType()),
@@ -176,6 +194,8 @@ def update_span_index(
     id_col: str = "doc_id",
     on_overlap: str = "raise",
     k: int = SPAN_K,
+    compact_max_files: int | None = SPAN_COMPACT_MAX_FILES,
+    compact_n_files: int = SPAN_COMPACT_FILES,
 ) -> int:
     """Fold a batch's ORIGINAL grams into the persisted index.
 
@@ -195,7 +215,17 @@ def update_span_index(
     the one-shot rule says the newcomer is, silently breaking the
     sequential ≡ one-shot law the oracle strategy assumes. A batch of
     only sub-k docs is a version-preserving no-op (returns 0 on an
-    absent store, never creating an empty artifact)."""
+    absent store, never creating an empty artifact).
+
+    MAINTENANCE: past ``compact_max_files`` data files the fold pays
+    one threshold-gated O(table) clustered rewrite restoring the
+    GLOBAL gram_key tiling the clean path's key-set pushdown needs
+    (the as-folded layout prunes 0 % at any fold count — see
+    SPAN_COMPACT_MAX_FILES). Contents are identical, so the
+    sequential ≡ one-shot law, the ingest-order max, and the k
+    contract all survive compaction unchanged; pass
+    ``compact_max_files=None`` to disable (e.g. when an external
+    maintenance job owns OPTIMIZE scheduling)."""
     if on_overlap not in ("raise", "skip_existing"):
         raise ValueError(
             f"on_overlap must be 'raise' or 'skip_existing', got {on_overlap!r}"
@@ -259,6 +289,12 @@ def update_span_index(
         # 100 TB where this layout is O(matching row groups)
         cluster_by=["gram_key"],
         skip_empty_bootstrap_result=0,
+        # threshold-gated OPTIMIZE: appends keep the clustering only
+        # per-file; past the threshold one O(table) rewrite restores
+        # the GLOBAL gram_key tiling the key-set pushdown's stats
+        # skipping depends on (see the constants' doc above)
+        compact_max_files=compact_max_files,
+        compact_n_files=compact_n_files,
     )
 
 
