@@ -249,8 +249,251 @@ def gopher_stats(col: Column | str) -> Column:
     return _bind_once(tokens(col), _scored)
 
 
+#: Gopher repetition thresholds in ppm of the floor-ppm signal (Rae et
+#: al. 2021 Table A1, the within-document repetition family; rule
+#: fires when signal_ppm > threshold). Verdict order = dict order.
+GOPHER_REP_THRESHOLDS: dict[str, int] = {
+    "dup_lines": 300_000,
+    "dup_paras": 300_000,
+    "dup_line_chars": 200_000,
+    "dup_para_chars": 200_000,
+    "top_2gram": 200_000,
+    "top_3gram": 180_000,
+    "top_4gram": 160_000,
+    "dup_5gram": 150_000,
+    "dup_6gram": 140_000,
+    "dup_7gram": 130_000,
+    "dup_8gram": 120_000,
+    "dup_9gram": 110_000,
+    "dup_10gram": 100_000,
+}
+
+
+def _run_stats(arr_sorted: Column) -> Column:
+    """``struct<best_cnt, best_len, dup_items, dup_chars>`` over the
+    equal-string RUNS of a SORTED array — the per-row frequency table
+    every repetition signal needs, in ONE O(L) interpreted pass (after
+    the O(L log L) array_sort) instead of an explode + per-doc shuffle:
+    a within-document signal never has a reason to leave its row.
+    ``best_*`` is the lexicographic max of (count, char length) — the
+    most frequent item, longest on count ties; items tied on both
+    yield the same char coverage, so deeper tie-breaks cannot change
+    any derived fraction. ``dup_*`` sum every run of length ≥ 2 (item
+    count and character mass). run=0 marks "no previous", so empty
+    STRINGS are ordinary items (only lines can be empty here, and two
+    blank lines are a real duplicate pair by the line-rule contract).
+    """
+    zero = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best_cnt"),
+        F.lit(0).cast("long").alias("best_len"),
+        F.lit(0).cast("long").alias("dup_items"),
+        F.lit(0).cast("long").alias("dup_chars"),
+    )
+
+    def close(acc):
+        plen = F.length(acc["prev"]).cast("long")
+        better = (acc["run"] > acc["best_cnt"]) | (
+            (acc["run"] == acc["best_cnt"]) & (plen > acc["best_len"])
+        )
+        return (
+            F.when(better, acc["run"]).otherwise(acc["best_cnt"]),
+            F.when(better, plen).otherwise(acc["best_len"]),
+            acc["dup_items"]
+            + F.when(acc["run"] >= 2, acc["run"]).otherwise(
+                F.lit(0).cast("long")
+            ),
+            acc["dup_chars"]
+            + F.when(acc["run"] >= 2, acc["run"] * plen).otherwise(
+                F.lit(0).cast("long")
+            ),
+        )
+
+    def step(acc, g):
+        same = (acc["run"] > 0) & (g == acc["prev"])
+        bc, bl, di, dc = close(acc)
+        return F.when(
+            same,
+            F.struct(
+                acc["prev"].alias("prev"),
+                (acc["run"] + 1).alias("run"),
+                acc["best_cnt"].alias("best_cnt"),
+                acc["best_len"].alias("best_len"),
+                acc["dup_items"].alias("dup_items"),
+                acc["dup_chars"].alias("dup_chars"),
+            ),
+        ).otherwise(
+            F.struct(
+                g.alias("prev"),
+                F.lit(1).cast("long").alias("run"),
+                bc.alias("best_cnt"),
+                bl.alias("best_len"),
+                di.alias("dup_items"),
+                dc.alias("dup_chars"),
+            )
+        )
+
+    def finish(acc):
+        bc, bl, di, dc = close(acc)
+        return F.struct(
+            bc.alias("best_cnt"),
+            bl.alias("best_len"),
+            di.alias("dup_items"),
+            dc.alias("dup_chars"),
+        )
+
+    return F.aggregate(arr_sorted, zero, step, finish)
+
+
+def _ppm(num: Column, denom: Column) -> Column:
+    """Exact floor ppm, 0 on an empty denominator (engine-portable
+    integer arithmetic — no float division anywhere in the family)."""
+    return F.when(
+        denom > 0, (num * F.lit(1_000_000)) / denom
+    ).otherwise(F.lit(0)).cast("long")
+
+
+def repetition_stats(col: Column | str) -> Column:
+    r"""``struct<...13 ppm signals..., verdict string>`` — the Gopher
+    WITHIN-document repetition family (Rae et al. 2021 A1.2), the
+    sibling of ``gopher_stats``' A1.1 rules: excessively self-repeating
+    documents (boilerplate loops, keyword stuffing, template spam) are
+    dropped by the FIRST failing rule in paper-table order, else
+    ``keep``.
+
+    Exact integer definitions (each rounded to floor ppm; rules fire
+    on ppm > threshold, thresholds in GOPHER_REP_THRESHOLDS — the
+    Python model in tests/test_properties.py and the DuckDB oracle
+    replay them bit-for-bit):
+
+    - ``dup_lines``: lines (split '\n') occurring ≥ 2x in the doc,
+      ALL occurrences counted, over total lines. ``dup_line_chars``:
+      their character mass over total line characters.
+    - ``dup_paras``: same at paragraph granularity — paragraphs are
+      the corpus's PARA_W-token chunk convention (operators/dedup.
+      paragraph_rows; the synthetic corpus has no blank-line
+      structure), joined by single spaces.
+    - ``top_{2,3,4}gram``: character mass (count x join-length) of the
+      MOST FREQUENT word n-gram over total token characters
+      (sum of token lengths + L-1 joining spaces); computed even when
+      nothing repeats (the paper's rule — a cnt=1 top gram covers a
+      tiny fraction of a long doc).
+    - ``dup_{5..10}gram``: character mass of ALL word n-grams
+      occurring ≥ 2x over total token characters. Documented
+      divergence from the paper: occurrences are summed without
+      overlap-deduplication (the paper de-overlaps spans; public
+      reimplementations differ here — this family's exact rule is the
+      one stated, enforced identically in all three engines).
+
+    Plan shape for 100 TB: everything is ONE map-side projection —
+    per granularity, array_sort + one O(L) run-length fold
+    (``_run_stats``) replaces the explode + groupBy a naive port
+    would shuffle; no joins, no windows, no data leaves its row. The
+    tokenizer and line split are each bound once per row
+    (dedup._bind_once).
+    """
+    from tinyerp_etl_spark.operators.dedup import _bind_once
+
+    c = F.coalesce(
+        F.col(col) if isinstance(col, str) else col, F.lit("")
+    )  # NULL text reads as '' (the line_dedup_summary convention)
+    w = 8  # PARA_W (operators/dedup) — the corpus paragraph convention
+
+    def _with_all(toks: Column) -> Column:
+        def _with_lines(lines: Column) -> Column:
+            L = F.array_size(toks).cast("long")
+            tok_len_sum = F.aggregate(
+                toks,
+                F.lit(0).cast("long"),
+                lambda acc, t: acc + F.length(t),
+            )
+            tot_chars = tok_len_sum + F.greatest(
+                L - 1, F.lit(0).cast("long")
+            )
+            n_paras = F.floor((L + w - 1) / w).cast("long")
+            paras = F.when(
+                L > 0,
+                F.transform(
+                    F.sequence(F.lit(0), (n_paras - 1).cast("int")),
+                    lambda j: F.array_join(
+                        F.slice(toks, j.cast("int") * w + 1, w), " "
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+            # each k-token paragraph joins with k-1 spaces: total mass
+            # = token chars + (L - n_paras) spaces, exactly
+            para_chars = tok_len_sum + (L - n_paras)
+
+            def grams(n: int) -> Column:
+                return F.when(
+                    L >= n,
+                    F.transform(
+                        F.sequence(
+                            F.lit(0), (L - n).cast("int")
+                        ),
+                        lambda i: F.array_join(
+                            F.slice(toks, i.cast("int") + 1, n), " "
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+
+            line_chars = F.aggregate(
+                lines,
+                F.lit(0).cast("long"),
+                lambda acc, l: acc + F.length(l),
+            )
+            rl = _run_stats(F.array_sort(lines))
+            rp = _run_stats(F.array_sort(paras))
+            tops = {
+                n: _run_stats(F.array_sort(grams(n))) for n in (2, 3, 4)
+            }
+            dups = {
+                n: _run_stats(F.array_sort(grams(n)))
+                for n in range(5, 11)
+            }
+            sig = {
+                "dup_lines": _ppm(
+                    rl["dup_items"], F.array_size(lines).cast("long")
+                ),
+                "dup_paras": _ppm(rp["dup_items"], n_paras),
+                "dup_line_chars": _ppm(rl["dup_chars"], line_chars),
+                "dup_para_chars": _ppm(rp["dup_chars"], para_chars),
+                **{
+                    f"top_{n}gram": _ppm(
+                        tops[n]["best_cnt"] * tops[n]["best_len"],
+                        tot_chars,
+                    )
+                    for n in (2, 3, 4)
+                },
+                **{
+                    f"dup_{n}gram": _ppm(dups[n]["dup_chars"], tot_chars)
+                    for n in range(5, 11)
+                },
+            }
+            verdict = F.lit("keep")
+            for name in reversed(GOPHER_REP_THRESHOLDS):
+                verdict = F.when(
+                    sig[name] > GOPHER_REP_THRESHOLDS[name], F.lit(name)
+                ).otherwise(verdict)
+            return F.struct(
+                *[
+                    sig[name].alias(f"{name}_ppm")
+                    for name in GOPHER_REP_THRESHOLDS
+                ],
+                verdict.alias("verdict"),
+            )
+
+        return _bind_once(F.split(c, "\n"), _with_lines)
+
+    return _bind_once(tokens(col), _with_all)
+
+
 def lang_marker_score(col: Column | str, lang: str) -> Column:
-    """How many marker-word occurrences of ``lang`` the text contains."""
+    """How many marker-word occurrences of ``lang`` the text contains —
+    the single-language reference face of ``lang_id``'s fused
+    marker-map scoring (same 1000x-distinct + occurrences formula the
+    oracle SQL replays; lang_id computes all languages in one pass)."""
     toks = tokens(col)
     markers = F.array(*[F.lit(m) for m in LANG_MARKERS[lang]])
     return F.array_size(F.array_intersect(F.array_distinct(toks), markers)) * 1000 + (
@@ -267,35 +510,72 @@ def lang_id(col: Column | str) -> Column:
     """Argmax language guess over the marker families.
 
     Ties break by language code ascending; zero evidence → 'unknown'.
-    Pure integer comparisons ⇒ engine-portable. The tokenizer is
-    bound ONCE per row (dedup._bind_once): the five marker families
-    each score with two array passes over the same token array, and
-    Catalyst does not CSE the unbound ``tokens(col)`` across them —
-    ten tokenizer regex runs per row, measured 1.7× slower on the
-    lang-confusion aggregation before the binding.
+    Score per language = 1000 x distinct marker words present +
+    marker word occurrences (unchanged since round 11 — the oracle
+    SQL replays this formula verbatim). Pure integer comparisons ⇒
+    engine-portable.
+
+    Execution shape (round-13 rewrite, the measured A/B): tokens are
+    FILTERED to markers with one literal-map lookup per token, then
+    ONE multi-hot aggregate over the (tiny) hit array accumulates all
+    five languages' occurrence counts at once, one more over its
+    distinct for the 1000x bonus — a marker map is needed, not
+    per-language arrays, because markers are SHARED across languages
+    ('de' scores both es and zh). The previous form scored each
+    language separately (5 families x 2 array passes, each pass
+    running array_contains per token) and degraded superlinearly
+    under memory pressure: at 100x (500 k docs) the confusion
+    aggregation took 221 s vs 17 s for this shape (13x, identical
+    matrices — SCALE.md round-13). Argmax = array_position of
+    array_max over the score array (first position == ascending
+    language code, the same tie-break). The tokenizer and the score
+    array are each bound once per row (dedup._bind_once).
     """
     from tinyerp_etl_spark.operators.dedup import _bind_once
 
+    langs = sorted(LANG_MARKERS)
+    zeros = F.array(*[F.lit(0).cast("long") for _ in langs])
+    map_pairs: list[Column] = []
+    for m in sorted({w for ws in LANG_MARKERS.values() for w in ws}):
+        inc = [1 if m in LANG_MARKERS[lang] else 0 for lang in langs]
+        map_pairs.append(F.lit(m))
+        map_pairs.append(
+            F.array(*[F.lit(v).cast("long") for v in inc])
+        )
+    marker_map = F.create_map(*map_pairs)
+
     def _scored(toks: Column) -> Column:
-        best = None
-        best_score = None
-        for lang in sorted(LANG_MARKERS):
-            markers = F.array(*[F.lit(m) for m in LANG_MARKERS[lang]])
-            s = F.array_size(
-                F.array_intersect(F.array_distinct(toks), markers)
-            ) * 1000 + F.aggregate(
-                toks,
-                F.lit(0).cast("long"),
-                lambda acc, t: acc
-                + F.when(F.array_contains(markers, t), 1).otherwise(0),
+        hits = F.filter(
+            toks, lambda t: F.map_contains_key(marker_map, t)
+        )
+
+        def _acc(arr: Column) -> Column:
+            return F.aggregate(
+                arr,
+                zeros,
+                lambda acc, t: F.zip_with(
+                    acc,
+                    F.element_at(marker_map, t),
+                    lambda a, b: a + b,
+                ),
             )
-            if best is None:
-                best, best_score = F.lit(lang), s
-            else:
-                take = s > best_score
-                best = F.when(take, F.lit(lang)).otherwise(best)
-                best_score = F.when(take, s).otherwise(best_score)
-        return F.when(best_score > 0, best).otherwise(F.lit("unknown"))
+
+        return _bind_once(
+            F.zip_with(
+                _acc(F.array_distinct(hits)),
+                _acc(hits),
+                lambda d, c: d * 1000 + c,
+            ),
+            lambda scores: F.when(
+                F.array_max(scores) > 0,
+                F.element_at(
+                    F.array(*[F.lit(lang) for lang in langs]),
+                    F.array_position(
+                        scores, F.array_max(scores)
+                    ).cast("int"),
+                ),
+            ).otherwise(F.lit("unknown")),
+        )
 
     return _bind_once(tokens(col), _scored)
 

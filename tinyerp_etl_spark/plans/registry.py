@@ -628,6 +628,13 @@ _RELATIONAL_NAMES = [
 #       (brute kernel, newest green r10) plus embedding_knn_join_inline
 #       / embedding_knn_join_routed (newest green r11) route through
 #       it but could not fit round 12's committed 50;
+#   (0c) ROUND-13 changed-engine rows (changed engine outranks fresh
+#       evidence, even r12-fresh): lang_id_docs + lang_id_confusion —
+#       the round-13 A/B rewrote text.lang_id's execution shape
+#       (fused marker-map scoring, 221 s -> 17 s at 100x, identical
+#       matrices at 100x + oracle parity re-proven at sf0.001/sf0.01;
+#       SCALE.md round-13); both displace r9 fills under the standing
+#       rule (deferral justifications below);
 #   (a) 45 of the 48 rows whose newest green is r9 (set re-derived
 #       programmatically from CORRECTNESS_r01..r12 at composition
 #       time; matched the pre-staged list name-for-name). DEFERRED to
@@ -642,18 +649,32 @@ _RELATIONAL_NAMES = [
 #       - dedup_keep_canonical: its exact-fingerprint keep-one kernel
 #         is carried by the r12-green exact_dup_groups and in-gate by
 #         incremental_dedup_new_docs (keep-one against history
-#         through the same fingerprint kernel).
+#         through the same fingerprint kernel);
+#       - embedding_label_centroids (displaced by lang_id_docs): its
+#         centroid-aggregation kernel is carried by the r12-green
+#         kmeans_centroids_embeddings;
+#       - xml_roundtrip_orders (displaced by lang_id_confusion): the
+#         sources/files.py round-trip face is carried by the
+#         r12-green file_format_roundtrip_orders (CSV/JSONL/ORC
+#         through the same writer/reader seam; the XML branch is
+#         additionally pytest-pinned in test_sources);
+#       - hll_union_rollup (displaced by the round-13 newcomer
+#         gopher_repetition_docs): the mergeable-sketch rollup shape
+#         is carried by the r12-green kmv_distinct_users, and HLL's
+#         within-bound contract is pytest-pinned.
 # PRE-STAGED ROUND-14 ROTATION PLAN (compose at round-14 start):
 #   (0) any round-14 newcomers, gated at birth, displacing fills
 #       whose shapes fresher rows cover (document each);
 #   (0b) rows whose engine code round 14 changes;
-#   (a) the 3 round-13 deferrals above (pq_topk_embeddings,
-#       ivf_nprobe_recall_curve, dedup_keep_canonical) — zero rounds
-#       of extra staleness allowed beyond the one documented here —
-#       plus the 47 rows whose newest green will then be r10
-#       (re-derive from the CORRECTNESS files at rotation time);
-#       3 + 47 = 50 exact, so any round-14 newcomer displaces an
-#       r10 fill under the standing shape-coverage rule.
+#   (a) the 6 round-13 deferrals above (pq_topk_embeddings,
+#       ivf_nprobe_recall_curve, dedup_keep_canonical,
+#       embedding_label_centroids, xml_roundtrip_orders,
+#       hll_union_rollup) — zero rounds of extra staleness allowed
+#       beyond the one documented here — plus the 47 rows whose
+#       newest green will then be r10 (re-derive from the
+#       CORRECTNESS files at rotation time); 6 + 47 = 53 for 50
+#       slots, resolved as every rotation does: defer the 3 r10
+#       fills whose shapes fresher rows best cover, documenting each.
 _ROUND13_FRONT_50 = [
     # (0) the 2 late-round-12 newcomers — first driver evidence
     "gopher_quality_docs",
@@ -662,6 +683,9 @@ _ROUND13_FRONT_50 = [
     "embedding_knn_join",
     "embedding_knn_join_inline",
     "embedding_knn_join_routed",
+    # (0c) round-13 changed engine: the fused marker-map lang_id
+    "lang_id_docs",
+    "lang_id_confusion",
     # (a) 45 of the 48 r9-stale rows (3 deferred, documented above)
     "applyinpandas_group_ols",
     "approx_quantile_order_totals",
@@ -673,11 +697,9 @@ _ROUND13_FRONT_50 = [
     "curation_pipeline_manifest",
     "domain_mixture_resample",
     "dup_span_coverage_docs",
-    "embedding_label_centroids",
     "gapfill_daily_revenue",
     "heavy_hitter_tokens",
     "hierarchy_closure_part",
-    "hll_union_rollup",
     "incremental_dedup_new_docs",
     "ivfpq_topk_embeddings",
     "key_skew_profile_events",
@@ -706,8 +728,11 @@ _ROUND13_FRONT_50 = [
     "training_shard_manifest",
     "unigram_surprisal_filter",
     "window_running_total",
-    "xml_roundtrip_orders",
     "zorder_clustered_scan",
+    # slot 50: hll_union_rollup holds the seat until the round-13
+    # newcomer gopher_quality family sibling (gopher_repetition_docs)
+    # registers, then swaps out under the documented deferral
+    "hll_union_rollup",
 ]
 
 _ROUND12_FRONT_50 = [
