@@ -173,7 +173,11 @@ HEADLINE_R12 = [
 # Added round 13 (queries added to the headline set THIS round; the
 # forced-track overlap total below excludes them so the r12 forced
 # numbers compare apples-to-apples).
-HEADLINE_R13: list[str] = []
+HEADLINE_R13: list[str] = [
+    # Gopher A1.2 within-document repetition family (all signals one
+    # map-side projection — array_sort + run-length folds, no explode)
+    "gopher_repetition_docs",
+]
 HEADLINE = (
     HEADLINE
     + HEADLINE_R4

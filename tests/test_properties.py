@@ -863,3 +863,151 @@ def test_line_dedup_matches_python_model(spark, raw_docs):
         for r in line_dedup_summary(df).collect()
     }
     assert got == ref_line_dedup(docs)
+
+
+# ---------------------------------------------------------------- repetition
+# word pool engineered so generated docs hit every repetition regime:
+# repeated short words (top-gram mass), multi-word phrases that land
+# as repeated n-grams, newlines (duplicate lines), and 8-token
+# alignment accidents (duplicate paragraphs)
+_REP_WORD = st.sampled_from(
+    ["spam", "x", "longertoken", "a1", "\n", "the quick brown fox", ""]
+)
+_REP_DOC = st.lists(_REP_WORD, min_size=0, max_size=40).map(" ".join)
+
+
+def ref_repetition(text):
+    """Exact Python model of operators/text.repetition_stats (the
+    same definitions the DuckDB oracle replays — floor ppm, run
+    tables, longest-first dup-gram cascade)."""
+    import re
+    from collections import Counter
+
+    from tinyerp_etl_spark.operators.text import GOPHER_REP_THRESHOLDS
+
+    W = 8
+
+    def ppm(num, den):
+        return (num * 1_000_000) // den if den > 0 else 0
+
+    def runs(items):
+        c = Counter(items)
+        best = max(((n, len(s)) for s, n in c.items()), default=(0, 0))
+        return (
+            best[0],
+            best[1],
+            sum(n for n in c.values() if n >= 2),
+            sum(n * len(s) for s, n in c.items() if n >= 2),
+        )
+
+    text = text or ""
+    toks = re.findall(r"\w+", text.lower(), re.ASCII)
+    lines = text.split("\n")
+    L = len(toks)
+    tok_len = sum(len(t) for t in toks)
+    tot_chars = tok_len + max(L - 1, 0)
+    n_paras = (L + W - 1) // W
+    paras = [" ".join(toks[j * W:(j + 1) * W]) for j in range(n_paras)]
+    para_chars = tok_len + (L - n_paras)
+    line_chars = sum(len(l) for l in lines)
+
+    sig = {}
+    _, _, di, dc = runs(lines)
+    sig["dup_lines"] = ppm(di, len(lines))
+    sig["dup_line_chars"] = ppm(dc, line_chars)
+    _, _, di, dc = runs(paras)
+    sig["dup_paras"] = ppm(di, n_paras)
+    sig["dup_para_chars"] = ppm(dc, para_chars)
+    for n in (2, 3, 4):
+        grams = (
+            [" ".join(toks[i:i + n]) for i in range(L - n + 1)]
+            if L >= n
+            else []
+        )
+        bc, bl, _, _ = runs(grams)
+        sig[f"top_{n}gram"] = ppm(bc * bl, tot_chars)
+    for n in range(5, 11):
+        grams = (
+            [" ".join(toks[i:i + n]) for i in range(L - n + 1)]
+            if L >= n
+            else []
+        )
+        _, _, _, dc = runs(grams)
+        sig[f"dup_{n}gram"] = ppm(dc, tot_chars)
+    verdict = "keep"
+    for name, thr in GOPHER_REP_THRESHOLDS.items():
+        if sig[name] > thr:
+            verdict = name
+            break
+    return {**{f"{k}_ppm": v for k, v in sig.items()}, "verdict": verdict}
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(_REP_DOC, min_size=1, max_size=15))
+def test_repetition_stats_matches_python_model(spark, docs):
+    from tinyerp_etl_spark.operators.text import repetition_stats
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "i int, text string"
+    )
+    got = {
+        r["i"]: r["s"].asDict()
+        for r in df.select(
+            "i", repetition_stats("text").alias("s")
+        ).collect()
+    }
+    for i, t in enumerate(docs):
+        assert got[i] == ref_repetition(t), f"doc {t!r}"
+
+
+def test_repetition_triggers_fire_their_own_rule(spark):
+    """Each crafted staging trigger fires EXACTLY its rule — in the
+    Python model AND through the Spark operator (the non-vacuity
+    contract of gopher_repetition_docs' staging)."""
+    from tinyerp_etl_spark.operators.text import repetition_stats
+    from tinyerp_etl_spark.plans.llm_ops import _REP_TRIGGERS
+
+    for name, text in _REP_TRIGGERS.items():
+        assert ref_repetition(text)["verdict"] == name, name
+    df = spark.createDataFrame(
+        list(_REP_TRIGGERS.items()), "rule string, text string"
+    )
+    got = {
+        r["rule"]: r["s"]["verdict"]
+        for r in df.select(
+            "rule", repetition_stats("text").alias("s")
+        ).collect()
+    }
+    assert got == {n: n for n in _REP_TRIGGERS}
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(_REP_DOC, min_size=1, max_size=12))
+def test_repetition_faces_agree(spark, docs):
+    """The Arrow face (repetition_summary, production) and the column
+    face (repetition_stats, the semantic reference) return identical
+    rows — on generated corpora here, and on the 13 crafted staging
+    triggers below."""
+    from tinyerp_etl_spark.operators.text import (
+        GOPHER_REP_THRESHOLDS,
+        repetition_stats,
+        repetition_summary,
+    )
+    from tinyerp_etl_spark.plans.llm_ops import _REP_TRIGGERS
+
+    rows = [(i, t) for i, t in enumerate(docs)] + [
+        (100 + i, t) for i, t in enumerate(_REP_TRIGGERS.values())
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    arrow = {
+        r["doc_id"]: tuple(r)[1:]
+        for r in repetition_summary(df).collect()
+    }
+    cols = {
+        r["doc_id"]: tuple(r["s"][f"{n}_ppm"] for n in GOPHER_REP_THRESHOLDS)
+        + (r["s"]["verdict"],)
+        for r in df.select(
+            "doc_id", repetition_stats("text").alias("s")
+        ).collect()
+    }
+    assert arrow == cols

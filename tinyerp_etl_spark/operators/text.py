@@ -250,8 +250,17 @@ def gopher_stats(col: Column | str) -> Column:
 
 
 #: Gopher repetition thresholds in ppm of the floor-ppm signal (Rae et
-#: al. 2021 Table A1, the within-document repetition family; rule
+#: al. 2021 Table A1, the within-document repetition family; a rule
 #: fires when signal_ppm > threshold). Verdict order = dict order.
+#: The dup-n-gram family is checked LONGEST FIRST (10 → 5), by a
+#: structural theorem of the non-de-overlapped counting this module
+#: uses: every duplicated n-gram occurrence contains two duplicated
+#: (n−1)-gram occurrences, so dup_(n−1) char mass ≥ dup_n char mass
+#: while the thresholds shrink only 1.5x across the whole family —
+#: dup_5 would therefore ALWAYS fire before dup_6..10 and make five
+#: verdict values unreachable. Longest-first reports the most
+#: informative fact (the longest repeated-gram family in violation);
+#: the set of dropped documents is identical either way.
 GOPHER_REP_THRESHOLDS: dict[str, int] = {
     "dup_lines": 300_000,
     "dup_paras": 300_000,
@@ -260,12 +269,12 @@ GOPHER_REP_THRESHOLDS: dict[str, int] = {
     "top_2gram": 200_000,
     "top_3gram": 180_000,
     "top_4gram": 160_000,
-    "dup_5gram": 150_000,
-    "dup_6gram": 140_000,
-    "dup_7gram": 130_000,
-    "dup_8gram": 120_000,
-    "dup_9gram": 110_000,
     "dup_10gram": 100_000,
+    "dup_9gram": 110_000,
+    "dup_8gram": 120_000,
+    "dup_7gram": 130_000,
+    "dup_6gram": 140_000,
+    "dup_5gram": 150_000,
 }
 
 
@@ -443,50 +452,203 @@ def repetition_stats(col: Column | str) -> Column:
                 F.lit(0).cast("long"),
                 lambda acc, l: acc + F.length(l),
             )
-            rl = _run_stats(F.array_sort(lines))
-            rp = _run_stats(F.array_sort(paras))
-            tops = {
-                n: _run_stats(F.array_sort(grams(n))) for n in (2, 3, 4)
-            }
-            dups = {
-                n: _run_stats(F.array_sort(grams(n)))
-                for n in range(5, 11)
-            }
-            sig = {
-                "dup_lines": _ppm(
-                    rl["dup_items"], F.array_size(lines).cast("long")
-                ),
-                "dup_paras": _ppm(rp["dup_items"], n_paras),
-                "dup_line_chars": _ppm(rl["dup_chars"], line_chars),
-                "dup_para_chars": _ppm(rp["dup_chars"], para_chars),
-                **{
-                    f"top_{n}gram": _ppm(
-                        tops[n]["best_cnt"] * tops[n]["best_len"],
-                        tot_chars,
-                    )
-                    for n in (2, 3, 4)
-                },
-                **{
-                    f"dup_{n}gram": _ppm(dups[n]["dup_chars"], tot_chars)
-                    for n in range(5, 11)
-                },
-            }
-            verdict = F.lit("keep")
-            for name in reversed(GOPHER_REP_THRESHOLDS):
-                verdict = F.when(
-                    sig[name] > GOPHER_REP_THRESHOLDS[name], F.lit(name)
-                ).otherwise(verdict)
-            return F.struct(
+            # BIND the run folds before anything reads them: each
+            # _run_stats is an O(L log L) sort + O(L) interpreted
+            # fold, and interpreted higher-order expressions are
+            # never CSE'd — the sig ppms read 1-2 fields each and
+            # the verdict cascade reads every signal again, so the
+            # unbound tree re-ran each fold up to 3x (and the 13
+            # verdict reads re-ran ALL of them): 29 fold evaluations
+            # per row by static count instead of these 11 — the
+            # unbound draft did not finish a 500 k-doc pass in 45
+            # min; the bound form's walls are in SCALE.md round-13.
+            core = F.struct(
+                _run_stats(F.array_sort(lines)).alias("rl"),
+                _run_stats(F.array_sort(paras)).alias("rp"),
                 *[
-                    sig[name].alias(f"{name}_ppm")
-                    for name in GOPHER_REP_THRESHOLDS
+                    _run_stats(F.array_sort(grams(n))).alias(f"g{n}")
+                    for n in range(2, 11)
                 ],
-                verdict.alias("verdict"),
+                F.array_size(lines).cast("long").alias("n_lines"),
+                line_chars.alias("line_chars"),
+                n_paras.alias("n_paras"),
+                para_chars.alias("para_chars"),
+                tot_chars.alias("tot_chars"),
+            )
+
+            def _sigs(s: Column) -> Column:
+                sig = {
+                    "dup_lines": _ppm(
+                        s["rl"]["dup_items"], s["n_lines"]
+                    ),
+                    "dup_paras": _ppm(
+                        s["rp"]["dup_items"], s["n_paras"]
+                    ),
+                    "dup_line_chars": _ppm(
+                        s["rl"]["dup_chars"], s["line_chars"]
+                    ),
+                    "dup_para_chars": _ppm(
+                        s["rp"]["dup_chars"], s["para_chars"]
+                    ),
+                    **{
+                        f"top_{n}gram": _ppm(
+                            s[f"g{n}"]["best_cnt"]
+                            * s[f"g{n}"]["best_len"],
+                            s["tot_chars"],
+                        )
+                        for n in (2, 3, 4)
+                    },
+                    **{
+                        f"dup_{n}gram": _ppm(
+                            s[f"g{n}"]["dup_chars"], s["tot_chars"]
+                        )
+                        for n in range(5, 11)
+                    },
+                }
+                return F.struct(
+                    *[
+                        sig[name].alias(f"{name}_ppm")
+                        for name in GOPHER_REP_THRESHOLDS
+                    ]
+                )
+
+            def _verdict(g: Column) -> Column:
+                verdict = F.lit("keep")
+                for name in reversed(GOPHER_REP_THRESHOLDS):
+                    verdict = F.when(
+                        g[f"{name}_ppm"] > GOPHER_REP_THRESHOLDS[name],
+                        F.lit(name),
+                    ).otherwise(verdict)
+                return F.struct(
+                    *[
+                        g[f"{name}_ppm"].alias(f"{name}_ppm")
+                        for name in GOPHER_REP_THRESHOLDS
+                    ],
+                    verdict.alias("verdict"),
+                )
+
+            # second bind: the verdict cascade reads all 13 signals
+            return _bind_once(
+                _bind_once(core, _sigs), _verdict
             )
 
         return _bind_once(F.split(c, "\n"), _with_lines)
 
     return _bind_once(tokens(col), _with_all)
+
+
+def _repetition_row(text: str | None) -> list:
+    """Exact per-document repetition signals — the Python twin of
+    ``repetition_stats``' column expressions (same tokenizer regex,
+    same floor-ppm integer math, same cascade), shared by
+    ``repetition_summary``'s Arrow batches. Returns the 13 ppm values
+    in GOPHER_REP_THRESHOLDS order followed by the verdict."""
+    import re
+    from collections import Counter
+
+    toks = re.findall(r"\w+", (text or "").lower(), re.ASCII)
+    lines = (text or "").split("\n")
+    L = len(toks)
+    w = 8  # PARA_W
+    tok_len = sum(map(len, toks))
+    tot_chars = tok_len + max(L - 1, 0)
+    n_paras = (L + w - 1) // w
+    para_chars = tok_len + (L - n_paras)
+    line_chars = sum(map(len, lines))
+
+    def ppm(num: int, den: int) -> int:
+        return (num * 1_000_000) // den if den > 0 else 0
+
+    def dup(counts: Counter) -> tuple[int, int]:
+        return (
+            sum(n for n in counts.values() if n >= 2),
+            sum(n * len(s) for s, n in counts.items() if n >= 2),
+        )
+
+    sig: dict[str, int] = {}
+    di, dc = dup(Counter(lines))
+    sig["dup_lines"] = ppm(di, len(lines))
+    sig["dup_line_chars"] = ppm(dc, line_chars)
+    di, dc = dup(
+        Counter(
+            " ".join(toks[j * w:(j + 1) * w]) for j in range(n_paras)
+        )
+    )
+    sig["dup_paras"] = ppm(di, n_paras)
+    sig["dup_para_chars"] = ppm(dc, para_chars)
+    for n in (2, 3, 4):
+        c = (
+            Counter(
+                " ".join(toks[i:i + n]) for i in range(L - n + 1)
+            )
+            if L >= n
+            else Counter()
+        )
+        bc, bl = max(
+            ((v, len(k)) for k, v in c.items()), default=(0, 0)
+        )
+        sig[f"top_{n}gram"] = ppm(bc * bl, tot_chars)
+    for n in range(5, 11):
+        c = (
+            Counter(
+                " ".join(toks[i:i + n]) for i in range(L - n + 1)
+            )
+            if L >= n
+            else Counter()
+        )
+        sig[f"dup_{n}gram"] = ppm(
+            sum(v * len(k) for k, v in c.items() if v >= 2), tot_chars
+        )
+    verdict = "keep"
+    for name, thr in GOPHER_REP_THRESHOLDS.items():
+        if sig[name] > thr:
+            verdict = name
+            break
+    return [sig[name] for name in GOPHER_REP_THRESHOLDS] + [verdict]
+
+
+def repetition_summary(
+    docs, text_col: str = "text", id_col: str = "doc_id"
+):
+    """Per-document Gopher A1.2 repetition signals + verdict as a
+    DataFrame — the Arrow face of ``repetition_stats`` and the one
+    production uses (the tfidf precedent, repeated and re-measured):
+    the column face's eleven array_sort + run-length folds are
+    INTERPRETED expressions, and at 10x (50 k docs, forced) they cost
+    61 s where this mapInPandas pass costs 10.7 s — 5.7x — because a
+    Counter per granularity is O(L) with no sorts, no per-slice array
+    allocation, and Arrow batches amortize the Python boundary. Both
+    faces share the exact integer definitions (equivalence pinned by
+    test on the trigger corpus + generated docs; the column face is
+    the semantic reference the property test drives). Plan shape is
+    identical: one map-side pass, no shuffle, nothing leaves its row.
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [T.StructField(id_col, T.LongType())]
+        + [
+            T.StructField(f"{name}_ppm", T.LongType())
+            for name in GOPHER_REP_THRESHOLDS
+        ]
+        + [T.StructField("verdict", T.StringType())]
+    )
+    names = [f.name for f in schema.fields]
+
+    def batches(it):
+        for pdf in it:
+            yield pd.DataFrame(
+                [
+                    [did] + _repetition_row(t)
+                    for did, t in zip(pdf[id_col], pdf[text_col])
+                ],
+                columns=names,
+            )
+
+    return docs.select(
+        F.col(id_col).cast("long").alias(id_col), text_col
+    ).mapInPandas(batches, schema=schema)
 
 
 def lang_marker_score(col: Column | str, lang: str) -> Column:

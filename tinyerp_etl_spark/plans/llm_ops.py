@@ -6429,3 +6429,210 @@ LLM_ORACLES["line_dedup_docs"] = """
     ORDER BY t.doc_id
 """
 LLM_QUERIES["line_dedup_docs"] = line_dedup_docs
+
+
+# ------- round-13 addition: Gopher within-document repetition family
+# One crafted trigger document per rule, each verified against the
+# exact Python model (tests/test_properties.py ref_repetition) to
+# fire EXACTLY its own rule through the documented cascade — the
+# staging that keeps all 13 verdict values non-vacuous at every SF.
+_REP_TRIGGERS: dict[str, str] = {
+    'dup_lines': 'spam offer line\nspam offer line\nspam offer line\nok one\nok two',
+    'dup_paras': 'p1 p2 p3 p4 p5 p6 p7 p8 p1 p2 p3 p4 p5 p6 p7 p8 p1 p2 p3 p4 p5 p6 p7 p8 p1 p2 p3 p4 p5 p6 p7 p8',
+    'dup_line_chars': 'longword0x longword1x longword2x longword3x longword4x longword5x longword6x longword7x longword8x\nlongword0x longword1x longword2x longword3x longword4x longword5x longword6x longword7x longword8x\nu00\nu01\nu02\nu03\nu04\nu05\nu06',
+    'dup_para_chars': 'jumbotoken0 jumbotoken1 jumbotoken2 jumbotoken3 jumbotoken4 jumbotoken5 jumbotoken6 jumbotoken7 jumbotoken0 jumbotoken1 jumbotoken2 jumbotoken3 jumbotoken4 jumbotoken5 jumbotoken6 jumbotoken7 u00 u01 u02 u03 u04 u05 u06 u07 u40 u41 u42 u43 u44 u45 u46 u47 u80 u81 u82 u83 u84 u85 u86 u87 u120 u121 u122 u123 u124 u125 u126 u127 u160 u161 u162 u163 u164 u165 u166 u167',
+    'top_2gram': 'u00 buy now u01 buy now u02 buy now u03 buy now u04 buy now u05 buy now u06 buy now u07 buy now u08 buy now u09 buy now u10 buy now u11 buy now',
+    'top_3gram': 'u00 one two three u01 one two three u100 u101 u102 u103 u104 u105 u106 u107 u108 u109 u110',
+    'top_4gram': 'u00 w1 w2 w3 w4 u01 w1 w2 w3 w4 u100 u101 u102 u103 u104 u105 u106 u107 u108 u109 u110 u111',
+    'dup_10gram': 'g10b0 g10b1 g10b2 g10b3 g10b4 g10b5 g10b6 g10b7 g10b8 g10b9 u00 g10b0 g10b1 g10b2 g10b3 g10b4 g10b5 g10b6 g10b7 g10b8 g10b9 u01 u100 u101 u102 u103 u104 u105 u106 u107 u108 u109 u110 u111 u112 u113 u114 u115 u116 u117 u118 u119 u120 u121 u122 u123 u124 u125 u126 u127 u128 u129 u130 u131 u132 u133',
+    'dup_9gram': 'g9b0 g9b1 g9b2 g9b3 g9b4 g9b5 g9b6 g9b7 g9b8 u00 g9b0 g9b1 g9b2 g9b3 g9b4 g9b5 g9b6 g9b7 g9b8 u01 u100 u101 u102 u103 u104 u105 u106 u107 u108 u109 u110 u111 u112 u113 u114 u115 u116 u117 u118 u119 u120 u121 u122 u123 u124 u125 u126 u127 u128 u129',
+    'dup_8gram': 'g8b0 g8b1 g8b2 g8b3 g8b4 g8b5 g8b6 g8b7 u00 g8b0 g8b1 g8b2 g8b3 g8b4 g8b5 g8b6 g8b7 u01 u100 u101 u102 u103 u104 u105 u106 u107 u108 u109 u110 u111 u112 u113 u114 u115 u116 u117 u118 u119 u120 u121 u122 u123 u124 u125 u126 u127 u128 u129 u130 u131',
+    'dup_7gram': 'g7b0 g7b1 g7b2 g7b3 g7b4 g7b5 g7b6 u00 g7b0 g7b1 g7b2 g7b3 g7b4 g7b5 g7b6 u01 u100 u101 u102 u103 u104 u105 u106 u107 u108 u109 u110 u111 u112 u113 u114 u115 u116 u117 u118 u119 u120 u121 u122 u123 u124 u125 u126 u127 u128 u129 u130 u131 u132 u133',
+    'dup_6gram': 'g6b0 g6b1 g6b2 g6b3 g6b4 g6b5 u00 g6b0 g6b1 g6b2 g6b3 g6b4 g6b5 u01 u100 u101 u102 u103 u104 u105 u106 u107 u108 u109 u110 u111 u112 u113 u114 u115 u116 u117 u118 u119 u120 u121 u122 u123 u124 u125 u126 u127 u128 u129 u130 u131 u132 u133 u134 u135',
+    'dup_5gram': 'g5b0 g5b1 g5b2 g5b3 g5b4 u00 g5b0 g5b1 g5b2 g5b3 g5b4 u01 u100 u101 u102 u103 u104 u105 u106 u107 u108 u109 u110 u111 u112 u113 u114 u115 u116 u117 u118 u119 u120 u121 u122 u123 u124 u125 u126 u127 u128 u129 u130 u131 u132 u133 u134 u135 u136 u137',
+}
+
+
+def gopher_repetition_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher A1.2 within-document repetition signals + verdict
+    (operators/text.repetition_stats — the sibling of round-12's
+    A1.1 rule family; Rae et al. 2021 Table A1): duplicate line /
+    paragraph item- and character-fractions, top-{2,3,4}-gram
+    character mass, duplicated-{5..10}-gram character mass, all
+    exact floor-ppm integers; verdict = first failing rule in the
+    documented cascade (dup-n-grams longest-first — see
+    text.GOPHER_REP_THRESHOLDS for the structural theorem that makes
+    shortest-first unreachable). Staging appends the 13 _REP_TRIGGERS
+    docs so every rule fires somewhere while the real corpus supplies
+    the keep / top-gram mix. Every signal is ONE map-side pass per
+    doc — no explode, no shuffle, nothing leaves its row; the naive
+    port would explode nine n-gram tables through nine shuffles, the
+    difference between a projection and a 9x corpus shuffle at
+    100 TB. Runs through text.repetition_summary, the Arrow face
+    (5.7x over the interpreted column expressions at 10x, measured;
+    equivalence between the two faces pinned by test)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    staged = docs.unionByName(
+        spark.createDataFrame(
+            [(9_000_000 + i, _REP_TRIGGERS[n]) for i, n in
+             enumerate(X.GOPHER_REP_THRESHOLDS)],
+            "doc_id long, text string",
+        )
+    )
+    return X.repetition_summary(staged).orderBy("doc_id")
+
+
+def _rep_oracle_sql() -> str:
+    """DuckDB replay of repetition_stats over the staged corpus —
+    independent mechanics (explode + GROUP BY frequency tables vs the
+    Spark side's in-row run-length folds), same exact integer math."""
+    order = list(X.GOPHER_REP_THRESHOLDS)
+    vals = ",\n      ".join(
+        "({}, '{}')".format(
+            9_000_000 + i, _REP_TRIGGERS[n].replace("\n", "' || chr(10) || '")
+        )
+        for i, n in enumerate(order)
+    )
+
+    def ppm(num: str, den: str) -> str:
+        return (
+            f"CASE WHEN {den} > 0 THEN ({num}) * 1000000 // ({den}) "
+            "ELSE 0 END"
+        )
+
+    top_cols = "\n".join(
+        f"         , COALESCE(max(CASE WHEN n = {n} THEN"
+        f" CAST(best.c AS BIGINT) * best.l END), 0) AS topmass_{n}"
+        for n in (2, 3, 4)
+    )
+    dup_cols = "\n".join(
+        f"         , COALESCE(max(CASE WHEN n = {n} THEN dupchars END), 0)"
+        f" AS dupchars_{n}"
+        for n in range(5, 11)
+    )
+    sig = {
+        "dup_lines": ppm("l.dup_items", "l.n_items"),
+        "dup_paras": ppm("COALESCE(p.dup_items, 0)", "b.n_paras"),
+        "dup_line_chars": ppm("l.dup_chars", "l.item_chars"),
+        "dup_para_chars": ppm("COALESCE(p.dup_chars, 0)", "b.para_chars"),
+        **{
+            f"top_{n}gram": ppm(f"COALESCE(g.topmass_{n}, 0)", "b.tot_chars")
+            for n in (2, 3, 4)
+        },
+        **{
+            f"dup_{n}gram": ppm(
+                f"COALESCE(g.dupchars_{n}, 0)", "b.tot_chars"
+            )
+            for n in range(5, 11)
+        },
+    }
+    sig_select = ",\n           ".join(
+        f"CAST({sig[n]} AS BIGINT) AS {n}_ppm" for n in order
+    )
+    verdict = (
+        "CASE "
+        + " ".join(
+            f"WHEN {n}_ppm > {X.GOPHER_REP_THRESHOLDS[n]} THEN '{n}'"
+            for n in order
+        )
+        + " ELSE 'keep' END"
+    )
+    toks = "regexp_extract_all(lower(coalesce(text, '')), '(\\w+)', 1)"
+    return f"""
+    WITH staged AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT * FROM (VALUES
+      {vals}
+      ) v(doc_id, text)
+    ),
+    t AS (
+      SELECT doc_id, coalesce(text, '') AS text, {toks} AS toks
+      FROM staged
+    ),
+    b AS (
+      SELECT doc_id, len(toks) AS L,
+             COALESCE(list_sum(list_transform(toks, x -> length(x))), 0)
+               + greatest(len(toks) - 1, 0) AS tot_chars,
+             (len(toks) + 7) // 8 AS n_paras,
+             COALESCE(list_sum(list_transform(toks, x -> length(x))), 0)
+               + (len(toks) - (len(toks) + 7) // 8) AS para_chars
+      FROM t
+    ),
+    lx AS (
+      SELECT doc_id, item, count(*) AS cnt, length(item) AS ln
+      FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS item
+            FROM t)
+      GROUP BY doc_id, item
+    ),
+    l AS (
+      SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_items,
+             CAST(sum(cnt * ln) AS BIGINT) AS item_chars,
+             CAST(COALESCE(sum(cnt) FILTER (cnt >= 2), 0) AS BIGINT)
+               AS dup_items,
+             CAST(COALESCE(sum(cnt * ln) FILTER (cnt >= 2), 0) AS BIGINT)
+               AS dup_chars
+      FROM lx GROUP BY doc_id
+    ),
+    px AS (
+      SELECT doc_id, item, count(*) AS cnt, length(item) AS ln
+      FROM (
+        SELECT doc_id,
+               array_to_string(
+                 list_slice(toks, pos * 8 + 1, pos * 8 + 8), ' ') AS item
+        FROM (SELECT doc_id, toks,
+                     unnest(range((len(toks) + 7) // 8)) AS pos FROM t)
+      )
+      GROUP BY doc_id, item
+    ),
+    p AS (
+      SELECT doc_id,
+             CAST(COALESCE(sum(cnt) FILTER (cnt >= 2), 0) AS BIGINT)
+               AS dup_items,
+             CAST(COALESCE(sum(cnt * ln) FILTER (cnt >= 2), 0) AS BIGINT)
+               AS dup_chars
+      FROM px GROUP BY doc_id
+    ),
+    gx AS (
+      SELECT doc_id, n, gram, count(*) AS cnt, length(gram) AS ln
+      FROM (
+        SELECT t.doc_id, ns.n,
+               unnest(list_transform(
+                 range(1, greatest(len(t.toks) - ns.n + 2, 1)),
+                 i -> array_to_string(
+                   list_slice(t.toks, i, i + ns.n - 1), ' ')
+               )) AS gram
+        FROM t CROSS JOIN (SELECT unnest([2,3,4,5,6,7,8,9,10]) AS n) ns
+      )
+      GROUP BY doc_id, n, gram
+    ),
+    ga AS (
+      SELECT doc_id, n,
+             max(struct_pack(c := cnt, l := ln)) AS best,
+             CAST(COALESCE(sum(cnt * ln) FILTER (cnt >= 2), 0) AS BIGINT)
+               AS dupchars
+      FROM gx GROUP BY doc_id, n
+    ),
+    g AS (
+      SELECT doc_id
+{top_cols}
+{dup_cols}
+      FROM ga GROUP BY doc_id
+    ),
+    sigs AS (
+      SELECT b.doc_id,
+           {sig_select}
+      FROM b
+      LEFT JOIN l USING (doc_id)
+      LEFT JOIN p USING (doc_id)
+      LEFT JOIN g USING (doc_id)
+    )
+    SELECT doc_id, {", ".join(f"{n}_ppm" for n in order)},
+           {verdict} AS verdict
+    FROM sigs
+    ORDER BY doc_id
+"""
+
+
+LLM_ORACLES["gopher_repetition_docs"] = _rep_oracle_sql()
+LLM_QUERIES["gopher_repetition_docs"] = gopher_repetition_docs

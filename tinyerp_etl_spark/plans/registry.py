@@ -729,10 +729,10 @@ _ROUND13_FRONT_50 = [
     "unigram_surprisal_filter",
     "window_running_total",
     "zorder_clustered_scan",
-    # slot 50: hll_union_rollup holds the seat until the round-13
-    # newcomer gopher_quality family sibling (gopher_repetition_docs)
-    # registers, then swaps out under the documented deferral
-    "hll_union_rollup",
+    # slot 50: the round-13 newcomer, gated at birth (Gopher A1.2
+    # within-document repetition family; displaced hll_union_rollup
+    # under the documented deferral above)
+    "gopher_repetition_docs",
 ]
 
 _ROUND12_FRONT_50 = [
