@@ -174,8 +174,9 @@ HEADLINE_R12 = [
 # forced-track overlap total below excludes them so the r12 forced
 # numbers compare apples-to-apples).
 HEADLINE_R13: list[str] = [
-    # Gopher A1.2 within-document repetition family (all signals one
-    # map-side projection — array_sort + run-length folds, no explode)
+    # Gopher A1.2 within-document repetition family (the mapInPandas
+    # Arrow face: one Counter pass per granularity, map-side, no
+    # shuffle — the face the round-13 A/B shipped)
     "gopher_repetition_docs",
 ]
 HEADLINE = (
@@ -291,6 +292,7 @@ def main() -> None:
         and k not in HEADLINE_R10
         and k not in HEADLINE_R11
         and k not in HEADLINE_R12
+        and k not in HEADLINE_R13
     )
     # the set benched in rounds 5-6: total minus later additions,
     # so r6 -> r7+ compares directly without re-deriving the exclusion
@@ -302,6 +304,7 @@ def main() -> None:
         and k not in HEADLINE_R10
         and k not in HEADLINE_R11
         and k not in HEADLINE_R12
+        and k not in HEADLINE_R13
     )
     # the set benched in rounds 7-8 (the r8 verdict's common-52)
     comparable_r8 = sum(
@@ -311,6 +314,7 @@ def main() -> None:
         and k not in HEADLINE_R10
         and k not in HEADLINE_R11
         and k not in HEADLINE_R12
+        and k not in HEADLINE_R13
     )
     # the set benched in round 9 (for the r9 -> r10 comparison)
     comparable_r9 = sum(
@@ -320,13 +324,16 @@ def main() -> None:
             k not in HEADLINE_R10
             and k not in HEADLINE_R11
             and k not in HEADLINE_R12
+            and k not in HEADLINE_R13
         )
     )
     # the set benched in round 10 (for the r10 -> r11 comparison)
     comparable_r10 = sum(
         v
         for k, v in timings.items()
-        if k not in HEADLINE_R11 and k not in HEADLINE_R12
+        if k not in HEADLINE_R11
+        and k not in HEADLINE_R12
+        and k not in HEADLINE_R13
     )
     # the set benched in round 11 (for the r11 -> r12 comparison)
     comparable_r11 = sum(

@@ -58,8 +58,9 @@ POSTINGS_FILES = 8
 #: fold's files straddle the full token range; the span-store measure
 #: of the same effect is SCALE.md round-12 "Span key-set pushdown",
 #: 0 % as-folded vs 97.2 % compacted). Past the threshold the fold
-#: pays one O(table) rewrite into a single GLOBAL token tiling; with
-#: POSTINGS_FILES=8 per fold this triggers every (64-16)/8 = 6 folds.
+#: pays one O(table) rewrite into a single GLOBAL token tiling; the
+#: strictly-greater threshold trips on the 7th fold after a
+#: compaction (six appends reach exactly 64 files; the 7th passes).
 POSTINGS_COMPACT_MAX_FILES = 64
 POSTINGS_COMPACT_FILES = 16
 

@@ -42,8 +42,9 @@ from tinyerp_etl_spark.operators.dedup import (
 #: see span_index.SPAN_COMPACT_MAX_FILES): appends keep cluster_by=
 #: ["para"] only per-file, so the first-occurrence probe's row-group
 #: skipping degrades as folds accumulate; past the threshold the fold
-#: pays one O(table) rewrite restoring the global para tiling. With
-#: 4 files per fold this triggers every (32-8)/4 = 6 folds.
+#: pays one O(table) rewrite restoring the global para tiling; the
+#: strictly-greater threshold trips on the 7th fold after a
+#: compaction (six 4-file appends reach exactly 32; the 7th passes).
 PARA_COMPACT_MAX_FILES = 32
 PARA_COMPACT_FILES = 8
 

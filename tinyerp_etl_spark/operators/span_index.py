@@ -116,9 +116,10 @@ SPAN_PUSHDOWN_MIN_STORE_ROWS_PER_KEY = 16_384
 #: round-12 "Span key-set pushdown"). When an append pushes the file
 #: count past SPAN_COMPACT_MAX_FILES, the fold pays one O(table)
 #: clustered rewrite into SPAN_COMPACT_FILES files restoring that
-#: global tiling: with SPAN_FILES=8 per fold this triggers every
-#: (64-16)/8 = 6 folds, amortizing the rewrite to ~1/6 of the table
-#: per fold. A cluster retunes both to its bytes/file target (the
+#: global tiling: the strictly-greater threshold trips on the 7th
+#: fold after a compaction (six appends reach exactly 64 files; the
+#: 7th passes it), amortizing the rewrite to ~1/7 of the table per
+#: fold. A cluster retunes both to its bytes/file target (the
 #: stats-unit granularity at production sizes comes from 128 MB row
 #: groups WITHIN files, so SPAN_COMPACT_FILES needs only to bound
 #: file-open overhead, not to supply units).

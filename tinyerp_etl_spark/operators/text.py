@@ -356,10 +356,18 @@ def _run_stats(arr_sorted: Column) -> Column:
 
 
 def _ppm(num: Column, denom: Column) -> Column:
-    """Exact floor ppm, 0 on an empty denominator (engine-portable
-    integer arithmetic — no float division anywhere in the family)."""
+    """Exact floor ppm, 0 on an empty denominator. Decimal division
+    (exact) + floor, never double division: Spark's ``/`` on longs is
+    a double Divide, and a correctly-rounded double quotient can land
+    one ABOVE the true integer floor once numerator or denominator
+    outgrow the 2^53 mantissa — the Python model and the DuckDB
+    oracle both use exact ``//``, so the column face must too."""
     return F.when(
-        denom > 0, (num * F.lit(1_000_000)) / denom
+        denom > 0,
+        F.floor(
+            (num * F.lit(1_000_000)).cast("decimal(38,0)")
+            / denom.cast("decimal(38,0)")
+        ),
     ).otherwise(F.lit(0)).cast("long")
 
 
@@ -402,12 +410,12 @@ def repetition_stats(col: Column | str) -> Column:
     tokenizer and line split are each bound once per row
     (dedup._bind_once).
     """
-    from tinyerp_etl_spark.operators.dedup import _bind_once
+    from tinyerp_etl_spark.operators.dedup import PARA_W, _bind_once
 
     c = F.coalesce(
         F.col(col) if isinstance(col, str) else col, F.lit("")
     )  # NULL text reads as '' (the line_dedup_summary convention)
-    w = 8  # PARA_W (operators/dedup) — the corpus paragraph convention
+    w = PARA_W  # the corpus paragraph convention (operators/dedup)
 
     def _with_all(toks: Column) -> Column:
         def _with_lines(lines: Column) -> Column:
@@ -546,10 +554,12 @@ def _repetition_row(text: str | None) -> list:
     import re
     from collections import Counter
 
+    from tinyerp_etl_spark.operators.dedup import PARA_W
+
     toks = re.findall(r"\w+", (text or "").lower(), re.ASCII)
     lines = (text or "").split("\n")
     L = len(toks)
-    w = 8  # PARA_W
+    w = PARA_W
     tok_len = sum(map(len, toks))
     tot_chars = tok_len + max(L - 1, 0)
     n_paras = (L + w - 1) // w
@@ -615,7 +625,7 @@ def repetition_summary(
     production uses (the tfidf precedent, repeated and re-measured):
     the column face's eleven array_sort + run-length folds are
     INTERPRETED expressions, and at 10x (50 k docs, forced) they cost
-    61 s where this mapInPandas pass costs 10.7 s — 5.7x — because a
+    61.1 s where this mapInPandas pass costs 11.9 s — 5.1x — because a
     Counter per granularity is O(L) with no sorts, no per-slice array
     allocation, and Arrow batches amortize the Python boundary. Both
     faces share the exact integer definitions (equivalence pinned by

@@ -6469,8 +6469,9 @@ def gopher_repetition_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     port would explode nine n-gram tables through nine shuffles, the
     difference between a projection and a 9x corpus shuffle at
     100 TB. Runs through text.repetition_summary, the Arrow face
-    (5.7x over the interpreted column expressions at 10x, measured;
-    equivalence between the two faces pinned by test)."""
+    (5.1x over the interpreted column expressions at 10x, measured:
+    61.1 -> 11.9 s forced; equivalence between the two faces pinned
+    by test)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     staged = docs.unionByName(
         spark.createDataFrame(

@@ -612,10 +612,12 @@ _RELATIONAL_NAMES = [
 # actual newcomer set) to round 14's front, which the then-emptied
 # backlog easily absorbs.
 # ROUND-13 ROTATION (composed at round-13 start, exactly as round 12
-# pre-staged it; slot arithmetic 2+3+48 = 53 named rows for 50 slots
-# resolved by the documented rule — the 5 (0)/(0b) rows are fixed,
-# defer the 3 r9-stale fills whose shapes fresher or in-gate rows
-# best cover):
+# pre-staged it, then amended in-round as the round's own engine
+# changes and newcomer landed. FINAL slot arithmetic: 2 (0) + 3 (0b)
+# + 2 (0c, round-13 changed engine) + 1 newcomer + 42 (a)-fills = 50;
+# 48 r9-stale rows minus 42 fills = 6 deferrals, each documented
+# below — 3 from the pre-staged 53-for-50 resolution plus 3 displaced
+# by the (0c) rows and the newcomer):
 #   (0) the 2 late-round-12 newcomers, never driver-gated (the only
 #       registered queries with zero driver evidence):
 #       gopher_quality_docs + line_dedup_docs — both oracle-parity
@@ -635,7 +637,7 @@ _RELATIONAL_NAMES = [
 #       matrices at 100x + oracle parity re-proven at sf0.001/sf0.01;
 #       SCALE.md round-13); both displace r9 fills under the standing
 #       rule (deferral justifications below);
-#   (a) 45 of the 48 rows whose newest green is r9 (set re-derived
+#   (a) 42 of the 48 rows whose newest green is r9 (set re-derived
 #       programmatically from CORRECTNESS_r01..r12 at composition
 #       time; matched the pre-staged list name-for-name). DEFERRED to
 #       round 14's front (each shape carried by fresher rows IN THIS
@@ -686,7 +688,7 @@ _ROUND13_FRONT_50 = [
     # (0c) round-13 changed engine: the fused marker-map lang_id
     "lang_id_docs",
     "lang_id_confusion",
-    # (a) 45 of the 48 r9-stale rows (3 deferred, documented above)
+    # (a) 42 of the 48 r9-stale rows (6 deferred, documented above)
     "applyinpandas_group_ols",
     "approx_quantile_order_totals",
     "boilerplate_ngram_stats",
