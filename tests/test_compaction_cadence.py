@@ -263,3 +263,41 @@ def test_para_fold_cadence_compacts(spark, tmp_path, monkeypatch):
         for r in build_paragraph_index(_docs(spark, b1 + b2)).collect()
     }
     assert idx == rebuilt
+
+
+def test_fold_vacuum_after_compaction_reaps_old_versions(spark, tmp_path):
+    """Opt-in retention: a compaction materializes a full fresh copy
+    (appends only hard-link), so the fold can reap versions beyond
+    retain_last right after the rewrite — and ONLY then (the
+    append-only path never vacuums; hard links cost nothing)."""
+    schema = "k long, v long"
+    store = TableStore(
+        spark,
+        str(tmp_path / "t"),
+        spark.createDataFrame([], schema).schema,
+    )
+
+    def fresh(stored, batch):
+        return batch.join(stored.select("k"), "k", "left_anti")
+
+    def fold(i, **kw):
+        return fold_append(
+            store,
+            spark.createDataFrame([(i, i)], schema),
+            fresh,
+            n_files=1,
+            **kw,
+        )
+
+    fold(1)
+    fold(2)  # appends: no compaction, no vacuum -> all versions kept
+    assert store.versions() == [1, 2]
+    v = fold(3, compact_max_files=2, compact_n_files=1, vacuum_retain=2)
+    # append -> v3, compaction -> v4, vacuum keeps the newest 2
+    assert v == 4 and store.versions() == [3, 4]
+    assert sorted(r["k"] for r in store.read().collect()) == [1, 2, 3]
+    # reaped versions are gone for time travel (the documented trade)
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        store.read_version(1).collect()

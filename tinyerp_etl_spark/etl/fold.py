@@ -117,6 +117,7 @@ def fold_append(
     skip_empty_bootstrap_result: int | None = None,
     compact_max_files: int | None = None,
     compact_n_files: int | None = None,
+    vacuum_retain: int | None = None,
 ) -> int | None:
     """The append-only fold skeleton shared by the single-artifact
     feature stores.
@@ -165,6 +166,17 @@ def fold_append(
        an O(table) rewrite every fold. Returns the compacted version
        when compaction ran, else the appended version — callers get
        "the current version containing my fold" either way.
+    8. RETENTION (opt-in via ``vacuum_retain``, only meaningful with
+       compaction enabled): appends hard-link the previous version's
+       files (near-zero storage), but a compaction MATERIALIZES a
+       full fresh copy — without retention every trip doubles the
+       store on disk. When a compaction ran, ``vacuum(retain_last=
+       vacuum_retain)`` reaps versions beyond the newest N. The
+       trade is explicit and the caller's: reaped versions are gone
+       for time travel (``read_version`` raises), so only enable it
+       where the store is a rebuildable derived artifact and the
+       pipeline pins no old versions. Never runs on the append-only
+       path — hard-linked versions cost nothing to keep.
     """
     version = store.current_version()
     if version is None:
@@ -211,5 +223,7 @@ def fold_append(
             # threshold, so compaction is delayed one fold, never lost
             compacted = None
         if compacted is not None:
+            if vacuum_retain is not None:
+                store.vacuum(retain_last=vacuum_retain)
             return compacted
     return appended
