@@ -947,6 +947,7 @@ def ref_repetition(text):
 def test_repetition_stats_matches_python_model(spark, docs):
     from tinyerp_etl_spark.operators.text import repetition_stats
 
+    docs = docs + [None]  # NULL text reads as '' on EVERY path
     df = spark.createDataFrame(
         [(i, t) for i, t in enumerate(docs)], "i int, text string"
     )
@@ -997,7 +998,7 @@ def test_repetition_faces_agree(spark, docs):
 
     rows = [(i, t) for i, t in enumerate(docs)] + [
         (100 + i, t) for i, t in enumerate(_REP_TRIGGERS.values())
-    ]
+    ] + [(99, None)]  # NULL text: all-zero keep on both faces
     df = spark.createDataFrame(rows, "doc_id long, text string")
     arrow = {
         r["doc_id"]: tuple(r)[1:]

@@ -361,11 +361,14 @@ def _ppm(num: Column, denom: Column) -> Column:
     a double Divide, and a correctly-rounded double quotient can land
     one ABOVE the true integer floor once numerator or denominator
     outgrow the 2^53 mantissa — the Python model and the DuckDB
-    oracle both use exact ``//``, so the column face must too."""
+    oracle both use exact ``//``, so the column face must too. The
+    ×1e6 happens AFTER the decimal(38,0) cast: in int64 it would
+    silently wrap past num ≈ 9.2e12 (beyond any per-doc mass, but
+    the exactness guarantee holds only if no step is modular)."""
     return F.when(
         denom > 0,
         F.floor(
-            (num * F.lit(1_000_000)).cast("decimal(38,0)")
+            num.cast("decimal(38,0)") * F.lit(1_000_000)
             / denom.cast("decimal(38,0)")
         ),
     ).otherwise(F.lit(0)).cast("long")
@@ -542,7 +545,11 @@ def repetition_stats(col: Column | str) -> Column:
 
         return _bind_once(F.split(c, "\n"), _with_lines)
 
-    return _bind_once(tokens(col), _with_all)
+    # tokenize the COALESCED column: NULL text must read as '' on
+    # every path, not only the line split — otherwise the all-zero
+    # verdict for a NULL doc emerges via NULL-propagation through
+    # the denominators instead of by the documented convention
+    return _bind_once(tokens(c), _with_all)
 
 
 def _repetition_row(text: str | None) -> list:

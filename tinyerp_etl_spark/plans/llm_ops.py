@@ -6464,7 +6464,10 @@ def gopher_repetition_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     text.GOPHER_REP_THRESHOLDS for the structural theorem that makes
     shortest-first unreachable). Staging appends the 13 _REP_TRIGGERS
     docs so every rule fires somewhere while the real corpus supplies
-    the keep / top-gram mix. Every signal is ONE map-side pass per
+    the keep / top-gram mix; trigger doc_ids start at
+    max(doc_id) + 1 — derived, not a fixed offset, so they can never
+    collide with corpus ids at any SF (the one-row max() collect is
+    control-plane; the oracle derives the same base in SQL). Every signal is ONE map-side pass per
     doc — no explode, no shuffle, nothing leaves its row; the naive
     port would explode nine n-gram tables through nine shuffles, the
     difference between a projection and a 9x corpus shuffle at
@@ -6473,9 +6476,10 @@ def gopher_repetition_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     61.1 -> 11.9 s forced; equivalence between the two faces pinned
     by test)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.agg(F.max("doc_id")).first()[0] + 1
     staged = docs.unionByName(
         spark.createDataFrame(
-            [(9_000_000 + i, _REP_TRIGGERS[n]) for i, n in
+            [(base + i, _REP_TRIGGERS[n]) for i, n in
              enumerate(X.GOPHER_REP_THRESHOLDS)],
             "doc_id long, text string",
         )
@@ -6490,7 +6494,7 @@ def _rep_oracle_sql() -> str:
     order = list(X.GOPHER_REP_THRESHOLDS)
     vals = ",\n      ".join(
         "({}, '{}')".format(
-            9_000_000 + i, _REP_TRIGGERS[n].replace("\n", "' || chr(10) || '")
+            i, _REP_TRIGGERS[n].replace("\n", "' || chr(10) || '")
         )
         for i, n in enumerate(order)
     )
@@ -6540,12 +6544,13 @@ def _rep_oracle_sql() -> str:
     )
     toks = "regexp_extract_all(lower(coalesce(text, '')), '(\\w+)', 1)"
     return f"""
-    WITH staged AS (
+    WITH mx AS (SELECT max(doc_id) + 1 AS base FROM documents),
+    staged AS (
       SELECT doc_id, text FROM documents
       UNION ALL
-      SELECT * FROM (VALUES
+      SELECT mx.base + v.i AS doc_id, v.text FROM (VALUES
       {vals}
-      ) v(doc_id, text)
+      ) v(i, text), mx
     ),
     t AS (
       SELECT doc_id, coalesce(text, '') AS text, {toks} AS toks
