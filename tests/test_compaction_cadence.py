@@ -87,6 +87,7 @@ def test_span_fold_cadence_compacts_and_restores_pruning(spark, tmp_path):
         .limit(5)
         .collect()
     ]
+    cols = store.read_version(v2).columns  # v2 is reaped below
     units_before = _key_units(store._version_dir(v2), "gram_key")
     hits_before = [
         sum(1 for lo, hi in units_before if lo <= k <= hi)
@@ -110,6 +111,15 @@ def test_span_fold_cadence_compacts_and_restores_pruning(spark, tmp_path):
     )
     assert v3 == store.current_version()
     assert store.data_file_count(v3) == 6
+    # production-default retention (SPAN_VACUUM_RETAIN=2) ran with
+    # the compaction: only the pre-compaction append and the
+    # compacted version remain, and time travel to reaped versions
+    # raises — the documented trade of a rebuildable derived store
+    assert store.versions() == [v3 - 1, v3]
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        store.read_version(v2)
     units_after = _key_units(store._version_dir(v3), "gram_key")
     # one GLOBAL tiling: unit ranges are pairwise non-overlapping...
     spans = sorted(units_after)
@@ -133,7 +143,7 @@ def test_span_fold_cadence_compacts_and_restores_pruning(spark, tmp_path):
             "doc_id",
             "left_anti",
         )
-        .select(*store.read_version(v2).columns)
+        .select(*cols)
         .collect()
     )
     assert post_rows == pre_rows
@@ -208,6 +218,14 @@ def test_bm25_fold_cadence_compacts_postings(spark, tmp_path, monkeypatch):
     # the fold appends POSTINGS_FILES more (16 > 10) -> compact to 4
     B.update_bm25_index(spark, path, b2)
     assert store.data_file_count() == 4
+    # production-default retention (POSTINGS_VACUUM_RETAIN=2) ran
+    # with the compaction: bootstrap v1 is reaped, the pre-compaction
+    # append and the compacted version remain
+    assert store.versions() == [2, 3]
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        store.read_version(1)
     spans = sorted(
         _key_units(store._version_dir(store.current_version()), "token")
     )
@@ -254,6 +272,9 @@ def test_para_fold_cadence_compacts(spark, tmp_path, monkeypatch):
     # 4+4 = 8 > 6 -> compaction to 2 inside the fold
     P.fold_batch_into_paragraph_index(spark, path, _docs(spark, b2))
     assert store.data_file_count() == 2
+    # production-default retention (PARA_VACUUM_RETAIN=2) ran with
+    # the compaction: only the newest two versions remain
+    assert store.versions() == [2, 3]
     idx = {r["para"]: r["first_doc"] for r in store.read().collect()}
     assert idx[pa] == 9 and idx[pb] == 9  # first occurrences survived
     assert idx[para("pc")] == 28

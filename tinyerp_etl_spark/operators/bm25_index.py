@@ -64,6 +64,17 @@ POSTINGS_FILES = 8
 POSTINGS_COMPACT_MAX_FILES = 64
 POSTINGS_COMPACT_FILES = 16
 
+#: Post-compaction retention for the POSTINGS store (same rationale
+#: as span_index.SPAN_VACUUM_RETAIN): appends hard-link, compactions
+#: materialize a full copy, and the index is a rebuildable derived
+#: artifact — reap versions beyond the newest 2, only after a
+#: compaction ran. Retaining 2 keeps a just-claimed pre-compaction
+#: snapshot readable for one full compaction cycle; the repair paths
+#: read only CURRENT versions, so retention cannot strand them. The
+#: 1-row STATS store is deliberately NOT reaped: its versions cost
+#: ~KB each and the torn-state diagnostics lean on its history.
+POSTINGS_VACUUM_RETAIN = 2
+
 BM25_POSTINGS_SCHEMA = StructType(
     [
         StructField("token", StringType()),
@@ -266,6 +277,7 @@ def update_bm25_index(
     id_col: str = "doc_id",
     check_overlap: bool = True,
     on_overlap: str = "raise",
+    vacuum_retain: int | None = POSTINGS_VACUUM_RETAIN,
 ) -> int:
     """Fold a batch of NEW documents into the persisted index —
     incremental maintenance, bit-identical to a full rebuild (the
@@ -548,7 +560,14 @@ def update_bm25_index(
         )
     except ConcurrentWriteError:
         compacted = None
-    return compacted if compacted is not None else version
+    if compacted is not None:
+        if vacuum_retain is not None:
+            # retention ONLY after a compaction materialized a full
+            # copy — the append-only path's hard links cost nothing
+            # to keep (see POSTINGS_VACUUM_RETAIN for the trade)
+            postings_store.vacuum(retain_last=vacuum_retain)
+        return compacted
+    return version
 
 
 def load_bm25_index(

@@ -48,6 +48,15 @@ from tinyerp_etl_spark.operators.dedup import (
 PARA_COMPACT_MAX_FILES = 32
 PARA_COMPACT_FILES = 8
 
+#: Post-compaction retention (same rationale as
+#: span_index.SPAN_VACUUM_RETAIN): appends hard-link, compactions
+#: materialize a full copy — retention reaps versions beyond the
+#: newest 2 only after a compaction ran. The paragraph index is a
+#: rebuildable derived artifact; retaining 2 keeps a just-claimed
+#: pre-compaction snapshot readable for one full compaction cycle.
+#: ``vacuum_retain=None`` on the fold keeps every version.
+PARA_VACUUM_RETAIN = 2
+
 PARA_INDEX_SCHEMA = StructType(
     [
         StructField("para", StringType()),
@@ -84,6 +93,7 @@ def fold_batch_into_paragraph_index(
     batch: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    vacuum_retain: int | None = PARA_VACUUM_RETAIN,
 ) -> int | None:
     """Fold one document batch into the persisted index.
 
@@ -131,6 +141,7 @@ def fold_batch_into_paragraph_index(
         cluster_by=["para"],
         compact_max_files=PARA_COMPACT_MAX_FILES,
         compact_n_files=PARA_COMPACT_FILES,
+        vacuum_retain=vacuum_retain,
     )
 
 

@@ -126,6 +126,22 @@ SPAN_PUSHDOWN_MIN_STORE_ROWS_PER_KEY = 16_384
 SPAN_COMPACT_MAX_FILES = 64
 SPAN_COMPACT_FILES = 16
 
+#: Post-compaction retention (fold_append step 8). Appends hard-link
+#: the previous version's files — near-zero storage, never reaped —
+#: but each compaction MATERIALIZES a full store copy; without
+#: retention every trip adds one permanent full copy (O(table) disk
+#: per ~7 folds at the cadence above). The gram store is a
+#: rebuildable derived artifact (re-fold the corpus) and no pipeline
+#: pins old versions, so retention defaults ON. Retain 2, not 1: a
+#: reader that claimed the pre-compaction version keeps its snapshot
+#: for one full compaction cycle (~7 folds) instead of having it
+#: reaped mid-read by the very fold that compacted. The trade stays
+#: explicit: ``read_version`` of a reaped version raises (pinned by
+#: test_fold_vacuum_after_compaction_reaps_old_versions and the
+#: cadence tests); pass ``vacuum_retain=None`` to keep every version
+#: (external retention policy / time-travel debugging).
+SPAN_VACUUM_RETAIN = 2
+
 SPAN_INDEX_SCHEMA = StructType(
     [
         StructField("gram_key", LongType()),
@@ -197,6 +213,7 @@ def update_span_index(
     k: int = SPAN_K,
     compact_max_files: int | None = SPAN_COMPACT_MAX_FILES,
     compact_n_files: int = SPAN_COMPACT_FILES,
+    vacuum_retain: int | None = SPAN_VACUUM_RETAIN,
 ) -> int:
     """Fold a batch's ORIGINAL grams into the persisted index.
 
@@ -226,7 +243,12 @@ def update_span_index(
     sequential ≡ one-shot law, the ingest-order max, and the k
     contract all survive compaction unchanged; pass
     ``compact_max_files=None`` to disable (e.g. when an external
-    maintenance job owns OPTIMIZE scheduling)."""
+    maintenance job owns OPTIMIZE scheduling). When a compaction ran,
+    versions beyond the newest ``vacuum_retain`` are reaped — the
+    store is a rebuildable derived artifact, so retention defaults ON
+    (see SPAN_VACUUM_RETAIN for the retained-snapshot guarantee and
+    the time-travel trade); ``vacuum_retain=None`` keeps every
+    version."""
     if on_overlap not in ("raise", "skip_existing"):
         raise ValueError(
             f"on_overlap must be 'raise' or 'skip_existing', got {on_overlap!r}"
@@ -296,6 +318,7 @@ def update_span_index(
         # skipping depends on (see the constants' doc above)
         compact_max_files=compact_max_files,
         compact_n_files=compact_n_files,
+        vacuum_retain=vacuum_retain,
     )
 
 
