@@ -6,12 +6,13 @@ rows-only check from the driver.
 
 Ordering note: the driver's correctness gate covers the first 50
 registry entries, so insertion order is the rotation schedule.
-ACTIVE: _ROUND13_FRONT_50 (see its inline comments — after round 13's
-gate runs green, EVERY registered query's newest driver row is r10+
-except the three documented deferrals, and the two late-round-12
-newcomers get their first driver rows). Prior gates below for the
-ledger; note round 8 ran _ROUND7_FRONT_50 unchanged, so the r7 list's
-rows carry r8-fresh evidence.
+ACTIVE: _ROUND14_FRONT_50 (see its inline comments — after round 14's
+gate runs green, EVERY registered query's newest driver row is r11+
+except the five documented r10 deferrals, the six oldest rows in the
+registry get refreshed from r9, and the four rows whose engines round
+14 touched are re-proven). Prior gates below for the ledger; note
+round 8 ran _ROUND7_FRONT_50 unchanged, so the r7 list's rows carry
+r8-fresh evidence.
 Round 5's front 50 (ran in rounds 5 AND 6; see _ROUND5_FRONT_50's
 inline comments for the per-group rationale) =
   (0) the five queries NEW in round 5 (video_neardup_parity,
@@ -677,6 +678,117 @@ _RELATIONAL_NAMES = [
 #       CORRECTNESS files at rotation time); 6 + 47 = 53 for 50
 #       slots, resolved as every rotation does: defer the 3 r10
 #       fills whose shapes fresher rows best cover, documenting each.
+#
+# ROUND-14 ROTATION (ACTIVE): executed exactly as pre-staged, with
+# the prescribed at-rotation re-derivation. Composition:
+#   (0) newcomers: none (every reference-surface row and every
+#       brief-named LLM-pipeline family is already registered; the
+#       round's engineering went to the pre-staged rotation, the
+#       forced-track riser run-down, and compacted-store retention);
+#   (0b) 4 changed-engine rows (changed engine outranks fresh
+#       evidence): gopher_repetition_docs (trigger staging now
+#       derives its doc_id base from max(doc_id)+1 in BOTH engines,
+#       and the column face's _ppm/tokenizer carried the r13 ADVICE
+#       fixes — the faces-agree test pins the shipped Arrow face to
+#       it), plus the three span-store queries whose production fold
+#       path gained default post-compaction retention
+#       (SPAN_VACUUM_RETAIN): span_clean_and_fold_docs,
+#       incremental_span_removal_docs, gram_novelty_docs.
+#       bm25i_incremental_index's fold also changed
+#       (POSTINGS_VACUUM_RETAIN) but it is r10-stale and sits in (a)
+#       anyway; the para-store fold changed too but no registered
+#       query calls it (test_compaction_cadence pins it).
+#   (a) the 6 r13 deferrals (all six in-gate — zero extra rounds of
+#       staleness, as the ledger required) + the r10-stale set
+#       RE-DERIVED from CORRECTNESS_r01..r13 at rotation time =
+#       45 rows, not the 47 the pre-staging estimated (the estimate
+#       was made before r13's own gate landed; the re-derivation is
+#       authoritative, per the standing rule). 4 + 6 + 45 = 55 for
+#       50 slots -> defer 5 r10 fills whose shapes fresher rows
+#       best cover (zero extra rounds of staleness allowed — all
+#       five MUST be in round 15's gate):
+#       - q14_promo_revenue: the promo-share agg shape is carried
+#         by the r13-green promo_revenue_ratio;
+#       - dedup_exact_count: the exact-fingerprint kernel is carried
+#         by the r12-green exact_dup_groups and the r13-green
+#         incremental_dedup_new_docs;
+#       - decontaminate_docs: the broadcast-set gram-probe regime's
+#         kernel (word_ngram_rows) is carried by the r13-green
+#         ngram_decontaminate_docs and the in-gate
+#         bloom_decontaminate_docs (third regime, same kernel);
+#       - dedup_span_removal_docs: the ExactSubstr span kernel is
+#         carried by the r13-green dup_span_coverage_docs and the
+#         in-gate incremental_span_removal_docs;
+#       - simhash_docs: the simhash signature kernel is carried by
+#         the r12-green simhash_neardup_docs (banded Hamming-ball
+#         face of the same signatures).
+# PRE-STAGED ROUND-15 ROTATION PLAN (compose at round-15 start):
+#   (0) any round-15 newcomers, gated at birth; (0b) rows whose
+#       engine round 15 changes; (a) the 5 round-14 deferrals above
+#       (q14_promo_revenue, dedup_exact_count, decontaminate_docs,
+#       dedup_span_removal_docs, simhash_docs — zero extra rounds of
+#       staleness) + the rows whose newest green will then be r11
+#       (47 by this round's arithmetic: 49 r11-green rows minus
+#       incremental_span_removal_docs and gram_novelty_docs, re-gated
+#       here — RE-DERIVE from the CORRECTNESS files at rotation
+#       time); 5 + 47 = 52 for 50 -> defer 2 r11 fills whose shapes
+#       fresher rows best cover, documenting each.
+_ROUND14_FRONT_50 = [
+    # (0b) the 4 changed-engine rows
+    "gopher_repetition_docs",
+    "span_clean_and_fold_docs",
+    "incremental_span_removal_docs",
+    "gram_novelty_docs",
+    # (a) the 6 r13 deferrals — the oldest evidence in the registry
+    "pq_topk_embeddings",
+    "ivf_nprobe_recall_curve",
+    "dedup_keep_canonical",
+    "embedding_label_centroids",
+    "xml_roundtrip_orders",
+    "hll_union_rollup",
+    # (a) 40 of the 45 r10-stale rows (5 deferred, documented above)
+    "agg_cube",
+    "agg_distinct_count",
+    "anomaly_zscore_daily_revenue",
+    "audio_fingerprint_parity",
+    "bloom_decontaminate_docs",
+    "bm25i_incremental_index",
+    "bm25i_retrieval_docs",
+    "chunk_documents_stats",
+    "data_profile_orders",
+    "hierarchy_subtree_rollup",
+    "hll_distinct_users",
+    "image_dhash_parity",
+    "join_anti_orphan_audit",
+    "join_full_outer_balance",
+    "join_left_enrich",
+    "kmv_sketch_rollup",
+    "minhash_signatures",
+    "minhash_store_neardup",
+    "mp4_container_parity",
+    "multimodal_frame_sample",
+    "pandas_udaf_weighted_price",
+    "paragraph_dedup_docs",
+    "perceptual_checker_parity",
+    "pii_redact_docs",
+    "pivot_status_by_priority",
+    "q13_order_distribution",
+    "q15_top_supplier",
+    "q18_large_volume_customers",
+    "q19_discount_revenue",
+    "repetition_profile_docs",
+    "scalar_subquery_rich_idle_customers",
+    "setops_customer_nations",
+    "text_profile_docs",
+    "time_travel_orders_versions",
+    "topk_expensive_orders",
+    "udtf_word_positions",
+    "video_neardup_parity",
+    "window_latest_order_per_customer",
+    "window_moving_avg_daily_revenue",
+    "winnow_fingerprint_docs",
+]
+
 _ROUND13_FRONT_50 = [
     # (0) the 2 late-round-12 newcomers — first driver evidence
     "gopher_quality_docs",
@@ -1337,7 +1449,7 @@ def all_queries() -> dict[str, QueryFn]:
     for name in _RELATIONAL_NAMES:
         pool[name] = getattr(relational, name)
 
-    queries: dict[str, QueryFn] = {n: pool[n] for n in _ROUND13_FRONT_50}
+    queries: dict[str, QueryFn] = {n: pool[n] for n in _ROUND14_FRONT_50}
     for name, fn in pool.items():
         queries.setdefault(name, fn)
     assert len(queries) == len(pool), "front-50 must be a subset of the pool"
