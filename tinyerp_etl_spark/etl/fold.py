@@ -166,17 +166,23 @@ def fold_append(
        an O(table) rewrite every fold. Returns the compacted version
        when compaction ran, else the appended version — callers get
        "the current version containing my fold" either way.
-    8. RETENTION (opt-in via ``vacuum_retain``, only meaningful with
-       compaction enabled): appends hard-link the previous version's
-       files (near-zero storage), but a compaction MATERIALIZES a
-       full fresh copy — without retention every trip doubles the
-       store on disk. When a compaction ran, ``vacuum(retain_last=
-       vacuum_retain)`` reaps versions beyond the newest N. The
-       trade is explicit and the caller's: reaped versions are gone
-       for time travel (``read_version`` raises), so only enable it
-       where the store is a rebuildable derived artifact and the
-       pipeline pins no old versions. Never runs on the append-only
-       path — hard-linked versions cost nothing to keep.
+    8. RETENTION (via ``vacuum_retain``, only meaningful with
+       compaction enabled; the harness default is None — each STORE
+       picks its policy, and the three compacted production stores
+       pass 2: span_index.SPAN_VACUUM_RETAIN,
+       para_index.PARA_VACUUM_RETAIN, bm25_index's postings face):
+       appends hard-link the previous version's files (near-zero
+       storage), but a compaction MATERIALIZES a full fresh copy —
+       without retention every trip adds one permanent O(table) copy.
+       When a compaction ran, ``vacuum(retain_last=vacuum_retain)``
+       reaps versions beyond the newest N. The trade is explicit and
+       the caller's: reaped versions are gone for time travel
+       (``read_version`` raises), so only enable it where the store
+       is a rebuildable derived artifact and the pipeline pins no old
+       versions; retaining 2 keeps a just-claimed pre-compaction
+       snapshot readable for a full compaction cycle. Never runs on
+       the append-only path — hard-linked versions cost nothing to
+       keep.
     """
     version = store.current_version()
     if version is None:
