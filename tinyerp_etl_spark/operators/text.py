@@ -897,22 +897,36 @@ def winnow_fingerprints(col: Column | str) -> Column:
     fingerprint — the guarantee plain whole-doc hashing can't give.
     Pure (interpreted) array expressions over the document prefix, with
     an exactly-equivalent DuckDB formulation.
+
+    The k-gram hash array is BOUND (dedup._bind_once) before the
+    window pass reads it: interpreted higher-order expressions are
+    never CSE'd, so the unbound form re-ran the full ~509-element
+    md5 transform inside EVERY one of the ~506 window slices —
+    ~257k md5+conv evaluations per row instead of 509. Same values
+    (oracle parity re-proven at sf0.001/sf0.01), measured 181x at
+    sf0.1 (145 -> 0.80 s forced; SCALE.md round-14).
     """
+    from tinyerp_etl_spark.operators.dedup import _bind_once
+
     c = F.col(col) if isinstance(col, str) else col
     text = F.substring(c, 1, WINNOW_PREFIX)
     n_grams = F.greatest(F.length(text) - (WINNOW_KGRAM - 1), F.lit(0))
+    n_windows = F.greatest(n_grams - (WINNOW_WINDOW - 1), F.lit(0))
     hashes = F.transform(
         F.sequence(F.lit(1), F.greatest(n_grams, F.lit(1))),
         lambda i: token_hash32(text.substr(i, F.lit(WINNOW_KGRAM))),
     )
-    n_windows = F.greatest(n_grams - (WINNOW_WINDOW - 1), F.lit(0))
-    winnowed = F.transform(
-        F.sequence(F.lit(1), F.greatest(n_windows, F.lit(1))),
-        lambda j: F.array_min(F.slice(hashes, j, WINNOW_WINDOW)),
-    )
-    return F.when(
-        n_windows >= 1, F.array_sort(F.array_distinct(winnowed))
-    ).otherwise(F.array().cast("array<long>"))
+
+    def _with_hashes(h: Column) -> Column:
+        winnowed = F.transform(
+            F.sequence(F.lit(1), F.greatest(n_windows, F.lit(1))),
+            lambda j: F.array_min(F.slice(h, j, WINNOW_WINDOW)),
+        )
+        return F.when(
+            n_windows >= 1, F.array_sort(F.array_distinct(winnowed))
+        ).otherwise(F.array().cast("array<long>"))
+
+    return _bind_once(hashes, _with_hashes)
 
 
 def token_hash32(col: Column) -> Column:

@@ -177,14 +177,27 @@ def winnow_fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the sorted fingerprint set per document.
     """
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 50 == 0)
-    fps = X.winnow_fingerprints("text")
-    return docs.select(
-        "doc_id",
-        F.array_size(fps).cast("int").alias("n_fingerprints"),
-        F.md5(F.concat_ws(",", F.transform(fps, lambda x: x.cast("string")))).alias(
-            "fp_md5"
+    # bind the fingerprint array before its two reads (count + digest):
+    # unbound, the whole winnow tree — itself a bound ~509-hash pass —
+    # would evaluate twice per row (interpreted trees are never CSE'd)
+    s = D._bind_once(
+        X.winnow_fingerprints("text"),
+        lambda fps: F.struct(
+            F.array_size(fps).cast("int").alias("n_fingerprints"),
+            F.md5(
+                F.concat_ws(",", F.transform(fps, lambda x: x.cast("string")))
+            ).alias("fp_md5"),
         ),
-    ).orderBy("doc_id")
+    )
+    return (
+        docs.withColumn("s", s)
+        .select(
+            "doc_id",
+            F.col("s.n_fingerprints").alias("n_fingerprints"),
+            F.col("s.fp_md5").alias("fp_md5"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -697,7 +697,11 @@ _RELATIONAL_NAMES = [
 #       bm25i_incremental_index's fold also changed
 #       (POSTINGS_VACUUM_RETAIN) but it is r10-stale and sits in (a)
 #       anyway; the para-store fold changed too but no registered
-#       query calls it (test_compaction_cadence pins it).
+#       query calls it (test_compaction_cadence pins it). Late
+#       round-14 engine change: winnow_fingerprints gained the
+#       _bind_once rebind (181x at sf0.1, values oracle-identical) —
+#       its owner row winnow_fingerprint_docs was already in (a), so
+#       the changed-engine obligation is satisfied in-gate.
 #   (a) the 6 r13 deferrals (all six in-gate — zero extra rounds of
 #       staleness, as the ledger required) + the r10-stale set
 #       RE-DERIVED from CORRECTNESS_r01..r13 at rotation time =
