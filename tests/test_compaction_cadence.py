@@ -87,7 +87,7 @@ def test_span_fold_cadence_compacts_and_restores_pruning(spark, tmp_path):
         .limit(5)
         .collect()
     ]
-    cols = store.read_version(v2).columns  # v2 is reaped below
+    cols = store.read_version(v2).columns
     units_before = _key_units(store._version_dir(v2), "gram_key")
     hits_before = [
         sum(1 for lo, hi in units_before if lo <= k <= hi)
@@ -111,15 +111,18 @@ def test_span_fold_cadence_compacts_and_restores_pruning(spark, tmp_path):
     )
     assert v3 == store.current_version()
     assert store.data_file_count(v3) == 6
-    # production-default retention (SPAN_VACUUM_RETAIN=2) ran with
-    # the compaction: only the pre-compaction append and the
-    # compacted version remain, and time travel to reaped versions
-    # raises — the documented trade of a rebuildable derived store
-    assert store.versions() == [v3 - 1, v3]
+    # production-default retention (SPAN_VACUUM_RETAIN=3) ran with
+    # the compaction: the PRE-FOLD current (v2 — what a concurrent
+    # reader or racing fold would have claimed), the append, and the
+    # compacted version remain; anything older is reaped and time
+    # travel to it raises — the documented trade of a rebuildable
+    # derived store
+    assert store.versions() == [v3 - 2, v3 - 1, v3]
+    assert v3 - 2 == v2  # the claimed snapshot survives the fold
     import pytest as _pt
 
     with _pt.raises(ValueError):
-        store.read_version(v2)
+        store.read_version(1)
     units_after = _key_units(store._version_dir(v3), "gram_key")
     # one GLOBAL tiling: unit ranges are pairwise non-overlapping...
     spans = sorted(units_after)
@@ -218,14 +221,11 @@ def test_bm25_fold_cadence_compacts_postings(spark, tmp_path, monkeypatch):
     # the fold appends POSTINGS_FILES more (16 > 10) -> compact to 4
     B.update_bm25_index(spark, path, b2)
     assert store.data_file_count() == 4
-    # production-default retention (POSTINGS_VACUUM_RETAIN=2) ran
-    # with the compaction: bootstrap v1 is reaped, the pre-compaction
-    # append and the compacted version remain
-    assert store.versions() == [2, 3]
-    import pytest as _pt
-
-    with _pt.raises(ValueError):
-        store.read_version(1)
+    # production-default retention (POSTINGS_VACUUM_RETAIN=3) ran
+    # with the compaction: the pre-fold current (bootstrap v1 — the
+    # version a concurrent reader would have claimed, and the one the
+    # divergence repair time-travels to) survives THIS fold
+    assert store.versions() == [1, 2, 3]
     spans = sorted(
         _key_units(store._version_dir(store.current_version()), "token")
     )
@@ -241,10 +241,17 @@ def test_bm25_fold_cadence_compacts_postings(spark, tmp_path, monkeypatch):
         postings, stats, ["b2d5w3", "b2d5w4"], k=3
     ).collect()
     assert hits and hits[0]["doc_id"] == 2005
-    # a further fold keeps folding normally on the compacted base
+    # a further fold keeps folding normally on the compacted base —
+    # it appends 16 more files (20 > 10), so it compacts AND reaps:
+    # only now does v1 age beyond the newest three and get vacuumed
     B.update_bm25_index(spark, path, _docs(spark, _batch(3, n=5)))
     _, stats3 = B.load_bm25_index(spark, path)
     assert stats3["n_docs"] == 65
+    assert store.versions() == [3, 4, 5]
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        store.read_version(1)
 
 
 def test_para_fold_cadence_compacts(spark, tmp_path, monkeypatch):
@@ -272,9 +279,12 @@ def test_para_fold_cadence_compacts(spark, tmp_path, monkeypatch):
     # 4+4 = 8 > 6 -> compaction to 2 inside the fold
     P.fold_batch_into_paragraph_index(spark, path, _docs(spark, b2))
     assert store.data_file_count() == 2
-    # production-default retention (PARA_VACUUM_RETAIN=2) ran with
-    # the compaction: only the newest two versions remain
-    assert store.versions() == [2, 3]
+    # production-default retention (PARA_VACUUM_RETAIN=3) ran with
+    # the compaction: all three versions are within the window, so
+    # nothing reaps yet — the pre-fold current (v1) survives the
+    # fold that compacts (the reap itself is witnessed on the span
+    # and BM25 cadences above)
+    assert store.versions() == [1, 2, 3]
     idx = {r["para"]: r["first_doc"] for r in store.read().collect()}
     assert idx[pa] == 9 and idx[pb] == 9  # first occurrences survived
     assert idx[para("pc")] == 28

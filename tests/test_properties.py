@@ -942,6 +942,33 @@ def ref_repetition(text):
     return {**{f"{k}_ppm": v for k, v in sig.items()}, "verdict": verdict}
 
 
+def test_ppm_is_exact_floor_at_the_rounding_boundary(spark):
+    """_ppm must equal Python's exact ``//`` even where floor(decimal
+    division) fails: Spark's decimal(38,0)/decimal(38,0) quotient is
+    HALF_UP-rounded to scale 6, so for denominators past ~2e6 a
+    fractional part ≥ 1 − 5e-7 rounds across the integer boundary
+    BEFORE floor — the IntegralDivide form truncates the exact
+    quotient instead (r14 review finding, reproduced then fixed)."""
+    from pyspark.sql import functions as F
+
+    from tinyerp_etl_spark.operators.text import _ppm
+
+    d = 4_000_001
+    inv = pow(1_000_000, -1, d)  # n·1e6 ≡ d−1 (mod d): worst fraction
+    cases = [((d - 1) * inv % d + d * k, d) for k in (0, 5, 9)] + [
+        (0, 7), (3, 0), (10**13, 3), (1, 10**12)
+    ]
+    df = spark.createDataFrame(cases, "num long, denom long")
+    got = [
+        r["p"]
+        for r in df.select(
+            _ppm(F.col("num"), F.col("denom")).alias("p")
+        ).collect()
+    ]
+    want = [(n * 1_000_000) // dd if dd > 0 else 0 for n, dd in cases]
+    assert got == want
+
+
 @settings(max_examples=8, deadline=None)
 @given(st.lists(_REP_DOC, min_size=1, max_size=15))
 def test_repetition_stats_matches_python_model(spark, docs):

@@ -169,7 +169,7 @@ def fold_append(
     8. RETENTION (via ``vacuum_retain``, only meaningful with
        compaction enabled; the harness default is None — each STORE
        picks its policy, and the three compacted production stores
-       pass 2: span_index.SPAN_VACUUM_RETAIN,
+       pass 3: span_index.SPAN_VACUUM_RETAIN,
        para_index.PARA_VACUUM_RETAIN, bm25_index's postings face):
        appends hard-link the previous version's files (near-zero
        storage), but a compaction MATERIALIZES a full fresh copy —
@@ -179,10 +179,13 @@ def fold_append(
        the caller's: reaped versions are gone for time travel
        (``read_version`` raises), so only enable it where the store
        is a rebuildable derived artifact and the pipeline pins no old
-       versions; retaining 2 keeps a just-claimed pre-compaction
-       snapshot readable for a full compaction cycle. Never runs on
-       the append-only path — hard-linked versions cost nothing to
-       keep.
+       versions; a compacting fold commits TWO versions past the
+       pre-fold current (append, then compaction), so a store that
+       wants "a just-claimed snapshot survives the fold that
+       compacts" needs retain ≥ 3 (the production stores' choice —
+       near-zero bytes, since the append hard-links it). Never runs
+       on the append-only path — hard-linked versions cost nothing
+       to keep.
     """
     version = store.current_version()
     if version is None:

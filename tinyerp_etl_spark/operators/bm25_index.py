@@ -67,13 +67,20 @@ POSTINGS_COMPACT_FILES = 16
 #: Post-compaction retention for the POSTINGS store (same rationale
 #: as span_index.SPAN_VACUUM_RETAIN): appends hard-link, compactions
 #: materialize a full copy, and the index is a rebuildable derived
-#: artifact — reap versions beyond the newest 2, only after a
-#: compaction ran. Retaining 2 keeps a just-claimed pre-compaction
-#: snapshot readable for one full compaction cycle; the repair paths
-#: read only CURRENT versions, so retention cannot strand them. The
+#: artifact — reap versions beyond the newest 3, only after a
+#: compaction ran. 3, not 2: a compacting fold commits two versions
+#: past the pre-fold current, and the pre-fold current is what a
+#: concurrent reader has claimed — it must survive the fold that
+#: compacts (near-zero bytes; the append hard-links it). Retention
+#: interacts with ONE repair path: the skip_existing divergence
+#: repair time-travels to postings current−1 (see the
+#: `postings_version - 1` read below) and already degrades to the
+#: rebuild-required branch via caught ValueError when that version
+#: is gone; retain ≥ 2 preserves current−1 under the single-writer
+#: ordering, and 3 keeps it safe under a racing compaction too. The
 #: 1-row STATS store is deliberately NOT reaped: its versions cost
 #: ~KB each and the torn-state diagnostics lean on its history.
-POSTINGS_VACUUM_RETAIN = 2
+POSTINGS_VACUUM_RETAIN = 3
 
 BM25_POSTINGS_SCHEMA = StructType(
     [

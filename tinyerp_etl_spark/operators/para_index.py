@@ -51,11 +51,14 @@ PARA_COMPACT_FILES = 8
 #: Post-compaction retention (same rationale as
 #: span_index.SPAN_VACUUM_RETAIN): appends hard-link, compactions
 #: materialize a full copy — retention reaps versions beyond the
-#: newest 2 only after a compaction ran. The paragraph index is a
-#: rebuildable derived artifact; retaining 2 keeps a just-claimed
-#: pre-compaction snapshot readable for one full compaction cycle.
-#: ``vacuum_retain=None`` on the fold keeps every version.
-PARA_VACUUM_RETAIN = 2
+#: newest 3 only after a compaction ran. The paragraph index is a
+#: rebuildable derived artifact; 3 (not 2) because a compacting fold
+#: commits two versions past the pre-fold current, and THAT version
+#: is the one a concurrent reader or racing fold has claimed — it
+#: must survive the fold that compacts (it costs ~nothing: the
+#: append hard-links its files). ``vacuum_retain=None`` keeps every
+#: version.
+PARA_VACUUM_RETAIN = 3
 
 PARA_INDEX_SCHEMA = StructType(
     [

@@ -132,15 +132,22 @@ SPAN_COMPACT_FILES = 16
 #: retention every trip adds one permanent full copy (O(table) disk
 #: per ~7 folds at the cadence above). The gram store is a
 #: rebuildable derived artifact (re-fold the corpus) and no pipeline
-#: pins old versions, so retention defaults ON. Retain 2, not 1: a
-#: reader that claimed the pre-compaction version keeps its snapshot
-#: for one full compaction cycle (~7 folds) instead of having it
-#: reaped mid-read by the very fold that compacted. The trade stays
+#: pins old versions, so retention defaults ON. Retain 3, not 2: a
+#: compacting fold commits TWO versions past the pre-fold current
+#: v_N (its append v_N+1, then the compacted v_N+2), so retain=2
+#: would reap v_N — the exact version a concurrent reader or racing
+#: fold claims — inside the very fold that compacted, turning the
+#: racer's retried ConcurrentWriteError into an unretried
+#: FileNotFound mid-scan (r14 review finding). With 3, the pre-fold
+#: current survives the fold that compacts and stays readable for a
+#: full further cycle (~7 folds) before any reap can touch it — and
+#: at near-zero byte cost, because v_N+1 hard-links v_N's files; the
+#: only fresh copy on disk is the compacted v_N+2. The trade stays
 #: explicit: ``read_version`` of a reaped version raises (pinned by
 #: test_fold_vacuum_after_compaction_reaps_old_versions and the
 #: cadence tests); pass ``vacuum_retain=None`` to keep every version
 #: (external retention policy / time-travel debugging).
-SPAN_VACUUM_RETAIN = 2
+SPAN_VACUUM_RETAIN = 3
 
 SPAN_INDEX_SCHEMA = StructType(
     [

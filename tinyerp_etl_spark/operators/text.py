@@ -356,20 +356,26 @@ def _run_stats(arr_sorted: Column) -> Column:
 
 
 def _ppm(num: Column, denom: Column) -> Column:
-    """Exact floor ppm, 0 on an empty denominator. Decimal division
-    (exact) + floor, never double division: Spark's ``/`` on longs is
-    a double Divide, and a correctly-rounded double quotient can land
-    one ABOVE the true integer floor once numerator or denominator
-    outgrow the 2^53 mantissa — the Python model and the DuckDB
-    oracle both use exact ``//``, so the column face must too. The
+    """Exact floor ppm, 0 on an empty denominator — via INTEGRAL
+    division (``div`` / IntegralDivide), never a rounded quotient.
+    Two rejected forms, both measured to diverge from the Python
+    model's and DuckDB oracle's exact ``//``: Spark's ``/`` on longs
+    is a double Divide (a correctly-rounded double can land one ABOVE
+    the true floor past the 2^53 mantissa), and ``floor(decimal /
+    decimal)`` is floor of a HALF_UP-rounded decimal(38,6) quotient —
+    for denominators past ~2e6 a fractional part ≥ 1 − 5e-7 rounds
+    across the integer boundary before floor sees it (reproduced:
+    num·1e6 = 5000000·d + (d−1) at d = 4000001 returns 5000001).
+    ``div`` truncates the EXACT quotient toward zero, which equals
+    floor here (both operands are non-negative masses/counts). The
     ×1e6 happens AFTER the decimal(38,0) cast: in int64 it would
-    silently wrap past num ≈ 9.2e12 (beyond any per-doc mass, but
-    the exactness guarantee holds only if no step is modular)."""
+    silently wrap past num ≈ 9.2e12."""
     return F.when(
         denom > 0,
-        F.floor(
-            num.cast("decimal(38,0)") * F.lit(1_000_000)
-            / denom.cast("decimal(38,0)")
+        F.call_function(
+            "div",
+            num.cast("decimal(38,0)") * F.lit(1_000_000),
+            denom.cast("decimal(38,0)"),
         ),
     ).otherwise(F.lit(0)).cast("long")
 

@@ -6478,9 +6478,12 @@ def gopher_repetition_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shortest-first unreachable). Staging appends the 13 _REP_TRIGGERS
     docs so every rule fires somewhere while the real corpus supplies
     the keep / top-gram mix; trigger doc_ids start at
-    max(doc_id) + 1 — derived, not a fixed offset, so they can never
-    collide with corpus ids at any SF (the one-row max() collect is
-    control-plane; the oracle derives the same base in SQL). Every signal is ONE map-side pass per
+    coalesce(max(doc_id)+1, 0) — derived LAZILY (a broadcast one-row
+    aggregate cross-joined onto the 13 trigger rows, the same shape
+    as the oracle's ``mx`` CTE), so they can never collide with
+    corpus ids at any SF, plan construction runs no job, and an
+    empty corpus stages triggers at 0..12 identically in both
+    engines instead of crashing one and NULL-collapsing the other. Every signal is ONE map-side pass per
     doc — no explode, no shuffle, nothing leaves its row; the naive
     port would explode nine n-gram tables through nine shuffles, the
     difference between a projection and a 9x corpus shuffle at
@@ -6489,12 +6492,17 @@ def gopher_repetition_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     61.1 -> 11.9 s forced; equivalence between the two faces pinned
     by test)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    base = docs.agg(F.max("doc_id")).first()[0] + 1
+    base = docs.agg(
+        F.coalesce(F.max("doc_id") + 1, F.lit(0)).alias("__base")
+    )
+    triggers = spark.createDataFrame(
+        [(i, _REP_TRIGGERS[n]) for i, n in
+         enumerate(X.GOPHER_REP_THRESHOLDS)],
+        "i long, text string",
+    )
     staged = docs.unionByName(
-        spark.createDataFrame(
-            [(base + i, _REP_TRIGGERS[n]) for i, n in
-             enumerate(X.GOPHER_REP_THRESHOLDS)],
-            "doc_id long, text string",
+        triggers.crossJoin(F.broadcast(base)).select(
+            (F.col("__base") + F.col("i")).alias("doc_id"), "text"
         )
     )
     return X.repetition_summary(staged).orderBy("doc_id")
@@ -6557,7 +6565,9 @@ def _rep_oracle_sql() -> str:
     )
     toks = "regexp_extract_all(lower(coalesce(text, '')), '(\\w+)', 1)"
     return f"""
-    WITH mx AS (SELECT max(doc_id) + 1 AS base FROM documents),
+    WITH mx AS (
+      SELECT coalesce(max(doc_id) + 1, 0) AS base FROM documents
+    ),
     staged AS (
       SELECT doc_id, text FROM documents
       UNION ALL
