@@ -942,6 +942,64 @@ def ref_repetition(text):
     return {**{f"{k}_ppm": v for k, v in sig.items()}, "verdict": verdict}
 
 
+def ref_winnow(text):
+    """Exact Python model of operators/text.winnow_fingerprints: md5
+    k-gram hashes over the WINNOW_PREFIX-char prefix, sliding-window
+    minima, distinct, sorted — including the two empty regimes (no
+    k-gram, or fewer hashes than a window)."""
+    import hashlib
+
+    from tinyerp_etl_spark.operators.text import (
+        WINNOW_KGRAM,
+        WINNOW_PREFIX,
+        WINNOW_WINDOW,
+    )
+
+    t = (text or "")[:WINNOW_PREFIX]
+    n_grams = max(len(t) - (WINNOW_KGRAM - 1), 0)
+    hashes = [
+        int(hashlib.md5(t[i:i + WINNOW_KGRAM].encode()).hexdigest()[:8], 16)
+        for i in range(n_grams)
+    ]
+    n_windows = max(n_grams - (WINNOW_WINDOW - 1), 0)
+    return sorted(
+        {min(hashes[j:j + WINNOW_WINDOW]) for j in range(n_windows)}
+    )
+
+
+_WINNOW_TEXT = st.one_of(
+    st.none(),
+    # short strings land every boundary regime: < k chars (no gram),
+    # k..k+w-2 (grams but no full window), and repeated-substring
+    # texts that collapse to few distinct minima
+    st.text(alphabet="ab \n", max_size=14),
+    st.text(alphabet="abcdefgh ", min_size=5, max_size=80).map(
+        lambda s: s * 3
+    ),
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(_WINNOW_TEXT, min_size=1, max_size=12))
+def test_winnow_fingerprints_match_python_model(spark, texts):
+    """The bound column tree (r14 rebind) returns exactly the model's
+    fingerprints — same hashes, same window minima, same dedupe/sort —
+    on NULL, sub-k, sub-window, and repetitive inputs."""
+    from tinyerp_etl_spark.operators.text import winnow_fingerprints
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i int, text string"
+    )
+    got = {
+        r["i"]: list(r["f"])
+        for r in df.select(
+            "i", winnow_fingerprints("text").alias("f")
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == ref_winnow(t), f"text {t!r}"
+
+
 def test_ppm_is_exact_floor_at_the_rounding_boundary(spark):
     """_ppm must equal Python's exact ``//`` even where floor(decimal
     division) fails: Spark's decimal(38,0)/decimal(38,0) quotient is
