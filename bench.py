@@ -179,6 +179,14 @@ HEADLINE_R13: list[str] = [
     # shuffle — the face the round-13 A/B shipped)
     "gopher_repetition_docs",
 ]
+# Added round 14: the winnowing fingerprint row, AFTER its 181x
+# rebind (145 -> 0.80 s forced at sf0.1 — the unbound hash array
+# re-ran the md5 transform per window slice). A row with that
+# pathology history belongs under the per-round bench watch; it
+# was invisible before precisely because it was not a headline row.
+HEADLINE_R14: list[str] = [
+    "winnow_fingerprint_docs",
+]
 HEADLINE = (
     HEADLINE
     + HEADLINE_R4
@@ -189,6 +197,7 @@ HEADLINE = (
     + HEADLINE_R11
     + HEADLINE_R12
     + HEADLINE_R13
+    + HEADLINE_R14
 )
 
 
@@ -293,6 +302,7 @@ def main() -> None:
         and k not in HEADLINE_R11
         and k not in HEADLINE_R12
         and k not in HEADLINE_R13
+        and k not in HEADLINE_R14
     )
     # the set benched in rounds 5-6: total minus later additions,
     # so r6 -> r7+ compares directly without re-deriving the exclusion
@@ -305,6 +315,7 @@ def main() -> None:
         and k not in HEADLINE_R11
         and k not in HEADLINE_R12
         and k not in HEADLINE_R13
+        and k not in HEADLINE_R14
     )
     # the set benched in rounds 7-8 (the r8 verdict's common-52)
     comparable_r8 = sum(
@@ -315,6 +326,7 @@ def main() -> None:
         and k not in HEADLINE_R11
         and k not in HEADLINE_R12
         and k not in HEADLINE_R13
+        and k not in HEADLINE_R14
     )
     # the set benched in round 9 (for the r9 -> r10 comparison)
     comparable_r9 = sum(
@@ -325,6 +337,7 @@ def main() -> None:
             and k not in HEADLINE_R11
             and k not in HEADLINE_R12
             and k not in HEADLINE_R13
+            and k not in HEADLINE_R14
         )
     )
     # the set benched in round 10 (for the r10 -> r11 comparison)
@@ -334,23 +347,34 @@ def main() -> None:
         if k not in HEADLINE_R11
         and k not in HEADLINE_R12
         and k not in HEADLINE_R13
+        and k not in HEADLINE_R14
     )
     # the set benched in round 11 (for the r11 -> r12 comparison)
     comparable_r11 = sum(
         v
         for k, v in timings.items()
         if k not in HEADLINE_R12 and k not in HEADLINE_R13
+        and k not in HEADLINE_R14
     )
     # the count-track set benched in round 12 (r12 -> r13 comparison)
     comparable_r12 = sum(
-        v for k, v in timings.items() if k not in HEADLINE_R13
+        v for k, v in timings.items() if k not in HEADLINE_R13 and k not in HEADLINE_R14
     )
     # the FORCED-track overlap total (round 12 was the track's first
     # datapoint, so this is its first round-over-round comparable:
     # regressions in expensive OUTPUT COLUMNS can't hide in the
     # count() track — VERDICT r12 Next #3)
     comparable_forced_r12 = sum(
-        v for k, v in forced.items() if k not in HEADLINE_R13
+        v for k, v in forced.items() if k not in HEADLINE_R13 and k not in HEADLINE_R14
+    )
+    # the sets benched in rounds 13-14 minus the round-14 addition
+    # (winnow joined AFTER its 181x rebind, so its row would flatter
+    # any total that includes it against a round that lacked it)
+    comparable_r13 = sum(
+        v for k, v in timings.items() if k not in HEADLINE_R14
+    )
+    comparable_forced_r13 = sum(
+        v for k, v in forced.items() if k not in HEADLINE_R14
     )
 
     # Key ORDER matters: the driver records only the LAST ~2000 bytes
@@ -374,6 +398,8 @@ def main() -> None:
         "comparable_r11_total": round(comparable_r11, 4),
         "comparable_r12_total": round(comparable_r12, 4),
         "comparable_forced_r12_total": round(comparable_forced_r12, 4),
+        "comparable_r13_total": round(comparable_r13, 4),
+        "comparable_forced_r13_total": round(comparable_forced_r13, 4),
         "forced_total": round(sum(forced.values()), 4),
         "sf": sf,
         "queries": timings,
