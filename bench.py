@@ -186,6 +186,8 @@ HEADLINE_R13: list[str] = [
 # was invisible before precisely because it was not a headline row.
 HEADLINE_R14: list[str] = [
     "winnow_fingerprint_docs",
+    # the round-14 newcomer: Unicode NFC audit (Arrow map pass)
+    "nfc_normalize_docs",
 ]
 HEADLINE = (
     HEADLINE

@@ -942,6 +942,74 @@ def ref_repetition(text):
     return {**{f"{k}_ppm": v for k, v in sig.items()}, "verdict": verdict}
 
 
+def test_nfc_triggers_fire_their_own_phenomenon(spark):
+    """Each staged NFC trigger exercises exactly its normalization
+    case (non-vacuity contract of nfc_normalize_docs' staging), and
+    the operator's Arrow kernel agrees with a direct per-string
+    Python computation."""
+    import hashlib
+    import unicodedata
+
+    from tinyerp_etl_spark.operators.text import nfc_audit_summary
+    from tinyerp_etl_spark.plans.llm_ops import _NFC_TRIGGERS
+
+    # the first four are genuinely non-NFC, the last two are controls
+    flags = [unicodedata.normalize("NFC", t) == t for t in _NFC_TRIGGERS]
+    assert flags == [False, False, False, False, True, True]
+
+    df = spark.createDataFrame(
+        list(enumerate(_NFC_TRIGGERS)), "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_chars"], r["n_chars_nfc"], r["is_nfc"], r["nfc_md5"])
+        for r in nfc_audit_summary(df).collect()
+    }
+    for i, t in enumerate(_NFC_TRIGGERS):
+        n = unicodedata.normalize("NFC", t)
+        assert got[i] == (
+            len(t), len(n), int(n == t),
+            hashlib.md5(n.encode()).hexdigest(),
+        ), repr(t)
+
+
+_NFC_TEXT = st.one_of(
+    st.none(),
+    # combining marks, precomposed chars, jamo, ascii — every regime
+    st.text(
+        alphabet="ae\u0301\u030a\u00e9\u1100\u1161 z",
+        max_size=20,
+    ),
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(_NFC_TEXT, min_size=1, max_size=12))
+def test_nfc_audit_matches_python_model(spark, texts):
+    """The Arrow kernel's batching/encoding is faithful: per-doc
+    output equals the direct unicodedata/hashlib computation for
+    generated combining-mark soups and NULLs. (The independent check
+    of the NFC tables themselves is the DuckDB oracle.)"""
+    import hashlib
+    import unicodedata
+
+    from tinyerp_etl_spark.operators.text import nfc_audit_summary
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_chars"], r["n_chars_nfc"], r["is_nfc"], r["nfc_md5"])
+        for r in nfc_audit_summary(df).collect()
+    }
+    for i, t in enumerate(texts):
+        s = t or ""
+        n = unicodedata.normalize("NFC", s)
+        assert got[i] == (
+            len(s), len(n), int(n == s),
+            hashlib.md5(n.encode()).hexdigest(),
+        ), repr(t)
+
+
 def ref_winnow(text):
     """Exact Python model of operators/text.winnow_fingerprints: md5
     k-gram hashes over the WINNOW_PREFIX-char prefix, sliding-window

@@ -674,6 +674,72 @@ def repetition_summary(
     ).mapInPandas(batches, schema=schema)
 
 
+def _nfc_row(text: str | None) -> list:
+    """Exact per-document NFC audit — codepoint counts before/after
+    Unicode NFC, the already-normalized flag, and the md5 of the
+    NORMALIZED utf-8 bytes (the canonical fingerprint two
+    composition-variant copies of one document share). NULL text
+    reads as '' (the line_dedup_summary convention). The DuckDB
+    oracle recomputes all four with its own independent NFC
+    (nfc_normalize) and md5 — a genuine cross-implementation check
+    of the Unicode normalization itself."""
+    import hashlib
+    import unicodedata
+
+    s = text or ""
+    n = unicodedata.normalize("NFC", s)
+    return [
+        len(s),
+        len(n),
+        1 if n == s else 0,
+        hashlib.md5(n.encode("utf-8")).hexdigest(),
+    ]
+
+
+def nfc_audit_summary(docs, text_col: str = "text", id_col: str = "doc_id"):
+    """Per-document Unicode NFC normalization audit as a DataFrame:
+    ``(id, n_chars, n_chars_nfc, is_nfc, nfc_md5)``.
+
+    The text-pipeline step that runs BEFORE any hash-based dedup: the
+    same visible document arrives from different sources in composed
+    ('é') and decomposed ('e' + U+0301) forms, and every exact/MinHash
+    fingerprint in this engine hashes bytes — without canonicalization
+    those copies can never dedup. ``nfc_md5`` is the canonical
+    fingerprint; ``is_nfc``/char deltas are the audit counters a crawl
+    health dashboard tracks. One Arrow-batched map-side pass
+    (mapInPandas — Unicode normalization tables are not expressible in
+    built-in column functions), no shuffle, nothing leaves its row;
+    at 100 TB this is scan-bound like every other per-doc audit.
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("n_chars", T.LongType()),
+            T.StructField("n_chars_nfc", T.LongType()),
+            T.StructField("is_nfc", T.LongType()),
+            T.StructField("nfc_md5", T.StringType()),
+        ]
+    )
+    names = [f.name for f in schema.fields]
+
+    def batches(it):
+        for pdf in it:
+            yield pd.DataFrame(
+                [
+                    [did] + _nfc_row(t)
+                    for did, t in zip(pdf[id_col], pdf[text_col])
+                ],
+                columns=names,
+            )
+
+    return docs.select(
+        F.col(id_col).cast("long").alias(id_col), text_col
+    ).mapInPandas(batches, schema=schema)
+
+
 def lang_marker_score(col: Column | str, lang: str) -> Column:
     """How many marker-word occurrences of ``lang`` the text contains —
     the single-language reference face of ``lang_id``'s fused

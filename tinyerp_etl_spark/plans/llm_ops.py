@@ -6665,3 +6665,82 @@ def _rep_oracle_sql() -> str:
 
 LLM_ORACLES["gopher_repetition_docs"] = _rep_oracle_sql()
 LLM_QUERIES["gopher_repetition_docs"] = gopher_repetition_docs
+
+
+# ------- round-14 addition: Unicode NFC normalization audit
+# One crafted doc per normalization phenomenon, each verified against
+# Python's unicodedata (tests/test_properties.py) to exercise exactly
+# its case — the corpus itself is ASCII (already NFC), so the staged
+# docs keep every output column non-vacuous at any SF. The oracle
+# recomputes the normalization with DuckDB's OWN nfc_normalize — a
+# genuine cross-implementation check of the Unicode tables, not a
+# replay of the Python call.
+_NFC_TRIGGERS: list[str] = [
+    "Café menu du jour",          # e + combining acute -> é
+    "Å ngström",            # A+ring, o+diaeresis -> Å ö
+    "가 hangul jamo",         # conjoining jamo -> 가
+    "Á̧ reorder stack",      # mark reordering under NFC
+    "déjà vu (already NFC)",  # precomposed control: is_nfc=1
+    "",                                  # empty control
+]
+
+
+def nfc_normalize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization audit (docs ≡ 0 mod 25, plus staged
+    non-NFC docs): per doc the codepoint count before/after NFC, the
+    already-normalized flag, and the md5 of the NORMALIZED utf-8
+    bytes — the canonical fingerprint composition-variant copies of
+    one document share (operators/text.nfc_audit_summary; the step
+    that runs BEFORE hash-based dedup, which hashes bytes and can
+    never merge 'é' with 'e'+U+0301 on its own). Staged doc_ids
+    derive lazily from coalesce(max(doc_id)+1, 0) (broadcast one-row
+    aggregate — the gopher_repetition_docs pattern). One Arrow
+    map-side pass, no shuffle; the oracle re-derives everything with
+    DuckDB's independent nfc_normalize implementation."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    subset = docs.filter(F.col("doc_id") % 25 == 0)
+    base = docs.agg(
+        F.coalesce(F.max("doc_id") + 1, F.lit(0)).alias("__base")
+    )
+    triggers = spark.createDataFrame(
+        list(enumerate(_NFC_TRIGGERS)), "i long, text string"
+    )
+    staged = subset.unionByName(
+        triggers.crossJoin(F.broadcast(base)).select(
+            (F.col("__base") + F.col("i")).alias("doc_id"), "text"
+        )
+    )
+    return X.nfc_audit_summary(staged).orderBy("doc_id")
+
+
+def _nfc_oracle_sql() -> str:
+    vals = ",\n      ".join(
+        "({}, '{}')".format(i, t.replace("'", "''"))
+        for i, t in enumerate(_NFC_TRIGGERS)
+    )
+    return f"""
+    WITH mx AS (
+      SELECT coalesce(max(doc_id) + 1, 0) AS base FROM documents
+    ),
+    staged AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 25 = 0
+      UNION ALL
+      SELECT mx.base + v.i AS doc_id, v.text FROM (VALUES
+      {vals}
+      ) v(i, text), mx
+    )
+    SELECT doc_id,
+           CAST(length(coalesce(text, '')) AS BIGINT) AS n_chars,
+           CAST(length(nfc_normalize(coalesce(text, ''))) AS BIGINT)
+             AS n_chars_nfc,
+           CAST(CASE WHEN nfc_normalize(coalesce(text, ''))
+                          = coalesce(text, '')
+                     THEN 1 ELSE 0 END AS BIGINT) AS is_nfc,
+           md5(nfc_normalize(coalesce(text, ''))) AS nfc_md5
+    FROM staged
+    ORDER BY doc_id
+"""
+
+
+LLM_ORACLES["nfc_normalize_docs"] = _nfc_oracle_sql()
+LLM_QUERIES["nfc_normalize_docs"] = nfc_normalize_docs

@@ -8,7 +8,7 @@ Ordering note: the driver's correctness gate covers the first 50
 registry entries, so insertion order is the rotation schedule.
 ACTIVE: _ROUND14_FRONT_50 (see its inline comments — after round 14's
 gate runs green, EVERY registered query's newest driver row is r11+
-except the five documented r10 deferrals, the six oldest rows in the
+except the six documented r10 deferrals, the six oldest rows in the
 registry get refreshed from r9, and the four rows whose engines round
 14 touched are re-proven). Prior gates below for the ledger; note
 round 8 ran _ROUND7_FRONT_50 unchanged, so the r7 list's rows carry
@@ -681,10 +681,17 @@ _RELATIONAL_NAMES = [
 #
 # ROUND-14 ROTATION (ACTIVE): executed exactly as pre-staged, with
 # the prescribed at-rotation re-derivation. Composition:
-#   (0) newcomers: none (every reference-surface row and every
-#       brief-named LLM-pipeline family is already registered; the
-#       round's engineering went to the pre-staged rotation, the
-#       forced-track riser run-down, and compacted-store retention);
+#   (0) ONE newcomer, gated at birth (amended in-round, the round-13
+#       precedent): nfc_normalize_docs — the Unicode NFC
+#       normalization audit that runs BEFORE hash-based dedup
+#       (composition-variant copies share no byte fingerprint without
+#       it). Full kit at add time: DuckDB oracle through duckdb's OWN
+#       nfc_normalize (a cross-implementation check of the Unicode
+#       tables), sf0.001+sf0.01 parity green, trigger docs covering
+#       each normalization phenomenon + hypothesis property vs
+#       unicodedata (tests/test_properties.py), 10x/100x SCALE rows
+#       (1.75 s / 6.33 s warm — one Arrow map pass, no shuffle).
+#       Displaces kmv_sketch_rollup (deferral documented below);
 #   (0b) 4 changed-engine rows (changed engine outranks fresh
 #       evidence): gopher_repetition_docs (trigger staging now
 #       derives its doc_id base from max(doc_id)+1 in BOTH engines,
@@ -707,10 +714,10 @@ _RELATIONAL_NAMES = [
 #       RE-DERIVED from CORRECTNESS_r01..r13 at rotation time =
 #       45 rows, not the 47 the pre-staging estimated (the estimate
 #       was made before r13's own gate landed; the re-derivation is
-#       authoritative, per the standing rule). 4 + 6 + 45 = 55 for
-#       50 slots -> defer 5 r10 fills whose shapes fresher rows
+#       authoritative, per the standing rule). 1 + 4 + 6 + 45 = 56
+#       for 50 slots -> defer 6 r10 fills whose shapes fresher rows
 #       best cover (zero extra rounds of staleness allowed — all
-#       five MUST be in round 15's gate):
+#       six MUST be in round 15's gate):
 #       - q14_promo_revenue: the promo-share agg shape is carried
 #         by the r13-green promo_revenue_ratio;
 #       - dedup_exact_count: the exact-fingerprint kernel is carried
@@ -725,19 +732,26 @@ _RELATIONAL_NAMES = [
 #         in-gate incremental_span_removal_docs;
 #       - simhash_docs: the simhash signature kernel is carried by
 #         the r12-green simhash_neardup_docs (banded Hamming-ball
-#         face of the same signatures).
+#         face of the same signatures);
+#       - kmv_sketch_rollup (displaced by the nfc_normalize_docs
+#         newcomer): the mergeable-sketch rollup shape is carried by
+#         the in-gate hll_union_rollup and the r12-green
+#         kmv_distinct_users (same KMV kernel).
 # PRE-STAGED ROUND-15 ROTATION PLAN (compose at round-15 start):
 #   (0) any round-15 newcomers, gated at birth; (0b) rows whose
-#       engine round 15 changes; (a) the 5 round-14 deferrals above
+#       engine round 15 changes; (a) the 6 round-14 deferrals above
 #       (q14_promo_revenue, dedup_exact_count, decontaminate_docs,
-#       dedup_span_removal_docs, simhash_docs — zero extra rounds of
-#       staleness) + the rows whose newest green will then be r11
-#       (47 by this round's arithmetic: 49 r11-green rows minus
-#       incremental_span_removal_docs and gram_novelty_docs, re-gated
-#       here — RE-DERIVE from the CORRECTNESS files at rotation
-#       time); 5 + 47 = 52 for 50 -> defer 2 r11 fills whose shapes
-#       fresher rows best cover, documenting each.
+#       dedup_span_removal_docs, simhash_docs, kmv_sketch_rollup —
+#       zero extra rounds of staleness) + the rows whose newest
+#       green will then be r11 (47 by this round's arithmetic: 49
+#       r11-green rows minus incremental_span_removal_docs and
+#       gram_novelty_docs, re-gated here — RE-DERIVE from the
+#       CORRECTNESS files at rotation time); 6 + 47 = 53 for 50 ->
+#       defer 3 r11 fills whose shapes fresher rows best cover,
+#       documenting each.
 _ROUND14_FRONT_50 = [
+    # (0) the round-14 newcomer, gated at birth
+    "nfc_normalize_docs",
     # (0b) the 4 changed-engine rows
     "gopher_repetition_docs",
     "span_clean_and_fold_docs",
@@ -750,7 +764,7 @@ _ROUND14_FRONT_50 = [
     "embedding_label_centroids",
     "xml_roundtrip_orders",
     "hll_union_rollup",
-    # (a) 40 of the 45 r10-stale rows (5 deferred, documented above)
+    # (a) 39 of the 45 r10-stale rows (6 deferred, documented above)
     "agg_cube",
     "agg_distinct_count",
     "anomaly_zscore_daily_revenue",
@@ -766,7 +780,6 @@ _ROUND14_FRONT_50 = [
     "join_anti_orphan_audit",
     "join_full_outer_balance",
     "join_left_enrich",
-    "kmv_sketch_rollup",
     "minhash_signatures",
     "minhash_store_neardup",
     "mp4_container_parity",
