@@ -188,6 +188,9 @@ HEADLINE_R14: list[str] = [
     "winnow_fingerprint_docs",
     # the round-14 newcomer: Unicode NFC audit (Arrow map pass)
     "nfc_normalize_docs",
+    # the second round-14 newcomer: UT1-style domain blocklist
+    # (suffix explode + broadcast join + one keyed max-struct agg)
+    "domain_blocklist_filter",
 ]
 HEADLINE = (
     HEADLINE

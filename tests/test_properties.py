@@ -1165,3 +1165,88 @@ def test_repetition_faces_agree(spark, docs):
         ).collect()
     }
     assert arrow == cols
+
+
+def test_blocklist_triggers_fire_their_own_phenomenon(spark, sf_dir):
+    """Each staged hostname class of domain_blocklist_filter gets
+    exactly its designed verdict (non-vacuity contract of the
+    staging): clean, exact hit, subdomain hit, label-boundary trap
+    NOT blocked, registrable-domain hit, and nested-entry
+    longest-match attribution — and no doc ever matches the unused
+    blocklist entry."""
+    from tinyerp_etl_spark.plans.llm_ops import LLM_QUERIES
+
+    rows = LLM_QUERIES["domain_blocklist_filter"](spark, sf_dir).collect()
+    by_mod: dict[int, tuple] = {}
+    for r in rows:
+        by_mod.setdefault(
+            r["doc_id"] % 6,
+            (r["blocked"], r["matched_domain"], r["category"]),
+        )
+        assert r["matched_domain"] != "unused.example"
+        # every doc of one class gets the same class verdict
+        assert (r["blocked"], r["matched_domain"], r["category"])[
+            0 if r["doc_id"] % 6 in (2, 4) else slice(None)
+        ] == by_mod[r["doc_id"] % 6][
+            0 if r["doc_id"] % 6 in (2, 4) else slice(None)
+        ]
+    assert by_mod[0] == (False, None, None)
+    assert by_mod[1] == (True, "ads.example.com", "ads")
+    assert by_mod[2][0] is True and by_mod[2][1] == "ads.example.com"
+    assert by_mod[3] == (False, None, None)  # notads trap stays clean
+    assert by_mod[4][0] is True and by_mod[4][1] == "badsite.org"
+    assert by_mod[5] == (True, "b.evil.net", "adult")  # longest wins
+
+
+_BL_LABEL = st.sampled_from(
+    ["a", "b", "ads", "notads", "example", "com", "net", "evil", "x"]
+)
+_BL_HOST = st.one_of(
+    st.none(),
+    st.lists(_BL_LABEL, min_size=1, max_size=5).map(".".join),
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(_BL_HOST, min_size=1, max_size=10),
+    st.lists(
+        st.tuples(
+            st.lists(_BL_LABEL, min_size=1, max_size=3).map(".".join),
+            st.sampled_from(["ads", "adult", "malware"]),
+        ),
+        min_size=1,
+        max_size=4,
+        unique_by=lambda t: t[0],
+    ),
+)
+def test_blocklist_verdicts_match_python_model(spark, hosts, bl):
+    """blocklist_verdicts == the exact Python model (blocked iff any
+    label-boundary suffix is listed; longest listed suffix wins the
+    attribution) on generated host/blocklist soups, including hosts
+    that collide with list entries only mid-label and NULL hosts."""
+    from tinyerp_etl_spark.functions.localdf import local_df
+    from tinyerp_etl_spark.operators.text import blocklist_verdicts
+
+    cat = dict(bl)
+
+    def model(h):
+        if h is None:
+            return (False, None, None)
+        labels = h.split(".")
+        suf = [".".join(labels[i:]) for i in range(len(labels))]
+        m = [s for s in suf if s in cat]
+        if not m:
+            return (False, None, None)
+        best = max(m, key=len)  # suffixes of one host differ in length
+        return (True, best, cat[best])
+
+    hosts_df = spark.createDataFrame(
+        [(i, h) for i, h in enumerate(hosts)], "doc_id long, hostname string"
+    )
+    bl_df = local_df(spark, bl, "domain string, category string")
+    got = {
+        r["doc_id"]: (r["blocked"], r["matched_domain"], r["category"])
+        for r in blocklist_verdicts(hosts_df, bl_df).collect()
+    }
+    assert got == {i: model(h) for i, h in enumerate(hosts)}

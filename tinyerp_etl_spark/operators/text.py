@@ -1426,3 +1426,82 @@ def normalize_url(col: Column | str) -> Column:
         F.when(keep != "", F.concat(F.lit("?"), keep)).otherwise(F.lit("")),
     )
     return F.when(scheme != "", canon).otherwise(u0)
+
+
+# --------------------------------------------- domain blocklist filter
+def domain_suffixes(col: Column | str) -> Column:
+    """All label-boundary suffixes of a hostname, most-specific first:
+    ``a.ads.example.com`` → ``[a.ads.example.com, ads.example.com,
+    example.com, com]``. The candidate set a UT1-style domain
+    blocklist is probed with — a hostname is blocked iff ANY of its
+    suffixes is listed, and suffix generation on LABEL boundaries is
+    what keeps ``notads.example.com`` from matching a listed
+    ``ads.example.com`` (the classic substring-match bug). The label
+    array is bound once per row (dedup._bind_once — Catalyst does not
+    CSE through higher-order functions), then each suffix is a
+    slice+join over the bound array: one interpreted pass over ≤~6
+    tiny elements per row, no shuffle, no UDF. NULL hostname → empty
+    array (no candidates, never blocked)."""
+    from tinyerp_etl_spark.operators.dedup import _bind_once
+
+    c = F.col(col) if isinstance(col, str) else col
+    return _bind_once(
+        F.split(F.coalesce(c, F.lit("")), r"\."),
+        lambda labels: F.filter(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.array_size(labels), F.lit(1))),
+                lambda i: F.array_join(
+                    F.slice(labels, i, F.array_size(labels) - i + 1), "."
+                ),
+            ),
+            lambda s: s != "",
+        ),
+    )
+
+
+def blocklist_verdicts(
+    hosts, bl, host_col: str = "hostname", id_col: str = "doc_id"
+):
+    """Per-host UT1-style blocklist verdicts: ``blocked`` iff any
+    label-boundary suffix of ``host_col`` appears in the blocklist
+    frame ``bl`` (columns ``domain``, ``category``), with the LONGEST
+    matching suffix winning the ``matched_domain``/``category``
+    attribution (nested entries like ``evil.net`` + ``b.evil.net``
+    resolve to the most specific). One explode over
+    ``domain_suffixes`` (≤~6 tiny rows per host), a broadcast left
+    join against the blocklist dim, and a conditional max-struct
+    aggregate keyed on (id, host) — the map-side partial max shrinks
+    the exploded rows back to one per host before the only shuffle,
+    and unblocked hosts ride the same aggregate (no second corpus
+    join). The explode is OUTER: a NULL/empty hostname has no suffix
+    candidates but must still surface as an unblocked row, not
+    silently vanish from the verdict frame (dirty crawl data has
+    NULL hosts; a filter that drops rows it cannot judge corrupts
+    downstream counts). At 100 TB the blocklist (UT1 ≈ 4M rows ≈
+    tens of MB) broadcasts; everything else is one narrow keyed
+    pass."""
+    cand = hosts.select(
+        id_col,
+        host_col,
+        F.explode_outer(domain_suffixes(host_col)).alias("suffix"),
+    )
+    hit = F.when(
+        F.col("domain").isNotNull(),
+        F.struct(
+            F.length("suffix").alias("l"),
+            F.col("suffix").alias("s"),
+            F.col("category").alias("c"),
+        ),
+    )
+    return (
+        cand.join(F.broadcast(bl), cand.suffix == bl.domain, "left")
+        .groupBy(id_col, host_col)
+        .agg(F.max(hit).alias("m"))
+        .select(
+            id_col,
+            host_col,
+            F.col("m").isNotNull().alias("blocked"),
+            F.col("m.s").alias("matched_domain"),
+            F.col("m.c").alias("category"),
+        )
+    )

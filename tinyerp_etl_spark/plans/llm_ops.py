@@ -6744,3 +6744,110 @@ def _nfc_oracle_sql() -> str:
 
 LLM_ORACLES["nfc_normalize_docs"] = _nfc_oracle_sql()
 LLM_QUERIES["nfc_normalize_docs"] = nfc_normalize_docs
+
+
+# ------- round-14 addition: UT1-style domain blocklist filter
+#: the staged blocklist (domain -> category). Covers an exact host,
+#: a registrable domain whose every subdomain is blocked, a NESTED
+#: pair (evil.net AND b.evil.net) so longest-match attribution is
+#: non-vacuous, and an entry no staged hostname reaches (proves
+#: no-match does not leak). Deliberately no bare TLDs — a real UT1
+#: list never blocks 'com'.
+_BLOCKLIST: list[tuple[str, str]] = [
+    ("ads.example.com", "ads"),
+    ("badsite.org", "malware"),
+    ("evil.net", "gambling"),
+    ("b.evil.net", "adult"),
+    ("unused.example", "unused"),
+]
+
+
+def domain_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UT1-style domain blocklist verdicts (the crawl-curation front
+    door: C4/RefinedWeb drop every page whose hostname is, or is a
+    subdomain of, a listed domain — before any content pass). Each
+    doc stages one hostname by ``doc_id % 6`` covering the six
+    phenomena: clean host, exact blocklist hit, subdomain hit,
+    label-boundary trap (``notads.example.com`` must NOT match
+    ``ads.example.com``), per-doc-unique subdomain of a blocked
+    registrable domain, and a host under NESTED blocklist entries
+    where the longest (most specific) match must win the category
+    attribution. Shape (operators/text.blocklist_verdicts over
+    domain_suffixes): explode the label-boundary suffixes (≤4 tiny
+    labels per row, array bound once), broadcast-join the blocklist
+    dim, one (doc_id, hostname)-keyed max-struct aggregate ordered
+    by suffix length — map-side partial agg shrinks the exploded
+    rows back to one per doc before the only shuffle. At
+    100 TB: blocklist dims (UT1 ≈ 4M rows ≈ tens of MB) broadcast;
+    everything else is one narrow keyed pass. No UDF, no second
+    corpus join (the left-join + conditional max carries unblocked
+    docs through the same aggregate)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    sid = F.col("doc_id").cast("string")
+    m = F.col("doc_id") % 6
+    host = (
+        F.when(m == 0, F.lit("example.com"))
+        .when(m == 1, F.lit("ads.example.com"))
+        .when(m == 2, F.concat(F.lit("x"), sid, F.lit(".ads.example.com")))
+        .when(m == 3, F.lit("notads.example.com"))
+        .when(m == 4, F.concat(F.lit("cdn"), sid, F.lit(".badsite.org")))
+        .otherwise(F.lit("a.b.evil.net"))
+    )
+    staged = docs.select("doc_id", host.alias("hostname"))
+    bl = local_df(spark, _BLOCKLIST, "domain string, category string")
+    return X.blocklist_verdicts(staged, bl).orderBy("doc_id")
+
+
+def _blocklist_oracle_sql() -> str:
+    vals = ",\n      ".join(
+        "('{}', '{}')".format(d, c) for d, c in _BLOCKLIST
+    )
+    return f"""
+    WITH hosts AS (
+      SELECT doc_id,
+             CASE doc_id % 6
+               WHEN 0 THEN 'example.com'
+               WHEN 1 THEN 'ads.example.com'
+               WHEN 2 THEN 'x' || CAST(doc_id AS VARCHAR)
+                           || '.ads.example.com'
+               WHEN 3 THEN 'notads.example.com'
+               WHEN 4 THEN 'cdn' || CAST(doc_id AS VARCHAR)
+                           || '.badsite.org'
+               ELSE 'a.b.evil.net'
+             END AS hostname
+      FROM documents
+    ),
+    bl(domain, category) AS (VALUES
+      {vals}
+    ),
+    lab AS (
+      SELECT doc_id, hostname, string_split(hostname, '.') AS labels
+      FROM hosts
+    ),
+    cand AS (
+      SELECT doc_id, hostname,
+             array_to_string(labels[i:len(labels)], '.') AS suffix
+      FROM (
+        SELECT doc_id, hostname, labels,
+               unnest(generate_series(1, len(labels))) AS i
+        FROM lab
+      )
+    ),
+    agg AS (
+      SELECT doc_id, hostname,
+             max(CASE WHEN b.domain IS NOT NULL THEN struct_pack(
+                   l := length(c.suffix), s := c.suffix,
+                   cat := b.category) END) AS m
+      FROM cand c LEFT JOIN bl b ON c.suffix = b.domain
+      GROUP BY doc_id, hostname
+    )
+    SELECT doc_id, hostname,
+           m IS NOT NULL AS blocked,
+           m.s AS matched_domain,
+           m.cat AS category
+    FROM agg ORDER BY doc_id
+"""
+
+
+LLM_ORACLES["domain_blocklist_filter"] = _blocklist_oracle_sql()
+LLM_QUERIES["domain_blocklist_filter"] = domain_blocklist_filter

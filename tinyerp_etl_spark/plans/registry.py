@@ -681,17 +681,32 @@ _RELATIONAL_NAMES = [
 #
 # ROUND-14 ROTATION (ACTIVE): executed exactly as pre-staged, with
 # the prescribed at-rotation re-derivation. Composition:
-#   (0) ONE newcomer, gated at birth (amended in-round, the round-13
-#       precedent): nfc_normalize_docs — the Unicode NFC
-#       normalization audit that runs BEFORE hash-based dedup
-#       (composition-variant copies share no byte fingerprint without
-#       it). Full kit at add time: DuckDB oracle through duckdb's OWN
-#       nfc_normalize (a cross-implementation check of the Unicode
-#       tables), sf0.001+sf0.01 parity green, trigger docs covering
-#       each normalization phenomenon + hypothesis property vs
-#       unicodedata (tests/test_properties.py), 10x/100x SCALE rows
-#       (1.75 s / 6.33 s warm — one Arrow map pass, no shuffle).
-#       Displaces kmv_sketch_rollup (deferral documented below);
+#   (0) TWO newcomers, gated at birth (amended in-round, the round-13
+#       precedent):
+#       nfc_normalize_docs — the Unicode NFC normalization audit that
+#       runs BEFORE hash-based dedup (composition-variant copies
+#       share no byte fingerprint without it). Full kit at add time:
+#       DuckDB oracle through duckdb's OWN nfc_normalize (a
+#       cross-implementation check of the Unicode tables),
+#       sf0.001+sf0.01 parity green, trigger docs covering each
+#       normalization phenomenon + hypothesis property vs unicodedata
+#       (tests/test_properties.py), 10x/100x SCALE rows (1.75 s /
+#       6.33 s warm — one Arrow map pass, no shuffle). Displaces
+#       kmv_sketch_rollup (deferral documented below);
+#       domain_blocklist_filter — UT1-style domain blocklist verdicts
+#       (blocked iff hostname is, or is a subdomain of, a listed
+#       domain on LABEL boundaries; longest match wins attribution —
+#       the crawl-curation front door C4/RefinedWeb run before any
+#       content pass). Full kit at add time: independent DuckDB
+#       oracle (string_split + generate_series suffixes + struct_pack
+#       max), sf0.001+sf0.01 driver-style parity green, six staged
+#       hostname phenomena each pinned (incl. the notads label-
+#       boundary trap and nested-entry longest-match), hypothesis
+#       property vs an exact Python model (which caught the NULL-host
+#       row-drop at birth -> explode_outer), 10x/100x SCALE rows
+#       (0.99 s / 5.26 s warm — explode + broadcast join + ONE keyed
+#       max-struct agg, partial agg before the only shuffle).
+#       Displaces hll_distinct_users (deferral documented below);
 #   (0b) 4 changed-engine rows (changed engine outranks fresh
 #       evidence): gopher_repetition_docs (trigger staging now
 #       derives its doc_id base from max(doc_id)+1 in BOTH engines,
@@ -714,10 +729,10 @@ _RELATIONAL_NAMES = [
 #       RE-DERIVED from CORRECTNESS_r01..r13 at rotation time =
 #       45 rows, not the 47 the pre-staging estimated (the estimate
 #       was made before r13's own gate landed; the re-derivation is
-#       authoritative, per the standing rule). 1 + 4 + 6 + 45 = 56
-#       for 50 slots -> defer 6 r10 fills whose shapes fresher rows
+#       authoritative, per the standing rule). 2 + 4 + 6 + 45 = 57
+#       for 50 slots -> defer 7 r10 fills whose shapes fresher rows
 #       best cover (zero extra rounds of staleness allowed — all
-#       six MUST be in round 15's gate):
+#       seven MUST be in round 15's gate):
 #       - q14_promo_revenue: the promo-share agg shape is carried
 #         by the r13-green promo_revenue_ratio;
 #       - dedup_exact_count: the exact-fingerprint kernel is carried
@@ -736,22 +751,28 @@ _RELATIONAL_NAMES = [
 #       - kmv_sketch_rollup (displaced by the nfc_normalize_docs
 #         newcomer): the mergeable-sketch rollup shape is carried by
 #         the in-gate hll_union_rollup and the r12-green
-#         kmv_distinct_users (same KMV kernel).
+#         kmv_distinct_users (same KMV kernel);
+#       - hll_distinct_users (displaced by the
+#         domain_blocklist_filter newcomer): the HLL register kernel
+#         is carried IN-GATE by hll_union_rollup (the union face over
+#         the same per-key registers), and the within-bound estimate
+#         contract is pytest-pinned (tests/test_sketch.py).
 # PRE-STAGED ROUND-15 ROTATION PLAN (compose at round-15 start):
 #   (0) any round-15 newcomers, gated at birth; (0b) rows whose
-#       engine round 15 changes; (a) the 6 round-14 deferrals above
+#       engine round 15 changes; (a) the 7 round-14 deferrals above
 #       (q14_promo_revenue, dedup_exact_count, decontaminate_docs,
-#       dedup_span_removal_docs, simhash_docs, kmv_sketch_rollup —
-#       zero extra rounds of staleness) + the rows whose newest
-#       green will then be r11 (47 by this round's arithmetic: 49
-#       r11-green rows minus incremental_span_removal_docs and
-#       gram_novelty_docs, re-gated here — RE-DERIVE from the
-#       CORRECTNESS files at rotation time); 6 + 47 = 53 for 50 ->
-#       defer 3 r11 fills whose shapes fresher rows best cover,
-#       documenting each.
+#       dedup_span_removal_docs, simhash_docs, kmv_sketch_rollup,
+#       hll_distinct_users — zero extra rounds of staleness) + the
+#       rows whose newest green will then be r11 (47 by this round's
+#       arithmetic: 49 r11-green rows minus
+#       incremental_span_removal_docs and gram_novelty_docs, re-gated
+#       here — RE-DERIVE from the CORRECTNESS files at rotation
+#       time); 7 + 47 = 54 for 50 -> defer 4 r11 fills whose shapes
+#       fresher rows best cover, documenting each.
 _ROUND14_FRONT_50 = [
-    # (0) the round-14 newcomer, gated at birth
+    # (0) the two round-14 newcomers, gated at birth
     "nfc_normalize_docs",
+    "domain_blocklist_filter",
     # (0b) the 4 changed-engine rows
     "gopher_repetition_docs",
     "span_clean_and_fold_docs",
@@ -764,7 +785,7 @@ _ROUND14_FRONT_50 = [
     "embedding_label_centroids",
     "xml_roundtrip_orders",
     "hll_union_rollup",
-    # (a) 39 of the 45 r10-stale rows (6 deferred, documented above)
+    # (a) 38 of the 45 r10-stale rows (7 deferred, documented above)
     "agg_cube",
     "agg_distinct_count",
     "anomaly_zscore_daily_revenue",
@@ -775,7 +796,6 @@ _ROUND14_FRONT_50 = [
     "chunk_documents_stats",
     "data_profile_orders",
     "hierarchy_subtree_rollup",
-    "hll_distinct_users",
     "image_dhash_parity",
     "join_anti_orphan_audit",
     "join_full_outer_balance",
