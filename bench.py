@@ -191,6 +191,9 @@ HEADLINE_R14: list[str] = [
     # the second round-14 newcomer: UT1-style domain blocklist
     # (suffix explode + broadcast join + one keyed max-struct agg)
     "domain_blocklist_filter",
+    # the third round-14 newcomer: C4 line-level cleaning (one bound
+    # struct over the line array, zero shuffles)
+    "c4_line_filter_docs",
 ]
 HEADLINE = (
     HEADLINE

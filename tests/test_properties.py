@@ -1250,3 +1250,103 @@ def test_blocklist_verdicts_match_python_model(spark, hosts, bl):
         for r in blocklist_verdicts(hosts_df, bl_df).collect()
     }
     assert got == {i: model(h) for i, h in enumerate(hosts)}
+
+
+def test_c4_line_triggers_fire_their_own_phenomenon(spark, sf_dir):
+    """Each staged page class of c4_line_filter_docs gets exactly its
+    designed verdict and line counts (non-vacuity contract): the keep
+    page drops one line per rule, the brace/lorem/lonely pages fire
+    their page rule, and every per-line counter is non-zero on every
+    page."""
+    from tinyerp_etl_spark.plans.llm_ops import LLM_QUERIES
+
+    rows = LLM_QUERIES["c4_line_filter_docs"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        m = r["doc_id"] % 7
+        got = (
+            r["n_lines"], r["n_kept"], r["n_drop_punct"],
+            r["n_drop_short"], r["n_drop_js"], r["verdict"],
+        )
+        if m == 3:
+            assert got == (6, 2, 2, 1, 1, "brace"), got
+        elif m == 4:
+            # the lorem line itself passes every LINE rule (5 words,
+            # terminal period) — the PAGE rule is what kills it
+            assert got == (7, 4, 1, 1, 1, "lorem_ipsum"), got
+        elif m == 5:
+            assert got == (3, 1, 1, 1, 0, "too_few_lines"), got
+        else:
+            assert got == (6, 3, 1, 1, 1, "keep"), got
+
+
+_C4_WORD = st.sampled_from(
+    ["alpha", "beta", "javascript", "Lorem", "ipsum", "x{", "ok"]
+)
+_C4_LINE = st.builds(
+    lambda ws, end: " ".join(ws) + end,
+    st.lists(_C4_WORD, min_size=0, max_size=7),
+    st.sampled_from([".", "!", "?", '"', "", " ", " ."]),
+)
+_C4_PAGE = st.one_of(
+    st.none(),
+    st.lists(_C4_LINE, min_size=0, max_size=6).map("\n".join),
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(_C4_PAGE, min_size=1, max_size=10))
+def test_c4_line_stats_match_python_model(spark, pages):
+    """c4_line_stats + c4_doc_verdict == an exact Python model of the
+    C4 line rules (first-failing attribution, byte-exact kept-line
+    reassembly, page-rule precedence) on generated pages mixing
+    terminal punctuation, short lines, javascript mentions, braces,
+    lorem-ipsum bigrams, blank lines, and NULL pages."""
+    import hashlib
+    import re as _re
+
+    from pyspark.sql import functions as F
+    from tinyerp_etl_spark.operators.text import c4_doc_verdict, c4_line_stats
+
+    def model(page):
+        p = page or ""
+        ls = p.split("\n")
+        p1 = lambda l: bool(_re.search(r'[.!?"]$', l.rstrip(" ")))
+        p2 = lambda l: len(
+            [w for w in _re.split(r"[ \t\n\x0B\f\r]+", l.strip(" ")) if w]
+        ) >= 5
+        p3 = lambda l: "javascript" not in l.lower()
+        kept = [l for l in ls if p1(l) and p2(l) and p3(l)]
+        if "lorem ipsum" in p.lower():
+            v = "lorem_ipsum"
+        elif "{" in p:
+            v = "brace"
+        elif len(kept) < 3:
+            v = "too_few_lines"
+        else:
+            v = "keep"
+        return (
+            len(ls),
+            len(kept),
+            sum(1 for l in ls if not p1(l)),
+            sum(1 for l in ls if p1(l) and not p2(l)),
+            sum(1 for l in ls if p1(l) and p2(l) and not p3(l)),
+            v,
+            hashlib.md5("\n".join(kept).encode()).hexdigest(),
+        )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(pages)], "doc_id long, page string"
+    )
+    judged = df.select("doc_id", "page", c4_line_stats("page").alias("s"))
+    got = {
+        r["doc_id"]: (
+            r["s"]["n_lines"], r["s"]["n_kept"], r["s"]["n_drop_punct"],
+            r["s"]["n_drop_short"], r["s"]["n_drop_js"], r["v"],
+            r["s"]["clean_md5"],
+        )
+        for r in judged.select(
+            "doc_id", "s", c4_doc_verdict("page", F.col("s")).alias("v")
+        ).collect()
+    }
+    assert got == {i: model(t) for i, t in enumerate(pages)}

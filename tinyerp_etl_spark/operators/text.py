@@ -1505,3 +1505,87 @@ def blocklist_verdicts(
             F.col("m.c").alias("category"),
         )
     )
+
+
+# ------------------------------------------- C4 line-level cleaning
+#: C4's terminal-punctuation rule (Raffel et al. 2020 §2.2): a line
+#: is retained only if it ends in a period, exclamation mark,
+#: question mark, or end-quotation mark (checked on the right-trimmed
+#: line; a blank line therefore drops here, by this first rule).
+C4_LINE_TERMINAL_RE = r'[.!?"]$'
+#: C4's minimum words-per-line
+C4_LINE_MIN_WORDS = 5
+#: kept-line floor standing in for C4's "at least 3 sentences" page
+#: rule (line-level proxy, documented deviation: sentences ≈ kept
+#: lines under the terminal-punctuation rule)
+C4_MIN_KEPT_LINES = 3
+
+
+def c4_line_stats(col: Column | str) -> Column:
+    """C4 line-level cleaning (Raffel et al. 2020 §2.2) as ONE bound
+    struct over the line array: per-line first-failing-rule counts
+    (no terminal punctuation → fewer than 5 words → contains
+    'javascript'), the kept-line count, and the byte-exact ordered
+    reassembly of the kept lines (the cleaned page). Doc-level rules
+    (lorem ipsum / '{' / too-few-kept-lines) live in the caller —
+    they read the raw text and this struct. The line array is split
+    once and bound once (dedup._bind_once); every count is a
+    size(filter(...)) over the bound array, so the whole operator is
+    a single map-side projection — zero shuffles, zero UDFs, full
+    lambda pipeline in both engines (DuckDB mirrors with
+    list_filter). NULL text reads as '' (one blank line, dropped by
+    the punctuation rule)."""
+    from tinyerp_etl_spark.operators.dedup import _bind_once
+
+    c = F.col(col) if isinstance(col, str) else col
+
+    def _p_punct(l):
+        return F.rtrim(l).rlike(C4_LINE_TERMINAL_RE)
+
+    def _p_words(l):
+        return (
+            F.size(F.filter(F.split(F.trim(l), r"\s+"), lambda w: w != ""))
+            >= C4_LINE_MIN_WORDS
+        )
+
+    def _p_js(l):
+        return ~F.contains(F.lower(l), F.lit("javascript"))
+
+    def build(ls):
+        kept = F.filter(
+            ls, lambda l: _p_punct(l) & _p_words(l) & _p_js(l)
+        )
+        return F.struct(
+            F.size(ls).cast("long").alias("n_lines"),
+            F.size(kept).cast("long").alias("n_kept"),
+            F.size(F.filter(ls, lambda l: ~_p_punct(l)))
+            .cast("long")
+            .alias("n_drop_punct"),
+            F.size(F.filter(ls, lambda l: _p_punct(l) & ~_p_words(l)))
+            .cast("long")
+            .alias("n_drop_short"),
+            F.size(
+                F.filter(ls, lambda l: _p_punct(l) & _p_words(l) & ~_p_js(l))
+            )
+            .cast("long")
+            .alias("n_drop_js"),
+            F.md5(F.array_join(kept, "\n")).alias("clean_md5"),
+        )
+
+    return _bind_once(F.split(F.coalesce(c, F.lit("")), "\n", -1), build)
+
+
+def c4_doc_verdict(text: Column | str, stats: Column) -> Column:
+    """C4 page-level verdict from the raw text + ``c4_line_stats``
+    struct, first-failing-rule precedence: ``lorem_ipsum`` (the
+    placeholder-text tell), ``brace`` (a '{' means code, C4 drops the
+    page), ``too_few_lines`` (fewer than C4_MIN_KEPT_LINES kept
+    lines — the line-level proxy for C4's 3-sentence floor), else
+    ``keep``."""
+    t = F.coalesce(F.col(text) if isinstance(text, str) else text, F.lit(""))
+    return (
+        F.when(F.contains(F.lower(t), F.lit("lorem ipsum")), F.lit("lorem_ipsum"))
+        .when(F.contains(t, F.lit("{")), F.lit("brace"))
+        .when(stats["n_kept"] < C4_MIN_KEPT_LINES, F.lit("too_few_lines"))
+        .otherwise(F.lit("keep"))
+    )

@@ -6851,3 +6851,157 @@ def _blocklist_oracle_sql() -> str:
 
 LLM_ORACLES["domain_blocklist_filter"] = _blocklist_oracle_sql()
 LLM_QUERIES["domain_blocklist_filter"] = domain_blocklist_filter
+
+
+# ------- round-14 addition: C4 LINE-level cleaning (Raffel et al.
+# 2020 §2.2 — the stage the doc-level c4_quality_filter_stats does
+# not cover: per-LINE retention rules, then page rules over what
+# survived). Staged page composition (identical in both engines):
+# every doc becomes a six-line page — a good line, the doc's own
+# 40-char prefix (corpus words, no terminal punctuation → dropped by
+# the punct rule), a 2-word line (dropped by the min-words rule), a
+# line naming javascript (dropped by the js rule), and two more good
+# lines — so every per-line counter is non-zero on every page at any
+# SF. Page-level phenomena by doc_id % 7: append ' {' (brace),
+# prepend a lorem-ipsum line (lorem_ipsum), or replace with a
+# single-kept-line page (too_few_lines); everything else keeps with
+# exactly three kept lines.
+_C4L_GOOD1 = "This is a good line with enough words."
+_C4L_SHORT = "Too short."
+_C4L_JS = "This line mentions javascript and other words."
+_C4L_GOOD2 = "Another good line with many words present."
+_C4L_GOOD3 = "A third good line keeps the document alive."
+_C4L_LOREM = "Lorem ipsum dolor sit amet."
+_C4L_LONELY = "One good line is not enough here."
+
+
+def c4_line_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line-level cleaning audit (operators/text.c4_line_stats +
+    c4_doc_verdict): per staged page the line counts by
+    first-failing rule (no terminal punctuation → under 5 words →
+    mentions javascript), the kept-line count, the md5 of the
+    byte-exact ordered reassembly of the kept lines (the cleaned
+    page a downstream tokenizer would see), and the page verdict
+    (lorem_ipsum → brace → too_few_lines → keep). ONE bound struct
+    over the line array split once per row — zero shuffles, zero
+    UDFs, pure lambda pipeline (the final orderBy is presentation).
+    At 100 TB this is the same embarrassingly-parallel scan as every
+    per-doc audit; the only state is the broadcast rule constants."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    m = F.col("doc_id") % 7
+    nl = F.lit("\n")
+    # coalesce BEFORE substring: concat_ws silently drops NULL
+    # elements (a 6-line page would lose a line) while the oracle's
+    # || would NULL the whole page — coalescing keeps both engines
+    # on the identical staged bytes for a NULL-text doc
+    prefix = F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 40)
+    page6 = F.concat_ws(
+        "\n",
+        F.lit(_C4L_GOOD1),
+        prefix,
+        F.lit(_C4L_SHORT),
+        F.lit(_C4L_JS),
+        F.lit(_C4L_GOOD2),
+        F.lit(_C4L_GOOD3),
+    )
+    page = (
+        F.when(m == 3, F.concat(page6, F.lit(" {")))
+        .when(m == 4, F.concat(F.lit(_C4L_LOREM), nl, page6))
+        .when(m == 5, F.concat_ws(
+            "\n",
+            F.lit(_C4L_LONELY),
+            prefix,
+            F.lit(_C4L_SHORT),
+        ))
+        .otherwise(page6)
+    )
+    staged = docs.select("doc_id", page.alias("page"))
+    # two projections: the struct alias is referenced many times
+    # below, so CollapseProject keeps them separate and the bound
+    # line pipeline evaluates ONCE per row
+    judged = staged.select(
+        "doc_id", "page", X.c4_line_stats("page").alias("s")
+    )
+    return (
+        judged.select(
+            "doc_id",
+            F.col("s.n_lines").alias("n_lines"),
+            F.col("s.n_kept").alias("n_kept"),
+            F.col("s.n_drop_punct").alias("n_drop_punct"),
+            F.col("s.n_drop_short").alias("n_drop_short"),
+            F.col("s.n_drop_js").alias("n_drop_js"),
+            X.c4_doc_verdict("page", F.col("s")).alias("verdict"),
+            F.col("s.clean_md5").alias("clean_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _c4_line_oracle_sql() -> str:
+    return f"""
+    WITH staged AS (
+      SELECT doc_id,
+             CASE
+               WHEN doc_id % 7 = 3 THEN
+                 '{_C4L_GOOD1}' || chr(10) || substr(coalesce(text, ''), 1, 40)
+                 || chr(10) || '{_C4L_SHORT}' || chr(10) || '{_C4L_JS}'
+                 || chr(10) || '{_C4L_GOOD2}' || chr(10) || '{_C4L_GOOD3}'
+                 || ' {{'
+               WHEN doc_id % 7 = 4 THEN
+                 '{_C4L_LOREM}' || chr(10)
+                 || '{_C4L_GOOD1}' || chr(10) || substr(coalesce(text, ''), 1, 40)
+                 || chr(10) || '{_C4L_SHORT}' || chr(10) || '{_C4L_JS}'
+                 || chr(10) || '{_C4L_GOOD2}' || chr(10) || '{_C4L_GOOD3}'
+               WHEN doc_id % 7 = 5 THEN
+                 '{_C4L_LONELY}' || chr(10) || substr(coalesce(text, ''), 1, 40)
+                 || chr(10) || '{_C4L_SHORT}'
+               ELSE
+                 '{_C4L_GOOD1}' || chr(10) || substr(coalesce(text, ''), 1, 40)
+                 || chr(10) || '{_C4L_SHORT}' || chr(10) || '{_C4L_JS}'
+                 || chr(10) || '{_C4L_GOOD2}' || chr(10) || '{_C4L_GOOD3}'
+             END AS page
+      FROM documents
+    ),
+    split_ AS (
+      SELECT doc_id, page, string_split(page, chr(10)) AS ls
+      FROM staged
+    ),
+    judged AS (
+      SELECT doc_id, page, ls,
+             list_filter(ls, l ->
+               regexp_matches(rtrim(l), '[.!?"]$')
+               AND len(list_filter(regexp_split_to_array(trim(l), '\\s+'),
+                       w -> w <> '')) >= 5
+               AND NOT contains(lower(l), 'javascript')) AS kept
+      FROM split_
+    )
+    SELECT doc_id,
+           CAST(len(ls) AS BIGINT) AS n_lines,
+           CAST(len(kept) AS BIGINT) AS n_kept,
+           CAST(len(list_filter(ls, l ->
+               NOT regexp_matches(rtrim(l), '[.!?"]$'))) AS BIGINT)
+             AS n_drop_punct,
+           CAST(len(list_filter(ls, l ->
+               regexp_matches(rtrim(l), '[.!?"]$')
+               AND len(list_filter(regexp_split_to_array(trim(l), '\\s+'),
+                       w -> w <> '')) < 5)) AS BIGINT)
+             AS n_drop_short,
+           CAST(len(list_filter(ls, l ->
+               regexp_matches(rtrim(l), '[.!?"]$')
+               AND len(list_filter(regexp_split_to_array(trim(l), '\\s+'),
+                       w -> w <> '')) >= 5
+               AND contains(lower(l), 'javascript'))) AS BIGINT)
+             AS n_drop_js,
+           CASE
+             WHEN contains(lower(page), 'lorem ipsum') THEN 'lorem_ipsum'
+             WHEN contains(page, '{{') THEN 'brace'
+             WHEN len(kept) < 3 THEN 'too_few_lines'
+             ELSE 'keep'
+           END AS verdict,
+           md5(array_to_string(kept, chr(10))) AS clean_md5
+    FROM judged ORDER BY doc_id
+"""
+
+
+LLM_ORACLES["c4_line_filter_docs"] = _c4_line_oracle_sql()
+LLM_QUERIES["c4_line_filter_docs"] = c4_line_filter_docs

@@ -681,8 +681,8 @@ _RELATIONAL_NAMES = [
 #
 # ROUND-14 ROTATION (ACTIVE): executed exactly as pre-staged, with
 # the prescribed at-rotation re-derivation. Composition:
-#   (0) TWO newcomers, gated at birth (amended in-round, the round-13
-#       precedent):
+#   (0) THREE newcomers, gated at birth (amended in-round, the
+#       round-13 precedent):
 #       nfc_normalize_docs — the Unicode NFC normalization audit that
 #       runs BEFORE hash-based dedup (composition-variant copies
 #       share no byte fingerprint without it). Full kit at add time:
@@ -707,6 +707,21 @@ _RELATIONAL_NAMES = [
 #       (0.99 s / 5.26 s warm — explode + broadcast join + ONE keyed
 #       max-struct agg, partial agg before the only shuffle).
 #       Displaces hll_distinct_users (deferral documented below);
+#       c4_line_filter_docs — C4 LINE-level cleaning (Raffel et al.
+#       2020 §2.2), the stage the doc-level c4_quality_filter_stats
+#       does not cover: per-line first-failing-rule retention
+#       (terminal punctuation -> >=5 words -> no 'javascript'),
+#       byte-exact ordered reassembly of the kept lines, then the
+#       page rules (lorem ipsum -> brace -> too-few-kept-lines) over
+#       what survived. ONE bound struct over the line array split
+#       once per row — zero shuffles, zero UDFs, lambda pipeline
+#       mirrored in DuckDB via list_filter. Full kit at add time:
+#       sf0.001+sf0.01 driver-style parity green, per-class trigger
+#       assertions (every per-line counter non-zero on every page),
+#       hypothesis property vs an exact Python model, plan-lint
+#       clean, 10x/100x SCALE rows (1.32 s / 7.79 s warm, ~linear).
+#       Displaces repetition_profile_docs (deferral documented
+#       below);
 #   (0b) 4 changed-engine rows (changed engine outranks fresh
 #       evidence): gopher_repetition_docs (trigger staging now
 #       derives its doc_id base from max(doc_id)+1 in BOTH engines,
@@ -729,10 +744,10 @@ _RELATIONAL_NAMES = [
 #       RE-DERIVED from CORRECTNESS_r01..r13 at rotation time =
 #       45 rows, not the 47 the pre-staging estimated (the estimate
 #       was made before r13's own gate landed; the re-derivation is
-#       authoritative, per the standing rule). 2 + 4 + 6 + 45 = 57
-#       for 50 slots -> defer 7 r10 fills whose shapes fresher rows
+#       authoritative, per the standing rule). 3 + 4 + 6 + 45 = 58
+#       for 50 slots -> defer 8 r10 fills whose shapes fresher rows
 #       best cover (zero extra rounds of staleness allowed — all
-#       seven MUST be in round 15's gate):
+#       eight MUST be in round 15's gate):
 #       - q14_promo_revenue: the promo-share agg shape is carried
 #         by the r13-green promo_revenue_ratio;
 #       - dedup_exact_count: the exact-fingerprint kernel is carried
@@ -756,23 +771,31 @@ _RELATIONAL_NAMES = [
 #         domain_blocklist_filter newcomer): the HLL register kernel
 #         is carried IN-GATE by hll_union_rollup (the union face over
 #         the same per-key registers), and the within-bound estimate
-#         contract is pytest-pinned (tests/test_sketch.py).
+#         contract is pytest-pinned (tests/test_sketch.py);
+#       - repetition_profile_docs (displaced by the
+#         c4_line_filter_docs newcomer): its within-document
+#         dup-n-gram kernel (ngram_repetition) is carried IN-GATE by
+#         gopher_repetition_docs — the r13 newcomer generalized the
+#         same family to the full Gopher A1.2 signal set over the
+#         same tokenizer, and is itself a (0b) changed-engine row in
+#         this gate.
 # PRE-STAGED ROUND-15 ROTATION PLAN (compose at round-15 start):
 #   (0) any round-15 newcomers, gated at birth; (0b) rows whose
-#       engine round 15 changes; (a) the 7 round-14 deferrals above
+#       engine round 15 changes; (a) the 8 round-14 deferrals above
 #       (q14_promo_revenue, dedup_exact_count, decontaminate_docs,
 #       dedup_span_removal_docs, simhash_docs, kmv_sketch_rollup,
-#       hll_distinct_users — zero extra rounds of staleness) + the
-#       rows whose newest green will then be r11 (47 by this round's
-#       arithmetic: 49 r11-green rows minus
-#       incremental_span_removal_docs and gram_novelty_docs, re-gated
-#       here — RE-DERIVE from the CORRECTNESS files at rotation
-#       time); 7 + 47 = 54 for 50 -> defer 4 r11 fills whose shapes
-#       fresher rows best cover, documenting each.
+#       hll_distinct_users, repetition_profile_docs — zero extra
+#       rounds of staleness) + the rows whose newest green will then
+#       be r11 (47 by this round's arithmetic: 49 r11-green rows
+#       minus incremental_span_removal_docs and gram_novelty_docs,
+#       re-gated here — RE-DERIVE from the CORRECTNESS files at
+#       rotation time); 8 + 47 = 55 for 50 -> defer 5 r11 fills
+#       whose shapes fresher rows best cover, documenting each.
 _ROUND14_FRONT_50 = [
-    # (0) the two round-14 newcomers, gated at birth
+    # (0) the three round-14 newcomers, gated at birth
     "nfc_normalize_docs",
     "domain_blocklist_filter",
+    "c4_line_filter_docs",
     # (0b) the 4 changed-engine rows
     "gopher_repetition_docs",
     "span_clean_and_fold_docs",
@@ -785,7 +808,7 @@ _ROUND14_FRONT_50 = [
     "embedding_label_centroids",
     "xml_roundtrip_orders",
     "hll_union_rollup",
-    # (a) 38 of the 45 r10-stale rows (7 deferred, documented above)
+    # (a) 37 of the 45 r10-stale rows (8 deferred, documented above)
     "agg_cube",
     "agg_distinct_count",
     "anomaly_zscore_daily_revenue",
@@ -813,7 +836,6 @@ _ROUND14_FRONT_50 = [
     "q15_top_supplier",
     "q18_large_volume_customers",
     "q19_discount_revenue",
-    "repetition_profile_docs",
     "scalar_subquery_rich_idle_customers",
     "setops_customer_nations",
     "text_profile_docs",
