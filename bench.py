@@ -299,91 +299,45 @@ def main() -> None:
             if name not in forced or dt < forced[name]:
                 forced[name] = round(dt, 4)
     total = sum(timings.values())
-    comparable = sum(
-        v
-        for k, v in timings.items()
-        if k not in HEADLINE_R4
-        and k not in HEADLINE_R5
-        and k not in HEADLINE_R7
-        and k not in HEADLINE_R9
-        and k not in HEADLINE_R10
-        and k not in HEADLINE_R11
-        and k not in HEADLINE_R12
-        and k not in HEADLINE_R13
-        and k not in HEADLINE_R14
-    )
-    # the set benched in rounds 5-6: total minus later additions,
-    # so r6 -> r7+ compares directly without re-deriving the exclusion
-    comparable_r6 = sum(
-        v
-        for k, v in timings.items()
-        if k not in HEADLINE_R7
-        and k not in HEADLINE_R9
-        and k not in HEADLINE_R10
-        and k not in HEADLINE_R11
-        and k not in HEADLINE_R12
-        and k not in HEADLINE_R13
-        and k not in HEADLINE_R14
-    )
-    # the set benched in rounds 7-8 (the r8 verdict's common-52)
-    comparable_r8 = sum(
-        v
-        for k, v in timings.items()
-        if k not in HEADLINE_R9
-        and k not in HEADLINE_R10
-        and k not in HEADLINE_R11
-        and k not in HEADLINE_R12
-        and k not in HEADLINE_R13
-        and k not in HEADLINE_R14
-    )
-    # the set benched in round 9 (for the r9 -> r10 comparison)
-    comparable_r9 = sum(
-        v
-        for k, v in timings.items()
-        if (
-            k not in HEADLINE_R10
-            and k not in HEADLINE_R11
-            and k not in HEADLINE_R12
-            and k not in HEADLINE_R13
-            and k not in HEADLINE_R14
-        )
-    )
-    # the set benched in round 10 (for the r10 -> r11 comparison)
-    comparable_r10 = sum(
-        v
-        for k, v in timings.items()
-        if k not in HEADLINE_R11
-        and k not in HEADLINE_R12
-        and k not in HEADLINE_R13
-        and k not in HEADLINE_R14
-    )
-    # the set benched in round 11 (for the r11 -> r12 comparison)
-    comparable_r11 = sum(
-        v
-        for k, v in timings.items()
-        if k not in HEADLINE_R12 and k not in HEADLINE_R13
-        and k not in HEADLINE_R14
-    )
-    # the count-track set benched in round 12 (r12 -> r13 comparison)
-    comparable_r12 = sum(
-        v for k, v in timings.items() if k not in HEADLINE_R13 and k not in HEADLINE_R14
-    )
-    # the FORCED-track overlap total (round 12 was the track's first
-    # datapoint, so this is its first round-over-round comparable:
-    # regressions in expensive OUTPUT COLUMNS can't hide in the
-    # count() track — VERDICT r12 Next #3)
-    comparable_forced_r12 = sum(
-        v for k, v in forced.items() if k not in HEADLINE_R13 and k not in HEADLINE_R14
-    )
-    # the sets benched in rounds 13-14 minus the round-14 addition
-    # (winnow joined AFTER its 181x rebind, so its row would flatter
-    # any total that includes it against a round that lacked it)
-    comparable_r13 = sum(
-        v for k, v in timings.items() if k not in HEADLINE_R14
-    )
-    comparable_forced_r13 = sum(
-        v for k, v in forced.items() if k not in HEADLINE_R14
-    )
+
+    # Round-over-round comparable totals, DERIVED in one place: the
+    # set benched in round N = everything minus every headline list
+    # added after round N, so `comparable_rN_total` sums timings over
+    # the cumulative-exclusion suffix. A new round is ONE entry in
+    # each dict plus its HEADLINE_R* in _ADDITIONS (review finding:
+    # eleven hand-maintained 'k not in HEADLINE_R*' chains meant
+    # every round touched ~11 sites, and one missed clause silently
+    # inflated an older comparable). Notes kept from the originals:
+    # r3 is the round-1..3 set; r6 the rounds-5-6 set; r8 the r8
+    # verdict's common-52; the forced track exists because expensive
+    # OUTPUT COLUMNS can't hide in the count() track (VERDICT r12
+    # Next #3); the r13 totals exclude HEADLINE_R14 because winnow
+    # joined AFTER its 181x rebind and would flatter any total
+    # compared against a round that lacked it.
+    _ADDITIONS = [
+        HEADLINE_R4, HEADLINE_R5, HEADLINE_R7, HEADLINE_R9,
+        HEADLINE_R10, HEADLINE_R11, HEADLINE_R12, HEADLINE_R13,
+        HEADLINE_R14,
+    ]
+    # tag -> index into _ADDITIONS of the FIRST excluded list
+    _COUNT_CUTS = {
+        "r3": 0, "r6": 2, "r8": 3, "r9": 4, "r10": 5, "r11": 6,
+        "r12": 7, "r13": 8,
+    }
+    _FORCED_CUTS = {"r12": 7, "r13": 8}
+
+    def _comparable(vals: dict, cut: int) -> float:
+        excluded = {k for lst in _ADDITIONS[cut:] for k in lst}
+        return sum(v for k, v in vals.items() if k not in excluded)
+
+    comparables = {
+        f"comparable_{tag}_total": round(_comparable(timings, cut), 4)
+        for tag, cut in _COUNT_CUTS.items()
+    }
+    forced_comparables = {
+        f"comparable_forced_{tag}_total": round(_comparable(forced, cut), 4)
+        for tag, cut in _FORCED_CUTS.items()
+    }
 
     # Key ORDER matters: the driver records only the LAST ~2000 bytes
     # of this line (the r11 record already lost its front), so the
@@ -398,16 +352,20 @@ def main() -> None:
         "queries_forced": forced,
         "host_calibration": _calibrate_host(spark),
         "host_calibration_start": cal_start,
-        "comparable_r3_total": round(comparable, 4),
-        "comparable_r6_total": round(comparable_r6, 4),
-        "comparable_r8_total": round(comparable_r8, 4),
-        "comparable_r9_total": round(comparable_r9, 4),
-        "comparable_r10_total": round(comparable_r10, 4),
-        "comparable_r11_total": round(comparable_r11, 4),
-        "comparable_r12_total": round(comparable_r12, 4),
-        "comparable_forced_r12_total": round(comparable_forced_r12, 4),
-        "comparable_r13_total": round(comparable_r13, 4),
-        "comparable_forced_r13_total": round(comparable_forced_r13, 4),
+        **{
+            k: comparables[k]
+            for k in (
+                "comparable_r3_total", "comparable_r6_total",
+                "comparable_r8_total", "comparable_r9_total",
+                "comparable_r10_total", "comparable_r11_total",
+                "comparable_r12_total",
+            )
+        },
+        "comparable_forced_r12_total":
+            forced_comparables["comparable_forced_r12_total"],
+        "comparable_r13_total": comparables["comparable_r13_total"],
+        "comparable_forced_r13_total":
+            forced_comparables["comparable_forced_r13_total"],
         "forced_total": round(sum(forced.values()), 4),
         "sf": sf,
         "queries": timings,

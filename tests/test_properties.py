@@ -1281,12 +1281,15 @@ def test_c4_line_triggers_fire_their_own_phenomenon(spark, sf_dir):
 
 
 _C4_WORD = st.sampled_from(
-    ["alpha", "beta", "javascript", "Lorem", "ipsum", "x{", "ok"]
+    ["alpha", "beta", "javascript", "Lorem", "ipsum", "x{", "ok",
+     "a\x0Bb"]  # vertical tab inside a word: the Java-\s class edge
 )
 _C4_LINE = st.builds(
     lambda ws, end: " ".join(ws) + end,
     st.lists(_C4_WORD, min_size=0, max_size=7),
-    st.sampled_from([".", "!", "?", '"', "", " ", " ."]),
+    # '.\r': the Java-'$'-matches-before-trailing-\r edge the
+    # last-character test was chosen to close
+    st.sampled_from([".", "!", "?", '"', "", " ", " .", ".\r"]),
 )
 _C4_PAGE = st.one_of(
     st.none(),
@@ -1311,7 +1314,7 @@ def test_c4_line_stats_match_python_model(spark, pages):
     def model(page):
         p = page or ""
         ls = p.split("\n")
-        p1 = lambda l: bool(_re.search(r'[.!?"]$', l.rstrip(" ")))
+        p1 = lambda l: l.rstrip(" ")[-1:] in ('.', '!', '?', '"')
         p2 = lambda l: len(
             [w for w in _re.split(r"[ \t\n\x0B\f\r]+", l.strip(" ")) if w]
         ) >= 5

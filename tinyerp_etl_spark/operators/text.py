@@ -630,6 +630,37 @@ def _repetition_row(text: str | None) -> list:
     return [sig[name] for name in GOPHER_REP_THRESHOLDS] + [verdict]
 
 
+def _arrow_doc_audit(docs, id_col, text_col, fields, row_fn):
+    """Shared mapInPandas scaffolding for per-document Arrow audits
+    (repetition_summary, nfc_audit_summary): long id column + the
+    audit fields, one pd.DataFrame per Arrow batch built by ``row_fn``
+    over (id, text) pairs. One map-side pass, no shuffle; extracted so
+    a fix to the batching/casting applies everywhere (review finding:
+    three near-verbatim copies had accreted in this file — tfidf's tf
+    pass keeps its own shape, it batches term ROWS not doc rows)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [T.StructField(id_col, T.LongType())] + list(fields)
+    )
+    names = [f.name for f in schema.fields]
+
+    def batches(it):
+        for pdf in it:
+            yield pd.DataFrame(
+                [
+                    [did] + row_fn(t)
+                    for did, t in zip(pdf[id_col], pdf[text_col])
+                ],
+                columns=names,
+            )
+
+    return docs.select(
+        F.col(id_col).cast("long").alias(id_col), text_col
+    ).mapInPandas(batches, schema=schema)
+
+
 def repetition_summary(
     docs, text_col: str = "text", id_col: str = "doc_id"
 ):
@@ -646,32 +677,13 @@ def repetition_summary(
     the semantic reference the property test drives). Plan shape is
     identical: one map-side pass, no shuffle, nothing leaves its row.
     """
-    import pandas as pd
     from pyspark.sql import types as T
 
-    schema = T.StructType(
-        [T.StructField(id_col, T.LongType())]
-        + [
-            T.StructField(f"{name}_ppm", T.LongType())
-            for name in GOPHER_REP_THRESHOLDS
-        ]
-        + [T.StructField("verdict", T.StringType())]
-    )
-    names = [f.name for f in schema.fields]
-
-    def batches(it):
-        for pdf in it:
-            yield pd.DataFrame(
-                [
-                    [did] + _repetition_row(t)
-                    for did, t in zip(pdf[id_col], pdf[text_col])
-                ],
-                columns=names,
-            )
-
-    return docs.select(
-        F.col(id_col).cast("long").alias(id_col), text_col
-    ).mapInPandas(batches, schema=schema)
+    fields = [
+        T.StructField(f"{name}_ppm", T.LongType())
+        for name in GOPHER_REP_THRESHOLDS
+    ] + [T.StructField("verdict", T.StringType())]
+    return _arrow_doc_audit(docs, id_col, text_col, fields, _repetition_row)
 
 
 def _nfc_row(text: str | None) -> list:
@@ -711,33 +723,15 @@ def nfc_audit_summary(docs, text_col: str = "text", id_col: str = "doc_id"):
     built-in column functions), no shuffle, nothing leaves its row;
     at 100 TB this is scan-bound like every other per-doc audit.
     """
-    import pandas as pd
     from pyspark.sql import types as T
 
-    schema = T.StructType(
-        [
-            T.StructField(id_col, T.LongType()),
-            T.StructField("n_chars", T.LongType()),
-            T.StructField("n_chars_nfc", T.LongType()),
-            T.StructField("is_nfc", T.LongType()),
-            T.StructField("nfc_md5", T.StringType()),
-        ]
-    )
-    names = [f.name for f in schema.fields]
-
-    def batches(it):
-        for pdf in it:
-            yield pd.DataFrame(
-                [
-                    [did] + _nfc_row(t)
-                    for did, t in zip(pdf[id_col], pdf[text_col])
-                ],
-                columns=names,
-            )
-
-    return docs.select(
-        F.col(id_col).cast("long").alias(id_col), text_col
-    ).mapInPandas(batches, schema=schema)
+    fields = [
+        T.StructField("n_chars", T.LongType()),
+        T.StructField("n_chars_nfc", T.LongType()),
+        T.StructField("is_nfc", T.LongType()),
+        T.StructField("nfc_md5", T.StringType()),
+    ]
+    return _arrow_doc_audit(docs, id_col, text_col, fields, _nfc_row)
 
 
 def lang_marker_score(col: Column | str, lang: str) -> Column:
@@ -1510,9 +1504,17 @@ def blocklist_verdicts(
 # ------------------------------------------- C4 line-level cleaning
 #: C4's terminal-punctuation rule (Raffel et al. 2020 §2.2): a line
 #: is retained only if it ends in a period, exclamation mark,
-#: question mark, or end-quotation mark (checked on the right-trimmed
-#: line; a blank line therefore drops here, by this first rule).
-C4_LINE_TERMINAL_RE = r'[.!?"]$'
+#: question mark, or end-quotation mark (checked as the LAST
+#: CHARACTER of the right-trimmed line — an explicit substring test,
+#: not a '$'-anchored regex, because Java's '$' matches before a
+#: trailing \r/NEL/U+2028 while RE2's does not, and that divergence
+#: would silently split the engines on CRLF data; a blank line drops
+#: here, by this first rule).
+C4_LINE_TERMINAL_CHARS = ('.', '!', '?', '"')
+#: the explicit Java-\s whitespace class, spelled out so Spark,
+#: DuckDB (RE2) and the Python test model tokenize words
+#: byte-identically (Java \s includes \x0B; RE2's does not)
+C4_WS_CLASS = r"[ \t\n\x0B\f\r]+"
 #: C4's minimum words-per-line
 C4_LINE_MIN_WORDS = 5
 #: kept-line floor standing in for C4's "at least 3 sentences" page
@@ -1540,11 +1542,11 @@ def c4_line_stats(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
 
     def _p_punct(l):
-        return F.rtrim(l).rlike(C4_LINE_TERMINAL_RE)
+        return F.substring(F.rtrim(l), -1, 1).isin(*C4_LINE_TERMINAL_CHARS)
 
     def _p_words(l):
         return (
-            F.size(F.filter(F.split(F.trim(l), r"\s+"), lambda w: w != ""))
+            F.size(F.filter(F.split(F.trim(l), C4_WS_CLASS), lambda w: w != ""))
             >= C4_LINE_MIN_WORDS
         )
 

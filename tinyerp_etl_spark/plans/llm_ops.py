@@ -6938,27 +6938,45 @@ def c4_line_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _c4_line_oracle_sql() -> str:
+    # the six-line page fragment, built ONCE and interpolated into
+    # every CASE branch (review finding: three verbatim copies made
+    # a staged-page edit a three-site change with class-specific
+    # parity failures on a missed branch)
+    page6 = (
+        f"'{_C4L_GOOD1}' || chr(10) || substr(coalesce(text, ''), 1, 40)"
+        f" || chr(10) || '{_C4L_SHORT}' || chr(10) || '{_C4L_JS}'"
+        f" || chr(10) || '{_C4L_GOOD2}' || chr(10) || '{_C4L_GOOD3}'"
+    )
+    # line predicates as SQL fragments, built once. Terminal punct is
+    # an explicit last-character test (NOT a '$'-anchored regex: Java
+    # '$' matches before a trailing \r/NEL while RE2's does not);
+    # the word split spells out the Java-\s class so both engines
+    # tokenize byte-identically (operators/text.C4_WS_CLASS).
+    p_punct = "right(rtrim({l}), 1) IN ('.', '!', '?', '\"')"
+    p_words = (
+        "len(list_filter(regexp_split_to_array(trim({l}),"
+        " '[ \\t\\n\\x0B\\f\\r]+'), w -> w <> '')) >= 5"
+    )
+    p_js = "contains(lower({l}), 'javascript')"
+
+    def on(l: str) -> dict[str, str]:
+        return {
+            "punct": p_punct.format(l=l),
+            "words": p_words.format(l=l),
+            "js": p_js.format(l=l),
+        }
+
+    o = on("l")
     return f"""
     WITH staged AS (
       SELECT doc_id,
              CASE
-               WHEN doc_id % 7 = 3 THEN
-                 '{_C4L_GOOD1}' || chr(10) || substr(coalesce(text, ''), 1, 40)
-                 || chr(10) || '{_C4L_SHORT}' || chr(10) || '{_C4L_JS}'
-                 || chr(10) || '{_C4L_GOOD2}' || chr(10) || '{_C4L_GOOD3}'
-                 || ' {{'
-               WHEN doc_id % 7 = 4 THEN
-                 '{_C4L_LOREM}' || chr(10)
-                 || '{_C4L_GOOD1}' || chr(10) || substr(coalesce(text, ''), 1, 40)
-                 || chr(10) || '{_C4L_SHORT}' || chr(10) || '{_C4L_JS}'
-                 || chr(10) || '{_C4L_GOOD2}' || chr(10) || '{_C4L_GOOD3}'
+               WHEN doc_id % 7 = 3 THEN {page6} || ' {{'
+               WHEN doc_id % 7 = 4 THEN '{_C4L_LOREM}' || chr(10) || {page6}
                WHEN doc_id % 7 = 5 THEN
                  '{_C4L_LONELY}' || chr(10) || substr(coalesce(text, ''), 1, 40)
                  || chr(10) || '{_C4L_SHORT}'
-               ELSE
-                 '{_C4L_GOOD1}' || chr(10) || substr(coalesce(text, ''), 1, 40)
-                 || chr(10) || '{_C4L_SHORT}' || chr(10) || '{_C4L_JS}'
-                 || chr(10) || '{_C4L_GOOD2}' || chr(10) || '{_C4L_GOOD3}'
+               ELSE {page6}
              END AS page
       FROM documents
     ),
@@ -6969,28 +6987,19 @@ def _c4_line_oracle_sql() -> str:
     judged AS (
       SELECT doc_id, page, ls,
              list_filter(ls, l ->
-               regexp_matches(rtrim(l), '[.!?"]$')
-               AND len(list_filter(regexp_split_to_array(trim(l), '\\s+'),
-                       w -> w <> '')) >= 5
-               AND NOT contains(lower(l), 'javascript')) AS kept
+               {o["punct"]} AND {o["words"]} AND NOT {o["js"]}) AS kept
       FROM split_
     )
     SELECT doc_id,
            CAST(len(ls) AS BIGINT) AS n_lines,
            CAST(len(kept) AS BIGINT) AS n_kept,
            CAST(len(list_filter(ls, l ->
-               NOT regexp_matches(rtrim(l), '[.!?"]$'))) AS BIGINT)
-             AS n_drop_punct,
+               NOT {o["punct"]})) AS BIGINT) AS n_drop_punct,
            CAST(len(list_filter(ls, l ->
-               regexp_matches(rtrim(l), '[.!?"]$')
-               AND len(list_filter(regexp_split_to_array(trim(l), '\\s+'),
-                       w -> w <> '')) < 5)) AS BIGINT)
+               {o["punct"]} AND NOT {o["words"]})) AS BIGINT)
              AS n_drop_short,
            CAST(len(list_filter(ls, l ->
-               regexp_matches(rtrim(l), '[.!?"]$')
-               AND len(list_filter(regexp_split_to_array(trim(l), '\\s+'),
-                       w -> w <> '')) >= 5
-               AND contains(lower(l), 'javascript'))) AS BIGINT)
+               {o["punct"]} AND {o["words"]} AND {o["js"]})) AS BIGINT)
              AS n_drop_js,
            CASE
              WHEN contains(lower(page), 'lorem ipsum') THEN 'lorem_ipsum'

@@ -8,9 +8,10 @@ Ordering note: the driver's correctness gate covers the first 50
 registry entries, so insertion order is the rotation schedule.
 ACTIVE: _ROUND14_FRONT_50 (see its inline comments — after round 14's
 gate runs green, EVERY registered query's newest driver row is r11+
-except the six documented r10 deferrals, the six oldest rows in the
-registry get refreshed from r9, and the four rows whose engines round
-14 touched are re-proven). Prior gates below for the ledger; note
+except the eight documented r10 deferrals (five from the pre-staged
+resolution plus one per in-round newcomer), the six oldest rows in
+the registry get refreshed from r9, and the four rows whose engines
+round 14 touched are re-proven). Prior gates below for the ledger; note
 round 8 ran _ROUND7_FRONT_50 unchanged, so the r7 list's rows carry
 r8-fresh evidence.
 Round 5's front 50 (ran in rounds 5 AND 6; see _ROUND5_FRONT_50's
