@@ -786,12 +786,47 @@ _RELATIONAL_NAMES = [
 #       (q14_promo_revenue, dedup_exact_count, decontaminate_docs,
 #       dedup_span_removal_docs, simhash_docs, kmv_sketch_rollup,
 #       hll_distinct_users, repetition_profile_docs — zero extra
-#       rounds of staleness) + the rows whose newest green will then
-#       be r11 (47 by this round's arithmetic: 49 r11-green rows
-#       minus incremental_span_removal_docs and gram_novelty_docs,
-#       re-gated here — RE-DERIVE from the CORRECTNESS files at
-#       rotation time); 8 + 47 = 55 for 50 -> defer 5 r11 fills
-#       whose shapes fresher rows best cover, documenting each.
+#       rounds of staleness, all confirmed r10-newest by this
+#       round's end-of-round re-derivation) + the rows whose newest
+#       green will then be r11: 46 by the END-OF-ROUND-14
+#       re-derivation over CORRECTNESS_r01..r13 + the final front-50
+#       (not the 47 the mid-round estimate said — the in-round
+#       amendments moved the count; RE-DERIVE again at rotation time
+#       once CORRECTNESS_r14 exists, the re-derivation is always
+#       authoritative). The derived 46, name-for-name: agg_rollup,
+#       array_functions_showcase, audit_counts,
+#       cluster_balanced_sample, coercion_showcase,
+#       conditional_agg_returnflag, csv_quarantine_split,
+#       datetime_functions_showcase, decontaminate_span_removal_docs,
+#       deterministic_sample_orders, dsir_importance_sample,
+#       embedding_neardup_pairs, embedding_neardup_store,
+#       exists_returned_orders, fuzzy_match_customers,
+#       grouping_sets_revenue, groupwise_min_cheapest_parts,
+#       incremental_dsir_sample, incremental_pipeline_events,
+#       incremental_rollup_orders, join_semi_customers_with_orders,
+#       null_handling_showcase, per_source_cap_sample,
+#       q10_returned_items, q11_important_parts,
+#       q12_priority_by_linestatus, q16_supplier_diversity,
+#       q20_heavy_part_suppliers, q21_sole_late_shippers,
+#       q4_priority_late_ship, q9_product_type_profit,
+#       quality_percentile_by_source,
+#       quantiles_order_value_by_status, range_join_event_bursts,
+#       replace_order_items, scalar_functions_showcase,
+#       scd2_user_event_history, setops_bag_semantics,
+#       snapshot_diff_orders, stratified_sample_orders,
+#       subquery_small_quantity_revenue, tfidf_top_terms,
+#       unpivot_nation_balances, watermark_resolution_matrix,
+#       window_navigation_showcase, window_rank_price_in_status.
+#       8 + 46 = 54 for 50 -> defer 4 r11 fills whose shapes fresher
+#       rows best cover, documenting each (candidates with the
+#       cleanest carries: scalar_functions_showcase /
+#       null_handling_showcase / datetime_functions_showcase — pure
+#       scalar-expression showcases whose kernels pytest pins and
+#       whose shapes coercion_showcase (in that gate) shares — and
+#       embedding_neardup_store, whose store-probe shape the
+#       in-that-gate embedding_neardup_pairs + r12-green
+#       web_manifest_store_scored carry; decide against round 15's
+#       actual newcomer set at composition time).
 _ROUND14_FRONT_50 = [
     # (0) the three round-14 newcomers, gated at birth
     "nfc_normalize_docs",
