@@ -1054,3 +1054,96 @@ def test_stream_to_pq_codes_reproduces_ivfpq_scores(spark, sf_dir, tmp_path):
     assert [v for v, _ in stored] == [v for v, _ in inplan]
     for (_, a), (_, b) in zip(stored, inplan):
         assert abs(a - b) < 1e-12
+
+
+def test_streaming_c4_line_filter_equals_batch(spark, sf_dir, tmp_path):
+    """The C4 line-cleaning front door streams UNCHANGED: the
+    pipeline core is a stateless map-side projection (zero shuffles,
+    no watermark, no state store), so the same definition drains a
+    documents file-stream in append mode and reproduces the batch
+    face row-for-row — the streaming-ingest curation story for a
+    crawl that arrives continuously."""
+    from tinyerp_etl_spark.plans.llm_ops import (
+        _c4_line_pipeline,
+        c4_line_filter_docs,
+    )
+
+    d = tmp_path / "docs_in"
+    d.mkdir()
+    shutil.copy(f"{sf_dir}/documents.parquet", d / "batch0.parquet")
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(str(d))
+        .select("doc_id", "text")
+    )
+    out = tmp_path / "c4_out"
+    (
+        _c4_line_pipeline(stream)
+        .writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    streamed = sorted(
+        tuple(r) for r in spark.read.parquet(str(out)).collect()
+    )
+    batch = sorted(
+        tuple(r) for r in c4_line_filter_docs(spark, sf_dir).collect()
+    )
+    assert streamed == batch
+
+
+def test_streaming_c4_line_filter_restart_is_incremental(
+    spark, sf_dir, tmp_path
+):
+    """A second availableNow drain from the same checkpoint processes
+    ONLY the newly-arrived file: the sink ends with exactly old+new
+    verdicts and the first batch's rows are not recomputed (same
+    checkpoint discipline as the merge-sink test, on the curation
+    path)."""
+    from pyspark.sql import functions as F
+
+    from tinyerp_etl_spark.plans.llm_ops import _c4_line_pipeline
+
+    d = tmp_path / "docs_in"
+    d.mkdir()
+    shutil.copy(f"{sf_dir}/documents.parquet", d / "batch0.parquet")
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    out, ckpt = tmp_path / "c4_out", tmp_path / "ckpt"
+
+    def drain():
+        stream = (
+            spark.readStream.schema(schema)
+            .parquet(str(d))
+            .select("doc_id", "text")
+        )
+        (
+            _c4_line_pipeline(stream)
+            .writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    drain()
+    n0 = spark.read.parquet(str(out)).count()
+    # shifted copy arrives: new doc_ids, same pipeline
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    shift = base.select(
+        (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"),
+        *[c for c in base.columns if c != "doc_id"],
+    )
+    shift.write.mode("overwrite").parquet(str(tmp_path / "stage2"))
+    for f in (tmp_path / "stage2").glob("*.parquet"):
+        shutil.copy(f, d / "batch1.parquet")
+    drain()
+    result = spark.read.parquet(str(out))
+    assert result.count() == 2 * n0
+    assert (
+        result.filter(F.col("doc_id") >= 10_000_000).count() == n0
+    )

@@ -6875,19 +6875,14 @@ _C4L_LOREM = "Lorem ipsum dolor sit amet."
 _C4L_LONELY = "One good line is not enough here."
 
 
-def c4_line_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C4 line-level cleaning audit (operators/text.c4_line_stats +
-    c4_doc_verdict): per staged page the line counts by
-    first-failing rule (no terminal punctuation → under 5 words →
-    mentions javascript), the kept-line count, the md5 of the
-    byte-exact ordered reassembly of the kept lines (the cleaned
-    page a downstream tokenizer would see), and the page verdict
-    (lorem_ipsum → brace → too_few_lines → keep). ONE bound struct
-    over the line array split once per row — zero shuffles, zero
-    UDFs, pure lambda pipeline (the final orderBy is presentation).
-    At 100 TB this is the same embarrassingly-parallel scan as every
-    per-doc audit; the only state is the broadcast rule constants."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+def _c4_line_pipeline(docs: DataFrame) -> DataFrame:
+    """The staging + judging core of ``c4_line_filter_docs`` over any
+    (doc_id, text) frame — batch OR streaming: the pipeline is a
+    stateless map-side projection (zero shuffles, zero UDFs), so the
+    SAME definition drains through readStream/availableNow in append
+    mode with no watermark and no state store
+    (tests/test_streaming.py pins stream ≡ batch). The registered
+    query adds only the presentation orderBy."""
     m = F.col("doc_id") % 7
     nl = F.lit("\n")
     # coalesce BEFORE substring: concat_ws silently drops NULL
@@ -6922,19 +6917,34 @@ def c4_line_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     judged = staged.select(
         "doc_id", "page", X.c4_line_stats("page").alias("s")
     )
-    return (
-        judged.select(
-            "doc_id",
-            F.col("s.n_lines").alias("n_lines"),
-            F.col("s.n_kept").alias("n_kept"),
-            F.col("s.n_drop_punct").alias("n_drop_punct"),
-            F.col("s.n_drop_short").alias("n_drop_short"),
-            F.col("s.n_drop_js").alias("n_drop_js"),
-            X.c4_doc_verdict("page", F.col("s")).alias("verdict"),
-            F.col("s.clean_md5").alias("clean_md5"),
-        )
-        .orderBy("doc_id")
+    return judged.select(
+        "doc_id",
+        F.col("s.n_lines").alias("n_lines"),
+        F.col("s.n_kept").alias("n_kept"),
+        F.col("s.n_drop_punct").alias("n_drop_punct"),
+        F.col("s.n_drop_short").alias("n_drop_short"),
+        F.col("s.n_drop_js").alias("n_drop_js"),
+        X.c4_doc_verdict("page", F.col("s")).alias("verdict"),
+        F.col("s.clean_md5").alias("clean_md5"),
     )
+
+
+def c4_line_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line-level cleaning audit (operators/text.c4_line_stats +
+    c4_doc_verdict): per staged page the line counts by
+    first-failing rule (no terminal punctuation → under 5 words →
+    mentions javascript), the kept-line count, the md5 of the
+    byte-exact ordered reassembly of the kept lines (the cleaned
+    page a downstream tokenizer would see), and the page verdict
+    (lorem_ipsum → brace → too_few_lines → keep). ONE bound struct
+    over the line array split once per row — zero shuffles, zero
+    UDFs, pure lambda pipeline (the final orderBy is presentation;
+    the core, ``_c4_line_pipeline``, is stateless and runs unchanged
+    over a stream — pinned by tests/test_streaming.py). At 100 TB
+    this is the same embarrassingly-parallel scan as every per-doc
+    audit; the only state is the broadcast rule constants."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return _c4_line_pipeline(docs).orderBy("doc_id")
 
 
 def _c4_line_oracle_sql() -> str:
