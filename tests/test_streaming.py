@@ -1147,3 +1147,42 @@ def test_streaming_c4_line_filter_restart_is_incremental(
     assert (
         result.filter(F.col("doc_id") >= 10_000_000).count() == n0
     )
+
+
+def test_streaming_nfc_audit_equals_batch(spark, sf_dir, tmp_path):
+    """The Arrow-batched audits stream too: mapInPandas is stateless,
+    so nfc_audit_summary drains a documents file-stream in append
+    mode and reproduces the batch audit row-for-row — the Python
+    kernel crosses the boundary per Arrow batch in streaming exactly
+    as in batch."""
+    from tinyerp_etl_spark.operators.text import nfc_audit_summary
+
+    d = tmp_path / "docs_in"
+    d.mkdir()
+    shutil.copy(f"{sf_dir}/documents.parquet", d / "batch0.parquet")
+    batch_docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    stream = (
+        spark.readStream.schema(batch_docs.schema)
+        .parquet(str(d))
+        .select("doc_id", "text")
+    )
+    out = tmp_path / "nfc_out"
+    (
+        nfc_audit_summary(stream)
+        .writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    streamed = sorted(
+        tuple(r) for r in spark.read.parquet(str(out)).collect()
+    )
+    batch = sorted(
+        tuple(r)
+        for r in nfc_audit_summary(
+            batch_docs.select("doc_id", "text")
+        ).collect()
+    )
+    assert streamed == batch
