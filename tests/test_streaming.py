@@ -1186,3 +1186,41 @@ def test_streaming_nfc_audit_equals_batch(spark, sf_dir, tmp_path):
         ).collect()
     )
     assert streamed == batch
+
+
+def test_streaming_repetition_audit_equals_batch(spark, sf_dir, tmp_path):
+    """The Gopher A1.2 repetition audit (the third Arrow-batched doc
+    audit) also streams unchanged — with this, every stateless
+    per-doc audit face (column pipeline, mapInPandas kernel) is
+    pinned stream ≡ batch."""
+    from tinyerp_etl_spark.operators.text import repetition_summary
+
+    d = tmp_path / "docs_in"
+    d.mkdir()
+    shutil.copy(f"{sf_dir}/documents.parquet", d / "batch0.parquet")
+    batch_docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    stream = (
+        spark.readStream.schema(batch_docs.schema)
+        .parquet(str(d))
+        .select("doc_id", "text")
+    )
+    out = tmp_path / "rep_out"
+    (
+        repetition_summary(stream)
+        .writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    streamed = sorted(
+        tuple(r) for r in spark.read.parquet(str(out)).collect()
+    )
+    batch = sorted(
+        tuple(r)
+        for r in repetition_summary(
+            batch_docs.select("doc_id", "text")
+        ).collect()
+    )
+    assert streamed == batch
