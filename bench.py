@@ -194,6 +194,9 @@ HEADLINE_R14: list[str] = [
     # the third round-14 newcomer: C4 line-level cleaning (one bound
     # struct over the line array, zero shuffles)
     "c4_line_filter_docs",
+    # the fourth round-14 newcomer: robots.txt crawl permission
+    # (broadcast rules + keyed max-struct agg, the blocklist shape)
+    "robots_txt_filter",
 ]
 HEADLINE = (
     HEADLINE

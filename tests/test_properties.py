@@ -1353,3 +1353,91 @@ def test_c4_line_stats_match_python_model(spark, pages):
         ).collect()
     }
     assert got == {i: model(t) for i, t in enumerate(pages)}
+
+
+def test_robots_triggers_fire_their_own_phenomenon(spark, sf_dir):
+    """Each staged domain class of robots_txt_filter gets exactly its
+    designed verdict: example.com shows all three of its rule
+    outcomes as paths cycle (disallow hit, longer-Allow override,
+    no-match allow), closed.net blocks everything, tie.io resolves
+    the equal-length Allow/Disallow pair to Allow, and
+    open.org/empty.dev ride default-allow with a NULL rule."""
+    from tinyerp_etl_spark.plans.llm_ops import LLM_QUERIES
+
+    rows = LLM_QUERIES["robots_txt_filter"](spark, sf_dir).collect()
+    assert rows
+    seen_example = set()
+    for r in rows:
+        m5, m3 = r["doc_id"] % 5, r["doc_id"] % 3
+        v = (r["allowed"], r["matched_rule"])
+        if m5 == 0:
+            expect = {
+                0: (False, "disallow:/private"),
+                1: (True, "allow:/private/ok"),
+                2: (True, None),
+            }[m3]
+            assert v == expect, (r["doc_id"], v)
+            seen_example.add(m3)
+        elif m5 == 1:
+            assert v == (False, "disallow:/"), (r["doc_id"], v)
+        elif m5 == 3:
+            assert v == (True, "allow:/dup"), (r["doc_id"], v)
+        else:  # open.org / empty.dev: no rules -> default allow
+            assert v == (True, None), (r["doc_id"], v)
+    assert seen_example == {0, 1, 2}  # all three outcomes non-vacuous
+
+
+_RB_SEG = st.sampled_from(["private", "ok", "dup", "x", "a"])
+_RB_PATH = st.builds(
+    lambda segs: "/" + "/".join(segs),
+    st.lists(_RB_SEG, min_size=0, max_size=3),
+)
+_RB_DOMAIN = st.sampled_from(["d0.com", "d1.net"])
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(st.tuples(_RB_DOMAIN, _RB_PATH), min_size=1, max_size=10),
+    st.lists(
+        st.tuples(_RB_DOMAIN, _RB_PATH, st.sampled_from([0, 1])),
+        min_size=1,
+        max_size=6,
+        unique_by=lambda t: (t[0], t[1], t[2]),
+    ),
+)
+def test_robots_verdicts_match_python_model(spark, reqs, rules):
+    """robots_verdicts == the exact Python model of RFC 9309
+    longest-match (Allow wins length ties; default allow) on
+    generated request/rule soups, including rules that collide on
+    (domain, prefix) with both types and paths that embed rule
+    prefixes mid-segment."""
+    from tinyerp_etl_spark.functions.localdf import local_df
+    from tinyerp_etl_spark.operators.text import robots_verdicts
+
+    def model(dom, path):
+        best = None  # (len, is_allow, rule_str)
+        for rd, rp, ra in rules:
+            if rd == dom and path.startswith(rp):
+                key = (
+                    len(rp),
+                    ra,
+                    ("allow:" if ra else "disallow:") + rp,
+                )
+                if best is None or key > best:
+                    best = key
+        if best is None:
+            return (True, None)
+        return (best[1] == 1, best[2])
+
+    reqs_df = spark.createDataFrame(
+        [(i, d, p) for i, (d, p) in enumerate(reqs)],
+        "doc_id long, domain string, path string",
+    )
+    rules_df = local_df(
+        spark, rules, "domain string, prefix string, is_allow long"
+    )
+    got = {
+        r["doc_id"]: (r["allowed"], r["matched_rule"])
+        for r in robots_verdicts(reqs_df, rules_df).collect()
+    }
+    assert got == {i: model(d, p) for i, (d, p) in enumerate(reqs)}

@@ -1591,3 +1591,65 @@ def c4_doc_verdict(text: Column | str, stats: Column) -> Column:
         .when(stats["n_kept"] < C4_MIN_KEPT_LINES, F.lit("too_few_lines"))
         .otherwise(F.lit("keep"))
     )
+
+
+# ---------------------------------------------- robots.txt evaluation
+def robots_verdicts(
+    reqs,
+    rules,
+    path_col: str = "path",
+    domain_col: str = "domain",
+    id_col: str = "doc_id",
+):
+    """Per-request robots.txt verdicts under the Google/RFC 9309
+    longest-match rule: among the domain's rules whose prefix the
+    path starts with, the LONGEST prefix decides, and on a
+    tie-in-length Allow beats Disallow. A request with no matching
+    rule (including a domain with no rules at all — no robots.txt)
+    is allowed by default; an empty ``Disallow:`` line is the
+    allow-all idiom and must be staged as NO rule row, not an
+    empty-prefix rule (an empty prefix would match every path).
+
+    ``rules`` columns: ``domain``, ``prefix``, ``is_allow`` (long
+    0/1). Shape is the blocklist_verdicts pattern: broadcast the
+    rules dim, equi-join on domain with a startswith post-filter
+    kept in the join condition (BroadcastHashJoin, no cartesian),
+    then ONE (id, domain, path)-keyed conditional max-struct
+    aggregate — (prefix_len, is_allow) max implements
+    longest-match-then-Allow exactly, map-side partial agg shrinks
+    the fan-out before the only shuffle, and LEFT join carries
+    no-rule requests through as default-allow. At 100 TB: a real
+    robots store is millions of rows ≈ low GB — broadcastable after
+    per-domain dedup, or bucket both sides by domain; everything
+    else is one narrow keyed pass. Zero UDFs."""
+    r = F.broadcast(rules)
+    cand = reqs.join(
+        r,
+        (reqs[domain_col] == rules["domain"])
+        & reqs[path_col].startswith(rules["prefix"]),
+        "left",
+    )
+    hit = F.when(
+        rules["prefix"].isNotNull(),
+        F.struct(
+            F.length(rules["prefix"]).alias("l"),
+            rules["is_allow"].alias("a"),
+            F.concat(
+                F.when(rules["is_allow"] == 1, F.lit("allow:")).otherwise(
+                    F.lit("disallow:")
+                ),
+                rules["prefix"],
+            ).alias("r"),
+        ),
+    )
+    return (
+        cand.groupBy(reqs[id_col], reqs[domain_col], reqs[path_col])
+        .agg(F.max(hit).alias("m"))
+        .select(
+            reqs[id_col],
+            reqs[domain_col],
+            reqs[path_col],
+            (F.col("m").isNull() | (F.col("m.a") == 1)).alias("allowed"),
+            F.col("m.r").alias("matched_rule"),
+        )
+    )

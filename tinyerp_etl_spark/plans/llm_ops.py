@@ -7024,3 +7024,111 @@ def _c4_line_oracle_sql() -> str:
 
 LLM_ORACLES["c4_line_filter_docs"] = _c4_line_oracle_sql()
 LLM_QUERIES["c4_line_filter_docs"] = c4_line_filter_docs
+
+
+# ------- round-14 addition: robots.txt crawl-permission filter
+#: staged robots rules (domain, path-prefix, is_allow). Covers a
+#: nested Disallow/Allow pair (longest-match override), a
+#: block-everything domain, and an equal-length Allow/Disallow pair
+#: (the RFC 9309 tie, Allow wins). open.org has no robots.txt and
+#: empty.dev serves the empty-`Disallow:` allow-all idiom — BOTH are
+#: staged as no rule rows (an empty-prefix rule would wrongly match
+#: every path), so default-allow is exercised through two distinct
+#: real-world cases.
+_ROBOTS_RULES: list[tuple[str, str, int]] = [
+    ("example.com", "/private", 0),
+    ("example.com", "/private/ok", 1),
+    ("closed.net", "/", 0),
+    ("tie.io", "/dup", 0),
+    ("tie.io", "/dup", 1),
+]
+
+
+def robots_txt_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt crawl-permission verdicts (RFC 9309 / Google
+    semantics, operators/text.robots_verdicts): among a domain's
+    rules whose prefix the path starts with, the longest prefix
+    decides and Allow beats Disallow on a length tie; no matching
+    rule means allowed. The other half of the crawl-permission front
+    door next to domain_blocklist_filter — a compliant pipeline
+    evaluates BOTH before fetching. Staging covers every phenomenon
+    at any SF: example.com's nested Disallow/Allow pair sees all
+    three of its outcomes (blocked, longer-Allow override, no-match
+    allow) as doc_id cycles, closed.net blocks everything, tie.io
+    resolves its equal-length pair to Allow, and open.org (no
+    robots.txt) plus empty.dev (empty `Disallow:` idiom) both ride
+    default-allow as NO rule rows. Plan: broadcast rules dim,
+    domain-equi join with startswith in the condition, one keyed
+    max-struct aggregate — the proven blocklist shape, zero UDFs."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    sid = F.col("doc_id").cast("string")
+    m5 = F.col("doc_id") % 5
+    m3 = F.col("doc_id") % 3
+    domain = (
+        F.when(m5 == 0, F.lit("example.com"))
+        .when(m5 == 1, F.lit("closed.net"))
+        .when(m5 == 2, F.lit("open.org"))
+        .when(m5 == 3, F.lit("tie.io"))
+        .otherwise(F.lit("empty.dev"))
+    )
+    path = (
+        F.when(m5 == 3, F.concat(F.lit("/dup/x"), sid))
+        .when(m3 == 0, F.concat(F.lit("/private/x"), sid))
+        .when(m3 == 1, F.concat(F.lit("/private/ok/x"), sid))
+        .otherwise(F.concat(F.lit("/public/x"), sid))
+    )
+    reqs = docs.select("doc_id", domain.alias("domain"), path.alias("path"))
+    rules = local_df(
+        spark, _ROBOTS_RULES, "domain string, prefix string, is_allow long"
+    )
+    return X.robots_verdicts(reqs, rules).orderBy("doc_id")
+
+
+def _robots_oracle_sql() -> str:
+    vals = ",\n      ".join(
+        "('{}', '{}', {})".format(d, p, a) for d, p, a in _ROBOTS_RULES
+    )
+    return f"""
+    WITH reqs AS (
+      SELECT doc_id,
+             CASE doc_id % 5
+               WHEN 0 THEN 'example.com'
+               WHEN 1 THEN 'closed.net'
+               WHEN 2 THEN 'open.org'
+               WHEN 3 THEN 'tie.io'
+               ELSE 'empty.dev'
+             END AS domain,
+             CASE
+               WHEN doc_id % 5 = 3 THEN '/dup/x' || CAST(doc_id AS VARCHAR)
+               WHEN doc_id % 3 = 0 THEN '/private/x' || CAST(doc_id AS VARCHAR)
+               WHEN doc_id % 3 = 1 THEN
+                 '/private/ok/x' || CAST(doc_id AS VARCHAR)
+               ELSE '/public/x' || CAST(doc_id AS VARCHAR)
+             END AS path
+      FROM documents
+    ),
+    rules(domain, prefix, is_allow) AS (VALUES
+      {vals}
+    ),
+    agg AS (
+      SELECT q.doc_id, q.domain, q.path,
+             max(CASE WHEN r.prefix IS NOT NULL THEN struct_pack(
+                   l := length(r.prefix),
+                   a := r.is_allow,
+                   rr := (CASE WHEN r.is_allow = 1 THEN 'allow:'
+                               ELSE 'disallow:' END) || r.prefix)
+                 END) AS m
+      FROM reqs q
+      LEFT JOIN rules r
+        ON q.domain = r.domain AND starts_with(q.path, r.prefix)
+      GROUP BY q.doc_id, q.domain, q.path
+    )
+    SELECT doc_id, domain, path,
+           (m IS NULL OR m.a = 1) AS allowed,
+           m.rr AS matched_rule
+    FROM agg ORDER BY doc_id
+"""
+
+
+LLM_ORACLES["robots_txt_filter"] = _robots_oracle_sql()
+LLM_QUERIES["robots_txt_filter"] = robots_txt_filter

@@ -682,7 +682,7 @@ _RELATIONAL_NAMES = [
 #
 # ROUND-14 ROTATION (ACTIVE): executed exactly as pre-staged, with
 # the prescribed at-rotation re-derivation. Composition:
-#   (0) THREE newcomers, gated at birth (amended in-round, the
+#   (0) FOUR newcomers, gated at birth (amended in-round, the
 #       round-13 precedent):
 #       nfc_normalize_docs — the Unicode NFC normalization audit that
 #       runs BEFORE hash-based dedup (composition-variant copies
@@ -723,6 +723,24 @@ _RELATIONAL_NAMES = [
 #       clean, 10x/100x SCALE rows (1.32 s / 7.79 s warm, ~linear).
 #       Displaces repetition_profile_docs (deferral documented
 #       below);
+#       robots_txt_filter — robots.txt crawl-permission verdicts
+#       (RFC 9309 / Google semantics: longest matching prefix
+#       decides, Allow beats Disallow on a length tie, no match =
+#       allowed; the empty-Disallow allow-all idiom and absent
+#       robots.txt both staged as NO rule rows). The other half of
+#       the crawl-permission front door next to
+#       domain_blocklist_filter. Shape: broadcast rules dim,
+#       domain-equi join with startswith in the condition (verified
+#       BroadcastHashJoin, zero cartesians), one keyed max-struct
+#       aggregate. Full kit at add time: independent DuckDB oracle
+#       (struct_pack max over LEFT-joined rules),
+#       sf0.001+sf0.01 driver-style parity green, per-class trigger
+#       assertions (all three example.com outcomes proven
+#       non-vacuous), hypothesis property vs an exact Python model,
+#       plan-lint clean, 10x/100x/1000x SCALE rows (1.13 / 1.36 /
+#       6.49 s — sublinear, 32-partition probe per the SCALE.md
+#       probe rule). Displaces text_profile_docs (deferral
+#       documented below);
 #   (0b) 4 changed-engine rows (changed engine outranks fresh
 #       evidence): gopher_repetition_docs (trigger staging now
 #       derives its doc_id base from max(doc_id)+1 in BOTH engines,
@@ -745,10 +763,10 @@ _RELATIONAL_NAMES = [
 #       RE-DERIVED from CORRECTNESS_r01..r13 at rotation time =
 #       45 rows, not the 47 the pre-staging estimated (the estimate
 #       was made before r13's own gate landed; the re-derivation is
-#       authoritative, per the standing rule). 3 + 4 + 6 + 45 = 58
-#       for 50 slots -> defer 8 r10 fills whose shapes fresher rows
+#       authoritative, per the standing rule). 4 + 4 + 6 + 45 = 59
+#       for 50 slots -> defer 9 r10 fills whose shapes fresher rows
 #       best cover (zero extra rounds of staleness allowed — all
-#       eight MUST be in round 15's gate):
+#       nine MUST be in round 15's gate):
 #       - q14_promo_revenue: the promo-share agg shape is carried
 #         by the r13-green promo_revenue_ratio;
 #       - dedup_exact_count: the exact-fingerprint kernel is carried
@@ -779,15 +797,23 @@ _RELATIONAL_NAMES = [
 #         gopher_repetition_docs — the r13 newcomer generalized the
 #         same family to the full Gopher A1.2 signal set over the
 #         same tokenizer, and is itself a (0b) changed-engine row in
-#         this gate.
+#         this gate;
+#       - text_profile_docs (displaced by the robots_txt_filter
+#         newcomer): its per-doc integer ratio-profiling shape
+#         (length/punct/stopword counters over the shared tokenizer)
+#         is carried by the r13-green gopher_quality_docs and
+#         c4_quality_filter_stats — the same tokenizer and the same
+#         exact-integer ratio-rule audit pattern, with stricter
+#         verdict logic on top.
 # PRE-STAGED ROUND-15 ROTATION PLAN (compose at round-15 start):
 #   (0) any round-15 newcomers, gated at birth; (0b) rows whose
-#       engine round 15 changes; (a) the 8 round-14 deferrals above
+#       engine round 15 changes; (a) the 9 round-14 deferrals above
 #       (q14_promo_revenue, dedup_exact_count, decontaminate_docs,
 #       dedup_span_removal_docs, simhash_docs, kmv_sketch_rollup,
-#       hll_distinct_users, repetition_profile_docs — zero extra
-#       rounds of staleness, all confirmed r10-newest by this
-#       round's end-of-round re-derivation) + the rows whose newest
+#       hll_distinct_users, repetition_profile_docs,
+#       text_profile_docs — zero extra rounds of staleness, all
+#       confirmed r10-newest by this round's end-of-round
+#       re-derivation) + the rows whose newest
 #       green will then be r11: 46 by the END-OF-ROUND-14
 #       re-derivation over CORRECTNESS_r01..r13 + the final front-50
 #       (not the 47 the mid-round estimate said — the in-round
@@ -817,7 +843,7 @@ _RELATIONAL_NAMES = [
 #       subquery_small_quantity_revenue, tfidf_top_terms,
 #       unpivot_nation_balances, watermark_resolution_matrix,
 #       window_navigation_showcase, window_rank_price_in_status.
-#       8 + 46 = 54 for 50 -> defer 4 r11 fills whose shapes fresher
+#       9 + 46 = 55 for 50 -> defer 5 r11 fills whose shapes fresher
 #       rows best cover, documenting each (candidates with the
 #       cleanest carries: scalar_functions_showcase /
 #       null_handling_showcase / datetime_functions_showcase — pure
@@ -828,10 +854,11 @@ _RELATIONAL_NAMES = [
 #       web_manifest_store_scored carry; decide against round 15's
 #       actual newcomer set at composition time).
 _ROUND14_FRONT_50 = [
-    # (0) the three round-14 newcomers, gated at birth
+    # (0) the four round-14 newcomers, gated at birth
     "nfc_normalize_docs",
     "domain_blocklist_filter",
     "c4_line_filter_docs",
+    "robots_txt_filter",
     # (0b) the 4 changed-engine rows
     "gopher_repetition_docs",
     "span_clean_and_fold_docs",
@@ -844,7 +871,7 @@ _ROUND14_FRONT_50 = [
     "embedding_label_centroids",
     "xml_roundtrip_orders",
     "hll_union_rollup",
-    # (a) 37 of the 45 r10-stale rows (8 deferred, documented above)
+    # (a) 36 of the 45 r10-stale rows (9 deferred, documented above)
     "agg_cube",
     "agg_distinct_count",
     "anomaly_zscore_daily_revenue",
@@ -874,7 +901,6 @@ _ROUND14_FRONT_50 = [
     "q19_discount_revenue",
     "scalar_subquery_rich_idle_customers",
     "setops_customer_nations",
-    "text_profile_docs",
     "time_travel_orders_versions",
     "topk_expensive_orders",
     "udtf_word_positions",
