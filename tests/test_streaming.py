@@ -1138,9 +1138,12 @@ def test_streaming_c4_line_filter_restart_is_incremental(
         (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"),
         *[c for c in base.columns if c != "doc_id"],
     )
-    shift.write.mode("overwrite").parquet(str(tmp_path / "stage2"))
-    for f in (tmp_path / "stage2").glob("*.parquet"):
-        shutil.copy(f, d / "batch1.parquet")
+    # coalesce(1): the copy below takes exactly one part file — with
+    # more parts, each copy would overwrite batch1.parquet and only a
+    # nondeterministic one would reach the stream
+    shift.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "stage2"))
+    [part] = list((tmp_path / "stage2").glob("*.parquet"))
+    shutil.copy(part, d / "batch1.parquet")
     drain()
     result = spark.read.parquet(str(out))
     assert result.count() == 2 * n0
