@@ -693,3 +693,53 @@ def test_remove_contaminated_spans_property(spark):
         assert got == model(train_texts, bench_texts if bench_texts else [""])
 
     run()
+
+
+def test_rebuild_without_positions_array_form_edges(spark):
+    """Focused test for the r14 array-form rebuild internals
+    (dedup.removed_position_arrays + the HOF rebuild): NULL text keeps
+    the (NULL, NULL, '') contract, a doc losing every token comes back
+    '', an empty __rm array rebuilds untouched, and a doc absent from
+    the removed frame passes through whole."""
+    from pyspark.sql import functions as F
+
+    from tinyerp_etl_spark.operators import dedup as D
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d"),       # positions 2-3 removed
+            (2, "x y"),           # all tokens removed
+            (3, None),            # NULL text: (NULL, NULL, '')
+            (4, "k l m"),         # empty __rm -> untouched
+            (5, "p q"),           # absent from removed -> untouched
+        ],
+        "doc_id long, text string",
+    )
+    removed = spark.createDataFrame(
+        [(1, [2, 3]), (2, [1, 2]), (4, [])],
+        "doc_id long, __rm array<int>",
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed_tokens"], r["clean_text"])
+        for r in D.rebuild_without_positions(docs, removed).collect()
+    }
+    assert got == {
+        1: (4, 2, "a d"),
+        2: (2, 2, ""),
+        3: (None, None, ""),
+        4: (3, 0, "k l m"),
+        5: (2, 0, "p q"),
+    }
+    # removed_position_arrays: covered minus protected, per doc, with
+    # the x-k interval expansion done inside the array
+    cov = spark.createDataFrame(
+        [(1, [1, 3]), (2, [5])], "doc_id long, __cps array<int>"
+    )
+    prot = spark.createDataFrame([(1, [1])], "doc_id long, __pps array<int>")
+    arrs = {
+        r["doc_id"]: sorted(r["__rm"])
+        for r in D.removed_position_arrays(cov, prot, "doc_id", 3).collect()
+    }
+    # doc 1: covered {1,2,3} u {3,4,5} minus protected {1,2,3} = {4,5}
+    # doc 2: covered {5,6,7}, no protection
+    assert arrs == {1: [4, 5], 2: [5, 6, 7]}

@@ -1189,16 +1189,42 @@ def dup_span_coverage(
         .filter(F.col("__nd") >= 2)
         .select("__k")
     )
+    # Interval sweep instead of explode+count_distinct (optimization
+    # round 14, guide §2.3): the old shape exploded every duplicated
+    # occurrence into its k covered positions (×k rows through the
+    # exchange) and de-overlapped with a count_distinct shuffle. The
+    # sweep collects each doc's duplicated-occurrence START positions
+    # (1 row per occurrence — k× fewer shuffle rows) and measures the
+    # union of the [pos, pos+k-1] intervals in one map-side aggregate
+    # over the sorted array: identical n_dup_tokens (the union measure
+    # IS the distinct-position count), no second shuffle.
     covered = (
         occ.join(dup, "__k")
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("pos")).alias("__ps"))
         .select(
             F.col(id_col),
-            F.explode(
-                F.sequence(F.col("pos"), F.col("pos") + (k - 1))
-            ).alias("__tok"),
+            F.aggregate(
+                "__ps",
+                F.struct(
+                    F.lit(0).cast("long").alias("cov"),
+                    F.lit(0).cast("long").alias("end"),
+                ),
+                lambda acc, p: F.struct(
+                    (
+                        acc["cov"]
+                        + F.greatest(
+                            p + F.lit(k - 1) - F.greatest(acc["end"], p - 1),
+                            F.lit(0),
+                        )
+                    ).alias("cov"),
+                    F.greatest(acc["end"], p + F.lit(k - 1))
+                    .cast("long")
+                    .alias("end"),
+                ),
+                lambda acc: acc["cov"],
+            ).alias("n_dup_tokens"),
         )
-        .groupBy(id_col)
-        .agg(F.count_distinct("__tok").alias("n_dup_tokens"))
     )
     base = docs.select(
         F.col(id_col), token_count(text_col).cast("long").alias("n_tokens")
@@ -1274,19 +1300,20 @@ def remove_dup_spans(
             "__c"
         )
     )
-    span = F.explode(F.sequence(F.col("pos"), F.col("pos") + (k - 1))).alias(
-        "__tok"
+    # Per-doc position ARRAYS instead of exploded (id, __tok) rows
+    # (optimization round 14, guide §2.3/§2.4): the old shape exploded
+    # covered and protected occurrences ×k, anti-joined position rows,
+    # and fed row-per-position output into the rebuild's token-level
+    # anti-join. The array form shuffles one row per duplicated
+    # OCCURRENCE (k× fewer rows, two small keyed aggregates), computes
+    # covered∖protected per doc with array_except (bit-identical to
+    # the anti-join: both are position-set difference), and hands the
+    # rebuild per-doc arrays so the corpus' tokens never shuffle.
+    cov = dup_occ.groupBy(id_col).agg(F.collect_list("pos").alias("__cps"))
+    prot = canon.groupBy(F.col("__c.cid").alias(id_col)).agg(
+        F.collect_list("__c.cpos").alias("__pps")
     )
-    covered = dup_occ.select(F.col(id_col), span)
-    protected = canon.select(
-        F.col("__c.cid").alias(id_col),
-        F.explode(
-            F.sequence(F.col("__c.cpos"), F.col("__c.cpos") + (k - 1))
-        ).alias("__tok"),
-    )
-    removed = covered.join(
-        protected, [id_col, "__tok"], "left_anti"
-    ).distinct()
+    removed = removed_position_arrays(cov, prot, id_col, k)
     return rebuild_without_positions(docs, removed, text_col, id_col)
 
 
@@ -1338,17 +1365,57 @@ def remove_contaminated_spans(
         probe = bg.select(F.xxhash64("gram").alias("gram")).distinct()
     else:
         probe = F.broadcast(bg)
-    removed = (
+    # Same array form as remove_dup_spans (no protection here): one
+    # keyed aggregate over contaminated occurrences, ×k expansion done
+    # map-side inside the array, tokens never shuffle in the rebuild.
+    removed = removed_position_arrays(
         pg.join(probe, "gram", "left_semi")
-        .select(
-            F.col(id_col),
-            F.explode(
-                F.sequence(F.col("pos"), F.col("pos") + (k - 1))
-            ).alias("__tok"),
-        )
-        .distinct()
+        .groupBy(id_col)
+        .agg(F.collect_list("pos").alias("__cps")),
+        None,
+        id_col,
+        k,
     )
     return rebuild_without_positions(docs, removed, text_col, id_col)
+
+
+def removed_position_arrays(
+    covered_starts: DataFrame,
+    protected_starts: DataFrame | None,
+    id_col: str,
+    k: int,
+) -> DataFrame:
+    """(id, __rm array<int>): per-doc DISTINCT removed 1-based token
+    positions from per-doc arrays of covered span-START positions
+    (``__cps``) minus protected span-starts (``__pps``, optional) —
+    the map-side set algebra shared by ``remove_dup_spans``,
+    ``remove_contaminated_spans`` and the persisted-index batch clean.
+    Each start expands to its [pos, pos+k-1] interval INSIDE the array
+    (never through an exchange); array_except is the position-set
+    difference the old exploded anti-join computed row-by-row. A doc
+    whose covered positions are all protected comes back with
+    ``__rm = []`` (rebuilds untouched, same as never appearing)."""
+
+    def _expand(name: str) -> F.Column:
+        return F.array_distinct(
+            F.flatten(
+                F.transform(
+                    F.col(name), lambda p: F.sequence(p, p + (k - 1))
+                )
+            )
+        )
+
+    if protected_starts is None:
+        return covered_starts.select(
+            F.col(id_col), _expand("__cps").alias("__rm")
+        )
+    return covered_starts.join(protected_starts, id_col, "left").select(
+        F.col(id_col),
+        F.array_except(
+            _expand("__cps"),
+            F.coalesce(_expand("__pps"), F.array().cast("array<int>")),
+        ).alias("__rm"),
+    )
 
 
 def rebuild_without_positions(
@@ -1358,38 +1425,50 @@ def rebuild_without_positions(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """(id, n_tokens, n_removed_tokens, clean_text): each doc's tokens
-    minus the (id, __tok) 1-based positions in ``removed``, rejoined
-    with single spaces in original order — the reassembly tail shared
-    by ``remove_dup_spans`` (one-shot) and the persisted-index batch
-    clean (operators/span_index). posexplode + anti-join (shuffle ∝
-    removed positions) + sort_array over (pos, token) structs — no
-    window, no Python; a doc losing every token comes back as ''."""
-    toks = docs.select(
-        F.col(id_col), F.posexplode(tokens(text_col)).alias("pos0", "__t")
-    ).select(F.col(id_col), (F.col("pos0") + 1).alias("__tok"), "__t")
-    kept = toks.join(removed, [id_col, "__tok"], "left_anti")
-    rebuilt = kept.groupBy(id_col).agg(
-        F.concat_ws(
-            " ",
+    minus the per-doc ``__rm`` position ARRAY in ``removed`` (distinct
+    1-based positions, see ``removed_position_arrays``), rejoined with
+    single spaces in original order — the reassembly tail shared by
+    ``remove_dup_spans`` (one-shot) and the persisted-index batch
+    clean (operators/span_index).
+
+    Optimization round 14 (guide §2.3/§2.4): the previous shape
+    posexploded EVERY doc into token rows, anti-joined against removed
+    positions and re-assembled with a collect_list groupBy — two
+    full-corpus token-row exchanges for output that only differs on
+    the affected docs. Now the only join is docs ⟗ removed (broadcast
+    at bench scale; one text-bytes exchange worst-case at cluster
+    scale), and the rebuild is a map-side higher-order expression:
+    kept = positions 1..n minus __rm, indexed back into the
+    tokenize-once array. Unaffected docs skip the set algebra
+    entirely. A doc losing every token comes back as ''; NULL text
+    keeps its (NULL n_tokens, NULL n_removed_tokens, '') contract —
+    pinned by tests."""
+    joined = docs.join(removed, id_col, "left")
+    kept = _bind_once(
+        tokens(text_col),
+        lambda toks: F.when(
+            F.col("__rm").isNull() | (F.array_size(toks) < 1), toks
+        ).otherwise(
             F.transform(
-                F.sort_array(
-                    F.collect_list(F.struct(F.col("__tok"), F.col("__t")))
+                F.array_except(
+                    F.sequence(F.lit(1), F.array_size(toks)),
+                    F.col("__rm"),
                 ),
-                lambda s: s["__t"],
-            ),
-        ).alias("clean_text"),
-        F.count(F.lit(1)).cast("long").alias("__n_kept"),
+                lambda p: F.element_at(toks, p),
+            )
+        ),
     )
-    base = docs.select(
-        F.col(id_col), token_count(text_col).cast("long").alias("n_tokens")
-    )
-    return base.join(rebuilt, id_col, "left").select(
+    return joined.select(
+        F.col(id_col),
+        token_count(text_col).cast("long").alias("n_tokens"),
+        kept.alias("__kept"),
+    ).select(
         F.col(id_col),
         "n_tokens",
-        (F.col("n_tokens") - F.coalesce(F.col("__n_kept"), F.lit(0)))
+        (F.col("n_tokens") - F.array_size("__kept"))
         .cast("long")
         .alias("n_removed_tokens"),
-        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        F.concat_ws(" ", F.col("__kept")).alias("clean_text"),
     )
 
 

@@ -70,6 +70,7 @@ from tinyerp_etl_spark.operators.dedup import (
     SPAN_K,
     positional_ngram_rows,
     rebuild_without_positions,
+    removed_position_arrays,
 )
 
 #: Files per fold commit — small-files control (the POSTINGS_FILES /
@@ -481,26 +482,24 @@ def clean_batch_against_store(
     # store_hit ⊆ the batch's key set already, so it IS the in-store
     # half of the duplicated keys — no re-derivation join needed
     dup_keys = store_hit.unionByName(batch_only_dup.select("gram_key"))
-    span = F.explode(F.sequence(F.col("pos"), F.col("pos") + (k - 1))).alias(
-        "__tok"
-    )
     # dup_keys ⊆ the batch's distinct grams — the same batch-bounded
     # frame already broadcast into the store probe, so broadcast here
-    # too (a sort-merge would shuffle the gram rows for no reason)
-    covered = pg.join(F.broadcast(dup_keys), "gram_key").select(
-        F.col(id_col), span
+    # too (a sort-merge would shuffle the gram rows for no reason).
+    # Per-doc position ARRAYS instead of exploded (id, __tok) rows
+    # (optimization round 14 — see dedup.removed_position_arrays):
+    # shuffle one row per duplicated occurrence, expand ×k inside the
+    # array, and the rebuild never shuffles the batch's tokens.
+    cov = (
+        pg.join(F.broadcast(dup_keys), "gram_key")
+        .groupBy(id_col)
+        .agg(F.collect_list("pos").alias("__cps"))
     )
     # protection exists only for grams whose canonical lives in the
     # batch — i.e. grams absent from the store
-    protected = batch_only_dup.select(
-        F.col("__c.cid").alias(id_col),
-        F.explode(
-            F.sequence(F.col("__c.cpos"), F.col("__c.cpos") + (k - 1))
-        ).alias("__tok"),
+    prot = batch_only_dup.groupBy(F.col("__c.cid").alias(id_col)).agg(
+        F.collect_list("__c.cpos").alias("__pps")
     )
-    removed = covered.join(
-        protected, [id_col, "__tok"], "left_anti"
-    ).distinct()
+    removed = removed_position_arrays(cov, prot, id_col, k)
     return rebuild_without_positions(batch, removed, text_col, id_col)
 
 
