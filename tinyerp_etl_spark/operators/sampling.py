@@ -350,17 +350,71 @@ def dsir_llr_scores(
     score the per-doc features ``feats`` (id, bucket, cnt) under the
     raw model derived from ``q_counts`` and the target model from
     ``p_counts`` (each any frame with (bucket, cnt) — per-doc features
-    OR an already-aggregated persisted model; ``dsir_bucket_bits``
-    aggregates either identically)."""
-    mp = dsir_bucket_bits(p_counts, n_buckets).withColumnRenamed(
-        "bits", "bits_p"
+    OR an already-aggregated persisted model).
+
+    Optimization round 14 (guide §2.2/§3.1): the two models used to be
+    built independently (``dsir_bucket_bits`` each: its own pinned
+    bucket aggregation, its own total, its own broadcast) and joined
+    onto the features one after the other — two eager materialization
+    jobs and two broadcast hash joins per scoring call, for two
+    128-row frames derived by the same formula. Both sides now
+    aggregate in ONE tagged union pass into a single pinned ≤B-row
+    frame carrying (bcnt_q, bcnt_p); both totals derive from that one
+    frame; and the features take ONE broadcast join against the
+    combined (bits_q, bits_p) model. Bit-identical bits (same
+    add-one-smoothed integer formula per side), half the model jobs,
+    half the scoring joins. The ≤B-row pin keeps the guarantee that
+    the model side of the union is aggregated once, not re-derived
+    for the totals (for the one-shot path that upstream is the pinned
+    featurization; for the store path it is the store scan + the
+    target featurization)."""
+    from tinyerp_etl_spark.functions.materialize import materialize
+
+    spark = feats.sparkSession
+    tagged = q_counts.select(
+        "bucket", F.col("cnt"), F.lit(True).alias("__q")
+    ).unionByName(
+        p_counts.select("bucket", F.col("cnt"), F.lit(False).alias("__q"))
     )
-    mq = dsir_bucket_bits(q_counts, n_buckets).withColumnRenamed(
-        "bits", "bits_q"
+    counts = materialize(
+        tagged.groupBy("bucket").agg(
+            F.sum(F.when(F.col("__q"), F.col("cnt")))
+            .cast("long")
+            .alias("bcnt_q"),
+            F.sum(F.when(~F.col("__q"), F.col("cnt")))
+            .cast("long")
+            .alias("bcnt_p"),
+        )
+    )
+    totals = counts.agg(
+        F.coalesce(F.sum("bcnt_q"), F.lit(0)).cast("long").alias("btotal_q"),
+        F.coalesce(F.sum("bcnt_p"), F.lit(0)).cast("long").alias("btotal_p"),
+    )
+    buckets = spark.range(n_buckets).select(
+        F.col("id").cast("long").alias("bucket")
+    )
+
+    def _bits(side: str) -> F.Column:
+        return (
+            F.length(
+                F.bin(
+                    F.expr(
+                        f"(btotal_{side} + {n_buckets}L) div "
+                        f"(coalesce(bcnt_{side}, 0L) + 1L)"
+                    )
+                )
+            )
+            .cast("long")
+            .alias(f"bits_{side}")
+        )
+
+    model = (
+        buckets.join(counts, "bucket", "left")
+        .crossJoin(F.broadcast(totals))
+        .select("bucket", _bits("q"), _bits("p"))
     )
     per = (
-        feats.join(F.broadcast(mp), "bucket")
-        .join(F.broadcast(mq), "bucket")
+        feats.join(F.broadcast(model), "bucket")
         .groupBy(id_col)
         .agg(
             F.sum("cnt").cast("long").alias("n_grams"),
