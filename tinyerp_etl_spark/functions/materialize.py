@@ -119,3 +119,23 @@ def materialize(df: DataFrame, reliable: bool | None = None, eager: bool = True)
     # that tax (accumulator-pinned by test_reliable_checkpoint_single_
     # evaluation — n evaluations, not 2n), so no defensive persist here.
     return df.checkpoint(eager=eager)
+
+
+def sort_after_pin(df: DataFrame, *cols) -> DataFrame:
+    """Global sort over a PINNED frame — the presentation ``orderBy``
+    for an expensive map-only (un-exchanged) chain.
+
+    A rangepartitioning Exchange derives its sort boundaries by
+    SAMPLING its child, then runs the child again as the shuffle map
+    stage — so a chain with no exchange of its own below a global
+    sort executes TWICE per action (optimization round 14, guide
+    §1.4/§2: measured on the Arrow repetition summary at sf0.1,
+    noop-sink 5.4 s → 2.3 s once pinned; the count() track never saw
+    it because Catalyst drops a sort under count). Aggregated or
+    joined plans already end in a shuffle stage the sampler reads
+    back cheaply, so they don't need — and shouldn't pay — the pin.
+    At cluster scale the trade is one materialization of the (small,
+    post-projection) output versus re-running the corpus-wide
+    tokenize/Arrow chain a second time.
+    """
+    return materialize(df).orderBy(*cols)

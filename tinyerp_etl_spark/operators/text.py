@@ -1013,21 +1013,59 @@ def ngram_repetition(col: Column | str, n: int) -> dict[str, Column]:
     quality filter large-corpus pipelines apply before training.
     Pure array expressions; guarded so docs with < n tokens report 0
     grams and fraction 0.0 (Spark's sequence(1, 0) would descend).
+
+    Every stat — including the fraction — is computed INSIDE one
+    bound chain (optimization round 14, guide §4 / the winnowing 181x
+    precedent: Catalyst does not CSE through higher-order functions,
+    so the previous unbound ``slice(tokens(col), i, n)`` re-ran the
+    regex tokenizer at EVERY n-gram position — O(tokens) tokenizer
+    evaluations per doc per granularity; measured 19 s warm at sf0.1
+    for the two-granularity profile query, ~13x slower than the bound
+    form). Callers that need several stats should evaluate
+    ``ngram_repetition_struct`` once (each dict entry here is an
+    independent copy of the bound chain — one tokenizer run per
+    referenced column).
     """
-    toks = tokens(col)
-    cnt = F.greatest(F.array_size(toks) - (n - 1), F.lit(0))
-    grams = F.when(
-        cnt >= 1,
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(cnt, F.lit(1))),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    ndist = F.array_size(F.array_distinct(grams))
-    frac = F.when(
-        cnt > 0, F.lit(1.0) - ndist.cast("double") / cnt.cast("double")
-    ).otherwise(F.lit(0.0))
-    return {"n_grams": cnt, "n_distinct": ndist, "dup_fraction": frac}
+    s = ngram_repetition_struct(col, n)
+    return {
+        "n_grams": s["n_grams"],
+        "n_distinct": s["n_distinct"],
+        "dup_fraction": s["dup_fraction"],
+    }
+
+
+def ngram_repetition_struct(col: Column | str, n: int) -> Column:
+    """``struct(n_grams, n_distinct, dup_fraction)`` of within-doc
+    word-n-gram repetition, fully computed inside one per-row binding
+    — tokenizer once, gram array once, the (count, distinct) pair
+    once, the fraction derived from the bound pair. Project this
+    struct ONCE per row and extract fields in an outer select (see
+    ``ngram_repetition``'s caveat)."""
+    from tinyerp_etl_spark.operators.dedup import _bind_once, _ngrams_of
+
+    def _stats(grams: Column) -> Column:
+        return _bind_once(
+            F.struct(
+                F.array_size(grams).alias("c"),
+                F.array_size(F.array_distinct(grams)).alias("d"),
+            ),
+            lambda cd: F.struct(
+                cd["c"].alias("n_grams"),
+                cd["d"].alias("n_distinct"),
+                F.when(
+                    cd["c"] > 0,
+                    F.lit(1.0)
+                    - cd["d"].cast("double") / cd["c"].cast("double"),
+                )
+                .otherwise(F.lit(0.0))
+                .alias("dup_fraction"),
+            ),
+        )
+
+    return _bind_once(
+        tokens(col),
+        lambda toks: _bind_once(_ngrams_of(toks, n), _stats),
+    )
 
 
 #: PII patterns, restricted to the regex subset Java (Spark) and RE2

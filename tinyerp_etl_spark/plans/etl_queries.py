@@ -17,7 +17,7 @@ from tinyerp_etl_spark.etl.merge import (
     merge_upsert,
     set_null_on_missing_parent,
 )
-from tinyerp_etl_spark.functions.materialize import materialize
+from tinyerp_etl_spark.functions.materialize import materialize, sort_after_pin
 from tinyerp_etl_spark.functions.exact import cents, sum_cents, sum_exact
 from tinyerp_etl_spark.operators.hierarchy import ancestor_closure
 from tinyerp_etl_spark.sources.catalog import load_table
@@ -469,7 +469,7 @@ def fuzzy_match_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("lev", F.levenshtein("c_name", "noisy_name"))
         .filter(F.col("lev") <= 1)
         .select("c_custkey", "noisy_key", "lev")
-        .orderBy("c_custkey", "noisy_key")
+        .transform(lambda d: sort_after_pin(d, "c_custkey", "noisy_key"))
     )
 
 

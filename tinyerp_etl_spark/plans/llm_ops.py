@@ -18,7 +18,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from tinyerp_etl_spark.functions.materialize import materialize
+from tinyerp_etl_spark.functions.materialize import materialize, sort_after_pin
 from tinyerp_etl_spark.operators import dedup as D
 from tinyerp_etl_spark.operators import pq_index as PQX
 from tinyerp_etl_spark.operators import similarity as S
@@ -156,7 +156,7 @@ def text_profile_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         feats["punct_ratio"].alias("punct_ratio"),
         feats["stopword_ratio"].alias("stopword_ratio"),
         X.fingerprint("text").alias("fingerprint"),
-    ).orderBy("doc_id")
+    ).transform(lambda d: sort_after_pin(d, "doc_id"))
 
 
 def chunk_documents_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -196,7 +196,7 @@ def winnow_fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s.n_fingerprints").alias("n_fingerprints"),
             F.col("s.fp_md5").alias("fp_md5"),
         )
-        .orderBy("doc_id")
+        .transform(lambda d: sort_after_pin(d, "doc_id"))
     )
 
 
@@ -392,7 +392,7 @@ def lang_id_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "lang",
         X.lang_id("text").alias("lang_guess"),
-    ).orderBy("doc_id")
+    ).transform(lambda d: sort_after_pin(d, "doc_id"))
 
 
 def token_count_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -467,7 +467,7 @@ def pii_redact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts["n_phones"].alias("n_phones"),
         F.md5(X.redact_pii("text")).alias("redacted_md5"),
         F.contains(X.redact_pii("text"), F.lit("@")).alias("residual_at"),
-    ).orderBy("doc_id")
+    ).transform(lambda d: sort_after_pin(d, "doc_id"))
 
 
 def repetition_profile_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -478,16 +478,28 @@ def repetition_profile_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep/drop decision a corpus pipeline would apply.
     """
     docs = load_table(spark, sf_dir, "documents")
-    r2 = X.ngram_repetition("text", 2)
-    r3 = X.ngram_repetition("text", 3)
-    return docs.select(
+    # two-level projection (optimization round 14, guide §4): each
+    # granularity's bound stats struct is computed ONCE per row in the
+    # inner select (tokenizer + gram array + fraction all inside the
+    # binding — text.ngram_repetition_struct); the outer select only
+    # extracts fields. The flat five-column form re-evaluated the
+    # tokenize+gram chain per output column (Catalyst does not CSE
+    # through the higher-order binding) — 19.3 s warm at sf0.1 before,
+    # and Catalyst's CollapseProject keeps the two levels apart
+    # because the struct aliases are referenced more than once.
+    inner = docs.select(
         "doc_id",
-        r2["n_grams"].alias("n_2grams"),
-        r2["dup_fraction"].alias("dup_2gram_frac"),
-        r3["n_grams"].alias("n_3grams"),
-        r3["dup_fraction"].alias("dup_3gram_frac"),
-        (r2["dup_fraction"] < 0.5).alias("keep"),
-    ).orderBy("doc_id")
+        X.ngram_repetition_struct("text", 2).alias("__r2"),
+        X.ngram_repetition_struct("text", 3).alias("__r3"),
+    )
+    return inner.select(
+        "doc_id",
+        F.col("__r2.n_grams").alias("n_2grams"),
+        F.col("__r2.dup_fraction").alias("dup_2gram_frac"),
+        F.col("__r3.n_grams").alias("n_3grams"),
+        F.col("__r3.dup_fraction").alias("dup_3gram_frac"),
+        (F.col("__r2.dup_fraction") < 0.5).alias("keep"),
+    ).transform(lambda d: sort_after_pin(d, "doc_id"))
 
 
 def decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -507,7 +519,7 @@ def decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.col("text"), F.lit(" tail markers")).alias("text"),
         )
     )
-    return D.contamination_hits(corpus, bench).orderBy("doc_id")
+    return sort_after_pin(D.contamination_hits(corpus, bench), "doc_id")
 
 
 def ngram_decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -586,7 +598,7 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(
             F.concat_ws(",", *[F.col("sig")[i].cast("string") for i in range(D.MINHASH_K)])
         ).alias("sig_md5"),
-    ).orderBy("doc_id")
+    ).transform(lambda d: sort_after_pin(d, "doc_id"))
 
 
 def minhash_lsh_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -839,7 +851,7 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat_ws(",", F.transform(qs["q"], lambda x: x.cast("string")))
         ).alias("q_md5"),
         F.array_max(F.transform(qs["q"], F.abs)).alias("q_max_abs"),
-    ).orderBy("vec_id")
+    ).transform(lambda d: sort_after_pin(d, "vec_id"))
 
 
 def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5555,7 +5567,7 @@ def html_extract_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.contains(X.html_to_text("page"), norm_text).alias(
             "body_recovered"
         ),
-    ).orderBy("doc_id")
+    ).transform(lambda d: sort_after_pin(d, "doc_id"))
 
 
 #: the page-builder SQL expression (doc_id/text in scope) — the
@@ -6302,7 +6314,7 @@ def gopher_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("__g.n_words").alias("n_words"),
             F.col("__g.verdict").alias("verdict"),
         )
-        .orderBy("doc_id")
+        .transform(lambda d: sort_after_pin(d, "doc_id"))
     )
 
 
@@ -6505,7 +6517,7 @@ def gopher_repetition_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("__base") + F.col("i")).alias("doc_id"), "text"
         )
     )
-    return X.repetition_summary(staged).orderBy("doc_id")
+    return sort_after_pin(X.repetition_summary(staged), "doc_id")
 
 
 def _rep_oracle_sql() -> str:
@@ -6710,7 +6722,7 @@ def nfc_normalize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("__base") + F.col("i")).alias("doc_id"), "text"
         )
     )
-    return X.nfc_audit_summary(staged).orderBy("doc_id")
+    return sort_after_pin(X.nfc_audit_summary(staged), "doc_id")
 
 
 def _nfc_oracle_sql() -> str:
@@ -6944,7 +6956,7 @@ def c4_line_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     this is the same embarrassingly-parallel scan as every per-doc
     audit; the only state is the broadcast rule constants."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    return _c4_line_pipeline(docs).orderBy("doc_id")
+    return sort_after_pin(_c4_line_pipeline(docs), "doc_id")
 
 
 def _c4_line_oracle_sql() -> str:

@@ -18,6 +18,7 @@ from tinyerp_etl_spark.operators.multimodal import pack_media
 from tinyerp_etl_spark.sources.catalog import load_table
 from tinyerp_etl_spark.streaming.stream_pipeline import tumbling_counts
 from tinyerp_etl_spark.functions.localdf import local_df
+from tinyerp_etl_spark.functions.materialize import sort_after_pin
 
 
 def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -359,7 +360,7 @@ def image_dhash_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(head + dec))
         .alias("content"),
     )
-    return dhash_media(media).orderBy("media_id")
+    return sort_after_pin(dhash_media(media), "media_id")
 
 
 def audio_fingerprint_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -403,7 +404,7 @@ def audio_fingerprint_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(wav(False)))
         .alias("content"),
     )
-    return audio_fingerprint_media(media).orderBy("media_id")
+    return sort_after_pin(audio_fingerprint_media(media), "media_id")
 
 
 def perceptual_checker_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -476,10 +477,9 @@ def perceptual_checker_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(altwav(False)))
         .alias("content"),
     )
-    return (
-        dhash_media(media)
-        .join(audio_fingerprint_media(audio), "media_id")
-        .orderBy("media_id")
+    return sort_after_pin(
+        dhash_media(media).join(audio_fingerprint_media(audio), "media_id"),
+        "media_id",
     )
 
 
@@ -521,7 +521,9 @@ def mp4_container_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(mp4_for(1)))
         .alias("content"),
     )
-    return mp4_frame_hashes(media, every_nth=1).orderBy("media_id", "frame_index")
+    return sort_after_pin(
+        mp4_frame_hashes(media, every_nth=1), "media_id", "frame_index"
+    )
 
 
 def mp4_keyframe_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -566,7 +568,9 @@ def mp4_keyframe_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(mp4_for(1)))
         .alias("content"),
     )
-    return mp4_frame_hashes(media, every_nth=2).orderBy("media_id", "frame_index")
+    return sort_after_pin(
+        mp4_frame_hashes(media, every_nth=2), "media_id", "frame_index"
+    )
 
 
 def video_neardup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:

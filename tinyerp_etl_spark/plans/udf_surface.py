@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf, udtf
 
 from tinyerp_etl_spark.sources.catalog import load_table
+from tinyerp_etl_spark.functions.materialize import sort_after_pin
 
 
 def _mask_token_udf():
@@ -87,9 +88,9 @@ def pandas_udf_mask_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar pandas UDF over customer names (token-mask projection)."""
     c = load_table(spark, sf_dir, "customer")
     mask_token = _mask_token_udf()
-    return (
-        c.select("c_custkey", mask_token("c_name").alias("masked_name"))
-        .orderBy("c_custkey")
+    return sort_after_pin(
+        c.select("c_custkey", mask_token("c_name").alias("masked_name")),
+        "c_custkey",
     )
 
 
@@ -112,12 +113,15 @@ def udtf_word_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "documents").filter(
         F.col("doc_id") < 200
     ).createOrReplaceTempView("docs_for_udtf")
-    return spark.sql(
-        """
-        SELECT wp.doc_id, wp.pos, wp.word
-        FROM docs_for_udtf d, LATERAL word_positions(d.doc_id, d.text) wp
-        ORDER BY wp.doc_id, wp.pos
-        """
+    return sort_after_pin(
+        spark.sql(
+            """
+            SELECT wp.doc_id, wp.pos, wp.word
+            FROM docs_for_udtf d, LATERAL word_positions(d.doc_id, d.text) wp
+            """
+        ),
+        "doc_id",
+        "pos",
     )
 
 
