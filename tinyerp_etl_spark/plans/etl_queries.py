@@ -761,9 +761,19 @@ def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     scratch = tempfile.mkdtemp(prefix="bucketed_q_")
     try:
+        # repartition onto the bucket hash BEFORE the bucketed write
+        # (optimization round 14, guide §6): repartition(n, key) uses
+        # the same Murmur3 hash pmod n as the bucket assignment, so
+        # each write task owns exactly one bucket — one local sort
+        # per bucket instead of every input task sorting and writing
+        # its slice of all 8 buckets (measured 3.3 → 1.9 s warm for
+        # the staged round-trip at sf0.1; same 8 files per table,
+        # same query result — the layout is the gated artifact and
+        # is unchanged)
         (
             load_table(spark, sf_dir, "orders")
             .select("o_orderkey", "o_orderstatus")
+            .repartition(8, "o_orderkey")
             .write.mode("overwrite")
             .bucketBy(8, "o_orderkey")
             .sortBy("o_orderkey")
@@ -773,6 +783,7 @@ def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             load_table(spark, sf_dir, "lineitem")
             .select("l_orderkey", "l_extendedprice", "l_discount")
+            .repartition(8, "l_orderkey")
             .write.mode("overwrite")
             .bucketBy(8, "l_orderkey")
             .sortBy("l_orderkey")

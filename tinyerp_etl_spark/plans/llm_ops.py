@@ -144,9 +144,16 @@ def gc_artifact_dirs(kind_dir: str, live_tags: set[str]) -> list[str]:
 
 def text_profile_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality features + fingerprint per document (SURVEY §2 north star)."""
+    # sort the INPUT, project after (optimization round 14, guide
+    # §1.4/§2): the range exchange samples its child, so sorting
+    # after the projection ran the expression chain twice per
+    # materializing action; sorting the narrow scan first and
+    # projecting map-side above the Sort computes everything exactly
+    # once (order-preserving: projections are narrow), and count(1)
+    # keeps pruning the untouched projection as before.
     docs = load_table(spark, sf_dir, "documents")
     feats = X.quality_features("text")
-    return docs.select(
+    return docs.orderBy("doc_id").select(
         "doc_id",
         feats["n_tokens"].alias("n_tokens"),
         feats["n_punct"].alias("n_punct"),
@@ -156,7 +163,7 @@ def text_profile_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         feats["punct_ratio"].alias("punct_ratio"),
         feats["stopword_ratio"].alias("stopword_ratio"),
         X.fingerprint("text").alias("fingerprint"),
-    ).transform(lambda d: sort_after_pin(d, "doc_id"))
+    )
 
 
 def chunk_documents_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -189,14 +196,16 @@ def winnow_fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("fp_md5"),
         ),
     )
+    # input sorted first, projection above the Sort — see
+    # text_profile_docs (single execution under the noop sink)
     return (
-        docs.withColumn("s", s)
+        docs.orderBy("doc_id")
+        .withColumn("s", s)
         .select(
             "doc_id",
             F.col("s.n_fingerprints").alias("n_fingerprints"),
             F.col("s.fp_md5").alias("fp_md5"),
         )
-        .transform(lambda d: sort_after_pin(d, "doc_id"))
     )
 
 
@@ -3592,12 +3601,19 @@ def lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     the production path at any scale.
     """
     staged = _docs_with_neardups(spark, sf_dir)
-    truth = (
+    # both pair frames are consumed TWICE below (their own count +
+    # the hit join) — pin them (optimization round 14, guide §2.1) so
+    # the expensive upstreams (the co-shingle inverted-index join /
+    # the full signature+banding pipeline) run once, not once per
+    # consumer; the pinned frames are pair-scale
+    truth = materialize(
         D.jaccard_counts(staged)
         .filter(3 * F.col("n_inter") >= F.col("n_a") + F.col("n_b"))
         .select("doc_a", "doc_b")
     )
-    cands = D.lsh_candidate_pairs(staged).select("doc_a", "doc_b")
+    cands = materialize(
+        D.lsh_candidate_pairs(staged).select("doc_a", "doc_b")
+    )
     hit = truth.join(cands, ["doc_a", "doc_b"], "left_semi")
     n_truth = truth.agg(F.count(F.lit(1)).alias("n_truth"))
     n_cands = cands.agg(F.count(F.lit(1)).alias("n_candidates"))
@@ -5556,8 +5572,12 @@ def html_extract_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     entity-decode order hash-mismatches. Pure codegen regexp chain,
     no UDF; one scan, no shuffle before the presentation sort.
     """
+    # input sorted first, extraction above the Sort — see
+    # text_profile_docs (single execution under the noop sink)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    staged = docs.select("doc_id", "text", _synthetic_page().alias("page"))
+    staged = docs.orderBy("doc_id").select(
+        "doc_id", "text", _synthetic_page().alias("page")
+    )
     norm_text = F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))
     return staged.select(
         "doc_id",
@@ -5567,7 +5587,7 @@ def html_extract_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.contains(X.html_to_text("page"), norm_text).alias(
             "body_recovered"
         ),
-    ).transform(lambda d: sort_after_pin(d, "doc_id"))
+    )
 
 
 #: the page-builder SQL expression (doc_id/text in scope) — the
