@@ -396,12 +396,16 @@ def corpus_fingerprint_docs(docs: DataFrame) -> tuple[int, int]:
 
 def lang_id_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-based language guess vs the labeled lang column."""
+    # input sorted first, scoring above the Sort — see
+    # text_profile_docs (single execution under the noop sink;
+    # interleaved A/B vs the pinned shape: forced 0.89 vs 0.92 s,
+    # count 0.61 vs 0.92 s at sf0.1)
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
+    return docs.orderBy("doc_id").select(
         "doc_id",
         "lang",
         X.lang_id("text").alias("lang_guess"),
-    ).transform(lambda d: sort_after_pin(d, "doc_id"))
+    )
 
 
 def token_count_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -456,7 +460,9 @@ def pii_redact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     text. Every doc must end with exactly one <EMAIL> and one <PHONE>
     and no residual '@' — pure regexp_replace, no UDF.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    # input sorted first, redaction above the Sort — see
+    # text_profile_docs (single execution under the noop sink)
+    docs = load_table(spark, sf_dir, "documents").orderBy("doc_id")
     staged = docs.select(
         "doc_id",
         F.concat(
@@ -476,7 +482,7 @@ def pii_redact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts["n_phones"].alias("n_phones"),
         F.md5(X.redact_pii("text")).alias("redacted_md5"),
         F.contains(X.redact_pii("text"), F.lit("@")).alias("residual_at"),
-    ).transform(lambda d: sort_after_pin(d, "doc_id"))
+    )
 
 
 def repetition_profile_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -486,7 +492,9 @@ def repetition_profile_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/text.py:ngram_repetition) at n=2 and n=3, with the
     keep/drop decision a corpus pipeline would apply.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    # input sorted first, stats above the Sort — see text_profile_docs
+    # (single execution under the noop sink)
+    docs = load_table(spark, sf_dir, "documents").orderBy("doc_id")
     # two-level projection (optimization round 14, guide §4): each
     # granularity's bound stats struct is computed ONCE per row in the
     # inner select (tokenizer + gram array + fraction all inside the
@@ -508,7 +516,7 @@ def repetition_profile_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("__r3.n_grams").alias("n_3grams"),
         F.col("__r3.dup_fraction").alias("dup_3gram_frac"),
         (F.col("__r2.dup_fraction") < 0.5).alias("keep"),
-    ).transform(lambda d: sort_after_pin(d, "doc_id"))
+    )
 
 
 def decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -598,7 +606,16 @@ def _docs_with_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signature digest per doc (shared coefficients w/ oracle)."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # input sorted first, signatures above the Sort — see
+    # text_profile_docs. Interleaved A/B vs pin-then-sort at sf0.1:
+    # count 1.07 vs 2.00 s for +0.18 s forced — the count comparable
+    # wins; on a cluster where the text exchange dominates, the
+    # pinned shape (narrow digest shuffle) is the documented fallback.
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+    )
     sigs = D.minhash_signature(docs)
     return sigs.select(
         "doc_id",
@@ -607,7 +624,7 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(
             F.concat_ws(",", *[F.col("sig")[i].cast("string") for i in range(D.MINHASH_K)])
         ).alias("sig_md5"),
-    ).transform(lambda d: sort_after_pin(d, "doc_id"))
+    )
 
 
 def minhash_lsh_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -851,7 +868,10 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from tinyerp_etl_spark.operators import similarity as S_
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    # input sorted first, quantization above the Sort — see
+    # text_profile_docs (interleaved A/B vs the pinned shape at
+    # sf0.1: count 0.20 vs 1.45 s for +0.07 s forced)
+    emb = load_table(spark, sf_dir, "embeddings").orderBy("vec_id")
     qs = S_.quantize_int8(F.col("embedding"))
     return emb.select(
         "vec_id",
@@ -6289,7 +6309,13 @@ def gopher_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     %25 → three bullet lines (too_many_bullets). One scan, pure
     codegen expressions (tokenizer and line split each bound once per
     row), no shuffle before the presentation sort."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # input sorted first, staging+stats above the Sort — see
+    # text_profile_docs (single execution under the noop sink)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+    )
     staged = docs.select(
         "doc_id",
         F.when(F.col("doc_id") % 115 == 0, F.expr("repeat('word ', 100001)"))
@@ -6334,7 +6360,6 @@ def gopher_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("__g.n_words").alias("n_words"),
             F.col("__g.verdict").alias("verdict"),
         )
-        .transform(lambda d: sort_after_pin(d, "doc_id"))
     )
 
 
@@ -6975,8 +7000,14 @@ def c4_line_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     over a stream — pinned by tests/test_streaming.py). At 100 TB
     this is the same embarrassingly-parallel scan as every per-doc
     audit; the only state is the broadcast rule constants."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    return sort_after_pin(_c4_line_pipeline(docs), "doc_id")
+    # input sorted first, line pipeline above the Sort — see
+    # text_profile_docs (single execution under the noop sink)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+    )
+    return _c4_line_pipeline(docs)
 
 
 def _c4_line_oracle_sql() -> str:
