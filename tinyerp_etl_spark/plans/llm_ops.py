@@ -24,7 +24,7 @@ from tinyerp_etl_spark.operators import pq_index as PQX
 from tinyerp_etl_spark.operators import similarity as S
 from tinyerp_etl_spark.operators import sketch as SK
 from tinyerp_etl_spark.operators import text as X
-from tinyerp_etl_spark.sources.catalog import load_table
+from tinyerp_etl_spark.sources.catalog import load_table, widen_if_narrow
 from tinyerp_etl_spark.functions.localdf import local_df
 
 # ---- persisted IVF index plumbing (operators/ivf_index.py) ---------------
@@ -601,7 +601,9 @@ def _docs_with_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + 200000).alias("doc_id"),
         F.concat(F.lit("zzz qqq "), F.col("text")).alias("text"),
     )
-    return docs.unionByName(near)
+    # every consumer aggregates or joins, so fan the serial scan out
+    # to the session cores (no-op at real scale — see widen_if_narrow)
+    return widen_if_narrow(docs.unionByName(near), sf_dir)
 
 
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4268,7 +4270,10 @@ _NEARDUP_TIERS = [(90, 200000, 0), (55, 300000, 1), (35, 400000, 2)]
 
 
 def _docs_with_tiered_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # consumers aggregate/join; fan the serial scan out once here
+    docs = widen_if_narrow(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"), sf_dir
+    )
 
     def trunc(pct: int):
         # the SAME tokenizer the shingle pipeline uses (one

@@ -186,6 +186,45 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.schema(schema).parquet(f"{sf_dir}/{name}.parquet")
 
 
+def widen_if_narrow(
+    df: DataFrame, sf_dir: str, name: str = "documents"
+) -> DataFrame:
+    """Fan a frame backed by a small single-file scan out to the
+    session's default parallelism (optimization round 14, guide
+    §2.5/§1.2: per-doc compute above a one-row-group parquet file
+    runs on ONE core no matter the cluster size, because a scan
+    split cannot be narrower than a row group). The decision derives
+    from the backing file's size, not a local constant: when the
+    file already yields >= defaultParallelism scan splits under the
+    session's maxPartitionBytes, the helper returns the frame
+    untouched, so a real-scale input never pays an extra shuffle.
+    Only appropriate on frames feeding aggregation/join pipelines —
+    a round-robin exchange below a map-only projection would force
+    count-only actions to execute it.
+    """
+    import os
+
+    try:
+        size = os.path.getsize(os.path.join(sf_dir, f"{name}.parquet"))
+    except OSError:
+        return df
+    spark = df.sparkSession
+    max_pb_conf = str(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", str(128 << 20))
+    ).lower()
+    mult = 1
+    for suffix, m in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30), ("b", 1)):
+        if max_pb_conf.endswith(suffix):
+            max_pb_conf = max_pb_conf[: -len(suffix)]
+            mult = m
+            break
+    max_pb = int(max_pb_conf) * mult
+    cores = spark.sparkContext.defaultParallelism
+    if size // max_pb >= cores:
+        return df
+    return df.repartition(cores)
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every test table as a temp view for spark.sql paths."""
     for name in TABLES:
