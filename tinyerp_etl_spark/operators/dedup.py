@@ -582,40 +582,41 @@ def connected_components(
 def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32) -> DataFrame:
     """32-bit SimHash over distinct tokens (weight 1 each).
 
-    Per-doc map-side fold (optimization round 14, guide §2.3): bit j
-    of the fingerprint is set iff more than half the token hashes
-    have bit j set (2·ones_j > n ⟺ the ±1 contribution sum is
-    positive — the same sign rule as the explode formulation). The
-    previous shape exploded tokens × bits into |distinct tokens|·32
-    rows per doc and pushed them through two keyed shuffles; now the
-    hash array is bound once per row and the 32 bit-counters fold
-    over it in the projection — zero shuffles, identical integer
-    arithmetic, and docs with no tokens stay ABSENT from the output
-    (the explode semantics the oracle replays).
+    explode(token) × explode(bit) → per-bit ±1 sums → sign bits packed
+    into one long. All integer arithmetic; identical SQL exists.
+
+    Shape note (optimization round 14): a zero-shuffle per-doc fold
+    (32 unrolled F.aggregate bit-counters over a bound hash array)
+    was measured against this and LOST 2.6-4x both tracks at sf0.1
+    (interpreted higher-order lambdas × 32 passes on a serial scan
+    vs this codegen explode whose shuffle spreads the work); the
+    explode formulation stays.
     """
-    hs = _bind_once(
-        F.array_distinct(tokens(text_col)),
-        lambda toks: F.transform(toks, lambda t: token_hash32(t)),
+    tok = docs.select(
+        F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("tok")
+    ).withColumn("h", token_hash32(F.col("tok")))
+    # bit j of h via integer div/mod (2^j is exact, portable to SQL —
+    # shiftright() isn't expressible with a column shift amount)
+    pow2 = F.expr("cast(power(2, j) as bigint)")
+    bit = tok.select(
+        id_col,
+        "h",
+        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("j"),
+    ).select(
+        id_col,
+        "j",
+        ((F.expr("h div cast(power(2, j) as bigint)") % 2) * 2 - 1).alias("contrib"),
     )
-    base = docs.select(F.col(id_col), hs.alias("__hs")).filter(
-        F.array_size("__hs") > 0
-    )
-
-    def _ones(j: int) -> F.Column:
-        return F.aggregate(
-            F.col("__hs"),
-            F.lit(0).cast("long"),
-            lambda a, h: a
-            + F.shiftright(h, j).bitwiseAND(F.lit(1)).cast("long"),
+    return (
+        bit.groupBy(id_col, "j")
+        .agg(F.sum("contrib").alias("s"))
+        .groupBy(id_col)
+        .agg(
+            F.sum(
+                F.when(F.col("s") > 0, pow2).otherwise(F.lit(0).cast("long"))
+            ).alias("simhash")
         )
-
-    fp: F.Column = F.lit(0).cast("long")
-    for j in range(bits):
-        fp = fp + F.when(
-            _ones(j) * 2 > F.array_size("__hs"),
-            F.lit(2**j).cast("long"),
-        ).otherwise(F.lit(0).cast("long"))
-    return base.select(F.col(id_col), fp.alias("simhash"))
+    )
 
 
 CONTAM_K = 8  # word-8-gram overlap unit for decontamination
