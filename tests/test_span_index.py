@@ -525,3 +525,32 @@ def test_clean_and_fold_under_reliable_materialize(spark, tmp_path):
                 spark.conf.unset(RELIABLE_CONF)
     assert run_rows[0] == run_rows[1]
     assert len(run_rows[0]) == 3
+
+
+def test_fold_rows_derived_from_clean_pg_match_direct_build(spark, tmp_path):
+    """Optimization round 14: the composed loop tokenizes the batch
+    ONCE — the gram store folded via the pg-derived rows must hold
+    exactly what build_span_gram_rows over the same batch holds
+    (gram_key, doc_id, first-occurrence pos, k), including a doc that
+    repeats its own gram (min-pos tie to the first occurrence)."""
+    b = _docs(
+        spark,
+        [
+            (1, f"one two {_SHARED} three {_SHARED} tail"),
+            (2, "totally unique text here nothing shared at all ok"),
+            (3, "short"),  # sub-k: contributes no gram rows
+        ],
+    )
+    idx = str(tmp_path / "idx")
+    SI.clean_and_fold_batch(spark, idx, b)
+    stored = sorted(
+        tuple(r)
+        for r in SI.span_gram_store(spark, idx)
+        .read()
+        .select("gram_key", "doc_id", "pos", "k")
+        .collect()
+    )
+    direct = sorted(
+        tuple(r) for r in SI.build_span_gram_rows(b).collect()
+    )
+    assert stored == direct

@@ -222,8 +222,19 @@ def update_span_index(
     compact_max_files: int | None = SPAN_COMPACT_MAX_FILES,
     compact_n_files: int = SPAN_COMPACT_FILES,
     vacuum_retain: int | None = SPAN_VACUUM_RETAIN,
+    prebuilt_gram_rows: DataFrame | None = None,
 ) -> int:
     """Fold a batch's ORIGINAL grams into the persisted index.
+
+    ``prebuilt_gram_rows`` (optimization round 14, guide §1.2 "don't
+    compute things twice"): a caller that has ALREADY tokenized the
+    batch into positional gram rows (the composed clean-and-fold
+    loop) can pass the ``build_span_gram_rows``-shaped frame —
+    (gram_key, doc_id, pos, k) with pos = per-(gram, doc) first
+    occurrence — and skip this function's own tokenize + posexplode
+    pass over the batch text. The frame MUST be derived from the
+    same ``new_docs`` batch at the same ``k``; all guards (replay
+    filter, ingest-order, k contract) run on it unchanged.
 
     Only the batch tokenizes AND only the batch's rows are written
     (the shared harness's ``commit_append``) — fold compute and IO
@@ -261,7 +272,11 @@ def update_span_index(
         raise ValueError(
             f"on_overlap must be 'raise' or 'skip_existing', got {on_overlap!r}"
         )
-    rows = materialize(build_span_gram_rows(new_docs, text_col, id_col, k))
+    rows = materialize(
+        build_span_gram_rows(new_docs, text_col, id_col, k)
+        if prebuilt_gram_rows is None
+        else prebuilt_gram_rows
+    )
 
     def fresh_rows(stored: DataFrame, batch: DataFrame) -> DataFrame:
         _check_k(_stored_k(stored), k, path, "folding")
@@ -337,6 +352,7 @@ def clean_batch_against_store(
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = SPAN_K,
+    _prebuilt_pg: DataFrame | None = None,
 ) -> DataFrame:
     """(id, n_tokens, n_removed_tokens, clean_text) for every BATCH
     doc, with duplicated spans removed against store ∪ batch — the
@@ -371,11 +387,19 @@ def clean_batch_against_store(
     stored = (
         store.read() if version is None else store.read_version(version)
     )
-    pg = materialize(
-        positional_ngram_rows(batch, text_col, id_col, k).select(
-            F.col(id_col),
-            "pos",
-            F.xxhash64("gram").alias("gram_key"),
+    # _prebuilt_pg: the composed clean-and-fold loop tokenizes the
+    # batch ONCE and shares the pinned positional rows between this
+    # clean and the subsequent gram fold (optimization round 14) —
+    # must be exactly this select over the same batch at the same k
+    pg = (
+        _prebuilt_pg
+        if _prebuilt_pg is not None
+        else materialize(
+            positional_ngram_rows(batch, text_col, id_col, k).select(
+                F.col(id_col),
+                "pos",
+                F.xxhash64("gram").alias("gram_key"),
+            )
         )
     )
     # The law's preconditions are ENFORCED here exactly as the fold
@@ -649,8 +673,10 @@ def clean_and_fold_batch(
     ``occ_fold`` around the whole step (ConcurrentWriteError recomputes
     against the winner), and interleaved doc_id ranges from two
     writers fail the ingest-order guard by design. The batch
-    tokenizes twice (once for clean's positional grams, once for the
-    fold's) — both ∝ batch; history tokenizes never.
+    tokenizes ONCE (optimization round 14 — the pinned positional
+    gram rows serve the clean directly and the fold derives its
+    first-occurrence rows from the same pin); history tokenizes
+    never.
     """
     store = span_gram_store(spark, index_path)
     version = store.current_version()
@@ -663,9 +689,25 @@ def clean_and_fold_batch(
             .distinct()
         )
         fresh = materialize(batch.join(indexed, id_col, "left_anti"))
+    # tokenize the batch ONCE (optimization round 14, guide §1.2):
+    # the clean's positional rows and the fold's per-(gram, doc)
+    # first-occurrence rows are both views of the same posexplode —
+    # previously each half ran its own tokenize + posexplode pass
+    # over the batch text ("the batch tokenizes twice" note below is
+    # retired); now the pinned pg serves the clean directly and the
+    # fold derives its build_span_gram_rows-shaped frame from it with
+    # one small aggregation over the pin.
+    pg = materialize(
+        positional_ngram_rows(fresh, text_col, id_col, k).select(
+            F.col(id_col),
+            "pos",
+            F.xxhash64("gram").alias("gram_key"),
+        )
+    )
     cleaned = materialize(
         clean_batch_against_store(
-            spark, index_path, fresh, text_col, id_col, k
+            spark, index_path, fresh, text_col, id_col, k,
+            _prebuilt_pg=pg,
         )
     )
     if cleaned_path is not None:
@@ -679,9 +721,20 @@ def clean_and_fold_batch(
             n_files=SPAN_FILES,
             skip_empty_bootstrap_result=0,
         )
+    fold_rows = (
+        pg.select(
+            "gram_key",
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.col("pos").cast("long").alias("pos"),
+        )
+        .groupBy("gram_key", "doc_id")
+        .agg(F.min("pos").alias("pos"))
+        .withColumn("k", F.lit(int(k)).cast("long"))
+    )
     update_span_index(
         spark, index_path, fresh, text_col, id_col,
         on_overlap="skip_existing", k=k,
+        prebuilt_gram_rows=fold_rows,
     )
     return cleaned
 
