@@ -146,3 +146,34 @@ def test_gopher_verdict_rule_cascade(spark):
     assert got[9] == "low_stopword"
     assert got[10] == "keep"
     assert got[11] == "keep"
+
+
+def test_tfidf_report_filter_face_matches_filtered_full_face(spark):
+    """Optimization round 14: tfidf(docs, report_filter=p) must equal
+    tfidf(docs).filter(p) row-for-row — df and N stay corpus-global
+    while only the reported docs' tf rows are built. Corpus includes
+    NULL text, an empty doc, repeated tokens, and tokens unique to
+    unreported docs (they must still raise df for reported docs)."""
+    from pyspark.sql import functions as F
+
+    from tinyerp_etl_spark.operators.text import tfidf
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta alpha gamma"),
+            (1, "alpha delta"),
+            (2, None),
+            (3, ""),
+            (4, "beta beta beta zeta"),
+            (100, "alpha gamma gamma unreported"),
+        ],
+        "doc_id long, text string",
+    )
+    pred = F.col("doc_id") % 2 == 0
+    full = sorted(
+        tuple(r) for r in tfidf(docs).filter(pred).collect()
+    )
+    fast = sorted(
+        tuple(r) for r in tfidf(docs, report_filter=pred).collect()
+    )
+    assert fast == full and len(fast) > 0

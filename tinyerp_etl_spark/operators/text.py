@@ -825,7 +825,8 @@ def lang_id(col: Column | str) -> Column:
     return _bind_once(tokens(col), _scored)
 
 
-def tfidf(docs, text_col: str = "text", id_col: str = "doc_id"):
+def tfidf(docs, text_col: str = "text", id_col: str = "doc_id",
+          report_filter=None):
     """Per-(doc, token) tf-idf over the corpus.
 
     tf is computed per document in one Arrow-batched mapInPandas pass
@@ -834,6 +835,20 @@ def tfidf(docs, text_col: str = "text", id_col: str = "doc_id"):
     expression exactly, as the oracle parity proves). The only
     remaining shuffle is df-by-token — irreducible, since document
     frequency is corpus-global. N rides as a 1-row broadcast.
+
+    ``report_filter`` (optimization round 14, guide §2.3): when the
+    caller only REPORTS a filtered subset of documents (a Column
+    predicate over ``docs``), pass the predicate instead of filtering
+    the output. Document frequency and N still come from the FULL
+    corpus (the statistics are corpus-global by definition), but the
+    per-(doc, token) tf rows are built only for the reported docs,
+    and — the scale lever — df is computed by a dedicated full-corpus
+    pass that aggregates distinct tokens per Arrow batch in Python
+    and map-side-combines per token in the JVM, so the shuffle
+    carries ≈|vocabulary| partial rows per partition instead of every
+    (doc, token) row of the corpus through the window sort the
+    unfiltered path needs. Output rows and values are identical to
+    ``tfidf(docs).filter(report_filter-on-doc)``.
 
     The score is rounded to 6 decimals: Spark's and DuckDB's ``ln``
     differ in the final ULP for ~13% of inputs (measured), and the
@@ -868,17 +883,56 @@ def tfidf(docs, text_col: str = "text", id_col: str = "doc_id"):
     )
     from pyspark.sql.window import Window
 
-    tf = docs.select(F.col(id_col).cast("long"), text_col).mapInPandas(
-        tf_batches, schema=tf_schema
-    )
-    # document frequency as a window count over the same token shuffle
-    # the join formulation would need anyway — but with ONE pass: the
-    # groupBy+join alternative executes the Python tokenizer stage
-    # twice (once per branch) and adds a second token shuffle.
-    dfreq_w = Window.partitionBy("token")
     n = docs.agg(F.count(F.lit(1)).alias("__n"))
+    if report_filter is None:
+        tf = docs.select(F.col(id_col).cast("long"), text_col).mapInPandas(
+            tf_batches, schema=tf_schema
+        )
+        # document frequency as a window count over the same token
+        # shuffle the join formulation would need anyway — but with
+        # ONE pass: the groupBy+join alternative executes the Python
+        # tokenizer stage twice (once per branch) and adds a second
+        # token shuffle.
+        dfreq_w = Window.partitionBy("token")
+        scored = tf.withColumn("df", F.count(F.lit(1)).over(dfreq_w))
+    else:
+        # reported-subset shape: tf rows only for the reported docs;
+        # df from a full-corpus pass that ships (token, batch-count)
+        # partials — Counter-of-distinct-tokens per Arrow batch in
+        # Python, summed per token in the JVM (partial aggregation
+        # collapses before the exchange), joined back onto the small
+        # tf side. The full corpus text crosses the Python boundary
+        # once either way; what changes is the shuffle: vocabulary
+        # partials instead of every (doc, token) row + a window sort.
+        def df_batches(batches):
+            for pdf in batches:
+                c = Counter()
+                for text in pdf[text_col]:
+                    c.update(set(tok_re.findall((text or "").lower())))
+                yield pd.DataFrame(
+                    {"token": list(c.keys()), "df_part": list(c.values())}
+                )
+
+        df_schema = T.StructType(
+            [
+                T.StructField("token", T.StringType()),
+                T.StructField("df_part", T.LongType()),
+            ]
+        )
+        dfreq = (
+            docs.select(text_col)
+            .mapInPandas(df_batches, schema=df_schema)
+            .groupBy("token")
+            .agg(F.sum("df_part").cast("long").alias("df"))
+        )
+        tf = (
+            docs.filter(report_filter)
+            .select(F.col(id_col).cast("long"), text_col)
+            .mapInPandas(tf_batches, schema=tf_schema)
+        )
+        scored = tf.join(dfreq, "token")
     return (
-        tf.withColumn("df", F.count(F.lit(1)).over(dfreq_w))
+        scored
         .crossJoin(F.broadcast(n))
         .select(
             F.col(id_col),

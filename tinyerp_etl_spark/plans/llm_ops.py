@@ -218,7 +218,12 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     docs = load_table(spark, sf_dir, "documents")
-    scored = X.tfidf(docs).filter(F.col("doc_id") % 100 == 0)
+    # report_filter pushes the 1%-of-docs restriction into the tf
+    # side while df/N stay corpus-global (optimization round 14,
+    # guide §2.3): the corpus-wide (doc, token) window shuffle+sort
+    # becomes a map-side-combined per-token partial aggregation —
+    # identical rows to tfidf(docs).filter(...)
+    scored = X.tfidf(docs, report_filter=(F.col("doc_id") % 100 == 0))
     w = Window.partitionBy("doc_id").orderBy(
         F.col("tfidf").desc(), F.col("token").asc()
     )
