@@ -6271,7 +6271,11 @@ def simhash_neardup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.col("text"), F.lit(" zq")).alias("text"),
         )
     )
-    staged = docs.unionByName(near)
+    # fan the serial single-row-group scan out before the tokenize +
+    # explode×32 fingerprint map stage (optimization round 14, guide
+    # §2.5 — no-op at real scale, see widen_if_narrow): interleaved
+    # A/B at sf0.1 3.10 → 1.96 s min-of-3, identical pairs
+    staged = widen_if_narrow(docs.unionByName(near), sf_dir)
     return D.simhash_neardup_pairs(staged).orderBy("doc_a", "doc_b")
 
 
