@@ -5128,7 +5128,12 @@ def dsir_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     is_tgt = (F.col("lang") == "en") & (F.col("source") == "src13")
     tgt = docs.filter(is_tgt).select("doc_id", "text")
-    raw = docs.filter(~is_tgt).select("doc_id", "text")
+    # fan the serial scan out under the raw-pool featurization
+    # (optimization round 14, guide §2.5 — no-op at real scale):
+    # interleaved A/B at sf0.1 3.17 → 2.18 s min-of-3, identical rows
+    raw = widen_if_narrow(
+        docs.filter(~is_tgt).select("doc_id", "text"), sf_dir
+    )
     return dsir_sample(raw, tgt, keep_ppm=250_000).orderBy("doc_id")
 
 
@@ -5447,7 +5452,11 @@ def incremental_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     is_tgt = (F.col("lang") == "en") & (F.col("source") == "src13")
     tgt = docs.filter(is_tgt).select("doc_id", "text")
-    raw = docs.filter(~is_tgt).select("doc_id", "text")
+    # fan the serial scan out under the batch featurization (guide
+    # §2.5; no-op at real scale): A/B 3.15 → 1.92 s, identical rows
+    raw = widen_if_narrow(
+        docs.filter(~is_tgt).select("doc_id", "text"), sf_dir
+    )
     scores = DI.dsir_scores_against_store(spark, path, raw, tgt)
     return dsir_select(scores, keep_ppm=250_000).orderBy("doc_id")
 
@@ -5838,7 +5847,11 @@ def _web_manifest_annotated(
         ).alias("url"),
         "page",
     )
-    crawls = noisy.unionByName(clean)
+    # fan the serial scan out under the extraction pass (guide §2.5;
+    # no-op at real scale): the staged 2N-crawl union inherits the
+    # 2-3 scan splits, so html_to_text/normalize_url (and everything
+    # pinned above them) ran on 2-3 of 32 cores. A/B 4.50 → 4.13 s.
+    crawls = widen_if_narrow(noisy.unionByName(clean), sf_dir)
     ann = materialize(
         crawls.select(
             "crawl_id",
