@@ -2510,10 +2510,16 @@ def curation_pipeline_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tinyerp_etl_spark.operators.sampling import hash_bucket, mixture_thresholds
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
-    staged = docs.unionByName(
-        docs.filter(F.col("doc_id") % 10 == 0).select(
-            (F.col("doc_id") + 100000).alias("doc_id"), "text", "lang"
-        )
+    # fan the serial scan out under the quality/fingerprint
+    # annotation pass (guide §2.5; no-op at real scale): screen A/B
+    # at sf0.1 2.45 → 2.02 s min-of-3
+    staged = widen_if_narrow(
+        docs.unionByName(
+            docs.filter(F.col("doc_id") % 10 == 0).select(
+                (F.col("doc_id") + 100000).alias("doc_id"), "text", "lang"
+            )
+        ),
+        sf_dir,
     )
     ann0 = staged.select(
         "doc_id",
@@ -3083,7 +3089,13 @@ def dedup_span_removal_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     in place. Output carries the cleaned text itself plus exact
     integer token accounting, so the hash compare proves the
     reassembled strings byte-for-byte."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # fan the serial scan out under the positional-gram explode
+    # (guide §2.5; no-op at real scale): screen A/B at sf0.1
+    # 3.50 → 2.45 s min-of-3, identical rows (oracle re-proven)
+    docs = widen_if_narrow(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        sf_dir,
+    )
     return D.remove_dup_spans(docs).orderBy("doc_id")
 
 
@@ -3516,9 +3528,12 @@ def bpe_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 raise ValueError(f"merge symbol {s!r} outside \\w alphabet")
         seg = f"replace({seg}, ' {left} {right} ', ' {left}{right} ')"
     n_syms = f"size(split(trim({seg}), ' '))"
-    docs = load_table(spark, sf_dir, "documents").select(
-        "source", X.tokens("text").alias("toks")
-    )
+    # fan the serial scan out under the inlined merge-chain segmenter
+    # (guide §2.5; no-op at real scale): screen A/B at sf0.1
+    # 0.93 → 0.53 s min-of-3
+    docs = widen_if_narrow(
+        load_table(spark, sf_dir, "documents"), sf_dir
+    ).select("source", X.tokens("text").alias("toks"))
     per_doc = docs.select(
         "source",
         F.coalesce(F.array_size("toks"), F.lit(0)).alias("n_tok"),
