@@ -613,6 +613,11 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n") >= 2)
         .select("pa", "pb")
     )
+    # pin the edge list: it feeds all THREE join legs below, each of
+    # which replayed the lineitem self-join + support filter
+    # (optimization round 14, guide §5; A/B at sf0.1 2.41 → 2.09 s
+    # min-of-3, 10.9 → 4.2 cold, identical triangles)
+    edges = materialize(edges)
     e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
     return (
         e1.join(e2, F.col("e1.pb") == F.col("e2.pa"))
@@ -837,8 +842,16 @@ def copurchase_pagerank_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= 2)
     )
-    edges = pairs.select(F.col("pa").alias("src"), F.col("pb").alias("dst")).unionAll(
-        pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
+    # pin the edge derivation (optimization round 14, guide §5 /
+    # pagerank_fixed's own docstring): the lineitem self-join +
+    # support filter is replicated into the degree, node, and every
+    # iteration subtree — ~7 replays per action. materialize() here
+    # runs it once; interleaved A/B at sf0.1 5.22 → 4.03 s min-of-3
+    # (12.3 → 4.5 cold), identical top-25.
+    edges = materialize(
+        pairs.select(F.col("pa").alias("src"), F.col("pb").alias("dst")).unionAll(
+            pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
+        )
     )
     return (
         pagerank_fixed(edges, iterations=3)
