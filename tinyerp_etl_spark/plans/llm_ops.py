@@ -934,7 +934,13 @@ def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             "embedding", lambda x: (x.cast("double") + 0.01).cast("float")
         ).alias("embedding"),
     )
-    staged = emb.unionByName(copies)
+    # fan the serial embeddings scan out under the assignment +
+    # quantization (guide §2.5; no-op at real scale): with the
+    # operator's new assignment pin, A/B 3.74 → 3.64 s (pin alone
+    # 4.04 → 3.74; the §15 screen's flat verdict predated the pin)
+    staged = widen_if_narrow(
+        emb.unionByName(copies), sf_dir, name="embeddings"
+    )
     return S.semantic_dedup(
         staged, threshold=0.95, centroids=_ivf_index_for(spark, sf_dir)
     ).orderBy("vec_id")
