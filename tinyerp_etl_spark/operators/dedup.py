@@ -260,7 +260,16 @@ def jaccard_counts(
     pairs in the corpus. The all-pairs path only exists for pairs=None
     (verification/audit use).
     """
-    sh = docs.select(F.col(id_col), F.explode(shingles(text_col)).alias("shingle"))
+    # pin the shingle rows (optimization round 14, guide §5): they
+    # feed the size aggregation AND both join sides, so the tokenize +
+    # shingle explode ran three times per action. Row count ≈ corpus
+    # shingle occurrences — the same bounded class as
+    # lsh_neardup_verified's pinned feature table. A/B at sf0.1:
+    # lsh_recall_report 4.63 → 3.89 s, neardup_threshold_curve
+    # 3.98 → 3.68 s, identical rows.
+    sh = materialize(
+        docs.select(F.col(id_col), F.explode(shingles(text_col)).alias("shingle"))
+    )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
     b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
