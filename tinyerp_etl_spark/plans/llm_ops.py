@@ -5884,32 +5884,32 @@ def _web_manifest_annotated(
     first = ann.groupBy("canonical_url").agg(
         F.min("crawl_id").alias("keeper")
     )
-    # optimization round 14 (guide §2.3/§5). Two changes vs the r13
-    # shape, measured same-tool at sf0.1:
-    # - the verdict is computed for KEEPER rows only: a non-keeper
-    #   row's disposition is url_dup before the verdict is ever
-    #   consulted, and surv's crawl_id == keeper conjunct already
-    #   excludes it, so the NULL verdict on losers is unobservable —
-    #   this halves the C4-cascade work (each doc stages two crawls,
-    #   one keeper).
-    # - ann2 is pinned: it feeds TWO consumers (surv's DSIR pool and
-    #   the manifest output join), each of which re-ran the keeper
-    #   join + the whole C4 cascade from the ann pin.
-    # The keeper attach itself deliberately STAYS groupBy+join (the
-    # narrow (url, id) agg broadcasts back onto the pinned frame — no
-    # heavy-row shuffle): a window MIN over canonical_url was built
-    # and measured first and LOST ~1.4 s/pair of queries, because it
-    # exchanges and sorts the full clean_text payload where the join
-    # shape moves only the 2-column decision frame (guide §8: decide
-    # with small rows, attach without shuffling the payload).
-    ann2 = materialize(
-        ann.join(first, "canonical_url").withColumn(
-            "verdict",
-            F.when(
-                F.col("crawl_id") == F.col("keeper"),
-                X.c4_verdict("clean_text"),
-            ),
-        )
+    # optimization round 14 (guide §2.3/§5), measured same-tool at
+    # sf0.1: the verdict is computed for KEEPER rows only — a
+    # non-keeper row's disposition is url_dup before the verdict is
+    # ever consulted, and surv's crawl_id == keeper conjunct already
+    # excludes it, so the NULL verdict on losers is unobservable.
+    # This halves the C4-cascade work (each doc stages two crawls,
+    # one keeper); forced-track 4.21 → 3.80 s.
+    # Two shapes were built, measured, and REJECTED:
+    # - a window-MIN keeper (one exchange, no join) LOST ~1.4 s/pair
+    #   of queries — it exchanges and sorts the full clean_text
+    #   payload where this join moves only the 2-column decision
+    #   frame (guide §8: decide with small rows, attach without
+    #   shuffling the payload);
+    # - materialize(ann2) — same forced wall as this unpinned form
+    #   (4.59 vs 4.61 noop), but it forces the verdict + a pin write
+    #   under count(1), which otherwise prunes the verdict column
+    #   entirely (bench count track 3.44 → 4.82 s with the pin).
+    # Unpinned, each consumer replays only the broadcast keeper
+    # attach from the ann pin, and only the output join re-computes
+    # the (keeper-only) cascade.
+    ann2 = ann.join(first, "canonical_url").withColumn(
+        "verdict",
+        F.when(
+            F.col("crawl_id") == F.col("keeper"),
+            X.c4_verdict("clean_text"),
+        ),
     )
     surv = ann2.filter(
         (F.col("crawl_id") == F.col("keeper"))

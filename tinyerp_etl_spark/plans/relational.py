@@ -152,14 +152,13 @@ def data_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     canonical integer form (cents / epoch) so the oracle is exact.
     """
     from tinyerp_etl_spark.operators.profile import profile_columns
-    from tinyerp_etl_spark.sources.catalog import widen_if_narrow
 
-    # fan the serial scan out under the stacked-column projection
-    # (guide §2.5; no-op at real scale): screen A/B at sf0.1
-    # 1.79 → 1.55 s min-of-3
-    o = widen_if_narrow(
-        load_table(spark, sf_dir, "orders"), sf_dir, name="orders"
-    )
+    # a scan fan-out was measured here (noop 1.79 → 1.55 s at sf0.1)
+    # and REVERTED: under count(1) the profiler's aggregate functions
+    # prune away, so the added exchange was a pure count-track cost
+    # (bench 0.60 → 1.10 s) for a forced-track saving that is a no-op
+    # at real scale anyway — optimization round 14
+    o = load_table(spark, sf_dir, "orders")
     return profile_columns(
         o,
         numeric_cols={
