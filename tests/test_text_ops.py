@@ -165,7 +165,7 @@ def test_tfidf_report_filter_face_matches_filtered_full_face(spark):
             (2, None),
             (3, ""),
             (4, "beta beta beta zeta"),
-            (100, "alpha gamma gamma unreported"),
+            (101, "alpha gamma gamma unreported"),
         ],
         "doc_id long, text string",
     )

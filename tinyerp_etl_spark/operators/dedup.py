@@ -259,6 +259,14 @@ def jaccard_counts(
     |candidates| · |shingles/doc|, not with the number of co-shingled
     pairs in the corpus. The all-pairs path only exists for pairs=None
     (verification/audit use).
+
+    EAGER: constructing this frame runs the corpus tokenize + shingle
+    explode immediately (the pinned-shingle pattern of
+    ``lsh_neardup_verified``, and for the same reason — an eager pin
+    is the only form that guarantees exactly-one cluster-wide
+    execution; a lazy pin first touched by the multi-reference plan
+    can recompute per BlockManager). Don't construct it
+    speculatively, and don't feed it a streaming frame.
     """
     # pin the shingle rows (optimization round 14, guide §5): they
     # feed the size aggregation AND both join sides, so the tokenize +

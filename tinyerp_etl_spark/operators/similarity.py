@@ -1096,7 +1096,11 @@ def semantic_dedup(
     # the size-tag window, both sides of the pair join, and the final
     # kept-flag join — unpinned, the per-vector nearest-centroid scan
     # re-ran once per consumer (A/B at sf0.1: 4.04 → 3.74 s min-of-3,
-    # identical output). Row count = input vectors; bounded.
+    # identical output). Row count = input vectors; bounded. NOTE:
+    # this makes constructing the frame EAGER (the assignment job
+    # runs at call time, and count()-only actions pay it too — bench
+    # count 0.67 → 1.09 s for forced 3.81 → 3.58); the real workload
+    # reads every column, so the forced face is the honest cost.
     assigned = materialize(
         ivf_assign(embeddings, id_col, vec_col, centroids=centroids)
     )

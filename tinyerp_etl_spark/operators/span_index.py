@@ -183,6 +183,43 @@ def span_gram_store(spark: SparkSession, path: str) -> TableStore:
     return TableStore(spark, path, SPAN_INDEX_SCHEMA)
 
 
+def keyed_positional_rows(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = SPAN_K,
+) -> DataFrame:
+    """(id, pos, gram_key) — EVERY k-gram occurrence with its hashed
+    key: the ONE definition of the keyed positional frame both the
+    clean path and the fold derivation consume (a drift here would
+    silently split what 'the same gram' means between the two
+    halves)."""
+    return positional_ngram_rows(docs, text_col, id_col, k).select(
+        F.col(id_col),
+        "pos",
+        F.xxhash64("gram").alias("gram_key"),
+    )
+
+
+def gram_rows_from_positional(
+    pg: DataFrame, id_col: str = "doc_id", k: int = SPAN_K
+) -> DataFrame:
+    """Collapse a ``keyed_positional_rows`` frame to the store's
+    (gram_key, doc_id, first pos, k) fold rows — the shared tail of
+    ``build_span_gram_rows`` and the composed loop's tokenize-once
+    path."""
+    return (
+        pg.select(
+            "gram_key",
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.col("pos").cast("long").alias("pos"),
+        )
+        .groupBy("gram_key", "doc_id")
+        .agg(F.min("pos").alias("pos"))
+        .withColumn("k", F.lit(int(k)).cast("long"))
+    )
+
+
 def build_span_gram_rows(
     docs: DataFrame,
     text_col: str = "text",
@@ -198,16 +235,8 @@ def build_span_gram_rows(
     exactly. One tokenize-once gram pass + one groupBy; docs with < k
     tokens emit nothing (they hold no k-gram and can never duplicate
     a span)."""
-    pg = positional_ngram_rows(docs, text_col, id_col, k)
-    return (
-        pg.select(
-            F.xxhash64("gram").alias("gram_key"),
-            F.col(id_col).cast("long").alias("doc_id"),
-            F.col("pos").cast("long").alias("pos"),
-        )
-        .groupBy("gram_key", "doc_id")
-        .agg(F.min("pos").alias("pos"))
-        .withColumn("k", F.lit(int(k)).cast("long"))
+    return gram_rows_from_positional(
+        keyed_positional_rows(docs, text_col, id_col, k), id_col, k
     )
 
 
@@ -275,7 +304,13 @@ def update_span_index(
     rows = materialize(
         build_span_gram_rows(new_docs, text_col, id_col, k)
         if prebuilt_gram_rows is None
-        else prebuilt_gram_rows
+        # the k contract is STRUCTURAL, not comment-enforced: the
+        # prebuilt frame's columns are projected and its k column
+        # re-stamped from this call's k, so a frame derived at a
+        # different k can never smuggle mixed-width grams past the
+        # store's _check_k (which compares the store to the k PARAM)
+        else prebuilt_gram_rows.select("gram_key", "doc_id", "pos")
+        .withColumn("k", F.lit(int(k)).cast("long"))
     )
 
     def fresh_rows(stored: DataFrame, batch: DataFrame) -> DataFrame:
@@ -390,17 +425,11 @@ def clean_batch_against_store(
     # _prebuilt_pg: the composed clean-and-fold loop tokenizes the
     # batch ONCE and shares the pinned positional rows between this
     # clean and the subsequent gram fold (optimization round 14) —
-    # must be exactly this select over the same batch at the same k
+    # a keyed_positional_rows frame over the same batch at the same k
     pg = (
         _prebuilt_pg
         if _prebuilt_pg is not None
-        else materialize(
-            positional_ngram_rows(batch, text_col, id_col, k).select(
-                F.col(id_col),
-                "pos",
-                F.xxhash64("gram").alias("gram_key"),
-            )
-        )
+        else materialize(keyed_positional_rows(batch, text_col, id_col, k))
     )
     # The law's preconditions are ENFORCED here exactly as the fold
     # enforces them — clean is the misuse-prone half (fold-then-clean
@@ -693,17 +722,12 @@ def clean_and_fold_batch(
     # the clean's positional rows and the fold's per-(gram, doc)
     # first-occurrence rows are both views of the same posexplode —
     # previously each half ran its own tokenize + posexplode pass
-    # over the batch text ("the batch tokenizes twice" note below is
-    # retired); now the pinned pg serves the clean directly and the
-    # fold derives its build_span_gram_rows-shaped frame from it with
-    # one small aggregation over the pin.
-    pg = materialize(
-        positional_ngram_rows(fresh, text_col, id_col, k).select(
-            F.col(id_col),
-            "pos",
-            F.xxhash64("gram").alias("gram_key"),
-        )
-    )
+    # over the batch text; now the pinned pg serves the clean
+    # directly and the fold derives its rows from the same pin with
+    # one small aggregation (gram_rows_from_positional — the same
+    # shared tail build_span_gram_rows uses, so the shapes cannot
+    # drift).
+    pg = materialize(keyed_positional_rows(fresh, text_col, id_col, k))
     cleaned = materialize(
         clean_batch_against_store(
             spark, index_path, fresh, text_col, id_col, k,
@@ -721,16 +745,7 @@ def clean_and_fold_batch(
             n_files=SPAN_FILES,
             skip_empty_bootstrap_result=0,
         )
-    fold_rows = (
-        pg.select(
-            "gram_key",
-            F.col(id_col).cast("long").alias("doc_id"),
-            F.col("pos").cast("long").alias("pos"),
-        )
-        .groupBy("gram_key", "doc_id")
-        .agg(F.min("pos").alias("pos"))
-        .withColumn("k", F.lit(int(k)).cast("long"))
-    )
+    fold_rows = gram_rows_from_positional(pg, id_col, k)
     update_span_index(
         spark, index_path, fresh, text_col, id_col,
         on_overlap="skip_existing", k=k,
