@@ -204,8 +204,24 @@ def widen_if_narrow(
     """
     import os
 
+    path = os.path.join(sf_dir, f"{name}.parquet")
     try:
-        size = os.path.getsize(os.path.join(sf_dir, f"{name}.parquet"))
+        if os.path.isdir(path):
+            # a directory-backed parquet table (Spark's standard
+            # multi-part layout): getsize() on the directory returns
+            # the ~4KB dirent size, which would classify a 100 TB
+            # table as "narrow" and pay the full-corpus repartition
+            # the guard exists to prevent. Sum the leaf data files
+            # instead (skip _SUCCESS / dot-files — commit-protocol
+            # metadata, not scan input).
+            size = 0
+            for root, _dirs, files in os.walk(path):
+                for fn in files:
+                    if fn.startswith(("_", ".")):
+                        continue
+                    size += os.path.getsize(os.path.join(root, fn))
+        else:
+            size = os.path.getsize(path)
     except OSError:
         return df
     spark = df.sparkSession
