@@ -599,41 +599,44 @@ def connected_components(
 def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32) -> DataFrame:
     """32-bit SimHash over distinct tokens (weight 1 each).
 
-    explode(token) × explode(bit) → per-bit ±1 sums → sign bits packed
-    into one long. All integer arithmetic; identical SQL exists.
+    explode(token) → ONE groupBy(id) with ``bits`` codegen sum
+    aggregates (one per bit position, the bit extracted with a
+    LITERAL power so each sum is a plain JVM expression) → sign bits
+    packed into one long. All integer arithmetic; identical SQL
+    exists.
 
-    Shape note (optimization round 14): a zero-shuffle per-doc fold
-    (32 unrolled F.aggregate bit-counters over a bound hash array)
-    was measured against this and LOST 2.6-4x both tracks at sf0.1
-    (interpreted higher-order lambdas × 32 passes on a serial scan
-    vs this codegen explode whose shuffle spreads the work); the
-    explode formulation stays.
+    Shape notes:
+    - optimization round 15 (guide §2.3 "aggregate before you
+      shuffle"): the previous explode(token) × explode(bit)
+      formulation shuffled up to 32 partial rows per doc per
+      partition through TWO HashAggregate+Exchange pairs (groupBy
+      (id, j), then groupBy(id)); the per-bit sums are now 32
+      independent partial-aggregable columns of ONE aggregation, so
+      the single exchange carries one 32-long row per doc per
+      partition (32× fewer shuffle rows, one fewer exchange, no
+      Generate for the bit axis). Interleaved A/B at sf0.1:
+      simhash_docs noop 1.38 → 0.70 s min-of-3, results identical;
+      simhash_neardup_docs flat (pair-join bound).
+    - optimization round 14: a zero-shuffle per-doc fold (32 unrolled
+      F.aggregate bit-counters over a bound hash array) was measured
+      and LOST 2.6-4x both tracks (interpreted higher-order lambdas ×
+      32 passes on a serial scan); the codegen aggregate stays.
     """
     tok = docs.select(
         F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("tok")
     ).withColumn("h", token_hash32(F.col("tok")))
-    # bit j of h via integer div/mod (2^j is exact, portable to SQL —
-    # shiftright() isn't expressible with a column shift amount)
-    pow2 = F.expr("cast(power(2, j) as bigint)")
-    bit = tok.select(
-        id_col,
-        "h",
-        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("j"),
-    ).select(
-        id_col,
-        "j",
-        ((F.expr("h div cast(power(2, j) as bigint)") % 2) * 2 - 1).alias("contrib"),
-    )
-    return (
-        bit.groupBy(id_col, "j")
-        .agg(F.sum("contrib").alias("s"))
-        .groupBy(id_col)
-        .agg(
-            F.sum(
-                F.when(F.col("s") > 0, pow2).otherwise(F.lit(0).cast("long"))
-            ).alias("simhash")
-        )
-    )
+    # bit j of h via integer div/mod with literal 2^j (exact, portable
+    # to SQL; same arithmetic as the previous power(2, j) column form)
+    sums = [
+        F.sum(F.expr(f"((h div {1 << j}L) % 2) * 2 - 1")).alias(f"__s{j}")
+        for j in range(bits)
+    ]
+    pack = F.expr(
+        "CAST("
+        + " + ".join(f"IF(__s{j} > 0, {1 << j}L, 0L)" for j in range(bits))
+        + " AS BIGINT)"
+    ).alias("simhash")
+    return tok.groupBy(id_col).agg(*sums).select(id_col, pack)
 
 
 CONTAM_K = 8  # word-8-gram overlap unit for decontamination
