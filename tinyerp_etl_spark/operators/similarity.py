@@ -1092,23 +1092,44 @@ def semantic_dedup(
     """
     from tinyerp_etl_spark.functions.materialize import materialize
 
-    # pin the assignment (optimization round 14, guide §5): it feeds
-    # the size-tag window, both sides of the pair join, and the final
-    # kept-flag join — unpinned, the per-vector nearest-centroid scan
-    # re-ran once per consumer (A/B at sf0.1: 4.04 → 3.74 s min-of-3,
-    # identical output). Row count = input vectors; bounded. NOTE:
-    # this makes constructing the frame EAGER (the assignment job
-    # runs at call time, and count()-only actions pay it too — bench
-    # count 0.67 → 1.09 s for forced 3.81 → 3.58); the real workload
-    # reads every column, so the forced face is the honest cost.
+    # pin the assignment NARROW (optimization round 15, guide §5/§2.3,
+    # reworking the round-14 full-width pin per VERDICT r14 #3): the
+    # assignment feeds the cluster-size gate, the pair join, and the
+    # final kept-flag join — unpinned, the per-vector nearest-centroid
+    # pass re-ran once per consumer (r14 A/B: 4.04 → 3.74 s). The r14
+    # pin materialized (id, VECTOR, list_id) through the aggregate-form
+    # ivf_assign (×k crossjoin + payload exchange + a fat checkpoint
+    # write) — count(1)-only actions paid all of that eagerly (driver
+    # bench count 0.67 → 1.09 s). Now: the ZERO-SHUFFLE per-row
+    # expression (ivf_assign_expr — bit-identical assignments, pinned
+    # by test and the shared-oracle gate) projected to (id, list_id)
+    # only, so the eager pin job is a map-only scan plus a tiny write.
+    # Construction remains deliberately EAGER (the lazy form can
+    # recompute per consumer — the lsh_neardup_verified doctrine);
+    # r15 interleaved A/B at sf0.1: count 1.58 → 1.02 s, forced
+    # 3.82 → 3.59 s, identical 2200-row output.
+    if centroids is None:
+        centroids = train_kmeans(embeddings, id_col=id_col, vec_col=vec_col)
     assigned = materialize(
-        ivf_assign(embeddings, id_col, vec_col, centroids=centroids)
+        embeddings.select(F.col(id_col), ivf_assign_expr(vec_col, centroids))
     )
-    wb = Window.partitionBy("list_id")
-    tagged = assigned.withColumn("__n", F.count(F.lit(1)).over(wb))
-    ok = tagged.filter(F.col("__n") <= cluster_cap).drop("__n")
+    # cluster-size gate from the narrow pin: ≤ n_lists rows, broadcast
+    # onto both the keep and quarantine sides — replaces the r14
+    # window (which re-exchanged and sorted every assignment row)
+    sizes = assigned.groupBy("list_id").agg(F.count(F.lit(1)).alias("__n"))
+    ok_narrow = assigned.join(
+        F.broadcast(sizes.filter(F.col("__n") <= cluster_cap).select("list_id")),
+        "list_id",
+    )
     quarantined = (
-        tagged.filter(F.col("__n") > cluster_cap).select(F.col(id_col)).distinct()
+        assigned.join(
+            F.broadcast(
+                sizes.filter(F.col("__n") > cluster_cap).select("list_id")
+            ),
+            "list_id",
+        )
+        .select(F.col(id_col))
+        .distinct()
     )
     # quantize ONCE per vector BEFORE the pair join: the join fans out
     # to ~cluster_size/2 pairs per row, and the original per-pair
@@ -1119,8 +1140,16 @@ def semantic_dedup(
     # ticks double the per-row shuffle bytes (long vs float), but
     # pairs ≫ rows, so per-pair compute dominates at every scale.
     # Results are bit-identical: same _q expression, same integers.
-    base = ok.withColumn("__vt", _q(F.col(vec_col))).withColumn(
-        "__n2", _ticks_norm2(F.col("__vt"))
+    # Vectors re-attach from the source scan by id (the narrow pin is
+    # broadcast-class at this corpus size; at real scale the
+    # assignment is the table's partition column at ingest — see
+    # ivf_assign — and the aggregate-form pin this replaces shuffled
+    # the same payload through its max_by exchange anyway).
+    base = (
+        embeddings.select(id_col, vec_col)
+        .join(ok_narrow, id_col)
+        .withColumn("__vt", _q(F.col(vec_col)))
+        .withColumn("__n2", _ticks_norm2(F.col("__vt")))
     )
     left = base.select(
         F.col(id_col).alias("__id_a"),
