@@ -3534,12 +3534,16 @@ def bpe_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 raise ValueError(f"merge symbol {s!r} outside \\w alphabet")
         seg = f"replace({seg}, ' {left} {right} ', ' {left}{right} ')"
     n_syms = f"size(split(trim({seg}), ' '))"
-    # fan the serial scan out under the inlined merge-chain segmenter
-    # (guide §2.5; no-op at real scale): screen A/B at sf0.1
-    # 0.93 → 0.53 s min-of-3
-    docs = widen_if_narrow(
-        load_table(spark, sf_dir, "documents"), sf_dir
-    ).select("source", X.tokens("text").alias("toks"))
+    # widen REMOVED (optimization round 15, VERDICT r14 #3): the r14
+    # screen's fan-out (0.93 → 0.53 forced) did not reproduce —
+    # re-measured interleaved at sf0.1 the exchange costs the count
+    # track +0.39 s (the extra 32-task stage's scheduling constant;
+    # column pruning already reduces it to `source` bytes under
+    # count(1)) for a −0.08 s forced win: net loss on this
+    # aggregation-terminated query, and a no-op at real scale anyway.
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", X.tokens("text").alias("toks")
+    )
     per_doc = docs.select(
         "source",
         F.coalesce(F.array_size("toks"), F.lit(0)).alias("n_tok"),
