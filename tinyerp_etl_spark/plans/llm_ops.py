@@ -5827,11 +5827,14 @@ def _web_manifest_annotated(
     spark: SparkSession, sf_dir: str
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """The web manifest's shared front half — staging, extraction,
-    URL dedup, C4 quality verdict: one materialized annotated frame
-    (with keeper + verdict), the DSIR raw pool (the quality
-    survivors), and the target sample. The in-query manifest and the
-    store-scored manifest differ ONLY in where the raw model's
-    bucket counts come from, so both read this one chain."""
+    URL dedup, C4 quality verdict: a NARROW pinned decision frame
+    (crawl_id, doc_id, canonical_url, keeper, verdict — verdict is
+    NULL on non-keeper rows, see the decide-small note below), the
+    DSIR raw pool (the quality survivors, payload re-attached from
+    the pinned extraction), and the target sample. The in-query
+    manifest and the store-scored manifest differ ONLY in where the
+    raw model's bucket counts come from, so both read this one
+    chain."""
     from tinyerp_etl_spark.functions.materialize import materialize
 
     docs = load_table(spark, sf_dir, "documents").select(
@@ -5888,41 +5891,54 @@ def _web_manifest_annotated(
     first = ann.groupBy("canonical_url").agg(
         F.min("crawl_id").alias("keeper")
     )
-    # optimization round 14 (guide §2.3/§5), measured same-tool at
-    # sf0.1: the verdict is computed for KEEPER rows only — a
-    # non-keeper row's disposition is url_dup before the verdict is
-    # ever consulted, and surv's crawl_id == keeper conjunct already
-    # excludes it, so the NULL verdict on losers is unobservable.
-    # This halves the C4-cascade work (each doc stages two crawls,
-    # one keeper); forced-track 4.21 → 3.80 s.
-    # Two shapes were built, measured, and REJECTED:
-    # - a window-MIN keeper (one exchange, no join) LOST ~1.4 s/pair
-    #   of queries — it exchanges and sorts the full clean_text
-    #   payload where this join moves only the 2-column decision
-    #   frame (guide §8: decide with small rows, attach without
-    #   shuffling the payload);
-    # - materialize(ann2) — same forced wall as this unpinned form
-    #   (4.59 vs 4.61 noop), but it forces the verdict + a pin write
-    #   under count(1), which otherwise prunes the verdict column
-    #   entirely (bench count track 3.44 → 4.82 s with the pin).
-    # Unpinned, each consumer replays only the broadcast keeper
-    # attach from the ann pin, and only the output join re-computes
-    # the (keeper-only) cascade.
-    ann2 = ann.join(first, "canonical_url").withColumn(
-        "verdict",
-        F.when(
-            F.col("crawl_id") == F.col("keeper"),
-            X.c4_verdict("clean_text"),
-        ),
+    # Decide-small decision frame (optimization round 15, guide §8,
+    # VERDICT r14 #4): the keeper-gated C4 verdict is computed ONCE
+    # and pinned NARROW — (crawl_id, doc_id, canonical_url, keeper,
+    # verdict), no clean_text — so the manifest-output consumer and
+    # the DSIR survivor pool share one cascade pass instead of
+    # re-running it each (r14 left ann2 unpinned to protect
+    # count(1)'s verdict pruning; the narrow pin keeps count ~flat
+    # because the pin write carries no payload while forced drops the
+    # second cascade: interleaved A/B at sf0.1, count 2.96/2.76 →
+    # 2.88/2.86 s, forced 2.98/2.71 → 2.57/2.28 s over the two
+    # manifest queries, rows identical). The r14 keeper-only gating
+    # stays: verdict is NULL on non-keeper rows — a loser's
+    # disposition is url_dup before the verdict is ever consulted and
+    # surv conjoins crawl_id == keeper, so the NULL is unobservable
+    # to current consumers; any NEW consumer aggregating or filtering
+    # on verdict alone must filter to keeper rows first (the
+    # NULL-on-losers contract). Survivor text re-attaches from the
+    # pinned ann by crawl_id (guide §8: the payload moves once; the
+    # decision frame, not the text, crosses the extra join). The r14
+    # window-MIN keeper shape stays rejected (it exchanges and sorts
+    # the clean_text payload).
+    decision = materialize(
+        ann.join(first, "canonical_url").select(
+            "crawl_id",
+            "doc_id",
+            "canonical_url",
+            "keeper",
+            F.when(
+                F.col("crawl_id") == F.col("keeper"),
+                X.c4_verdict("clean_text"),
+            ).alias("verdict"),
+        )
     )
-    surv = ann2.filter(
-        (F.col("crawl_id") == F.col("keeper"))
-        & (F.col("verdict") == "keep")
-    ).select("crawl_id", F.col("clean_text").alias("text"))
+    surv = (
+        decision.filter(
+            (F.col("crawl_id") == F.col("keeper"))
+            & (F.col("verdict") == "keep")
+        )
+        .select("crawl_id")
+        .join(
+            ann.select("crawl_id", F.col("clean_text").alias("text")),
+            "crawl_id",
+        )
+    )
     tgt = staged_docs.filter(
         (F.col("lang") == "en") & (F.col("source") == "src13")
     ).select("doc_id", "text")
-    return ann2, surv, tgt
+    return decision, surv, tgt
 
 
 def _web_manifest_out(ann2: DataFrame, sel: DataFrame) -> DataFrame:
