@@ -252,6 +252,7 @@ def update_span_index(
     compact_n_files: int = SPAN_COMPACT_FILES,
     vacuum_retain: int | None = SPAN_VACUUM_RETAIN,
     prebuilt_gram_rows: DataFrame | None = None,
+    _prepinned_fresh_rows: bool = False,
 ) -> int:
     """Fold a batch's ORIGINAL grams into the persisted index.
 
@@ -301,20 +302,64 @@ def update_span_index(
         raise ValueError(
             f"on_overlap must be 'raise' or 'skip_existing', got {on_overlap!r}"
         )
-    rows = materialize(
-        build_span_gram_rows(new_docs, text_col, id_col, k)
-        if prebuilt_gram_rows is None
-        # the k contract is STRUCTURAL, not comment-enforced: the
-        # prebuilt frame's columns are projected and its k column
-        # re-stamped from this call's k, so a frame derived at a
-        # different k can never smuggle mixed-width grams past the
-        # store's _check_k (which compares the store to the k PARAM)
-        else prebuilt_gram_rows.select("gram_key", "doc_id", "pos")
-        .withColumn("k", F.lit(int(k)).cast("long"))
-    )
+    if _prepinned_fresh_rows and prebuilt_gram_rows is None:
+        raise ValueError(
+            "_prepinned_fresh_rows requires prebuilt_gram_rows"
+        )
+    if _prepinned_fresh_rows:
+        # the composed clean-and-fold loop's fast path: the frame is
+        # ALREADY per-(gram, doc)-collapsed, k-stamped and pinned by
+        # gram_rows_from_positional over the loop's own positional
+        # pin, so re-aggregating and re-materializing it here would
+        # be duplicate work (optimization round 15 — one small write
+        # + one exchange per fold step removed)
+        rows = prebuilt_gram_rows
+    elif prebuilt_gram_rows is None:
+        rows = materialize(build_span_gram_rows(new_docs, text_col, id_col, k))
+    else:
+        # BOTH fold contracts are STRUCTURAL, not comment-enforced
+        # (optimization round 14 review + ADVICE r14): the k column is
+        # re-stamped from this call's k via gram_rows_from_positional's
+        # tail, and the same tail's groupBy min(pos) collapses a frame
+        # that still carries one row per OCCURRENCE — a caller passing
+        # raw keyed_positional_rows can no longer silently fold
+        # duplicate (gram_key, doc_id) rows and break the per-(gram,
+        # doc) first-occurrence invariant. Idempotent (and one cheap
+        # exchange) on already-collapsed input.
+        rows = materialize(
+            gram_rows_from_positional(
+                prebuilt_gram_rows.select("gram_key", "doc_id", "pos"),
+                "doc_id",
+                k,
+            )
+        )
 
     def fresh_rows(stored: DataFrame, batch: DataFrame) -> DataFrame:
         _check_k(_stored_k(stored), k, path, "folding")
+        if _prepinned_fresh_rows:
+            # the composed loop ALREADY anti-joined the batch against
+            # this store's current version (single logical writer per
+            # store, the module contract), so the replay-absorbing
+            # anti-join is a structural no-op here — skipped, while
+            # the law guards below (ingest-order probe; the k check
+            # above) still run on every fold
+            fresh = batch
+            probe = fresh.agg(
+                F.min("doc_id").alias("lo"), F.count(F.lit(1)).alias("n")
+            ).first()
+            if int(probe["n"]):
+                hi_row = stored.agg(F.max("doc_id").alias("hi")).first()
+                hi = hi_row["hi"]
+                if hi is not None and int(probe["lo"]) <= int(hi):
+                    raise ValueError(
+                        f"span index at {path}: batch doc_id "
+                        f"{int(probe['lo'])} does not postdate the "
+                        f"indexed max {int(hi)} — the ingest-order "
+                        "contract (sequential ≡ one-shot law) admits "
+                        "only increasing doc_ids; re-id the late "
+                        "arrival or rebuild over the full corpus"
+                    )
+            return fresh
         indexed = stored.select("doc_id").distinct()
         if on_overlap == "raise":
             n = (
@@ -388,6 +433,7 @@ def clean_batch_against_store(
     id_col: str = "doc_id",
     k: int = SPAN_K,
     _prebuilt_pg: DataFrame | None = None,
+    _prebuilt_fr: DataFrame | None = None,
 ) -> DataFrame:
     """(id, n_tokens, n_removed_tokens, clean_text) for every BATCH
     doc, with duplicated spans removed against store ∪ batch — the
@@ -425,11 +471,28 @@ def clean_batch_against_store(
     # _prebuilt_pg: the composed clean-and-fold loop tokenizes the
     # batch ONCE and shares the pinned positional rows between this
     # clean and the subsequent gram fold (optimization round 14) —
-    # a keyed_positional_rows frame over the same batch at the same k
+    # a keyed_positional_rows frame over the same batch at the same k.
+    # _prebuilt_fr: the loop's pinned gram_rows_from_positional(pg)
+    # collapse — MUST be derived from the same pg at the same k
     pg = (
         _prebuilt_pg
         if _prebuilt_pg is not None
         else materialize(keyed_positional_rows(batch, text_col, id_col, k))
+    )
+    # per-(gram, doc) first-occurrence rows (optimization round 15,
+    # guide §2.3): the batch key set and the canonical-occurrence
+    # stats below need only ONE row per (gram, doc) — deriving them
+    # from this collapsed frame replaces the old count_distinct(id)
+    # Expand over every OCCURRENCE row with a plain partial-aggregable
+    # count(1) + min(struct), and the composed clean-and-fold loop
+    # passes its pinned copy (``_prebuilt_fr``) so the very same
+    # aggregation also serves the gram fold (one pass, three
+    # consumers). min over (doc, per-doc-min-pos) == min over all
+    # occurrences, so the canonical pick is identical.
+    fr = (
+        _prebuilt_fr
+        if _prebuilt_fr is not None
+        else gram_rows_from_positional(pg, id_col, k)
     )
     # The law's preconditions are ENFORCED here exactly as the fold
     # enforces them — clean is the misuse-prone half (fold-then-clean
@@ -490,7 +553,7 @@ def clean_batch_against_store(
                 "crowns the lower-id batch doc. Re-id the late arrival or "
                 "rebuild over the full corpus"
             )
-    batch_keys = pg.select("gram_key").distinct()
+    batch_keys = fr.select("gram_key").distinct()
     store_scan = stored.select("gram_key")
     # small-probe pushdown: a batch whose key set fits the cap — AND
     # whose store is large enough that min/max stats can actually skip
@@ -523,11 +586,21 @@ def clean_batch_against_store(
         .join(F.broadcast(batch_keys), "gram_key", "left_semi")
         .distinct()
     )
-    batch_stats = pg.groupBy("gram_key").agg(
-        F.count_distinct(id_col).alias("__bn"),
-        F.min(F.struct(F.col(id_col).alias("cid"), F.col("pos").alias("cpos"))).alias(
-            "__c"
-        ),
+    # fr holds exactly one row per (gram, doc) with the per-doc MIN
+    # pos, so distinct-doc counting is a plain count(1) and the
+    # canonical (doc, pos) min is unchanged (for the smallest doc_id
+    # its per-doc min pos is what the min over all occurrences picked)
+    # — no count_distinct Expand over occurrence rows. pos rides as
+    # long in fr; cast back to int so the rebuild's element_at index
+    # type is byte-identical to the occurrence-row form.
+    batch_stats = fr.groupBy("gram_key").agg(
+        F.count(F.lit(1)).alias("__bn"),
+        F.min(
+            F.struct(
+                F.col("doc_id").alias("cid"),
+                F.col("pos").cast("int").alias("cpos"),
+            )
+        ).alias("__c"),
     )
     batch_only_dup = batch_stats.join(
         store_hit, "gram_key", "left_anti"
@@ -718,20 +791,22 @@ def clean_and_fold_batch(
             .distinct()
         )
         fresh = materialize(batch.join(indexed, id_col, "left_anti"))
-    # tokenize the batch ONCE (optimization round 14, guide §1.2):
-    # the clean's positional rows and the fold's per-(gram, doc)
-    # first-occurrence rows are both views of the same posexplode —
-    # previously each half ran its own tokenize + posexplode pass
-    # over the batch text; now the pinned pg serves the clean
-    # directly and the fold derives its rows from the same pin with
-    # one small aggregation (gram_rows_from_positional — the same
-    # shared tail build_span_gram_rows uses, so the shapes cannot
-    # drift).
+    # tokenize the batch ONCE (optimization round 14, guide §1.2) and
+    # collapse it to per-(gram, doc) first-occurrence rows ONCE
+    # (optimization round 15, guide §2.3): the pinned pg serves the
+    # clean's coverage join; the pinned fr serves the clean's key set
+    # + canonical-occurrence stats AND is the fold's rows frame —
+    # previously the clean ran its own count_distinct Expand over
+    # every occurrence row and the fold re-aggregated and re-pinned
+    # the same collapse (interleaved A/B at sf0.1 with the fold fast
+    # path below: count 6.72 → 6.28 s, noop 7.19 → 6.85 s min-of-5,
+    # rows identical).
     pg = materialize(keyed_positional_rows(fresh, text_col, id_col, k))
+    fr = materialize(gram_rows_from_positional(pg, id_col, k))
     cleaned = materialize(
         clean_batch_against_store(
             spark, index_path, fresh, text_col, id_col, k,
-            _prebuilt_pg=pg,
+            _prebuilt_pg=pg, _prebuilt_fr=fr,
         )
     )
     if cleaned_path is not None:
@@ -745,11 +820,15 @@ def clean_and_fold_batch(
             n_files=SPAN_FILES,
             skip_empty_bootstrap_result=0,
         )
-    fold_rows = gram_rows_from_positional(pg, id_col, k)
+    # fold fast path: fr is already collapsed, k-stamped and pinned,
+    # and `fresh` was anti-joined against this store's CURRENT version
+    # above (single logical writer), so the fold skips its replay
+    # anti-join and its re-materialize while keeping the k and
+    # ingest-order guards (optimization round 15)
     update_span_index(
         spark, index_path, fresh, text_col, id_col,
         on_overlap="skip_existing", k=k,
-        prebuilt_gram_rows=fold_rows,
+        prebuilt_gram_rows=fr, _prepinned_fresh_rows=True,
     )
     return cleaned
 
