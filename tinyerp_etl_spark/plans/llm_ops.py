@@ -732,7 +732,17 @@ def ivf_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             StructType.fromDDL("vec_id long, embedding array<float>, list_id int"),
             partition_by=["list_id"],
         )
-        store.commit(assigned.select("vec_id", "embedding", "list_id"))
+        # cluster by the partition column before the hive-partitioned
+        # write (optimization round 15, guide §6): unclustered, EVERY
+        # input task writes one file per list_id it holds (tasks ×
+        # lists files — the N×B write-unit pathology the bucketed
+        # staging fix removed in r14); ranged to len(cents) tasks the
+        # write emits ~one file per list directory at any scale
+        store.commit(
+            assigned.select("vec_id", "embedding", "list_id"),
+            n_files=len(cents),
+            cluster_by=["list_id"],
+        )
         qlit = F.array(*[F.lit(float(x)).cast("float") for x in qvec])
         score = (
             S.quantized_dot(F.col("embedding"), qlit)
@@ -4607,10 +4617,15 @@ def _ivf_store_corpus_for(spark: SparkSession, sf_dir: str):
             .filter(F.col("vec_id") % 2 == 0)
             .select("vec_id", "embedding")
         )
+        # cluster by the partition column before the hive-partitioned
+        # write (guide §6, the ivf_partitioned_scan note): ~one file
+        # per list directory instead of tasks × lists files
         store.commit(
             PQX.pq_prescreen_cols(
                 S.ivf_assign_narrow(emb, centroids=cents), book
-            )
+            ),
+            n_files=len(cents),
+            cluster_by=["list_id"],
         )
     return store
 
