@@ -111,11 +111,91 @@ def annotated_v1(spark, sf_dir):
     return decision, surv, tgt
 
 
+def _staged_v2(spark, sf_dir):
+    """Extraction ONCE PER DOC: both staged crawls of a doc share the
+    same page by construction, so html_to_text need not run per crawl."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    staged_docs = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 40 == 0,
+            F.concat(F.col("text"), F.lit(" "), F.expr("repeat('!?', 40)")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+        "lang",
+        "source",
+    )
+    base = staged_docs.select(
+        "doc_id", "text", L._synthetic_page().alias("page")
+    )
+    sid = F.col("doc_id").cast("string")
+    noisy = base.select(
+        (F.col("doc_id") * 2).alias("crawl_id"),
+        "doc_id",
+        F.concat(
+            F.lit("HTTP://WWW.Example.COM:80/d/"), sid,
+            F.lit("/?utm_source=x&b=2&a=1#frag"),
+        ).alias("url"),
+    )
+    clean = base.select(
+        (F.col("doc_id") * 2 + 1).alias("crawl_id"),
+        "doc_id",
+        F.concat(
+            F.lit("http://example.com/d/"), sid, F.lit("?a=1&b=2")
+        ).alias("url"),
+    )
+    crawls = widen_if_narrow(noisy.unionByName(clean), sf_dir)
+    ext = base.select(
+        "doc_id", X.html_to_text(F.col("page")).alias("clean_text")
+    )
+    ann = materialize(
+        crawls.select(
+            "crawl_id", "doc_id", X.normalize_url("url").alias("canonical_url")
+        ).join(ext, "doc_id")
+    )
+    first = ann.groupBy("canonical_url").agg(
+        F.min("crawl_id").alias("keeper")
+    )
+    tgt = staged_docs.filter(
+        (F.col("lang") == "en") & (F.col("source") == "src13")
+    ).select("doc_id", "text")
+    return ann, first, tgt
+
+
+def annotated_v2(spark, sf_dir):
+    ann, first, tgt = _staged_v2(spark, sf_dir)
+    decision = materialize(
+        ann.join(first, "canonical_url").select(
+            "crawl_id",
+            "doc_id",
+            "canonical_url",
+            "keeper",
+            F.when(
+                F.col("crawl_id") == F.col("keeper"),
+                X.c4_verdict("clean_text"),
+            ).alias("verdict"),
+        )
+    )
+    surv = (
+        decision.filter(
+            (F.col("crawl_id") == F.col("keeper"))
+            & (F.col("verdict") == "keep")
+        )
+        .select("crawl_id")
+        .join(ann.select("crawl_id", F.col("clean_text").alias("text")),
+              "crawl_id")
+    )
+    return decision, surv, tgt
+
+
 def main() -> None:
     spark = get_spark("ab-webmanifest")
     spark.range(1000).mapInPandas(lambda it: it, schema="id long").count()
     v0 = L._web_manifest_annotated
-    variants = {"v0": v0, "v1": annotated_v1}
+    variants = {"v1": v0, "v2": annotated_v2}
     qnames = ["web_curation_pipeline_manifest", "web_manifest_store_scored"]
 
     for qn in qnames:
