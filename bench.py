@@ -383,7 +383,6 @@ def main() -> None:
         "queries_forced": forced,
         "host_calibration": cal_end,
         "host_calibration_start": cal_start,
-        **normalized,
         **{
             k: comparables[k]
             for k in (
@@ -404,6 +403,10 @@ def main() -> None:
         # the headline total sits AFTER the queries dict so it lands
         # inside the recorded tail window
         "value": round(total, 4),
+        # normalized keys LAST (review finding, r15): the driver
+        # records only the final ~2000 bytes of this line, and a
+        # loaded-host driver run is exactly when these keys matter
+        **normalized,
     }
     try:
         with open(

@@ -1144,7 +1144,14 @@ def semantic_dedup(
     # broadcast-class at this corpus size; at real scale the
     # assignment is the table's partition column at ingest — see
     # ivf_assign — and the aggregate-form pin this replaces shuffled
-    # the same payload through its max_by exchange anyway).
+    # the same payload through its max_by exchange anyway). CONTRACT:
+    # `embeddings` must be a deterministic batch frame — it is
+    # re-evaluated here against the frozen assignment pin, so a
+    # non-deterministic source (sampled subset, rand()-derived ids, a
+    # store another writer advances) could attach different vectors
+    # than were assigned. Same batch-determinism class as the eager
+    # construction note above (and the operator already rejects
+    # streaming frames).
     base = (
         embeddings.select(id_col, vec_col)
         .join(ok_narrow, id_col)

@@ -307,13 +307,21 @@ def update_span_index(
             "_prepinned_fresh_rows requires prebuilt_gram_rows"
         )
     if _prepinned_fresh_rows:
-        # the composed clean-and-fold loop's fast path: the frame is
-        # ALREADY per-(gram, doc)-collapsed, k-stamped and pinned by
+        # the composed clean-and-fold loop's PRIVATE fast path: the
+        # frame is ALREADY per-(gram, doc)-collapsed and pinned by
         # gram_rows_from_positional over the loop's own positional
-        # pin, so re-aggregating and re-materializing it here would
-        # be duplicate work (optimization round 15 — one small write
-        # + one exchange per fold step removed)
-        rows = prebuilt_gram_rows
+        # pin (the one caller sits ten lines above in this module),
+        # so re-aggregating and re-materializing it here would be
+        # duplicate work (optimization round 15 — one small write +
+        # one exchange per fold step removed). The k contract stays
+        # STRUCTURAL even here (free projection over the pin); the
+        # first-occurrence collapse is owned by the caller's
+        # gram_rows_from_positional derivation — callers outside the
+        # composed loop must use the public prebuilt_gram_rows path,
+        # which re-collapses unconditionally.
+        rows = prebuilt_gram_rows.select("gram_key", "doc_id", "pos").withColumn(
+            "k", F.lit(int(k)).cast("long")
+        )
     elif prebuilt_gram_rows is None:
         rows = materialize(build_span_gram_rows(new_docs, text_col, id_col, k))
     else:

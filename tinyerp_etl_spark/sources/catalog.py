@@ -215,7 +215,13 @@ def widen_if_narrow(
             # instead (skip _SUCCESS / dot-files — commit-protocol
             # metadata, not scan input).
             size = 0
-            for root, _dirs, files in os.walk(path):
+            for root, dirs, files in os.walk(path):
+                # prune metadata/staging SUBTREES too (_temporary,
+                # _delta_log, .staging-*) — their bytes are not scan
+                # input, and counting an in-flight write's attempt
+                # files would inflate the estimate past the widen
+                # threshold (review finding, r15)
+                dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
                 for fn in files:
                     if fn.startswith(("_", ".")):
                         continue
@@ -229,7 +235,13 @@ def widen_if_narrow(
         spark.conf.get("spark.sql.files.maxPartitionBytes", str(128 << 20))
     ).lower()
     mult = 1
-    for suffix, m in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30), ("b", 1)):
+    # Spark's byte-string parser also accepts two-letter suffixes
+    # ("128mb", "1gb"): strip a trailing 'b' FIRST, then the scale
+    # letter, or "128mb" would match only the 'b' and int("128m")
+    # raise (review finding, r15)
+    if max_pb_conf.endswith("b"):
+        max_pb_conf = max_pb_conf[:-1]
+    for suffix, m in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30)):
         if max_pb_conf.endswith(suffix):
             max_pb_conf = max_pb_conf[: -len(suffix)]
             mult = m
